@@ -1,0 +1,233 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.{LogicalKind, MetricConfig, Namespace, ResolverSpec}
+import graft.functions._
+import graft.profile._
+
+/** Builds one wide declarative aggregation from a DataFrame schema — the
+  * whole profiling run is a single `df.agg(...)`: Catalyst plans map-side
+  * partial aggregation per partition, one exchange of KB-sized sketch
+  * buffers, and a final merge (the map-reduce the reference hand-codes in
+  * `api/pyspark/experimental/profiler.py:29-77`). Scales with #columns,
+  * not #rows; wide tables are chunked into `columnBatchSize` passes.
+  */
+class Profiler(
+    val config: MetricConfig = MetricConfig(),
+    val resolver: ResolverSpec = ResolverSpec.default) {
+
+  import LogicalKind._
+
+  /** The aggregate Column (a struct of metric structs) for one input column. */
+  def aggColumnFor(field: StructField): Option[Column] = {
+    val kind = LogicalKind.of(field.dataType)
+    val metrics = resolver.metricsFor(field.name, kind)
+      .filterNot(m => config.fiDisabled && m == Namespace.FrequentItems)
+    if (metrics.isEmpty) return None
+    val c = F.col(field.name)
+    val isFloating = field.dataType == DoubleType || field.dataType == FloatType
+
+    val parts: Seq[Column] = metrics.flatMap {
+      case Namespace.Counts =>
+        Some(F.struct(
+          F.count(F.lit(1)).as("n"),
+          count_where(c.isNull).as("nulls"),
+          (if (isFloating) count_where(F.isnan(c)) else F.lit(0L)).as("nan"),
+          (if (isFloating) count_where(c === Double.PositiveInfinity || c === Double.NegativeInfinity)
+           else F.lit(0L)).as("inf"),
+          (if (field.dataType == BooleanType) count_where(c === true) else F.lit(0L)).as("trueCount")
+        ).as(Namespace.Counts))
+
+      case Namespace.Types =>
+        // Static schema ⇒ every non-null value lands in one bucket
+        // (SURVEY §1.2: resolution is exact under Spark's type system).
+        val nonNull = F.count(c)
+        def zero = F.lit(0L)
+        val (i, fr, bo, st, ob, te) = kind match {
+          case Integral   => (nonNull, zero, zero, zero, zero, zero)
+          case Bool       => (zero, zero, nonNull, zero, zero, zero)
+          case Fractional =>
+            (zero, if (isFloating) nonNull - count_where(F.isnan(c)) else nonNull,
+             zero, zero, zero, zero)
+          case Str        => (zero, zero, zero, nonNull, zero, zero)
+          case Tensor     => (zero, zero, zero, zero, zero, nonNull)
+          case AnyKind    => (zero, zero, zero, zero, nonNull, zero)
+        }
+        Some(F.struct(i.as("integral"), fr.as("fractional"), bo.as("boolean"),
+          st.as("string"), ob.as("obj"), te.as("tensor")).as(Namespace.Types))
+
+      case Namespace.Ints if kind == Integral || kind == Bool =>
+        val asLong = field.dataType match {
+          case DateType      => c.cast(LongType)
+          case TimestampType => c.cast(LongType)
+          case _             => c.cast(LongType)
+        }
+        Some(F.struct(F.min(asLong).as("min"), F.max(asLong).as("max")).as(Namespace.Ints))
+      case Namespace.Ints => None
+
+      case Namespace.Distribution if kind != Str && kind != AnyKind && kind != Tensor =>
+        val child = field.dataType match {
+          case TimestampType | DateType => c.cast(LongType)
+          case BooleanType              => c.cast(IntegerType)
+          case _                        => c
+        }
+        Some(distribution_agg(child, config.kllK, config.quantiles).as(Namespace.Distribution))
+      case Namespace.Distribution => None
+
+      case Namespace.Cardinality =>
+        val child = field.dataType match {
+          case TimestampType | DateType => c.cast(LongType)
+          case _                        => c
+        }
+        Some(cardinality_agg(child, config.hllLgK, config.numStdDev).as(Namespace.Cardinality))
+
+      case Namespace.FrequentItems =>
+        val child = field.dataType match {
+          case StringType => c
+          case _          => c.cast(StringType)
+        }
+        Some(frequent_items_agg(child, config.fiLgMaxK, config.fiLimit).as(Namespace.FrequentItems))
+
+      case _ => None
+    }
+    if (parts.isEmpty) None else Some(F.struct(parts: _*).as(field.name))
+  }
+
+  def aggColumns(schema: StructType, columns: Option[Seq[String]] = None): Seq[Column] = {
+    val fields = columns match {
+      case Some(cs) => cs.map(n => schema(n))
+      case None     => schema.fields.toSeq
+    }
+    fields.flatMap(aggColumnFor)
+  }
+
+  /** Distributed profile: a one-row DataFrame of nested metric structs.
+    * Stays lazy — compose, write, or collect via [[profile]]. */
+  def profileDF(df: DataFrame, columns: Option[Seq[String]] = None): DataFrame = {
+    val aggs = aggColumns(df.schema, columns)
+    require(aggs.nonEmpty, "no profilable columns")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Collected profile view. Wide tables are profiled in column batches to
+    * bound the aggregation-buffer row size; batches are disjoint column
+    * sets so the union of views is exact. */
+  def profile(df: DataFrame, columns: Option[Seq[String]] = None): DatasetProfileView = {
+    val names = columns.getOrElse(df.schema.fields.map(_.name).toSeq)
+      .filter(n => aggColumnFor(df.schema(n)).nonEmpty)
+    val batches = names.grouped(math.max(1, config.columnBatchSize)).toSeq
+    val views = batches.map { batch =>
+      val row = profileDF(df, Some(batch)).collect()(0)
+      Profiler.parseRow(row)
+    }
+    views.foldLeft(DatasetProfileView.empty) { (acc, v) =>
+      DatasetProfileView(acc.columns ++ v.columns)
+    }
+  }
+
+  /** Segmented profiling = one hash-partitioned groupBy on the stringified
+    * segment key (reference `api/logger/segment_processing.py:24-212`);
+    * one shuffle total, sketch buffers merged by Catalyst per segment. */
+  def profileSegmentedDF(
+      df: DataFrame,
+      segmentColumns: Seq[String],
+      filter: Option[Column] = None,
+      columns: Option[Seq[String]] = None): DataFrame = {
+    val filtered = filter.map(df.filter).getOrElse(df)
+    val keys = segmentColumns.map(n => F.col(n).cast(StringType).as(s"segment_$n"))
+    val profiled = columns.getOrElse(
+      df.schema.fields.map(_.name).toSeq.filterNot(segmentColumns.contains))
+    val aggs = aggColumns(df.schema, Some(profiled))
+    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Collect segmented profiles: segment key values → profile view. */
+  def profileSegmented(
+      df: DataFrame,
+      segmentColumns: Seq[String],
+      filter: Option[Column] = None): Map[Seq[String], DatasetProfileView] = {
+    val res = profileSegmentedDF(df, segmentColumns, filter)
+    res.collect().map { row =>
+      val key = segmentColumns.indices.map(i => String.valueOf(row.get(i)))
+      key -> Profiler.parseRow(row, segmentColumns.length)
+    }.toMap
+  }
+
+  /** Long-format summary DataFrame: (column, metric, value, svalue). */
+  def summaryDF(df: DataFrame): DataFrame = {
+    val view = profile(df)
+    val spark = df.sparkSession
+    import spark.implicits._
+    view.summaryRows.toDF("column", "metric", "value", "svalue")
+  }
+}
+
+object Profiler {
+
+  /** Parse one aggregated row (possibly offset past segment-key columns)
+    * into a profile view, using the row's schema for metric discovery. */
+  def parseRow(row: Row, offset: Int = 0): DatasetProfileView = {
+    val schema = row.schema
+    val cols = schema.fields.drop(offset).map { f =>
+      val colRow = row.getAs[Row](f.name)
+      f.name -> parseColumn(colRow)
+    }.toMap
+    DatasetProfileView(cols)
+  }
+
+  private def parseColumn(r: Row): ColumnProfileView = {
+    val schema = r.schema
+    def has(n: String) = schema.fieldNames.contains(n)
+    var view = ColumnProfileView()
+    if (has(Namespace.Counts)) {
+      val c = r.getAs[Row](Namespace.Counts)
+      view = view.copy(counts = Some(CountsSummary(
+        c.getAs[Long]("n"), c.getAs[Long]("nulls"), c.getAs[Long]("nan"),
+        c.getAs[Long]("inf"), c.getAs[Long]("trueCount"))))
+    }
+    if (has(Namespace.Types)) {
+      val t = r.getAs[Row](Namespace.Types)
+      view = view.copy(types = Some(TypeCountsSummary(
+        t.getAs[Long]("integral"), t.getAs[Long]("fractional"), t.getAs[Long]("boolean"),
+        t.getAs[Long]("string"), t.getAs[Long]("obj"), t.getAs[Long]("tensor"))))
+    }
+    if (has(Namespace.Ints)) {
+      val i = r.getAs[Row](Namespace.Ints)
+      view = view.copy(ints = Some(IntsSummary(
+        Option(i.getAs[java.lang.Long]("min")).map(_.longValue),
+        Option(i.getAs[java.lang.Long]("max")).map(_.longValue))))
+    }
+    if (has(Namespace.Distribution)) {
+      val d = r.getAs[Row](Namespace.Distribution)
+      val ranks = graft.metrics.DistributionAgg.DefaultQuantiles
+      val qs = Option(d.getAs[scala.collection.Seq[Double]]("quantiles"))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      view = view.copy(distribution = Some(DistributionSummary(
+        d.getAs[Long]("n"),
+        Option(d.getAs[java.lang.Double]("mean")).map(_.doubleValue).getOrElse(0.0),
+        Option(d.getAs[java.lang.Double]("m2")).map(_.doubleValue).getOrElse(0.0),
+        Option(d.getAs[java.lang.Double]("min")).map(_.doubleValue),
+        Option(d.getAs[java.lang.Double]("max")).map(_.doubleValue),
+        ranks.take(qs.length), qs, d.getAs[Array[Byte]]("kll"))))
+    }
+    if (has(Namespace.Cardinality)) {
+      val c = r.getAs[Row](Namespace.Cardinality)
+      view = view.copy(cardinality = Some(CardinalitySummary(
+        c.getAs[Double]("estimate"), c.getAs[Double]("lower"), c.getAs[Double]("upper"),
+        c.getAs[Array[Byte]]("hll"))))
+    }
+    if (has(Namespace.FrequentItems)) {
+      val f = r.getAs[Row](Namespace.FrequentItems)
+      val items = f.getAs[scala.collection.Seq[Row]]("items").toSeq.map { ir =>
+        FrequentItem(ir.getAs[String]("value"), ir.getAs[Long]("estimate"),
+          ir.getAs[Long]("lower"), ir.getAs[Long]("upper"))
+      }
+      view = view.copy(frequentItems =
+        Some(FrequentItemsSummary(items, f.getAs[Array[Byte]]("sketch"))))
+    }
+    view
+  }
+}
