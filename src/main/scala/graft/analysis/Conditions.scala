@@ -1,0 +1,74 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.count_where
+
+/** Row-level predicates: the reference's ConditionCountMetric +
+  * ConditionValidator (whylogs
+  * `python/whylogs/core/metrics/condition_count_metric.py:27-270`,
+  * `core/validators/condition_validator.py:16-108`).
+  *
+  * Predicates compile 1:1 to Catalyst columns (`rlike`, comparisons,
+  * boolean algebra), so condition counting is a pure `count_if` pass that
+  * fuses into the same scan as the rest of the profile — no extra job.
+  */
+final case class Condition(name: String, predicate: Column)
+
+object Conditions {
+
+  /** Fluent relation builders mirroring the reference's Predicate DSL
+    * (`core/relations.py:66-205`). */
+  def matches(c: Column, regex: String): Column = c.rlike(regex)
+  def fullmatch(c: Column, regex: String): Column = c.rlike(s"^(?:$regex)$$")
+  def equalTo(c: Column, v: Any): Column = c === F.lit(v)
+  def lt(c: Column, v: Any): Column = c < F.lit(v)
+  def le(c: Column, v: Any): Column = c <= F.lit(v)
+  def gt(c: Column, v: Any): Column = c > F.lit(v)
+  def ge(c: Column, v: Any): Column = c >= F.lit(v)
+
+  /** Condition-count metric: one row (condition, matches, total). */
+  def countsDF(df: DataFrame, conditions: Seq[Condition]): DataFrame = {
+    val aggs = F.count(F.lit(1)).as("total") +:
+      conditions.map(c => count_where(c.predicate && c.predicate.isNotNull).as(c.name))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to long format for stable schema
+    val total = F.col("total")
+    val stacked = conditions.map(c =>
+      F.struct(F.lit(c.name).as("condition"), F.col(c.name).as("matches"), total.as("total")))
+    row.select(F.explode(F.array(stacked: _*)).as("r")).select("r.*")
+  }
+
+  /** Row-level validator: per-condition failure counts + a bounded sample
+    * of failing identity values (reference samples k=10 via VarOpt;
+    * here: deterministic first-k by identity order — documented divergence,
+    * same bound). */
+  def validate(
+      df: DataFrame,
+      conditions: Seq[Condition],
+      identityColumn: String,
+      sampleSize: Int = 10): Seq[ValidationResult] = {
+    conditions.map { c =>
+      val failing = df.filter(!F.coalesce(c.predicate, F.lit(false)))
+      val failCount = failing.count()
+      val sample = failing.select(F.col(identityColumn).cast("string"))
+        .orderBy(identityColumn).limit(sampleSize).collect().map(_.getString(0)).toSeq
+      ValidationResult(c.name, failCount, sample)
+    }
+  }
+
+  /** Distributed validator summary as a DataFrame (no driver loops):
+    * (condition, failures, total). */
+  def validateDF(df: DataFrame, conditions: Seq[Condition]): DataFrame = {
+    val aggs = F.count(F.lit(1)).as("total") +: conditions.map(c =>
+      count_where(!F.coalesce(c.predicate, F.lit(false))).as(c.name))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = conditions.map(c =>
+      F.struct(F.lit(c.name).as("condition"), F.col(c.name).as("failures"),
+        F.col("total").as("total")))
+    row.select(F.explode(F.array(stacked: _*)).as("r")).select("r.*")
+  }
+}
+
+final case class ValidationResult(condition: String, failures: Long, sample: Seq[String])

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, all as codegen'd column expressions (map-only,
+  * no UDFs — a 100 TB corpus pays exactly one scan and no Python/JVM
+  * serialization boundary).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    F.when(F.length(F.trim(text)) === 0, 0).otherwise(F.size(F.split(F.trim(text), "\\s+")))
+
+  /** Count of alphabetic characters. */
+  def alphaCount(text: Column): Column =
+    F.length(text) - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+
+  /** Count of digit characters. */
+  def digitCount(text: Column): Column =
+    F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+
+  /** Count of punctuation characters (fixed class, regex-portable). */
+  def punctCount(text: Column): Column =
+    F.length(text) - F.length(F.regexp_replace(text, "[.,;:!?'\"()-]", ""))
+
+  /** Small per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and replicable in ANSI SQL. */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "ist", "den", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
+
+  /** Tokens of lowercased text. */
+  def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
+
+  /** Stopword hits for one language list (with multiplicity). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    F.size(F.filter(toks, t => words.map(w => t === F.lit(w)).reduce(_ || _)))
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts;
+    * 'und' (undetermined) when no list hits; ties break by language code
+    * ascending (deterministic). */
+  def langId(text: Column): Column = {
+    val scored = StopWords.map { case (lang, words) =>
+      F.struct(stopwordHits(text, words).as("hits"), F.lit(lang).as("lang"))
+    }
+    // max by (hits, reversed-lang) ⇒ ties pick lexicographically smallest lang
+    val best = F.aggregate(
+      F.array(scored: _*),
+      F.struct(F.lit(-1).as("hits"), F.lit("zzz").as("lang")),
+      (acc, s) => F.when(
+        s.getField("hits") > acc.getField("hits") ||
+          (s.getField("hits") === acc.getField("hits") &&
+            s.getField("lang") < acc.getField("lang")), s).otherwise(acc))
+    F.when(best.getField("hits") <= 0, F.lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Rule-based quality features + composite score, integer-ratio based so
+    * results are deterministic across engines. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val nChars = F.length(t)
+    val nTok = tokenCount(t)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_alpha", alphaCount(t))
+      .withColumn("n_digits", digitCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("alpha_ratio",
+        F.when(nChars === 0, 0.0).otherwise(alphaCount(t).cast("double") / nChars.cast("double")))
+      .withColumn("mean_token_len",
+        F.when(nTok === 0, 0.0).otherwise(
+          (nChars - nTok + 1).cast("double") / nTok.cast("double")))
+      .withColumn("stopword_hits", stopwordHits(t, StopWords.head._2))
+      .withColumn("quality_ok",
+        F.col("n_tokens") >= 5 && F.col("alpha_ratio") > 0.5 && F.col("mean_token_len") < 15.0)
+  }
+
+  /** Per-document analysis frame: id, token stats, language guess. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withQuality(df, textCol)
+      .withColumn("lang_guess", langId(F.col(textCol)))
+      .select(idCol, "n_chars", "n_tokens", "n_alpha", "n_digits", "n_punct",
+        "alpha_ratio", "mean_token_len", "quality_ok", "lang_guess")
+}
