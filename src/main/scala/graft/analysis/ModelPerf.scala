@@ -35,7 +35,11 @@ object ModelPerf {
     val err = prediction - target
     val absSum = F.sum(F.abs(err).cast("decimal(32,6)")).cast("double")
     val errSum = F.sum(err.cast("decimal(32,6)")).cast("double")
-    val sqSum = F.sum((err * err).cast("decimal(38,8)")).cast("double")
+    // scale 4: coarse enough that the decimal grid is wider than double ulp
+    // at 1e8 magnitude (so both engines round the same double identically),
+    // fine enough to be exact for ≤2-decimal inputs (err² is an 8-decimal
+    // ideal that provably never lands on a half-of-10⁻⁴ boundary).
+    val sqSum = F.sum((err * err).cast("decimal(38,4)")).cast("double")
     val n = F.count(F.when(target.isNotNull && prediction.isNotNull, 1))
     df.agg(
       n.as("n"),

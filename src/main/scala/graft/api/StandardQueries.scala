@@ -1,0 +1,602 @@
+package graft.api
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.analysis._
+import graft.core.{MetricConfig, Namespace, ResolverSpec}
+import graft.functions._
+import graft.functions.Fingerprints.rolling_min_hash
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The driver-facing query registry: one entry per implemented operator
+  * (SURVEY §2 + the training-data pipeline extensions), each built on the
+  * library API, plus DuckDB-exact oracle SQL where the semantics are
+  * ANSI-expressible.
+  *
+  * Exactness strategy: every oracle-checked value is either integral,
+  * string, boolean, a raw input double (min/max), or a double derived from
+  * exact decimal accumulation / integer arithmetic through an expression
+  * tree mirrored verbatim in the SQL — so results are bit-identical across
+  * engines and partitionings. Sketch-based outputs are only oracle-checked
+  * where the sketch is provably exact (HLL coupon mode, unpurged FI map).
+  */
+object StandardQueries {
+
+  final case class Q(build: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val liNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val liDouble = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val liInts = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  private val liAll = liNumeric ++ Seq("l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** (table, column) pairs whose distinct counts sit far inside HLL coupon
+    * range — estimates are exact there. */
+  private val lowCardCols = Seq(
+    "customer" -> "c_mktsegment", "documents" -> "lang", "documents" -> "source",
+    "events" -> "event_type", "lineitem" -> "l_linestatus", "lineitem" -> "l_returnflag",
+    "nation" -> "n_name", "orders" -> "o_orderpriority", "orders" -> "o_orderstatus",
+    "part" -> "p_brand", "part" -> "p_type", "region" -> "r_name")
+
+  private val fiCols = Seq(
+    "customer" -> "c_mktsegment", "documents" -> "lang", "documents" -> "source",
+    "lineitem" -> "l_linestatus", "lineitem" -> "l_returnflag",
+    "nation" -> "n_name", "orders" -> "o_orderpriority", "orders" -> "o_orderstatus")
+
+  // ------------------------------------------------------------------
+  // §2.A metric queries
+  // ------------------------------------------------------------------
+
+  private val countsProfiler =
+    new Profiler(MetricConfig(), ResolverSpec(byKind = _ => Seq(Namespace.Counts)))
+  private val typesProfiler =
+    new Profiler(MetricConfig(), ResolverSpec(byKind = _ => Seq(Namespace.Types)))
+  private val intsProfiler =
+    new Profiler(MetricConfig(), ResolverSpec(byKind = _ => Seq(Namespace.Ints)))
+
+  private def qProfileCounts = Q(
+    (s, dir) => {
+      val base = countsProfiler.profileDF(t(s, dir, "lineitem"))
+      val cols = F.col(s"${liAll.head}.counts.n").as("row_count") +:
+        liAll.map(c => F.col(s"$c.counts.nulls").as(s"${c}__nulls")) ++:
+        liDouble.map(c => F.col(s"$c.counts.nan").as(s"${c}__nan"))
+      base.select(cols: _*)
+    },
+    Some {
+      val parts = Seq("count(*) AS row_count") ++
+        liAll.map(c => s"count(*) FILTER (WHERE $c IS NULL) AS ${c}__nulls") ++
+        liDouble.map(c => s"count(*) FILTER (WHERE isnan($c)) AS ${c}__nan")
+      s"SELECT ${parts.mkString(", ")} FROM lineitem"
+    })
+
+  private val typesCols = Seq("l_orderkey", "l_partkey", "l_quantity",
+    "l_extendedprice", "l_returnflag", "l_linestatus")
+
+  private def qProfileTypes = Q(
+    (s, dir) => {
+      val base = typesProfiler.profileDF(t(s, dir, "lineitem"), Some(typesCols))
+      base.select(typesCols.flatMap(c => Seq(
+        F.col(s"$c.types.integral").as(s"${c}__integral"),
+        F.col(s"$c.types.fractional").as(s"${c}__fractional"),
+        F.col(s"$c.types.string").as(s"${c}__string"))): _*)
+    },
+    Some {
+      val parts = typesCols.flatMap { c =>
+        val isInt = liInts.contains(c)
+        val isDouble = liDouble.contains(c)
+        Seq(
+          (if (isInt) s"count($c)" else "CAST(0 AS BIGINT)") + s" AS ${c}__integral",
+          (if (isDouble) s"count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan($c))"
+           else "CAST(0 AS BIGINT)") + s" AS ${c}__fractional",
+          (if (!isInt && !isDouble) s"count($c)" else "CAST(0 AS BIGINT)") + s" AS ${c}__string")
+      }
+      s"SELECT ${parts.mkString(", ")} FROM lineitem"
+    })
+
+  private def qProfileInts = Q(
+    (s, dir) => {
+      val base = intsProfiler.profileDF(t(s, dir, "lineitem"), Some(liInts))
+      base.select(liInts.flatMap(c => Seq(
+        F.col(s"$c.ints.min").as(s"${c}__min"),
+        F.col(s"$c.ints.max").as(s"${c}__max"))): _*)
+    },
+    Some {
+      val parts = liInts.flatMap(c => Seq(
+        s"CAST(min($c) AS BIGINT) AS ${c}__min", s"CAST(max($c) AS BIGINT) AS ${c}__max"))
+      s"SELECT ${parts.mkString(", ")} FROM lineitem"
+    })
+
+  private def qProfileMoments = Q(
+    (s, dir) => DescriptiveStats.df(t(s, dir, "lineitem"), liDouble),
+    Some(DescriptiveStats.oracleSql("lineitem", liDouble)))
+
+  private val quantRanks = Seq(0.25, 0.5, 0.75)
+
+  private def qQuantilesExact = Q(
+    (s, dir) => {
+      val cols = Seq("l_quantity", "l_linenumber").flatMap { c =>
+        quantRanks.zipWithIndex.map { case (r, i) =>
+          F.expr(s"percentile($c, ${r}D)").as(s"${c}__p${(r * 100).toInt}")
+        }
+      }
+      t(s, dir, "lineitem").agg(cols.head, cols.tail: _*)
+    },
+    Some {
+      val parts = Seq("l_quantity", "l_linenumber").flatMap(c =>
+        quantRanks.map(r => s"quantile_cont($c, $r) AS ${c}__p${(r * 100).toInt}"))
+      s"SELECT ${parts.mkString(", ")} FROM lineitem"
+    })
+
+  private def qKllQuantiles = Q(
+    (s, dir) => {
+      val view = new Profiler().profile(t(s, dir, "lineitem"), Some(liNumeric))
+      import s.implicits._
+      view.columns.toSeq.sortBy(_._1).flatMap { case (c, v) =>
+        v.distribution.toSeq.flatMap(d => d.quantileRanks.zip(d.quantiles).map {
+          case (r, q) => (c, r, q)
+        })
+      }.toDF("column_name", "rank", "quantile").orderBy("column_name", "rank")
+    },
+    None)
+
+  private def qCardinality = Q(
+    (s, dir) => {
+      val perCol = lowCardCols.map { case (tbl, c) =>
+        t(s, dir, tbl).agg(
+          F.round(cardinality_agg(F.col(c)).getField("estimate"))
+            .cast("long").as("distinct_count"))
+          .select(F.lit(c).as("column_name"), F.col("distinct_count"))
+      }
+      perCol.reduce(_ unionAll _).orderBy("column_name")
+    },
+    Some {
+      lowCardCols.map { case (tbl, c) =>
+        s"SELECT '$c' AS column_name, count(DISTINCT $c) AS distinct_count FROM $tbl"
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    })
+
+  private def qCardinalityBounds = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val aggs = cols.map(c => cardinality_agg(F.col(c)).as(c))
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c => F.struct(
+        F.lit(c).as("column_name"),
+        F.col(s"$c.estimate").as("estimate"),
+        F.col(s"$c.lower").as("lower"),
+        F.col(s"$c.upper").as("upper")))
+      row.select(F.explode(F.array(stacked: _*)).as("r")).select("r.*")
+        .orderBy("column_name")
+    },
+    None)
+
+  private def qFrequentItems = Q(
+    (s, dir) => {
+      val perCol = fiCols.map { case (tbl, c) =>
+        t(s, dir, tbl)
+          .agg(frequent_items_agg(F.col(c)).getField("items").as("items"))
+          .select(F.lit(c).as("column_name"), F.explode(F.col("items")).as("it"))
+          .select(F.col("column_name"), F.col("it.value").as("value"),
+            F.col("it.estimate").as("cnt"))
+      }
+      perCol.reduce(_ unionAll _).orderBy(F.col("column_name"), F.col("cnt").desc, F.col("value"))
+    },
+    Some {
+      fiCols.map { case (tbl, c) =>
+        s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value, count(*) AS cnt FROM $tbl WHERE $c IS NOT NULL GROUP BY 1, 2"
+      }.mkString("", " UNION ALL ", " ORDER BY column_name, cnt DESC, value")
+    })
+
+  /** Bag-of-words term stats (reference BagOfWordsMetric,
+    * `experimental/extras/nlp_metric.py:199-431`): explode tokens, count
+    * via the frequent-items sketch (exact: vocabulary fits the map). */
+  private def qBowTermCounts = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(F.explode(F.split(F.col("text"), " ")).as("token"))
+        .agg(frequent_items_agg(F.col("token"), limit = 64).getField("items").as("items"))
+        .select(F.explode(F.col("items")).as("it"))
+        .select(F.col("it.value").as("token"), F.col("it.estimate").as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("token"))
+    },
+    Some("""SELECT t AS token, count(*) AS cnt
+           | FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           | GROUP BY t ORDER BY cnt DESC, token""".stripMargin.replaceAll("\n", " ")))
+
+  // ------------------------------------------------------------------
+  // §2.B dataset operators
+  // ------------------------------------------------------------------
+
+  private def qSegmentedProfile = Q(
+    (s, dir) => {
+      val res = new Profiler().profileSegmentedDF(
+        t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+      res.select(
+        F.col("segment_l_returnflag").as("seg_returnflag"),
+        F.col("segment_l_linestatus").as("seg_linestatus"),
+        F.col("l_quantity.counts.n").as("n"),
+        F.col("l_quantity.distribution.min").as("qty_min"),
+        F.col("l_quantity.distribution.max").as("qty_max"),
+        F.col("l_extendedprice.counts.nulls").as("price_nulls"))
+        .orderBy("seg_returnflag", "seg_linestatus")
+    },
+    Some("""SELECT CAST(l_returnflag AS VARCHAR) AS seg_returnflag,
+           | CAST(l_linestatus AS VARCHAR) AS seg_linestatus,
+           | count(*) AS n, min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+           | count(*) FILTER (WHERE l_extendedprice IS NULL) AS price_nulls
+           | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
+  /** Profile-merge demo: two half-profiles merged driver-side must agree
+    * with whole-table SQL on every exact field. */
+  private def qMergeProfiles = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val even = p.profile(li.filter(F.col("l_orderkey") % 2 === 0), Some(liNumeric))
+      val odd = p.profile(li.filter(F.col("l_orderkey") % 2 =!= 0), Some(liNumeric))
+      val merged = even.merge(odd)
+      import s.implicits._
+      liNumeric.sorted.map { c =>
+        val v = merged.columns(c)
+        val d = v.distribution.get
+        (c, v.counts.get.n, v.counts.get.nulls, d.n, d.min.get, d.max.get)
+      }.toDF("col_name", "n", "nulls", "present", "vmin", "vmax").orderBy("col_name")
+    },
+    Some {
+      liNumeric.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS nulls,
+           | count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))) AS present,
+           | CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax
+           | FROM lineitem""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
+  private def qFullProfileSummary = Q(
+    (s, dir) => new Profiler().summaryDF(t(s, dir, "lineitem")),
+    None)
+
+  // ------------------------------------------------------------------
+  // conditions / constraints / validators
+  // ------------------------------------------------------------------
+
+  private def qConditionCounts = Q(
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      Conditions.countsDF(part, Seq(
+        Condition("name_has_red", Conditions.matches(F.col("p_name"), "red")),
+        Condition("price_in_range",
+          F.col("p_retailprice") >= 1000 && F.col("p_retailprice") <= 1500),
+        Condition("size_ge_25", Conditions.ge(F.col("p_size"), 25))))
+        .orderBy("condition")
+    },
+    Some("""SELECT 'name_has_red' AS condition,
+           | count(*) FILTER (WHERE regexp_matches(p_name, 'red')) AS matches, count(*) AS total FROM part
+           | UNION ALL SELECT 'price_in_range',
+           | count(*) FILTER (WHERE p_retailprice >= 1000 AND p_retailprice <= 1500), count(*) FROM part
+           | UNION ALL SELECT 'size_ge_25',
+           | count(*) FILTER (WHERE p_size >= 25), count(*) FROM part
+           | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
+
+  private def constraintSuite = Seq(
+    Constraints.noMissingValues("l_orderkey"),
+    Constraints.isNonNegative("l_quantity"),
+    Constraints.isInRange("l_quantity", 1.0, 50.0),
+    Constraints.meanBetweenRange("l_extendedprice", 10000.0, 100000.0),
+    Constraints.stddevBetweenRange("l_quantity", 5.0, 25.0),
+    Constraints.distinctNumberInRange("l_returnflag", 1.0, 5.0),
+    Constraints.quantileBetweenRange("l_quantity", 0.5, 10.0, 40.0),
+    Constraints.frequentStringsInReferenceSet("l_returnflag", Set("A", "N", "R")),
+    Constraints.columnIsProbablyUnique("l_orderkey"),
+    Constraints.columnIsNullableString("l_returnflag"),
+    Constraints.nullPercentageBelowNumber("l_tax", 0.5))
+
+  private def qConstraintsReport = Q(
+    (s, dir) => {
+      val view = new Profiler().profile(t(s, dir, "lineitem"))
+      val reports = new Constraints(constraintSuite).report(view)
+      import s.implicits._
+      reports.map(r => (r.name, r.passed)).toDF("constraint_name", "passed")
+        .orderBy("constraint_name")
+    },
+    Some {
+      val rows = Seq(
+        "no_missing_values(l_orderkey)" ->
+          "count(*) FILTER (WHERE l_orderkey IS NULL) = 0",
+        "is_non_negative(l_quantity)" -> "min(l_quantity) >= 0",
+        "is_in_range(l_quantity,1.0,50.0)" ->
+          "min(l_quantity) >= 1.0 AND max(l_quantity) <= 50.0",
+        "mean_between_range(l_extendedprice,10000.0,100000.0)" ->
+          "avg(l_extendedprice) BETWEEN 10000.0 AND 100000.0",
+        "stddev_between_range(l_quantity,5.0,25.0)" ->
+          "stddev_samp(l_quantity) BETWEEN 5.0 AND 25.0",
+        "distinct_number_in_range(l_returnflag,1.0,5.0)" ->
+          "count(DISTINCT l_returnflag) BETWEEN 1 AND 5",
+        "quantile_between_range(l_quantity,0.5,10.0,40.0)" ->
+          "quantile_cont(l_quantity, 0.5) BETWEEN 10.0 AND 40.0",
+        "frequent_strings_in_reference_set(l_returnflag)" ->
+          "count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) = 0 AND count(l_returnflag) > 0",
+        "column_is_probably_unique(l_orderkey)" ->
+          "count(DISTINCT l_orderkey) = count(l_orderkey)",
+        "column_is_nullable_string(l_returnflag)" -> "count(l_returnflag) > 0",
+        "null_percentage_below_number(l_tax,0.5)" ->
+          "CAST(count(*) FILTER (WHERE l_tax IS NULL) AS DOUBLE) / count(*) < 0.5")
+      rows.map { case (n, expr) =>
+        s"SELECT '$n' AS constraint_name, ($expr) AS passed FROM lineitem"
+      }.mkString("", " UNION ALL ", " ORDER BY constraint_name")
+    })
+
+  private def qValidators = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      Conditions.validateDF(orders, Seq(
+        Condition("priority_format", Conditions.matches(F.col("o_orderpriority"), "^[1-5]-")),
+        Condition("status_known", F.col("o_orderstatus").isin("F", "O", "P")),
+        Condition("totalprice_not_huge", F.col("o_totalprice") <= 400000.0)))
+        .orderBy("condition")
+    },
+    Some("""SELECT 'priority_format' AS condition,
+           | count(*) FILTER (WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false)) AS failures,
+           | count(*) AS total FROM orders
+           | UNION ALL SELECT 'status_known',
+           | count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), false)), count(*) FROM orders
+           | UNION ALL SELECT 'totalprice_not_huge',
+           | count(*) FILTER (WHERE NOT coalesce(o_totalprice <= 400000.0, false)), count(*) FROM orders
+           | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
+
+  // ------------------------------------------------------------------
+  // model performance
+  // ------------------------------------------------------------------
+
+  private def predExpr: Column =
+    F.when(F.col("o_totalprice") < 150000.0, "F")
+      .when(F.col("o_totalprice") < 300000.0, "O").otherwise("P")
+
+  private def qConfusionMatrix = Q(
+    (s, dir) => ModelPerf.confusionMatrixDF(
+      t(s, dir, "orders"), F.col("o_orderstatus"), predExpr, Some(F.col("o_totalprice")))
+      .select("target", "prediction", "n", "score_sum")
+      .orderBy("target", "prediction"),
+    Some("""SELECT CAST(o_orderstatus AS VARCHAR) AS target,
+           | CASE WHEN o_totalprice < 150000.0 THEN 'F' WHEN o_totalprice < 300000.0 THEN 'O' ELSE 'P' END AS prediction,
+           | count(*) AS n,
+           | CAST(sum(CAST(o_totalprice AS DECIMAL(33,6))) AS DOUBLE) AS score_sum
+           | FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
+  private def qRegressionMetrics = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ModelPerf.regressionMetricsDF(li,
+        F.col("l_extendedprice"),
+        F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax")))
+    },
+    Some("""SELECT count(*) FILTER (WHERE l_extendedprice IS NOT NULL) AS n,
+           | CAST(sum(CAST(abs((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) AS DECIMAL(32,6))) AS DOUBLE) AS abs_error_sum,
+           | CAST(sum(CAST((l_extendedprice * (1.0 + l_tax)) - l_extendedprice AS DECIMAL(32,6))) AS DOUBLE) AS error_sum,
+           | CAST(sum(CAST(((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) * ((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) AS DECIMAL(38,4))) AS DOUBLE) AS sq_error_sum,
+           | CAST(sum(CAST(abs((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) AS DECIMAL(32,6))) AS DOUBLE) / count(*) FILTER (WHERE l_extendedprice IS NOT NULL) AS mae,
+           | CAST(sum(CAST(((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) * ((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) AS DECIMAL(38,4))) AS DOUBLE) / count(*) FILTER (WHERE l_extendedprice IS NOT NULL) AS mse,
+           | sqrt(CAST(sum(CAST(((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) * ((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) AS DECIMAL(38,4))) AS DOUBLE) / count(*) FILTER (WHERE l_extendedprice IS NOT NULL)) AS rmse
+           | FROM lineitem""".stripMargin.replaceAll("\n", " ")))
+
+  // ------------------------------------------------------------------
+  // drift
+  // ------------------------------------------------------------------
+
+  private def qDriftScores = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val median = li.agg(F.expr("percentile(l_orderkey, 0.5D)")).collect()(0).getDouble(0)
+      val target = p.profile(li.filter(F.col("l_orderkey") <= median))
+      val ref = p.profile(li.filter(F.col("l_orderkey") > median))
+      import s.implicits._
+      Drift.scores(target, ref)
+        .map(d => (d.column, d.algorithm, d.statistic, d.pValue.getOrElse(-1.0),
+          d.category.toString))
+        .toDF("column_name", "algorithm", "statistic", "p_value", "category")
+        .orderBy("column_name", "algorithm")
+    },
+    None)
+
+  // ------------------------------------------------------------------
+  // dedup / similarity / text / multimodal
+  // ------------------------------------------------------------------
+
+  private def qDedupExact = Q(
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS text_hash,
+           | count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+           | (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  private def qDedupMinhashSig = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(F.col("doc_id"), Dedup.shingles(F.col("text")).as("sh"))
+        .withColumn("sig", Dedup.minHashSignature(F.col("sh"), 16))
+        .select(F.col("doc_id"), F.col("sig").getItem(0).as("sig0"),
+          F.col("sig").getItem(1).as("sig1"), F.col("sig").getItem(2).as("sig2"),
+          F.col("sig").getItem(3).as("sig3"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  private def qDedupSimhash = Q(
+    (s, dir) => Dedup.withSimHash(t(s, dir, "documents"), "text")
+      .select("doc_id", "simhash").orderBy("doc_id"),
+    None)
+
+  private def qNgramJaccard = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id"), Dedup.shingles(F.col("text"), 3).as("sh"))
+      val a = docs.select(F.col("doc_id").as("a"), F.col("sh").as("sha"))
+      val b = docs.select(F.col("doc_id").as("b"), F.col("sh").as("shb"))
+      a.join(b, F.col("b") === F.col("a") + 1)
+        .select(F.col("a"), F.col("b"),
+          Dedup.jaccard(F.col("sha"), F.col("shb")).as("jaccard"))
+        .orderBy("a")
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents))
+           | SELECT a.doc_id AS a, b.doc_id AS b,
+           |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+           | FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY a""".stripMargin.replaceAll("\n", " ")))
+
+  private def qEmbeddingTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id DESC) AS rank
+           |  FROM embeddings q, embeddings c
+           |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+           | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
+
+  private def qEmbeddingIvf = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 20),
+        numCentroids = 8, nprobe = 3, k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  private val punctSqlClass = """[.,;:!?''"()-]""".replace("''", "''")
+
+  private def qTextStats = Q(
+    (s, dir) => {
+      TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
+        .select(F.col("doc_id"),
+          F.col("n_chars").cast("long").as("n_chars"),
+          F.col("n_tokens").cast("long").as("n_tokens"),
+          F.col("n_alpha").cast("long").as("n_alpha"),
+          F.col("n_digits").cast("long").as("n_digits"),
+          F.col("n_punct").cast("long").as("n_punct"),
+          F.col("alpha_ratio"), F.col("mean_token_len"),
+          F.col("quality_ok"), F.col("lang_guess"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val langCase = {
+        val hits = TextAnalysis.StopWords.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+          lang -> s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains($list, t)))"
+        }
+        val byLangAsc = hits.sortBy(_._1)
+        val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
+        val whens = byLangAsc.map { case (l, h) => s"WHEN $h = $maxExpr THEN '$l'" }
+        s"CASE WHEN $maxExpr <= 0 THEN 'und' ${whens.mkString(" ")} END"
+      }
+      s"""SELECT doc_id,
+         | length(text) AS n_chars,
+         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         | length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+         | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         | length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS n_punct,
+         | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+         | CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0 ELSE CAST(length(text) - len(string_split_regex(trim(text), '\\s+')) + 1 AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS mean_token_len,
+         | (len(string_split_regex(trim(text), '\\s+')) >= 5
+         |   AND (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) > 0.5
+         |   AND (CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0 ELSE CAST(length(text) - len(string_split_regex(trim(text), '\\s+')) + 1 AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END) < 15.0) AS quality_ok,
+         | $langCase AS lang_guess
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  private def qDocFingerprint = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(F.col("doc_id"), rolling_min_hash(F.col("text"), 16).as("fingerprint"))
+      .orderBy("doc_id"),
+    None)
+
+  private def qMultimodalMeta = Q(
+    (s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("content"))
+      val meta = Multimodal.decodeMetadata(
+        Multimodal.withBinaryMetadata(bin, "content"), "content")
+      meta.select(F.col("doc_id"), F.col("n_bytes").cast("long").as("n_bytes"),
+        F.col("content_sha256"), F.col("width"), F.col("height"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_sha256,
+           | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+           | CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INT) AS height
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  private def qWindowProfile = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"),
+          count_where(F.col("value").isNull).as("value_nulls"),
+          exact_sum(F.col("value")).as("value_sum"),
+          F.min("value").as("value_min"), F.max("value").as("value_max"))
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.col("event_type"), F.col("n"), F.col("value_nulls"),
+          F.col("value_sum"), F.col("value_min"), F.col("value_max"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           | event_type, count(*) AS n,
+           | count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+           | CAST(sum(CAST(value AS DECIMAL(33,6))) AS DOUBLE) AS value_sum,
+           | min(value) AS value_min, max(value) AS value_max
+           | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
+  // ------------------------------------------------------------------
+
+  val all: ListMap[String, Q] = ListMap(
+    "profile_counts" -> qProfileCounts,
+    "profile_types" -> qProfileTypes,
+    "profile_ints" -> qProfileInts,
+    "profile_moments" -> qProfileMoments,
+    "quantiles_exact" -> qQuantilesExact,
+    "kll_quantiles" -> qKllQuantiles,
+    "cardinality" -> qCardinality,
+    "cardinality_hll_bounds" -> qCardinalityBounds,
+    "frequent_items" -> qFrequentItems,
+    "bow_term_counts" -> qBowTermCounts,
+    "segmented_profile" -> qSegmentedProfile,
+    "merge_profiles" -> qMergeProfiles,
+    "full_profile_summary" -> qFullProfileSummary,
+    "condition_counts" -> qConditionCounts,
+    "constraints_report" -> qConstraintsReport,
+    "validators" -> qValidators,
+    "confusion_matrix" -> qConfusionMatrix,
+    "regression_metrics" -> qRegressionMetrics,
+    "drift_scores" -> qDriftScores,
+    "dedup_exact" -> qDedupExact,
+    "dedup_minhash_sig" -> qDedupMinhashSig,
+    "dedup_simhash" -> qDedupSimhash,
+    "ngram_jaccard" -> qNgramJaccard,
+    "embedding_topk" -> qEmbeddingTopK,
+    "embedding_ivf" -> qEmbeddingIvf,
+    "text_stats" -> qTextStats,
+    "doc_fingerprint" -> qDocFingerprint,
+    "multimodal_meta" -> qMultimodalMeta,
+    "window_profile" -> qWindowProfile)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.build }
+
+  val oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+}
