@@ -52,7 +52,10 @@ object DescriptiveStats {
     val parts = cols.flatMap { c =>
       val p = s"count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan($c))"
       val sumd = s"CAST(sum(CAST($c AS DECIMAL(${27 + scale},$scale))) AS DOUBLE)"
-      val sumsq = s"CAST(sum(CAST(CAST($c AS DECIMAL(18,4)) * CAST($c AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE)"
+      // DECIMAL(19,·) operands force DuckDB onto the INT128 multiply path;
+      // width-18 operands multiply in int64 and overflow. Values are exact
+      // decimals either way, so Spark (18,4) and DuckDB (19,4) agree bitwise.
+      val sumsq = s"CAST(sum(CAST(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)"
       val mean = s"$sumd / $p"
       val vr = s"($sumsq - ($sumd * $sumd) / $p) / ($p - 1)"
       Seq(

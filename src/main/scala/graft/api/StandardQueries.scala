@@ -27,8 +27,17 @@ object StandardQueries {
 
   final case class Q(build: (SparkSession, String) => DataFrame, oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
+    // reader rejects unless nanos are surfaced as raw longs.
+    if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` rebuilt as a timestamp from the raw nanos long
+    * (micro truncation — irrelevant at the hour windows we aggregate). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
   private val liNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -543,7 +552,7 @@ object StandardQueries {
 
   private def qWindowProfile = Q(
     (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
       ev.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).as("n"),
           count_where(F.col("value").isNull).as("value_nulls"),

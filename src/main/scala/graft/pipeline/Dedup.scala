@@ -30,10 +30,13 @@ object Dedup {
     * column — the input to MinHash / Jaccard. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val words = F.split(F.lower(F.trim(textCol)), "\\s+")
-    val count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    val count = F.size(words) - (n - 1)
+    // Guard count<=0: sequence(1, 0) would run DESCENDING and index out of
+    // range; short documents yield an empty shingle set instead.
+    val idx = F.when(count > 0, F.sequence(F.lit(1), count))
+      .otherwise(F.array().cast("array<int>"))
     F.array_distinct(
-      F.transform(F.sequence(F.lit(0), count - 1),
-        i => F.concat_ws(" ", F.slice(words, i + 1, F.lit(n)))))
+      F.transform(idx, i => F.concat_ws(" ", F.slice(words, i, F.lit(n)))))
   }
 
   /** MinHash signature (P permutations) of a shingle-array column, computed

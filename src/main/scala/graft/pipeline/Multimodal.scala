@@ -65,7 +65,8 @@ object Multimodal {
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val d = if (bytes == null) DecodedMedia(0, 0, 0, 0.0) else decoder.decode(bytes)
-        Row.fromSeq(keepIdx.map(row.get) ++ Seq(d.width, d.height, d.channels, d.featureNorm))
+        Row.fromSeq(keepIdx.map(row.get) ++
+          Seq[Any](d.width, d.height, d.channels, d.featureNorm))
       }
     }(encoder)
   }
