@@ -28,6 +28,19 @@ object Bench {
     // Stop Spark BEFORE printing: async executor log lines after the JSON
     // line would break the driver's parse (this lost round 1's number).
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Also persist to a file: sbt appends "[success] Total time: ..." after
+    // program output, so stdout's JSON is never the last line the driver
+    // sees (this lost round 2's number).
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    try {
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(json)
   }
 }

@@ -3,7 +3,7 @@ package graft.analysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.count_where
+import graft.functions.{count_where, top_k_agg}
 
 /** Row-level predicates: the reference's ConditionCountMetric +
   * ConditionValidator (whylogs
@@ -41,20 +41,29 @@ object Conditions {
   }
 
   /** Row-level validator: per-condition failure counts + a bounded sample
-    * of failing identity values (reference samples k=10 via VarOpt;
-    * here: deterministic first-k by identity order — documented divergence,
-    * same bound). */
+    * of failing identity values (reference samples k=10 via VarOpt,
+    * `condition_validator.py:47,80-84`; here: deterministic first-k in
+    * string order — documented divergence, same bound). Single pass: all
+    * conditions' counts and samples come from ONE `df.agg` job; the
+    * sample buffers are bounded heaps, never the failing-row set. */
   def validate(
       df: DataFrame,
       conditions: Seq[Condition],
       identityColumn: String,
       sampleSize: Int = 10): Seq[ValidationResult] = {
-    conditions.map { c =>
-      val failing = df.filter(!F.coalesce(c.predicate, F.lit(false)))
-      val failCount = failing.count()
-      val sample = failing.select(F.col(identityColumn).cast("string"))
-        .orderBy(identityColumn).limit(sampleSize).collect().map(_.getString(0)).toSeq
-      ValidationResult(c.name, failCount, sample)
+    val id = F.col(identityColumn).cast("string")
+    val aggs = conditions.zipWithIndex.flatMap { case (c, i) =>
+      val fail = !F.coalesce(c.predicate, F.lit(false))
+      Seq(
+        count_where(fail).as(s"__f$i"),
+        top_k_agg(F.lit(0.0), F.when(fail, id), sampleSize, largest = false)
+          .as(s"__s$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    conditions.zipWithIndex.map { case (c, i) =>
+      val sample = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](s"__s$i")
+        .map(_.getAs[String]("id")).toSeq
+      ValidationResult(c.name, row.getAs[Long](s"__f$i"), sample)
     }
   }
 

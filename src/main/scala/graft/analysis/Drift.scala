@@ -92,10 +92,10 @@ object Drift {
       val numeric = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)
         yield {
           val (d, p) = ks(td, rd)
+          val h = hellinger(td, rd)
           Seq(
             DriftScore(c, "ks", d, Some(p), pValueCategory(p)),
-            DriftScore(c, "hellinger", hellinger(td, rd), None,
-              distanceCategory(hellinger(td, rd))))
+            DriftScore(c, "hellinger", h, None, distanceCategory(h)))
         }
       val categorical = for (tf <- t.frequentItems; rf <- r.frequentItems if numeric.isEmpty)
         yield {

@@ -121,7 +121,7 @@ class Profiler(
     val batches = names.grouped(math.max(1, config.columnBatchSize)).toSeq
     val views = batches.map { batch =>
       val row = profileDF(df, Some(batch)).collect()(0)
-      Profiler.parseRow(row)
+      Profiler.parseRow(row, 0, config.quantiles)
     }
     views.foldLeft(DatasetProfileView.empty) { (acc, v) =>
       DatasetProfileView(acc.columns ++ v.columns)
@@ -152,7 +152,7 @@ class Profiler(
     val res = profileSegmentedDF(df, segmentColumns, filter)
     res.collect().map { row =>
       val key = segmentColumns.indices.map(i => String.valueOf(row.get(i)))
-      key -> Profiler.parseRow(row, segmentColumns.length)
+      key -> Profiler.parseRow(row, segmentColumns.length, config.quantiles)
     }.toMap
   }
 
@@ -168,17 +168,20 @@ class Profiler(
 object Profiler {
 
   /** Parse one aggregated row (possibly offset past segment-key columns)
-    * into a profile view, using the row's schema for metric discovery. */
-  def parseRow(row: Row, offset: Int = 0): DatasetProfileView = {
+    * into a profile view, using the row's schema for metric discovery.
+    * `ranks` must be the quantile grid the aggregate was built with —
+    * a mismatched grid silently mislabels quantile values. */
+  def parseRow(row: Row, offset: Int = 0,
+      ranks: Seq[Double] = graft.metrics.DistributionAgg.DefaultQuantiles): DatasetProfileView = {
     val schema = row.schema
     val cols = schema.fields.drop(offset).map { f =>
       val colRow = row.getAs[Row](f.name)
-      f.name -> parseColumn(colRow)
+      f.name -> parseColumn(colRow, ranks)
     }.toMap
     DatasetProfileView(cols)
   }
 
-  private def parseColumn(r: Row): ColumnProfileView = {
+  private def parseColumn(r: Row, ranks: Seq[Double]): ColumnProfileView = {
     val schema = r.schema
     def has(n: String) = schema.fieldNames.contains(n)
     var view = ColumnProfileView()
@@ -202,7 +205,6 @@ object Profiler {
     }
     if (has(Namespace.Distribution)) {
       val d = r.getAs[Row](Namespace.Distribution)
-      val ranks = graft.metrics.DistributionAgg.DefaultQuantiles
       val qs = Option(d.getAs[scala.collection.Seq[Double]]("quantiles"))
         .map(_.toSeq).getOrElse(Seq.empty)
       view = view.copy(distribution = Some(DistributionSummary(

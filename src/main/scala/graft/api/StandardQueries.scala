@@ -156,13 +156,17 @@ object StandardQueries {
 
   private def qCardinality = Q(
     (s, dir) => {
-      val perCol = lowCardCols.map { case (tbl, c) =>
-        t(s, dir, tbl).agg(
-          F.round(cardinality_agg(F.col(c)).getField("estimate"))
-            .cast("long").as("distinct_count"))
-          .select(F.lit(c).as("column_name"), F.col("distinct_count"))
+      // One agg per TABLE (all its columns' sketches in one scan), then
+      // unpivot — O(tables) scans, not O(columns).
+      val perTable = lowCardCols.groupBy(_._1).toSeq.sortBy(_._1).map { case (tbl, cs) =>
+        val cols = cs.map(_._2)
+        val aggs = cols.map(c => cardinality_agg(F.col(c)).getField("estimate").as(c))
+        val row = t(s, dir, tbl).agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map(c => F.struct(F.lit(c).as("column_name"),
+          F.round(F.col(c)).cast("long").as("distinct_count")))
+        row.select(F.explode(F.array(stacked: _*)).as("r")).select("r.*")
       }
-      perCol.reduce(_ unionAll _).orderBy("column_name")
+      perTable.reduce(_ unionAll _).orderBy("column_name")
     },
     Some {
       lowCardCols.map { case (tbl, c) =>
@@ -188,14 +192,19 @@ object StandardQueries {
 
   private def qFrequentItems = Q(
     (s, dir) => {
-      val perCol = fiCols.map { case (tbl, c) =>
-        t(s, dir, tbl)
-          .agg(frequent_items_agg(F.col(c)).getField("items").as("items"))
-          .select(F.lit(c).as("column_name"), F.explode(F.col("items")).as("it"))
+      // One agg per TABLE, then unpivot + explode items.
+      val perTable = fiCols.groupBy(_._1).toSeq.sortBy(_._1).map { case (tbl, cs) =>
+        val cols = cs.map(_._2)
+        val aggs = cols.map(c => frequent_items_agg(F.col(c)).getField("items").as(c))
+        val row = t(s, dir, tbl).agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map(c =>
+          F.struct(F.lit(c).as("column_name"), F.col(c).as("items")))
+        row.select(F.explode(F.array(stacked: _*)).as("r"))
+          .select(F.col("r.column_name"), F.explode(F.col("r.items")).as("it"))
           .select(F.col("column_name"), F.col("it.value").as("value"),
             F.col("it.estimate").as("cnt"))
       }
-      perCol.reduce(_ unionAll _).orderBy(F.col("column_name"), F.col("cnt").desc, F.col("value"))
+      perTable.reduce(_ unionAll _).orderBy(F.col("column_name"), F.col("cnt").desc, F.col("value"))
     },
     Some {
       fiCols.map { case (tbl, c) =>

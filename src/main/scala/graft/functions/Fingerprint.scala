@@ -47,7 +47,9 @@ object FingerprintUtil {
     var h = 0L
     i = 0
     while (i < w) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }
-    var min = h
+    // The first window enters the pool mixed, like every later one —
+    // otherwise fingerprints are biased toward position 0.
+    var min = fmix64(h)
     i = w
     while (i < n) {
       h = (h - (bytes(i - w) & 0xffL) * basePow) * 257L + (bytes(i) & 0xffL)
@@ -56,7 +58,7 @@ object FingerprintUtil {
       if (mixed < min) min = mixed
       i += 1
     }
-    if (n == w) fmix64(h) else min
+    min
   }
 
   /** MurmurHash3 finalizer (public-domain mixing constants). */

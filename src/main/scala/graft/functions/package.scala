@@ -6,7 +6,7 @@ import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.{functions => F}
 
-import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg}
+import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg}
 
 /** Column-level entry points for graft's metric aggregates — the analog of
   * `org.apache.spark.sql.functions` for this library.
@@ -32,6 +32,14 @@ package object functions {
   /** Frequent-items sketch: top items with estimate/lower/upper + sketch. */
   def frequent_items_agg(c: Column, lgMaxK: Int = 7, limit: Int = 32): Column =
     agg(FrequentItemsAgg(columnExpr(c), lgMaxK, limit))
+
+  /** Bounded-heap top-k: keeps at most k (score, id) pairs per buffer
+    * (partial AND final), like Spark's TakeOrdered — O(k) memory per
+    * group regardless of candidate count. `largest=false` keeps the k
+    * smallest (first-k sampling). Output: array<struct<score,id>>
+    * best-first. Payload must be long or string. */
+  def top_k_agg(score: Column, id: Column, k: Int, largest: Boolean = true): Column =
+    agg(TopKAgg(columnExpr(score.cast("double")), columnExpr(id), k, largest))
 
   /** Exact count of rows where `cond` holds (null-safe). */
   def count_where(cond: Column): Column = F.sum(F.when(cond, 1L).otherwise(0L))
