@@ -438,7 +438,7 @@ object StandardQueries {
   private def qDedupMinhashSig = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      docs.select(F.col("doc_id"), Dedup.shingles(F.col("text")).as("sh"))
+      docs.select(F.col("doc_id"), Dedup.shingleIds(F.col("text")).as("sh"))
         .withColumn("sig", Dedup.minHashSignature(F.col("sh"), 16))
         .select(F.col("doc_id"), F.col("sig").getItem(0).as("sig0"),
           F.col("sig").getItem(1).as("sig1"), F.col("sig").getItem(2).as("sig2"),
@@ -472,6 +472,28 @@ object StandardQueries {
            |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
            | FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY a""".stripMargin.replaceAll("\n", " ")))
 
+  /** Flagship near-dup pipeline (LSH banding + exact-Jaccard verify).
+    * threshold=0.5 sits in the wide empty band between the corpus noise
+    * floor (max non-dup Jaccard ≈ 0.03) and the planted duplicates
+    * (≥ 0.88), and bands=32 × rows=2 gives miss probability
+    * (1−J²)³² ≈ 2e-22 per planted pair — so the LSH output provably
+    * equals the exact all-pairs oracle on this corpus. */
+  private def qDedupNear = Q(
+    (s, dir) => Dedup.minHashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      numPerm = 64, bands = 32, threshold = 0.5)
+      .orderBy("a", "b"),
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents))
+           | SELECT a.doc_id AS a, b.doc_id AS b,
+           |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+           | FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           | WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+           | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   private def qEmbeddingTopK = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -494,6 +516,26 @@ object StandardQueries {
         numCentroids = 8, nprobe = 3, k = 5)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** IVF quality gate: recall@5 of the IVF search vs the brute-force
+    * oracle over the same 20 queries (non-SQL-expressible → rows-only;
+    * PipelineSpec asserts recall ≥ 0.9). */
+  private def qEmbeddingIvfRecall = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(F.col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(emb, qs, numCentroids = 8, nprobe = 5, k = 5)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
+        .agg(F.count(F.lit(1)).as("hits"))
+      val total = bf.agg(F.count(F.lit(1)).as("total"))
+      hits.crossJoin(total)
+        .select(F.col("hits"), F.col("total"),
+          (F.col("hits").cast("double") / F.col("total")).as("recall"))
     },
     None)
 
@@ -605,8 +647,10 @@ object StandardQueries {
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,
     "ngram_jaccard" -> qNgramJaccard,
+    "dedup_near" -> qDedupNear,
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
+    "embedding_ivf_recall" -> qEmbeddingIvfRecall,
     "text_stats" -> qTextStats,
     "doc_fingerprint" -> qDocFingerprint,
     "multimodal_meta" -> qMultimodalMeta,

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native MinHash expressions over 64-bit shingle-id arrays.
+  *
+  * These exist for a load-bearing reason, not style: the HOF formulation
+  * (`transform(sequence(0, P-1), p -> array_min(transform(ids, ...)))`)
+  * references the shingle pipeline once *lexically*, so CollapseProject
+  * happily inlines it into the lambda — and at runtime the lambda body is
+  * re-evaluated per element, recomputing the entire shingling P (or P×B)
+  * times per row. A single native expression computes all P permutation
+  * minima in one pass over the ids: O(|ids| × P) long arithmetic, no
+  * re-evaluation, codegen-friendly via a static call.
+  *
+  * Permutation p of id = fmix64(id + p · φ64) (golden-ratio increment +
+  * murmur finalizer — standard public mixing constants).
+  */
+case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.signature(input.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.signature($c, $numPerm)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** LSH band hashes straight from the shingle-id array (one pass: perm
+  * minima then per-band combination). Returns NULL for an empty id array
+  * so empty documents generate no candidate rows (a quadratic bucket of
+  * empties otherwise — explode skips nulls). */
+case class MinHashBands(child: Expression, numPerm: Int, bands: Int) extends UnaryExpression {
+  require(numPerm % bands == 0, "numPerm must be divisible by bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.bandHashes(input.asInstanceOf[ArrayData], numPerm, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $util.bandHashes($c, $numPerm, $bands);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashUtil {
+  private final val Phi64 = 0x9e3779b97f4a7c15L
+
+  private def permMins(ids: ArrayData, numPerm: Int): Array[Long] = {
+    val n = ids.numElements()
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val id = ids.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val h = FingerprintUtil.fmix64(id + p * Phi64)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  def signature(ids: ArrayData, numPerm: Int): ArrayData =
+    new GenericArrayData(permMins(ids, numPerm))
+
+  def bandHashes(ids: ArrayData, numPerm: Int, bands: Int): ArrayData = {
+    if (ids.numElements() == 0) return null
+    val mins = permMins(ids, numPerm)
+    val rows = numPerm / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L
+      var r = 0
+      while (r < rows) {
+        h = FingerprintUtil.fmix64(h ^ mins(b * rows + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash from token hashes: bit b of the output is the
+    * majority vote of bit b across the hashes — one pass, replacing a
+    * 64×-re-evaluating HOF fold. */
+  def simHash(tokenHashes: ArrayData): Long = {
+    val n = tokenHashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = tokenHashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * votes(b) >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** SimHash expression over an array<long> of token hashes. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.simHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.simHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column wrappers. */
+object MinHash {
+  def minhash_signature(ids: Column, numPerm: Int): Column =
+    exprColumn(MinHashSignature(columnExpr(ids), numPerm))
+  def minhash_bands(ids: Column, numPerm: Int, bands: Int): Column =
+    exprColumn(MinHashBands(columnExpr(ids), numPerm, bands))
+  def simhash64(tokenHashes: Column): Column =
+    exprColumn(SimHash64(columnExpr(tokenHashes)))
+}

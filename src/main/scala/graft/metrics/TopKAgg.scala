@@ -89,7 +89,9 @@ case class TopKAgg(
   override def right: Expression = payload
   override def prettyName: String = "graft_top_k"
   override def nullable: Boolean = false
-  override val dataType: DataType = ArrayType(StructType(Seq(
+  // def, not val: children may be unresolved at construction time (the
+  // analyzer copies the node while rewriting attributes).
+  override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", payload.dataType, nullable = false))), containsNull = false)
 

@@ -39,46 +39,55 @@ object Dedup {
       F.transform(idx, i => F.concat_ws(" ", F.slice(words, i, F.lit(n)))))
   }
 
-  /** MinHash signature (P permutations) of a shingle-array column, computed
-    * per row with codegen'd HOFs: permutation i is xxhash64(shingle, i), so
-    * no modular-arithmetic permutations and no shuffle. */
-  def minHashSignature(shingleCol: Column, numPerm: Int = 64): Column =
-    F.transform(F.sequence(F.lit(0), F.lit(numPerm - 1)),
-      i => F.array_min(F.transform(shingleCol, s => F.xxhash64(s, i))))
+  /** MinHash signature (P permutations) of a shingle-ID array column via
+    * the native one-pass expression. (The HOF formulation re-evaluates
+    * the shingle pipeline per permutation after projection collapse —
+    * see MinHash.scala's scaladoc.) */
+  def minHashSignature(idsCol: Column, numPerm: Int = 64): Column =
+    graft.functions.MinHash.minhash_signature(idsCol, numPerm)
 
-  /** LSH banding: hash each of `bands` signature slices; docs sharing any
-    * band hash are candidates. */
-  def bandHashes(sigCol: Column, bands: Int, rows: Int): Column =
-    F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-      b => F.xxhash64(F.concat_ws(",", F.slice(sigCol, b * rows + 1, F.lit(rows)))))
+  /** LSH band hashes straight from the shingle-ID array: docs sharing any
+    * band hash are candidates. NULL (no candidates) for empty id sets. */
+  def bandHashes(idsCol: Column, numPerm: Int, bands: Int): Column =
+    graft.functions.MinHash.minhash_bands(idsCol, numPerm, bands)
 
-  /** Full MinHash-LSH near-dup pipeline: returns candidate pairs with their
-    * exact shingle-set Jaccard, filtered at `threshold`.
-    * Shape: shingle→sign→band (map-only) → explode bands → self-join on
-    * (band, hash) → distinct pairs → verify by exact Jaccard on the two
-    * shingle arrays. Bucket sizes are capped implicitly by banding; for
-    * adversarial skew add a salt on the band key. */
+  /** Distinct 64-bit shingle ids: xxhash64 of each shingle. Jaccard over
+    * id sets equals Jaccard over shingle sets modulo 64-bit collisions
+    * (~n²/2⁶⁵ — negligible at any corpus size that fits a cluster), and
+    * an 8-byte id replaces an arbitrarily long shingle string in every
+    * shuffle payload downstream. */
+  def shingleIds(textCol: Column, n: Int = 3): Column =
+    F.array_distinct(F.transform(shingles(textCol, n), s => F.xxhash64(s)))
+
+  /** Full MinHash-LSH near-dup pipeline: returns candidate pairs with
+    * their exact shingle-set Jaccard (over 64-bit shingle ids), filtered
+    * at `threshold`.
+    *
+    * Scale shape: shingle→sign→band per row (map-only); the banded
+    * exchange carries ONLY (band, hash, doc_id) — never the shingle
+    * arrays; candidate pairs are deduped, then the two id-arrays are
+    * re-fetched by joining the pair list back to the (doc_id, ids)
+    * projection — so array bytes move only for verified candidates, not
+    * through the band-bucket exchange. Bucket sizes are capped implicitly
+    * by banding; for adversarial skew add a salt on the band key. */
   def minHashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val rows = numPerm / bands
-    val withSig = df.select(
-      F.col(idCol).as("doc_id"),
-      shingles(F.col(textCol)).as("sh"))
-      .withColumn("sig", minHashSignature(F.col("sh"), numPerm))
-      .withColumn("bands", bandHashes(F.col("sig"), bands, rows))
-    val banded = withSig.select(F.col("doc_id"), F.col("sh"),
-      F.posexplode(F.col("bands")).as(Seq("band", "bh")))
-    val l = banded.select(F.col("band"), F.col("bh"),
-      F.col("doc_id").as("a"), F.col("sh").as("sha"))
-    val r = banded.select(F.col("band"), F.col("bh"),
-      F.col("doc_id").as("b"), F.col("sh").as("shb"))
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val ids = df.select(F.col(idCol).as("doc_id"),
+      shingleIds(F.col(textCol)).as("ids"))
+    val banded = ids
+      .select(F.col("doc_id"),
+        F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh")))
+    val l = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a"))
+    val r = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b"))
     val pairs = l.join(r, Seq("band", "bh"))
       .filter(F.col("a") < F.col("b"))
-      .select("a", "b", "sha", "shb")
+      .select("a", "b")
       .dropDuplicates("a", "b")
     pairs
-      .withColumn("jaccard", jaccard(F.col("sha"), F.col("shb")))
+      .join(ids.select(F.col("doc_id").as("a"), F.col("ids").as("ia")), Seq("a"))
+      .join(ids.select(F.col("doc_id").as("b"), F.col("ids").as("ib")), Seq("b"))
+      .withColumn("jaccard", jaccard(F.col("ia"), F.col("ib")))
       .filter(F.col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -90,19 +99,13 @@ object Dedup {
     F.when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
   }
 
-  /** 64-bit SimHash over token hashes, per row via HOFs: bit b of the
-    * signature is the majority vote of bit b across token xxhash64 values.
-    * Pure expression (codegen'd): map-only, no shuffle, no UDF. */
-  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
-    df.withColumn("__token_hashes",
-        F.transform(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => F.xxhash64(t)))
-      .withColumn(out, F.expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, b) -> acc + if(
-          |    2 * size(filter(__token_hashes, h -> getbit(h, b) = 1)) >= size(__token_hashes),
-          |    shiftleft(1L, b), 0L))""".stripMargin))
-      .drop("__token_hashes")
-  }
+  /** 64-bit SimHash over token hashes: bit b of the signature is the
+    * majority vote of bit b across token xxhash64 values. Native one-pass
+    * expression (the HOF fold re-hashed every token 64× after projection
+    * collapse): map-only, no shuffle, no UDF. */
+  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    df.withColumn(out, graft.functions.MinHash.simhash64(
+      F.transform(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => F.xxhash64(t))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))

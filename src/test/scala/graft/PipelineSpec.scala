@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.top_k_agg
+import graft.pipeline.{Dedup, Similarity}
+
+/** Dedup / similarity pipeline operators. */
+class PipelineSpec extends SparkSpec {
+
+  test("top_k_agg equals sort+limit per group, bounded buffer") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i % 7, (i * 2654435761L % 1000).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val got = df.groupBy("g").agg(top_k_agg(F.col("score"), F.col("id"), 5).as("top"))
+      .select(F.col("g"), F.posexplode(F.col("top")).as(Seq("rank0", "p")))
+      .select($"g", $"p.score".as("score"), $"p.id".as("id"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sorted.reverse.take(5).map(p => (g, p._1, p._2))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("top_k_agg smallest-k keeps first-k ascending") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (("v%03d".format(i)))).toDF("s").repartition(6)
+    val got = df.agg(top_k_agg(F.lit(0.0), F.col("s"), 3, largest = false).as("top"))
+      .select(F.explode(F.col("top")).as("p")).select($"p.id")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("v001", "v002", "v003"))
+  }
+
+  test("minHashNearDups finds exactly the exact-Jaccard pairs at 0.5") {
+    val docs = table("documents")
+    val got = Dedup.minHashNearDups(docs, "text", "doc_id",
+      numPerm = 64, bands = 32, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs oracle via shingle-id arrays (small corpus)
+    val ids = docs.select(F.col("doc_id"), Dedup.shingleIds(F.col("text")).as("ids"))
+    val exact = ids.as("x").join(ids.as("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("a"), F.col("y.doc_id").as("b"),
+        Dedup.jaccard(F.col("x.ids"), F.col("y.ids")).as("j"))
+      .filter(F.col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(got == exact)
+  }
+
+  test("ivfTopK recall@5 >= 0.9 vs brute force") {
+    val emb = table("embeddings")
+    val qs = emb.filter(F.col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, qs, numCentroids = 8, nprobe = 5, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    assert(total == 100)
+    assert(hits.toDouble / total >= 0.9, s"recall ${hits.toDouble / total}")
+  }
+
+  test("rolling_min_hash: equal prefixes beyond window share no forced prefix bias") {
+    // position-bias regression: fingerprint of s must equal fingerprint of
+    // any string whose minimal window coincides; in particular reversing a
+    // string with distinct bytes must (almost surely) change it, and a
+    // repeated document must keep it.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog" * 3
+    val df = Seq(base, base, base.reverse).toDF("text")
+    val fps = df.select(graft.functions.Fingerprints.rolling_min_hash(F.col("text"), 16))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
