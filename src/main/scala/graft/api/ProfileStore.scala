@@ -1,0 +1,118 @@
+package graft.api
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+import graft.profile.{DatasetProfileView, ProfileSerde}
+
+/** Parquet-backed profile store — the analog of the reference's
+  * ProfileStore / DateQuery (`api/store/profile_store.py:9-40`,
+  * `api/store/query.py:7-26`), re-expressed as a partitioned parquet
+  * table so reads prune by (dataset_id, date) at the source.
+  *
+  * Layout: parquet files under `path/dataset_id=<id>/date=<yyyy-MM-dd>/`, rows
+  * `(dataset_ts long, profile binary)` where `profile` is a GRFT1 blob
+  * (KB-scale per profile). Range queries read only matching partitions;
+  * the merge of the returned profiles is driver-side monoid algebra over
+  * KBs — the profiled datasets are never rescanned.
+  *
+  * Segmented results are written distributed ([[writeSegmented]]): each
+  * segment row is serialized on the executors, so a million-segment
+  * profile run streams straight from the aggregation into the store
+  * without a driver collect (SURVEY §4 partitioning note).
+  */
+class ProfileStore(spark: SparkSession, path: String) {
+
+  import ProfileStore._
+
+  private val schema = StructType(Seq(
+    StructField("dataset_ts", LongType, nullable = false),
+    StructField("segment", StringType, nullable = true),
+    StructField("profile", BinaryType, nullable = false),
+    StructField("dataset_id", StringType, nullable = false),
+    StructField("date", StringType, nullable = false)))
+
+  /** Append one profile for (datasetId, tsMs). */
+  def write(view: DatasetProfileView, datasetId: String, tsMs: Long): Unit =
+    writeAll(Seq(view -> tsMs), datasetId)
+
+  /** Append a batch of profiles in one parquet job. */
+  def writeAll(profiles: Seq[(DatasetProfileView, Long)], datasetId: String): Unit = {
+    if (profiles.isEmpty) return
+    val rows = new java.util.ArrayList[Row](profiles.length)
+    profiles.foreach { case (view, tsMs) =>
+      val stamped = view.copy(datasetTimestampMs = view.datasetTimestampMs.orElse(Some(tsMs)))
+      rows.add(Row(tsMs, null, ProfileSerde.toBytes(stamped), datasetId, dateOf(tsMs)))
+    }
+    spark.createDataFrame(rows, schema)
+      .write.mode("append").partitionBy("dataset_id", "date").parquet(path)
+  }
+
+  /** Distributed write of a segmented profiling result: one store row per
+    * segment, serialized on executors (no driver collect). `segDF` must be
+    * the output of `Profiler.profileSegmentedDF` with `nSegCols` leading
+    * segment-key columns. */
+  def writeSegmented(
+      segDF: DataFrame, nSegCols: Int, datasetId: String, tsMs: Long,
+      quantiles: Seq[Double] = graft.metrics.DistributionAgg.DefaultQuantiles): Unit = {
+    val date = dateOf(tsMs)
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+      Encoders.BINARY, Encoders.STRING, Encoders.STRING)
+    segDF.map { row =>
+      val segKey = (0 until nSegCols).map(i => String.valueOf(row.get(i))).mkString("")
+      val view = Profiler.parseRow(row, nSegCols, quantiles)
+        .copy(datasetTimestampMs = Some(tsMs))
+      (tsMs, segKey, ProfileSerde.toBytes(view), datasetId, date)
+    }(enc)
+      .toDF("dataset_ts", "segment", "profile", "dataset_id", "date")
+      .write.mode("append").partitionBy("dataset_id", "date").parquet(path)
+  }
+
+  /** All profiles for datasetId in [fromMs, toMs], with partition pruning
+    * on (dataset_id, date). */
+  def read(datasetId: String, fromMs: Long, toMs: Long): Seq[(Long, DatasetProfileView)] = {
+    df(datasetId, fromMs, toMs)
+      .select("dataset_ts", "profile")
+      .collect()
+      .map(r => r.getLong(0) -> ProfileSerde.fromBytes(r.getAs[Array[Byte]]("profile")))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Merged view of a date range (the reference's DateQuery.get). */
+  def readMerged(datasetId: String, fromMs: Long, toMs: Long): DatasetProfileView =
+    read(datasetId, fromMs, toMs)
+      .map(_._2)
+      .foldLeft(DatasetProfileView.empty)(_ merge _)
+
+  /** Segmented profiles of a range: segment key → merged view. */
+  def readSegments(datasetId: String, fromMs: Long, toMs: Long): Map[String, DatasetProfileView] = {
+    df(datasetId, fromMs, toMs)
+      .filter(F.col("segment").isNotNull)
+      .select("segment", "profile")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (seg, rows) =>
+        seg -> rows.map(r => ProfileSerde.fromBytes(r.getAs[Array[Byte]]("profile")))
+          .foldLeft(DatasetProfileView.empty)(_ merge _)
+      }
+  }
+
+  private def df(datasetId: String, fromMs: Long, toMs: Long): DataFrame =
+    spark.read.schema(schema).parquet(path)
+      .filter(F.col("dataset_id") === datasetId)
+      .filter(F.col("date") >= dateOf(fromMs) && F.col("date") <= dateOf(toMs))
+      .filter(F.col("dataset_ts") >= fromMs && F.col("dataset_ts") <= toMs)
+}
+
+object ProfileStore {
+  private val DateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private val MaxTs = 253402300799999L // 9999-12-31: keeps dates 4-digit,
+  // so lexicographic date-range filters stay correct for open-ended reads
+  def dateOf(tsMs: Long): String =
+    DateFmt.format(Instant.ofEpochMilli(math.max(0L, math.min(tsMs, MaxTs))))
+}

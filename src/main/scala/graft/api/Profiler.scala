@@ -41,6 +41,21 @@ class Profiler(
           (if (field.dataType == BooleanType) count_where(c === true) else F.lit(0L)).as("trueCount")
         ).as(Namespace.Counts))
 
+      case Namespace.Types if kind == Str && config.stringIngestTypes =>
+        // Per-value cascade for string-ingested data, reference precedence
+        // bool → int → float → string (`core/preprocessing.py:167-175`).
+        // Regex-classified so the semantics are engine-portable (ANSI
+        // try_cast differs between engines on edge literals).
+        val isBool = F.lower(c).isin("true", "false")
+        val isInt = !isBool && c.rlike("^[+-]?[0-9]+$")
+        val isFrac = !isBool && !isInt &&
+          c.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+        val isStr = c.isNotNull && !isBool && !isInt && !isFrac
+        Some(F.struct(
+          count_where(isInt).as("integral"), count_where(isFrac).as("fractional"),
+          count_where(isBool).as("boolean"), count_where(isStr).as("string"),
+          F.lit(0L).as("obj"), F.lit(0L).as("tensor")).as(Namespace.Types))
+
       case Namespace.Types =>
         // Static schema ⇒ every non-null value lands in one bucket
         // (SURVEY §1.2: resolution is exact under Spark's type system).

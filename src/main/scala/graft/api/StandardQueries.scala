@@ -27,6 +27,23 @@ object StandardQueries {
 
   final case class Q(build: (SparkSession, String) => DataFrame, oracle: Option[String])
 
+  /** The file streaming source requires a DIRECTORY; expose a single
+    * parquet file as one via a symlinked temp dir (copy fallback). */
+  def streamableDir(file: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(file)
+    val dir = Paths.get("target", "tmp",
+      "stream_src_" + java.lang.Long.toHexString(
+        java.util.Objects.hash(file).toLong & 0xffffffffL))
+    Files.createDirectories(dir)
+    val link = dir.resolve(src.getFileName)
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, src)
+      catch { case _: Throwable => Files.copy(src, link) }
+    }
+    dir.toAbsolutePath.toString
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
     // reader rejects unless nanos are surfaced as raw longs.
@@ -107,6 +124,37 @@ object StandardQueries {
       }
       s"SELECT ${parts.mkString(", ")} FROM lineitem"
     })
+
+  /** Mixed-type type counters (reference preprocessing cascade, bool
+    * before int before float): a string column synthesized from orders
+    * with a known branch → class mapping, so the oracle counts ground
+    * truth by branch while the engine classifies each value blind. */
+  private def qProfileMixedTypes = Q(
+    (s, dir) => {
+      val mixed = F.when(F.col("o_orderkey") % 5 === 0, F.col("o_orderkey").cast("string"))
+        .when(F.col("o_orderkey") % 5 === 1, F.col("o_totalprice").cast("string"))
+        .when(F.col("o_orderkey") % 5 === 2,
+          F.when(F.col("o_orderkey") % 2 === 0, "true").otherwise("false"))
+        .when(F.col("o_orderkey") % 5 === 3, F.col("o_orderstatus"))
+        .otherwise(F.lit(null).cast("string"))
+      val df = t(s, dir, "orders").select(mixed.as("mixed"))
+      val p = new Profiler(MetricConfig(stringIngestTypes = true),
+        ResolverSpec(byKind = _ => Seq(Namespace.Counts, Namespace.Types)))
+      p.profileDF(df).select(
+        F.col("mixed.counts.n").as("n"),
+        F.col("mixed.counts.nulls").as("nulls"),
+        F.col("mixed.types.integral").as("integral"),
+        F.col("mixed.types.fractional").as("fractional"),
+        F.col("mixed.types.boolean").as("boolean"),
+        F.col("mixed.types.string").as("string"))
+    },
+    Some("""SELECT count(*) AS n,
+           | count(*) FILTER (WHERE o_orderkey % 5 = 4) AS nulls,
+           | count(*) FILTER (WHERE o_orderkey % 5 = 0) AS integral,
+           | count(*) FILTER (WHERE o_orderkey % 5 = 1) AS fractional,
+           | count(*) FILTER (WHERE o_orderkey % 5 = 2) AS boolean,
+           | count(*) FILTER (WHERE o_orderkey % 5 = 3) AS string
+           | FROM orders""".stripMargin.replaceAll("\n", " ")))
 
   private def qProfileInts = Q(
     (s, dir) => {
@@ -280,6 +328,39 @@ object StandardQueries {
   private def qFullProfileSummary = Q(
     (s, dir) => new Profiler().summaryDF(t(s, dir, "lineitem")),
     None)
+
+  /** Persist-and-merge-later round trip (reference ProfileStore +
+    * DateQuery): three "daily" profiles written as GRFT1 blobs in a
+    * partitioned parquet store, read back by date range, merged — every
+    * exact field must equal whole-table SQL. */
+  private def qProfileStoreRoundtrip = Q(
+    (s, dir) => {
+      val storeDir = "target/tmp/profile_store_" + java.util.UUID.randomUUID().toString
+      val store = new ProfileStore(s, storeDir)
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val day0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      (0 until 3).foreach { i =>
+        val part = p.profile(li.filter(F.col("l_orderkey") % 3 === i), Some(liNumeric))
+        store.write(part, "lineitem", day0 + i * 86400000L)
+      }
+      val merged = store.readMerged("lineitem", day0, day0 + 2 * 86400000L)
+      import s.implicits._
+      liNumeric.sorted.map { c =>
+        val v = merged.columns(c)
+        val d = v.distribution.get
+        (c, v.counts.get.n, v.counts.get.nulls, d.n, d.min.get, d.max.get)
+      }.toDF("col_name", "n", "nulls", "present", "vmin", "vmax").orderBy("col_name")
+    },
+    Some {
+      liNumeric.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS nulls,
+           | count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))) AS present,
+           | CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax
+           | FROM lineitem""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
 
   // ------------------------------------------------------------------
   // conditions / constraints / validators
@@ -621,11 +702,50 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Rolling profiles through a REAL Structured Streaming query: file
+    * source → watermark + 1h tumbling windows over the profiler's metric
+    * aggregates → AvailableNow → memory sink. Every exact field must
+    * equal batch SQL over the same events — the property event-time
+    * windows buy us over the reference's wall-clock rollover. */
+  private def qStreamingWindowProfile = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "events") // also sets the nanosAsLong conf
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      val profiler = new Profiler(MetricConfig(),
+        ResolverSpec(byKind = _ => Seq(Namespace.Counts, Namespace.Distribution)))
+      val win = graft.streaming.ProfileStream.windowedProfileDF(
+        sdf, "ts", "1 hour", watermark = Some("1 hour"),
+        profiler = profiler, columns = Some(Seq("value")),
+        segmentColumns = Seq("event_type"))
+      val qn = "swp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = win.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.col("segment_event_type").as("event_type"),
+          F.col("value.counts.n").as("n"),
+          F.col("value.counts.nulls").as("value_nulls"),
+          F.col("value.distribution.min").as("value_min"),
+          F.col("value.distribution.max").as("value_max"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           | event_type, count(*) AS n,
+           | count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+           | min(value) AS value_min, max(value) AS value_max
+           | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
     "profile_counts" -> qProfileCounts,
     "profile_types" -> qProfileTypes,
+    "profile_mixed_types" -> qProfileMixedTypes,
     "profile_ints" -> qProfileInts,
     "profile_moments" -> qProfileMoments,
     "quantiles_exact" -> qQuantilesExact,
@@ -637,6 +757,7 @@ object StandardQueries {
     "segmented_profile" -> qSegmentedProfile,
     "merge_profiles" -> qMergeProfiles,
     "full_profile_summary" -> qFullProfileSummary,
+    "profile_store_roundtrip" -> qProfileStoreRoundtrip,
     "condition_counts" -> qConditionCounts,
     "constraints_report" -> qConstraintsReport,
     "validators" -> qValidators,
@@ -654,7 +775,8 @@ object StandardQueries {
     "text_stats" -> qTextStats,
     "doc_fingerprint" -> qDocFingerprint,
     "multimodal_meta" -> qMultimodalMeta,
-    "window_profile" -> qWindowProfile)
+    "window_profile" -> qWindowProfile,
+    "streaming_window_profile" -> qStreamingWindowProfile)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

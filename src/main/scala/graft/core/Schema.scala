@@ -53,6 +53,12 @@ case class MetricConfig(
     quantiles: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
     fiDisabled: Boolean = false,
     trackUnicodeRanges: Boolean = false,
+    /** Per-value type counting for string-ingested columns (CSV-style
+      * sources where everything arrives as strings): classify each value
+      * by a try-cast cascade with the reference's precedence — bool
+      * before int before float (`core/preprocessing.py:167-175`). Off by
+      * default: typed columns resolve exactly from the schema. */
+    stringIngestTypes: Boolean = false,
     /** Profile at most this many columns per aggregation pass; bounds the
       * per-row aggregation-buffer footprint on very wide tables (reference
       * precedent: `api/pyspark/experimental/profiler.py:80-112`). */

@@ -1,0 +1,153 @@
+package graft.profile
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.ItemsSketch
+import org.apache.datasketches.memory.Memory
+
+/** Binary (de)serialization of profile views — the analog of the
+  * reference's `WHY1` delimited-protobuf container
+  * (`core/view/dataset_profile_view.py:264-460`, magic `:35-38`).
+  *
+  * Container: `GRFT1` magic + version, dataset timestamp, metadata map,
+  * then per-column length-delimited metric blocks. Sketch payloads are
+  * the DataSketches compact binary images (KLL / HLL / frequent-items),
+  * which are the same cross-language formats the reference embeds in its
+  * protobuf chunks — so the sketch bytes themselves are interoperable
+  * even though the container framing is graft's own (hand-rolled
+  * protobuf framing without the reference's generated classes would be
+  * a bug farm; documented divergence).
+  *
+  * Profiles are KB-scale (SURVEY §6: state bounded by sketch config, not
+  * row count), so serde cost is irrelevant next to scan cost.
+  */
+object ProfileSerde {
+
+  private val Magic = "GRFT1".getBytes("UTF-8")
+  private val Version = 1
+
+  def toBytes(view: DatasetProfileView): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(Magic)
+    out.writeInt(Version)
+    out.writeLong(view.datasetTimestampMs.getOrElse(-1L))
+    out.writeInt(view.metadata.size)
+    view.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      out.writeUTF(k); out.writeUTF(v)
+    }
+    out.writeInt(view.columns.size)
+    view.columns.toSeq.sortBy(_._1).foreach { case (name, col) =>
+      out.writeUTF(name)
+      writeColumn(out, col)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): DatasetProfileView = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](Magic.length)
+    in.readFully(magic)
+    require(java.util.Arrays.equals(magic, Magic), "not a GRFT1 profile")
+    val version = in.readInt()
+    require(version == Version, s"unsupported profile version $version")
+    val ts = in.readLong()
+    val nMeta = in.readInt()
+    val meta = (0 until nMeta).map(_ => in.readUTF() -> in.readUTF()).toMap
+    val nCols = in.readInt()
+    val cols = (0 until nCols).map { _ =>
+      val name = in.readUTF()
+      name -> readColumn(in)
+    }.toMap
+    DatasetProfileView(cols, if (ts < 0) None else Some(ts), meta)
+  }
+
+  // --- column blocks ---
+
+  private def writeOpt[T](out: DataOutputStream, o: Option[T])(f: T => Unit): Unit =
+    o match {
+      case Some(v) => out.writeBoolean(true); f(v)
+      case None    => out.writeBoolean(false)
+    }
+
+  private def readOpt[T](in: DataInputStream)(f: => T): Option[T] =
+    if (in.readBoolean()) Some(f) else None
+
+  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
+    out.writeInt(b.length); out.write(b)
+  }
+
+  private def readBytes(in: DataInputStream): Array[Byte] = {
+    val b = new Array[Byte](in.readInt()); in.readFully(b); b
+  }
+
+  private def writeDoubles(out: DataOutputStream, ds: Seq[Double]): Unit = {
+    out.writeInt(ds.length); ds.foreach(out.writeDouble)
+  }
+
+  private def readDoubles(in: DataInputStream): Seq[Double] =
+    (0 until in.readInt()).map(_ => in.readDouble())
+
+  private def writeColumn(out: DataOutputStream, col: ColumnProfileView): Unit = {
+    writeOpt(out, col.counts) { c =>
+      out.writeLong(c.n); out.writeLong(c.nulls); out.writeLong(c.nan)
+      out.writeLong(c.inf); out.writeLong(c.trueCount)
+    }
+    writeOpt(out, col.types) { t =>
+      out.writeLong(t.integral); out.writeLong(t.fractional); out.writeLong(t.boolean)
+      out.writeLong(t.string); out.writeLong(t.obj); out.writeLong(t.tensor)
+    }
+    writeOpt(out, col.ints) { i =>
+      writeOpt(out, i.min)(out.writeLong); writeOpt(out, i.max)(out.writeLong)
+    }
+    writeOpt(out, col.distribution) { d =>
+      out.writeLong(d.n); out.writeDouble(d.mean); out.writeDouble(d.m2)
+      writeOpt(out, d.min)(out.writeDouble); writeOpt(out, d.max)(out.writeDouble)
+      writeDoubles(out, d.quantileRanks); writeDoubles(out, d.quantiles)
+      writeBytes(out, d.kll)
+    }
+    writeOpt(out, col.cardinality) { c =>
+      out.writeDouble(c.estimate); out.writeDouble(c.lower); out.writeDouble(c.upper)
+      writeBytes(out, c.hll)
+    }
+    writeOpt(out, col.frequentItems) { f =>
+      out.writeInt(f.limit)
+      out.writeInt(f.items.length)
+      f.items.foreach { it =>
+        out.writeUTF(it.value); out.writeLong(it.estimate)
+        out.writeLong(it.lower); out.writeLong(it.upper)
+      }
+      writeBytes(out, f.sketch)
+    }
+  }
+
+  private def readColumn(in: DataInputStream): ColumnProfileView = {
+    val counts = readOpt(in)(CountsSummary(
+      in.readLong(), in.readLong(), in.readLong(), in.readLong(), in.readLong()))
+    val types = readOpt(in)(TypeCountsSummary(
+      in.readLong(), in.readLong(), in.readLong(), in.readLong(), in.readLong(), in.readLong()))
+    val ints = readOpt(in)(IntsSummary(readOpt(in)(in.readLong()), readOpt(in)(in.readLong())))
+    val dist = readOpt(in) {
+      val n = in.readLong(); val mean = in.readDouble(); val m2 = in.readDouble()
+      val min = readOpt(in)(in.readDouble()); val max = readOpt(in)(in.readDouble())
+      val ranks = readDoubles(in); val qs = readDoubles(in)
+      DistributionSummary(n, mean, m2, min, max, ranks, qs, readBytes(in))
+    }
+    val card = readOpt(in)(CardinalitySummary(
+      in.readDouble(), in.readDouble(), in.readDouble(), readBytes(in)))
+    val fi = readOpt(in) {
+      val limit = in.readInt()
+      val items = (0 until in.readInt()).map { _ =>
+        FrequentItem(in.readUTF(), in.readLong(), in.readLong(), in.readLong())
+      }
+      FrequentItemsSummary(items, readBytes(in), limit)
+    }
+    ColumnProfileView(counts, types, ints, dist, card, fi)
+  }
+
+  /** Sanity helper: a frequent-items sketch survives its binary image. */
+  private[profile] def fiRoundTrip(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.Row
+
+import graft.api.{Profiler, ProfileStore}
+
+/** Rolling / streaming profiles (reference TimedRollingLogger,
+  * `api/logger/rolling.py:63-262`) re-expressed as Structured Streaming:
+  * event-time tumbling windows + watermark instead of wall-clock rollover
+  * threads.
+  *
+  * Semantics divergence (documented, an improvement — SURVEY §7.4): the
+  * reference rotates on processing time and simply merges late rows into
+  * whatever profile is open; here windows are event-time and the
+  * watermark bounds lateness, so a replayed/backfilled stream produces
+  * identical profiles to a batch run over the same data — the property
+  * the store's merge algebra needs.
+  *
+  * Scale shape: the windowed aggregation is the same partial/final
+  * sketch aggregation as batch profiling, keyed by (window, segment);
+  * state per key is KB-bounded sketch buffers, and the sink appends
+  * KB-scale profile rows to the store — the stream itself is never
+  * buffered.
+  */
+object ProfileStream {
+
+  /** Windowed profile aggregation plan over a streaming (or batch)
+    * DataFrame: groupBy tumbling window [+ segment columns] with the
+    * profiler's metric aggregates for `columns`. */
+  def windowedProfileDF(
+      sdf: DataFrame,
+      tsCol: String,
+      window: String,
+      watermark: Option[String] = None,
+      profiler: Profiler = new Profiler(),
+      columns: Option[Seq[String]] = None,
+      segmentColumns: Seq[String] = Nil): DataFrame = {
+    val withWm = watermark.map(w => sdf.withWatermark(tsCol, w)).getOrElse(sdf)
+    val profiled = columns.getOrElse(
+      sdf.schema.fields.map(_.name).toSeq
+        .filterNot(n => n == tsCol || segmentColumns.contains(n)))
+    val aggs = profiler.aggColumns(sdf.schema, Some(profiled))
+    val keys = F.window(F.col(tsCol), window) +:
+      segmentColumns.map(n => F.col(n).cast("string").as(s"segment_$n"))
+    withWm.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Run the windowed profile as a streaming query that appends each
+    * window's profile to a [[ProfileStore]] once per micro-batch (update
+    * semantics: re-emitted windows append newer rows; readers take the
+    * latest dataset_ts per window or merge, both correct because profiles
+    * are monoids). */
+  def toStore(
+      sdf: DataFrame,
+      tsCol: String,
+      window: String,
+      watermark: String,
+      storePath: String,
+      datasetId: String,
+      profiler: Profiler = new Profiler(),
+      columns: Option[Seq[String]] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val windowed = windowedProfileDF(sdf, tsCol, window, Some(watermark), profiler, columns)
+    windowed.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val store = new ProfileStore(batch.sparkSession, storePath)
+        val flat = batch.select(
+          F.unix_timestamp(F.col("window.start")).*(1000).as("__ts") +:
+            batch.columns.filterNot(_ == "window").map(F.col): _*)
+        // each window's profile row is KB-scale; one append job per batch
+        val profiles = flat.collect().toSeq.map { row =>
+          Profiler.parseRow(row, 1, profiler.config.quantiles) -> row.getLong(0)
+        }
+        store.writeAll(profiles, datasetId)
+      }
+      .start()
+  }
+}

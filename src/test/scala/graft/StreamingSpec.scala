@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.api.{Profiler, ProfileStore}
+import graft.core.{MetricConfig, Namespace, ResolverSpec}
+import graft.streaming.ProfileStream
+
+/** Structured Streaming rolling profiles. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsStream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    spark.readStream.schema(raw.schema)
+      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet"))
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def eventsBatch = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("streamed hourly window profiles equal the batch answer") {
+    val profiler = new Profiler(MetricConfig(),
+      ResolverSpec(byKind = _ => Seq(Namespace.Counts, Namespace.Distribution)))
+    val win = ProfileStream.windowedProfileDF(
+      eventsStream, "ts", "1 hour", watermark = Some("1 hour"),
+      profiler = profiler, columns = Some(Seq("value")),
+      segmentColumns = Seq("event_type"))
+    val qn = "swp_test"
+    val q = win.writeStream.format("memory").queryName(qn)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn)
+      .select(F.col("window.start").as("w"), F.col("segment_event_type").as("et"),
+        F.col("value.counts.n").as("n"),
+        F.col("value.distribution.min").as("mn"), F.col("value.distribution.max").as("mx"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.get(3), r.get(4))).toSet
+    val exp = eventsBatch
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.min("value").as("mn"), F.max("value").as("mx"))
+      .select(F.col("window.start"), F.col("event_type"), F.col("n"), F.col("mn"), F.col("mx"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.get(3), r.get(4))).toSet
+    assert(got == exp)
+  }
+
+  test("toStore streams window profiles into the profile store") {
+    val storeDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-store-").toString
+    val q = ProfileStream.toStore(
+      eventsStream, "ts", "1 hour", watermark = "1 hour",
+      storePath = storeDir, datasetId = "events",
+      profiler = new Profiler(MetricConfig(),
+        ResolverSpec(byKind = _ => Seq(Namespace.Counts, Namespace.Distribution))),
+      columns = Some(Seq("value")))
+    q.awaitTermination()
+    val store = new ProfileStore(spark, storeDir)
+    val all = store.read("events", 0L, Long.MaxValue)
+    assert(all.nonEmpty)
+    // merged profile over all windows must account for every event row
+    val merged = all.map(_._2).reduce(_ merge _)
+    assert(merged.columns("value").counts.get.n == eventsBatch.count())
+  }
+}
