@@ -25,7 +25,8 @@ class Profiler(
   def aggColumnFor(field: StructField): Option[Column] = {
     val kind = LogicalKind.of(field.dataType)
     val metrics = resolver.metricsFor(field.name, kind)
-      .filterNot(m => config.fiDisabled && m == Namespace.FrequentItems)
+      .filterNot(m => config.fiDisabled && m == Namespace.FrequentItems) ++
+      (if (config.trackUnicodeRanges && kind == Str) Seq(Namespace.UnicodeRange) else Nil)
     if (metrics.isEmpty) return None
     val c = F.col(field.name)
     val isFloating = field.dataType == DoubleType || field.dataType == FloatType
@@ -105,6 +106,30 @@ class Profiler(
           case _          => c.cast(StringType)
         }
         Some(frequent_items_agg(child, config.fiLgMaxK, config.fiLimit).as(Namespace.FrequentItems))
+
+      case Namespace.UnicodeRange if kind == Str =>
+        // MultiMetric (reference unicode_range.py:22-131): per named range
+        // a full submetric bundle over the per-string character counts,
+        // plus string_length. The per-row count vector is one expression;
+        // agg-input subexpression elimination keeps it evaluated once per
+        // row even though every submetric references it.
+        val arr = unicode_range_counts(c, config.unicodeRanges.map(_._2))
+        val slotNames = config.unicodeRanges.map(_._1) :+ "UNKNOWN"
+        val slots = slotNames.zipWithIndex.map { case (nm, i) =>
+          nm -> arr.getItem(i)
+        } :+ ("string_length" -> F.length(c))
+        val subs = slots.map { case (nm, cnt) =>
+          F.struct(
+            F.struct(F.count(cnt).as("n"), count_where(c.isNull).as("nulls"),
+              F.lit(0L).as("nan"), F.lit(0L).as("inf"), F.lit(0L).as("trueCount"))
+              .as(Namespace.Counts),
+            F.struct(F.min(cnt.cast(LongType)).as("min"),
+              F.max(cnt.cast(LongType)).as("max")).as(Namespace.Ints),
+            distribution_agg(cnt, config.kllK, config.quantiles).as(Namespace.Distribution),
+            cardinality_agg(cnt, config.hllLgK, config.numStdDev).as(Namespace.Cardinality)
+          ).as(nm)
+        }
+        Some(F.struct(subs: _*).as(Namespace.UnicodeRange))
 
       case _ => None
     }
@@ -235,6 +260,11 @@ object Profiler {
       view = view.copy(cardinality = Some(CardinalitySummary(
         c.getAs[Double]("estimate"), c.getAs[Double]("lower"), c.getAs[Double]("upper"),
         c.getAs[Array[Byte]]("hll"))))
+    }
+    if (has(Namespace.UnicodeRange)) {
+      val ur = r.getAs[Row](Namespace.UnicodeRange)
+      val subs = ur.schema.fieldNames.map(n => n -> parseColumn(ur.getAs[Row](n), ranks)).toMap
+      view = view.copy(subMetrics = view.subMetrics + (Namespace.UnicodeRange -> subs))
     }
     if (has(Namespace.FrequentItems)) {
       val f = r.getAs[Row](Namespace.FrequentItems)

@@ -260,6 +260,54 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY column_name, cnt DESC, value")
     })
 
+  /** unicode_range MultiMetric over part.p_name (pure ASCII, so NFD
+    * normalization is the identity on both engines): per range the exact
+    * submetric fields (value count, min/max of per-string char counts).
+    * Oracle counts range characters by regexp removal on lower(). */
+  private def qUnicodeRange = Q(
+    (s, dir) => {
+      val p = new Profiler(MetricConfig(trackUnicodeRanges = true),
+        ResolverSpec(byKind = _ => Seq(Namespace.Counts)))
+      val base = p.profileDF(t(s, dir, "part"), Some(Seq("p_name")))
+      val names = MetricConfig().unicodeRanges.map(_._1) :+ "UNKNOWN" :+ "string_length"
+      val ur = F.col("p_name").getField(Namespace.UnicodeRange)
+      val stacked = names.map { nm =>
+        val sub = ur.getField(nm)
+        F.struct(F.lit(nm).as("range_name"),
+          sub.getField("counts").getField("n").as("n"),
+          sub.getField("ints").getField("min").as("cnt_min"),
+          sub.getField("ints").getField("max").as("cnt_max"))
+      }
+      base.select(F.explode(F.array(stacked: _*)).as("r")).select("r.*")
+        .orderBy("range_name")
+    },
+    Some {
+      val regexOf = Seq(
+        "emoticon" -> "[\\x{1F600}-\\x{1F64F}]",
+        "control" -> "[\\x00-\\x1F]",
+        "digits" -> "[0-9]",
+        "latin-upper" -> "[A-Z]",
+        "latin-lower" -> "[a-z]",
+        "basic-latin" -> "[\\x00-\\x7F]",
+        "extended-latin" -> "[\\x{0080}-\\x{02AF}]")
+      val perRange = regexOf.map { case (nm, re) =>
+        s"""SELECT '$nm' AS range_name, count(p_name) AS n,
+           | min(length(lower(p_name)) - length(regexp_replace(lower(p_name), '$re', '', 'g'))) AS cnt_min,
+           | max(length(lower(p_name)) - length(regexp_replace(lower(p_name), '$re', '', 'g'))) AS cnt_max
+           | FROM part""".stripMargin.replaceAll("\n", " ")
+      }
+      val unknown =
+        """SELECT 'UNKNOWN' AS range_name, count(p_name) AS n,
+          | min(length(regexp_replace(lower(p_name), '[\x00-\x7F\x{0080}-\x{02AF}\x{1F600}-\x{1F64F}]', '', 'g'))) AS cnt_min,
+          | max(length(regexp_replace(lower(p_name), '[\x00-\x7F\x{0080}-\x{02AF}\x{1F600}-\x{1F64F}]', '', 'g'))) AS cnt_max
+          | FROM part""".stripMargin.replaceAll("\n", " ")
+      val strLen =
+        """SELECT 'string_length' AS range_name, count(p_name) AS n,
+          | min(length(p_name)) AS cnt_min, max(length(p_name)) AS cnt_max
+          | FROM part""".stripMargin.replaceAll("\n", " ")
+      (perRange :+ unknown :+ strLen).mkString("", " UNION ALL ", " ORDER BY range_name")
+    })
+
   /** Bag-of-words term stats (reference BagOfWordsMetric,
     * `experimental/extras/nlp_metric.py:199-431`): explode tokens, count
     * via the frequent-items sketch (exact: vocabulary fits the map). */
@@ -753,6 +801,7 @@ object StandardQueries {
     "cardinality" -> qCardinality,
     "cardinality_hll_bounds" -> qCardinalityBounds,
     "frequent_items" -> qFrequentItems,
+    "unicode_range" -> qUnicodeRange,
     "bow_term_counts" -> qBowTermCounts,
     "segmented_profile" -> qSegmentedProfile,
     "merge_profiles" -> qMergeProfiles,

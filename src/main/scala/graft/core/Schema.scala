@@ -53,6 +53,9 @@ case class MetricConfig(
     quantiles: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
     fiDisabled: Boolean = false,
     trackUnicodeRanges: Boolean = false,
+    /** Named codepoint ranges for the unicode_range MultiMetric
+      * (reference defaults, `core/configs.py:16-24`). */
+    unicodeRanges: Seq[(String, (Int, Int))] = graft.functions.UnicodeRangeUtil.DefaultRanges,
     /** Per-value type counting for string-ingested columns (CSV-style
       * sources where everything arrives as strings): classify each value
       * by a try-cast cascade with the reference's precedence — bool

@@ -41,6 +41,12 @@ package object functions {
   def top_k_agg(score: Column, id: Column, k: Int, largest: Boolean = true): Column =
     agg(TopKAgg(columnExpr(score.cast("double")), columnExpr(id), k, largest))
 
+  /** Per-range character counts of a string (+ trailing UNKNOWN slot) —
+    * the map stage of the unicode_range MultiMetric. */
+  def unicode_range_counts(c: Column, ranges: Seq[(Int, Int)],
+      lowerCase: Boolean = true, normalize: Boolean = true): Column =
+    UnicodeRanges.unicode_range_counts(c, ranges, lowerCase, normalize)
+
   /** Exact count of rows where `cond` holds (null-safe). */
   def count_where(cond: Column): Column = F.sum(F.when(cond, 1L).otherwise(0L))
 

@@ -121,6 +121,15 @@ object ProfileSerde {
       }
       writeBytes(out, f.sketch)
     }
+    out.writeInt(col.subMetrics.size)
+    col.subMetrics.toSeq.sortBy(_._1).foreach { case (ns, subs) =>
+      out.writeUTF(ns)
+      out.writeInt(subs.size)
+      subs.toSeq.sortBy(_._1).foreach { case (sub, bundle) =>
+        out.writeUTF(sub)
+        writeColumn(out, bundle)
+      }
+    }
   }
 
   private def readColumn(in: DataInputStream): ColumnProfileView = {
@@ -144,7 +153,11 @@ object ProfileSerde {
       }
       FrequentItemsSummary(items, readBytes(in), limit)
     }
-    ColumnProfileView(counts, types, ints, dist, card, fi)
+    val subs = (0 until in.readInt()).map { _ =>
+      val ns = in.readUTF()
+      ns -> (0 until in.readInt()).map(_ => in.readUTF() -> readColumn(in)).toMap
+    }.toMap
+    ColumnProfileView(counts, types, ints, dist, card, fi, subs)
   }
 
   /** Sanity helper: a frequent-items sketch survives its binary image. */

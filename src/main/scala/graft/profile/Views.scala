@@ -119,7 +119,11 @@ final case class ColumnProfileView(
     ints: Option[IntsSummary] = None,
     distribution: Option[DistributionSummary] = None,
     cardinality: Option[CardinalitySummary] = None,
-    frequentItems: Option[FrequentItemsSummary] = None) {
+    frequentItems: Option[FrequentItemsSummary] = None,
+    /** MultiMetric namespaces (reference `core/multimetric.py:42-184`):
+      * namespace → submetric name → standard metric bundle. A bundle
+      * reuses ColumnProfileView, so merge/summary/serde recurse. */
+    subMetrics: Map[String, Map[String, ColumnProfileView]] = Map.empty) {
 
   def merge(o: ColumnProfileView): ColumnProfileView = ColumnProfileView(
     mergeOpt(counts, o.counts)(_ merge _),
@@ -127,7 +131,17 @@ final case class ColumnProfileView(
     mergeOpt(ints, o.ints)(_ merge _),
     mergeOpt(distribution, o.distribution)(_ merge _),
     mergeOpt(cardinality, o.cardinality)(_ merge (_)),
-    mergeOpt(frequentItems, o.frequentItems)(_ merge _))
+    mergeOpt(frequentItems, o.frequentItems)(_ merge _),
+    (subMetrics.keySet ++ o.subMetrics.keySet).map { ns =>
+      val a = subMetrics.getOrElse(ns, Map.empty)
+      val b = o.subMetrics.getOrElse(ns, Map.empty)
+      ns -> (a.keySet ++ b.keySet).map { sub =>
+        sub -> ((a.get(sub), b.get(sub)) match {
+          case (Some(x), Some(y)) => x.merge(y)
+          case (x, y)             => x.orElse(y).get
+        })
+      }.toMap
+    }.toMap)
 
   private def mergeOpt[T](a: Option[T], b: Option[T])(f: (T, T) => T): Option[T] =
     (a, b) match {
@@ -168,6 +182,11 @@ final case class ColumnProfileView(
       f.items.zipWithIndex.foreach { case (it, i) =>
         b += s"frequent_items/$i/value" -> it.value
         b += s"frequent_items/$i/estimate" -> it.estimate
+      }
+    }
+    subMetrics.foreach { case (ns, subs) =>
+      subs.foreach { case (sub, bundle) =>
+        bundle.summaryMap.foreach { case (k, v) => b += s"$ns/$sub/$k" -> v }
       }
     }
     b.result()
