@@ -128,4 +128,76 @@ object Constraints {
 
   // ---- condition factories (`factories/condition_counts.py:4-75`) are
   // served by Conditions.countsDF (they predicate on the counted result).
+
+  // ---- dataset-level constraints (`metric_constraints.py:246-300`) ----
+
+  def datasetRowCountAtLeast(n: Long): Constraint =
+    Constraint(s"dataset_row_count_at_least($n)", None, v =>
+      v.columns.values.flatMap(_.counts).map(_.n).maxOption.exists(_ >= n))
+
+  def datasetHasColumns(cols: Set[String]): Constraint =
+    Constraint(s"dataset_has_columns(${cols.toSeq.sorted.mkString("+")})", None,
+      v => cols.subsetOf(v.columns.keySet))
+}
+
+/** Target-vs-reference constraints over two profiles — the reference's
+  * DatasetComparisonConstraint (`metric_constraints.py:203-244`). Both
+  * sides are KB-scale collected profiles; evaluation is driver-side. */
+final case class ComparisonConstraint(
+    name: String, check: (DatasetProfileView, DatasetProfileView) => Boolean)
+
+final class ComparisonConstraints(val constraints: Seq[ComparisonConstraint]) {
+  def report(target: DatasetProfileView, ref: DatasetProfileView): Seq[ConstraintReport] =
+    constraints.map { c =>
+      val passed = try c.check(target, ref)
+        catch { case _: NoSuchElementException => false }
+      ConstraintReport(c.name, None, passed)
+    }
+}
+
+object ComparisonConstraints {
+  def apply(cs: ComparisonConstraint*): ComparisonConstraints = new ComparisonConstraints(cs)
+
+  private def counts(v: DatasetProfileView, c: String) =
+    v.columns(c).counts.getOrElse(throw new NoSuchElementException(c))
+  private def dist(v: DatasetProfileView, c: String) =
+    v.columns(c).distribution.getOrElse(throw new NoSuchElementException(c))
+
+  /** Same column names on both sides. */
+  def schemaMatches: ComparisonConstraint =
+    ComparisonConstraint("schema_matches",
+      (t, r) => t.columns.keySet == r.columns.keySet)
+
+  /** |n_t − n_r| ≤ pct · n_r. */
+  def rowCountWithinPct(c: String, pct: Double): ComparisonConstraint =
+    ComparisonConstraint(s"row_count_within_pct($c,$pct)", (t, r) => {
+      val nt = counts(t, c).n; val nr = counts(r, c).n
+      nr > 0 && math.abs(nt - nr) <= pct * nr
+    })
+
+  def nullCountsEqual(c: String): ComparisonConstraint =
+    ComparisonConstraint(s"null_counts_equal($c)",
+      (t, r) => counts(t, c).nulls == counts(r, c).nulls)
+
+  def minsEqual(c: String): ComparisonConstraint =
+    ComparisonConstraint(s"mins_equal($c)",
+      (t, r) => dist(t, c).min == dist(r, c).min)
+
+  def maxNotExceedsReference(c: String): ComparisonConstraint =
+    ComparisonConstraint(s"max_not_exceeds_reference($c)", (t, r) =>
+      (for (mt <- dist(t, c).max; mr <- dist(r, c).max) yield mt <= mr).getOrElse(false))
+
+  /** Rounded HLL estimates agree (exact for coupon-range cardinalities). */
+  def distinctCountsMatch(c: String): ComparisonConstraint =
+    ComparisonConstraint(s"distinct_counts_match($c)", (t, r) =>
+      (for (ct <- t.columns(c).cardinality; cr <- r.columns(c).cardinality)
+        yield math.round(ct.estimate) == math.round(cr.estimate)).getOrElse(false))
+
+  /** Relative mean drift bound: |mean_t − mean_r| ≤ tol · max(1, |mean_r|). */
+  def meanWithinRelativeTolerance(c: String, tol: Double): ComparisonConstraint =
+    ComparisonConstraint(s"mean_within_relative_tolerance($c,$tol)", (t, r) => {
+      val dt = dist(t, c); val dr = dist(r, c)
+      dt.n > 0 && dr.n > 0 &&
+        math.abs(dt.mean - dr.mean) <= tol * math.max(1.0, math.abs(dr.mean))
+    })
 }

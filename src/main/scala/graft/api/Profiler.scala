@@ -17,7 +17,12 @@ import graft.profile._
   */
 class Profiler(
     val config: MetricConfig = MetricConfig(),
-    val resolver: ResolverSpec = ResolverSpec.default) {
+    val resolver: ResolverSpec = ResolverSpec.default,
+    val plugins: Seq[MetricPlugin] = Nil) {
+
+  /** This profiler plus every registry-registered plugin. */
+  def withRegisteredPlugins: Profiler =
+    new Profiler(config, resolver, plugins ++ MetricRegistry.all)
 
   import LogicalKind._
 
@@ -133,7 +138,10 @@ class Profiler(
 
       case _ => None
     }
-    if (parts.isEmpty) None else Some(F.struct(parts: _*).as(field.name))
+    val pluginParts = plugins.filter(_.appliesTo(field.name, kind))
+      .map(p => p.aggColumn(c).as(p.namespace))
+    val allParts = parts ++ pluginParts
+    if (allParts.isEmpty) None else Some(F.struct(allParts: _*).as(field.name))
   }
 
   def aggColumns(schema: StructType, columns: Option[Seq[String]] = None): Seq[Column] = {

@@ -480,6 +480,47 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY constraint_name")
     })
 
+  /** Target-vs-reference comparison constraints over two profile halves
+    * (reference DatasetComparisonConstraint). Every check compares exact
+    * profile fields except the mean tolerance, whose boolean is far from
+    * its boundary on this data (documented). */
+  private def qConstraintsComparison = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val cols = Some(liNumeric :+ "l_returnflag")
+      val target = p.profile(li.filter(F.col("l_orderkey") % 2 === 0), cols)
+      val ref = p.profile(li.filter(F.col("l_orderkey") % 2 =!= 0), cols)
+      val suite = ComparisonConstraints(
+        ComparisonConstraints.schemaMatches,
+        ComparisonConstraints.rowCountWithinPct("l_orderkey", 0.1),
+        ComparisonConstraints.nullCountsEqual("l_tax"),
+        ComparisonConstraints.minsEqual("l_quantity"),
+        ComparisonConstraints.maxNotExceedsReference("l_extendedprice"),
+        ComparisonConstraints.distinctCountsMatch("l_returnflag"),
+        ComparisonConstraints.meanWithinRelativeTolerance("l_quantity", 0.05))
+      import s.implicits._
+      suite.report(target, ref).map(rep => (rep.name, rep.passed))
+        .toDF("constraint_name", "passed").orderBy("constraint_name")
+    },
+    Some("""WITH t AS (SELECT count(*) AS n, count(*) FILTER (WHERE l_tax IS NULL) AS tax_nulls,
+           |  min(l_quantity) AS qmin, max(l_extendedprice) AS pmax,
+           |  count(DISTINCT l_returnflag) AS rfd, avg(l_quantity) AS qmean
+           |  FROM lineitem WHERE l_orderkey % 2 = 0),
+           | r AS (SELECT count(*) AS n, count(*) FILTER (WHERE l_tax IS NULL) AS tax_nulls,
+           |  min(l_quantity) AS qmin, max(l_extendedprice) AS pmax,
+           |  count(DISTINCT l_returnflag) AS rfd, avg(l_quantity) AS qmean
+           |  FROM lineitem WHERE l_orderkey % 2 = 1)
+           | SELECT 'schema_matches' AS constraint_name, TRUE AS passed
+           | UNION ALL SELECT 'row_count_within_pct(l_orderkey,0.1)', abs(t.n - r.n) <= 0.1 * r.n FROM t, r
+           | UNION ALL SELECT 'null_counts_equal(l_tax)', t.tax_nulls = r.tax_nulls FROM t, r
+           | UNION ALL SELECT 'mins_equal(l_quantity)', t.qmin = r.qmin FROM t, r
+           | UNION ALL SELECT 'max_not_exceeds_reference(l_extendedprice)', t.pmax <= r.pmax FROM t, r
+           | UNION ALL SELECT 'distinct_counts_match(l_returnflag)', t.rfd = r.rfd FROM t, r
+           | UNION ALL SELECT 'mean_within_relative_tolerance(l_quantity,0.05)',
+           |  abs(t.qmean - r.qmean) <= 0.05 * greatest(1.0, abs(r.qmean)) FROM t, r
+           | ORDER BY constraint_name""".stripMargin.replaceAll("\n", " ")))
+
   private def qValidators = Q(
     (s, dir) => {
       val orders = t(s, dir, "orders")
@@ -497,6 +538,35 @@ object StandardQueries {
            | UNION ALL SELECT 'totalprice_not_huge',
            | count(*) FILTER (WHERE NOT coalesce(o_totalprice <= 400000.0, false)), count(*) FROM orders
            | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
+
+  /** UDF-schema pre-pass + custom metric plugin: a derived column
+    * (Column-expression "UDF") profiled by the standard metrics plus a
+    * registered exact-sum plugin metric, all in ONE aggregation pass. */
+  private def qUdfProfile = Q(
+    (s, dir) => {
+      val schema = UdfSchema(derived = Seq(DerivedColumn("price_with_tax",
+        F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax")))))
+      val sumPlugin = new MetricPlugin {
+        val namespace = "exact_sum"
+        def appliesTo(column: String, kind: graft.core.LogicalKind) =
+          column == "price_with_tax"
+        def aggColumn(c: Column) = F.struct(exact_sum(c, scale = 6).as("sum"))
+      }
+      val p = new Profiler(plugins = Seq(sumPlugin))
+      val df = schema(t(s, dir, "lineitem"))
+      p.profileDF(df, Some(Seq("price_with_tax"))).select(
+        F.col("price_with_tax.counts.n").as("n"),
+        F.col("price_with_tax.counts.nulls").as("nulls"),
+        F.col("price_with_tax.distribution.min").as("vmin"),
+        F.col("price_with_tax.distribution.max").as("vmax"),
+        F.col("price_with_tax.exact_sum.sum").as("psum"))
+    },
+    Some("""SELECT count(*) AS n,
+           | count(*) FILTER (WHERE l_extendedprice * (1.0 + l_tax) IS NULL) AS nulls,
+           | min(l_extendedprice * (1.0 + l_tax)) AS vmin,
+           | max(l_extendedprice * (1.0 + l_tax)) AS vmax,
+           | CAST(sum(CAST(l_extendedprice * (1.0 + l_tax) AS DECIMAL(33,6))) AS DOUBLE) AS psum
+           | FROM lineitem""".stripMargin.replaceAll("\n", " ")))
 
   // ------------------------------------------------------------------
   // model performance
@@ -809,7 +879,9 @@ object StandardQueries {
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
     "condition_counts" -> qConditionCounts,
     "constraints_report" -> qConstraintsReport,
+    "constraints_comparison" -> qConstraintsComparison,
     "validators" -> qValidators,
+    "udf_profile" -> qUdfProfile,
     "confusion_matrix" -> qConfusionMatrix,
     "regression_metrics" -> qRegressionMetrics,
     "drift_scores" -> qDriftScores,
