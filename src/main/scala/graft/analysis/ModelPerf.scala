@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 import graft.functions._
+import graft.profile.{ConfusionMatrixSummary, DatasetProfileView, ModelPerformanceSummary, RegressionSummary}
 
 /** Model-performance aggregators (whylogs
   * `python/whylogs/core/model_performance_metrics/...`): confusion matrix for
@@ -49,5 +50,72 @@ object ModelPerf {
       (absSum / n).as("mae"),
       (sqSum / n).as("mse"),
       F.sqrt(sqSum / n).as("rmse"))
+  }
+
+  // ---- collected summaries (the ModelPerformanceMetrics wrapper,
+  // `model_performance_metrics.py`) ----
+
+  /** Collected confusion matrix (labels ≤ 256 per the reference cap, so
+    * the cell map is driver-safe). */
+  def confusionMatrix(df: DataFrame, target: Column, prediction: Column,
+      score: Option[Column] = None): ConfusionMatrixSummary = {
+    val rows = confusionMatrixDF(df, target, prediction, score).collect()
+    ConfusionMatrixSummary(rows.map { r =>
+      val s = if (score.isDefined) r.getAs[Double]("score_sum") else 0.0
+      (r.getAs[String]("target"), r.getAs[String]("prediction")) ->
+        (r.getAs[Long]("n"), s)
+    }.toMap)
+  }
+
+  /** Collected regression summary. */
+  def regression(df: DataFrame, target: Column, prediction: Column): RegressionSummary = {
+    val r = regressionMetricsDF(df, target, prediction).collect()(0)
+    RegressionSummary(r.getAs[Long]("n"), r.getAs[Double]("abs_error_sum"),
+      r.getAs[Double]("error_sum"), r.getAs[Double]("sq_error_sum"))
+  }
+
+  /** Attach model-performance metrics to a profile view (the reference's
+    * `profile.track_metrics` path). */
+  def attach(view: DatasetProfileView,
+      confusion: Option[ConfusionMatrixSummary] = None,
+      regression: Option[RegressionSummary] = None): DatasetProfileView = {
+    val mp = ModelPerformanceSummary(confusion, regression)
+    view.copy(modelPerformance = view.modelPerformance.map(_.merge(mp)).orElse(Some(mp)))
+  }
+}
+
+/** Accuracy estimation for unlabeled targets (reference
+  * `experimental/performance_estimation/estimators.py:28-150`): the
+  * reference segments' binary-classification accuracies, weighted by the
+  * target's segment proportions. Driver-side math over collected
+  * KB-scale summaries. */
+object AccuracyEstimator {
+
+  final case class SegmentEstimate(
+      segment: String, targetCount: Long, refCorrect: Long, refTotal: Long,
+      refAccuracy: Double, contribution: Double)
+
+  final case class Result(estimatedAccuracy: Double, segments: Seq[SegmentEstimate])
+
+  /** `reference`: segment → binary confusion matrix (labels `positive` /
+    * `negative`); `targetCounts`: segment → row count in the unlabeled
+    * target. Target keys must be a subset of reference keys. */
+  def estimate(
+      reference: Map[String, ConfusionMatrixSummary],
+      targetCounts: Map[String, Long],
+      positive: String = "1",
+      negative: String = "0"): Result = {
+    require(targetCounts.keySet.subsetOf(reference.keySet),
+      "target segment keys must be a subset of the reference's")
+    val totalTarget = targetCounts.values.sum.toDouble
+    val segments = targetCounts.toSeq.sortBy(_._1).map { case (seg, cnt) =>
+      val cm = reference(seg)
+      val correct = cm.count(positive, positive) + cm.count(negative, negative)
+      val total = correct + cm.count(positive, negative) + cm.count(negative, positive)
+      val acc = if (total > 0) correct.toDouble / total else 0.0
+      val weight = if (totalTarget > 0) cnt / totalTarget else 0.0
+      SegmentEstimate(seg, cnt, correct, total, acc, weight * acc)
+    }
+    Result(segments.map(_.contribution).sum, segments)
   }
 }

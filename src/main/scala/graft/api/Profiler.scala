@@ -229,6 +229,11 @@ object Profiler {
     DatasetProfileView(cols)
   }
 
+  /** Parse a standard metric bundle struct (any subset of the known
+    * namespaces) — also used for MultiMetric submetric bundles. */
+  def parseBundle(r: Row, ranks: Seq[Double] = graft.metrics.DistributionAgg.DefaultQuantiles): ColumnProfileView =
+    parseColumn(r, ranks)
+
   private def parseColumn(r: Row, ranks: Seq[Double]): ColumnProfileView = {
     val schema = r.schema
     def has(n: String) = schema.fieldNames.contains(n)

@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 
 /** The driver-facing query registry: one entry per implemented operator
   * (SURVEY §2 + the training-data pipeline extensions), each built on the
@@ -347,6 +347,24 @@ object StandardQueries {
            | count(*) FILTER (WHERE l_extendedprice IS NULL) AS price_nulls
            | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Segment filter (reference SegmentFilter): pre-filter pushed into the
+    * same scan as the segmented aggregation. */
+  private def qSegmentedFilteredProfile = Q(
+    (s, dir) => {
+      val res = new Profiler().profileSegmentedDF(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        filter = Some(F.col("l_quantity") >= 25))
+      res.select(
+        F.col("segment_l_returnflag").as("seg_returnflag"),
+        F.col("l_quantity.counts.n").as("n"),
+        F.col("l_extendedprice.distribution.min").as("price_min"),
+        F.col("l_extendedprice.distribution.max").as("price_max"))
+        .orderBy("seg_returnflag")
+    },
+    Some("""SELECT CAST(l_returnflag AS VARCHAR) AS seg_returnflag, count(*) AS n,
+           | min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max
+           | FROM lineitem WHERE l_quantity >= 25 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** Profile-merge demo: two half-profiles merged driver-side must agree
     * with whole-table SQL on every exact field. */
   private def qMergeProfiles = Q(
@@ -603,6 +621,49 @@ object StandardQueries {
            | sqrt(CAST(sum(CAST(((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) * ((l_extendedprice * (1.0 + l_tax)) - l_extendedprice) AS DECIMAL(38,4))) AS DOUBLE) / count(*) FILTER (WHERE l_extendedprice IS NOT NULL)) AS rmse
            | FROM lineitem""".stripMargin.replaceAll("\n", " ")))
 
+  /** AccuracyEstimator (reference performance estimation): per-segment
+    * reference accuracies weighted by target proportions. Counts and
+    * single-step double divisions are engine-exact; the weighted total is
+    * reported per segment (no cross-row float summation in the oracle). */
+  private def qAccuracyEstimator = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val tl = F.when(F.col("o_orderstatus") === "F", "1").otherwise("0")
+      val pl = F.when(F.col("o_totalprice") < 150000.0, "1").otherwise("0")
+      val ref = orders.filter(F.col("o_orderkey") % 2 === 0)
+      val cms = ref.groupBy(F.col("o_orderpriority").as("seg"),
+        tl.as("target"), pl.as("prediction"))
+        .agg(F.count(F.lit(1)).as("n")).collect()
+        .groupBy(_.getAs[String]("seg"))
+        .map { case (seg, rows) =>
+          seg -> graft.profile.ConfusionMatrixSummary(rows.map(r =>
+            (r.getAs[String]("target"), r.getAs[String]("prediction")) ->
+              (r.getAs[Long]("n"), 0.0)).toMap)
+        }
+      val tgtCounts = orders.filter(F.col("o_orderkey") % 2 =!= 0)
+        .groupBy(F.col("o_orderpriority").as("seg")).count().collect()
+        .map(r => r.getAs[String]("seg") -> r.getAs[Long]("count")).toMap
+      val result = AccuracyEstimator.estimate(cms, tgtCounts)
+      import s.implicits._
+      result.segments.map(e => (e.segment, e.targetCount, e.refCorrect,
+        e.refTotal, e.refAccuracy, e.contribution))
+        .toDF("segment", "target_n", "ref_correct", "ref_total",
+          "ref_accuracy", "contribution")
+        .orderBy("segment")
+    },
+    Some("""WITH ref AS (SELECT o_orderpriority AS seg,
+           |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t,
+           |  CASE WHEN o_totalprice < 150000.0 THEN 1 ELSE 0 END AS p
+           |  FROM orders WHERE o_orderkey % 2 = 0),
+           | refagg AS (SELECT seg, count(*) FILTER (WHERE t = p) AS correct, count(*) AS total FROM ref GROUP BY seg),
+           | tgt AS (SELECT o_orderpriority AS seg, count(*) AS cnt FROM orders WHERE o_orderkey % 2 <> 0 GROUP BY seg),
+           | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM tgt)
+           | SELECT tgt.seg AS segment, tgt.cnt AS target_n,
+           |  refagg.correct AS ref_correct, refagg.total AS ref_total,
+           |  CAST(refagg.correct AS DOUBLE) / refagg.total AS ref_accuracy,
+           |  (tgt.cnt / tot.n) * (CAST(refagg.correct AS DOUBLE) / refagg.total) AS contribution
+           | FROM tgt JOIN refagg USING (seg), tot ORDER BY segment""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
   // drift
   // ------------------------------------------------------------------
@@ -717,6 +778,48 @@ object StandardQueries {
         .orderBy("query_id", "rank")
     },
     None)
+
+  /** EmbeddingMetric (per-reference distance distributions + closest
+    * counts): first 4 corpus vectors are the labeled references. The
+    * oracle recomputes cosine distance with the explicit
+    * dot/(sqrt·sqrt) formula so both engines accumulate doubles in the
+    * same order — values are bit-identical, not just rank-identical. */
+  private def qEmbeddingMetric = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val refs = Embeddings.referencesFromCorpus(emb, "vec_id", "embedding", 4)
+      val agg = emb.agg(Embeddings.aggColumn(F.col("embedding"), refs))
+      val e = F.col("embedding")
+      val stacked = refs.map { case (label, _) =>
+        val sub = e.getField(s"${label}_distance")
+        val cl = e.getField("closest").getField("frequent_items").getField("items")
+        F.struct(F.lit(label).as("label"),
+          sub.getField("counts").getField("n").as("n"),
+          sub.getField("distribution").getField("min").as("dist_min"),
+          sub.getField("distribution").getField("max").as("dist_max"),
+          F.coalesce(
+            F.element_at(F.filter(cl, it => it.getField("value") === label), 1)
+              .getField("estimate"), F.lit(0L)).as("closest_cnt"))
+      }
+      agg.select(F.col("embedding").as("embedding"))
+        .select(F.explode(F.array(stacked: _*)).as("r")).select("r.*")
+        .orderBy("label")
+    },
+    Some("""WITH refs AS (SELECT vec_id AS rid, embedding AS rvec FROM embeddings WHERE vec_id < 4),
+           | d AS (SELECT e.vec_id, r.rid,
+           |   1.0 - (list_dot_product(e.embedding::DOUBLE[], r.rvec::DOUBLE[]) /
+           |     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+           |      sqrt(list_dot_product(r.rvec::DOUBLE[], r.rvec::DOUBLE[])))) AS dist
+           |  FROM embeddings e CROSS JOIN refs r),
+           | cl AS (SELECT vec_id, rid AS crid FROM
+           |   (SELECT vec_id, rid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, rid) AS rn FROM d)
+           |   WHERE rn = 1)
+           | SELECT 'ref' || CAST(r.rid AS VARCHAR) AS label,
+           |  (SELECT count(*) FROM embeddings) AS n,
+           |  min(d.dist) AS dist_min, max(d.dist) AS dist_max,
+           |  (SELECT count(*) FROM cl WHERE cl.crid = r.rid) AS closest_cnt
+           | FROM refs r JOIN d ON d.rid = r.rid
+           | GROUP BY r.rid ORDER BY label""".stripMargin.replaceAll("\n", " ")))
 
   /** IVF quality gate: recall@5 of the IVF search vs the brute-force
     * oracle over the same 20 queries (non-SQL-expressible → rows-only;
@@ -874,6 +977,7 @@ object StandardQueries {
     "unicode_range" -> qUnicodeRange,
     "bow_term_counts" -> qBowTermCounts,
     "segmented_profile" -> qSegmentedProfile,
+    "segmented_filtered_profile" -> qSegmentedFilteredProfile,
     "merge_profiles" -> qMergeProfiles,
     "full_profile_summary" -> qFullProfileSummary,
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
@@ -884,6 +988,7 @@ object StandardQueries {
     "udf_profile" -> qUdfProfile,
     "confusion_matrix" -> qConfusionMatrix,
     "regression_metrics" -> qRegressionMetrics,
+    "accuracy_estimator" -> qAccuracyEstimator,
     "drift_scores" -> qDriftScores,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,
@@ -893,6 +998,7 @@ object StandardQueries {
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
     "embedding_ivf_recall" -> qEmbeddingIvfRecall,
+    "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
     "doc_fingerprint" -> qDocFingerprint,
     "multimodal_meta" -> qMultimodalMeta,

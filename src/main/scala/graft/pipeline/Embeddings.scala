@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.MetricConfig
+import graft.functions._
+import graft.profile.ColumnProfileView
+
+/** EmbeddingMetric (reference
+  * `experimental/extras/embedding_metric.py:52-207`): a MultiMetric over
+  * an embedding column given labeled reference vectors — per label a
+  * distribution of (cosine) distances from every logged vector to that
+  * label's reference, plus a `closest` submetric counting which label is
+  * nearest (argmin distance, ties to the first label).
+  *
+  * Spark shape: references ship as expression literals (tiny by
+  * construction), distances and the argmin label are map-only column
+  * expressions, and the whole metric is one `df.agg` — the same single
+  * partial/final pass as every other profile metric.
+  */
+object Embeddings {
+
+  /** Cosine distance (sklearn `cosine_distances` = 1 − cosine similarity). */
+  def cosineDistance(v: Column, ref: Column): Column =
+    F.lit(1.0) - cosine_similarity(v, ref)
+
+  private def distances(vec: Column, refs: Seq[(String, Array[Double])]): Seq[(String, Column)] = {
+    val v = vec.cast("array<double>")
+    refs.map { case (label, rv) =>
+      label -> cosineDistance(v, F.typedLit(rv.toSeq))
+    }
+  }
+
+  /** Label of the nearest reference (argmin distance, first label wins
+    * ties) — a fold over the distances, map-only. */
+  def closestLabel(vec: Column, refs: Seq[(String, Array[Double])]): Column = {
+    val ds = distances(vec, refs)
+    ds.tail.foldLeft((ds.head._2, F.lit(ds.head._1))) { case ((bestD, bestL), (label, d)) =>
+      (F.when(d < bestD, d).otherwise(bestD),
+        F.when(d < bestD, F.lit(label)).otherwise(bestL))
+    }._2
+  }
+
+  /** The MultiMetric aggregate struct: one `<label>_distance` bundle per
+    * reference + the `closest` bundle. */
+  def aggColumn(vec: Column, refs: Seq[(String, Array[Double])],
+      config: MetricConfig = MetricConfig()): Column = {
+    val distBundles = distances(vec, refs).map { case (label, d) =>
+      F.struct(
+        F.struct(F.count(d).as("n"), count_where(vec.isNull).as("nulls"),
+          F.lit(0L).as("nan"), F.lit(0L).as("inf"), F.lit(0L).as("trueCount")).as("counts"),
+        distribution_agg(d, config.kllK, config.quantiles).as("distribution"),
+        cardinality_agg(d, config.hllLgK, config.numStdDev).as("cardinality")
+      ).as(s"${label}_distance")
+    }
+    val closest = {
+      val cl = F.when(vec.isNotNull, closestLabel(vec, refs))
+      F.struct(
+        F.struct(F.count(cl).as("n"), count_where(vec.isNull).as("nulls"),
+          F.lit(0L).as("nan"), F.lit(0L).as("inf"), F.lit(0L).as("trueCount")).as("counts"),
+        frequent_items_agg(cl, config.fiLgMaxK, config.fiLimit).as("frequent_items"),
+        cardinality_agg(cl, config.hllLgK, config.numStdDev).as("cardinality")
+      ).as("closest")
+    }
+    F.struct(distBundles :+ closest: _*).as("embedding")
+  }
+
+  /** Collected MultiMetric view: submetric name → standard bundle under
+    * namespace "embedding". */
+  def profile(df: DataFrame, vecCol: String, refs: Seq[(String, Array[Double])],
+      config: MetricConfig = MetricConfig()): ColumnProfileView = {
+    val row = df.agg(aggColumn(F.col(vecCol), refs, config)).collect()(0)
+    val ur = row.getStruct(0)
+    val subs = ur.schema.fieldNames.map { n =>
+      n -> graft.api.Profiler.parseBundle(ur.getAs[org.apache.spark.sql.Row](n), config.quantiles)
+    }.toMap
+    ColumnProfileView(subMetrics = Map("embedding" -> subs))
+  }
+
+  /** First `n` corpus vectors as labeled references ("ref0".."refN-1"),
+    * the deterministic default used by tests and the registered query. */
+  def referencesFromCorpus(df: DataFrame, idCol: String, vecCol: String, n: Int): Seq[(String, Array[Double])] =
+    df.orderBy(idCol).limit(n)
+      .select(F.col(vecCol).cast("array<double>"))
+      .collect().zipWithIndex.map { case (r, i) =>
+        s"ref$i" -> r.getAs[scala.collection.Seq[Double]](0).toArray
+      }.toSeq
+}

@@ -42,6 +42,18 @@ object ProfileSerde {
       out.writeUTF(name)
       writeColumn(out, col)
     }
+    writeOpt(out, view.modelPerformance) { mp =>
+      writeOpt(out, mp.confusion) { cm =>
+        out.writeInt(cm.cells.size)
+        cm.cells.toSeq.sortBy(_._1).foreach { case ((t, p), (n, s)) =>
+          out.writeUTF(t); out.writeUTF(p); out.writeLong(n); out.writeDouble(s)
+        }
+      }
+      writeOpt(out, mp.regression) { r =>
+        out.writeLong(r.n); out.writeDouble(r.absErrorSum)
+        out.writeDouble(r.errorSum); out.writeDouble(r.sqErrorSum)
+      }
+    }
     out.flush()
     bos.toByteArray
   }
@@ -61,7 +73,16 @@ object ProfileSerde {
       val name = in.readUTF()
       name -> readColumn(in)
     }.toMap
-    DatasetProfileView(cols, if (ts < 0) None else Some(ts), meta)
+    val mp = readOpt(in) {
+      val cm = readOpt(in)(ConfusionMatrixSummary(
+        (0 until in.readInt()).map { _ =>
+          (in.readUTF(), in.readUTF()) -> (in.readLong(), in.readDouble())
+        }.toMap))
+      val rg = readOpt(in)(RegressionSummary(
+        in.readLong(), in.readDouble(), in.readDouble(), in.readDouble()))
+      ModelPerformanceSummary(cm, rg)
+    }
+    DatasetProfileView(cols, if (ts < 0) None else Some(ts), meta, mp)
   }
 
   // --- column blocks ---

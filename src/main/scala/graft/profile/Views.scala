@@ -193,10 +193,52 @@ final case class ColumnProfileView(
   }
 }
 
+/** Dataset-level confusion matrix: (target, prediction) → count + exact
+  * decimal score sum (reference `confusion_matrix.py:43-274`). Additive
+  * monoid. */
+final case class ConfusionMatrixSummary(cells: Map[(String, String), (Long, Double)]) {
+  def count(t: String, p: String): Long = cells.get((t, p)).map(_._1).getOrElse(0L)
+  def merge(o: ConfusionMatrixSummary): ConfusionMatrixSummary =
+    ConfusionMatrixSummary((cells.keySet ++ o.cells.keySet).map { k =>
+      val (n1, s1) = cells.getOrElse(k, (0L, 0.0))
+      val (n2, s2) = o.cells.getOrElse(k, (0L, 0.0))
+      k -> (n1 + n2, s1 + s2)
+    }.toMap)
+}
+
+/** Dataset-level regression error sums (reference
+  * `regression_metrics.py:7-105`). Additive monoid; MAE/MSE/RMSE derived. */
+final case class RegressionSummary(n: Long, absErrorSum: Double, errorSum: Double, sqErrorSum: Double) {
+  def mae: Double = if (n > 0) absErrorSum / n else 0.0
+  def mse: Double = if (n > 0) sqErrorSum / n else 0.0
+  def rmse: Double = math.sqrt(mse)
+  def merge(o: RegressionSummary): RegressionSummary =
+    RegressionSummary(n + o.n, absErrorSum + o.absErrorSum,
+      errorSum + o.errorSum, sqErrorSum + o.sqErrorSum)
+}
+
+/** The reference's ModelPerformanceMetrics wrapper
+  * (`core/model_performance_metrics/model_performance_metrics.py`). */
+final case class ModelPerformanceSummary(
+    confusion: Option[ConfusionMatrixSummary] = None,
+    regression: Option[RegressionSummary] = None) {
+  def merge(o: ModelPerformanceSummary): ModelPerformanceSummary =
+    ModelPerformanceSummary(
+      (confusion, o.confusion) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b)             => a.orElse(b)
+      },
+      (regression, o.regression) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b)             => a.orElse(b)
+      })
+}
+
 final case class DatasetProfileView(
     columns: Map[String, ColumnProfileView],
     datasetTimestampMs: Option[Long] = None,
-    metadata: Map[String, String] = Map.empty) {
+    metadata: Map[String, String] = Map.empty,
+    modelPerformance: Option[ModelPerformanceSummary] = None) {
 
   /** Column-name union, per-metric monoid merge
     * (reference `view/dataset_profile_view.py:172-183`). */
@@ -210,7 +252,11 @@ final case class DatasetProfileView(
         })
       }.toMap,
       (datasetTimestampMs ++ o.datasetTimestampMs).reduceOption(_ min _),
-      metadata ++ o.metadata)
+      metadata ++ o.metadata,
+      (modelPerformance, o.modelPerformance) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b)             => a.orElse(b)
+      })
   }
 
   def summaryRows: Seq[(String, String, Option[Double], Option[String])] =

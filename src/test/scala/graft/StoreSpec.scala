@@ -55,6 +55,44 @@ class StoreSpec extends SparkSpec {
     assert(d0only.columns("l_orderkey").counts.get.n < whole.columns("l_orderkey").counts.get.n)
   }
 
+  test("model-performance wrapper: merge law + serde round trip") {
+    import graft.analysis.ModelPerf
+    val orders = table("orders")
+    val tl = F.when(F.col("o_orderstatus") === "F", "1").otherwise("0")
+    val pl = F.when(F.col("o_totalprice") < 150000.0, "1").otherwise("0")
+    val whole = ModelPerf.confusionMatrix(orders, tl, pl)
+    val a = ModelPerf.confusionMatrix(orders.filter(F.col("o_orderkey") % 2 === 0), tl, pl)
+    val b = ModelPerf.confusionMatrix(orders.filter(F.col("o_orderkey") % 2 =!= 0), tl, pl)
+    assert(a.merge(b).cells.view.mapValues(_._1).toMap ==
+      whole.cells.view.mapValues(_._1).toMap)
+    val reg = ModelPerf.regression(table("lineitem"),
+      F.col("l_extendedprice"), F.col("l_extendedprice") * 1.1)
+    val view = ModelPerf.attach(
+      new graft.api.Profiler().profile(orders, Some(Seq("o_orderkey"))),
+      confusion = Some(whole), regression = Some(reg))
+    val rt = ProfileSerde.fromBytes(ProfileSerde.toBytes(view))
+    assert(rt.modelPerformance == view.modelPerformance)
+    // estimator sanity: uniform reference accuracy => estimate equals it
+    val est = graft.analysis.AccuracyEstimator.estimate(
+      Map("s" -> whole), Map("s" -> 100L))
+    assert(est.segments.head.refAccuracy == est.estimatedAccuracy)
+  }
+
+  test("embedding metric: distance bundles + closest counts") {
+    import graft.pipeline.Embeddings
+    val emb = table("embeddings")
+    val refs = Embeddings.referencesFromCorpus(emb, "vec_id", "embedding", 3)
+    val view = Embeddings.profile(emb, "embedding", refs)
+    val subs = view.subMetrics("embedding")
+    assert(subs.keySet == Set("ref0_distance", "ref1_distance", "ref2_distance", "closest"))
+    val n = emb.count()
+    assert(subs("ref0_distance").distribution.get.n == n)
+    // each reference vector is its own closest reference (distance 0)
+    assert(subs("ref0_distance").distribution.get.min.get == 0.0)
+    val closestTotal = subs("closest").frequentItems.get.items.map(_.estimate).sum
+    assert(closestTotal == n)
+  }
+
   test("segmented distributed write + readSegments") {
     val li = table("lineitem")
     val p = new Profiler()
