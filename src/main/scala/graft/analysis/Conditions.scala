@@ -3,7 +3,7 @@ package graft.analysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.{count_where, top_k_agg}
+import graft.functions.{count_where, top_k_agg, var_opt_sample}
 
 /** Row-level predicates: the reference's ConditionCountMetric +
   * ConditionValidator (whylogs
@@ -50,19 +50,22 @@ object Conditions {
       df: DataFrame,
       conditions: Seq[Condition],
       identityColumn: String,
-      sampleSize: Int = 10): Seq[ValidationResult] = {
+      sampleSize: Int = 10,
+      varOptSample: Boolean = false): Seq[ValidationResult] = {
     val id = F.col(identityColumn).cast("string")
     val aggs = conditions.zipWithIndex.flatMap { case (c, i) =>
       val fail = !F.coalesce(c.predicate, F.lit(false))
-      Seq(
-        count_where(fail).as(s"__f$i"),
-        top_k_agg(F.lit(0.0), F.when(fail, id), sampleSize, largest = false)
-          .as(s"__s$i"))
+      val sampler =
+        if (varOptSample) var_opt_sample(F.when(fail, id), sampleSize)
+        else top_k_agg(F.lit(0.0), F.when(fail, id), sampleSize, largest = false)
+      Seq(count_where(fail).as(s"__f$i"), sampler.as(s"__s$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     conditions.zipWithIndex.map { case (c, i) =>
-      val sample = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](s"__s$i")
-        .map(_.getAs[String]("id")).toSeq
+      val sample =
+        if (varOptSample) row.getAs[scala.collection.Seq[String]](s"__s$i").toSeq
+        else row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](s"__s$i")
+          .map(_.getAs[String]("id")).toSeq
       ValidationResult(c.name, row.getAs[Long](s"__f$i"), sample)
     }
   }

@@ -450,6 +450,33 @@ object StandardQueries {
            | count(*) FILTER (WHERE p_size >= 25), count(*) FROM part
            | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
 
+  /** Predicate DSL round trip: conditions arrive as serialized prefix
+    * strings (reference predicate_parser grammar), are re-serialized and
+    * re-parsed (proving the inverse), then compiled to Catalyst. */
+  private def qConditionCountsParsed = Q(
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      def cond(name: String, expr: String, target: String) = {
+        val roundTripped = Predicates.parse(Predicates.parse(expr).serialize)
+        Condition(name, roundTripped.toColumn {
+          case "x" => F.col(target)
+          case n   => F.col(n)
+        })
+      }
+      Conditions.countsDF(part, Seq(
+        cond("price_band", "and >= x 1000 <= x 1500", "p_retailprice"),
+        cond("name_has_red", "% x red", "p_name"),
+        cond("size_not_small", "not < x 25", "p_size")))
+        .orderBy("condition")
+    },
+    Some("""SELECT 'name_has_red' AS condition,
+           | count(*) FILTER (WHERE regexp_matches(p_name, 'red')) AS matches, count(*) AS total FROM part
+           | UNION ALL SELECT 'price_band',
+           | count(*) FILTER (WHERE p_retailprice >= 1000 AND p_retailprice <= 1500), count(*) FROM part
+           | UNION ALL SELECT 'size_not_small',
+           | count(*) FILTER (WHERE NOT p_size < 25), count(*) FROM part
+           | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
+
   private def constraintSuite = Seq(
     Constraints.noMissingValues("l_orderkey"),
     Constraints.isNonNegative("l_quantity"),
@@ -556,6 +583,30 @@ object StandardQueries {
            | UNION ALL SELECT 'totalprice_not_huge',
            | count(*) FILTER (WHERE NOT coalesce(o_totalprice <= 400000.0, false)), count(*) FROM orders
            | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
+
+  /** Validator with VarOpt reservoir sampling (reference
+    * `condition_validator.py:47,80-84`): sample contents are randomized
+    * by nature, but the sample SIZE is deterministic = min(k, failures)
+    * — which the oracle checks alongside the exact failure counts. */
+  private def qValidatorsSampled = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val results = Conditions.validate(orders, Seq(
+        Condition("priority_format", Conditions.matches(F.col("o_orderpriority"), "^[1-5]-")),
+        Condition("totalprice_not_huge", F.col("o_totalprice") <= 400000.0)),
+        identityColumn = "o_orderkey", sampleSize = 10, varOptSample = true)
+      import s.implicits._
+      results.map(r => (r.condition, r.failures, r.sample.length.toLong))
+        .toDF("condition", "failures", "sample_size").orderBy("condition")
+    },
+    Some("""SELECT 'priority_format' AS condition,
+           | count(*) FILTER (WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false)) AS failures,
+           | least(CAST(10 AS BIGINT), count(*) FILTER (WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false))) AS sample_size
+           | FROM orders
+           | UNION ALL SELECT 'totalprice_not_huge',
+           | count(*) FILTER (WHERE NOT coalesce(o_totalprice <= 400000.0, false)),
+           | least(CAST(10 AS BIGINT), count(*) FILTER (WHERE NOT coalesce(o_totalprice <= 400000.0, false)))
+           | FROM orders ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
 
   /** UDF-schema pre-pass + custom metric plugin: a derived column
     * (Column-expression "UDF") profiled by the standard metrics plus a
@@ -982,9 +1033,11 @@ object StandardQueries {
     "full_profile_summary" -> qFullProfileSummary,
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
     "condition_counts" -> qConditionCounts,
+    "condition_counts_parsed" -> qConditionCountsParsed,
     "constraints_report" -> qConstraintsReport,
     "constraints_comparison" -> qConstraintsComparison,
     "validators" -> qValidators,
+    "validators_sampled" -> qValidatorsSampled,
     "udf_profile" -> qUdfProfile,
     "confusion_matrix" -> qConfusionMatrix,
     "regression_metrics" -> qRegressionMetrics,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.{functions => F}
 
-import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg}
+import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg, VarOptAgg}
 
 /** Column-level entry points for graft's metric aggregates — the analog of
   * `org.apache.spark.sql.functions` for this library.
@@ -40,6 +40,12 @@ package object functions {
     * best-first. Payload must be long or string. */
   def top_k_agg(score: Column, id: Column, k: Int, largest: Boolean = true): Column =
     agg(TopKAgg(columnExpr(score.cast("double")), columnExpr(id), k, largest))
+
+  /** VarOpt reservoir sample (≤ k items, uniform with unit weights) of a
+    * string column; NULLs skipped. Randomized by nature — size is
+    * deterministic, contents are a sample. */
+  def var_opt_sample(c: Column, k: Int = 10): Column =
+    agg(VarOptAgg(columnExpr(c.cast("string")), k))
 
   /** Per-range character counts of a string (+ trailing UNKNOWN slot) —
     * the map stage of the unicode_range MultiMetric. */

@@ -45,71 +45,80 @@ object Similarity {
     topKPerGroup(scored, "query_id", "neighbor_id", "score", k)
   }
 
-  /** Centroid-set literal: array<struct<cid int, centroid array<double>>>.
-    * The centroid set is tiny by construction (numCentroids × dim doubles),
-    * so shipping it as an expression literal makes every per-row centroid
-    * computation map-only — no broadcast-join, no shuffle. */
-  private def centroidLiteral(cents: Array[(Int, Array[Double])]): Column =
-    F.array(cents.map { case (cid, vec) =>
-      F.struct(F.lit(cid).as("cid"), F.typedLit(vec.toSeq).as("centroid"))
-    }.toIndexedSeq: _*)
-
-  /** Nearest-centroid id per row: argmax over the literal centroid array
-    * with a fold — codegen'd, map-only. Ties go to the lowest cid. */
-  def nearestCentroidId(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+  /** Per-centroid cosine similarities as ONE array column. Each element
+    * is a plain (non-nested-lambda) expression, so the hot path stays on
+    * the fast evaluation path and common-subexpression elimination
+    * computes the input cast once. (A runtime fold over a centroid-array
+    * literal — HOF lambdas nesting the cosine HOFs — costs ~3 ms/row
+    * interpreted; this shape is ~100× cheaper.) */
+  private def centroidSims(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
     val v = vec.cast("array<double>")
-    // Both CASE branches cast to an identical named struct type — field
-    // aliases inside lambda bodies don't survive analysis.
-    val accType = "struct<s:double,cid:int>"
-    F.aggregate(
-      centroidLiteral(cents),
-      F.struct(F.lit(Double.NegativeInfinity).as("s"), F.lit(-1).as("cid")).cast(accType),
-      (acc, x) => {
-        val sim = cosine_similarity(v, x.getField("centroid"))
-        F.when(sim > acc.getField("s"),
-          F.struct(sim, x.getField("cid")).cast(accType)).otherwise(acc)
-      },
-      acc => acc.getField("cid"))
+    F.array(cents.map { case (_, rv) =>
+      cosine_similarity(v, F.typedLit(rv.toSeq))
+    }.toIndexedSeq: _*)
+  }
+
+  private def centroidIdAt(cents: Array[(Int, Array[Double])], pos1: Column): Column =
+    F.element_at(F.typedLit(cents.map(_._1).toSeq), pos1.cast("int"))
+
+  /** Nearest-centroid id per row: argmax over the similarity array —
+    * map-only; ties go to the first (lowest) cid. */
+  def nearestCentroidId(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+    val sims = centroidSims(vec, cents)
+    centroidIdAt(cents, F.array_position(sims, F.array_max(sims)))
   }
 
   /** The `nprobe` nearest centroid ids per row, as an array — sorting a
-    * c-element literal-derived array per row (c = numCentroids, small). */
+    * c-element struct array per row (c = numCentroids, small). */
   def nearestCentroidIds(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
-    val v = vec.cast("array<double>")
-    val scored = F.transform(centroidLiteral(cents),
-      x => F.struct(cosine_similarity(v, x.getField("centroid")).as("s"),
-        x.getField("cid").as("cid")))
+    val sims = centroidSims(vec, cents)
+    val scored = F.zip_with(sims, F.typedLit(cents.map(_._1).toSeq),
+      (s, cid) => F.struct(s.as("s"), cid.as("cid")))
     F.transform(F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), x => x.getField("cid"))
   }
 
-  /** Deterministic lightweight k-means (Lloyd) for IVF coarse quantization:
-    * seeds = first `c` corpus rows by id. Each iteration is one map-only
-    * assignment pass + a per-dimension explode/groupBy mean (never
-    * materializes a cell's member set on one node); only the c centroid
-    * rows themselves are collected to the driver. */
+  /** Deterministic lightweight k-means (Lloyd) for IVF coarse
+    * quantization, trained on a bounded corpus SAMPLE collected to the
+    * driver — the standard shape for a coarse quantizer: at 100 TB you
+    * train the c-cell codebook on ~10⁴ vectors, not the corpus, and the
+    * cluster never runs the expression-heavy per-iteration jobs (which
+    * cost seconds of plan compilation each, dominating small runs, and a
+    * corpus scan per iteration at scale). Seeds = first `c` sample
+    * vectors; empty cells keep their previous centroid. */
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      c: Int, iters: Int = 2): Array[(Int, Array[Double])] = {
-    var cents: Array[(Int, Array[Double])] =
-      corpus.orderBy(idCol).limit(c)
-        .select(F.col(vecCol).cast("array<double>").as("centroid"))
-        .collect().zipWithIndex.map { case (r, i) =>
-          i -> r.getAs[scala.collection.Seq[Double]]("centroid").toArray
-        }
-    for (_ <- 0 until iters) {
-      cents = corpus
-        .select(nearestCentroidId(F.col(vecCol), cents).as("centroid_id"),
-          F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
-        .groupBy("centroid_id", "dim").agg(F.avg("v").as("m"))
-        .groupBy("centroid_id")
-        .agg(F.expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
-          .as("centroid"))
-        .collect().map { r =>
-          r.getAs[Int]("centroid_id") ->
-            r.getAs[scala.collection.Seq[Double]]("centroid").toArray
-        }.sortBy(_._1)
+      c: Int, iters: Int = 2, sampleSize: Int = 4096): Array[(Int, Array[Double])] = {
+    val sample: Array[Array[Double]] =
+      corpus.orderBy(idCol).limit(sampleSize)
+        .select(F.col(vecCol).cast("array<double>"))
+        .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    var cents: Array[Array[Double]] = sample.take(c).map(_.clone())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    cents
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity; var k = 0
+        while (k < cents.length) {
+          val s = cos(v, cents(k))
+          if (s > bestS) { bestS = s; best = k }
+          k += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, k) =>
+        if (counts(k) == 0) old
+        else sums(k).map(_ / counts(k))
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => i -> v }
   }
 
   /** IVF search: probe the `nprobe` nearest cells per query; exact cosine

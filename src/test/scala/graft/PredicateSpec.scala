@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.analysis.{Condition, Conditions, Predicates}
+
+/** Predicate DSL parser/serializer + VarOpt sampling. */
+class PredicateSpec extends SparkSpec {
+
+  test("parse/serialize are inverse; ops compile correctly") {
+    val exprs = Seq(
+      "and >= x 1000 <= x 1500",
+      "or == x \"A\" == x \"B\"",
+      "not < x 25",
+      "~ x [0-9]+",
+      "~= x [1-5]-\\w+",
+      "% x red",
+      "!= x 3.5")
+    exprs.foreach { e =>
+      val p = Predicates.parse(e)
+      assert(Predicates.parse(p.serialize).serialize == p.serialize, e)
+    }
+    // quoted-string escapes survive
+    val q = Predicates.parse("== x \"a\\\"b\"")
+    assert(Predicates.parse(q.serialize) == q)
+  }
+
+  test("compiled predicates match hand-built Catalyst conditions") {
+    import spark.implicits._
+    val df = Seq(("red apple", 1200.0, 30), ("blue pear", 900.0, 10),
+      ("dark red", 1500.0, 25)).toDF("name", "price", "size")
+    def cnt(c: org.apache.spark.sql.Column) = df.filter(c).count()
+    assert(cnt(Predicates.compile("and >= x 1000 <= x 1500", F.col("price"))) == 2)
+    assert(cnt(Predicates.compile("% x red", F.col("name"))) == 2)
+    assert(cnt(Predicates.compile("~ x red", F.col("name"))) == 1) // anchored match
+    assert(cnt(Predicates.compile("not < x 25", F.col("size"))) == 2)
+    // multi-column: component name resolves as a column reference
+    val p = Predicates.parse("and >= price 1000 % name red")
+    assert(cnt(p.toColumn(F.col)) == 2)
+  }
+
+  test("varopt validator sample is bounded and sized min(k, failures)") {
+    val orders = table("orders")
+    val res = Conditions.validate(orders,
+      Seq(Condition("price_small", F.col("o_totalprice") <= 1000.0)),
+      identityColumn = "o_orderkey", sampleSize = 7, varOptSample = true)
+    val failures = res.head.failures
+    assert(res.head.sample.length == math.min(7L, failures))
+    assert(res.head.sample.distinct.length == res.head.sample.length)
+  }
+}
