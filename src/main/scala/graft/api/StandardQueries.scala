@@ -324,6 +324,59 @@ object StandardQueries {
            | FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
            | GROUP BY t ORDER BY cnt DESC, token""".stripMargin.replaceAll("\n", " ")))
 
+  /** BagOfWords doc-length + term-length distributions (reference
+    * `experimental/extras/nlp_metric.py:199-431`): tokens per document
+    * and characters per term, profiled by the distribution metric whose
+    * min/max are exact. */
+  private def qBowDocStats = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val trimmed = F.trim(F.col("text"))
+      val docTokens = F.when(F.length(trimmed) === 0, 0)
+        .otherwise(F.size(F.split(trimmed, "\\s+")))
+      val docAgg = docs.agg(
+        F.count(F.lit(1)).as("n_docs"),
+        distribution_agg(docTokens).getField("min").as("tok_min"),
+        distribution_agg(docTokens).getField("max").as("tok_max"))
+      val terms = docs.select(F.explode(F.split(trimmed, "\\s+")).as("term"))
+        .filter(F.length(F.col("term")) > 0)
+      val termAgg = terms.agg(
+        F.count(F.lit(1)).as("n_terms"),
+        distribution_agg(F.length(F.col("term"))).getField("min").as("termlen_min"),
+        distribution_agg(F.length(F.col("term"))).getField("max").as("termlen_max"))
+      docAgg.crossJoin(termAgg)
+    },
+    Some("""SELECT
+           | (SELECT count(*) FROM documents) AS n_docs,
+           | (SELECT CAST(min(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE) FROM documents) AS tok_min,
+           | (SELECT CAST(max(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE) FROM documents) AS tok_max,
+           | (SELECT count(*) FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents) WHERE length(t) > 0) AS n_terms,
+           | (SELECT CAST(min(length(t)) AS DOUBLE) FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents) WHERE length(t) > 0) AS termlen_min,
+           | (SELECT CAST(max(length(t)) AS DOUBLE) FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents) WHERE length(t) > 0) AS termlen_max""".stripMargin.replaceAll("\n", " ")))
+
+  /** Image-stats profiling over the decode stage (reference ImageMetric
+    * profiles decoded image features with standard metrics; the decoder
+    * here is the documented deterministic fake — the profiling plumbing
+    * is what's exercised and oracle-checked). */
+  private def qMultimodalProfile = Q(
+    (s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("content"))
+      val meta = Multimodal.decodeMetadata(bin, "content")
+      meta.agg(
+        F.count(F.lit(1)).as("n"),
+        distribution_agg(F.col("width")).getField("min").as("width_min"),
+        distribution_agg(F.col("width")).getField("max").as("width_max"),
+        distribution_agg(F.col("height")).getField("min").as("height_min"),
+        distribution_agg(F.col("height")).getField("max").as("height_max"))
+    },
+    Some("""SELECT count(*) AS n,
+           | CAST(min(64 + octet_length(encode(text)) % 512) AS DOUBLE) AS width_min,
+           | CAST(max(64 + octet_length(encode(text)) % 512) AS DOUBLE) AS width_max,
+           | CAST(min(64 + (octet_length(encode(text)) // 7) % 512) AS DOUBLE) AS height_min,
+           | CAST(max(64 + (octet_length(encode(text)) // 7) % 512) AS DOUBLE) AS height_max
+           | FROM documents""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
   // §2.B dataset operators
   // ------------------------------------------------------------------
@@ -790,9 +843,16 @@ object StandardQueries {
     * (1−J²)³² ≈ 2e-22 per planted pair — so the LSH output provably
     * equals the exact all-pairs oracle on this corpus. */
   private def qDedupNear = Q(
-    (s, dir) => Dedup.minHashNearDups(t(s, dir, "documents"), "text", "doc_id",
-      numPerm = 64, bands = 32, threshold = 0.5)
-      .orderBy("a", "b"),
+    (s, dir) => {
+      // The corpus arrives as ONE parquet split locally, which would run
+      // the minhash map stage single-threaded; a real 100 TB corpus has
+      // thousands of splits. Spread the small file across the cores.
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      Dedup.minHashNearDups(docs, "text", "doc_id",
+        numPerm = 64, bands = 32, threshold = 0.5)
+        .orderBy("a", "b")
+    },
     Some("""WITH sh AS (
            |  SELECT doc_id,
            |   list_distinct([array_to_string(words[i:i+2], ' ')
@@ -1027,6 +1087,7 @@ object StandardQueries {
     "frequent_items" -> qFrequentItems,
     "unicode_range" -> qUnicodeRange,
     "bow_term_counts" -> qBowTermCounts,
+    "bow_doc_stats" -> qBowDocStats,
     "segmented_profile" -> qSegmentedProfile,
     "segmented_filtered_profile" -> qSegmentedFilteredProfile,
     "merge_profiles" -> qMergeProfiles,
@@ -1055,6 +1116,16 @@ object StandardQueries {
     "text_stats" -> qTextStats,
     "doc_fingerprint" -> qDocFingerprint,
     "multimodal_meta" -> qMultimodalMeta,
+    "multimodal_profile" -> qMultimodalProfile,
+    "frame_hashes" -> Q(
+      (s, dir) => {
+        val bin = t(s, dir, "documents")
+          .select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("content"))
+        Multimodal.frameSampleHashes(bin, "content")
+          .select(F.col("doc_id"), F.col("frame_hashes").getItem(0).as("f0"),
+            F.col("frame_hashes").getItem(3).as("f3"))
+          .orderBy("doc_id")
+      }, None),
     "window_profile" -> qWindowProfile,
     "streaming_window_profile" -> qStreamingWindowProfile)
 
