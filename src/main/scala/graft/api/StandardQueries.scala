@@ -48,6 +48,12 @@ object StandardQueries {
     // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
     // reader rejects unless nanos are surfaced as raw longs.
     if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NOTE: the local test files are single-row-group parquet, so scans
+    // arrive as one partition. A blanket repartition was measured SLOWER
+    // (the row exchange outweighs local parallelism for sketch updates at
+    // these sizes); only compute-heavy map stages (dedup_near's minhash)
+    // repartition explicitly. Real multi-split tables parallelize at the
+    // source.
     s.read.parquet(s"$dir/$name.parquet")
   }
 
