@@ -84,3 +84,27 @@ object Conditions {
 }
 
 final case class ValidationResult(condition: String, failures: Long, sample: Seq[String])
+
+/** Validator failure actions (reference
+  * `core/validators/condition_validator.py:16-108`): callbacks fired
+  * per condition after a validation pass when failures occurred. Runs
+  * driver-side over the collected per-condition summaries — actions see
+  * counts + the bounded sample, never the raw failing rows. */
+object ValidatorActions {
+  type Action = ValidationResult => Unit
+
+  /** Run `validate` then trigger `action` for every condition with >0
+    * failures; returns the results unchanged. */
+  def withActions(results: Seq[ValidationResult], actions: Seq[Action]): Seq[ValidationResult] = {
+    results.filter(_.failures > 0).foreach(r => actions.foreach(_(r)))
+    results
+  }
+
+  /** The reference's canned actions. */
+  def logAction(log: String => Unit = System.err.println): Action =
+    r => log(s"[validator] ${r.condition}: ${r.failures} failing rows; sample=${r.sample.take(5).mkString(",")}")
+
+  def raiseAction: Action =
+    r => throw new IllegalStateException(
+      s"validator ${r.condition} failed on ${r.failures} rows")
+}

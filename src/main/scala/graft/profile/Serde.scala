@@ -184,4 +184,16 @@ object ProfileSerde {
   /** Sanity helper: a frequent-items sketch survives its binary image. */
   private[profile] def fiRoundTrip(bytes: Array[Byte]): ItemsSketch[String] =
     ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+
+  // ---- local file writer/reader (reference `api/writer/local.py`,
+  // `api/reader/local.py`; the parquet ProfileStore is the scale sink) ----
+
+  def writeTo(view: DatasetProfileView, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, toBytes(view))
+  }
+
+  def readFrom(path: String): DatasetProfileView =
+    fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 }

@@ -55,6 +55,28 @@ class StoreSpec extends SparkSpec {
     assert(d0only.columns("l_orderkey").counts.get.n < whole.columns("l_orderkey").counts.get.n)
   }
 
+  test("file writer/reader round trip") {
+    val view = new graft.api.Profiler().profile(table("nation"))
+    val path = tmpDir() + "/profile.bin"
+    ProfileSerde.writeTo(view, path)
+    assert(ProfileSerde.readFrom(path).summaryRows == view.summaryRows)
+  }
+
+  test("validator actions fire only on failing conditions") {
+    import graft.analysis.{Condition, Conditions, ValidatorActions}
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = Conditions.validate(table("orders"), Seq(
+      Condition("always_ok", F.lit(true)),
+      Condition("price_tiny", F.col("o_totalprice") <= 1000.0)),
+      identityColumn = "o_orderkey")
+    ValidatorActions.withActions(results,
+      Seq(r => fired += r.condition))
+    assert(fired.toSeq == Seq("price_tiny"))
+    intercept[IllegalStateException] {
+      ValidatorActions.withActions(results, Seq(ValidatorActions.raiseAction))
+    }
+  }
+
   test("model-performance wrapper: merge law + serde round trip") {
     import graft.analysis.ModelPerf
     val orders = table("orders")
