@@ -107,8 +107,11 @@ class Profiler(
 
       case Namespace.FrequentItems =>
         val child = field.dataType match {
-          case StringType => c
-          case _          => c.cast(StringType)
+          case StringType  => c
+          // reference stringifies booleans as "True"/"False"
+          // (`metrics.py:472-485`); Spark's cast would give lowercase
+          case BooleanType => F.when(c, "True").when(!c, "False")
+          case _           => c.cast(StringType)
         }
         Some(frequent_items_agg(child, config.fiLgMaxK, config.fiLimit).as(Namespace.FrequentItems))
 
