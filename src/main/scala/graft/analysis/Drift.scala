@@ -21,7 +21,14 @@ object Drift {
   /** Two-sample KS from the two KLL sketches: D = max |cdf_t − cdf_r| over
     * the union of both quantile grids (reference core loop
     * `column_drift_algorithms.py:339-363`); asymptotic p-value via the
-    * Kolmogorov distribution with Stephens' small-sample correction. */
+    * Kolmogorov distribution with Stephens' small-sample correction.
+    *
+    * DOCUMENTED DIVERGENCE: the reference computes p with scipy's
+    * `kstwo.sf(D, round(en))` (the exact one-sample distribution applied
+    * to the effective n); we use the classical asymptotic two-sample
+    * formula Q((√en + 0.12 + 0.11/√en)·D). The two agree to ~1e-3 for
+    * en ≳ 50 and produce identical DRIFT/NO_DRIFT categorisation on the
+    * reference's thresholds except within a hair of p = 0.05/0.15. */
   def ks(target: DistributionSummary, ref: DistributionSummary, gridSize: Int = 100): (Double, Double) = {
     if (target.n == 0 || ref.n == 0) return (0.0, 1.0)
     val ranks = (0 to gridSize).map(_.toDouble / gridSize).toArray
@@ -84,25 +91,32 @@ object Drift {
 
   /** Per-column orchestration: KS + Hellinger for numeric, χ² for
     * categorical (reference `_get_drift_category:54-79`, defaults
-    * `:427-455`). */
-  def scores(target: DatasetProfileView, ref: DatasetProfileView): Seq[DriftScore] = {
+    * `:427-455`). `overrides` forces a specific algorithm per column
+    * ("ks" | "hellinger" | "chi2"), mirroring the reference's per-column
+    * drift config (`calculate_drift_scores(..., drift_map)`). */
+  def scores(target: DatasetProfileView, ref: DatasetProfileView,
+      overrides: Map[String, String] = Map.empty): Seq[DriftScore] = {
     val common = (target.columns.keySet & ref.columns.keySet).toSeq.sorted
     common.flatMap { c =>
       val t = target.columns(c); val r = ref.columns(c)
-      val numeric = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)
-        yield {
-          val (d, p) = ks(td, rd)
-          val h = hellinger(td, rd)
-          Seq(
-            DriftScore(c, "ks", d, Some(p), pValueCategory(p)),
-            DriftScore(c, "hellinger", h, None, distanceCategory(h)))
-        }
-      val categorical = for (tf <- t.frequentItems; rf <- r.frequentItems if numeric.isEmpty)
-        yield {
-          val (stat, p) = chiSquare(tf, rf)
-          Seq(DriftScore(c, "chi2", stat, Some(p), pValueCategory(p)))
-        }
-      numeric.getOrElse(categorical.getOrElse(Seq.empty))
+      def ksScore = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)
+        yield { val (d, p) = ks(td, rd); DriftScore(c, "ks", d, Some(p), pValueCategory(p)) }
+      def hellScore = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)
+        yield { val h = hellinger(td, rd); DriftScore(c, "hellinger", h, None, distanceCategory(h)) }
+      def chi2Score = for (tf <- t.frequentItems; rf <- r.frequentItems)
+        yield { val (stat, p) = chiSquare(tf, rf); DriftScore(c, "chi2", stat, Some(p), pValueCategory(p)) }
+      overrides.get(c) match {
+        case Some("ks")        => ksScore.toSeq
+        case Some("hellinger") => hellScore.toSeq
+        case Some("chi2")      => chi2Score.toSeq
+        case Some(other) => throw new IllegalArgumentException(s"unknown drift algorithm $other")
+        case None =>
+          val numeric = (ksScore, hellScore) match {
+            case (Some(k), Some(h)) => Some(Seq(k, h))
+            case _                  => None
+          }
+          numeric.getOrElse(chi2Score.map(Seq(_)).getOrElse(Seq.empty))
+      }
     }
   }
 
