@@ -13,16 +13,21 @@ import org.apache.spark.sql.{functions => F}
   */
 object Dedup {
 
-  /** Exact dedup: content hash + per-hash duplicate stats via window
-    * functions (one shuffle on the hash). `keep` marks the canonical row. */
+  /** Exact dedup: content hash + per-hash duplicate stats. `keep` marks
+    * the canonical (minimum-id) row per hash.
+    *
+    * Scale shape: groupBy + join-back instead of a window — the window
+    * would funnel every copy of a duplicated document onto ONE task
+    * (duplicate-heavy corpora are exactly the skewed case), while the
+    * groupBy's map-side partial aggregation collapses each partition's
+    * copies to one row before the exchange, and AQE's skew-join handling
+    * splits the join-back for pathological keys. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = F.md5(F.col(textCol))
-    val w = Window.partitionBy("text_hash")
-    df.withColumn("text_hash", h)
-      .withColumn("dup_count", F.count(F.lit(1)).over(w))
-      .withColumn("keep",
-        F.row_number().over(w.orderBy(F.col(idCol))) === 1)
+    val withH = df.withColumn("text_hash", F.md5(F.col(textCol)))
+    val stats = withH.groupBy("text_hash").agg(
+      F.count(F.lit(1)).as("dup_count"), F.min(F.col(idCol)).as("__keep_id"))
+    withH.join(stats, Seq("text_hash"))
+      .withColumn("keep", F.col(idCol) === F.col("__keep_id"))
       .select(F.col(idCol), F.col("text_hash"), F.col("dup_count"), F.col("keep"))
   }
 
