@@ -1121,6 +1121,11 @@ object StandardQueries {
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
     "doc_fingerprint" -> qDocFingerprint,
+    "nlp_svd_residual" -> Q(
+      (s, dir) => graft.pipeline.NlpSvd.residualsDF(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64, k = 8)
+        .select(F.col("doc_id"), F.round(F.col("residual"), 6).as("residual"))
+        .orderBy("doc_id"), None),
     "multimodal_meta" -> qMultimodalMeta,
     "multimodal_profile" -> qMultimodalProfile,
     "frame_hashes" -> Q(

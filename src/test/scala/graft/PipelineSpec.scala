@@ -60,6 +60,36 @@ class PipelineSpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.9, s"recall ${hits.toDouble / total}")
   }
 
+  test("hll bounds bracket the true distinct count") {
+    import graft.functions.cardinality_agg
+    val li = table("lineitem")
+    val row = li.agg(cardinality_agg(F.col("l_orderkey")).as("c")).select("c.*").collect()(0)
+    val truth = li.select("l_orderkey").distinct().count().toDouble
+    val (est, lo, hi) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(lo <= truth && truth <= hi, s"[$lo,$hi] vs $truth")
+    assert(math.abs(est - truth) / truth < 0.05)
+  }
+
+  test("minhash signature agreement estimates Jaccard") {
+    val docs = table("documents")
+    val sigs = docs.select(F.col("doc_id"),
+      Dedup.shingleIds(F.col("text")).as("ids"))
+      .withColumn("sig", Dedup.minHashSignature(F.col("ids"), 128))
+    val a = sigs.select(F.col("doc_id").as("a"), F.col("ids").as("ia"), F.col("sig").as("sa"))
+    val b = sigs.select(F.col("doc_id").as("b"), F.col("ids").as("ib"), F.col("sig").as("sb"))
+    val pairs = a.join(b, F.col("b") > F.col("a"))
+      .withColumn("jac", Dedup.jaccard(F.col("ia"), F.col("ib")))
+      .filter(F.col("jac") >= 0.5) // planted near-dup pairs
+      .withColumn("est", F.expr(
+        "size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) / 128.0").cast("double"))
+      .select("jac", "est").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.15,
+        s"jac=${r.getDouble(0)} est=${r.getDouble(1)}")
+    }
+  }
+
   test("rolling_min_hash: equal prefixes beyond window share no forced prefix bias") {
     // position-bias regression: fingerprint of s must equal fingerprint of
     // any string whose minimal window coincides; in particular reversing a
