@@ -64,6 +64,7 @@ class ProfileStore(spark: SparkSession, path: String) {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
       Encoders.BINARY, Encoders.STRING, Encoders.STRING)
     segDF.map { row =>
+      // \u0001-joined so multi-column keys stay unambiguous
       val segKey = (0 until nSegCols).map(i => String.valueOf(row.get(i))).mkString("")
       val view = Profiler.parseRow(row, nSegCols, quantiles)
         .copy(datasetTimestampMs = Some(tsMs))
