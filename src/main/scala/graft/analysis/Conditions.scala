@@ -52,6 +52,7 @@ object Conditions {
       identityColumn: String,
       sampleSize: Int = 10,
       varOptSample: Boolean = false): Seq[ValidationResult] = {
+    if (conditions.isEmpty) return Seq.empty
     val id = F.col(identityColumn).cast("string")
     val aggs = conditions.zipWithIndex.flatMap { case (c, i) =>
       val fail = !F.coalesce(c.predicate, F.lit(false))

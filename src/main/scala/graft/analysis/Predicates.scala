@@ -144,11 +144,20 @@ object Predicates {
       val c = s.charAt(i)
       if (c == ' ') i += 1
       else if (c == '"') {
+        // escape-aware scan: a backslash escapes the NEXT char, so an
+        // escaped backslash before the closing quote doesn't swallow it
         val start = i
         i += 1
-        while (i < s.length && !(s.charAt(i) == '"' && s.charAt(i - 1) != '\\')) i += 1
-        i += 1
-        out += s.substring(start, i)
+        var closed = false
+        while (i < s.length && !closed) {
+          s.charAt(i) match {
+            case '\\' => i += 2
+            case '"'  => closed = true; i += 1
+            case _    => i += 1
+          }
+        }
+        require(closed, s"unterminated string literal in predicate '$s'")
+        out += s.substring(start, math.min(i, s.length))
       } else {
         val start = i
         while (i < s.length && s.charAt(i) != ' ') i += 1

@@ -23,13 +23,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(input: Any): Any =
     MinHashUtil.signature(input.asInstanceOf[ArrayData], numPerm)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.signature($c, $numPerm)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $util.signature($c, $numPerm);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -82,8 +90,11 @@ object MinHashUtil {
     mins
   }
 
+  /** NULL for an empty id set — an all-MaxValue signature would make
+    * every empty document an exact duplicate of every other. */
   def signature(ids: ArrayData, numPerm: Int): ArrayData =
-    new GenericArrayData(permMins(ids, numPerm))
+    if (ids.numElements() == 0) null
+    else new GenericArrayData(permMins(ids, numPerm))
 
   def bandHashes(ids: ArrayData, numPerm: Int, bands: Int): ArrayData = {
     if (ids.numElements() == 0) return null
@@ -106,9 +117,11 @@ object MinHashUtil {
 
   /** 64-bit SimHash from token hashes: bit b of the output is the
     * majority vote of bit b across the hashes — one pass, replacing a
-    * 64×-re-evaluating HOF fold. */
-  def simHash(tokenHashes: ArrayData): Long = {
+    * 64×-re-evaluating HOF fold. NULL for empty input (the majority vote
+    * of zero tokens would set every bit, colliding all empty docs). */
+  def simHash(tokenHashes: ArrayData): java.lang.Long = {
     val n = tokenHashes.numElements()
+    if (n == 0) return null
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -130,16 +143,27 @@ object MinHashUtil {
   }
 }
 
-/** SimHash expression over an array<long> of token hashes. */
+/** SimHash expression over an array<long> of token hashes; NULL for
+  * empty input. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
     MinHashUtil.simHash(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.simHash($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    val res = ctx.freshName("simhash")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Long $res = $util.simHash($c);
+         |${ev.isNull} = $res == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $res.longValue();
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -68,7 +68,9 @@ object UnicodeRangeUtil {
       lowerCase: Boolean, normalize: Boolean): ArrayData = {
     var str = s.toString
     if (normalize) str = Normalizer.normalize(str, Normalizer.Form.NFD)
-    if (lowerCase) str = str.toLowerCase
+    // Locale.ROOT: default-locale lowercasing (e.g. Turkish dotless i)
+    // would make profiles machine-dependent
+    if (lowerCase) str = str.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](packed.length + 1)
     var i = 0
     while (i < str.length) {

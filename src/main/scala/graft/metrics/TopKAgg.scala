@@ -89,6 +89,16 @@ case class TopKAgg(
   override def right: Expression = payload
   override def prettyName: String = "graft_top_k"
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!score.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      TypeCheckFailure(s"graft_top_k score must be numeric, got ${score.dataType.sql}")
+    else if (payload.dataType != LongType && payload.dataType != StringType)
+      // fail at analysis, not mid-shuffle in serialize
+      TypeCheckFailure(s"graft_top_k payload must be BIGINT or STRING, got ${payload.dataType.sql}")
+    else TypeCheckSuccess
+  }
   // def, not val: children may be unresolved at construction time (the
   // analyzer copies the node while rewriting attributes).
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -26,7 +26,10 @@ object Dedup {
     val withH = df.withColumn("text_hash", F.md5(F.col(textCol)))
     val stats = withH.groupBy("text_hash").agg(
       F.count(F.lit(1)).as("dup_count"), F.min(F.col(idCol)).as("__keep_id"))
-    withH.join(stats, Seq("text_hash"))
+      .withColumnRenamed("text_hash", "__stats_hash")
+    // null-safe join: NULL-text rows form one group (groupBy and window
+    // partitioning both treat NULL as a key; a plain join would drop them)
+    withH.join(stats, F.col("text_hash") <=> F.col("__stats_hash"))
       .withColumn("keep", F.col(idCol) === F.col("__keep_id"))
       .select(F.col(idCol), F.col("text_hash"), F.col("dup_count"), F.col("keep"))
   }
@@ -34,7 +37,10 @@ object Dedup {
   /** Distinct word n-gram shingles of `textCol` (lowercased), as an array
     * column — the input to MinHash / Jaccard. */
   def shingles(textCol: Column, n: Int = 3): Column = {
-    val words = F.split(F.lower(F.trim(textCol)), "\\s+")
+    // splitting empty text yields [""] — drop it so empty docs have no
+    // tokens (and hence no shingles at any n)
+    val words = F.filter(F.split(F.lower(F.trim(textCol)), "\\s+"),
+      w => F.length(w) > 0)
     val count = F.size(words) - (n - 1)
     // Guard count<=0: sequence(1, 0) would run DESCENDING and index out of
     // range; short documents yield an empty shingle set instead.
@@ -110,7 +116,9 @@ object Dedup {
     * collapse): map-only, no shuffle, no UDF. */
   def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     df.withColumn(out, graft.functions.MinHash.simhash64(
-      F.transform(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => F.xxhash64(t))))
+      F.transform(
+        F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => F.length(t) > 0),
+        t => F.xxhash64(t))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))

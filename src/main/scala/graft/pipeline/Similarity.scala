@@ -23,8 +23,14 @@ object Similarity {
     * (score desc, id desc), ties broken deterministically. */
   private def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
+    // string ids pass through; numeric ids widen to the aggregate's long
+    // payload (an unconditional cast would null out string ids)
+    val idExpr = scored.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => F.col(idCol)
+      case _                                     => F.col(idCol).cast("long")
+    }
     val fin = scored.groupBy(groupCol)
-      .agg(top_k_agg(F.col(scoreCol), F.col(idCol).cast("long"), k).as("top"))
+      .agg(top_k_agg(F.col(scoreCol), idExpr, k).as("top"))
     fin.select(F.col(groupCol), F.posexplode(F.col("top")).as(Seq("rank0", "p")))
       .select(F.col(groupCol), F.col("p.id").as(idCol),
         F.col("p.score").as(scoreCol), (F.col("rank0") + 1).as("rank"))

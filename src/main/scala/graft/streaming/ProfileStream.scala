@@ -48,11 +48,18 @@ object ProfileStream {
     withWm.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Run the windowed profile as a streaming query that appends each
-    * window's profile to a [[ProfileStore]] once per micro-batch (update
-    * semantics: re-emitted windows append newer rows; readers take the
-    * latest dataset_ts per window or merge, both correct because profiles
-    * are monoids). */
+  /** Run rolling profiles as a streaming query appending to a
+    * [[ProfileStore]]: each micro-BATCH is profiled independently
+    * (window groupBy over just the batch's rows inside foreachBatch), so
+    * every input row is counted in exactly one stored profile and the
+    * store's per-window merge is plain monoid algebra — append-only
+    * correct regardless of how the stream is split into batches. (A
+    * streaming-state aggregation in update mode would re-emit CUMULATIVE
+    * window rows each batch, double-counting on append.) The watermark
+    * bounds state for the streaming-aggregation path
+    * ([[windowedProfileDF]]); here lateness only means a late row lands
+    * in a later store row for the same window — merged reads are
+    * unaffected. */
   def toStore(
       sdf: DataFrame,
       tsCol: String,
@@ -63,15 +70,15 @@ object ProfileStream {
       profiler: Profiler = new Profiler(),
       columns: Option[Seq[String]] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val windowed = windowedProfileDF(sdf, tsCol, window, Some(watermark), profiler, columns)
-    windowed.writeStream
-      .outputMode("update")
+    sdf.withWatermark(tsCol, watermark).writeStream
+      .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val store = new ProfileStore(batch.sparkSession, storePath)
-        val flat = batch.select(
+        val windowed = windowedProfileDF(batch, tsCol, window, None, profiler, columns)
+        val flat = windowed.select(
           F.unix_timestamp(F.col("window.start")).*(1000).as("__ts") +:
-            batch.columns.filterNot(_ == "window").map(F.col): _*)
+            windowed.columns.filterNot(_ == "window").map(F.col): _*)
         // each window's profile row is KB-scale; one append job per batch
         val profiles = flat.collect().toSeq.map { row =>
           Profiler.parseRow(row, 1, profiler.config.quantiles) -> row.getLong(0)

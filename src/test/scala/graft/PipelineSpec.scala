@@ -60,6 +60,35 @@ class PipelineSpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.9, s"recall ${hits.toDouble / total}")
   }
 
+  test("exact dedup keeps NULL-text rows as one duplicate group") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null), (3L, null), (4L, "a")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 4)
+    assert(out(2) == (2L, true) && out(3) == (2L, false)) // null group, min id kept
+    assert(out(1) == (2L, true) && out(4) == (2L, false))
+  }
+
+  test("empty documents produce NULL simhash and minhash signatures") {
+    import spark.implicits._
+    val df = Seq("", "   ", "real text here").toDF("text")
+    val sim = Dedup.withSimHash(df, "text").select("simhash").collect()
+    assert(sim(0).isNullAt(0) && sim(1).isNullAt(0) && !sim(2).isNullAt(0))
+    val sig = df.select(Dedup.minHashSignature(Dedup.shingleIds(F.col("text"), 1), 8)).collect()
+    assert(sig(0).isNullAt(0) && sig(1).isNullAt(0) && !sig(2).isNullAt(0))
+  }
+
+  test("top-k preserves string ids") {
+    import spark.implicits._
+    val emb = table("embeddings").limit(50)
+      .withColumn("sid", F.concat(F.lit("v"), F.col("vec_id")))
+    val out = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 3),
+      idCol = "sid", k = 3).collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[String]("neighbor_id").startsWith("v")))
+  }
+
   test("hll bounds bracket the true distinct count") {
     import graft.functions.cardinality_agg
     val li = table("lineitem")

@@ -23,6 +23,14 @@ class PredicateSpec extends SparkSpec {
     // quoted-string escapes survive
     val q = Predicates.parse("== x \"a\\\"b\"")
     assert(Predicates.parse(q.serialize) == q)
+    // value ending in a backslash round-trips (escaped-backslash-before-
+    // closing-quote tokenizer regression)
+    val bs = Predicates.Rel("==", "x", Predicates.StrValue("a\\"))
+    assert(Predicates.parse(bs.serialize) == bs)
+  }
+
+  test("validate with no conditions returns empty") {
+    assert(Conditions.validate(table("orders"), Seq.empty, "o_orderkey").isEmpty)
   }
 
   test("compiled predicates match hand-built Catalyst conditions") {

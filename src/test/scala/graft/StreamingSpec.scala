@@ -53,6 +53,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("toStore counts every row exactly once across multiple micro-batches") {
+    // split events into two files; maxFilesPerTrigger=1 forces windows to
+    // span batches — the update-mode cumulative re-emission bug would
+    // double-count here
+    val srcDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-2batch-").toString
+    val ev = eventsBatch
+    ev.filter(F.col("event_id") % 2 === 0).write.parquet(srcDir + "/f0")
+    ev.filter(F.col("event_id") % 2 =!= 0).write.parquet(srcDir + "/f1")
+    val flat = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-2batch-flat-").toString
+    spark.read.parquet(srcDir + "/f0").write.mode("append").parquet(flat)
+    spark.read.parquet(srcDir + "/f1").write.mode("append").parquet(flat)
+    val sdf = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat)
+    val storeDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-2batch-store-").toString
+    val q = ProfileStream.toStore(sdf, "ts", "1 hour", watermark = "1 hour",
+      storePath = storeDir, datasetId = "ev2",
+      profiler = new Profiler(MetricConfig(),
+        ResolverSpec(byKind = _ => Seq(Namespace.Counts))),
+      columns = Some(Seq("value")))
+    q.awaitTermination()
+    val store = new ProfileStore(spark, storeDir)
+    val all = store.read("ev2", 0L, Long.MaxValue)
+    assert(all.size > all.map(_._1).distinct.size, "windows should span batches")
+    val merged = all.map(_._2).reduce(_ merge _)
+    assert(merged.columns("value").counts.get.n == ev.count())
+  }
+
   test("toStore streams window profiles into the profile store") {
     val storeDir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "stream-store-").toString
