@@ -1123,7 +1123,10 @@ object StandardQueries {
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(
-        t(s, dir, "documents"), "doc_id", "text", dim = 64, k = 8)
+        // O(dim·tokens)/row map stage; spread the single local split
+        t(s, dir, "documents").repartition(
+          s.sparkContext.defaultParallelism, F.col("doc_id")),
+        "doc_id", "text", dim = 64, k = 8)
         .select(F.col("doc_id"), F.round(F.col("residual"), 6).as("residual"))
         .orderBy("doc_id"), None),
     "multimodal_meta" -> qMultimodalMeta,
