@@ -97,6 +97,24 @@ object Drift {
   def scores(target: DatasetProfileView, ref: DatasetProfileView,
       overrides: Map[String, String] = Map.empty): Seq[DriftScore] = {
     val common = (target.columns.keySet & ref.columns.keySet).toSeq.sorted
+    // fail loudly on overrides that could never apply (typo'd column, or
+    // forcing an algorithm whose metric the column lacks) — a silent miss
+    // means the column is silently unmonitored
+    overrides.keys.find(!common.contains(_)).foreach { k =>
+      throw new IllegalArgumentException(
+        s"drift override for '$k': column not present in both profiles")
+    }
+    overrides.foreach { case (c, alg) =>
+      val t = target.columns(c); val r = ref.columns(c)
+      val ok = alg match {
+        case "ks" | "hellinger" =>
+          t.distribution.exists(_.n > 0) && r.distribution.exists(_.n > 0)
+        case "chi2" => t.frequentItems.nonEmpty && r.frequentItems.nonEmpty
+        case other  => throw new IllegalArgumentException(s"unknown drift algorithm $other")
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"drift override '$alg' for '$c': required metric missing or empty")
+    }
     common.flatMap { c =>
       val t = target.columns(c); val r = ref.columns(c)
       def ksScore = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)

@@ -33,16 +33,18 @@ object Graft {
   /** `why.log(multiple={...})` — profile several datasets, keyed results
     * (reference `api/logger/__init__.py:56-68`). */
   def logMultiple(dfs: Map[String, DataFrame],
-      config: MetricConfig = MetricConfig()): Map[String, ProfileResultSet] =
-    dfs.map { case (name, df) => name -> log(df, config) }
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): Map[String, ProfileResultSet] =
+    dfs.map { case (name, df) => name -> log(df, config, resolver) }
 
   /** Segmented logging (`segment_processing.py`): one profile per
     * stringified segment key, single shuffle. */
   def logSegmented(df: DataFrame, segmentColumns: Seq[String],
       filter: Option[Column] = None,
-      config: MetricConfig = MetricConfig()): SegmentedResultSet =
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): SegmentedResultSet =
     SegmentedResultSet(
-      new Profiler(config).profileSegmented(df, segmentColumns, filter))
+      new Profiler(config, resolver).profileSegmented(df, segmentColumns, filter))
 
   /** `why.write` / `why.read` — local binary profile files. */
   def write(result: ProfileResultSet, path: String): Unit =

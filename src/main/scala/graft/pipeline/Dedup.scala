@@ -28,19 +28,26 @@ object Dedup {
       F.count(F.lit(1)).as("dup_count"), F.min(F.col(idCol)).as("__keep_id"))
       .withColumnRenamed("text_hash", "__stats_hash")
     // null-safe join: NULL-text rows form one group (groupBy and window
-    // partitioning both treat NULL as a key; a plain join would drop them)
+    // partitioning both treat NULL as a key; a plain join would drop them).
+    // keep is null-safe too, so NULL-id rows get keep=false rather than
+    // NULL. Precondition (documented): idCol is a unique non-null row id —
+    // with duplicated ids, every holder of the group minimum is marked.
     withH.join(stats, F.col("text_hash") <=> F.col("__stats_hash"))
-      .withColumn("keep", F.col(idCol) === F.col("__keep_id"))
+      .withColumn("keep", F.col(idCol) <=> F.col("__keep_id"))
       .select(F.col(idCol), F.col("text_hash"), F.col("dup_count"), F.col("keep"))
   }
+
+  /** Lowercased whitespace tokens of a text column; empty text yields an
+    * EMPTY array, not [""] (splitting empty text produces one empty
+    * token). The one tokenizer shared by shingling, SimHash and the NLP
+    * term vectors — keep fixes here. */
+  def tokens(textCol: Column): Column =
+    F.filter(F.split(F.lower(F.trim(textCol)), "\\s+"), w => F.length(w) > 0)
 
   /** Distinct word n-gram shingles of `textCol` (lowercased), as an array
     * column — the input to MinHash / Jaccard. */
   def shingles(textCol: Column, n: Int = 3): Column = {
-    // splitting empty text yields [""] — drop it so empty docs have no
-    // tokens (and hence no shingles at any n)
-    val words = F.filter(F.split(F.lower(F.trim(textCol)), "\\s+"),
-      w => F.length(w) > 0)
+    val words = tokens(textCol)
     val count = F.size(words) - (n - 1)
     // Guard count<=0: sequence(1, 0) would run DESCENDING and index out of
     // range; short documents yield an empty shingle set instead.
@@ -116,9 +123,7 @@ object Dedup {
     * collapse): map-only, no shuffle, no UDF. */
   def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     df.withColumn(out, graft.functions.MinHash.simhash64(
-      F.transform(
-        F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => F.length(t) > 0),
-        t => F.xxhash64(t))))
+      F.transform(tokens(F.col(textCol)), t => F.xxhash64(t))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))

@@ -25,11 +25,15 @@ import org.apache.spark.sql.{functions => F}
 object NlpSvd {
 
   /** Map-only hashing-trick term vector: slot i counts tokens with
-    * xxhash64(token) ≡ i (mod dim). O(dim · tokens) per row, codegen'd. */
+    * xxhash64(token) ≡ i (mod dim). O(dim · tokens) per row, codegen'd.
+    * NULL text → NULL vector (excluded from fit and scored NULL);
+    * tokenization shares [[Dedup.tokens]], so empty text → zero vector
+    * (no spurious ""-token slot), which contributes nothing to the
+    * Gramian and scores residual 0. */
   def termVector(textCol: Column, dim: Int): Column = {
-    val tokens = F.split(F.lower(F.trim(textCol)), "\\s+")
+    val toks = Dedup.tokens(textCol)
     F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-      i => F.size(F.filter(tokens, t => F.pmod(F.xxhash64(t), F.lit(dim)) === i))
+      i => F.size(F.filter(toks, t => F.pmod(F.xxhash64(t), F.lit(dim)) === i))
         .cast("double"))
   }
 
@@ -71,9 +75,9 @@ object NlpSvd {
   }
 
   /** Fit the truncated SVD over a term-vector column
-    * (array<double> of length `dim`). */
+    * (array<double> of length `dim`); NULL vectors are excluded. */
   def fit(df: DataFrame, vecCol: String, k: Int, dim: Int): SvdSummary = {
-    val rows = df.select(F.col(vecCol)).rdd.map { r =>
+    val rows = df.select(F.col(vecCol)).filter(F.col(vecCol).isNotNull).rdd.map { r =>
       MlVectors.dense(r.getAs[scala.collection.Seq[Double]](0).toArray)
     }
     val svd = new RowMatrix(rows).computeSVD(k, computeU = false)
@@ -85,12 +89,22 @@ object NlpSvd {
   }
 
   /** Residual scores for every document: fit on the corpus, then one
-    * map-only scoring pass (basis broadcast via closure). */
+    * map-only scoring pass (basis broadcast via closure). The term
+    * vectors are persisted across the two jobs (Gramian + scoring) —
+    * they're the dominant map cost and would otherwise compute twice.
+    * NULL text scores NULL. */
   def residualsDF(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64, k: Int = 8): DataFrame = {
     val withVec = df.select(F.col(idCol), termVector(F.col(textCol), dim).as("__tv"))
-    val summary = fit(withVec, "__tv", k, dim)
-    val resid = F.udf((v: scala.collection.Seq[Double]) => summary.residual(v.toArray))
-    withVec.select(F.col(idCol), resid(F.col("__tv")).as("residual"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val summary = fit(withVec, "__tv", k, dim)
+      val resid = F.udf((v: scala.collection.Seq[Double]) => summary.residual(v.toArray))
+      val out = withVec.select(F.col(idCol),
+        F.when(F.col("__tv").isNotNull, resid(F.col("__tv"))).as("residual"))
+      // materialize (lineage truncated) so the vectors can be released
+      // before callers run their own actions
+      out.localCheckpoint(true)
+    } finally withVec.unpersist(blocking = false)
   }
 }

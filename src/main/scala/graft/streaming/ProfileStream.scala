@@ -64,6 +64,11 @@ object ProfileStream {
       sdf: DataFrame,
       tsCol: String,
       window: String,
+      /** NOTE: with the per-batch profiling sink there is no streaming
+        * aggregation state, so the watermark does NOT drop late rows —
+        * they land in a later store row for the same window (merged
+        * reads are unaffected). Kept so switching between this sink and
+        * the stateful [[windowedProfileDF]] path is signature-compatible. */
       watermark: String,
       storePath: String,
       datasetId: String,
