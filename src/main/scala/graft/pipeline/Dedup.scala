@@ -87,27 +87,39 @@ object Dedup {
     * re-fetched by joining the pair list back to the (doc_id, ids)
     * projection — so array bytes move only for verified candidates, not
     * through the band-bucket exchange. Bucket sizes are capped implicitly
-    * by banding; for adversarial skew add a salt on the band key. */
+    * by banding; for adversarial skew add a salt on the band key.
+    *
+    * The (doc_id, ids) projection is referenced three times (banding +
+    * both re-fetch joins); it is map-only with no exchange beneath it, so
+    * without a persist Catalyst re-executes the whole tokenize→shingle
+    * →hash subtree per reference — three full passes over the corpus.
+    * Persisting it makes shingling run once; the small pair result is
+    * localCheckpointed so the cache can be released before the caller's
+    * own actions run. */
   def minHashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val ids = df.select(F.col(idCol).as("doc_id"),
       shingleIds(F.col(textCol)).as("ids"))
-    val banded = ids
-      .select(F.col("doc_id"),
-        F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh")))
-    val l = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a"))
-    val r = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b"))
-    val pairs = l.join(r, Seq("band", "bh"))
-      .filter(F.col("a") < F.col("b"))
-      .select("a", "b")
-      .dropDuplicates("a", "b")
-    pairs
-      .join(ids.select(F.col("doc_id").as("a"), F.col("ids").as("ia")), Seq("a"))
-      .join(ids.select(F.col("doc_id").as("b"), F.col("ids").as("ib")), Seq("b"))
-      .withColumn("jaccard", jaccard(F.col("ia"), F.col("ib")))
-      .filter(F.col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = ids
+        .select(F.col("doc_id"),
+          F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh")))
+      val l = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a"))
+      val r = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("band", "bh"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates("a", "b")
+      pairs
+        .join(ids.select(F.col("doc_id").as("a"), F.col("ids").as("ia")), Seq("a"))
+        .join(ids.select(F.col("doc_id").as("b"), F.col("ids").as("ib")), Seq("b"))
+        .withColumn("jaccard", jaccard(F.col("ia"), F.col("ib")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .localCheckpoint(true)
+    } finally ids.unpersist(blocking = false)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */

@@ -25,12 +25,21 @@ import org.apache.spark.sql.{functions => F}
 object NlpSvd {
 
   /** Map-only hashing-trick term vector: slot i counts tokens with
-    * xxhash64(token) ≡ i (mod dim). O(dim · tokens) per row, codegen'd.
-    * NULL text → NULL vector (excluded from fit and scored NULL);
-    * tokenization shares [[Dedup.tokens]], so empty text → zero vector
-    * (no spurious ""-token slot), which contributes nothing to the
-    * Gramian and scores residual 0. */
-  def termVector(textCol: Column, dim: Int): Column = {
+    * xxhash64(token) ≡ i (mod dim). One pass over the tokens
+    * (O(tokens + dim) per row) via the native [[graft.functions.TermVector]]
+    * expression, codegen'd. NULL text → NULL vector (excluded from fit
+    * and scored NULL); tokenization shares [[Dedup.tokens]], so empty
+    * text → zero vector (no spurious ""-token slot), which contributes
+    * nothing to the Gramian and scores residual 0. */
+  def termVector(textCol: Column, dim: Int): Column =
+    graft.functions.TermVectorF.term_vector(Dedup.tokens(textCol), dim)
+
+  /** The original higher-order-function formulation of [[termVector]] —
+    * O(dim × tokens) per row (re-walks the token array once per slot),
+    * kept ONLY as the semantics oracle for NlpSvdSpec. Known divergence
+    * (the bug that motivated the native expression): NULL text yields an
+    * array of per-slot NULLs rather than a NULL array. */
+  private[graft] def termVectorHof(textCol: Column, dim: Int): Column = {
     val toks = Dedup.tokens(textCol)
     F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
       i => F.size(F.filter(toks, t => F.pmod(F.xxhash64(t), F.lit(dim)) === i))

@@ -41,6 +41,31 @@ class NlpSvdSpec extends SparkSpec {
     assert(svd.residual(mix) < 1e-8)
   }
 
+  test("native term vector matches the HOF semantics oracle") {
+    val docs = table("documents").limit(200)
+    val rows = docs.select(
+      NlpSvd.termVector(F.col("text"), dim).as("native"),
+      NlpSvd.termVectorHof(F.col("text"), dim).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+  }
+
+  test("NULL text yields a NULL vector and a NULL residual") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta delta"), (4L, "")).toDF("doc_id", "text")
+    val vecs = df.select(F.col("doc_id"), NlpSvd.termVector(F.col("text"), dim).as("tv"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(vecs(2L) == null, "NULL text must give a NULL vector, not per-slot NULLs")
+    assert(vecs(4L).asInstanceOf[scala.collection.Seq[Double]].forall(_ == 0.0))
+    val resid = NlpSvd.residualsDF(df, "doc_id", "text", dim, 2)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(resid(2L) == null, "NULL text must score a NULL residual")
+    assert(resid(1L) != null && resid(3L) != null && resid(4L) != null)
+  }
+
   test("residualsDF scores every document, stable across runs") {
     val docs = table("documents")
     val r1 = NlpSvd.residualsDF(docs, "doc_id", "text", dim, k)
