@@ -10,6 +10,7 @@ import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
 import graft.pipeline.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
+import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
   * (SURVEY §2 + the training-data pipeline extensions), each built on the
@@ -31,12 +32,17 @@ object StandardQueries {
     * parquet file as one via a symlinked temp dir (copy fallback). */
   def streamableDir(file: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(file)
-    val dir = Paths.get("target", "tmp",
-      "stream_src_" + java.lang.Long.toHexString(
-        java.util.Objects.hash(file).toLong & 0xffffffffL))
+    val src = Paths.get(file).toAbsolutePath
+    // dir name from a strong digest of the absolute path — a 32-bit hash
+    // could collide two sources into the same temp dir
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.toString.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get("target", "tmp", "stream_src_" + digest)
     Files.createDirectories(dir)
     val link = dir.resolve(src.getFileName)
+    // a stale link must point at THIS source, not a same-named other file
+    if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != src)
+      Files.delete(link)
     if (!Files.exists(link)) {
       try Files.createSymbolicLink(link, src)
       catch { case _: Throwable => Files.copy(src, link) }
@@ -486,6 +492,58 @@ object StandardQueries {
            | FROM lineitem""".stripMargin.replaceAll("\n", " ")
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
+
+  /** Byte-level `WHY1` interop (reference `dataset_profile_view.py:264-460`):
+    * each partial profile goes through a full write→read cycle in the
+    * reference container format before the monoid merge, so every compared
+    * value has survived the protobuf framing + DataSketches images. */
+  private def qWhy1Roundtrip = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val merged = (0 until 3)
+        .map(i => p.profile(li.filter(F.col("l_orderkey") % 3 === i), Some(liNumeric)))
+        .map(v => Why1.fromBytes(Why1.toBytes(v)))
+        .reduce(_ merge _)
+      import s.implicits._
+      liNumeric.sorted.map { c =>
+        val v = merged.columns(c)
+        val d = v.distribution.get
+        (c, v.counts.get.n, v.counts.get.nulls, d.n, d.min.get, d.max.get)
+      }.toDF("col_name", "n", "nulls", "present", "vmin", "vmax").orderBy("col_name")
+    },
+    Some {
+      liNumeric.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS nulls,
+           | count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))) AS present,
+           | CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax
+           | FROM lineitem""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
+  /** Segmented `WHY1` multi-profile file (DatasetSegmentHeader, reference
+    * `segmented_dataset_profile_view.py`): segment profiles round-trip
+    * through one multi-segment container, tags intact. */
+  private def qWhy1SegmentedRoundtrip = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val segs = new Profiler().profileSegmented(li, Seq("l_returnflag"))
+      val bytes = Why1.toSegmentedBytes(
+        segs.toSeq.sortBy(_._1.head).map { case (k, v) =>
+          Why1.SegmentProfile(Seq("l_returnflag" -> k.head), v)
+        })
+      val back = Why1.readSegmentedBytes(bytes)
+      import s.implicits._
+      back.map { sp =>
+        val v = sp.view.columns("l_quantity")
+        val d = v.distribution.get
+        (sp.tags.head._2, v.counts.get.n, d.min.get, d.max.get)
+      }.toDF("seg_returnflag", "n", "qty_min", "qty_max").orderBy("seg_returnflag")
+    },
+    Some("""SELECT CAST(l_returnflag AS VARCHAR) AS seg_returnflag, count(*) AS n,
+           | min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
+           | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
   // ------------------------------------------------------------------
   // conditions / constraints / validators
@@ -1099,6 +1157,8 @@ object StandardQueries {
     "merge_profiles" -> qMergeProfiles,
     "full_profile_summary" -> qFullProfileSummary,
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
+    "why1_roundtrip" -> qWhy1Roundtrip,
+    "why1_segmented_roundtrip" -> qWhy1SegmentedRoundtrip,
     "condition_counts" -> qConditionCounts,
     "condition_counts_parsed" -> qConditionCountsParsed,
     "constraints_report" -> qConstraintsReport,
