@@ -58,17 +58,36 @@ class ProfileStore(spark: SparkSession, path: String) {
     * segment-key columns. */
   def writeSegmented(
       segDF: DataFrame, nSegCols: Int, datasetId: String, tsMs: Long,
-      quantiles: Seq[Double] = graft.metrics.DistributionAgg.DefaultQuantiles): Unit = {
-    val date = dateOf(tsMs)
+      quantiles: Seq[Double] = graft.metrics.DistributionAgg.DefaultQuantiles): Unit =
+    writeRows(segDF, nSegCols, datasetId, quantiles, fixedTs = Some(tsMs))
+
+  /** Distributed write of a WINDOWED (and optionally segmented) profiling
+    * result -- the streaming sink path: `df`'s FIRST column is the per-row
+    * dataset timestamp (window start, epoch ms), then `nSegCols`
+    * segment-key columns, then the metric structs. Serialization happens
+    * on executors, so a high-cardinality segmented stream never funnels
+    * through the driver. */
+  def writeWindowed(
+      df: DataFrame, nSegCols: Int, datasetId: String,
+      quantiles: Seq[Double] = graft.metrics.DistributionAgg.DefaultQuantiles): Unit =
+    writeRows(df, nSegCols, datasetId, quantiles, fixedTs = None)
+
+  private def writeRows(
+      df: DataFrame, nSegCols: Int, datasetId: String,
+      quantiles: Seq[Double], fixedTs: Option[Long]): Unit = {
     import org.apache.spark.sql.Encoders
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
       Encoders.BINARY, Encoders.STRING, Encoders.STRING)
-    segDF.map { row =>
-      // \u0001-joined so multi-column keys stay unambiguous
-      val segKey = (0 until nSegCols).map(i => String.valueOf(row.get(i))).mkString("")
-      val view = Profiler.parseRow(row, nSegCols, quantiles)
+    val tsOffset = if (fixedTs.isEmpty) 1 else 0
+    df.map { row =>
+      val tsMs = fixedTs.getOrElse(row.getLong(0))
+      val segKey =
+        if (nSegCols == 0) null
+        else (tsOffset until tsOffset + nSegCols).map(i => segValue(row.get(i)))
+          .mkString(SegSep.toString)
+      val view = Profiler.parseRow(row, tsOffset + nSegCols, quantiles)
         .copy(datasetTimestampMs = Some(tsMs))
-      (tsMs, segKey, ProfileSerde.toBytes(view), datasetId, date)
+      (tsMs, segKey, ProfileSerde.toBytes(view), datasetId, dateOf(tsMs))
     }(enc)
       .toDF("dataset_ts", "segment", "profile", "dataset_id", "date")
       .write.mode("append").partitionBy("dataset_id", "date").parquet(path)
@@ -111,6 +130,21 @@ class ProfileStore(spark: SparkSession, path: String) {
 }
 
 object ProfileStore {
+  /** Multi-column segment keys join on \u0001; NULL segment values encode
+    * as \u0002 so they stay distinct from the literal string "null".
+    * Values containing either control char are rejected rather than
+    * escaped -- ambiguity here silently merges different segments. */
+  private[api] final val SegSep = '\u0001'
+  private[api] final val SegNull = "\u0002"
+  private[api] def segValue(v: Any): String =
+    if (v == null) SegNull
+    else {
+      val s = String.valueOf(v)
+      require(s.indexOf(SegSep) < 0 && s.indexOf('\u0002') < 0,
+        "segment value contains a reserved control character (\\u0001/\\u0002)")
+      s
+    }
+
   private val DateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
   private val MaxTs = 253402300799999L // 9999-12-31: keeps dates 4-digit,
   // so lexicographic date-range filters stay correct for open-ended reads

@@ -852,6 +852,47 @@ object StandardQueries {
     },
     None)
 
+  /** χ² drift statistic, oracle-checked: on low-cardinality columns the
+    * FI estimates are exact (unpurged map — same coupon-range argument as
+    * `cardinality`), and the statistic is plain arithmetic over those
+    * counts (reference `viz/utils/frequent_items_calculations.py:63-90`).
+    * Both engines accumulate the per-key terms in sorted key order
+    * (DuckDB via `sum(... ORDER BY k)`), so the double sums are
+    * bit-identical. */
+  private def qDriftChi2Stat = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val cols = Seq("l_returnflag", "l_linestatus")
+      val target = p.profile(li.filter(F.col("l_orderkey") % 3 === 0), Some(cols))
+      val ref = p.profile(li.filter(F.col("l_orderkey") % 3 =!= 0), Some(cols))
+      import s.implicits._
+      cols.sorted.map { c =>
+        val tf = target.columns(c).frequentItems.get
+        val rf = ref.columns(c).frequentItems.get
+        val dof = (tf.items.map(_.value).toSet ++ rf.items.map(_.value)).size - 1
+        val (stat, _) = Drift.chiSquare(tf, rf)
+        (c, dof.toLong, stat)
+      }.toDF("col_name", "dof", "chi2_stat").orderBy("col_name")
+    },
+    Some {
+      Seq("l_returnflag", "l_linestatus").sorted.map { c =>
+        s"""SELECT * FROM (
+           | WITH t AS (SELECT CAST($c AS VARCHAR) AS k, CAST(count(*) AS DOUBLE) AS o
+           |   FROM lineitem WHERE l_orderkey % 3 = 0 AND $c IS NOT NULL GROUP BY 1),
+           | r AS (SELECT CAST($c AS VARCHAR) AS k, CAST(count(*) AS DOUBLE) AS c
+           |   FROM lineitem WHERE l_orderkey % 3 <> 0 AND $c IS NOT NULL GROUP BY 1),
+           | j AS (SELECT COALESCE(t.k, r.k) AS k, COALESCE(o, 0) AS o, COALESCE(c, 0) AS c
+           |   FROM t FULL OUTER JOIN r ON t.k = r.k),
+           | tot AS (SELECT (SELECT sum(o) FROM t) AS tt, (SELECT sum(c) FROM r) AS rt)
+           | SELECT '$c' AS col_name, (SELECT count(*) FROM j) - 1 AS dof,
+           |   (SELECT sum(CASE WHEN c / rt * tt > 0
+           |     THEN (o - c / rt * tt) * (o - c / rt * tt) / (c / rt * tt)
+           |     ELSE 0 END ORDER BY k) FROM j, tot) AS chi2_stat
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   // ------------------------------------------------------------------
   // dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
@@ -1170,6 +1211,7 @@ object StandardQueries {
     "regression_metrics" -> qRegressionMetrics,
     "accuracy_estimator" -> qAccuracyEstimator,
     "drift_scores" -> qDriftScores,
+    "drift_chi2_stat" -> qDriftChi2Stat,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,

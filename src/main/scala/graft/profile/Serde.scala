@@ -25,7 +25,9 @@ import org.apache.datasketches.memory.Memory
 object ProfileSerde {
 
   private val Magic = "GRFT1".getBytes("UTF-8")
-  private val Version = 1
+  // v2: strings are length-delimited UTF-8 (writeUTF caps at 64KB of
+  // modified UTF-8, which user metadata values can exceed); v1 readable.
+  private val Version = 2
 
   def toBytes(view: DatasetProfileView): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -35,18 +37,18 @@ object ProfileSerde {
     out.writeLong(view.datasetTimestampMs.getOrElse(-1L))
     out.writeInt(view.metadata.size)
     view.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      out.writeUTF(k); out.writeUTF(v)
+      writeStr(out, k); writeStr(out, v)
     }
     out.writeInt(view.columns.size)
     view.columns.toSeq.sortBy(_._1).foreach { case (name, col) =>
-      out.writeUTF(name)
+      writeStr(out, name)
       writeColumn(out, col)
     }
     writeOpt(out, view.modelPerformance) { mp =>
       writeOpt(out, mp.confusion) { cm =>
         out.writeInt(cm.cells.size)
         cm.cells.toSeq.sortBy(_._1).foreach { case ((t, p), (n, s)) =>
-          out.writeUTF(t); out.writeUTF(p); out.writeLong(n); out.writeDouble(s)
+          writeStr(out, t); writeStr(out, p); out.writeLong(n); out.writeDouble(s)
         }
       }
       writeOpt(out, mp.regression) { r =>
@@ -64,19 +66,23 @@ object ProfileSerde {
     in.readFully(magic)
     require(java.util.Arrays.equals(magic, Magic), "not a GRFT1 profile")
     val version = in.readInt()
-    require(version == Version, s"unsupported profile version $version")
+    require(version == 1 || version == Version, s"unsupported profile version $version")
+    // v1 wrote modified-UTF8 via writeUTF; v2 writes length-delimited UTF-8
+    implicit val readStr: DataInputStream => String =
+      if (version == 1) (i: DataInputStream) => i.readUTF()
+      else (i: DataInputStream) => new String(readBytes(i), "UTF-8")
     val ts = in.readLong()
     val nMeta = in.readInt()
-    val meta = (0 until nMeta).map(_ => in.readUTF() -> in.readUTF()).toMap
+    val meta = (0 until nMeta).map(_ => readStr(in) -> readStr(in)).toMap
     val nCols = in.readInt()
     val cols = (0 until nCols).map { _ =>
-      val name = in.readUTF()
+      val name = readStr(in)
       name -> readColumn(in)
     }.toMap
     val mp = readOpt(in) {
       val cm = readOpt(in)(ConfusionMatrixSummary(
         (0 until in.readInt()).map { _ =>
-          (in.readUTF(), in.readUTF()) -> (in.readLong(), in.readDouble())
+          (readStr(in), readStr(in)) -> (in.readLong(), in.readDouble())
         }.toMap))
       val rg = readOpt(in)(RegressionSummary(
         in.readLong(), in.readDouble(), in.readDouble(), in.readDouble()))
@@ -99,6 +105,10 @@ object ProfileSerde {
   private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
     out.writeInt(b.length); out.write(b)
   }
+
+  /** Length-delimited UTF-8 -- no 64KB writeUTF bound. */
+  private def writeStr(out: DataOutputStream, s: String): Unit =
+    writeBytes(out, s.getBytes("UTF-8"))
 
   private def readBytes(in: DataInputStream): Array[Byte] = {
     val b = new Array[Byte](in.readInt()); in.readFully(b); b
@@ -137,23 +147,23 @@ object ProfileSerde {
       out.writeInt(f.limit)
       out.writeInt(f.items.length)
       f.items.foreach { it =>
-        out.writeUTF(it.value); out.writeLong(it.estimate)
+        writeStr(out, it.value); out.writeLong(it.estimate)
         out.writeLong(it.lower); out.writeLong(it.upper)
       }
       writeBytes(out, f.sketch)
     }
     out.writeInt(col.subMetrics.size)
     col.subMetrics.toSeq.sortBy(_._1).foreach { case (ns, subs) =>
-      out.writeUTF(ns)
+      writeStr(out, ns)
       out.writeInt(subs.size)
       subs.toSeq.sortBy(_._1).foreach { case (sub, bundle) =>
-        out.writeUTF(sub)
+        writeStr(out, sub)
         writeColumn(out, bundle)
       }
     }
   }
 
-  private def readColumn(in: DataInputStream): ColumnProfileView = {
+  private def readColumn(in: DataInputStream)(implicit readStr: DataInputStream => String): ColumnProfileView = {
     val counts = readOpt(in)(CountsSummary(
       in.readLong(), in.readLong(), in.readLong(), in.readLong(), in.readLong()))
     val types = readOpt(in)(TypeCountsSummary(
@@ -170,13 +180,13 @@ object ProfileSerde {
     val fi = readOpt(in) {
       val limit = in.readInt()
       val items = (0 until in.readInt()).map { _ =>
-        FrequentItem(in.readUTF(), in.readLong(), in.readLong(), in.readLong())
+        FrequentItem(readStr(in), in.readLong(), in.readLong(), in.readLong())
       }
       FrequentItemsSummary(items, readBytes(in), limit)
     }
     val subs = (0 until in.readInt()).map { _ =>
-      val ns = in.readUTF()
-      ns -> (0 until in.readInt()).map(_ => in.readUTF() -> readColumn(in)).toMap
+      val ns = readStr(in)
+      ns -> (0 until in.readInt()).map(_ => readStr(in) -> readColumn(in)).toMap
     }.toMap
     ColumnProfileView(counts, types, ints, dist, card, fi, subs)
   }

@@ -74,21 +74,22 @@ object ProfileStream {
       datasetId: String,
       profiler: Profiler = new Profiler(),
       columns: Option[Seq[String]] = None,
+      segmentColumns: Seq[String] = Nil,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     sdf.withWatermark(tsCol, watermark).writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val store = new ProfileStore(batch.sparkSession, storePath)
-        val windowed = windowedProfileDF(batch, tsCol, window, None, profiler, columns)
+        val windowed =
+          windowedProfileDF(batch, tsCol, window, None, profiler, columns, segmentColumns)
         val flat = windowed.select(
           F.unix_timestamp(F.col("window.start")).*(1000).as("__ts") +:
             windowed.columns.filterNot(_ == "window").map(F.col): _*)
-        // each window's profile row is KB-scale; one append job per batch
-        val profiles = flat.collect().toSeq.map { row =>
-          Profiler.parseRow(row, 1, profiler.config.quantiles) -> row.getLong(0)
-        }
-        store.writeAll(profiles, datasetId)
+        // rows are KB-scale profiles; serialization happens on executors
+        // (ProfileStore.writeWindowed), so a high-cardinality segmented
+        // stream appends straight to the store with no driver funnel
+        store.writeWindowed(flat, segmentColumns.length, datasetId, profiler.config.quantiles)
       }
       .start()
   }

@@ -129,4 +129,30 @@ class StoreSpec extends SparkSpec {
     val totalN = segs.values.map(_.columns("l_quantity").counts.get.n).sum
     assert(totalN == li.count())
   }
+
+  test("NULL segment values stay distinct from the string 'null'") {
+    import spark.implicits._
+    val df = Seq((null: String, 1.0), ("null", 2.0), ("null", 3.0))
+      .toDF("seg", "value")
+    val p = new Profiler()
+    val segDF = p.profileSegmentedDF(df, Seq("seg"))
+    val store = new ProfileStore(spark, tmpDir())
+    val ts = java.time.Instant.parse("2024-03-06T00:00:00Z").toEpochMilli
+    store.writeSegmented(segDF, 1, "nulls", ts)
+    val segs = store.readSegments("nulls", ts, ts)
+    assert(segs.size == 2, s"got keys ${segs.keySet}")
+    assert(segs("null").columns("value").counts.get.n == 2)
+    val nullKey = segs.keySet.find(_ != "null").get
+    assert(segs(nullKey).columns("value").counts.get.n == 1)
+  }
+
+  test("metadata strings beyond the 64KB writeUTF bound round-trip") {
+    val big = "x" * 100000
+    val view = graft.profile.DatasetProfileView(
+      Map("c" -> graft.profile.ColumnProfileView(
+        counts = Some(graft.profile.CountsSummary(1, 0, 0, 0, 0)))),
+      metadata = Map("note" -> big))
+    val back = graft.profile.ProfileSerde.fromBytes(graft.profile.ProfileSerde.toBytes(view))
+    assert(back.metadata("note") == big)
+  }
 }

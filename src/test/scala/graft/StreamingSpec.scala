@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpec {
     assert(merged.columns("value").counts.get.n == ev.count())
   }
 
+  test("toStore with segment columns streams segmented profiles, executor-side") {
+    val storeDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-seg-store-").toString
+    val q = ProfileStream.toStore(
+      eventsStream, "ts", "1 hour", watermark = "1 hour",
+      storePath = storeDir, datasetId = "events_seg",
+      profiler = new Profiler(MetricConfig(),
+        ResolverSpec(byKind = _ => Seq(Namespace.Counts, Namespace.Distribution))),
+      columns = Some(Seq("value")),
+      segmentColumns = Seq("event_type"))
+    q.awaitTermination()
+    val store = new ProfileStore(spark, storeDir)
+    // merged segments across every window account for every row per type
+    val segs = store.readSegments("events_seg", 0L, Long.MaxValue)
+    val expected = eventsBatch.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(segs.keySet == expected.keySet)
+    expected.foreach { case (et, n) =>
+      assert(segs(et).columns("value").counts.get.n == n, s"segment $et")
+    }
+  }
+
   test("toStore streams window profiles into the profile store") {
     val storeDir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "stream-store-").toString
