@@ -522,6 +522,35 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** v0 migration (reference `migration/converters.py`): each partial
+    * profile round-trips through the legacy `DatasetProfileMessageV0`
+    * container before the merge — counts, type counters, ints and the
+    * kll-derived min/max all survive the v0 framing exactly. */
+  private def qV0MigrationRoundtrip = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = new Profiler()
+      val merged = (0 until 3)
+        .map(i => p.profile(li.filter(F.col("l_orderkey") % 3 === i), Some(liNumeric)))
+        .map(v => graft.profile.MigrationV0.fromV0Bytes(graft.profile.MigrationV0.toV0Bytes(v)))
+        .reduce(_ merge _)
+      import s.implicits._
+      liNumeric.sorted.map { c =>
+        val v = merged.columns(c)
+        val d = v.distribution.get
+        (c, v.counts.get.n, v.counts.get.nulls, d.n, d.min.get, d.max.get)
+      }.toDF("col_name", "n", "nulls", "present", "vmin", "vmax").orderBy("col_name")
+    },
+    Some {
+      liNumeric.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS nulls,
+           | count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))) AS present,
+           | CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax
+           | FROM lineitem""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** Segmented `WHY1` multi-profile file (DatasetSegmentHeader, reference
     * `segmented_dataset_profile_view.py`): segment profiles round-trip
     * through one multi-segment container, tags intact. */
@@ -1200,6 +1229,7 @@ object StandardQueries {
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
     "why1_roundtrip" -> qWhy1Roundtrip,
     "why1_segmented_roundtrip" -> qWhy1SegmentedRoundtrip,
+    "v0_migration_roundtrip" -> qV0MigrationRoundtrip,
     "condition_counts" -> qConditionCounts,
     "condition_counts_parsed" -> qConditionCountsParsed,
     "constraints_report" -> qConstraintsReport,
