@@ -14,20 +14,39 @@ import org.apache.spark.sql.{functions => F}
   * span columns. Values: double-quoted strings (with `\"` and `\\`
   * escapes) or numeric literals.
   *
-  * Metric-/profile-getter references (`:column:metric/component`) are
-  * intentionally out of scope: metric-level predicates are Scala
-  * closures over summaries here (Constraints), not strings.
+  * Metric-/profile-getter references (reference
+  * `core/predicate_parser.py:46-76`, `core/metric_getters.py`) are
+  * supported as values: `::metric/component` reads the named summary
+  * component of the CURRENT column, `:column:metric/component` that of
+  * another column (`\:` escapes a colon in the column name). They bind
+  * against a profile via [[Pred.bindRefs]] before compiling — the getter
+  * becomes a literal, so the compiled predicate is still a plain Catalyst
+  * expression.
   *
   * Row predicates compile 1:1 to Catalyst columns, so a parsed predicate
   * fuses into the same scan as everything else.
   */
 object Predicates {
 
+  import graft.profile.DatasetProfileView
+
   sealed trait Pred {
     def serialize: String
     /** Compile to a Catalyst predicate; `resolve` maps component names
       * (`x` = the target value) to Columns. */
     def toColumn(resolve: String => Column): Column
+
+    /** Resolve metric-getter values against a profile: `::path` against
+      * `currentColumn`, `:col:path` against that column's summary. The
+      * result contains only literal values and compiles anywhere. */
+    def bindRefs(view: DatasetProfileView, currentColumn: Option[String] = None): Pred =
+      this match {
+        case Rel(op, c, ref: MetricRef) => Rel(op, c, ref.resolve(view, currentColumn))
+        case r: Rel    => r
+        case And(l, r) => And(l.bindRefs(view, currentColumn), r.bindRefs(view, currentColumn))
+        case Or(l, r)  => Or(l.bindRefs(view, currentColumn), r.bindRefs(view, currentColumn))
+        case Not(p)    => Not(p.bindRefs(view, currentColumn))
+      }
   }
 
   final case class Rel(op: String, component: String, value: Value) extends Pred {
@@ -86,6 +105,40 @@ object Predicates {
     def lit: Column = F.lit(v)
   }
 
+  /** Metric-getter reference (reference `metric_getters.py`): reads a
+    * summary component — `column = None` means the current column
+    * (`::metric/path`), `Some(c)` another column (`:c:metric/path`).
+    * Must be bound via [[Pred.bindRefs]] before compiling. */
+  final case class MetricRef(column: Option[String], path: String) extends Value {
+    def serialize: String =
+      ":" + column.map(_.replace(":", "\\:")).getOrElse("") + ":" + path
+    def asString: String =
+      throw new IllegalStateException(s"unbound metric reference $serialize — call bindRefs first")
+    def lit: Column = F.lit(asString)
+
+    private[Predicates] def resolve(view: DatasetProfileView, currentColumn: Option[String]): Value = {
+      val colName = column.orElse(currentColumn).getOrElse(
+        throw new IllegalArgumentException(
+          s"metric reference $serialize needs a current column to bind against"))
+      val col = view.columns.getOrElse(colName,
+        throw new IllegalArgumentException(s"metric reference $serialize: no column '$colName' in profile"))
+      val summary = col.summaryMap
+      // reference MultiMetric paths use ns/sub:subns/comp; our summary
+      // keys flatten with slashes
+      val v = summary.get(path).orElse(summary.get(path.replace(':', '/'))).getOrElse(
+        throw new IllegalArgumentException(
+          s"metric reference $serialize: no summary component '$path' on '$colName' " +
+            s"(available: ${summary.keys.toSeq.sorted.take(8).mkString(", ")}…)"))
+      v match {
+        case l: Long   => IntValue(l)
+        case i: Int    => IntValue(i.toLong)
+        case d: Double => NumValue(d)
+        case s: String => StrValue(s)
+        case other     => NumValue(String.valueOf(other).toDouble)
+      }
+    }
+  }
+
   private val relOps = Set("~", "~=", "%", "==", "!=", "<", "<=", ">", ">=")
 
   /** Parse the prefix-notation DSL. Inverse of `Pred.serialize`. */
@@ -98,6 +151,18 @@ object Predicates {
   /** Compile a serialized predicate against a single target column. */
   def compile(expression: String, target: Column): Column =
     parse(expression).toColumn {
+      case "x"  => target
+      case name => F.col(name)
+    }
+
+  /** Compile with metric-getter references bound against `profile`
+    * (`::path` resolves on `currentColumn`). */
+  def compile(
+      expression: String,
+      target: Column,
+      profile: graft.profile.DatasetProfileView,
+      currentColumn: Option[String]): Column =
+    parse(expression).bindRefs(profile, currentColumn).toColumn {
       case "x"  => target
       case name => F.col(name)
     }
@@ -123,9 +188,28 @@ object Predicates {
 
   private def parseValue(op: String, token: String): Value =
     if (token.startsWith("\"")) StrValue(unescape(token.substring(1, token.length - 1)))
+    else if (token.startsWith(":")) parseMetricRef(token)
     else if (op == "~" || op == "~=" || op == "%") StrValue(token) // bare regex
     else if (token.matches("[-+]?\\d+")) IntValue(token.toLong)
     else NumValue(token.toDouble)
+
+  /** `::metric/path` or `:column:metric/path` with `\:` escapes in the
+    * column section (reference `predicate_parser.py:27-31,46-47`). */
+  private def parseMetricRef(token: String): MetricRef = {
+    var i = 1
+    val col = new StringBuilder
+    var closed = false
+    while (i < token.length && !closed) {
+      token.charAt(i) match {
+        case '\\' if i + 1 < token.length && token.charAt(i + 1) == ':' =>
+          col.append(':'); i += 2
+        case ':' => closed = true; i += 1
+        case c   => col.append(c); i += 1
+      }
+    }
+    require(closed && i < token.length, s"malformed metric reference '$token'")
+    MetricRef(if (col.isEmpty) None else Some(col.toString), token.substring(i))
+  }
 
   private def unescape(s: String): String = {
     val b = new StringBuilder
@@ -158,6 +242,22 @@ object Predicates {
         }
         require(closed, s"unterminated string literal in predicate '$s'")
         out += s.substring(start, math.min(i, s.length))
+      } else if (c == ':') {
+        // metric reference: the `:column:` section may contain spaces and
+        // \:-escaped colons; the path tail is space-delimited
+        val start = i
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          s.charAt(i) match {
+            case '\\' if i + 1 < s.length && s.charAt(i + 1) == ':' => i += 2
+            case ':' => closed = true; i += 1
+            case _   => i += 1
+          }
+        }
+        require(closed, s"unterminated metric reference in predicate '$s'")
+        while (i < s.length && s.charAt(i) != ' ') i += 1
+        out += s.substring(start, i)
       } else {
         val start = i
         while (i < s.length && s.charAt(i) != ' ') i += 1

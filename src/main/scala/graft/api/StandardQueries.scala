@@ -623,6 +623,30 @@ object StandardQueries {
            | count(*) FILTER (WHERE NOT p_size < 25), count(*) FROM part
            | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
 
+  /** Metric-getter references in the predicate DSL (reference
+    * `core/predicate_parser.py:46-76`): thresholds come from a PROFILE of
+    * the same table, bound via `bindRefs` into literals before compiling.
+    * Both referenced components (counts/n, counts/null) are exact
+    * integers, so the oracle can recompute them in SQL. */
+  private def qConditionCountsMetricRef = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val prof = new Profiler().profile(orders, Some(Seq("o_custkey", "o_totalprice")))
+      def cond(name: String, expr: String, target: String) = Condition(name,
+        Predicates.compile(expr, F.col(target), prof, Some(target)))
+      Conditions.countsDF(orders, Seq(
+        cond("key_gt_null_count", "> x :o_custkey:counts/null", "o_orderkey"),
+        // current-column form: total count of o_totalprice observations
+        cond("price_lt_n", "< x ::counts/n", "o_totalprice")))
+        .orderBy("condition")
+    },
+    Some("""SELECT 'key_gt_null_count' AS condition,
+           | count(*) FILTER (WHERE o_orderkey > (SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders)) AS matches,
+           | count(*) AS total FROM orders
+           | UNION ALL SELECT 'price_lt_n',
+           | count(*) FILTER (WHERE o_totalprice < (SELECT count(*) FROM orders)), count(*) FROM orders
+           | ORDER BY condition""".stripMargin.replaceAll("\n", " ")))
+
   private def constraintSuite = Seq(
     Constraints.noMissingValues("l_orderkey"),
     Constraints.isNonNegative("l_quantity"),
@@ -1232,6 +1256,7 @@ object StandardQueries {
     "v0_migration_roundtrip" -> qV0MigrationRoundtrip,
     "condition_counts" -> qConditionCounts,
     "condition_counts_parsed" -> qConditionCountsParsed,
+    "condition_counts_metric_ref" -> qConditionCountsMetricRef,
     "constraints_report" -> qConstraintsReport,
     "constraints_comparison" -> qConstraintsComparison,
     "validators" -> qValidators,

@@ -33,6 +33,48 @@ class PredicateSpec extends SparkSpec {
     assert(Conditions.validate(table("orders"), Seq.empty, "o_orderkey").isEmpty)
   }
 
+  test("metric references parse, serialize, and bind against a profile") {
+    import graft.profile._
+    // parse/serialize inverse, incl. escaped colon + current-column form
+    Seq(">= x :l_quantity:distribution/mean",
+        "< x ::counts/n",
+        "== x :a\\:b:counts/null").foreach { e =>
+      val p = Predicates.parse(e)
+      assert(Predicates.parse(p.serialize).serialize == p.serialize, e)
+    }
+    assert(Predicates.parse("== x :a\\:b:counts/n") ==
+      Predicates.Rel("==", "x", Predicates.MetricRef(Some("a:b"), "counts/n")))
+    // column names may contain spaces (reference token regex allows them)
+    assert(Predicates.parse(">= x :my col:counts/n") ==
+      Predicates.Rel(">=", "x", Predicates.MetricRef(Some("my col"), "counts/n")))
+
+    val view = DatasetProfileView(Map(
+      "q" -> ColumnProfileView(
+        counts = Some(CountsSummary(10, 2, 0, 0, 0)),
+        distribution = Some(DistributionSummary(8, 25.5, 0.0, Some(1.0), Some(50.0),
+          Seq.empty, Seq.empty, Array.emptyByteArray)))))
+    val bound = Predicates.parse(">= x :q:distribution/mean").bindRefs(view)
+    assert(bound == Predicates.Rel(">=", "x", Predicates.NumValue(25.5)))
+    // ::path binds against the current column
+    val cur = Predicates.parse("< x ::counts/null").bindRefs(view, Some("q"))
+    assert(cur == Predicates.Rel("<", "x", Predicates.IntValue(2)))
+    // unbound refs refuse to compile; missing components fail loudly
+    intercept[IllegalStateException](
+      Predicates.parse("< x ::counts/n").toColumn(_ => F.lit(1)))
+    intercept[IllegalArgumentException](
+      Predicates.parse("< x :q:cardinality/est").bindRefs(view))
+  }
+
+  test("profile-bound predicate filters rows like the equivalent literal") {
+    val li = table("lineitem")
+    val prof = new graft.api.Profiler().profile(li, Some(Seq("l_quantity")))
+    val mean = prof.columns("l_quantity").distribution.get.mean
+    val got = li.filter(Predicates.compile(
+      ">= x :l_quantity:distribution/mean", F.col("l_quantity"), prof, None)).count()
+    val want = li.filter(F.col("l_quantity") >= mean).count()
+    assert(got == want && got > 0)
+  }
+
   test("compiled predicates match hand-built Catalyst conditions") {
     import spark.implicits._
     val df = Seq(("red apple", 1200.0, 30), ("blue pear", 900.0, 10),
