@@ -434,11 +434,12 @@ object StandardQueries {
     * with whole-table SQL on every exact field. */
   private def qMergeProfiles = Q(
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val p = new Profiler()
-      val even = p.profile(li.filter(F.col("l_orderkey") % 2 === 0), Some(liNumeric))
-      val odd = p.profile(li.filter(F.col("l_orderkey") % 2 =!= 0), Some(liNumeric))
-      val merged = even.merge(odd)
+      val li = t(s, dir, "lineitem").withColumn("__part", F.col("l_orderkey") % 2)
+      // one segmented scan produces both independently-aggregated partial
+      // profiles; the monoid merge under test happens driver-side
+      val parts = new Profiler()
+        .profileSegmented(li.select((F.col("__part") +: liNumeric.map(F.col)): _*), Seq("__part"))
+      val merged = parts.values.reduce(_ merge _)
       import s.implicits._
       liNumeric.sorted.map { c =>
         val v = merged.columns(c)
@@ -499,10 +500,12 @@ object StandardQueries {
     * value has survived the protobuf framing + DataSketches images. */
   private def qWhy1Roundtrip = Q(
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val p = new Profiler()
-      val merged = (0 until 3)
-        .map(i => p.profile(li.filter(F.col("l_orderkey") % 3 === i), Some(liNumeric)))
+      val li = t(s, dir, "lineitem").withColumn("__part", F.col("l_orderkey") % 3)
+      // one segmented scan yields the three partial profiles (vs three
+      // filtered full scans)
+      val merged = new Profiler()
+        .profileSegmented(li.select((F.col("__part") +: liNumeric.map(F.col)): _*), Seq("__part"))
+        .values
         .map(v => Why1.fromBytes(Why1.toBytes(v)))
         .reduce(_ merge _)
       import s.implicits._
@@ -528,10 +531,10 @@ object StandardQueries {
     * kll-derived min/max all survive the v0 framing exactly. */
   private def qV0MigrationRoundtrip = Q(
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val p = new Profiler()
-      val merged = (0 until 3)
-        .map(i => p.profile(li.filter(F.col("l_orderkey") % 3 === i), Some(liNumeric)))
+      val li = t(s, dir, "lineitem").withColumn("__part", F.col("l_orderkey") % 3)
+      val merged = new Profiler()
+        .profileSegmented(li.select((F.col("__part") +: liNumeric.map(F.col)): _*), Seq("__part"))
+        .values
         .map(v => graft.profile.MigrationV0.fromV0Bytes(graft.profile.MigrationV0.toV0Bytes(v)))
         .reduce(_ merge _)
       import s.implicits._
@@ -701,11 +704,12 @@ object StandardQueries {
     * its boundary on this data (documented). */
   private def qConstraintsComparison = Q(
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val p = new Profiler()
-      val cols = Some(liNumeric :+ "l_returnflag")
-      val target = p.profile(li.filter(F.col("l_orderkey") % 2 === 0), cols)
-      val ref = p.profile(li.filter(F.col("l_orderkey") % 2 =!= 0), cols)
+      val li = t(s, dir, "lineitem").withColumn("__part", F.col("l_orderkey") % 2)
+      val cols = liNumeric :+ "l_returnflag"
+      val parts = new Profiler()
+        .profileSegmented(li.select((F.col("__part") +: cols.map(F.col)): _*), Seq("__part"))
+      val target = parts(Seq("0"))
+      val ref = parts(Seq("1"))
       val suite = ComparisonConstraints(
         ComparisonConstraints.schemaMatches,
         ComparisonConstraints.rowCountWithinPct("l_orderkey", 0.1),
@@ -892,10 +896,11 @@ object StandardQueries {
   private def qDriftScores = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val p = new Profiler()
       val median = li.agg(F.expr("percentile(l_orderkey, 0.5D)")).collect()(0).getDouble(0)
-      val target = p.profile(li.filter(F.col("l_orderkey") <= median))
-      val ref = p.profile(li.filter(F.col("l_orderkey") > median))
+      val parts = new Profiler().profileSegmented(
+        li.withColumn("__half", F.col("l_orderkey") <= median), Seq("__half"))
+      val target = parts(Seq("true"))
+      val ref = parts(Seq("false"))
       import s.implicits._
       Drift.scores(target, ref)
         .map(d => (d.column, d.algorithm, d.statistic, d.pValue.getOrElse(-1.0),
