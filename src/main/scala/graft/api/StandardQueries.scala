@@ -465,6 +465,54 @@ object StandardQueries {
     * DateQuery): three "daily" profiles written as GRFT1 blobs in a
     * partitioned parquet store, read back by date range, merged — every
     * exact field must equal whole-table SQL. */
+  /** Summary generation, hash-checked on its exact subset: the long-format
+    * summary DF filtered to counts/types/ints — every value is an exact
+    * integer, so DuckDB can recompute the full (column, metric, value)
+    * table. (Sketch-derived summary entries stay covered by
+    * `full_profile_summary` rows-only + the per-metric exact queries.) */
+  private def qProfileSummaryExact = Q(
+    (s, dir) => {
+      val cols = liNumeric ++ Seq("l_returnflag", "l_linestatus")
+      val li = t(s, dir, "lineitem").select(cols.map(F.col): _*)
+      new Profiler().summaryDF(li)
+        .filter(F.col("metric").rlike("^(counts/|types/|ints/)"))
+        .select(F.col("column").as("col_name"), F.col("metric"), F.col("value"))
+        .orderBy("col_name", "metric")
+    },
+    Some {
+      val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      def row(c: String, m: String, expr: String) =
+        s"SELECT '$c' AS col_name, '$m' AS metric, CAST($expr AS DOUBLE) AS value FROM lineitem"
+      val zero = "count(*) FILTER (WHERE FALSE)"
+      val rows = (intCols ++ dblCols ++ strCols).flatMap { c =>
+        val isDbl = dblCols.contains(c)
+        val isInt = intCols.contains(c)
+        val isStr = strCols.contains(c)
+        Seq(
+          row(c, "counts/n", "count(*)"),
+          row(c, "counts/null", s"count(*) FILTER (WHERE $c IS NULL)"),
+          // constant-zero metrics still need an aggregate so each SELECT
+          // yields exactly one row
+          row(c, "counts/nan", if (isDbl) s"count(*) FILTER (WHERE isnan($c))" else zero),
+          row(c, "counts/inf", if (isDbl)
+            s"count(*) FILTER (WHERE $c = 'infinity'::DOUBLE OR $c = '-infinity'::DOUBLE)" else zero),
+          row(c, "counts/true", zero),
+          row(c, "types/integral", if (isInt) s"count($c)" else zero),
+          row(c, "types/fractional", if (isDbl)
+            s"count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan($c))" else zero),
+          row(c, "types/boolean", zero),
+          row(c, "types/string", if (isStr) s"count($c)" else zero),
+          row(c, "types/object", zero),
+          row(c, "types/tensor", zero)) ++
+          (if (isInt) Seq(
+            row(c, "ints/min", s"min($c)"), row(c, "ints/max", s"max($c)"))
+           else Seq.empty)
+      }
+      rows.mkString("", " UNION ALL ", " ORDER BY col_name, metric")
+    })
+
   private def qProfileStoreRoundtrip = Q(
     (s, dir) => {
       val storeDir = "target/tmp/profile_store_" + java.util.UUID.randomUUID().toString
@@ -1255,6 +1303,7 @@ object StandardQueries {
     "segmented_filtered_profile" -> qSegmentedFilteredProfile,
     "merge_profiles" -> qMergeProfiles,
     "full_profile_summary" -> qFullProfileSummary,
+    "profile_summary_exact" -> qProfileSummaryExact,
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
     "why1_roundtrip" -> qWhy1Roundtrip,
     "why1_segmented_roundtrip" -> qWhy1SegmentedRoundtrip,
