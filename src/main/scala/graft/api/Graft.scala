@@ -46,6 +46,35 @@ object Graft {
     SegmentedResultSet(
       new Profiler(config, resolver).profileSegmented(df, segmentColumns, filter))
 
+  /** `why.log_classification_metrics` (reference
+    * `api/logger/__init__.py`): confusion matrix over
+    * (target, prediction[, score]), attached to a profile view — of the
+    * full data when `logFullData`, else of just the metric columns. */
+  def logClassificationMetrics(
+      df: DataFrame, target: Column, prediction: Column,
+      score: Option[Column] = None, logFullData: Boolean = false,
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): ProfileResultSet = {
+    val base =
+      if (logFullData) new Profiler(config, resolver).profile(df)
+      else DatasetProfileView.empty
+    val cm = graft.analysis.ModelPerf.confusionMatrix(df, target, prediction, score)
+    ProfileResultSet(graft.analysis.ModelPerf.attach(base, confusion = Some(cm)))
+  }
+
+  /** `why.log_regression_metrics`. */
+  def logRegressionMetrics(
+      df: DataFrame, target: Column, prediction: Column,
+      logFullData: Boolean = false,
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): ProfileResultSet = {
+    val base =
+      if (logFullData) new Profiler(config, resolver).profile(df)
+      else DatasetProfileView.empty
+    val rg = graft.analysis.ModelPerf.regression(df, target, prediction)
+    ProfileResultSet(graft.analysis.ModelPerf.attach(base, regression = Some(rg)))
+  }
+
   /** `why.write` / `why.read` — local binary profile files. */
   def write(result: ProfileResultSet, path: String): Unit =
     graft.profile.ProfileSerde.writeTo(result.view, path)

@@ -125,13 +125,15 @@ object MigrationV0 {
 
   private final case class NumbersV0(
       varCount: Long, varSum: Double, varMean: Double,
-      longsMin: Option[Long], longsMax: Option[Long],
+      // presence tracked at the LongsMessage level: proto3 omits
+      // zero-valued min/max fields inside a present message
+      longs: Option[(Long, Long)],
       doublesCount: Long, doublesSum: Double,
       histogram: Array[Byte])
 
   private def readNumbers(m: Reader): NumbersV0 = {
     var vc = 0L; var vs = 0.0; var vm = 0.0
-    var lMin: Option[Long] = None; var lMax: Option[Long] = None
+    var longs: Option[(Long, Long)] = None
     var dc = 0L; var ds = 0.0
     var hist = Array.emptyByteArray
     while (m.hasRemaining) {
@@ -160,19 +162,21 @@ object MigrationV0 {
           }
         case (3, ProtoWire.WireLen) => // LongsMessage{count,min,max,sum}
           val l = m.readMessage()
+          var lMin = 0L; var lMax = 0L
           while (l.hasRemaining) {
             val (lf, lw) = l.readTag()
             (lf, lw) match {
-              case (2, ProtoWire.WireVarint) => lMin = Some(l.readVarint())
-              case (3, ProtoWire.WireVarint) => lMax = Some(l.readVarint())
+              case (2, ProtoWire.WireVarint) => lMin = l.readVarint()
+              case (3, ProtoWire.WireVarint) => lMax = l.readVarint()
               case _ => l.skip(lw)
             }
           }
+          longs = Some((lMin, lMax))
         case (4, ProtoWire.WireLen) => hist = m.readBytes()
         case _ => m.skip(w)
       }
     }
-    NumbersV0(vc, vs, vm, lMin, lMax, dc, ds, hist)
+    NumbersV0(vc, vs, vm, longs, dc, ds, hist)
   }
 
   /** Returns (sketch, exact): a doubles image heapifies bit-exactly; a
@@ -258,8 +262,9 @@ object MigrationV0 {
       typeCounts.getOrElse(TIntegral, 0L), typeCounts.getOrElse(TFractional, 0L),
       typeCounts.getOrElse(TBoolean, 0L), typeCounts.getOrElse(TString, 0L),
       typeCounts.getOrElse(TUnknown, 0L), 0L))
-    val ints = numbers.map(n => IntsSummary(
-      n.longsMin.filter(_ != Long.MaxValue), n.longsMax.filter(_ != -Long.MaxValue)))
+    val ints = numbers.flatMap(_.longs).map { case (mn, mx) =>
+      IntsSummary(Some(mn).filter(_ != Long.MaxValue), Some(mx).filter(_ != -Long.MaxValue))
+    }
     val dist = numbers.flatMap { n =>
       histogramToDoubles(n.histogram).map { case (sk, exact) =>
         val (mn, mx) = if (sk.isEmpty) (None, None) else (Some(sk.getMinItem), Some(sk.getMaxItem))
@@ -270,8 +275,11 @@ object MigrationV0 {
         // sketch's internal n is the sample count, so use the variance
         // tracker's count there instead
         val distN = if (exact) sk.getN else n.varCount
+        // keep the original image on the exact path: re-serializing
+        // normalizes level-zero sort state and breaks byte identity
+        val kllBytes = if (exact) n.histogram else sk.toByteArray
         DistributionSummary(distN, n.varMean, n.varSum, mn, mx,
-          if (qs.isEmpty) Seq.empty else ranks, qs, sk.toByteArray)
+          if (qs.isEmpty) Seq.empty else ranks, qs, kllBytes)
       }
     }
     val card =

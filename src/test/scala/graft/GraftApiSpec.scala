@@ -25,6 +25,23 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.read(path).view.summaryRows == r.view.summaryRows)
   }
 
+  test("logClassificationMetrics / logRegressionMetrics attach model perf") {
+    import spark.implicits._
+    val preds = Seq(("cat", "cat", 0.9, 1.0, 1.2), ("cat", "dog", 0.4, 2.0, 1.5),
+      ("dog", "dog", 0.8, 3.0, 3.25)).toDF("t", "p", "s", "y", "yhat")
+    val cls = Graft.logClassificationMetrics(preds,
+      org.apache.spark.sql.functions.col("t"), org.apache.spark.sql.functions.col("p"),
+      logFullData = true)
+    val cm = cls.view.modelPerformance.get.confusion.get
+    assert(cm.count("cat", "cat") == 1 && cm.count("cat", "dog") == 1 && cm.count("dog", "dog") == 1)
+    assert(cls.view.columns("s").counts.get.n == 3) // logFullData profiles columns too
+    val reg = Graft.logRegressionMetrics(preds,
+      org.apache.spark.sql.functions.col("y"), org.apache.spark.sql.functions.col("yhat"))
+    val r = reg.view.modelPerformance.get.regression.get
+    assert(r.n == 3 && math.abs(r.absErrorSum - (0.2 + 0.5 + 0.25)) < 1e-9)
+    assert(reg.view.columns.isEmpty) // metrics-only log
+  }
+
   test("drift overrides force the chosen algorithm per column") {
     import graft.analysis.Drift
     val li = table("lineitem")

@@ -97,4 +97,16 @@ class ProfilerSpec extends SparkSpec {
     assert(v1.columns.keySet == v2.columns.keySet)
     assert(v1.columns("l_quantity").counts == v2.columns("l_quantity").counts)
   }
+
+  test("single-pass profile survives a 300-column schema") {
+    import org.apache.spark.sql.{functions => F}
+    val n = 300
+    val wide = spark.range(2000).select(
+      F.col("id") +: (0 until n).map(i => (F.col("id") * i % 97).as(s"c$i")): _*)
+    val view = new Profiler().profile(wide)
+    assert(view.columns.size == n + 1)
+    assert(view.columns("c7").counts.get.n == 2000)
+    assert(view.columns("c7").ints.get.max.contains(96L))
+    assert(view.columns("c0").distribution.get.n == 2000)
+  }
 }
