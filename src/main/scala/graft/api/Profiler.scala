@@ -160,6 +160,10 @@ class Profiler(
   def profileDF(df: DataFrame, columns: Option[Seq[String]] = None): DataFrame = {
     val aggs = aggColumns(df.schema, columns)
     require(aggs.nonEmpty, "no profilable columns")
+    // NOT pre-repartitioned: for single-split local inputs the row
+    // exchange was re-measured (round 4) slower than the lost
+    // parallelism of the partial stage at these row counts; real
+    // multi-split tables parallelize at the source.
     df.agg(aggs.head, aggs.tail: _*)
   }
 
