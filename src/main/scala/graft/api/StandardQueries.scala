@@ -1106,6 +1106,41 @@ object StandardQueries {
     * oracle recomputes cosine distance with the explicit
     * dot/(sqrt·sqrt) formula so both engines accumulate doubles in the
     * same order — values are bit-identical, not just rank-identical. */
+  /** Embedding-cosine near-dup, exact variant: all pairs at sim ≥ τ via
+    * broadcast self-join — the oracle baseline (the LSH variant below is
+    * the scale path). τ=0.4 sits in this corpus's top-similarity tail
+    * (59 pairs at sf0.01); near-dup thresholds on real embedding spaces
+    * are data-dependent. */
+  private def qDedupEmbedding = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineNearDupExact(emb, "vec_id", "embedding", tau = 0.4)
+        .orderBy("a", "b")
+    },
+    Some("""SELECT a.vec_id AS a, b.vec_id AS b,
+           | list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+           | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           | WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+           | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
+  /** LSH-bucketed cosine near-dup (random hyperplanes): rows-only — the
+    * found set is a high-recall subset by LSH nature; PipelineSpec gates
+    * recall ≥ 0.9 against the exact variant. */
+  private def qDedupEmbeddingLsh = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // low τ needs wide bands: 24 bands × 4 bits ⇒ find-prob ≥ 0.98 at
+      // sim 0.4 (see Similarity.cosineNearDupLsh scaladoc)
+      Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        tau = 0.4, bitsPerBand = 4, bands = 24)
+        .orderBy("a", "b")
+    },
+    None)
+
   private def qEmbeddingMetric = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1329,6 +1364,8 @@ object StandardQueries {
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
     "embedding_ivf_recall" -> qEmbeddingIvfRecall,
+    "dedup_embedding" -> qDedupEmbedding,
+    "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
     "doc_fingerprint" -> qDocFingerprint,

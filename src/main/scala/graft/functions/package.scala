@@ -69,6 +69,11 @@ package object functions {
     F.sum((d * d).cast("decimal(38,8)")).cast("double")
   }
 
+  /** Random-hyperplane LSH band bucket keys for an embedding column
+    * (array<double>); deterministic per seed. */
+  def hyperplane_bands(vec: Column, bitsPerBand: Int, bands: Int, seed: Long = 42L): Column =
+    exprColumn(HyperplaneBands(columnExpr(vec.cast("array<double>")), bitsPerBand, bands, seed))
+
   /** Cosine similarity between two Array[Float]/Array[Double] columns,
     * computed with codegen'd higher-order functions (no UDF). */
   def cosine_similarity(a: Column, b: Column): Column = {

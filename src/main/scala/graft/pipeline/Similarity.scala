@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.{cosine_similarity, top_k_agg}
+import graft.functions.{cosine_similarity, hyperplane_bands, top_k_agg}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
@@ -147,5 +147,60 @@ object Similarity {
       .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
       .select("query_id", "neighbor_id", "score")
     topKPerGroup(scored, "query_id", "neighbor_id", "score", k)
+  }
+
+  // ------------------------------------------------------------------
+  // embedding-cosine near-duplicate detection
+  // ------------------------------------------------------------------
+
+  /** Exact cosine near-duplicate pairs (`a < b`, `sim >= tau`) by
+    * broadcast self-join: the all-pairs baseline/oracle, O(n²/2)
+    * comparisons distributed map-side. Use [[cosineNearDupLsh]] as the
+    * scale path; this variant is for verification scale and as the
+    * within-bucket verify step. */
+  def cosineNearDupExact(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.9): DataFrame = {
+    val l = df.select(F.col(idCol).as("a"), F.col(vecCol).cast("array<double>").as("__va"))
+    val r = df.select(F.col(idCol).as("b"), F.col(vecCol).cast("array<double>").as("__vb"))
+    l.crossJoin(F.broadcast(r))
+      .filter(F.col("a") < F.col("b"))
+      .withColumn("sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+      .filter(F.col("sim") >= tau)
+      .select("a", "b", "sim")
+  }
+
+  /** LSH-bucketed cosine near-dup — the 100 TB shape: a map-only
+    * hyperplane signature per row, a band exchange carrying ONLY
+    * (band, bucket, id), pair dedup, then exact-cosine verification on
+    * vectors re-fetched by joining the deduped pair list (same structure
+    * as [[Dedup.minHashNearDups]] — arrays never ride the band exchange).
+    *
+    * Recall is the standard sign-LSH bound: a pair at angle θ survives a
+    * band with prob (1−θ/π)^bits and is found with
+    * 1−(1−(1−θ/π)^bits)^bands. Defaults (8 bits × 16 bands) give ≥ 0.995
+    * at sim 0.9 and prune ~94% of random pairs; lower `tau` needs wider
+    * bands (fewer bits) — pair with a recall gate against
+    * [[cosineNearDupExact]] like the IVF recall query does. */
+  def cosineNearDupLsh(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.9, bitsPerBand: Int = 8, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val vecs = df.select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
+    val banded = vecs.select(F.col("id"),
+      F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(F.col("band"), F.col("bucket"), F.col("id").as("a"))
+    val r = banded.select(F.col("band"), F.col("bucket"), F.col("id").as("b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
+      .filter(F.col("a") < F.col("b"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    pairs
+      .join(vecs.select(F.col("id").as("a"), F.col("__v").as("__va")), Seq("a"))
+      .join(vecs.select(F.col("id").as("b"), F.col("__v").as("__vb")), Seq("b"))
+      .withColumn("sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+      .filter(F.col("sim") >= tau)
+      .select("a", "b", "sim")
   }
 }

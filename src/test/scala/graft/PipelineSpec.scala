@@ -60,6 +60,29 @@ class PipelineSpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.9, s"recall ${hits.toDouble / total}")
   }
 
+  test("cosine near-dup: LSH recall >= 0.9 vs exact; verified sims identical") {
+    val emb = table("embeddings")
+    val exact = Similarity.cosineNearDupExact(emb, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "corpus should contain pairs above tau")
+    val lsh = Similarity.cosineNearDupLsh(emb, tau = 0.4, bitsPerBand = 4, bands = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is a true pair with the identical exact similarity
+    lsh.foreach { case (k, sim) => assert(exact.get(k).contains(sim), k) }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("cosine near-dup LSH: zero and empty vectors form no buckets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 1e-6f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array[Float]())).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupLsh(df, tau = 0.9, bitsPerBand = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // degenerate vectors never pair
+  }
+
   test("exact dedup keeps NULL-text rows as one duplicate group") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, null), (3L, null), (4L, "a")).toDF("doc_id", "text")
