@@ -181,7 +181,13 @@ object Similarity {
     * 1−(1−(1−θ/π)^bits)^bands. Defaults (8 bits × 16 bands) give ≥ 0.995
     * at sim 0.9 and prune ~94% of random pairs; lower `tau` needs wider
     * bands (fewer bits) — pair with a recall gate against
-    * [[cosineNearDupExact]] like the IVF recall query does. */
+    * [[cosineNearDupExact]] like the IVF recall query does.
+    *
+    * The banded projection is deliberately NOT persisted (unlike
+    * [[Dedup.minHashNearDups]]'s shingle pipeline): both join sides
+    * recompute the signature map, but it is O(dim × bits) arithmetic
+    * straight off the scan — two cheap map passes beat caching
+    * bands × n rows at corpus scale. */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       tau: Double = 0.9, bitsPerBand: Int = 8, bands: Int = 16,
