@@ -74,9 +74,17 @@ package object functions {
   def hyperplane_bands(vec: Column, bitsPerBand: Int, bands: Int, seed: Long = 42L): Column =
     exprColumn(HyperplaneBands(columnExpr(vec.cast("array<double>")), bitsPerBand, bands, seed))
 
-  /** Cosine similarity between two Array[Float]/Array[Double] columns,
-    * computed with codegen'd higher-order functions (no UDF). */
-  def cosine_similarity(a: Column, b: Column): Column = {
+  /** Cosine similarity between two Array[Float]/Array[Double] columns —
+    * a native one-pass codegen expression (see [[CosineSimilarity]]; the
+    * HOF formulation it replaces re-walked the arrays three times with an
+    * interpreted lambda per element). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    exprColumn(CosineSimilarity(columnExpr(a), columnExpr(b)))
+
+  /** The HOF formulation [[cosine_similarity]] replaced — kept as the
+    * semantics oracle for [[CosineSimilarity]] in unit tests (bit-identical
+    * results required on both the float and double paths). */
+  private[graft] def cosine_similarity_hof(a: Column, b: Column): Column = {
     val dot = F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0d), (s, v) => s + v)
     val na = F.sqrt(F.aggregate(a, F.lit(0.0d), (s, v) => s + v * v))
     val nb = F.sqrt(F.aggregate(b, F.lit(0.0d), (s, v) => s + v * v))

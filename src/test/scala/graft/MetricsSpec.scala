@@ -80,4 +80,45 @@ class MetricsSpec extends SparkSpec {
     val expect = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
     assert(math.abs(got - expect) < 1e-12)
   }
+
+  test("native cosine similarity is bit-identical to the HOF oracle (float + double paths)") {
+    val rnd = new scala.util.Random(7)
+    val floatRows = (1 to 50).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2f - 1f), Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val fdf = floatRows.toDF("a", "b")
+    val fGot = fdf.select(
+      cosine_similarity(F.col("a"), F.col("b")).as("n"),
+      graft.functions.cosine_similarity_hof(F.col("a"), F.col("b")).as("h")).collect()
+    fGot.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"float path diverged: $r")
+    }
+    val ddf = fdf.select(F.col("a").cast("array<double>").as("a"),
+      F.col("b").cast("array<double>").as("b"))
+    val dGot = ddf.select(
+      cosine_similarity(F.col("a"), F.col("b")).as("n"),
+      graft.functions.cosine_similarity_hof(F.col("a"), F.col("b")).as("h")).collect()
+    dGot.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"double path diverged: $r")
+    }
+  }
+
+  test("native cosine similarity edge cases: null array, null element, length mismatch, empty") {
+    val df = Seq(
+      (1, Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0), Some(2.0)))), // ok
+      (2, None, Some(Seq(Some(1.0), Some(2.0)))),                            // null array
+      (3, Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),      // null element
+      (4, Some(Seq(Some(1.0))), Some(Seq(Some(1.0), Some(2.0)))),            // length mismatch
+      (5, Some(Seq.empty[Option[Double]]), Some(Seq.empty[Option[Double]]))  // empty -> NaN
+    ).toDF("id", "a", "b")
+    val rows = df.select(F.col("id"), cosine_similarity(F.col("a"), F.col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).isNullAt(1))
+    assert(rows(4).getDouble(1).isNaN)
+  }
 }
