@@ -1127,9 +1127,13 @@ object StandardQueries {
            |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
            | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
-  /** LSH-bucketed cosine near-dup (random hyperplanes): rows-only — the
-    * found set is a high-recall subset by LSH nature; PipelineSpec gates
-    * recall ≥ 0.9 against the exact variant. */
+  /** LSH-bucketed cosine near-dup (random hyperplanes): deliberately
+    * rows-only. Unlike `dedup_near` (bimodal corpus: noise ≈0.03 vs
+    * planted ≥0.88 ⇒ miss-prob 2e-22, oracle equality provable), this
+    * corpus's pairs cluster AT the τ=0.4 threshold (0.40–0.51 at
+    * sf0.01), so P(find all | redrawn planes) is only ~0.85 even at 32
+    * bands and near-1 needs 64 bands ≈ 2.7× the band-exchange cost.
+    * PipelineSpec gates recall ≥ 0.9 against the exact variant instead. */
   private def qDedupEmbeddingLsh = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1236,6 +1240,28 @@ object StandardQueries {
          |   AND (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) > 0.5
          |   AND (CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0 ELSE CAST(length(text) - len(string_split_regex(trim(text), '\\s+')) + 1 AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END) < 15.0) AS quality_ok,
          | $langCase AS lang_guess
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Token counting both ways the brief's pipelines use it: whitespace
+    * tokens and a BPE-style pre-tokenizer match count (the cheap LLM
+    * token-cost proxy). Pure codegen'd regex expressions, map-only; the
+    * oracle evaluates the identical pattern under RE2 (see
+    * [[TextAnalysis.BpeTokenPattern]] for the dialect-portability
+    * constraints). */
+  private def qTokenCounts = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(F.col("doc_id"),
+        TextAnalysis.tokenCount(F.col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(F.col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+         | len(regexp_extract_all(text, '$pat')) AS bpe_tokens
          | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     })
 
@@ -1368,6 +1394,7 @@ object StandardQueries {
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
+    "token_counts" -> qTokenCounts,
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(

@@ -14,6 +14,21 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     F.when(F.length(F.trim(text)) === 0, 0).otherwise(F.size(F.split(F.trim(text), "\\s+")))
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape, published in the
+    * paper's released tokenizer): English contractions, space-prefixed
+    * letter runs, digit runs, and other-symbol runs. Restricted to
+    * constructs shared by java.util.regex and RE2 (no lookahead, ASCII
+    * classes) so the DuckDB oracle evaluates the identical pattern; both
+    * engines use leftmost-first alternation, so match counts agree. */
+  val BpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+  /** BPE-ish token count: number of [[BpeTokenPattern]] matches — the
+    * standard cheap proxy for LLM token cost (whitespace runs merge into
+    * the following token, mirroring byte-level BPE pre-tokenization). */
+  def bpeTokenCount(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit(BpeTokenPattern), F.lit(0)))
+
   /** Count of alphabetic characters. */
   def alphaCount(text: Column): Column =
     F.length(text) - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
