@@ -126,8 +126,37 @@ object Constraints {
       v => col(v, c).types.exists(t =>
         t.integral + t.fractional + t.string + t.boolean + t.obj + t.tensor > 0))
 
-  // ---- condition factories (`factories/condition_counts.py:4-75`) are
-  // served by Conditions.countsDF (they predicate on the counted result).
+  /** Every counter named in `types` is zero (reference
+    * `factories/types_metrics.py:24-39`; the reference names the
+    * constraint by the complement set — we name by the checked set,
+    * sorted, since Python set iteration order is not reproducible). */
+  def columnHasZeroCountTypes(c: String, types: Seq[String]): Constraint =
+    Constraint(s"column_has_zero_count_types($c,${types.sorted.mkString("+")})", Some(c),
+      v => col(v, c).types.exists { t =>
+        val counters = Map(
+          "boolean" -> t.boolean, "fractional" -> t.fractional,
+          "integral" -> t.integral, "object" -> t.obj,
+          "string" -> t.string, "tensor" -> t.tensor)
+        types.forall(k => counters.get(k).forall(_ == 0L))
+      })
+
+  // ---- condition factories (`factories/condition_counts.py:4-49`) ----
+  // In graft, condition counts are computed beside the profile
+  // (Conditions.countsDF) rather than stored inside it, so these
+  // constraints evaluate against an explicitly supplied counts view —
+  // documented divergence; the profile-view parameter is unused.
+
+  /** All values matched the condition (`condition_counts.py:4-26`). */
+  def conditionMeets(c: String, cond: String,
+      cc: ConstraintSuggestions.ConditionCountsView): Constraint =
+    Constraint(s"condition_meets($c,$cond)", Some(c),
+      _ => cc.matches.get(cond).contains(cc.total))
+
+  /** No value matched the condition (`condition_counts.py:28-49`). */
+  def conditionNeverMeets(c: String, cond: String,
+      cc: ConstraintSuggestions.ConditionCountsView): Constraint =
+    Constraint(s"condition_never_meets($c,$cond)", Some(c),
+      _ => cc.matches.get(cond).contains(0L))
 
   // ---- dataset-level constraints (`metric_constraints.py:246-300`) ----
 

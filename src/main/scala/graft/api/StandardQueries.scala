@@ -788,6 +788,92 @@ object StandardQueries {
            |  abs(t.qmean - r.qmean) <= 0.05 * greatest(1.0, abs(r.qmean)) FROM t, r
            | ORDER BY constraint_name""".stripMargin.replaceAll("\n", " ")))
 
+  /** Constraint generation from a reference profile (reference
+    * `experimental/constraints_generation/__init__.py:25-79` + the six
+    * generator modules): profile two tables, generate a suite from each
+    * view, and evaluate every generated constraint against its own
+    * source profile. The column set is chosen so each generation
+    * decision is reproducible from exact SQL statistics: every supplier
+    * cardinality is HLL-exact (n=100, coupon range), and the lineitem
+    * columns sit robustly on known sides of the few=50 /
+    * proportionately_few=0.01 / uniqueness gates (l_tax: 9 distinct;
+    * l_orderkey: 14.7k distinct of 60k rows, far from its HLL ±3σ
+    * uniqueness band). Two regimes are deliberately excluded as not
+    * SQL-reproducible: l_extendedprice (59,821/60,000 distinct IS
+    * "probably unique" under the ±3σ rule while exact SQL says
+    * otherwise) and l_quantity (exactly 50 distinct: the SET-mode HLL
+    * estimate is a coupon-collision-corrected float ≈ 50.002, so the
+    * strict `est > few` gate fires on the sketch side but not on exact
+    * counts — verified empirically). */
+  private def qConstraintsGenerated = Q(
+    (s, dir) => {
+      val prof = new Profiler()
+      val sup = prof.profile(t(s, dir, "supplier"))
+      val li = prof.profile(t(s, dir, "lineitem"),
+        Some(Seq("l_orderkey", "l_tax", "l_returnflag")))
+      import s.implicits._
+      Seq("supplier" -> sup, "lineitem" -> li).flatMap { case (tbl, view) =>
+        ConstraintSuggestions.suggest(view).map { sc =>
+          val passed =
+            try sc.toConstraint().check(view)
+            catch { case _: NoSuchElementException => false }
+          (tbl, sc.column, sc.kind, sc.lo, sc.hi,
+            (sc.types ++ sc.refSet).mkString("+"), passed)
+        }
+      }.toDF("tbl", "col", "kind", "lo", "hi", "detail", "passed")
+        .orderBy("tbl", "col", "kind")
+    },
+    Some(constraintsGeneratedOracle))
+
+  /** Replays the generation gates in SQL from exact statistics (valid on
+    * the chosen columns — see [[qConstraintsGenerated]]'s scaladoc). */
+  private def constraintsGeneratedOracle: String = {
+    // (table, column, has distribution metric, has frequent-items metric,
+    //  zero-count type list) per the standard resolver on the parquet kinds
+    val intZero = "boolean+fractional+object+string+tensor"
+    val fracZero = "boolean+integral+object+string+tensor"
+    val strZero = "boolean+fractional+integral+object+tensor"
+    val allZero = "boolean+fractional+integral+object+string+tensor"
+    val cols = Seq(
+      ("supplier", "s_suppkey", true, true, intZero),
+      ("supplier", "s_name", false, true, strZero),
+      ("supplier", "s_nationkey", true, true, intZero),
+      ("supplier", "s_acctbal", true, false, fracZero),
+      ("lineitem", "l_orderkey", true, true, intZero),
+      ("lineitem", "l_tax", true, false, fracZero),
+      ("lineitem", "l_returnflag", false, true, strZero))
+    val arms = cols.flatMap { case (tbl, c, dist, fi, zero) =>
+      val mnmx =
+        if (dist) s", CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx"
+        else ""
+      val stats = s"(SELECT count(*) AS n, count($c) AS nn, " +
+        s"count(DISTINCT $c) AS d$mnmx FROM $tbl) s"
+      def arm(kind: String, lo: String, hi: String, detail: String, where: String) =
+        s"SELECT '$tbl' AS tbl, '$c' AS col, '$kind' AS kind, $lo AS lo, " +
+          s"$hi AS hi, $detail AS detail, TRUE AS passed FROM $stats WHERE $where"
+      val noVal = ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      Seq(
+        arm("column_is_probably_unique", noVal._1, noVal._2, "''",
+          "s.d = s.nn AND s.nn > 0"),
+        arm("no_missing_values", noVal._1, noVal._2, "''", "s.nn = s.n"),
+        arm("column_has_zero_count_types", noVal._1, noVal._2, s"'$zero'", "s.nn > 0"),
+        arm("column_has_zero_count_types", noVal._1, noVal._2, s"'$allZero'", "s.nn = 0")) ++
+        (if (dist) Seq(
+          arm("is_non_negative", noVal._1, noVal._2, "''", "s.mn >= 0"),
+          arm("is_in_range", "s.mn", "s.mx", "''",
+            "NOT (s.d = s.nn AND s.nn > 0) AND s.d > 50 " +
+              "AND s.mn IS NOT NULL AND s.mx IS NOT NULL"))
+         else Nil) ++
+        (if (fi) Seq(
+          arm("frequent_strings_in_reference_set", noVal._1, noVal._2,
+            s"(SELECT string_agg(DISTINCT CAST($c AS VARCHAR), '+' " +
+              s"ORDER BY CAST($c AS VARCHAR)) FROM $tbl WHERE $c IS NOT NULL)",
+            "s.d > 0 AND s.d <= 50 AND CAST(s.d AS DOUBLE) / s.nn < 0.01"))
+         else Nil)
+    }
+    arms.mkString("", " UNION ALL ", " ORDER BY tbl, col, kind")
+  }
+
   private def qValidators = Q(
     (s, dir) => {
       val orders = t(s, dir, "orders")
@@ -1374,6 +1460,7 @@ object StandardQueries {
     "condition_counts_metric_ref" -> qConditionCountsMetricRef,
     "constraints_report" -> qConstraintsReport,
     "constraints_comparison" -> qConstraintsComparison,
+    "constraints_generated" -> qConstraintsGenerated,
     "validators" -> qValidators,
     "validators_sampled" -> qValidatorsSampled,
     "udf_profile" -> qUdfProfile,
