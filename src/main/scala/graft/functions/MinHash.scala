@@ -72,6 +72,48 @@ case class MinHashBands(child: Expression, numPerm: Int, bands: Int) extends Una
 
 object MinHashUtil {
   private final val Phi64 = 0x9e3779b97f4a7c15L
+  /** Seed used by Spark's `xxhash64` function. */
+  private final val XxSeed = 42L
+  private final val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** One-pass distinct shingle ids over a token array; empty/short input
+    * yields an EMPTY array (not NULL — empty docs must not collide),
+    * mirroring `Dedup.shingles`' `count <= 0` guard. */
+  def shingleIds(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val count = toks.numElements() - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    var m = 0
+    // open-addressing set, capacity = pow2 >= 2*count (load <= 0.5)
+    var cap = 4
+    while (cap < count * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val h = XXH64.hashUTF8String(UTF8String.concatWs(Sep, parts: _*), XxSeed)
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      var dup = false
+      var open = false
+      while (!dup && !open) {
+        if (!used(slot)) open = true
+        else if (table(slot) == h) dup = true
+        else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        used(slot) = true; table(slot) = h
+        out(m) = h; m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 
   private def permMins(ids: ArrayData, numPerm: Int): Array[Long] = {
     val n = ids.numElements()
@@ -169,6 +211,33 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct 64-bit shingle ids straight from a token array: the id of a
+  * window is `xxhash64(concat_ws(" ", window))` — bit-identical to the
+  * HOF formulation (`array_distinct(transform(shingles, xxhash64))`,
+  * kept as the semantics oracle in PipelineSpec) but ONE pass: the HOF
+  * version runs three interpreted lambda layers per row (slice +
+  * concat_ws per window, distinct, hash) and dominated the near-dup
+  * pipeline's map cost (~3.4 s of dedup_near's 6 s at sf0.1). Distinct
+  * is on the id value via an open-addressing probe; first-occurrence
+  * order is preserved, matching array_distinct. */
+case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.shingleIds(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $util.shingleIds($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleIds =
+    copy(child = newChild)
+}
+
 /** Column wrappers. */
 object MinHash {
   def minhash_signature(ids: Column, numPerm: Int): Column =
@@ -177,4 +246,6 @@ object MinHash {
     exprColumn(MinHashBands(columnExpr(ids), numPerm, bands))
   def simhash64(tokenHashes: Column): Column =
     exprColumn(SimHash64(columnExpr(tokenHashes)))
+  def shingle_ids(tokens: Column, n: Int): Column =
+    exprColumn(ShingleIds(columnExpr(tokens), n))
 }

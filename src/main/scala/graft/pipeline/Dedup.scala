@@ -73,8 +73,16 @@ object Dedup {
     * id sets equals Jaccard over shingle sets modulo 64-bit collisions
     * (~n²/2⁶⁵ — negligible at any corpus size that fits a cluster), and
     * an 8-byte id replaces an arbitrarily long shingle string in every
-    * shuffle payload downstream. */
+    * shuffle payload downstream. Native one-pass expression (the HOF
+    * formulation runs three interpreted lambda layers per row — see
+    * [[graft.functions.ShingleIds]]); [[shingleIdsHof]] is the kept
+    * semantics oracle. */
   def shingleIds(textCol: Column, n: Int = 3): Column =
+    graft.functions.MinHash.shingle_ids(tokens(textCol), n)
+
+  /** The original HOF formulation of [[shingleIds]] — bit-identical
+    * output, kept ONLY as the semantics oracle for PipelineSpec. */
+  private[graft] def shingleIdsHof(textCol: Column, n: Int = 3): Column =
     F.array_distinct(F.transform(shingles(textCol, n), s => F.xxhash64(s)))
 
   /** Full MinHash-LSH near-dup pipeline: returns candidate pairs with

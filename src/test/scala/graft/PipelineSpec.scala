@@ -31,6 +31,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq("v001", "v002", "v003"))
   }
 
+  test("native shingleIds is bit-identical to the HOF formulation") {
+    val docs = table("documents")
+    for (n <- Seq(1, 2, 3)) {
+      val diff = docs.filter(F.col("text").isNotNull).select(
+        Dedup.shingleIds(F.col("text"), n).as("nat"),
+        Dedup.shingleIdsHof(F.col("text"), n).as("hof"))
+        .filter(!(F.col("nat") <=> F.col("hof")))
+        .count()
+      assert(diff == 0, s"n=$n: native and HOF shingle ids diverge on $diff docs")
+    }
+    // Edge semantics: short/empty text -> empty array in both variants.
+    // NULL text: native -> NULL (null propagation, the TermVector
+    // precedent); the HOF chain leaked an EMPTY array because its
+    // when(count > 0) guard's otherwise-branch fires on NULL size.
+    // Downstream both produce no band rows and no signature.
+    import spark.implicits._
+    val edge = Seq(Some("one two"), Some(""), None).toDF("text")
+      .select(Dedup.shingleIds(F.col("text"), 3).as("nat"),
+        Dedup.shingleIdsHof(F.col("text"), 3).as("hof"))
+      .collect()
+    assert(!edge(0).isNullAt(0) && edge(0).getSeq[Long](0).isEmpty)
+    assert(edge(0).getSeq[Long](1).isEmpty)
+    assert(!edge(1).isNullAt(0) && edge(1).getSeq[Long](0).isEmpty)
+    assert(edge(2).isNullAt(0), "native: NULL text yields NULL ids")
+    assert(!edge(2).isNullAt(1), "HOF leaks an empty array on NULL text")
+  }
+
   test("minHashNearDups finds exactly the exact-Jaccard pairs at 0.5") {
     val docs = table("documents")
     val got = Dedup.minHashNearDups(docs, "text", "doc_id",
