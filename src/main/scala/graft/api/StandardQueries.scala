@@ -1027,6 +1027,44 @@ object StandardQueries {
   // drift
   // ------------------------------------------------------------------
 
+  /** Summary-drift-report data (reference
+    * `NotebookProfileVisualizer.summary_drift_report` via
+    * `viz/utils/profile_viz_calculations.py:159-242`): one row per
+    * common column — drift score + category, feature-stats panel, and
+    * the comparison artwork (KLL histogram pair for continuous columns,
+    * zero-padded FI overlay for discrete ones). Sketch-derived (KLL
+    * histogram counts, HLL distinct %) ⇒ rows-only; the exact
+    * constituents are hash-checked elsewhere (profile_summary_exact,
+    * drift_chi2_stat, profile_moments). */
+  private def qVizSummaryReport = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val median = li.agg(F.expr("percentile(l_orderkey, 0.5D)")).collect()(0).getDouble(0)
+      val parts = new Profiler().profileSegmented(
+        li.withColumn("__half", F.col("l_orderkey") <= median), Seq("__half"))
+      val target = parts(Seq("true"))
+      val overall = Viz.overallStats(target)
+      import s.implicits._
+      Viz.summaryDriftReport(target, parts(Seq("false"))).map { r =>
+        (r.column, r.isDiscrete, r.algorithm.getOrElse(""),
+          r.statistic.getOrElse(-1.0), r.pValue.getOrElse(-1.0),
+          r.category.getOrElse(""),
+          r.stats.totalCount.getOrElse(0L), r.stats.missing.getOrElse(0L),
+          r.stats.distinctPct.getOrElse(-1.0),
+          r.stats.descriptive.map(_.mean).getOrElse(0.0),
+          r.stats.descriptive.map(_.stddev).getOrElse(0.0),
+          r.histogram.map(_.counts.size).getOrElse(0),
+          r.histogram.map(_.counts.sum).getOrElse(0L),
+          r.refHistogram.map(_.counts.size).getOrElse(0),
+          r.frequentItems.size, overall.observations)
+      }.toDF("column_name", "is_discrete", "algorithm", "statistic", "p_value",
+        "category", "total_count", "missing", "distinct_pct", "mean", "stddev",
+        "hist_buckets", "hist_count_sum", "ref_hist_buckets", "fi_items",
+        "observations")
+        .orderBy("column_name")
+    },
+    None)
+
   private def qDriftScores = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1468,6 +1506,7 @@ object StandardQueries {
     "regression_metrics" -> qRegressionMetrics,
     "accuracy_estimator" -> qAccuracyEstimator,
     "drift_scores" -> qDriftScores,
+    "viz_summary_report" -> qVizSummaryReport,
     "drift_chi2_stat" -> qDriftChi2Stat,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,
