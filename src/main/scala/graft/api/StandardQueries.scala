@@ -1328,6 +1328,52 @@ object StandardQueries {
 
   private val punctSqlClass = """[.,;:!?''"()-]""".replace("''", "''")
 
+  /** Gopher repetition filters over documents, hash-checked: every
+    * value is an integer count or one int/int division, and the tie
+    * break on the top bigram (lexicographically smallest among max
+    * count) is replayed by the oracle's min(g)-at-max(c). ASCII corpus:
+    * Java UTF-16 vs DuckDB UTF-8 byte order agree (documented caveat
+    * for supplementary-plane text). */
+  private def qTextRepetition = Q(
+    (s, dir) => {
+      TextAnalysis.withRepetition(t(s, dir, "documents"), "text")
+        .select(F.col("doc_id"),
+          F.col("n_words").cast("long").as("n_words"),
+          F.col("n_distinct_words").cast("long").as("n_distinct_words"),
+          F.col("word_rep_ratio"), F.col("top2_count"),
+          F.col("top2_frac"), F.col("dup3_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | base AS (
+           |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd,
+           |   length(array_to_string(w, ' ')) AS norm_chars FROM tok),
+           | bi AS (
+           |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           |  FROM tok WHERE len(w) >= 2),
+           | bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+           | bimax AS (SELECT doc_id, max(c) AS topc FROM bic GROUP BY doc_id),
+           | bitop AS (
+           |  SELECT b.doc_id, m.topc, min(b.g) AS topg FROM bic b
+           |  JOIN bimax m ON b.doc_id = m.doc_id AND b.c = m.topc
+           |  GROUP BY b.doc_id, m.topc),
+           | tri AS (
+           |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS g
+           |  FROM tok WHERE len(w) >= 3),
+           | tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+           | tridup AS (SELECT doc_id, sum(c * length(g)) AS dupchars FROM tric WHERE c > 1 GROUP BY doc_id)
+           | SELECT b.doc_id, b.nw AS n_words, b.nd AS n_distinct_words,
+           |  CASE WHEN b.nw = 0 THEN 0.0 ELSE 1.0 - CAST(b.nd AS DOUBLE) / b.nw END AS word_rep_ratio,
+           |  COALESCE(t.topc, 0) AS top2_count,
+           |  CASE WHEN b.norm_chars = 0 THEN 0.0
+           |   ELSE CAST(COALESCE(t.topc * length(t.topg), 0) AS DOUBLE) / b.norm_chars END AS top2_frac,
+           |  CASE WHEN b.norm_chars = 0 THEN 0.0
+           |   ELSE CAST(COALESCE(d.dupchars, 0) AS DOUBLE) / b.norm_chars END AS dup3_frac
+           | FROM base b LEFT JOIN bitop t USING (doc_id) LEFT JOIN tridup d USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextStats = Q(
     (s, dir) => {
       TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
@@ -1520,6 +1566,7 @@ object StandardQueries {
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
+    "text_repetition" -> qTextRepetition,
     "token_counts" -> qTokenCounts,
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(

@@ -98,6 +98,31 @@ object TextAnalysis {
         F.col("n_tokens") >= 5 && F.col("alpha_ratio") > 0.5 && F.col("mean_token_len") < 15.0)
   }
 
+  /** Gopher-style repetition quality signals (Rae et al.,
+    * arXiv:2112.11446, Table A1), word-level: repeated-word ratio,
+    * characters covered by the most frequent word bigram, characters in
+    * duplicated word trigrams — all against the space-joined token text.
+    * One native map-only pass per row ([[graft.functions.RepetitionStats]]);
+    * every output is an integer or a single int/int division, so the
+    * DuckDB oracle reproduces it bit-for-bit. NULL text → NULL stats. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(F.col(textCol))
+    val st = graft.functions.Repetition.repetition_stats(toks)
+    val nw = F.size(toks)
+    val nd = F.size(F.array_distinct(toks))
+    val norm = st.getField("norm_chars")
+    def frac(chars: Column): Column =
+      F.when(norm === 0, 0.0).otherwise(chars.cast("double") / norm.cast("double"))
+    df.withColumn("n_words", nw)
+      .withColumn("n_distinct_words", nd)
+      .withColumn("word_rep_ratio",
+        F.when(nw === 0, 0.0).otherwise(
+          F.lit(1.0) - nd.cast("double") / nw.cast("double")))
+      .withColumn("top2_count", st.getField("top2_count"))
+      .withColumn("top2_frac", frac(st.getField("top2_chars")))
+      .withColumn("dup3_frac", frac(st.getField("dup3_chars")))
+  }
+
   /** Per-document analysis frame: id, token stats, language guess. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     withQuality(df, textCol)

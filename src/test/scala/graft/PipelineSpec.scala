@@ -129,6 +129,37 @@ class PipelineSpec extends SparkSpec {
     assert(sig(0).isNullAt(0) && sig(1).isNullAt(0) && !sig(2).isNullAt(0))
   }
 
+  test("repetition stats: counts, tie-break, and edge semantics") {
+    import spark.implicits._
+    val df = Seq(
+      // "b c" x2 and "a b" x2 tie at 2 -> lexicographically smaller "a b"
+      // wins; trigram "a b c" occurs twice (dup3 = 2 * 5 = 10 chars)
+      Some("a b c a b c"),
+      Some("x y"), // single bigram, no trigram dup
+      Some("solo"), // 1 token: no bigrams
+      Some(""), // empty: all zero
+      None // NULL propagates
+    ).toDF("text")
+    val got = graft.pipeline.TextAnalysis.withRepetition(df, "text")
+      .select("n_words", "word_rep_ratio", "top2_count", "top2_frac", "dup3_frac")
+      .collect()
+    // doc 0: 6 words, 3 distinct; norm "a b c a b c" = 11 chars
+    assert(got(0).getInt(0) == 6)
+    assert(math.abs(got(0).getDouble(1) - 0.5) < 1e-15)
+    assert(got(0).getLong(2) == 2L)
+    assert(math.abs(got(0).getDouble(3) - 2.0 * 3 / 11) < 1e-15, "top pair 'a b' x2")
+    assert(math.abs(got(0).getDouble(4) - 2.0 * 5 / 11) < 1e-15, "'a b c' x2 duplicated")
+    // doc 1: one bigram "x y" count 1, covers the whole norm text
+    assert(got(1).getLong(2) == 1L && math.abs(got(1).getDouble(3) - 1.0) < 1e-15)
+    assert(got(1).getDouble(4) == 0.0)
+    // doc 2: no bigrams
+    assert(got(2).getLong(2) == 0L && got(2).getDouble(3) == 0.0)
+    // doc 3: empty
+    assert(got(3).getInt(0) == 0 && got(3).getDouble(1) == 0.0 && got(3).getDouble(3) == 0.0)
+    // doc 4: NULL text -> NULL stats
+    assert(got(4).isNullAt(0) && got(4).isNullAt(2) && got(4).isNullAt(3))
+  }
+
   test("top-k preserves string ids") {
     import spark.implicits._
     val emb = table("embeddings").limit(50)
