@@ -1326,6 +1326,36 @@ object StandardQueries {
     },
     None)
 
+  /** PQ-ADC + exact re-rank top-k (rows-only: codebook is data-trained;
+    * recall vs brute force gated below and in PipelineSpec). */
+  private def qEmbeddingPq = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Recall@5 of the PQ pipeline against brute force — the measured
+    * accuracy cost of scanning 2% of the bytes. */
+  private def qEmbeddingPqRecall = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(F.col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val pq = Similarity.pqTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
+        .agg(F.count(F.lit(1)).as("hits"))
+      val total = bf.agg(F.count(F.lit(1)).as("total"))
+      hits.crossJoin(total)
+        .select(F.col("hits"), F.col("total"),
+          (F.col("hits").cast("double") / F.col("total")).as("recall"))
+    },
+    None)
+
   private val punctSqlClass = """[.,;:!?''"()-]""".replace("''", "''")
 
   /** Gopher repetition filters over documents, hash-checked: every
@@ -1562,6 +1592,8 @@ object StandardQueries {
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
     "embedding_ivf_recall" -> qEmbeddingIvfRecall,
+    "embedding_pq" -> qEmbeddingPq,
+    "embedding_pq_recall" -> qEmbeddingPqRecall,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "embedding_metric" -> qEmbeddingMetric,

@@ -150,6 +150,97 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // product quantization (IVF's compressed-domain sibling)
+  // ------------------------------------------------------------------
+
+  /** L2-normalized copy of a vector column, so inner product = cosine.
+    * Zero vectors stay zero (they score 0 against everything). */
+  private def l2normalize(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val norm = F.sqrt(F.aggregate(v, F.lit(0.0), (acc, x) => acc + x * x))
+    F.when(norm === 0.0, v).otherwise(F.transform(v, x => x / norm))
+  }
+
+  /** Train a product quantizer (Jégou et al., TPAMI 2011): per-subspace
+    * Lloyd k-means on a bounded L2-NORMALIZED driver-side sample — same
+    * rationale as [[trainCentroids]]: the codebook is KB-scale state
+    * trained on ~10⁴ vectors; the cluster never runs per-iteration jobs.
+    * Seeds = first `ksub` distinct subvectors of the sample. */
+  def trainProductQuantizer(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, ksub: Int = 16, iters: Int = 4,
+      sampleSize: Int = 4096): graft.functions.PqUtil.Codebook = {
+    val sample: Array[Array[Double]] =
+      corpus.orderBy(idCol).limit(sampleSize)
+        .select(l2normalize(F.col(vecCol)))
+        .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = subs.distinct.take(ksub).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ-ADC top-k with exact re-ranking — the compressed-domain scan
+    * shape: the corpus is encoded ONCE map-only into m-byte codes (a
+    * 100 TB fp32 corpus scans as ~2% of its size), every query ships a
+    * (m·ksub)-entry lookup table via broadcast, the per-pair score is m
+    * table adds (codegen'd, no d-dim math), and the bounded top-k keeps
+    * `rerank` ADC candidates per query, which are then re-scored with
+    * exact cosine against re-fetched vectors — only rerank·|Q| full
+    * vectors ever leave the scan. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 16, ksub: Int = 16, k: Int = 5, rerank: Int = 50): DataFrame = {
+    import graft.functions.Pq
+    val codebook = trainProductQuantizer(corpus, idCol, vecCol, m, ksub)
+    val encoded = corpus.select(F.col(idCol).as("neighbor_id"),
+      Pq.pq_encode(l2normalize(F.col(vecCol)), codebook).as("__codes"))
+    val q = queries.select(F.col(idCol).as("query_id"),
+      Pq.pq_lut(l2normalize(F.col(vecCol)), codebook).as("__lut"))
+    val adc = encoded.crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("score", Pq.pq_adc_score(F.col("__codes"), F.col("__lut"), ksub))
+      .select("query_id", "neighbor_id", "score")
+    val candidates = topKPerGroup(adc, "query_id", "neighbor_id", "score", rerank)
+      .select("query_id", "neighbor_id")
+    val qvecs = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).cast("array<double>").as("__qv"))
+    val cvecs = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).cast("array<double>").as("__cv"))
+    val exact = candidates
+      .join(F.broadcast(qvecs), Seq("query_id"))
+      .join(cvecs, Seq("neighbor_id"))
+      .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "neighbor_id", "score")
+    topKPerGroup(exact, "query_id", "neighbor_id", "score", k)
+  }
+
+  // ------------------------------------------------------------------
   // embedding-cosine near-duplicate detection
   // ------------------------------------------------------------------
 
