@@ -1358,6 +1358,95 @@ object StandardQueries {
 
   private val punctSqlClass = """[.,;:!?''"()-]""".replace("''", "''")
 
+  // --- shared DuckDB fragments for the text-analysis oracles ---
+  /** Whitespace regex as a VALUE (plain-literal escape rules), so the
+    * interpolated fragments below never re-process backslashes. */
+  private val WsPat = "\\s+"
+  private def wsTokensSql: String =
+    s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '$WsPat')) END"
+  private def alphaRatioSql: String =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
+  private def meanTokenLenSql: String =
+    s"CASE WHEN len(string_split_regex(trim(text), '$WsPat')) = 0 THEN 0.0 ELSE CAST(length(text) - len(string_split_regex(trim(text), '$WsPat')) + 1 AS DOUBLE) / CAST(len(string_split_regex(trim(text), '$WsPat')) AS DOUBLE) END"
+  private def qualityOkSql: String =
+    s"(len(string_split_regex(trim(text), '$WsPat')) >= 5 AND ($alphaRatioSql) > 0.5 AND ($meanTokenLenSql) < 15.0)"
+  private def langCaseSql: String = {
+    val hits = TextAnalysis.StopWords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      lang -> s"len(list_filter(string_split_regex(lower(trim(text)), '$WsPat'), t -> list_contains($list, t)))"
+    }
+    val byLangAsc = hits.sortBy(_._1)
+    val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val whens = byLangAsc.map { case (l, h) => s"WHEN $h = $maxExpr THEN '$l'" }
+    s"CASE WHEN $maxExpr <= 0 THEN 'und' ${whens.mkString(" ")} END"
+  }
+
+  /** Flagship composition: the full training-data pipeline — language
+    * ID → quality rules → exact dedup → corpus stats — end-to-end in
+    * TWO scans (one for the dataset-level counts, one for the per-hash
+    * canonical aggregation; at 100 TB each stage stays map-only until
+    * the single dedup exchange). Every stage is exact (regex counts,
+    * integer thresholds, md5 groups), so the whole pipeline
+    * hash-matches the oracle. */
+  private def qCorpusPipeline = Q(
+    (s, dir) => {
+      // the synthetic corpus plants NEAR-dups but no byte-identical
+      // ones; re-ingest the first 50 docs under new ids (a re-crawled
+      // shard, the standard exact-dup source) so stage 4 is exercised
+      val base = t(s, dir, "documents")
+      val docs = base.unionByName(
+        base.filter(F.col("doc_id") < 50)
+          .withColumn("doc_id", F.col("doc_id") + 10000))
+      val enriched = TextAnalysis.withQuality(docs, "text")
+        .withColumn("lang_guess", TextAnalysis.langId(F.col("text")))
+        .withColumn("__pass",
+          F.col("quality_ok") && F.col("lang_guess") === F.lit("en"))
+      val totals = enriched.agg(
+        F.count(F.lit(1)).as("input_docs"),
+        count_where(F.col("__pass")).as("pass_docs"))
+      // canonical row per text hash among passing docs: min doc_id wins;
+      // its token/char counts ride along via min_by
+      val canon = enriched.filter(F.col("__pass"))
+        .groupBy(F.md5(F.col("text")).as("__h"))
+        .agg(F.min("doc_id").as("kid"),
+          F.min_by(F.col("n_tokens"), F.col("doc_id")).as("ktok"),
+          F.min_by(F.col("n_chars"), F.col("doc_id")).as("kchars"))
+        .agg(F.count(F.lit(1)).as("unique_docs"),
+          F.sum("ktok").cast("long").as("final_tokens"),
+          F.sum("kchars").cast("long").as("final_chars"))
+      import s.implicits._
+      val r = totals.crossJoin(canon).collect()(0)
+      Seq(
+        ("1_input_docs", r.getAs[Long]("input_docs")),
+        ("2_lang_quality_pass", r.getAs[Long]("pass_docs")),
+        ("3_unique_docs", r.getAs[Long]("unique_docs")),
+        ("4_dup_docs_removed", r.getAs[Long]("pass_docs") - r.getAs[Long]("unique_docs")),
+        ("5_final_ws_tokens", r.getAs[Long]("final_tokens")),
+        ("6_final_chars", r.getAs[Long]("final_chars")))
+        .toDF("stage", "value").orderBy("stage")
+    },
+    Some {
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+         | a AS (SELECT doc_id, text, length(text) AS n_chars,
+         | $wsTokensSql AS n_tokens,
+         | ($qualityOkSql AND ($langCaseSql) = 'en') AS pass FROM d),
+         | p AS (SELECT * FROM a WHERE pass),
+         | u AS (SELECT md5(text) AS h, min(doc_id) AS kid FROM p GROUP BY 1),
+         | ft AS (SELECT count(*) AS unique_docs,
+         |   CAST(sum(p.n_tokens) AS BIGINT) AS final_tokens,
+         |   CAST(sum(p.n_chars) AS BIGINT) AS final_chars FROM p JOIN u ON p.doc_id = u.kid),
+         | c AS (SELECT count(*) AS input_docs FROM a),
+         | pc AS (SELECT count(*) AS pass_docs FROM p)
+         | SELECT '1_input_docs' AS stage, input_docs AS value FROM c
+         | UNION ALL SELECT '2_lang_quality_pass', pass_docs FROM pc
+         | UNION ALL SELECT '3_unique_docs', unique_docs FROM ft
+         | UNION ALL SELECT '4_dup_docs_removed', pass_docs - unique_docs FROM pc, ft
+         | UNION ALL SELECT '5_final_ws_tokens', final_tokens FROM ft
+         | UNION ALL SELECT '6_final_chars', final_chars FROM ft
+         | ORDER BY stage""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Gopher repetition filters over documents, hash-checked: every
     * value is an integer count or one int/int division, and the tie
     * break on the top bigram (lexicographically smallest among max
@@ -1599,6 +1688,7 @@ object StandardQueries {
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
     "text_repetition" -> qTextRepetition,
+    "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(
