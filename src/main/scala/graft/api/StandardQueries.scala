@@ -204,7 +204,11 @@ object StandardQueries {
 
   private def qKllQuantiles = Q(
     (s, dir) => {
-      val view = new Profiler().profile(t(s, dir, "lineitem"), Some(liNumeric))
+      // quantiles need ONLY the distribution metric: the reference's
+      // HISTOGRAM_COUNTING_TRACKING_RESOLVER skips the HLL/FI/counts
+      // updates that dominate per-value cost in the full profile
+      val view = new Profiler(resolver = ResolverSpec.histogramOnly)
+        .profile(t(s, dir, "lineitem"), Some(liNumeric))
       import s.implicits._
       view.columns.toSeq.sortBy(_._1).flatMap { case (c, v) =>
         v.distribution.toSeq.flatMap(d => d.quantileRanks.zip(d.quantiles).map {
@@ -1069,7 +1073,12 @@ object StandardQueries {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       val median = li.agg(F.expr("percentile(l_orderkey, 0.5D)")).collect()(0).getDouble(0)
-      val parts = new Profiler().profileSegmented(
+      // drift consumes only distribution (KS/Hellinger) + frequent items
+      // (χ²): resolve just those, skipping the HLL/counts/ints updates
+      val driftResolver = ResolverSpec(byKind = k =>
+        ResolverSpec.standard(k).filter(m =>
+          m == Namespace.Distribution || m == Namespace.FrequentItems))
+      val parts = new Profiler(resolver = driftResolver).profileSegmented(
         li.withColumn("__half", F.col("l_orderkey") <= median), Seq("__half"))
       val target = parts(Seq("true"))
       val ref = parts(Seq("false"))
