@@ -82,6 +82,52 @@ object ModelPerf {
     val mp = ModelPerformanceSummary(confusion, regression)
     view.copy(modelPerformance = view.modelPerformance.map(_.merge(mp)).orElse(Some(mp)))
   }
+
+  // ---- segmented model performance (the reference's
+  // `api/logger/__init__.py:121-163` `_segmented_performance_metrics`) ----
+
+  /** Per-segment confusion matrices in ONE shuffle:
+    * groupBy(segments ++ (target, prediction)); each segment's summary is
+    * a ≤256²-cell map, driver-safe regardless of row count. */
+  def segmentedConfusionMatrix(
+      df: DataFrame, segmentColumns: Seq[String],
+      target: Column, prediction: Column,
+      score: Option[Column] = None): Map[Seq[String], ConfusionMatrixSummary] = {
+    val segCols = segmentColumns.map(c => F.col(c).cast("string").as(s"__seg_$c"))
+    val keys = segCols ++ Seq(target.cast("string").as("target"),
+      prediction.cast("string").as("prediction"))
+    val aggs = Seq(F.count(F.lit(1)).as("n")) ++
+      score.map(s => exact_sum(s).as("score_sum")).toSeq
+    val rows = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
+    rows.groupBy(r => segmentColumns.map(c => r.getAs[String](s"__seg_$c")).toSeq)
+      .map { case (seg, cells) =>
+        seg -> ConfusionMatrixSummary(cells.map { r =>
+          val s = if (score.isDefined) r.getAs[Double]("score_sum") else 0.0
+          (r.getAs[String]("target"), r.getAs[String]("prediction")) ->
+            (r.getAs[Long]("n"), s)
+        }.toMap)
+      }
+  }
+
+  /** Per-segment regression summaries in ONE shuffle (exact decimal error
+    * sums, same grid as [[regressionMetricsDF]]). */
+  def segmentedRegression(
+      df: DataFrame, segmentColumns: Seq[String],
+      target: Column, prediction: Column): Map[Seq[String], RegressionSummary] = {
+    val err = prediction - target
+    val segCols = segmentColumns.map(c => F.col(c).cast("string").as(s"__seg_$c"))
+    val rows = df.groupBy(segCols: _*).agg(
+      F.count(F.when(target.isNotNull && prediction.isNotNull, 1)).as("n"),
+      F.sum(F.abs(err).cast("decimal(32,6)")).cast("double").as("abs_error_sum"),
+      F.sum(err.cast("decimal(32,6)")).cast("double").as("error_sum"),
+      F.sum((err * err).cast("decimal(38,4)")).cast("double").as("sq_error_sum"))
+      .collect()
+    rows.map { r =>
+      segmentColumns.map(c => r.getAs[String](s"__seg_$c")).toSeq ->
+        RegressionSummary(r.getAs[Long]("n"), r.getAs[Double]("abs_error_sum"),
+          r.getAs[Double]("error_sum"), r.getAs[Double]("sq_error_sum"))
+    }.toMap
+  }
 }
 
 /** Accuracy estimation for unlabeled targets (reference

@@ -75,6 +75,47 @@ object Graft {
     ProfileResultSet(graft.analysis.ModelPerf.attach(base, regression = Some(rg)))
   }
 
+  /** Segmented `why.log_classification_metrics`
+    * (`api/logger/__init__.py:121-163` `_segmented_performance_metrics`):
+    * one profile per segment, each with its own confusion matrix —
+    * profiles from one shuffle, matrices from a second. */
+  def logSegmentedClassificationMetrics(
+      df: DataFrame, segmentColumns: Seq[String],
+      target: Column, prediction: Column, score: Option[Column] = None,
+      logFullData: Boolean = false,
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): SegmentedResultSet = {
+    val base: Map[Seq[String], DatasetProfileView] =
+      if (logFullData)
+        new Profiler(config, resolver).profileSegmented(df, segmentColumns)
+      else Map.empty
+    val cms = graft.analysis.ModelPerf.segmentedConfusionMatrix(
+      df, segmentColumns, target, prediction, score)
+    SegmentedResultSet(cms.map { case (seg, cm) =>
+      seg -> graft.analysis.ModelPerf.attach(
+        base.getOrElse(seg, DatasetProfileView.empty), confusion = Some(cm))
+    })
+  }
+
+  /** Segmented `why.log_regression_metrics`. */
+  def logSegmentedRegressionMetrics(
+      df: DataFrame, segmentColumns: Seq[String],
+      target: Column, prediction: Column,
+      logFullData: Boolean = false,
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): SegmentedResultSet = {
+    val base: Map[Seq[String], DatasetProfileView] =
+      if (logFullData)
+        new Profiler(config, resolver).profileSegmented(df, segmentColumns)
+      else Map.empty
+    val rgs = graft.analysis.ModelPerf.segmentedRegression(
+      df, segmentColumns, target, prediction)
+    SegmentedResultSet(rgs.map { case (seg, rg) =>
+      seg -> graft.analysis.ModelPerf.attach(
+        base.getOrElse(seg, DatasetProfileView.empty), regression = Some(rg))
+    })
+  }
+
   /** `why.write` / `why.read` — local binary profile files. */
   def write(result: ProfileResultSet, path: String): Unit =
     graft.profile.ProfileSerde.writeTo(result.view, path)

@@ -968,6 +968,45 @@ object StandardQueries {
            | CAST(sum(CAST(o_totalprice AS DECIMAL(33,6))) AS DOUBLE) AS score_sum
            | FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Segmented model performance (`_segmented_performance_metrics`):
+    * per-segment confusion cells AND regression error sums from one
+    * shuffle each, via the facade. Exact counts + decimal-grid sums ⇒
+    * hash-checked. */
+  private def qSegmentedModelPerf = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val seg = Seq("o_orderpriority")
+      val cls = Graft.logSegmentedClassificationMetrics(
+        orders, seg, F.col("o_orderstatus"), predExpr)
+      val reg = Graft.logSegmentedRegressionMetrics(
+        orders, seg, F.col("o_totalprice"), F.col("o_totalprice") * 1.1)
+      import s.implicits._
+      val clsRows = cls.segments.toSeq.flatMap { case (k, v) =>
+        v.modelPerformance.toSeq.flatMap(_.confusion.toSeq.flatMap(_.cells.toSeq.map {
+          case ((t0, p), (n, _)) => (k.head, "cell", t0, p, n.toDouble)
+        }))
+      }
+      val regRows = reg.segments.toSeq.flatMap { case (k, v) =>
+        v.modelPerformance.toSeq.flatMap(_.regression.toSeq.map { r =>
+          (k.head, "mae", "", "", r.mae)
+        })
+      }
+      (clsRows ++ regRows)
+        .toDF("segment", "kind", "target", "prediction", "value")
+        .orderBy("segment", "kind", "target", "prediction")
+    },
+    Some("""SELECT CAST(o_orderpriority AS VARCHAR) AS segment, 'cell' AS kind,
+           | CAST(o_orderstatus AS VARCHAR) AS target,
+           | CASE WHEN o_totalprice < 150000.0 THEN 'F' WHEN o_totalprice < 300000.0 THEN 'O' ELSE 'P' END AS prediction,
+           | CAST(count(*) AS DOUBLE) AS value
+           | FROM orders GROUP BY 1, 3, 4
+           | UNION ALL
+           | SELECT CAST(o_orderpriority AS VARCHAR), 'mae', '', '',
+           |  CAST(sum(CAST(abs(o_totalprice * 1.1 - o_totalprice) AS DECIMAL(32,6))) AS DOUBLE)
+           |    / count(*) FILTER (WHERE o_totalprice IS NOT NULL)
+           | FROM orders GROUP BY 1
+           | ORDER BY segment, kind, target, prediction""".stripMargin.replaceAll("\n", " ")))
+
   private def qRegressionMetrics = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1678,6 +1717,7 @@ object StandardQueries {
     "udf_profile" -> qUdfProfile,
     "confusion_matrix" -> qConfusionMatrix,
     "regression_metrics" -> qRegressionMetrics,
+    "segmented_model_perf" -> qSegmentedModelPerf,
     "accuracy_estimator" -> qAccuracyEstimator,
     "drift_scores" -> qDriftScores,
     "viz_summary_report" -> qVizSummaryReport,

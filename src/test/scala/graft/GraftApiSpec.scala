@@ -42,6 +42,35 @@ class GraftApiSpec extends SparkSpec {
     assert(reg.view.columns.isEmpty) // metrics-only log
   }
 
+  test("segmented model metrics: per-segment matrices merge to the whole") {
+    import spark.implicits._
+    val preds = Seq(
+      ("a", "cat", "cat", 1.0, 1.2), ("a", "cat", "dog", 2.0, 1.5),
+      ("b", "dog", "dog", 3.0, 3.25), ("b", "cat", "cat", 4.0, 4.5))
+      .toDF("seg", "t", "p", "y", "yhat")
+    val cls = Graft.logSegmentedClassificationMetrics(
+      preds, Seq("seg"), F.col("t"), F.col("p"), logFullData = true)
+    assert(cls.segments.keySet == Set(Seq("a"), Seq("b")))
+    val a = cls.segments(Seq("a")).modelPerformance.get.confusion.get
+    assert(a.count("cat", "cat") == 1 && a.count("cat", "dog") == 1)
+    // logFullData: each segment also profiles its columns
+    assert(cls.segments(Seq("a")).columns("y").counts.get.n == 2)
+    // merging segments reproduces the dataset-level matrix
+    val whole = Graft.logClassificationMetrics(preds, F.col("t"), F.col("p"))
+      .view.modelPerformance.get.confusion.get
+    assert(cls.merged.modelPerformance.get.confusion.get.cells == whole.cells)
+
+    val reg = Graft.logSegmentedRegressionMetrics(
+      preds, Seq("seg"), F.col("y"), F.col("yhat"))
+    val rb = reg.segments(Seq("b")).modelPerformance.get.regression.get
+    assert(rb.n == 2 && math.abs(rb.absErrorSum - (0.25 + 0.5)) < 1e-9)
+    val wholeReg = Graft.logRegressionMetrics(preds, F.col("y"), F.col("yhat"))
+      .view.modelPerformance.get.regression.get
+    val mergedReg = reg.merged.modelPerformance.get.regression.get
+    assert(mergedReg.n == wholeReg.n &&
+      math.abs(mergedReg.absErrorSum - wholeReg.absErrorSum) < 1e-9)
+  }
+
   test("drift overrides force the chosen algorithm per column") {
     import graft.analysis.Drift
     val li = table("lineitem")
