@@ -1248,6 +1248,40 @@ object StandardQueries {
            |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
            | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Near-dup CLUSTERS: the pair set of `dedup_near` closed under
+    * transitivity (alternating large-star/small-star — see
+    * [[graft.pipeline.ConnectedComponents]]), with the canonical-keep
+    * decision per cluster. Oracle: recursive-CTE min-label reachability
+    * over the identical exact-Jaccard pair set, so equality holds under
+    * the same 2e-22 LSH miss-probability argument as `dedup_near`. */
+  private def qDedupClusters = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      Dedup.nearDupClusters(docs, "text", "doc_id",
+        numPerm = 64, bands = 32, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5),
+           | edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+           | r AS (
+           |   SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+           |   UNION
+           |   SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.u),
+           | comp AS (SELECT u AS id, min(m) AS component FROM r GROUP BY u),
+           | sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+           | SELECT c.id AS doc_id, c.component, s.cluster_size, c.id = c.component AS keep
+           | FROM comp c JOIN sizes s USING (component) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qEmbeddingTopK = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1727,6 +1761,7 @@ object StandardQueries {
     "dedup_simhash" -> qDedupSimhash,
     "ngram_jaccard" -> qNgramJaccard,
     "dedup_near" -> qDedupNear,
+    "dedup_clusters" -> qDedupClusters,
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
     "embedding_ivf_recall" -> qEmbeddingIvfRecall,

@@ -130,6 +130,28 @@ object Dedup {
     } finally ids.unpersist(blocking = false)
   }
 
+  /** Near-duplicate CLUSTERS: [[minHashNearDups]] pairs closed under
+    * transitivity via [[ConnectedComponents]], one row per clustered doc:
+    * (doc_id, component = min doc_id of the cluster, cluster_size,
+    * keep = is-the-canonical-doc). Docs with no near-dup are absent —
+    * they are all keepers; a 100 TB pipeline anti-joins `keep = false`
+    * doc_ids against the corpus rather than materializing the identity
+    * rows. The pair list (candidate-bounded, ≪ corpus) is the only input
+    * to the iterative stage, so clustering cost scales with duplicates
+    * found, not data scanned. */
+  def nearDupClusters(
+      df: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashNearDups(df, textCol, idCol, numPerm, bands, threshold)
+    val comp = ConnectedComponents.components(pairs, "a", "b")
+    val sizes = comp.groupBy(F.col("component").as("c2"))
+      .agg(F.count(F.lit(1)).as("cluster_size"))
+    comp.join(sizes, F.col("component") === F.col("c2"))
+      .withColumn("keep", F.col("id") === F.col("component"))
+      .select(F.col("id").as("doc_id"), F.col("component"),
+        F.col("cluster_size"), F.col("keep"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = F.size(F.array_intersect(a, b))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.pipeline.{ConnectedComponents, Dedup}
+
+/** Connected components (alternating large-star/small-star) vs a
+  * driver-side union-find oracle. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Driver-side union-find: (node -> min reachable node). */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b").repartition(5)
+    ConnectedComponents.components(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain graph collapses to its minimum (worst-case diameter)") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("clique, duplicate and reversed edges, self-loops") {
+    val clique = for (i <- 10L to 14L; j <- 10L to 14L; if i != j) yield (i, j)
+    val got = run(clique ++ Seq((12L, 12L), (10L, 11L), (11L, 10L)))
+    assert(got == (10L to 14L).map(_ -> 10L).toMap)
+  }
+
+  test("multiple components stay separate") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 25L), (25L, 21L))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L, 25L -> 20L))
+  }
+
+  test("random graph matches union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges) == unionFind(edges))
+  }
+
+  test("empty edge list yields empty result") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.components(df, "a", "b").count() == 0L)
+  }
+
+  test("nearDupClusters: components are consistent with the pair list") {
+    val docs = table("documents")
+      .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    val pairs = Dedup.minHashNearDups(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = unionFind(pairs)
+    val got = Dedup.nearDupClusters(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    expected.foreach { case (id, comp) =>
+      assert(got(id) == ((comp, sizes(comp), id == comp)))
+    }
+  }
+}
