@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Embeddings, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -1636,6 +1636,40 @@ object StandardQueries {
          | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Deterministic stratified sampling: downsample head languages, keep
+    * the tail, via md5-threshold hashing ([[Sampling]]). The oracle runs
+    * the IDENTICAL predicate — same md5, same hex comparison — so the
+    * row set matches exactly, the property that makes the sample
+    * re-derivable on any engine. */
+  private def qSampleStratified = Q(
+    (s, dir) => Sampling.stratifiedHashSample(
+      t(s, dir, "documents"), F.col("doc_id"), F.col("lang"),
+      fractions = Map("en" -> 0.5, "zh" -> 0.125),
+      defaultFraction = 0.25, salt = "graft")
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+           | WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+           |  CASE WHEN lang = 'en' THEN '80000000'
+           |       WHEN lang = 'zh' THEN '20000000'
+           |       ELSE '40000000' END
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Deterministic train/val/test split by cumulative hash range; checked
+    * as per-(split, lang) counts. Same key+salt ⇒ same assignment on
+    * every run — the property that keeps eval sets leak-free across
+    * pipeline rebuilds. */
+  private def qSampleSplit = Q(
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("split", Sampling.hashSplit(F.col("doc_id"), "split",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split", "lang").agg(F.count(F.lit(1)).as("n"))
+      .orderBy("split", "lang"),
+    Some("""SELECT CASE WHEN h < 'cccccccd' THEN 'train'
+           |            WHEN h < 'e6666666' THEN 'val'
+           |            ELSE 'test' END AS split, lang, count(*) AS n
+           | FROM (SELECT lang, substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents)
+           | GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replaceAll("\n", " ")))
+
   private def qDocFingerprint = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"), rolling_min_hash(F.col("text"), 16).as("fingerprint"))
@@ -1774,6 +1808,8 @@ object StandardQueries {
     "text_repetition" -> qTextRepetition,
     "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,
+    "sample_stratified" -> qSampleStratified,
+    "sample_split" -> qSampleSplit,
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(

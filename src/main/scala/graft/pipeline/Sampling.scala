@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic (hash-threshold) sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected set changes
+  * with partitioning, task retries, and engine version — unacceptable
+  * when a 100 TB corpus must be re-derivable bit-for-bit. Hash-threshold
+  * sampling instead keeps a row iff the leading 32 bits of
+  * md5(salt ":" key) fall under ⌊p·2³²⌋: map-only (no shuffle, no RNG
+  * state), stable under any partitioning, and consistent ACROSS datasets
+  * — every table sharing the key samples the same entities, which is how
+  * you sample a user's rows from all of their tables at once. The salt
+  * decorrelates independent samples over the same keys.
+  *
+  * All comparisons are on the md5 hex string (lowercase, fixed 8 chars),
+  * so any engine with md5() reproduces the exact row set — the DuckDB
+  * oracles run the identical predicate.
+  *
+  * NULL keys hash to NULL and are never sampled (documented; coalesce
+  * the key first if NULLs must participate).
+  */
+object Sampling {
+
+  /** Leading 8 hex chars (32 bits) of md5(salt ":" key). */
+  def sampleHash(key: Column, salt: String): Column =
+    F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+
+  /** Lowercase-hex threshold for fraction `p`: keep iff hash < this.
+    * p ≥ 1 returns "g", lexicographically above every hex digit. */
+  def thresholdHex(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"fraction out of [0,1]: $p")
+    val t = math.round(p * 4294967296.0)
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+
+  /** Uniform deterministic sample at rate `fraction`. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(sampleHash(key, salt) < F.lit(thresholdHex(fraction)))
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. downsample
+    * the head language, keep the tail), `defaultFraction` for strata not
+    * listed (and NULL strata). One map-only pass — the when-chain
+    * compiles to codegen'd branches, no join, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], defaultFraction: Double,
+      salt: String = ""): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(
+      F.lit(thresholdHex(defaultFraction)): Column) { case ((k, p), acc) =>
+      F.when(strata === F.lit(k), F.lit(thresholdHex(p))).otherwise(acc)
+    }
+    df.filter(sampleHash(key, salt) < thr)
+  }
+
+  /** Deterministic dataset split (train/val/test …): assigns each key a
+    * label by cumulative hash range. Weights are normalized; the last
+    * split absorbs the rounding tail. Same key + salt ⇒ same split on
+    * every run and engine, the property that keeps eval sets leak-free
+    * across pipeline re-builds. */
+  def hashSplit(key: Column, salt: String, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
+      "splits must be non-empty with non-negative weights and positive sum")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val h = sampleHash(key, salt)
+    // thresholds ascending; the final otherwise catches the rounding tail
+    splits.init.zip(cum.init).foldRight(F.lit(splits.last._1): Column) {
+      case (((name, _), c), acc) =>
+        F.when(h < F.lit(thresholdHex(c)), F.lit(name)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.pipeline.Sampling
+
+/** Deterministic hash sampling vs a JVM-side md5 re-computation. */
+class SamplingSpec extends SparkSpec {
+
+  private def md5hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  test("thresholdHex: exact hex boundaries") {
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(0.125) == "20000000")
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(1.0) == "g")
+    // the cumulative split boundaries baked into the sample_split oracle
+    val total = 0.8 + 0.1 + 0.1
+    assert(Sampling.thresholdHex(0.8 / total) == "cccccccd")
+    assert(Sampling.thresholdHex(0.8 / total + 0.1 / total) == "e6666666")
+  }
+
+  test("hashSample matches JVM md5 recomputation and nests by rate") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("k").repartition(7)
+    val got25 = Sampling.hashSample(df, F.col("k"), 0.25, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (0L until 5000L)
+      .filter(k => md5hex8(s"s1:$k") < "40000000").toSet
+    assert(got25 == expected)
+    // threshold-monotone: p=0.25 sample is a subset of the p=0.5 sample
+    val got50 = Sampling.hashSample(df, F.col("k"), 0.5, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(got25.subsetOf(got50))
+    // rate lands near p (fixed keys, so this is a regression pin)
+    assert(math.abs(got25.size / 5000.0 - 0.25) < 0.02)
+    // a different salt decorrelates the draw
+    val other = Sampling.hashSample(df, F.col("k"), 0.25, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != got25)
+  }
+
+  test("stratifiedHashSample applies per-stratum thresholds; NULL strata get default") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(k =>
+      (k, if (k % 3 == 0) "en" else if (k % 3 == 1) "zh" else null))
+    val df = rows.toDF("k", "lang").repartition(5)
+    val got = Sampling.stratifiedHashSample(df, F.col("k"), F.col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.125), defaultFraction = 0.25, salt = "g")
+      .collect().map(_.getLong(0)).toSet
+    val expected = rows.filter { case (k, lang) =>
+      val thr = lang match {
+        case "en" => "80000000"; case "zh" => "20000000"; case _ => "40000000"
+      }
+      md5hex8(s"g:$k") < thr
+    }.map(_._1).toSet
+    assert(got == expected)
+  }
+
+  test("hashSplit is total, deterministic, and weight-proportional") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("k").repartition(6)
+    val got = df.withColumn("split",
+      Sampling.hashSplit(F.col("k"), "sp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 4000L)
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(math.abs(got("train") / 4000.0 - 0.8) < 0.03)
+    // every key keeps its split on a recomputation with different partitioning
+    val again = df.repartition(13).withColumn("split",
+      Sampling.hashSplit(F.col("k"), "sp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = df.withColumn("split",
+      Sampling.hashSplit(F.col("k"), "sp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("NULL keys are never sampled") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val n = Sampling.hashSample(df, F.col("k"), 1.0 - 1e-9, "s").count()
+    assert(n == 2L)
+  }
+}
