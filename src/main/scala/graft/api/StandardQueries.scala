@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Dedup, Embeddings, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Embeddings, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -1670,6 +1670,30 @@ object StandardQueries {
            | FROM (SELECT lang, substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents)
            | GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replaceAll("\n", " ")))
 
+  /** Decontamination: 13-gram overlap of the corpus (source ≠ src0)
+    * against the src0 "benchmark" slice. The oracle recomputes the
+    * overlap on shingle STRINGS; the Spark side matches 64-bit shingle
+    * ids — equal modulo xxhash64 collisions (~|pairs|/2⁶⁴). */
+  private def qDecontaminate = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlaps(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"),
+        "text", "doc_id", n = 13)
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, source,
+           |   list_distinct([array_to_string(words[i:i+12], ' ')
+           |                  for i in range(1, greatest(len(words) - 11, 1))]) AS ng
+           |  FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | ev AS (SELECT DISTINCT unnest(ng) AS gram FROM g WHERE source = 'src0')
+           | SELECT u.doc_id, any_value(u.n_grams) AS n_grams, count(*) AS hits,
+           |  CAST(count(*) AS DOUBLE) / CAST(any_value(u.n_grams) AS DOUBLE) AS contamination
+           | FROM (SELECT doc_id, len(ng) AS n_grams, unnest(ng) AS gram FROM g WHERE source <> 'src0') u
+           | JOIN ev USING (gram) GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qDocFingerprint = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"), rolling_min_hash(F.col("text"), 16).as("fingerprint"))
@@ -1810,6 +1834,7 @@ object StandardQueries {
     "token_counts" -> qTokenCounts,
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,
+    "decontaminate" -> qDecontaminate,
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(
