@@ -1248,6 +1248,33 @@ object StandardQueries {
            |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
            | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Incremental dedup: the src1 slice as the arriving batch, the rest
+    * of the corpus as a stored [[Dedup.minHashIndex]] — the ingestion
+    * pattern where only the batch is ever re-shingled. Same provable-
+    * equality regime as `dedup_near` (bimodal corpus, miss-prob 2e-22). */
+  private def qDedupIncremental = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      val index = Dedup.minHashIndex(
+        docs.filter(F.col("source") =!= "src1"), "text", "doc_id")
+      Dedup.nearDupsAgainstIndex(
+        docs.filter(F.col("source") === "src1"), index, "text", "doc_id",
+        numPerm = 64, bands = 32, threshold = 0.5)
+        .orderBy("a", "b")
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id, source,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents))
+           | SELECT a.doc_id AS a, b.doc_id AS b,
+           |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+           | FROM sh a JOIN sh b ON a.source = 'src1' AND b.source <> 'src1'
+           | WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+           | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   /** Near-dup CLUSTERS: the pair set of `dedup_near` closed under
     * transitivity (alternating large-star/small-star — see
     * [[graft.pipeline.ConnectedComponents]]), with the canonical-keep
@@ -1820,6 +1847,7 @@ object StandardQueries {
     "ngram_jaccard" -> qNgramJaccard,
     "dedup_near" -> qDedupNear,
     "dedup_clusters" -> qDedupClusters,
+    "dedup_incremental" -> qDedupIncremental,
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
     "embedding_ivf_recall" -> qEmbeddingIvfRecall,

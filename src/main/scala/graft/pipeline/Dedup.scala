@@ -130,6 +130,49 @@ object Dedup {
     } finally ids.unpersist(blocking = false)
   }
 
+  /** Materialized LSH index of a corpus: one row per doc with its
+    * shingle-id set and band hashes. Written once (e.g. partitioned
+    * parquet), it turns ingestion-time dedup into an O(new batch)
+    * problem — [[nearDupsAgainstIndex]] never re-shingles the corpus.
+    * Append each accepted batch's index rows to keep it current. */
+  def minHashIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    val ids = shingleIds(F.col(textCol))
+    df.select(F.col(idCol).as("doc_id"), ids.as("ids"))
+      .withColumn("bhs", bandHashes(F.col("ids"), numPerm, bands))
+  }
+
+  /** Incremental near-dup: new-batch docs vs an existing [[minHashIndex]]
+    * — returns (a = new doc, b = index doc, jaccard ≥ threshold). The
+    * batch is shingled once (persisted across banding + re-fetch); the
+    * index contributes two PRUNED column scans (band hashes for the
+    * join, id-arrays re-fetched only for deduped candidates) and is
+    * never re-shingled. `numPerm`/`bands` must match the index's.
+    * Intra-batch duplicates are [[minHashNearDups]]'s job — compose
+    * both at ingestion. */
+  def nearDupsAgainstIndex(
+      newDf: DataFrame, index: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val batch = minHashIndex(newDf, textCol, idCol, numPerm, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nb = batch.select(F.col("doc_id").as("a"),
+        F.posexplode(F.col("bhs")).as(Seq("band", "bh")))
+      val ib = index.select(F.col("doc_id").as("b"),
+        F.posexplode(F.col("bhs")).as(Seq("band", "bh")))
+      val pairs = nb.join(ib, Seq("band", "bh"))
+        .select("a", "b").dropDuplicates("a", "b")
+      pairs
+        .join(batch.select(F.col("doc_id").as("a"), F.col("ids").as("ia")), Seq("a"))
+        .join(index.select(F.col("doc_id").as("b"), F.col("ids").as("ib")), Seq("b"))
+        .withColumn("jaccard", jaccard(F.col("ia"), F.col("ib")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .localCheckpoint(true)
+    } finally batch.unpersist(blocking = false)
+  }
+
   /** Near-duplicate CLUSTERS: [[minHashNearDups]] pairs closed under
     * transitivity via [[ConnectedComponents]], one row per clustered doc:
     * (doc_id, component = min doc_id of the cluster, cluster_size,

@@ -61,6 +61,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.components(df, "a", "b").count() == 0L)
   }
 
+  test("incremental dedup via a parquet-stored index matches cross-set exact Jaccard") {
+    val docs = table("documents")
+    val batch = docs.filter(F.col("source") === "src1")
+    val rest = docs.filter(F.col("source") =!= "src1")
+    // store the index like an ingestion pipeline would, read it back
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    Dedup.minHashIndex(rest, "text", "doc_id").write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val got = Dedup.nearDupsAgainstIndex(batch, index, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: exact Jaccard over string shingles across the boundary
+    val sh = docs.select(F.col("doc_id"), F.col("source"),
+      Dedup.shingles(F.col("text")).as("g"))
+    val a = sh.filter(F.col("source") === "src1")
+      .select(F.col("doc_id").as("a"), F.col("g").as("ga"))
+    val b = sh.filter(F.col("source") =!= "src1")
+      .select(F.col("doc_id").as("b"), F.col("g").as("gb"))
+    val expected = a.crossJoin(b)
+      .withColumn("j", Dedup.jaccard(F.col("ga"), F.col("gb")))
+      .filter(F.col("j") >= 0.5)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("nearDupClusters: components are consistent with the pair list") {
     val docs = table("documents")
       .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
