@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Decontaminate, Dedup, Embeddings, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Embeddings, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -1721,6 +1721,25 @@ object StandardQueries {
            | FROM (SELECT doc_id, len(ng) AS n_grams, unnest(ng) AS gram FROM g WHERE source <> 'src0') u
            | JOIN ev USING (gram) GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Sequence packing: global token offsets + 512-token chunk ids via
+    * the two-pass distributed prefix sum (see [[Packing]] — no
+    * single-partition global window). Oracle: the single-window cumsum
+    * DuckDB runs happily at sf0.01. */
+  private def qCorpusPack = Q(
+    (s, dir) => Packing.withOffsets(
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id")),
+      "doc_id", TextAnalysis.tokenCount(F.col("text")), capacity = 512L)
+      .select("doc_id", "n_tokens", "offset", "chunk_id")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tokens,
+           |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+           |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS chunk_id
+           | FROM (SELECT doc_id,
+           |   CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |   FROM documents)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qDocFingerprint = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"), rolling_min_hash(F.col("text"), 16).as("fingerprint"))
@@ -1863,6 +1882,7 @@ object StandardQueries {
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,
     "decontaminate" -> qDecontaminate,
+    "corpus_pack" -> qCorpusPack,
     "doc_fingerprint" -> qDocFingerprint,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(
