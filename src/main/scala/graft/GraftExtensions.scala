@@ -38,7 +38,12 @@ object GraftFunctions {
     if (args.length <= i) default
     else args(i) match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      case Literal(v: Long, LongType) =>
+        // SQL integer literals can parse as LongType; reject out-of-range
+        // values instead of silently truncating (4294967361 is not 65).
+        if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} out of Int range: $v")
+        v.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
     }

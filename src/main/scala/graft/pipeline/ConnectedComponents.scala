@@ -77,6 +77,11 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(false)
       val sig = signature(next)
+      // next is now materialized (the signature action forced the lazy
+      // checkpoint); release the superseded round's checkpointed blocks —
+      // otherwise up to maxIter copies of the edge list stay pinned in
+      // executor storage for the life of the session.
+      releaseCheckpoint(e)
       converged = sig == sigPrev
       sigPrev = sig
       e = next
@@ -90,6 +95,17 @@ object ConnectedComponents {
       .union(e.select(F.col("lo").as("id"), F.col("lo").as("component")))
       .distinct()
   }
+
+  /** Drops the storage blocks behind a locally-checkpointed DataFrame.
+    * A local checkpoint pins its data at the RDD layer (NOT the SQL cache
+    * manager, so Dataset.unpersist does nothing); the backing RDD sits in
+    * the plan's LogicalRDD leaf. Only call on a superseded round — a
+    * checkpointed RDD has no lineage to recompute from once unpersisted. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Cheap fixpoint detector: (count, Σ xxhash64 mod 2³⁰) of the edge
     * set. Equal signatures on consecutive rounds ⇒ converged — a false

@@ -85,6 +85,47 @@ object Dedup {
   private[graft] def shingleIdsHof(textCol: Column, n: Int = 3): Column =
     F.array_distinct(F.transform(shingles(textCol, n), s => F.xxhash64(s)))
 
+  /** Drops LSH buckets holding more than `maxBucketSize` members before
+    * pair enumeration. Within-bucket candidate generation is quadratic in
+    * bucket size: at web-corpus scale, boilerplate shared by 10⁶ documents
+    * (license headers, templated pages) lands them in one (band, hash)
+    * bucket and yields ~5·10¹¹ pairs from that bucket alone — a salt on
+    * the band key re-routes the bucket but does NOT shrink its pair count.
+    * The standard defense (e.g. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 follow-ups) is to cap:
+    * count bucket sizes (map-side-combined groupBy — one cheap exchange of
+    * (band, hash) keys) and left-semi-join the banded projection against
+    * the under-cap buckets.
+    *
+    * Recall impact: a pair sharing ONLY over-cap buckets is lost. Members
+    * of a dropped bucket are near-identical boilerplate matched by many
+    * OTHER bands with high probability (a pair at Jaccard s survives a
+    * given band with prob s^(numPerm/bands); at s≈1 every band fires), so
+    * true near-dups above threshold lose ≲(1−s^r)^(b−1) recall — negligible
+    * for the mega-bucket case the cap exists for. Set `maxBucketSize <= 0`
+    * to disable. Use [[overflowBuckets]] to audit what a cap would drop. */
+  private[pipeline] def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else {
+      val small = banded.groupBy(keyCols.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as("__bucket_n"))
+        .filter(F.col("__bucket_n") <= maxBucketSize)
+        .select(keyCols.map(F.col): _*)
+      banded.join(small, keyCols, "left_semi")
+    }
+
+  /** Audit companion of the bucket cap: the (band, hash, size) of every
+    * bucket that `maxBucketSize` would drop from [[minHashNearDups]] —
+    * run it on a corpus sample to tune the cap and quantify recall loss. */
+  def overflowBuckets(
+      df: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, bands: Int = 32, maxBucketSize: Int = 1000): DataFrame =
+    df.select(F.col(idCol).as("doc_id"),
+        F.posexplode(bandHashes(shingleIds(F.col(textCol)), numPerm, bands))
+          .as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(F.count(F.lit(1)).as("bucket_size"))
+      .filter(F.col("bucket_size") > maxBucketSize)
+
   /** Full MinHash-LSH near-dup pipeline: returns candidate pairs with
     * their exact shingle-set Jaccard (over 64-bit shingle ids), filtered
     * at `threshold`.
@@ -94,8 +135,9 @@ object Dedup {
     * arrays; candidate pairs are deduped, then the two id-arrays are
     * re-fetched by joining the pair list back to the (doc_id, ids)
     * projection — so array bytes move only for verified candidates, not
-    * through the band-bucket exchange. Bucket sizes are capped implicitly
-    * by banding; for adversarial skew add a salt on the band key.
+    * through the band-bucket exchange. Pathological buckets (corpus-scale
+    * boilerplate) are dropped by [[capBuckets]] before pair enumeration —
+    * see its scaladoc for the recall accounting.
     *
     * The (doc_id, ids) projection is referenced three times (banding +
     * both re-fetch joins); it is map-only with no exchange beneath it, so
@@ -106,14 +148,16 @@ object Dedup {
     * own actions run. */
   def minHashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
     val ids = df.select(F.col(idCol).as("doc_id"),
       shingleIds(F.col(textCol)).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val banded = ids
-        .select(F.col("doc_id"),
-          F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh")))
+      val banded = capBuckets(
+        ids.select(F.col("doc_id"),
+          F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh"))),
+        Seq("band", "bh"), maxBucketSize)
       val l = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a"))
       val r = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b"))
       val pairs = l.join(r, Seq("band", "bh"))
@@ -150,17 +194,22 @@ object Dedup {
     * join, id-arrays re-fetched only for deduped candidates) and is
     * never re-shingled. `numPerm`/`bands` must match the index's.
     * Intra-batch duplicates are [[minHashNearDups]]'s job — compose
-    * both at ingestion. */
+    * both at ingestion. The cap is applied to the INDEX side (the corpus-
+    * scale one, where boilerplate mega-buckets live); the batch side is
+    * ingestion-sized and left uncapped. */
   def nearDupsAgainstIndex(
       newDf: DataFrame, index: DataFrame, textCol: String, idCol: String,
-      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
     val batch = minHashIndex(newDf, textCol, idCol, numPerm, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nb = batch.select(F.col("doc_id").as("a"),
         F.posexplode(F.col("bhs")).as(Seq("band", "bh")))
-      val ib = index.select(F.col("doc_id").as("b"),
-        F.posexplode(F.col("bhs")).as(Seq("band", "bh")))
+      val ib = capBuckets(
+        index.select(F.col("doc_id").as("b"),
+          F.posexplode(F.col("bhs")).as(Seq("band", "bh"))),
+        Seq("band", "bh"), maxBucketSize)
       val pairs = nb.join(ib, Seq("band", "bh"))
         .select("a", "b").dropDuplicates("a", "b")
       pairs
@@ -184,8 +233,9 @@ object Dedup {
     * found, not data scanned. */
   def nearDupClusters(
       df: DataFrame, textCol: String, idCol: String,
-      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
-    val pairs = minHashNearDups(df, textCol, idCol, numPerm, bands, threshold)
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minHashNearDups(df, textCol, idCol, numPerm, bands, threshold, maxBucketSize)
     val comp = ConnectedComponents.components(pairs, "a", "b")
     val sizes = comp.groupBy(F.col("component").as("c2"))
       .agg(F.count(F.lit(1)).as("cluster_size"))

@@ -278,15 +278,22 @@ object Similarity {
     * [[Dedup.minHashNearDups]]'s shingle pipeline): both join sides
     * recompute the signature map, but it is O(dim × bits) arithmetic
     * straight off the scan — two cheap map passes beat caching
-    * bands × n rows at corpus scale. */
+    * bands × n rows at corpus scale.
+    *
+    * `maxBucketSize` drops pathological buckets (zero vectors, clusters of
+    * near-identical embeddings) before the quadratic within-bucket pair
+    * enumeration — see [[Dedup.capBuckets]] for the recall accounting;
+    * `<= 0` disables. */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       tau: Double = 0.9, bitsPerBand: Int = 8, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
     val vecs = df.select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
-    val banded = vecs.select(F.col("id"),
-      F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
-        .as(Seq("band", "bucket")))
+    val banded = Dedup.capBuckets(
+      vecs.select(F.col("id"),
+        F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
     val l = banded.select(F.col("band"), F.col("bucket"), F.col("id").as("a"))
     val r = banded.select(F.col("band"), F.col("bucket"), F.col("id").as("b"))
     val pairs = l.join(r, Seq("band", "bucket"))
