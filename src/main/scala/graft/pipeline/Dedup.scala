@@ -85,38 +85,103 @@ object Dedup {
   private[graft] def shingleIdsHof(textCol: Column, n: Int = 3): Column =
     F.array_distinct(F.transform(shingles(textCol, n), s => F.xxhash64(s)))
 
-  /** Drops LSH buckets holding more than `maxBucketSize` members before
-    * pair enumeration. Within-bucket candidate generation is quadratic in
-    * bucket size: at web-corpus scale, boilerplate shared by 10⁶ documents
-    * (license headers, templated pages) lands them in one (band, hash)
-    * bucket and yields ~5·10¹¹ pairs from that bucket alone — a salt on
-    * the band key re-routes the bucket but does NOT shrink its pair count.
-    * The standard defense (e.g. Lee et al., "Deduplicating Training Data
-    * Makes Language Models Better", arXiv:2107.06499 follow-ups) is to cap:
-    * count bucket sizes (map-side-combined groupBy — one cheap exchange of
-    * (band, hash) keys) and left-semi-join the banded projection against
-    * the under-cap buckets.
+  /** Within-bucket candidate generation is quadratic in bucket size: at
+    * web-corpus scale, boilerplate shared by 10⁶ documents (license
+    * headers, templated pages) lands them in one (band, hash) bucket and
+    * yields ~5·10¹¹ pairs from that bucket alone — a salt on the band key
+    * re-routes the bucket but does NOT shrink its pair count. Two
+    * mitigations live here; both bound work WITHOUT dropping over-cap
+    * buckets outright (dropping is wrong for exactly the case the cap
+    * targets: members of a near-identical mega-cluster collide in EVERY
+    * band, so all their buckets over-cap at once and the corpus' largest
+    * duplicate cluster would silently not be deduplicated at all).
     *
-    * Recall impact: a pair sharing ONLY over-cap buckets is lost. Members
-    * of a dropped bucket are near-identical boilerplate matched by many
-    * OTHER bands with high probability (a pair at Jaccard s survives a
-    * given band with prob s^(numPerm/bands); at s≈1 every band fires), so
-    * true near-dups above threshold lose ≲(1−s^r)^(b−1) recall — negligible
-    * for the mega-bucket case the cap exists for. Set `maxBucketSize <= 0`
-    * to disable. Use [[overflowBuckets]] to audit what a cap would drop. */
-  private[pipeline] def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    * [[lshPairs]] — for SELF-join paths ([[minHashNearDups]],
+    * [[graft.pipeline.Similarity.cosineNearDupLsh]]): under-cap buckets
+    * enumerate all pairs as usual; an over-cap bucket instead emits STAR
+    * edges, linking each member to the bucket's minimum-id representative
+    * — O(n) candidates instead of O(n²), and under transitive closure
+    * ([[nearDupClusters]]) the whole mega-cluster still lands in one
+    * component. Pair-level recall accounting: a pair (x,y) in an over-cap
+    * bucket where neither is the representative is not emitted FROM THAT
+    * BUCKET; it is still found via any under-cap bucket the pair shares
+    * (prob 1−(1−s^r)^(b−1) per the usual band math), and in the mega-
+    * cluster case (all members mutually near-identical) both (rep,x) and
+    * (rep,y) pass verification so clustering recovers it exactly.
+    *
+    * [[capBuckets]] — for ASYMMETRIC joins ([[nearDupsAgainstIndex]],
+    * batch × corpus index): star edges don't apply (the two sides are
+    * different tables), so over-cap index buckets are thinned to ~cap
+    * deterministic representatives via a hash threshold
+    * (xxhash64(id) mod n < cap — map-only after the size join, no
+    * skewed per-bucket sort). A new-batch doc matching corpus
+    * boilerplate still pairs with up to `cap` representatives per band
+    * and is verified against them — it IS flagged as a duplicate; only
+    * WHICH corpus members it is linked to is thinned. Under-cap buckets
+    * pass through untouched.
+    *
+    * The size pre-aggregation is a map-side-combined groupBy on the same
+    * (band, hash) key as the pair exchange itself, so the added cost is
+    * one cheap aggregation of 8-byte keys. Set `maxBucketSize <= 0` to
+    * disable either mechanism. Use [[overflowBuckets]] to audit which
+    * buckets a cap touches. (Cap rationale: Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499
+    * follow-ups; star-edge linking: the large-star/small-star trick of
+    * Kiveris et al., SoCC 2014, applied at candidate generation.) */
+  private[pipeline] def lshPairs(
+      banded: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val keys = keyCols.map(F.col)
+    def allPairs(b: DataFrame): DataFrame = {
+      val l = b.select(keys :+ F.col(idCol).as("a"): _*)
+      val r = b.select(keys :+ F.col(idCol).as("b"): _*)
+      l.join(r, keyCols).filter(F.col("a") < F.col("b")).select("a", "b")
+    }
+    val pairs =
+      if (maxBucketSize <= 0) allPairs(banded)
+      else {
+        val stats = banded.groupBy(keys: _*).agg(
+          F.count(F.lit(1)).as("__bucket_n"), F.min(F.col(idCol)).as("__rep"))
+        // Identical exchange subtrees below (the stats agg + the join on
+        // keyCols appear in both branches of the union) are deduplicated
+        // by Spark's ReuseExchange, so the banding is not re-shuffled.
+        val tagged = banded.join(stats, keyCols)
+        val small = allPairs(
+          tagged.filter(F.col("__bucket_n") <= maxBucketSize)
+            .select(keys :+ F.col(idCol): _*))
+        // rep = min(id) ⇒ rep < member under the same ordering as the
+        // a < b filter, so star edges need no extra normalization.
+        val star = tagged
+          .filter(F.col("__bucket_n") > maxBucketSize && F.col(idCol) =!= F.col("__rep"))
+          .select(F.col("__rep").as("a"), F.col(idCol).as("b"))
+        small.unionByName(star)
+      }
+    pairs.dropDuplicates("a", "b")
+  }
+
+  /** Thins over-cap buckets to ~`maxBucketSize` hash-chosen representatives
+    * (see the recall accounting on [[lshPairs]]); under-cap buckets and
+    * `maxBucketSize <= 0` pass through unchanged. Only for asymmetric
+    * join paths — self-join paths use [[lshPairs]]' star edges, which
+    * keep every member reachable. */
+  private[pipeline] def capBuckets(
+      banded: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) banded
     else {
-      val small = banded.groupBy(keyCols.map(F.col): _*)
+      val keys = keyCols.map(F.col)
+      val stats = banded.groupBy(keys: _*)
         .agg(F.count(F.lit(1)).as("__bucket_n"))
-        .filter(F.col("__bucket_n") <= maxBucketSize)
-        .select(keyCols.map(F.col): _*)
-      banded.join(small, keyCols, "left_semi")
+      banded.join(stats, keyCols)
+        .filter(F.col("__bucket_n") <= maxBucketSize ||
+          F.pmod(F.xxhash64(keys :+ F.col(idCol): _*), F.col("__bucket_n")) < maxBucketSize)
+        .drop("__bucket_n")
     }
 
   /** Audit companion of the bucket cap: the (band, hash, size) of every
-    * bucket that `maxBucketSize` would drop from [[minHashNearDups]] —
-    * run it on a corpus sample to tune the cap and quantify recall loss. */
+    * bucket that `maxBucketSize` switches from all-pairs to star-edge /
+    * sampled handling in [[minHashNearDups]] — run it on a corpus sample
+    * to tune the cap and quantify the pair-level recall trade. */
   def overflowBuckets(
       df: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, bands: Int = 32, maxBucketSize: Int = 1000): DataFrame =
@@ -136,8 +201,8 @@ object Dedup {
     * re-fetched by joining the pair list back to the (doc_id, ids)
     * projection — so array bytes move only for verified candidates, not
     * through the band-bucket exchange. Pathological buckets (corpus-scale
-    * boilerplate) are dropped by [[capBuckets]] before pair enumeration —
-    * see its scaladoc for the recall accounting.
+    * boilerplate) switch to star-edge candidate generation via
+    * [[lshPairs]] — see its scaladoc for the recall accounting.
     *
     * The (doc_id, ids) projection is referenced three times (banding +
     * both re-fetch joins); it is map-only with no exchange beneath it, so
@@ -154,16 +219,9 @@ object Dedup {
       shingleIds(F.col(textCol)).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val banded = capBuckets(
-        ids.select(F.col("doc_id"),
-          F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh"))),
-        Seq("band", "bh"), maxBucketSize)
-      val l = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a"))
-      val r = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("band", "bh"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates("a", "b")
+      val banded = ids.select(F.col("doc_id"),
+        F.posexplode(bandHashes(F.col("ids"), numPerm, bands)).as(Seq("band", "bh")))
+      val pairs = lshPairs(banded, Seq("band", "bh"), "doc_id", maxBucketSize)
       pairs
         .join(ids.select(F.col("doc_id").as("a"), F.col("ids").as("ia")), Seq("a"))
         .join(ids.select(F.col("doc_id").as("b"), F.col("ids").as("ib")), Seq("b"))
@@ -209,7 +267,7 @@ object Dedup {
       val ib = capBuckets(
         index.select(F.col("doc_id").as("b"),
           F.posexplode(F.col("bhs")).as(Seq("band", "bh"))),
-        Seq("band", "bh"), maxBucketSize)
+        Seq("band", "bh"), "b", maxBucketSize)
       val pairs = nb.join(ib, Seq("band", "bh"))
         .select("a", "b").dropDuplicates("a", "b")
       pairs
