@@ -113,8 +113,10 @@ object Dedup {
     * batch × corpus index): star edges don't apply (the two sides are
     * different tables), so over-cap index buckets are thinned to ~cap
     * deterministic representatives via a hash threshold
-    * (xxhash64(id) mod n < cap — map-only after the size join, no
-    * skewed per-bucket sort). A new-batch doc matching corpus
+    * (xxhash64(band, hash, id) mod n < cap — map-only after the size
+    * join, no skewed per-bucket sort; hashing the bucket key along with
+    * the id spreads representative duty across docs per bucket instead
+    * of electing one corpus-wide sample). A new-batch doc matching corpus
     * boilerplate still pairs with up to `cap` representatives per band
     * and is verified against them — it IS flagged as a duplicate; only
     * WHICH corpus members it is linked to is thinned. Under-cap buckets

@@ -280,26 +280,20 @@ object Similarity {
     * straight off the scan — two cheap map passes beat caching
     * bands × n rows at corpus scale.
     *
-    * `maxBucketSize` drops pathological buckets (zero vectors, clusters of
-    * near-identical embeddings) before the quadratic within-bucket pair
-    * enumeration — see [[Dedup.capBuckets]] for the recall accounting;
+    * `maxBucketSize` switches pathological buckets (zero vectors, clusters
+    * of near-identical embeddings) from quadratic within-bucket pair
+    * enumeration to O(n) star edges — this is a SELF-join path, so it uses
+    * [[Dedup.lshPairs]]; see its scaladoc for the recall accounting.
     * `<= 0` disables. */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       tau: Double = 0.9, bitsPerBand: Int = 8, bands: Int = 16,
       seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
     val vecs = df.select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
-    val banded = Dedup.capBuckets(
-      vecs.select(F.col("id"),
-        F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
-          .as(Seq("band", "bucket"))),
-      Seq("band", "bucket"), maxBucketSize)
-    val l = banded.select(F.col("band"), F.col("bucket"), F.col("id").as("a"))
-    val r = banded.select(F.col("band"), F.col("bucket"), F.col("id").as("b"))
-    val pairs = l.join(r, Seq("band", "bucket"))
-      .filter(F.col("a") < F.col("b"))
-      .select("a", "b")
-      .dropDuplicates("a", "b")
+    val banded = vecs.select(F.col("id"),
+      F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
+        .as(Seq("band", "bucket")))
+    val pairs = Dedup.lshPairs(banded, Seq("band", "bucket"), "id", maxBucketSize)
     pairs
       .join(vecs.select(F.col("id").as("a"), F.col("__v").as("__va")), Seq("a"))
       .join(vecs.select(F.col("id").as("b"), F.col("__v").as("__vb")), Seq("b"))
