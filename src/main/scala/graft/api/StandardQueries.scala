@@ -1309,6 +1309,53 @@ object StandardQueries {
            | SELECT c.id AS doc_id, c.component, s.cluster_size, c.id = c.component AS keep
            | FROM comp c JOIN sizes s USING (component) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** The over-cap branch under the oracle: a 30-copy mega-cluster planted
+    * from doc 0 makes every one of its 32 band buckets exceed cap=8, so
+    * candidate generation switches to [[Dedup.lshPairs]] star edges — the
+    * branch no natural sf bucket reaches. Equality with the exact-Jaccard
+    * clustering oracle holds because (a) the mega-cluster is mutually
+    * identical: every star edge (rep=0, member) verifies at jaccard 1.0
+    * and the closure recovers the whole 31-member component; (b) every
+    * OTHER bucket stays far under cap (natural clusters here are ≤3 and
+    * noise band-collisions are (J≈0.03)² per pair), so the rest of the
+    * corpus follows `dedup_clusters`' 2e-22 miss-probability argument
+    * unchanged. */
+  private def qDedupNearCapped = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.filter(F.col("doc_id") === 0)
+        .select(F.explode(F.sequence(F.lit(1L), F.lit(30L))).as("k"), F.col("text"))
+        .select((F.col("k") + 1000000L).as("doc_id"), F.col("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(copies)
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      Dedup.nearDupClusters(corpus, "text", "doc_id",
+        numPerm = 64, bands = 32, threshold = 0.5, maxBucketSize = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT 1000000 + t.k AS doc_id, d.text FROM documents d, range(1, 31) t(k) WHERE d.doc_id = 0),
+           | sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM corpus)),
+           | pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5),
+           | edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+           | r AS (
+           |   SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+           |   UNION
+           |   SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.u),
+           | comp AS (SELECT u AS id, min(m) AS component FROM r GROUP BY u),
+           | sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+           | SELECT c.id AS doc_id, c.component, s.cluster_size, c.id = c.component AS keep
+           | FROM comp c JOIN sizes s USING (component) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qEmbeddingTopK = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1904,6 +1951,7 @@ object StandardQueries {
     "ngram_jaccard" -> qNgramJaccard,
     "dedup_near" -> qDedupNear,
     "dedup_clusters" -> qDedupClusters,
+    "dedup_near_capped" -> qDedupNearCapped,
     "dedup_incremental" -> qDedupIncremental,
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,

@@ -144,9 +144,14 @@ object Dedup {
       else {
         val stats = banded.groupBy(keys: _*).agg(
           F.count(F.lit(1)).as("__bucket_n"), F.min(F.col(idCol)).as("__rep"))
-        // Identical exchange subtrees below (the stats agg + the join on
-        // keyCols appear in both branches of the union) are deduplicated
-        // by Spark's ReuseExchange, so the banding is not re-shuffled.
+        // The tagged relation below is referenced three times (self-join
+        // l/r + star branch). ReuseExchange collapses the expensive part —
+        // the wide (band, hash, id) exchange is computed once and reused at
+        // the other two references (pinned by DedupCapSpec under the
+        // sort-merge plan). The stats agg's partial pass + 8-byte-key
+        // exchange does duplicate once across the union branches; that is
+        // a cheap re-scan of the (cached, in minHashNearDups) banding, not
+        // a second corpus shuffle.
         val tagged = banded.join(stats, keyCols)
         val small = allPairs(
           tagged.filter(F.col("__bucket_n") <= maxBucketSize)

@@ -80,6 +80,32 @@ class DedupCapSpec extends SparkSpec {
     assert(clusters.filter(_._4).map(_._1).toSeq == Seq(1L), "keep = min-id canonical only")
   }
 
+  test("lshPairs: the wide banded relation is exchanged on (band,bh) exactly once") {
+    // The scale claim at Dedup.scala: the three references to the tagged
+    // banded relation (self-join l/r + star branch) must share ONE shuffle
+    // via ReuseExchange — re-shuffling the corpus-scale banding per branch
+    // would triple the dominant exchange. Pin it under the sort-merge plan
+    // (broadcast off = the 100 TB shape): the doc_id-carrying (band,bh)
+    // exchange is computed once and appears as ReusedExchange at the other
+    // two references. (The stats agg's 8-byte-key exchange is separate and
+    // cheap; it is allowed to duplicate.)
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val banded = ((1L to 50L).map(i => (0, 7L, i)) ++ (1L to 5L).map(i => (1, 9L, i)))
+        .toDF("band", "bh", "doc_id")
+      val pairs = Dedup.lshPairs(banded, Seq("band", "bh"), "doc_id", 10)
+      pairs.collect() // materialize so AQE settles on the final plan
+      val finalPlan = pairs.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val wideReuses = finalPlan.linesIterator.count(l =>
+        l.matches(""".*ReusedExchange \[[^\]]*doc_id[^\]]*\], Exchange hashpartitioning\(band.*"""))
+      assert(wideReuses == 2,
+        s"expected the banded (band,bh) exchange reused at both other references:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("under-cap corpus: capped pair set is identical to uncapped") {
     val docs = table("documents")
     def pairs(cap: Int) = Dedup.minHashNearDups(docs, "text", "doc_id",
