@@ -393,6 +393,52 @@ object StandardQueries {
            | CAST(max(64 + (octet_length(encode(text)) // 7) % 512) AS DOUBLE) AS height_max
            | FROM documents""".stripMargin.replaceAll("\n", " ")))
 
+  /** REAL image decode (no fake): a synthetic 24-bpp BMP per doc goes
+    * through [[Multimodal.Bmp]]'s streaming decoder — header parse, row
+    * padding, bottom-up layout, per-pixel integer HSV, exact-integer-sum
+    * mean/stddev. The oracle recomputes every statistic analytically from
+    * the fixture's closed-form pixel values; equality is exact because
+    * both sides derive each double from the same integer sums with one
+    * correctly-rounded divide/sqrt. Entropy is excluded here (libm log is
+    * not bit-portable across engines) and is spec-tested instead. */
+  private def qImageStats = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val bmp = Multimodal.syntheticBmp(docs, "doc_id")
+      Multimodal.withImageStats(bmp, "img")
+        .select("doc_id", "width", "height", "colorspace", "hue_mean",
+          "hue_std", "sat_mean", "sat_std", "bright_mean", "bright_std")
+        .orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+           |  SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + d.doc_id % 7 AS ht,
+           |    (d.doc_id*7 + x.k*13 + y.k*31) % 256 AS r,
+           |    (d.doc_id*11 + x.k*3 + y.k*5) % 256 AS g,
+           |    (d.doc_id*5 + x.k*17 + y.k*23) % 256 AS b
+           |  FROM documents d, range(0, 16) x(k), range(0, 14) y(k)
+           |  WHERE x.k < 8 + d.doc_id % 9 AND y.k < 8 + d.doc_id % 7),
+           | hsv AS (
+           |  SELECT doc_id, w, ht, greatest(r, g, b) AS v,
+           |   CASE WHEN greatest(r, g, b) = 0 THEN 0
+           |        ELSE 255 * (greatest(r, g, b) - least(r, g, b)) // greatest(r, g, b) END AS s,
+           |   CASE WHEN greatest(r, g, b) = least(r, g, b) THEN 0
+           |        WHEN greatest(r, g, b) = r AND g >= b THEN ((g - b) * 255 // (greatest(r, g, b) - least(r, g, b))) // 6
+           |        WHEN greatest(r, g, b) = r THEN (1530 - (b - g) * 255 // (greatest(r, g, b) - least(r, g, b))) // 6
+           |        WHEN greatest(r, g, b) = g AND b >= r THEN (510 + (b - r) * 255 // (greatest(r, g, b) - least(r, g, b))) // 6
+           |        WHEN greatest(r, g, b) = g THEN (510 - (r - b) * 255 // (greatest(r, g, b) - least(r, g, b))) // 6
+           |        WHEN r >= g THEN (1020 + (r - g) * 255 // (greatest(r, g, b) - least(r, g, b))) // 6
+           |        ELSE (1020 - (g - r) * 255 // (greatest(r, g, b) - least(r, g, b))) // 6 END AS hc
+           |  FROM px)
+           | SELECT doc_id, CAST(any_value(w) AS INT) AS width, CAST(any_value(ht) AS INT) AS height,
+           |  'RGB' AS colorspace,
+           |  CAST(sum(hc) AS DOUBLE) / count(*) AS hue_mean,
+           |  sqrt(CAST(count(*) * sum(hc*hc) - sum(hc)*sum(hc) AS DOUBLE)) / count(*) AS hue_std,
+           |  CAST(sum(s) AS DOUBLE) / count(*) AS sat_mean,
+           |  sqrt(CAST(count(*) * sum(s*s) - sum(s)*sum(s) AS DOUBLE)) / count(*) AS sat_std,
+           |  CAST(sum(v) AS DOUBLE) / count(*) AS bright_mean,
+           |  sqrt(CAST(count(*) * sum(v*v) - sum(v)*sum(v) AS DOUBLE)) / count(*) AS bright_std
+           | FROM hsv GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
   // §2.B dataset operators
   // ------------------------------------------------------------------
@@ -1981,6 +2027,7 @@ object StandardQueries {
         .orderBy("doc_id"), None),
     "multimodal_meta" -> qMultimodalMeta,
     "multimodal_profile" -> qMultimodalProfile,
+    "image_stats" -> qImageStats,
     "frame_hashes" -> Q(
       (s, dir) => {
         val bin = t(s, dir, "documents")

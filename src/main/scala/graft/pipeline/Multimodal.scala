@@ -9,10 +9,15 @@ import org.apache.spark.sql.types._
   * per partition over an iterator (Arrow-batch-shaped: the Scala analog of
   * a `mapInPandas` batch UDF).
   *
-  * NOTE: real codecs (JPEG/PNG/audio) are NOT available in this
-  * environment, so [[MediaDecoder.real]] is a clearly-marked stub; the
-  * deterministic [[MediaDecoder.fake]] exercises the full Spark-side
-  * plumbing (schema, batching, partitioning) and is what tests use.
+  * NOTE: compressed codecs (JPEG/PNG/audio) are NOT available in this
+  * environment. Uncompressed BMP needs no codec — [[Bmp]] is a real
+  * pure-JVM decoder computing the reference ImageMetric's per-image
+  * features (width/height/colorspace + HSV channel mean/stddev +
+  * histogram entropy, cf. reference
+  * python/whylogs/extras/image_metric.py:57-127); [[MediaDecoder.real]]
+  * routes BMP bytes through it and still fails loudly for formats that
+  * genuinely need a codec. The deterministic [[MediaDecoder.fake]]
+  * remains for plumbing tests.
   */
 object Multimodal {
 
@@ -24,11 +29,17 @@ object Multimodal {
   }
 
   object MediaDecoder {
-    /** STUB — requires an image codec (javax.imageio / ffmpeg) that this
-      * container does not ship. Wire a real decoder here in production. */
-    val real: MediaDecoder = (_: Array[Byte]) =>
-      throw new UnsupportedOperationException(
-        "media codecs unavailable in this environment — use MediaDecoder.fake")
+    /** Real decode for formats decodable without external codecs:
+      * uncompressed BMP via [[Bmp.decodeStats]]. Compressed formats
+      * (JPEG/PNG/video) still require a codec this container does not
+      * ship and fail loudly — wire one here in production. */
+    val real: MediaDecoder = (bytes: Array[Byte]) =>
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val s = Bmp.decodeStats(bytes)
+        DecodedMedia(s.width, s.height, 3, s.brightMean / 255.0)
+      } else throw new UnsupportedOperationException(
+        "compressed-media codecs unavailable in this environment — " +
+          "only uncompressed BMP decodes; use MediaDecoder.fake for plumbing tests")
 
     /** Deterministic fake decode: dims/features derived from content bytes
       * so tests are stable and engine-portable. */
@@ -67,6 +78,199 @@ object Multimodal {
         val d = if (bytes == null) DecodedMedia(0, 0, 0, 0.0) else decoder.decode(bytes)
         Row.fromSeq(keepIdx.map(row.get) ++
           Seq[Any](d.width, d.height, d.channels, d.featureNorm))
+      }
+    }(encoder)
+  }
+
+  /** Per-image statistics mirroring the reference ImageMetric's feature
+    * set (reference python/whylogs/extras/image_metric.py:45-127):
+    * dimensions + colorspace, mean/stddev of the 8-bit Hue / Saturation /
+    * Brightness channels, and Shannon entropy (bits) of the concatenated
+    * per-band RGB histogram (PIL `Image.histogram()` convention). */
+  final case class ImageStats(width: Int, height: Int, colorspace: String,
+      hueMean: Double, hueStd: Double, satMean: Double, satStd: Double,
+      brightMean: Double, brightStd: Double, entropy: Double)
+
+  /** Pure-JVM codec for uncompressed BMP (the one raster format that
+    * needs no external library: 54-byte header + raw BGR rows). Decode is
+    * a single streaming pass with integer accumulators — no pixel array is
+    * materialized, so memory per image is O(1) regardless of resolution.
+    *
+    * HSV is the 8-bit integer convention (all three channels 0..255, like
+    * PIL's `convert("HSV")`), computed in PURE INTEGER arithmetic — hue on
+    * a 1530-step wheel floor-divided to 0..254 — so every statistic
+    * derives from exact integer sums and is bit-reproducible across
+    * engines (the image_stats oracle recomputes it in SQL). */
+  object Bmp {
+
+    /** Integer 8-bit (hue, saturation, value): saturation =
+      * 255·delta/max, hue = floor(hue1530/6) with the six sextants laid
+      * out r→g→b and ties broken in r, g, b precedence order. All
+      * divisions are non-negative floor divisions. */
+    private[pipeline] def hsv255(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+      val maxc = math.max(r, math.max(g, b))
+      val minc = math.min(r, math.min(g, b))
+      val d = maxc - minc
+      val s = if (maxc == 0) 0 else 255 * d / maxc
+      val h =
+        if (d == 0) 0
+        else {
+          val h1530 =
+            if (maxc == r) { if (g >= b) (g - b) * 255 / d else 1530 - (b - g) * 255 / d }
+            else if (maxc == g) { if (b >= r) 510 + (b - r) * 255 / d else 510 - (r - b) * 255 / d }
+            else { if (r >= g) 1020 + (r - g) * 255 / d else 1020 - (g - r) * 255 / d }
+          h1530 / 6
+        }
+      (h, s, maxc)
+    }
+
+    private def le16(a: Array[Byte], i: Int): Int =
+      (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8)
+    private def le32(a: Array[Byte], i: Int): Int =
+      (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8) | ((a(i + 2) & 0xff) << 16) | ((a(i + 3) & 0xff) << 24)
+
+    /** Encode a 24-bpp bottom-up uncompressed BMP; `rgb(x, y)` supplies
+      * the pixel at column x, TOP-DOWN row y as (r, g, b) in 0..255. */
+    def encode24(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, s"degenerate dims ${width}x$height")
+      val rowSize = (3 * width + 3) & ~3
+      val fileSize = 54 + rowSize * height
+      val out = new Array[Byte](fileSize)
+      def putLe32(i: Int, v: Int): Unit = {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(2, fileSize); putLe32(10, 54)
+      putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+      out(26) = 1; out(28) = 24
+      putLe32(34, rowSize * height)
+      putLe32(38, 2835); putLe32(42, 2835) // 72 dpi
+      var y = 0
+      while (y < height) {
+        // bottom-up storage: file row 0 is image row height-1
+        var off = 54 + (height - 1 - y) * rowSize
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = rgb(x, y)
+          out(off) = b.toByte; out(off + 1) = g.toByte; out(off + 2) = r.toByte
+          off += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Decode an uncompressed 24/32-bpp BMP (bottom-up or top-down) and
+      * compute [[ImageStats]] in one pass. Rejects anything else loudly —
+      * no silent partial stats. */
+    def decodeStats(bytes: Array[Byte]): ImageStats = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP (missing BM magic)")
+      val pixelOff = le32(bytes, 10)
+      val hdrSize = le32(bytes, 14)
+      require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+      val width = le32(bytes, 18)
+      val rawH = le32(bytes, 22)
+      val height = math.abs(rawH)
+      val bpp = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      require(compression == 0, s"compressed BMP (method $compression) unsupported")
+      require(bpp == 24 || bpp == 32, s"only 24/32-bpp BMP supported, got $bpp")
+      require(width > 0 && height > 0, s"degenerate dims ${width}x$rawH")
+      val step = bpp / 8
+      val rowSize = (width * step + 3) & ~3
+      require(bytes.length >= pixelOff + rowSize.toLong * height,
+        "truncated BMP pixel data")
+      val n = width * height
+      var sh, ss, sv, qh, qs, qv = 0L
+      val hist = new Array[Long](768)
+      var y = 0
+      while (y < height) {
+        var off = pixelOff + y * rowSize
+        var x = 0
+        while (x < width) {
+          val b = bytes(off) & 0xff
+          val g = bytes(off + 1) & 0xff
+          val r = bytes(off + 2) & 0xff
+          val (h, s, v) = hsv255(r, g, b)
+          sh += h; ss += s; sv += v
+          qh += h.toLong * h; qs += s.toLong * s; qv += v.toLong * v
+          hist(r) += 1; hist(256 + g) += 1; hist(512 + b) += 1
+          off += step; x += 1
+        }
+        y += 1
+      }
+      def mean(sum: Long) = sum.toDouble / n
+      def std(sum: Long, sumSq: Long) =
+        math.sqrt((n.toLong * sumSq - sum * sum).toDouble) / n
+      var entropy = 0.0
+      val total = 3.0 * n
+      var i = 0
+      while (i < 768) {
+        if (hist(i) > 0) {
+          val p = hist(i) / total
+          entropy -= p * (math.log(p) / math.log(2.0))
+        }
+        i += 1
+      }
+      ImageStats(width, height, "RGB", mean(sh), std(sh, qh), mean(ss),
+        std(ss, qs), mean(sv), std(sv, qv), entropy)
+    }
+  }
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("colorspace", StringType),
+    StructField("hue_mean", DoubleType), StructField("hue_std", DoubleType),
+    StructField("sat_mean", DoubleType), StructField("sat_std", DoubleType),
+    StructField("bright_mean", DoubleType), StructField("bright_std", DoubleType),
+    StructField("entropy", DoubleType)))
+
+  /** Real decode stage: per-partition streaming BMP decode replacing the
+    * binary column with [[imageStatsSchema]] columns (same batch shape as
+    * [[decodeMetadata]]; NULL binaries yield NULL stats). */
+  def withImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
+      imageStatsSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val keepIdx = df.schema.fields.indices.filterNot(_ == binIdx)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val stats: Seq[Any] =
+          if (bytes == null) Seq.fill[Any](10)(null)
+          else {
+            val s = Bmp.decodeStats(bytes)
+            Seq[Any](s.width, s.height, s.colorspace, s.hueMean, s.hueStd,
+              s.satMean, s.satStd, s.brightMean, s.brightStd, s.entropy)
+          }
+        Row.fromSeq(keepIdx.map(row.get) ++ stats)
+      }
+    }(encoder)
+  }
+
+  /** Deterministic synthetic BMP fixture per row — REAL bytes through the
+    * real encoder, with closed-form pixel values so an external oracle can
+    * recompute the expected statistics analytically from `idCol` alone:
+    * dims (8 + id%9) x (8 + id%7), pixel (x, y) has
+    * r = (id·7 + x·13 + y·31) % 256, g = (id·11 + x·3 + y·5) % 256,
+    * b = (id·5 + x·17 + y·23) % 256. */
+  def syntheticBmp(df: DataFrame, idCol: String, out: String = "img"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val img = Bmp.encode24(w, h, (x, y) => (
+          ((id * 7 + x * 13 + y * 31) % 256).toInt,
+          ((id * 11 + x * 3 + y * 5) % 256).toInt,
+          ((id * 5 + x * 17 + y * 23) % 256).toInt))
+        Row.fromSeq(row.toSeq :+ img)
       }
     }(encoder)
   }
