@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Decontaminate, Dedup, Embeddings, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -438,6 +438,31 @@ object StandardQueries {
            |  CAST(sum(v) AS DOUBLE) / count(*) AS bright_mean,
            |  sqrt(CAST(count(*) * sum(v*v) - sum(v)*sum(v) AS DOUBLE)) / count(*) AS bright_std
            | FROM hsv GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** REAL EXIF extraction (reference `image_metric.py:82-103`): a
+    * synthetic TIFF per doc — alternating endianness by id parity — goes
+    * through [[Exif.parse]]'s IFD walk; the oracle recomputes every tag
+    * string analytically from doc_id. Values are strings built by integer
+    * arithmetic, so equality is exact. */
+  private def qImageExif = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      Exif.withExifMetadata(Exif.syntheticTiff(docs, "doc_id"), "img")
+        .select(F.col("doc_id"),
+          F.element_at(F.col("exif"), "Make").as("make"),
+          F.element_at(F.col("exif"), "Model").as("model"),
+          F.element_at(F.col("exif"), "Orientation").as("orientation"),
+          F.element_at(F.col("exif"), "XResolution").as("x_resolution"),
+          F.element_at(F.col("exif"), "DateTime").as("datetime"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | 'graft-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           | 'mx' || CAST(doc_id % 3 AS VARCHAR) AS model,
+           | CAST(1 + doc_id % 8 AS VARCHAR) AS orientation,
+           | CAST(72 + doc_id % 100 AS VARCHAR) || '/1' AS x_resolution,
+           | '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' 00:00:00' AS datetime
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
   // ------------------------------------------------------------------
   // §2.B dataset operators
@@ -2028,6 +2053,7 @@ object StandardQueries {
     "multimodal_meta" -> qMultimodalMeta,
     "multimodal_profile" -> qMultimodalProfile,
     "image_stats" -> qImageStats,
+    "image_exif" -> qImageExif,
     "frame_hashes" -> Q(
       (s, dir) => {
         val bin = t(s, dir, "documents")

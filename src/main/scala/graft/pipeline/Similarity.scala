@@ -274,11 +274,15 @@ object Similarity {
     * bands (fewer bits) — pair with a recall gate against
     * [[cosineNearDupExact]] like the IVF recall query does.
     *
-    * The banded projection is deliberately NOT persisted (unlike
-    * [[Dedup.minHashNearDups]]'s shingle pipeline): both join sides
-    * recompute the signature map, but it is O(dim × bits) arithmetic
-    * straight off the scan — two cheap map passes beat caching
-    * bands × n rows at corpus scale.
+    * The banded (band, bucket, id) projection IS persisted, same as
+    * [[Dedup.minHashNearDups]]'s shingle pipeline: [[Dedup.lshPairs]]
+    * references it from the pair exchange AND the bucket-size
+    * aggregation, and each recompute costs bits × bands × dim
+    * multiply-adds per row (tens of kFLOPs at real embedding widths) —
+    * far more than caching bands × n 24-byte rows. The verification
+    * joins re-scan only the pruned (id, vector) projection off the
+    * parquet scan; the pair result is localCheckpointed so the cache
+    * releases before the caller's actions run.
     *
     * `maxBucketSize` switches pathological buckets (zero vectors, clusters
     * of near-identical embeddings) from quadratic within-bucket pair
@@ -293,12 +297,16 @@ object Similarity {
     val banded = vecs.select(F.col("id"),
       F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
         .as(Seq("band", "bucket")))
-    val pairs = Dedup.lshPairs(banded, Seq("band", "bucket"), "id", maxBucketSize)
-    pairs
-      .join(vecs.select(F.col("id").as("a"), F.col("__v").as("__va")), Seq("a"))
-      .join(vecs.select(F.col("id").as("b"), F.col("__v").as("__vb")), Seq("b"))
-      .withColumn("sim", cosine_similarity(F.col("__va"), F.col("__vb")))
-      .filter(F.col("sim") >= tau)
-      .select("a", "b", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = Dedup.lshPairs(banded, Seq("band", "bucket"), "id", maxBucketSize)
+      pairs
+        .join(vecs.select(F.col("id").as("a"), F.col("__v").as("__va")), Seq("a"))
+        .join(vecs.select(F.col("id").as("b"), F.col("__v").as("__vb")), Seq("b"))
+        .withColumn("sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("sim") >= tau)
+        .select("a", "b", "sim")
+        .localCheckpoint(true)
+    } finally banded.unpersist(blocking = false)
   }
 }
