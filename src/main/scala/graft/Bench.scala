@@ -44,7 +44,14 @@ object Bench {
     // Stop Spark BEFORE printing: async executor log lines after the JSON
     // line would break the driver's parse (this lost round 1's number).
     spark.stop()
+    // stdout carries ONLY the contract line (metric/value/unit/queries/sf):
+    // the driver keeps a bounded tail of stdout, and round 6's line — with
+    // two full per-query passes appended — was long enough that the tail
+    // started mid-line and the driver recorded parsed:null. Raw passes and
+    // the error list go to the file only.
     val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"sf":"$sfDir"}"""
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"errors":$errs,"sf":"$sfDir","passes":[${jmap(pass0)},${jmap(pass1)}]}"""
     // Also persist to a file: sbt appends "[success] Total time: ..." after
     // program output, so stdout's JSON is never the last line the driver
@@ -53,7 +60,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     try {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(out, json + "\n")
+      java.nio.file.Files.writeString(out, fullJson + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }

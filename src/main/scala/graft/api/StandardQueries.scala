@@ -1242,6 +1242,83 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Exact two-sample KS drift statistic, oracle-checked: D over the raw
+    * column via [[DriftExact.ksStat]] (distributed prefix-sum ECDF — see
+    * its scaladoc for the 100 TB shape). The numerator stays integral
+    * until one final division, so Spark and DuckDB produce bit-identical
+    * doubles with no rounding compromise. Same target/ref split as
+    * `drift_chi2_stat` (l_orderkey mod 3), closing the drift-algorithm
+    * trio: KS here, χ² in drift_chi2_stat, Hellinger in
+    * drift_hellinger_exact; the production sketch path over the same
+    * algorithms is `drift_scores`. */
+  private def qDriftKsExact = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import s.implicits._
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        val (d, na, nb) =
+          DriftExact.ksStat(li, c, F.col("l_orderkey") % 3 === 0)
+        (c, d, na, nb)
+      }.toDF("col_name", "ks_stat", "n_target", "n_ref").orderBy("col_name")
+    },
+    Some {
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        s"""SELECT * FROM (
+           | WITH g AS (SELECT $c AS v,
+           |     sum(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS ca,
+           |     sum(CASE WHEN l_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS cb
+           |   FROM lineitem WHERE $c IS NOT NULL GROUP BY 1),
+           | t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+           | c AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+           |       sum(cb) OVER (ORDER BY v) AS ccb FROM g)
+           | SELECT '$c' AS col_name,
+           |   CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
+           |     / CAST(na * nb AS DOUBLE) AS ks_stat,
+           |   na AS n_target, nb AS n_ref
+           | FROM c, t GROUP BY na, nb
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
+  /** Exact Hellinger drift distance, oracle-checked: H over exact
+    * fixed-width histogram bins via [[DriftExact.hellingerStat]]. Both
+    * engines bin with the identical fp formula
+    * min(floor((v−lo)/width), nBins−1) and accumulate the ≤ 30 per-bin
+    * terms in ascending bin order (DuckDB `sum(... ORDER BY bin)`), so
+    * the double sums are bit-identical — the `drift_chi2_stat`
+    * convention. */
+  private def qDriftHellingerExact = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import s.implicits._
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        val (h, na, nb) =
+          DriftExact.hellingerStat(li, c, F.col("l_orderkey") % 3 === 0)
+        (c, h, na, nb)
+      }.toDF("col_name", "hellinger", "n_target", "n_ref").orderBy("col_name")
+    },
+    Some {
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        s"""SELECT * FROM (
+           | WITH b AS (SELECT CAST($c AS DOUBLE) AS v,
+           |     CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |   FROM lineitem WHERE $c IS NOT NULL),
+           | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+           | g AS (SELECT LEAST(CAST(floor((v - lo) / ((hi - lo) / 30)) AS BIGINT), 29) AS bin,
+           |     sum(ta) AS ca, sum(1 - ta) AS cb
+           |   FROM b, mm GROUP BY 1),
+           | t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+           | d AS (SELECT bin,
+           |     sqrt(CAST(ca AS DOUBLE) / na) - sqrt(CAST(cb AS DOUBLE) / nb) AS dd
+           |   FROM g, t)
+           | SELECT '$c' AS col_name,
+           |   sqrt(sum(dd * dd ORDER BY bin) / 2) AS hellinger,
+           |   (SELECT na FROM t) AS n_target, (SELECT nb FROM t) AS n_ref
+           | FROM d
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   // ------------------------------------------------------------------
   // dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
@@ -2016,6 +2093,8 @@ object StandardQueries {
     "drift_scores" -> qDriftScores,
     "viz_summary_report" -> qVizSummaryReport,
     "drift_chi2_stat" -> qDriftChi2Stat,
+    "drift_ks_exact" -> qDriftKsExact,
+    "drift_hellinger_exact" -> qDriftHellingerExact,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,

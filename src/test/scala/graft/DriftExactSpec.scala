@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.analysis.DriftExact
+
+/** Exact drift statistics: every case cross-checks the distributed
+  * prefix-sum / binned implementation against a brute-force local ECDF or
+  * a hand-derived value, across multiple partitions so the per-partition
+  * offset arithmetic is actually exercised. */
+class DriftExactSpec extends SparkSpec {
+
+  private def localKs(a: Seq[Double], b: Seq[Double]): Double = {
+    val grid = (a ++ b).distinct.sorted
+    grid.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+    }.max
+  }
+
+  test("ksStat: hand-computed tiny case") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,3,4}: ECDFs diverge most at v=1 and v=3 (D = 1/3)
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "is_t")
+    val (d, na, nb) = DriftExact.ksStat(df, "v", F.col("is_t"))
+    assert((na, nb) == (3L, 3L))
+    assert(d == 1.0 / 3.0)
+  }
+
+  test("ksStat: matches brute-force ECDF on a multi-partition sample with ties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // integer-valued doubles force heavy ties; shifted distributions
+    val a = Seq.fill(400)(rng.nextInt(50).toDouble)
+    val b = Seq.fill(300)(rng.nextInt(50).toDouble + 5.0)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "is_t")
+      .repartition(7)
+    val (d, na, nb) = DriftExact.ksStat(df, "v", F.col("is_t"))
+    assert((na, nb) == (400L, 300L))
+    assert(math.abs(d - localKs(a, b)) < 1e-15)
+  }
+
+  test("ksStat: identical samples give D = 0; empty side guards") {
+    import spark.implicits._
+    // both halves see the same multiset of values by construction
+    val same = (0 until 100).flatMap(i =>
+      Seq((i.toDouble % 13, true), (i.toDouble % 13, false))).toDF("v", "is_t")
+    assert(DriftExact.ksStat(same, "v", F.col("is_t"))._1 == 0.0)
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("v", "is_t")
+    assert(DriftExact.ksStat(oneSided, "v", F.col("is_t")) == ((0.0, 2L, 0L)))
+  }
+
+  test("ksStat: nulls are excluded, not counted") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), true), (None, true), (Some(1.0), false),
+      (None, false)).toDF("v", "is_t")
+    assert(DriftExact.ksStat(df, "v", F.col("is_t")) == ((0.0, 1L, 1L)))
+  }
+
+  test("hellingerStat: disjoint extreme bins give H = 1, identical give 0") {
+    import spark.implicits._
+    // all target mass in bin 0, all ref mass in bin 29
+    val df = (Seq.fill(50)((0.0, true)) ++ Seq.fill(70)((30.0, false)))
+      .toDF("v", "is_t").repartition(5)
+    val (h, na, nb) = DriftExact.hellingerStat(df, "v", F.col("is_t"))
+    assert((na, nb) == (50L, 70L))
+    assert(math.abs(h - 1.0) < 1e-15)
+    val same = Seq.tabulate(80)(i => (i.toDouble, i % 2 == 0)).toDF("v", "is_t")
+    // equal per-bin proportions: each consecutive (even, odd) pair shares a bin
+    assert(DriftExact.hellingerStat(same, "v", F.col("is_t"), nBins = 40)._1 < 1e-15)
+  }
+
+  test("hellingerStat: hand-computed two-bin split") {
+    import spark.implicits._
+    // nBins=2 over [0,2): target 3:1 low/high, ref 1:3
+    val df = (Seq.fill(3)((0.5, true)) ++ Seq((1.5, true)) ++
+      Seq((0.5, false)) ++ Seq.fill(3)((1.5, false)) ++
+      Seq((0.0, true), (2.0, false))).toDF("v", "is_t")
+    val (h, na, nb) = DriftExact.hellingerStat(df, "v", F.col("is_t"), nBins = 2)
+    assert((na, nb) == (5L, 5L))
+    // p = (4/5, 1/5), q = (1/5, 4/5): H = sqrt(((√.8−√.2)² + (√.2−√.8)²)/2)
+    val expected = math.sqrt(math.pow(math.sqrt(0.8) - math.sqrt(0.2), 2))
+    assert(math.abs(h - expected) < 1e-15)
+  }
+
+  test("hellingerStat: degenerate single-value column gives 0") {
+    import spark.implicits._
+    val df = Seq((5.0, true), (5.0, false), (5.0, true)).toDF("v", "is_t")
+    assert(DriftExact.hellingerStat(df, "v", F.col("is_t")) == ((0.0, 2L, 1L)))
+  }
+
+  test("ksStat agrees with the sketch-based Drift.ks within rank error on real data") {
+    val li = table("lineitem")
+    val isT = F.col("l_orderkey") % 3 === 0
+    val (exact, _, _) = DriftExact.ksStat(li, "l_extendedprice", isT)
+    val p = new graft.api.Profiler()
+    val target = p.profile(li.filter(isT), Some(Seq("l_extendedprice")))
+    val ref = p.profile(li.filter(!isT), Some(Seq("l_extendedprice")))
+    val (sketch, _) = graft.analysis.Drift.ks(
+      target.columns("l_extendedprice").distribution.get,
+      ref.columns("l_extendedprice").distribution.get)
+    // KLL k=1024 normalized rank error ≈ 1.3%; two sketches + grid ⇒ 3x slack
+    assert(math.abs(exact - sketch) < 0.04, s"exact=$exact sketch=$sketch")
+  }
+}
