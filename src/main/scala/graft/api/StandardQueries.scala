@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -1979,6 +1979,106 @@ object StandardQueries {
       .orderBy("doc_id"),
     None)
 
+  /** Oracle-checked fingerprint bridge: the same 1-fingerprint winnowing
+    * semantic as `doc_fingerprint` (min hash over all k-char windows)
+    * with md5 in place of the native rolling hash, so DuckDB reproduces
+    * it verbatim and the hex string min is the same lexicographic min in
+    * both engines. O(len·k) md5 calls per row — this query exists to
+    * hash-pin the fingerprint FAMILY's windowing/min semantics; the
+    * production path is the codegen'd rolling_min_hash expression above
+    * (one multiply-add per byte). */
+  private def qDocFingerprintMd5 = Q(
+    (s, dir) => {
+      val txt = F.col("text")
+      val k = 8
+      val count = F.greatest(F.length(txt) - (k - 1), F.lit(1))
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.array_min(F.transform(F.sequence(F.lit(1), count),
+            i => F.md5(txt.substr(i, F.lit(k))))).as("fp_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+           |   i -> md5(substr(text, i, 8)))) AS fp_md5
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** PII scan, oracle-checked: [[graft.pipeline.Pii.scan]]'s map-only
+    * regexp_count pass over a deterministic PII-bearing text built from
+    * `customer` (TPC-H c_phone is a real grouped-digit phone shape; the
+    * email/IP are synthesized from the key so every row has known
+    * ground truth). The patterns live in [[graft.pipeline.Pii.Patterns]]
+    * and are spliced into the oracle verbatim — both engines run the
+    * same common-dialect regex. */
+  private def qPiiScan = Q(
+    (s, dir) => Pii.scan(piiText(t(s, dir, "customer")), "text")
+      .select(F.col("c_custkey"),
+        F.col("pii_email").cast("long").as("pii_email"),
+        F.col("pii_phone").cast("long").as("pii_phone"),
+        F.col("pii_ipv4").cast("long").as("pii_ipv4"),
+        F.col("pii_card").cast("long").as("pii_card"),
+        F.col("pii_total").cast("long").as("pii_total"))
+      .orderBy("c_custkey"),
+    Some {
+      val counts = Pii.Patterns.map { case (n, pat) =>
+        s"len(regexp_extract_all(text, '$pat')) AS pii_$n"
+      }.mkString(", ")
+      val total = Pii.Patterns.map { case (n, _) => s"pii_$n" }.mkString(" + ")
+      s"""SELECT c_custkey, $counts, $total AS pii_total
+         | FROM (SELECT c_custkey, $piiTextSql AS text FROM customer)
+         | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** PII redaction, oracle-checked on the md5 of the redacted text:
+    * classes apply in [[graft.pipeline.Pii.Patterns]] order in both
+    * engines, so the intermediate strings agree at every step. */
+  private def qPiiRedact = Q(
+    (s, dir) => Pii.redact(piiText(t(s, dir, "customer")), "text")
+      .select(F.col("c_custkey"), F.md5(F.col("redacted")).as("redacted_md5"))
+      .orderBy("c_custkey"),
+    Some {
+      val redacted = Pii.Patterns.foldLeft("text") { case (acc, (n, pat)) =>
+        s"regexp_replace($acc, '$pat', '[${n.toUpperCase}]', 'g')"
+      }
+      s"""SELECT c_custkey, md5($redacted) AS redacted_md5
+         | FROM (SELECT c_custkey, $piiTextSql AS text FROM customer)
+         | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Deterministic PII-bearing text from `customer`: phone / email / IP /
+    * (every third row) card, all derived from c_custkey with
+    * multiply-and-mod integer arithmetic only — no division, no float
+    * formatting — so the Spark and DuckDB strings agree byte-for-byte.
+    * Offsets (100+, 1000+) pin group widths to 3/4 digits without lpad. */
+  private def piiText(customer: DataFrame): DataFrame = {
+    val c = F.col("c_custkey")
+    def g(mul: Int, base: Int, span: Int) =
+      (F.lit(base) + (c * mul) % span).cast("string")
+    val card = F.when(c % 3 === 0, F.concat(
+      F.lit(" card "), g(1, 4000, 1000), F.lit("-"), g(3, 1000, 9000),
+      F.lit("-"), g(7, 1000, 9000), F.lit("-"), g(11, 1000, 9000)))
+      .otherwise(F.lit(""))
+    customer.select(c.as("c_custkey"), F.concat(
+      F.col("c_name"), F.lit(" reachable at "),
+      g(1, 100, 900), F.lit("-"), g(3, 100, 900), F.lit("-"), g(1, 1000, 9000),
+      F.lit(" email "), F.lower(F.col("c_name")), F.lit("@example.com node 10.0."),
+      (c % 256).cast("string"), F.lit("."), (c % 100).cast("string"),
+      card, F.lit(" segment "), F.col("c_mktsegment")).as("text"))
+  }
+
+  private val piiTextSql: String = {
+    def g(mul: Int, base: Int, span: Int) =
+      s"CAST($base + (c_custkey * $mul) % $span AS VARCHAR)"
+    s"""c_name || ' reachable at ' || ${g(1, 100, 900)} || '-' || ${g(3, 100, 900)}
+       | || '-' || ${g(1, 1000, 9000)} || ' email ' || lower(c_name)
+       | || '@example.com node 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+       | || '.' || CAST(c_custkey % 100 AS VARCHAR)
+       | || CASE WHEN c_custkey % 3 = 0 THEN ' card ' || ${g(1, 4000, 1000)}
+       |      || '-' || ${g(3, 1000, 9000)} || '-' || ${g(7, 1000, 9000)}
+       |      || '-' || ${g(11, 1000, 9000)} ELSE '' END
+       | || ' segment ' || c_mktsegment""".stripMargin.replaceAll("\n", " ")
+  }
+
   private def qMultimodalMeta = Q(
     (s, dir) => {
       val bin = t(s, dir, "documents")
@@ -2121,6 +2221,9 @@ object StandardQueries {
     "decontaminate" -> qDecontaminate,
     "corpus_pack" -> qCorpusPack,
     "doc_fingerprint" -> qDocFingerprint,
+    "doc_fingerprint_md5" -> qDocFingerprintMd5,
+    "pii_scan" -> qPiiScan,
+    "pii_redact" -> qPiiRedact,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(
         // O(dim·tokens)/row map stage; spread the single local split
