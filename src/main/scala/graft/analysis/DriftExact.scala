@@ -45,42 +45,74 @@ object DriftExact {
     *     use the sketch path [[Drift.ks]], whose error is then far below
     *     any decision threshold anyway).
     */
-  def ksStat(df: DataFrame, valueCol: String, isTarget: Column): (Double, Long, Long) = {
-    val x = df.filter(F.col(valueCol).isNotNull)
-      .select(F.col(valueCol).as("__v"),
-        F.when(isTarget, 1L).otherwise(0L).as("__ca"),
-        F.when(isTarget, 0L).otherwise(1L).as("__cb"))
-    val g = x.groupBy("__v")
+  def ksStat(df: DataFrame, valueCol: String, isTarget: Column): (Double, Long, Long) =
+    ksStats(df, Seq(valueCol), isTarget)(valueCol)
+
+  /** [[ksStat]] over N columns in ONE input scan: the (column, value)
+    * pairs are exploded into a single keyed relation, so profiling drift
+    * across a wide table costs one pass over the data plus one exchange
+    * of the distinct (column, value) pairs — not one scan per column.
+    * The prefix sums run per column: range partitioning on
+    * (column, value) keeps each column's values ordered, the in-partition
+    * window and the driver-side offset scan are both keyed by column.
+    * Values are compared as doubles (KS needs only their order; for
+    * integral columns beyond 2^53 use a per-column [[ksStat]] on the raw
+    * type). */
+  def ksStats(df: DataFrame, valueCols: Seq[String], isTarget: Column)
+      : Map[String, (Double, Long, Long)] = {
+    require(valueCols.nonEmpty, "ksStats needs at least one column")
+    val pair = F.explode(F.array(valueCols.map(c =>
+      F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
+    val ca = F.when(isTarget, 1L).otherwise(0L)
+    val g = df.select(pair, ca.as("__ca"))
+      .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"),
+        F.col("__ca"), (F.lit(1L) - F.col("__ca")).as("__cb"))
+      .filter(F.col("__v").isNotNull)
+      .groupBy("__c", "__v")
       .agg(F.sum("__ca").as("__ca"), F.sum("__cb").as("__cb"))
-      .repartitionByRange(F.col("__v"))
-      .sortWithinPartitions("__v")
+      .repartitionByRange(F.col("__c"), F.col("__v"))
+      .sortWithinPartitions("__c", "__v")
       .withColumn("__pid", F.spark_partition_id())
       .localCheckpoint(false)
     try {
-      val totals = g.groupBy("__pid")
+      val totals = g.groupBy("__c", "__pid")
         .agg(F.sum("__ca").as("ta"), F.sum("__cb").as("tb"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
-      val na = totals.map(_._2).sum
-      val nb = totals.map(_._3).sum
-      if (na == 0L || nb == 0L) return (0.0, na, nb)
-      require(na <= Long.MaxValue / nb,
-        s"nTarget*nRef overflows long ($na * $nb); use Drift.ks (sketch path)")
-      var accA = 0L; var accB = 0L
-      val bases = totals.map { case (pid, ta, tb) =>
-        val row = (pid, accA, accB); accA += ta; accB += tb; row
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      val ns = totals.groupBy(_._1).map { case (c, ts) =>
+        c -> (ts.map(_._3).sum, ts.map(_._4).sum)
+      }
+      ns.foreach { case (c, (na, nb)) =>
+        require(na == 0L || nb == 0L || na <= Long.MaxValue / nb,
+          s"$c: nTarget*nRef overflows long ($na * $nb); use Drift.ks (sketch path)")
+      }
+      // per-(column, partition) prefix offsets — O(columns × partitions)
+      val bases = totals.groupBy(_._1).toSeq.flatMap { case (c, ts) =>
+        var accA = 0L; var accB = 0L
+        ts.sortBy(_._2).map { case (_, pid, ta, tb) =>
+          val row = (c, pid, accA, accB, ns(c)._1, ns(c)._2)
+          accA += ta; accB += tb; row
+        }
       }
       val spark = df.sparkSession
       import spark.implicits._
-      val baseDf = bases.toSeq.toDF("__pid2", "__baseA", "__baseB")
-      val w = Window.partitionBy("__pid").orderBy("__v")
-      val num = g.join(F.broadcast(baseDf), F.col("__pid") === F.col("__pid2"))
-        .select(
+      val baseDf = bases.toDF("__c2", "__pid2", "__baseA", "__baseB", "__na", "__nb")
+      val w = Window.partitionBy("__c", "__pid").orderBy("__v")
+      val nums = g.join(F.broadcast(baseDf),
+          F.col("__c") === F.col("__c2") && F.col("__pid") === F.col("__pid2"))
+        .select(F.col("__c"), F.col("__na"), F.col("__nb"),
           (F.sum("__ca").over(w) + F.col("__baseA")).as("__cca"),
           (F.sum("__cb").over(w) + F.col("__baseB")).as("__ccb"))
-        .agg(F.max(F.abs(F.col("__cca") * nb - F.col("__ccb") * na)).as("num"))
-        .collect()(0).getLong(0)
-      (num.toDouble / (na * nb).toDouble, na, nb)
+        .groupBy("__c")
+        .agg(F.max(F.abs(F.col("__cca") * F.col("__nb") -
+          F.col("__ccb") * F.col("__na"))).as("num"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      valueCols.map { c =>
+        val (na, nb) = ns.getOrElse(c, (0L, 0L))
+        val d = if (na == 0L || nb == 0L) 0.0
+          else nums(c).toDouble / (na * nb).toDouble
+        c -> ((d, na, nb))
+      }.toMap
     } finally g.unpersist(blocking = false)
   }
 
@@ -104,31 +136,67 @@ object DriftExact {
     */
   def hellingerStat(
       df: DataFrame, valueCol: String, isTarget: Column,
-      nBins: Int = 30): (Double, Long, Long) = {
+      nBins: Int = 30): (Double, Long, Long) =
+    hellingerStats(df, Seq(valueCol), isTarget, nBins)(valueCol)
+
+  /** [[hellingerStat]] over N columns in TWO input scans total (one for
+    * the per-column (min, max, n) envelope, one for the bin counts) —
+    * not two per column. Each column's (lo, width) rides a broadcast
+    * join keyed by column name; the collected result is ≤ N·nBins rows
+    * and the ≤ nBins terms per column are summed in ascending bin order
+    * driver-side. */
+  def hellingerStats(
+      df: DataFrame, valueCols: Seq[String], isTarget: Column,
+      nBins: Int = 30): Map[String, (Double, Long, Long)] = {
     require(nBins > 0, s"nBins must be positive: $nBins")
-    val x = df.filter(F.col(valueCol).isNotNull)
-      .select(F.col(valueCol).cast("double").as("__v"),
-        F.when(isTarget, 1L).otherwise(0L).as("__ca"),
-        F.when(isTarget, 0L).otherwise(1L).as("__cb"))
-    val head = x.agg(
+    require(valueCols.nonEmpty, "hellingerStats needs at least one column")
+    val pair = F.explode(F.array(valueCols.map(c =>
+      F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
+    def x = df.select(pair, F.when(isTarget, 1L).otherwise(0L).as("__ca"))
+      .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"),
+        F.col("__ca"), (F.lit(1L) - F.col("__ca")).as("__cb"))
+      .filter(F.col("__v").isNotNull)
+    val head = x.groupBy("__c").agg(
       F.min("__v").as("lo"), F.max("__v").as("hi"),
-      F.sum("__ca").as("na"), F.sum("__cb").as("nb")).collect()(0)
-    if (head.isNullAt(0)) return (0.0, 0L, 0L)
-    val lo = head.getDouble(0); val hi = head.getDouble(1)
-    val na = head.getLong(2); val nb = head.getLong(3)
-    if (na == 0L || nb == 0L || !(hi > lo)) return (0.0, na, nb)
-    val width = (hi - lo) / nBins
-    val bin = F.least(
-      F.floor((F.col("__v") - lo) / width).cast("long"), F.lit(nBins - 1L))
-    val counts = x.groupBy(bin.as("__bin"))
-      .agg(F.sum("__ca").as("__ca"), F.sum("__cb").as("__cb"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var acc = 0.0
-    counts.foreach { case (_, ca, cb) =>
-      val d = math.sqrt(ca.toDouble / na) - math.sqrt(cb.toDouble / nb)
-      acc += d * d
-    }
-    (math.sqrt(acc / 2.0), na, nb)
+      F.sum("__ca").as("na"), F.sum("__cb").as("nb"))
+      .collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val live = valueCols.filter(c => head.get(c).exists {
+      case (lo, hi, na, nb) => na > 0L && nb > 0L && hi > lo
+    })
+    val binned: Map[String, Array[(Long, Long, Long)]] =
+      if (live.isEmpty) Map.empty
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val meta = live.map { c =>
+          val (lo, hi, _, _) = head(c)
+          (c, lo, (hi - lo) / nBins)
+        }.toDF("__c2", "__lo", "__width")
+        val bin = F.least(
+          F.floor((F.col("__v") - F.col("__lo")) / F.col("__width")).cast("long"),
+          F.lit(nBins - 1L))
+        x.join(F.broadcast(meta), F.col("__c") === F.col("__c2"))
+          .groupBy(F.col("__c"), bin.as("__bin"))
+          .agg(F.sum("__ca").as("__ca"), F.sum("__cb").as("__cb"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1)
+          .map { case (c, rows) =>
+            c -> rows.map(t => (t._2, t._3, t._4)).sortBy(_._1)
+          }
+      }
+    valueCols.map { c =>
+      val (_, _, na, nb) = head.getOrElse(c, (0.0, 0.0, 0L, 0L))
+      val h = binned.get(c).fold(0.0) { counts =>
+        var acc = 0.0
+        counts.foreach { case (_, ca, cb) =>
+          val d = math.sqrt(ca.toDouble / na) - math.sqrt(cb.toDouble / nb)
+          acc += d * d
+        }
+        math.sqrt(acc / 2.0)
+      }
+      c -> ((h, na, nb))
+    }.toMap
   }
 }

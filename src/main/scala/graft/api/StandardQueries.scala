@@ -1255,9 +1255,10 @@ object StandardQueries {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       import s.implicits._
-      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
-        val (d, na, nb) =
-          DriftExact.ksStat(li, c, F.col("l_orderkey") % 3 === 0)
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val stats = DriftExact.ksStats(li, cols, F.col("l_orderkey") % 3 === 0)
+      cols.sorted.map { c =>
+        val (d, na, nb) = stats(c)
         (c, d, na, nb)
       }.toDF("col_name", "ks_stat", "n_target", "n_ref").orderBy("col_name")
     },
@@ -1291,9 +1292,10 @@ object StandardQueries {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       import s.implicits._
-      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
-        val (h, na, nb) =
-          DriftExact.hellingerStat(li, c, F.col("l_orderkey") % 3 === 0)
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val stats = DriftExact.hellingerStats(li, cols, F.col("l_orderkey") % 3 === 0)
+      cols.sorted.map { c =>
+        val (h, na, nb) = stats(c)
         (c, h, na, nb)
       }.toDF("col_name", "hellinger", "n_target", "n_ref").orderBy("col_name")
     },

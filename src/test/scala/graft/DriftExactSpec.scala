@@ -89,6 +89,19 @@ class DriftExactSpec extends SparkSpec {
     assert(DriftExact.hellingerStat(df, "v", F.col("is_t")) == ((0.0, 2L, 1L)))
   }
 
+  test("multi-column ksStats/hellingerStats equal independent per-column runs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = Seq.fill(300)((rng.nextInt(40).toDouble, rng.nextGaussian() * 3 + 10,
+      rng.nextBoolean())).toDF("x", "y", "is_t").repartition(6)
+    val ks = graft.analysis.DriftExact.ksStats(df, Seq("x", "y"), F.col("is_t"))
+    assert(ks("x") == DriftExact.ksStat(df.select("x", "is_t"), "x", F.col("is_t")))
+    assert(ks("y") == DriftExact.ksStat(df.select("y", "is_t"), "y", F.col("is_t")))
+    val hl = DriftExact.hellingerStats(df, Seq("x", "y"), F.col("is_t"))
+    assert(hl("x") == DriftExact.hellingerStat(df.select("x", "is_t"), "x", F.col("is_t")))
+    assert(hl("y") == DriftExact.hellingerStat(df.select("y", "is_t"), "y", F.col("is_t")))
+  }
+
   test("ksStat agrees with the sketch-based Drift.ks within rank error on real data") {
     val li = table("lineitem")
     val isT = F.col("l_orderkey") % 3 === 0
