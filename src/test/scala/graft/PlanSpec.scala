@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+import graft.api.Profiler
+
+/** Physical-plan pins for the scale-critical properties the library's
+  * scaladocs claim: these are the invariants that decide whether a query
+  * that passes at sf0.01 still works at 100 TB. Assertions are on the
+  * executed plan AFTER an action so AQE has settled. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Shuffle exchanges only — broadcast exchanges are the cheap kind the
+    * plans are SUPPOSED to choose, reuse is the optimization we pin. */
+  private def shuffles(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+
+  private def readSchemas(plan: String): Seq[Set[String]] =
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != ':')).filter(_.nonEmpty).toSet)
+      .toSeq
+
+  test("profileDF prunes the parquet scan to the requested columns") {
+    val agg = new Profiler().profileDF(
+      table("lineitem"), Some(Seq("l_quantity", "l_returnflag")))
+    val plan = planOf(agg)
+    val schemas = readSchemas(plan)
+    assert(schemas.nonEmpty, s"no parquet scan found:\n$plan")
+    assert(schemas.forall(_ == Set("l_quantity", "l_returnflag")),
+      s"scan reads more than the profiled columns: $schemas")
+  }
+
+  test("profile aggregation is partial/final around at most one exchange") {
+    val agg = new Profiler().profileDF(table("lineitem"), Some(Seq("l_quantity")))
+    val plan = planOf(agg)
+    // global agg: partial on the scan side, final after a SinglePartition
+    // exchange — never a pre-shuffle of raw rows
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"row-level shuffle before profile agg:\n$plan")
+  }
+
+  test("segmented profiling shuffles once, on the segment key") {
+    val agg = new Profiler().profileSegmentedDF(
+      table("lineitem"), Seq("l_returnflag"), columns = Some(Seq("l_quantity")))
+    val plan = planOf(agg)
+    assert(shuffles(plan) == 1, s"expected exactly 1 exchange:\n$plan")
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    val li = table("lineitem").filter(F.col("l_returnflag") === "A")
+      .select("l_orderkey", "l_returnflag")
+    val plan = planOf(li)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)]"),
+      s"filter not pushed to scan:\n$plan")
+  }
+
+  test("decontamination joins broadcast the small n-gram side") {
+    val docs = table("documents")
+    val hits = graft.pipeline.Decontaminate.overlaps(
+      docs, docs.limit(20), "text", "doc_id", n = 3)
+    val plan = planOf(hits)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
+  test("exact dedup keeps one hash exchange and prunes to (id, text)") {
+    val out = graft.pipeline.Dedup.exact(table("documents"), "text", "doc_id")
+    val plan = planOf(out)
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(s => s.subsetOf(Set("doc_id", "text"))),
+      s"dedup scan reads unused columns: $schemas")
+  }
+}
