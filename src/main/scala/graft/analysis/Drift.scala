@@ -50,9 +50,15 @@ object Drift {
   /** χ² over the union of frequent-item sets: expected counts from the
     * reference proportions scaled to the target total
     * (reference `viz/utils/frequent_items_calculations.py:63-90`). */
-  def chiSquare(target: FrequentItemsSummary, ref: FrequentItemsSummary): (Double, Double) = {
-    val tCounts = target.items.map(i => i.value -> i.estimate).toMap
-    val rCounts = ref.items.map(i => i.value -> i.estimate).toMap
+  def chiSquare(target: FrequentItemsSummary, ref: FrequentItemsSummary): (Double, Double) =
+    chiSquareCounts(
+      target.items.map(i => i.value -> i.estimate).toMap,
+      ref.items.map(i => i.value -> i.estimate).toMap)
+
+  /** Counts-based χ² core — shared by the sketch path above and
+    * [[DriftExact]]'s exact-counts path. */
+  def chiSquareCounts(
+      tCounts: Map[String, Long], rCounts: Map[String, Long]): (Double, Double) = {
     val tTotal = tCounts.values.sum.toDouble
     val rTotal = rCounts.values.sum.toDouble
     if (tTotal == 0 || rTotal == 0) return (0.0, 1.0)
@@ -138,9 +144,9 @@ object Drift {
     }
   }
 
-  private def pValueCategory(p: Double): Category =
+  private[analysis] def pValueCategory(p: Double): Category =
     if (p < 0.05) DriftDetected else if (p < 0.15) PossibleDrift else NoDrift
-  private def distanceCategory(d: Double): Category =
+  private[analysis] def distanceCategory(d: Double): Category =
     if (d > 0.3) DriftDetected else if (d > 0.15) PossibleDrift else NoDrift
 
   // --- special functions (standard published formulas) ---

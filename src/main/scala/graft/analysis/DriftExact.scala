@@ -199,4 +199,74 @@ object DriftExact {
       c -> ((h, na, nb))
     }.toMap
   }
+
+  /** Exact χ² drift over categorical columns: per-category counts for
+    * every column in ONE map-side-combined groupBy (values stringified,
+    * nulls excluded — matching the frequent-items sketch path, which
+    * never tracks null), statistic and p-value via the shared
+    * [[Drift.chiSquareCounts]] core. `maxCategories` bounds what the
+    * driver will collect: a column with more distinct values than that
+    * is not categorical, and at 100 TB collecting it would be the bug. */
+  def chi2Stats(
+      df: DataFrame, categoricalCols: Seq[String], isTarget: Column,
+      maxCategories: Int = 10000): Map[String, (Double, Double)] = {
+    require(categoricalCols.nonEmpty, "chi2Stats needs at least one column")
+    val pair = F.explode(F.array(categoricalCols.map(c =>
+      F.struct(F.lit(c).as("c"), F.col(c).cast("string").as("v"))): _*)).as("__p")
+    val rows = df.select(pair, F.when(isTarget, 1L).otherwise(0L).as("__ca"))
+      .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"),
+        F.col("__ca"), (F.lit(1L) - F.col("__ca")).as("__cb"))
+      .filter(F.col("__v").isNotNull)
+      .groupBy("__c", "__v")
+      .agg(F.sum("__ca").as("__ca"), F.sum("__cb").as("__cb"))
+      .take(maxCategories * categoricalCols.size + 1)
+    require(rows.length <= maxCategories * categoricalCols.size,
+      s"more than $maxCategories distinct values across ${categoricalCols.mkString(",")}: " +
+        "not categorical — use the sketch path (Drift.scores over profiles)")
+    val byCol = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).groupBy(_._1)
+    categoricalCols.map { c =>
+      val cs = byCol.getOrElse(c, Array.empty)
+      c -> Drift.chiSquareCounts(
+        cs.map(t => t._2 -> t._3).toMap.filter(_._2 > 0L),
+        cs.map(t => t._2 -> t._4).toMap.filter(_._2 > 0L))
+    }.toMap
+  }
+
+  /** Reference-shaped drift orchestration ([[Drift.scores]]'s output
+    * contract: per column, KS + Hellinger for numeric, χ² for
+    * categorical, same p-value formulas and category thresholds) computed
+    * EXACTLY over raw co-resident data instead of two sketch profiles —
+    * three scans of the pruned columns total regardless of column count.
+    * Use the sketch path when target and ref were profiled separately or
+    * the raw data is gone; use this one to validate it or when exactness
+    * is the point. */
+  def scores(
+      df: DataFrame, isTarget: Column,
+      numericCols: Seq[String], categoricalCols: Seq[String] = Nil)
+      : Seq[Drift.DriftScore] = {
+    val ks = if (numericCols.isEmpty) Map.empty[String, (Double, Long, Long)]
+      else ksStats(df, numericCols, isTarget)
+    val hl = if (numericCols.isEmpty) Map.empty[String, (Double, Long, Long)]
+      else hellingerStats(df, numericCols, isTarget)
+    val chi = if (categoricalCols.isEmpty) Map.empty[String, (Double, Double)]
+      else chi2Stats(df, categoricalCols, isTarget)
+    val numeric = numericCols.sorted.flatMap { c =>
+      val (d, na, nb) = ks(c)
+      val ksRow = if (na == 0L || nb == 0L) None else {
+        val en = math.sqrt(na.toDouble * nb / (na.toDouble + nb))
+        val p = Drift.kolmogorovSf((en + 0.12 + 0.11 / en) * d)
+        Some(Drift.DriftScore(c, "ks", d, Some(p), Drift.pValueCategory(p)))
+      }
+      val (h, _, _) = hl(c)
+      val hlRow = if (na == 0L || nb == 0L) None
+        else Some(Drift.DriftScore(c, "hellinger", h, None, Drift.distanceCategory(h)))
+      ksRow.toSeq ++ hlRow.toSeq
+    }
+    val categorical = categoricalCols.sorted.map { c =>
+      val (stat, p) = chi(c)
+      Drift.DriftScore(c, "chi2", stat, Some(p), Drift.pValueCategory(p))
+    }
+    numeric ++ categorical
+  }
 }

@@ -102,6 +102,46 @@ class DriftExactSpec extends SparkSpec {
     assert(hl("y") == DriftExact.hellingerStat(df.select("y", "is_t"), "y", F.col("is_t")))
   }
 
+  test("chi2Stats equals the FI-sketch chiSquare where the sketch is exact") {
+    val li = table("lineitem")
+    val isT = F.col("l_orderkey") % 3 === 0
+    val exact = graft.analysis.DriftExact.chi2Stats(
+      li, Seq("l_returnflag", "l_linestatus"), isT)
+    val p = new graft.api.Profiler()
+    val cols = Some(Seq("l_returnflag", "l_linestatus"))
+    val t = p.profile(li.filter(isT), cols)
+    val r = p.profile(li.filter(!isT), cols)
+    Seq("l_returnflag", "l_linestatus").foreach { c =>
+      // low cardinality ⇒ unpurged FI map ⇒ sketch counts are exact ⇒
+      // the two paths must agree bit-for-bit (same sorted-key sum)
+      val sketch = graft.analysis.Drift.chiSquare(
+        t.columns(c).frequentItems.get, r.columns(c).frequentItems.get)
+      assert(exact(c) == sketch, s"$c: ${exact(c)} vs $sketch")
+    }
+  }
+
+  test("chi2Stats refuses high-cardinality pseudo-categorical columns") {
+    val li = table("lineitem")
+    intercept[IllegalArgumentException] {
+      DriftExact.chi2Stats(li, Seq("l_orderkey"), F.col("l_linenumber") === 1,
+        maxCategories = 10)
+    }
+  }
+
+  test("scores: reference-shaped rows with consistent categories") {
+    val li = table("lineitem")
+    val rows = DriftExact.scores(li, F.col("l_orderkey") % 3 === 0,
+      numericCols = Seq("l_quantity"), categoricalCols = Seq("l_returnflag"))
+    assert(rows.map(r => (r.column, r.algorithm)) ==
+      Seq(("l_quantity", "ks"), ("l_quantity", "hellinger"), ("l_returnflag", "chi2")))
+    // the mod-3 split is distribution-preserving: nothing should drift
+    assert(rows.forall(_.category == graft.analysis.Drift.NoDrift), rows.toString)
+    val ksRow = rows.find(_.algorithm == "ks").get
+    assert(ksRow.statistic ==
+      DriftExact.ksStat(li, "l_quantity", F.col("l_orderkey") % 3 === 0)._1)
+    assert(ksRow.pValue.exists(p => p > 0 && p <= 1))
+  }
+
   test("ksStat agrees with the sketch-based Drift.ks within rank error on real data") {
     val li = table("lineitem")
     val isT = F.col("l_orderkey") % 3 === 0
