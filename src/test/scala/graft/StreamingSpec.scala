@@ -6,6 +6,7 @@ import org.apache.spark.sql.{functions => F}
 
 import graft.api.{Profiler, ProfileStore}
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
+import graft.pipeline.Dedup
 import graft.streaming.ProfileStream
 
 /** Structured Streaming rolling profiles. */
@@ -51,6 +52,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
         r.get(3), r.get(4))).toSet
     assert(got == exp)
+  }
+
+  test("streaming near-dup flags match the batch path against a static index") {
+    import spark.implicits._
+    val docs = table("documents")
+    val index = Dedup.minHashIndex(docs, "text", "doc_id", numPerm = 16, bands = 8)
+      .persist()
+    try {
+      // stream: two docs lifted straight from the corpus (guaranteed
+      // near-dups of themselves) + one novel doc that matches nothing
+      val seeded = docs.orderBy("doc_id").limit(2)
+        .select(F.col("doc_id") + 1000000L, F.col("text"))
+        .toDF("doc_id", "text")
+      val novel = Seq((2000000L,
+        "flamingo orchestra rehearses nocturnal arithmetic beneath the viaduct"))
+        .toDF("doc_id", "text")
+      val batchDf = seeded.unionByName(novel)
+      val srcDir = Files.createTempDirectory("dedup_stream_src").toString
+      val outDir = Files.createTempDirectory("dedup_stream_out").toString + "/flags"
+      batchDf.coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream.schema(batchDf.schema).parquet(srcDir)
+      val q = graft.streaming.DedupStream.flagAgainstIndex(
+        stream, index, "text", "doc_id", outDir, numPerm = 16, bands = 8)
+      q.awaitTermination()
+      val got = spark.read.parquet(outDir)
+        .select("a", "b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exp = Dedup.nearDupsAgainstIndex(
+        batchDf, index, "text", "doc_id", numPerm = 16, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exp)
+      assert(got.map(_._1).intersect(Set(2000000L)).isEmpty, "novel doc must not flag")
+      // each seeded copy must at least match its own source doc exactly
+      assert(got.exists(t => t._1 == 1000000L && t._3 == 1.0))
+      assert(got.exists(t => t._1 == 1000001L && t._3 == 1.0))
+    } finally index.unpersist(blocking = false)
   }
 
   test("toStore counts every row exactly once across multiple micro-batches") {
