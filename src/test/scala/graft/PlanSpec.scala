@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpec {
       s"benchmark side not broadcast:\n$plan")
   }
 
+  test("profile store reads prune to the queried (dataset_id, date) partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_store").toString
+    val store = new graft.api.ProfileStore(spark, dir)
+    val view = new Profiler().profile(table("lineitem"), Some(Seq("l_quantity")))
+    val day = 86400000L
+    store.writeAll(Seq((view, 0L), (view, day), (view, 2 * day)), "ds_a")
+    store.writeAll(Seq((view, 0L)), "ds_b")
+    // read one dataset, one day, out of 4 partitions on disk
+    val one = spark.read.parquet(dir)
+      .filter(F.col("dataset_id") === "ds_a" && F.col("date") === "1970-01-02")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(f => f.contains("dataset_id") && f.contains("date")),
+      s"partition filters not applied at the scan:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(dataset_id)"),
+      "partition columns must prune directories, not filter rows")
+  }
+
   test("exact dedup keeps one hash exchange and prunes to (id, text)") {
     val out = graft.pipeline.Dedup.exact(table("documents"), "text", "doc_id")
     val plan = planOf(out)
