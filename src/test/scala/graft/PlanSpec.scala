@@ -90,6 +90,32 @@ class PlanSpec extends SparkSpec {
       "partition columns must prune directories, not filter rows")
   }
 
+  test("bucketed tables join with zero exchanges; unbucketed join shuffles both sides") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = table("documents").select("doc_id", "text")
+    val meta = docs.select(F.col("doc_id"), F.length(F.col("text")).as("n"))
+    try {
+      graft.sources.Bucketed.write(docs, "bk_docs", 8, Seq("doc_id"))
+      graft.sources.Bucketed.write(meta, "bk_meta", 8, Seq("doc_id"))
+      val joined = graft.sources.Bucketed.join(spark, "bk_docs", "bk_meta", Seq("doc_id"))
+      val plan = planOf(joined)
+      assert(shuffles(plan) == 0, s"bucketed join must not exchange:\n$plan")
+      assert(joined.count() == docs.count())
+      // control: the same join off bare parquet shuffles (or broadcasts) —
+      // bucketing is what removed the exchange, not the data size
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val control = planOf(docs.join(meta, Seq("doc_id")))
+        assert(shuffles(control) == 2, s"control join should shuffle both sides:\n$control")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_docs")
+      spark.sql("DROP TABLE IF EXISTS bk_meta")
+    }
+  }
+
   test("exact dedup keeps one hash exchange and prunes to (id, text)") {
     val out = graft.pipeline.Dedup.exact(table("documents"), "text", "doc_id")
     val plan = planOf(out)
