@@ -86,4 +86,38 @@ object Embeddings {
       .collect().zipWithIndex.map { case (r, i) =>
         s"ref$i" -> r.getAs[scala.collection.Seq[Double]](0).toArray
       }.toSeq
+
+  /** Unsupervised reference selector (reference
+    * `experimental/preprocess/embeddings/selectors.py` KMeansSelector):
+    * Lloyd centroids trained on the same bounded driver-side sample as
+    * IVF coarse quantization ([[Similarity.trainCentroids]]), labeled
+    * "cluster_<i>". Deterministic: fixed seeds, fixed sample order. */
+  def kmeansReferences(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, sampleSize: Int = 4096): Seq[(String, Array[Double])] =
+    Similarity.trainCentroids(df, idCol, vecCol, k, iters, sampleSize)
+      .map { case (i, v) => s"cluster_$i" -> v }.toSeq
+
+  /** Supervised reference selector (reference `selectors.py`
+    * PCACentroidsSelector): one reference per label. Computed DISTRIBUTED
+    * as the exact per-label mean vector — one explode plus one
+    * map-side-combined groupBy((label, position)) exchange of
+    * labels × dim cells; no driver-side matrix, so it works at any corpus
+    * size. DOCUMENTED DIVERGENCE: the reference computes centroids in a
+    * low-dim PCA projection (optionally percentile-trimmed) and
+    * inverse-transforms back — an artifact of its single-machine sklearn
+    * path whose round trip lands near the raw mean anyway; the exact
+    * raw-space label centroid is the scale-robust equivalent. */
+  def labeledReferences(
+      df: DataFrame, vecCol: String, labelCol: String): Seq[(String, Array[Double])] = {
+    val cells = df
+      .filter(F.col(vecCol).isNotNull && F.col(labelCol).isNotNull)
+      .select(F.col(labelCol).cast("string").as("__l"),
+        F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+      .groupBy("__l", "__pos").agg(F.avg("__x").as("__m"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, cs) =>
+      l -> cs.sortBy(_._2).map(_._3).toArray
+    }
+  }
 }

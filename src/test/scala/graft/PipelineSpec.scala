@@ -246,6 +246,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("labeledReferences: exact per-label centroids, distributed") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0f, 3.0f)), ("a", Array(3.0f, 5.0f)),
+      ("b", Array(10.0f, 0.0f)), ("b", Array(14.0f, 2.0f)), ("b", Array(12.0f, 4.0f)),
+      (null.asInstanceOf[String], Array(99.0f, 99.0f))) // null label excluded
+      .toDF("label", "embedding").repartition(4)
+    val refs = graft.pipeline.Embeddings.labeledReferences(df, "embedding", "label")
+    assert(refs.map(_._1) == Seq("a", "b"))
+    val byL = refs.toMap
+    assert(byL("a").zip(Array(2.0, 4.0)).forall { case (g, e) => math.abs(g - e) < 1e-12 })
+    assert(byL("b").zip(Array(12.0, 2.0)).forall { case (g, e) => math.abs(g - e) < 1e-12 })
+  }
+
+  test("kmeansReferences separate well-separated clusters and drive closestLabel") {
+    import spark.implicits._
+    val df = (
+      (1L to 20L).map(i => (i, Array(1.0f, 0.0f + i * 1e-4f))) ++
+      (21L to 40L).map(i => (i, Array(0.0f + i * 1e-4f, 1.0f))))
+      .toDF("vec_id", "embedding").repartition(4)
+    val refs = graft.pipeline.Embeddings.kmeansReferences(df, "vec_id", "embedding", k = 2)
+    assert(refs.map(_._1) == Seq("cluster_0", "cluster_1"))
+    // each selected reference points dominantly along one axis
+    assert(refs.exists { case (_, v) => v(0) > 10 * math.abs(v(1)) } ||
+      refs.exists { case (_, v) => v(0) > v(1) })
+    val labeled = df.select(F.col("vec_id"),
+      graft.pipeline.Embeddings.closestLabel(F.col("embedding"), refs).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // cluster assignment must split exactly along the two true clusters
+    val g1 = (1L to 20L).map(labeled).toSet
+    val g2 = (21L to 40L).map(labeled).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2, s"g1=$g1 g2=$g2")
+  }
+
   test("rolling_min_hash: equal prefixes beyond window share no forced prefix bias") {
     // position-bias regression: fingerprint of s must equal fingerprint of
     // any string whose minimal window coincides; in particular reversing a
