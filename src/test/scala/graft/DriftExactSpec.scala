@@ -102,6 +102,34 @@ class DriftExactSpec extends SparkSpec {
     assert(hl("y") == DriftExact.hellingerStat(df.select("y", "is_t"), "y", F.col("is_t")))
   }
 
+  test("property: ksStat equals local brute force on arbitrary samples") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // mixed magnitudes, negatives, heavy ties, tiny and lopsided sizes
+    val value = Gen.oneOf(
+      Gen.choose(-5, 5).map(_.toDouble),
+      Gen.choose(-1e6, 1e6),
+      Gen.oneOf(0.0, -0.0, 1e-300, 1e300))
+    val sample = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, value))
+    (0 until 25).foreach { i =>
+      val res = for {
+        a <- sample(Gen.Parameters.default, Seed(i.toLong))
+        b <- sample(Gen.Parameters.default, Seed((i + 500).toLong))
+      } yield {
+        val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "is_t")
+          .repartition(3)
+        val (d, na, nb) = DriftExact.ksStat(df, "v", F.col("is_t"))
+        assert((na, nb) == (a.size.toLong, b.size.toLong))
+        // 0.0 == -0.0 for grouping AND ordering in both paths
+        val norm = (x: Double) => if (x == 0.0) 0.0 else x
+        assert(math.abs(d - localKs(a.map(norm), b.map(norm))) < 1e-12,
+          s"seed $i: a=$a b=$b")
+      }
+      assert(res.isDefined, s"generator failed at seed $i")
+    }
+  }
+
   test("chi2Stats equals the FI-sketch chiSquare where the sketch is exact") {
     val li = table("lineitem")
     val isT = F.col("l_orderkey") % 3 === 0

@@ -116,6 +116,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one mega-key (boilerplate-style skew) among uniform keys. NOTE:
+      // no user repartition() on the inputs — AQE only splits skewed
+      // partitions of ENSURE_REQUIREMENTS exchanges, which is exactly the
+      // production shape (the join plans its own shuffle).
+      val left = ((1 to 200000).map(i => (0L, s"payload_left_padding_$i")) ++
+        (1 to 2000).map(i => ((i % 50 + 1).toLong, s"payload_left_$i")))
+        .toDF("k", "l")
+      val right = (0L to 50L).flatMap(k => (1 to 40).map(i => (k, s"r_$i")))
+        .toDF("k", "r")
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one and leave this plan isFinalPlan=false)
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not split the skewed partition:\n${plan.take(4000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("exact dedup keeps one hash exchange and prunes to (id, text)") {
     val out = graft.pipeline.Dedup.exact(table("documents"), "text", "doc_id")
     val plan = planOf(out)
