@@ -1981,6 +1981,29 @@ object StandardQueries {
       .orderBy("doc_id"),
     None)
 
+  /** Exact duplicated-substring spans ([[graft.pipeline.Dedup.duplicateSpans]],
+    * n = 5 tokens): every (doc, position) whose 5-gram occurs more than
+    * once in the corpus. The engine joins on xxhash64 of the gram (8-byte
+    * shuffle keys); the oracle joins on the gram STRING itself — the
+    * results agree exactly unless xxhash64 collides, which at sf0.01 gram
+    * counts is ~1e-13. */
+  private def qDedupSpans = Q(
+    (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
+      .select(F.col("doc_id"), F.col("pos").cast("long").as("pos"),
+        F.col("n_copies"))
+      .orderBy("doc_id", "pos"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | g AS (
+           |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+           |   SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+           |     i -> struct_pack(pos := i, gram := array_to_string(w[i:i+4], ' ')))) AS u
+           |   FROM tok)),
+           | d AS (SELECT gram, count(*) AS n_copies FROM g GROUP BY gram HAVING count(*) > 1)
+           | SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, d.n_copies
+           | FROM g JOIN d USING (gram) ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " ")))
+
   /** Oracle-checked fingerprint bridge: the same 1-fingerprint winnowing
     * semantic as `doc_fingerprint` (min hash over all k-char windows)
     * with md5 in place of the native rolling hash, so DuckDB reproduces
@@ -2223,6 +2246,7 @@ object StandardQueries {
     "decontaminate" -> qDecontaminate,
     "corpus_pack" -> qCorpusPack,
     "doc_fingerprint" -> qDocFingerprint,
+    "dedup_spans" -> qDedupSpans,
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,

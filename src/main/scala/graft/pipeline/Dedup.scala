@@ -311,6 +311,48 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  /** Positionful word n-gram shingles: array of (pos, gram) structs,
+    * pos 1-based over the token sequence, grams NOT deduplicated —
+    * [[shingles]]' sibling for span-level analyses that need provenance. */
+  def posShingles(textCol: Column, n: Int): Column = {
+    val words = tokens(textCol)
+    val count = F.size(words) - (n - 1)
+    val idx = F.when(count > 0, F.sequence(F.lit(1), count))
+      .otherwise(F.array().cast("array<int>"))
+    F.transform(idx, i => F.struct(i.as("pos"),
+      F.concat_ws(" ", F.slice(words, i, F.lit(n))).as("gram")))
+  }
+
+  /** Exact duplicated-substring detection at fixed n-token granularity
+    * (the distributed-friendly variant of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their suffix-array pass finds duplicated spans ≥ k tokens; every
+    * such span contains a duplicated n-gram for n ≤ k, so flagging
+    * duplicated n-grams with positions recovers the same spans at n-token
+    * resolution without a corpus-wide suffix array). Output: one row per
+    * (doc, position) whose n-gram occurs more than once in the corpus
+    * (across docs or repeated within one), with the total occurrence
+    * count — a pipeline cuts or masks these spans.
+    *
+    * Scale shape: grams leave the row as 8-byte xxhash64 keys (the gram
+    * STRINGS never shuffle); one map-side-combined groupBy(hash) for the
+    * occurrence counts and one shuffle join back on the same key — both
+    * exchanges carry (hash, int) pairs. Same-hash false positives are
+    * ~n²·2⁻⁶⁴ per corpus — absent below ~10⁹ distinct grams; beyond
+    * that, re-verify flagged spans with one string comparison. */
+  def duplicateSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 20): DataFrame = {
+    val exploded = df
+      .select(F.col(idCol).as("doc_id"),
+        F.explode(posShingles(F.col(textCol), n)).as("s"))
+      .select(F.col("doc_id"), F.col("s.pos").as("pos"),
+        F.xxhash64(F.col("s.gram")).as("__g"))
+    val dups = exploded.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("n_copies"))
+      .filter(F.col("n_copies") > 1L)
+    exploded.join(dups, "__g").select("doc_id", "pos", "n_copies")
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = F.size(F.array_intersect(a, b))
     val union = F.size(F.array_union(a, b))

@@ -246,6 +246,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans flags repeated n-grams with positions, within and across docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // grams at pos 1..4 (n=3)
+      (2L, "prefix words alpha beta gamma delta tail"), // shares 2 grams with doc 1
+      (3L, "one two one two one two"), // intra-doc repeat: "one two one" x2
+      (4L, "too short")) // < n tokens -> no grams
+      .toDF("doc_id", "text").repartition(3)
+    val got = graft.pipeline.Dedup.duplicateSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = Set(
+      (1L, 1, 2L), (2L, 3, 2L),  // "alpha beta gamma"
+      (1L, 2, 2L), (2L, 4, 2L),  // "beta gamma delta"
+      (3L, 1, 2L), (3L, 3, 2L),  // "one two one"
+      (3L, 2, 2L), (3L, 4, 2L))  // "two one two"
+    assert(got == expected)
+  }
+
   test("labeledReferences: exact per-label centroids, distributed") {
     import spark.implicits._
     val df = Seq(
