@@ -2004,6 +2004,31 @@ object StandardQueries {
            | SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, d.n_copies
            | FROM g JOIN d USING (gram) ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " ")))
 
+  /** Duplicated spans merged to maximal token ranges
+    * ([[graft.pipeline.Dedup.duplicateSpanRanges]]) — the cut list a
+    * dedup pass applies. Oracle reruns the gaps-and-islands merge in
+    * SQL over the same string-joined gram positions. */
+  private def qDedupSpanRanges = Q(
+    (s, dir) => Dedup.duplicateSpanRanges(t(s, dir, "documents"), "text", "doc_id", n = 5)
+      .select(F.col("doc_id"), F.col("start_pos").cast("long").as("start_pos"),
+        F.col("end_pos").cast("long").as("end_pos"), F.col("n_grams"))
+      .orderBy("doc_id", "start_pos"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | g AS (
+           |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+           |   SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+           |     i -> struct_pack(pos := i, gram := array_to_string(w[i:i+4], ' ')))) AS u
+           |   FROM tok)),
+           | d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+           | f AS (SELECT g.doc_id, g.pos,
+           |   g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+           |  FROM g JOIN d USING (gram))
+           | SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+           |  CAST(max(pos) + 4 AS BIGINT) AS end_pos, count(*) AS n_grams
+           | FROM f GROUP BY doc_id, island ORDER BY doc_id, start_pos""".stripMargin.replaceAll("\n", " ")))
+
   /** Oracle-checked fingerprint bridge: the same 1-fingerprint winnowing
     * semantic as `doc_fingerprint` (min hash over all k-char windows)
     * with md5 in place of the native rolling hash, so DuckDB reproduces
@@ -2247,6 +2272,7 @@ object StandardQueries {
     "corpus_pack" -> qCorpusPack,
     "doc_fingerprint" -> qDocFingerprint,
     "dedup_spans" -> qDedupSpans,
+    "dedup_span_ranges" -> qDedupSpanRanges,
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,

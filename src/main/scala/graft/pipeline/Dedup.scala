@@ -353,6 +353,26 @@ object Dedup {
     exploded.join(dups, "__g").select("doc_id", "pos", "n_copies")
   }
 
+  /** [[duplicateSpans]] merged into maximal cut-ready token ranges
+    * (doc_id, start_pos, end_pos, n_grams): consecutive flagged
+    * positions collapse via gaps-and-islands (island = pos − row_number
+    * per doc), end_pos covers the last gram's full n tokens. The window
+    * partitions BY DOC — per-partition state is bounded by document
+    * length, never corpus size. */
+  def duplicateSpanRanges(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 20): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    spans
+      .withColumn("__island", F.col("pos") - F.row_number().over(w))
+      .groupBy("doc_id", "__island")
+      .agg(F.min("pos").as("start_pos"),
+        (F.max("pos") + (n - 1)).as("end_pos"),
+        F.count(F.lit(1)).as("n_grams"))
+      .select("doc_id", "start_pos", "end_pos", "n_grams")
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = F.size(F.array_intersect(a, b))
     val union = F.size(F.array_union(a, b))

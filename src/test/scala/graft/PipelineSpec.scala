@@ -264,6 +264,21 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("duplicateSpanRanges merges consecutive flagged grams into cut ranges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix words alpha beta gamma delta tail"),
+      (3L, "one two one two one two"),
+      (4L, "too short")).toDF("doc_id", "text").repartition(3)
+    val got = graft.pipeline.Dedup
+      .duplicateSpanRanges(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // doc 1: grams at pos 1,2 merge -> tokens 1..4; doc 2: pos 3,4 -> 3..6;
+    // doc 3: pos 1..4 -> 1..6 (whole doc)
+    assert(got == Set((1L, 1, 4, 2L), (2L, 3, 6, 2L), (3L, 1, 6, 4L)))
+  }
+
   test("labeledReferences: exact per-label centroids, distributed") {
     import spark.implicits._
     val df = Seq(
