@@ -2095,6 +2095,24 @@ object StandardQueries {
          | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Corpus-level PII incidence ([[graft.pipeline.Pii.summary]]): the
+    * before/after numbers a scrub pass reports. One map-side-combined
+    * aggregation; all outputs are counts, so the oracle is exact. */
+  private def qPiiSummary = Q(
+    (s, dir) => Pii.summary(piiText(t(s, dir, "customer")), "text"),
+    Some {
+      val per = Pii.Patterns.map { case (n, pat) =>
+        s"sum(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0 THEN 1 ELSE 0 END) AS docs_$n, " +
+          s"sum(len(regexp_extract_all(text, '$pat'))) AS hits_$n"
+      }.mkString(", ")
+      val any = Pii.Patterns.map { case (_, pat) =>
+        s"len(regexp_extract_all(text, '$pat'))"
+      }.mkString(" + ")
+      s"""SELECT count(*) AS docs,
+         | sum(CASE WHEN $any > 0 THEN 1 ELSE 0 END) AS docs_with_pii, $per
+         | FROM (SELECT $piiTextSql AS text FROM customer)""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Deterministic PII-bearing text from `customer`: phone / email / IP /
     * (every third row) card, all derived from c_custkey with
     * multiply-and-mod integer arithmetic only — no division, no float
@@ -2276,6 +2294,7 @@ object StandardQueries {
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
+    "pii_summary" -> qPiiSummary,
     "nlp_svd_residual" -> Q(
       (s, dir) => graft.pipeline.NlpSvd.residualsDF(
         // O(dim·tokens)/row map stage; spread the single local split
