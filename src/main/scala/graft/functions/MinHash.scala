@@ -115,6 +115,26 @@ object MinHashUtil {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** Non-distinct positional shingle hashes; element i = hash of the
+    * n-gram at token offset i. Same hashing as [[shingleIds]] (xxhash64
+    * of the space-joined gram, Spark's seed). */
+  def posShingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val count = toks.numElements() - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = XXH64.hashUTF8String(UTF8String.concatWs(Sep, parts: _*), XxSeed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def permMins(ids: ArrayData, numPerm: Int): Array[Long] = {
     val n = ids.numElements()
     val mins = Array.fill(numPerm)(Long.MaxValue)
@@ -220,6 +240,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * pipeline's map cost (~3.4 s of dedup_near's 6 s at sf0.1). Distinct
   * is on the id value via an open-addressing probe; first-occurrence
   * order is preserved, matching array_distinct. */
+/** Positionful sibling of [[ShingleIds]]: element i is the xxhash64 of
+  * the word n-gram starting at token i — NOT deduplicated, position
+  * order preserved, so `posexplode` recovers (position, gram-hash) pairs
+  * with no struct building. Exists for the same CollapseProject reason
+  * as [[ShingleIds]]: the HOF formulation re-tokenizes the document once
+  * per gram (measured 5.6 s for 250k grams at sf0.1; this expression
+  * does the same in one pass per row). Short/empty input yields an
+  * EMPTY array. */
+case class PosShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pos_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.posShingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $util.posShingleHashes($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosShingleHashes =
+    copy(child = newChild)
+}
+
 case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -248,4 +294,6 @@ object MinHash {
     exprColumn(SimHash64(columnExpr(tokenHashes)))
   def shingle_ids(tokens: Column, n: Int): Column =
     exprColumn(ShingleIds(columnExpr(tokens), n))
+  def pos_shingle_hashes(tokens: Column, n: Int): Column =
+    exprColumn(PosShingleHashes(columnExpr(tokens), n))
 }

@@ -311,17 +311,14 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
-  /** Positionful word n-gram shingles: array of (pos, gram) structs,
-    * pos 1-based over the token sequence, grams NOT deduplicated —
-    * [[shingles]]' sibling for span-level analyses that need provenance. */
-  def posShingles(textCol: Column, n: Int): Column = {
-    val words = tokens(textCol)
-    val count = F.size(words) - (n - 1)
-    val idx = F.when(count > 0, F.sequence(F.lit(1), count))
-      .otherwise(F.array().cast("array<int>"))
-    F.transform(idx, i => F.struct(i.as("pos"),
-      F.concat_ws(" ", F.slice(words, i, F.lit(n))).as("gram")))
-  }
+  /** Positionful word n-gram hashes: element i = xxhash64 of the gram at
+    * token offset i (0-based), NOT deduplicated — [[shingleIds]]' sibling
+    * for span-level analyses that need provenance. Native one-pass
+    * expression: the HOF formulation (slice+concat inside a transform
+    * lambda) re-tokenizes the document once per gram after
+    * CollapseProject, which measured 20× slower at sf0.1. */
+  def posShingleHashes(textCol: Column, n: Int): Column =
+    graft.functions.MinHash.pos_shingle_hashes(tokens(textCol), n)
 
   /** Exact duplicated-substring detection at fixed n-token granularity
     * (the distributed-friendly variant of Lee et al., "Deduplicating
@@ -344,9 +341,8 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, n: Int = 20): DataFrame = {
     val exploded = df
       .select(F.col(idCol).as("doc_id"),
-        F.explode(posShingles(F.col(textCol), n)).as("s"))
-      .select(F.col("doc_id"), F.col("s.pos").as("pos"),
-        F.xxhash64(F.col("s.gram")).as("__g"))
+        F.posexplode(posShingleHashes(F.col(textCol), n)).as(Seq("pos0", "__g")))
+      .select(F.col("doc_id"), (F.col("pos0") + 1).as("pos"), F.col("__g"))
     val dups = exploded.groupBy("__g")
       .agg(F.count(F.lit(1)).as("n_copies"))
       .filter(F.col("n_copies") > 1L)
