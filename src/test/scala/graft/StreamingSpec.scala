@@ -90,6 +90,28 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist(blocking = false)
   }
 
+  test("map-only pipeline ops (PII scan) run unchanged on a stream") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "contact a@b.io or 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("pii_stream_src").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
+    // scan is codegen'd map-only expressions — legal in a streaming plan
+    // with no foreachBatch wrapper, watermark, or output-mode caveats
+    val q = graft.pipeline.Pii.scan(stream, "text")
+      .select("doc_id", "pii_email", "pii_ipv4", "pii_total")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("pii_stream").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got == Map(1L -> ((1, 1, 2)), 2L -> ((0, 0, 0))))
+  }
+
   test("toStore counts every row exactly once across multiple micro-batches") {
     // split events into two files; maxFilesPerTrigger=1 forces windows to
     // span batches — the update-mode cumulative re-emission bug would
