@@ -340,6 +340,31 @@ object StandardQueries {
            | FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
            | GROUP BY t ORDER BY cnt DESC, token""".stripMargin.replaceAll("\n", " ")))
 
+  /** Corpus-wide top-100 word bigrams — the n-gram counting pass a
+    * tokenizer/vocab-prep pipeline runs. Bigrams are formed ARRAY-LOCALLY
+    * (arrays_zip of two shifted slices — a constant number of references
+    * to the token array, NOT a per-gram lambda, so the CollapseProject
+    * re-tokenize trap doesn't apply), then one map-side-combined groupBy;
+    * ties at the cut break deterministically on (count desc, gram). */
+  private def qCorpusNgrams = Q(
+    (s, dir) => {
+      val w = Dedup.tokens(F.col("text"))
+      val len = F.greatest(F.size(w) - 1, F.lit(0))
+      val bi = F.arrays_zip(F.slice(w, F.lit(1), len), F.slice(w, F.lit(2), len))
+      t(s, dir, "documents")
+        .select(F.explode(bi).as("p"))
+        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).as("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("gram"))
+        .limit(100)
+    },
+    Some("""SELECT gram, count(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+           |    i -> array_to_string(w[i:i+1], ' '))) AS gram
+           |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+           |        FROM documents))
+           | GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin.replaceAll("\n", " ")))
+
   /** BagOfWords doc-length + term-length distributions (reference
     * `experimental/extras/nlp_metric.py:199-431`): tokens per document
     * and characters per term, profiled by the distribution metric whose
@@ -2235,6 +2260,7 @@ object StandardQueries {
     "frequent_items" -> qFrequentItems,
     "unicode_range" -> qUnicodeRange,
     "bow_term_counts" -> qBowTermCounts,
+    "corpus_ngrams" -> qCorpusNgrams,
     "bow_doc_stats" -> qBowDocStats,
     "segmented_profile" -> qSegmentedProfile,
     "segmented_filtered_profile" -> qSegmentedFilteredProfile,
