@@ -44,13 +44,15 @@ object Bench {
     // Stop Spark BEFORE printing: async executor log lines after the JSON
     // line would break the driver's parse (this lost round 1's number).
     spark.stop()
-    // stdout carries ONLY the contract line (metric/value/unit/queries/sf):
-    // the driver keeps a bounded tail of stdout, and round 6's line — with
-    // two full per-query passes appended — was long enough that the tail
-    // started mid-line and the driver recorded parsed:null. Raw passes and
-    // the error list go to the file only.
+    // stdout carries ONLY a compact contract line: the driver keeps a
+    // bounded (~2 KB) tail of stdout, and every line we printed in rounds
+    // 1-8 — even round 8's "slimmed" one, which still embedded the 81-entry
+    // per-query map (~2.6 KB) — overflowed it and parsed as null. Scalars
+    // only here; the per-query map, error list, and raw passes live in
+    // target/bench.json. "errors" stays as a count so a failing run is
+    // distinguishable from a clean one on stdout alone.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${best.size},"errors":${failed.size}}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"errors":$errs,"sf":"$sfDir","passes":[${jmap(pass0)},${jmap(pass1)}]}"""
     // Also persist to a file: sbt appends "[success] Total time: ..." after

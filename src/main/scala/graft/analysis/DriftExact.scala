@@ -234,6 +234,12 @@ object DriftExact {
       (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).groupBy(_._1)
     categoricalCols.map { c =>
       val cs = byCol.getOrElse(c, Array.empty)
+      // the pooled take above bounds the collect; this enforces the
+      // not-categorical refusal PER COLUMN, so a single high-cardinality
+      // column can't slip through by riding alongside low-cardinality ones
+      require(cs.length <= maxCategories,
+        s"column '$c' has ${cs.length} (> $maxCategories) distinct values: " +
+          "not categorical — use the sketch path (Drift.scores over profiles)")
       c -> Drift.chiSquareCounts(
         cs.map(t => t._2 -> t._3).toMap.filter(_._2 > 0L),
         cs.map(t => t._2 -> t._4).toMap.filter(_._2 > 0L))

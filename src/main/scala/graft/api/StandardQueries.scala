@@ -1178,7 +1178,11 @@ object StandardQueries {
   private def qVizSummaryReport = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val median = li.agg(F.expr("percentile(l_orderkey, 0.5D)")).collect()(0).getDouble(0)
+      // approx_percentile: the split point only has to be a reasonable
+      // mid-value, and exact percentile() buffers EVERY value in one
+      // aggregation buffer — a memory bomb at 100× scale.
+      val median = li.agg(F.expr("approx_percentile(l_orderkey, 0.5D)"))
+        .collect()(0).getLong(0).toDouble
       val parts = new Profiler().profileSegmented(
         li.withColumn("__half", F.col("l_orderkey") <= median), Seq("__half"))
       val target = parts(Seq("true"))
@@ -1207,7 +1211,10 @@ object StandardQueries {
   private def qDriftScores = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val median = li.agg(F.expr("percentile(l_orderkey, 0.5D)")).collect()(0).getDouble(0)
+      // approx_percentile, not percentile: the split's exactness is
+      // immaterial here and the exact form buffers all values (scale bomb).
+      val median = li.agg(F.expr("approx_percentile(l_orderkey, 0.5D)"))
+        .collect()(0).getLong(0).toDouble
       // drift consumes only distribution (KS/Hellinger) + frequent items
       // (χ²): resolve just those, skipping the HLL/counts/ints updates
       val driftResolver = ResolverSpec(byKind = k =>
@@ -1300,7 +1307,7 @@ object StandardQueries {
            | SELECT '$c' AS col_name,
            |   CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
            |     / CAST(na * nb AS DOUBLE) AS ks_stat,
-           |   na AS n_target, nb AS n_ref
+           |   CAST(na AS BIGINT) AS n_target, CAST(nb AS BIGINT) AS n_ref
            | FROM c, t GROUP BY na, nb
            |)""".stripMargin.replaceAll("\n", " ")
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
@@ -1340,7 +1347,8 @@ object StandardQueries {
            |   FROM g, t)
            | SELECT '$c' AS col_name,
            |   sqrt(sum(dd * dd ORDER BY bin) / 2) AS hellinger,
-           |   (SELECT na FROM t) AS n_target, (SELECT nb FROM t) AS n_ref
+           |   CAST((SELECT na FROM t) AS BIGINT) AS n_target,
+           |   CAST((SELECT nb FROM t) AS BIGINT) AS n_ref
            | FROM d
            |)""".stripMargin.replaceAll("\n", " ")
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
@@ -2127,14 +2135,14 @@ object StandardQueries {
     (s, dir) => Pii.summary(piiText(t(s, dir, "customer")), "text"),
     Some {
       val per = Pii.Patterns.map { case (n, pat) =>
-        s"sum(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0 THEN 1 ELSE 0 END) AS docs_$n, " +
-          s"sum(len(regexp_extract_all(text, '$pat'))) AS hits_$n"
+        s"CAST(sum(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_$n, " +
+          s"CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS hits_$n"
       }.mkString(", ")
       val any = Pii.Patterns.map { case (_, pat) =>
         s"len(regexp_extract_all(text, '$pat'))"
       }.mkString(" + ")
       s"""SELECT count(*) AS docs,
-         | sum(CASE WHEN $any > 0 THEN 1 ELSE 0 END) AS docs_with_pii, $per
+         | CAST(sum(CASE WHEN $any > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, $per
          | FROM (SELECT $piiTextSql AS text FROM customer)""".stripMargin.replaceAll("\n", " ")
     })
 

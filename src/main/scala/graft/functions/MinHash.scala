@@ -231,15 +231,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Distinct 64-bit shingle ids straight from a token array: the id of a
-  * window is `xxhash64(concat_ws(" ", window))` — bit-identical to the
-  * HOF formulation (`array_distinct(transform(shingles, xxhash64))`,
-  * kept as the semantics oracle in PipelineSpec) but ONE pass: the HOF
-  * version runs three interpreted lambda layers per row (slice +
-  * concat_ws per window, distinct, hash) and dominated the near-dup
-  * pipeline's map cost (~3.4 s of dedup_near's 6 s at sf0.1). Distinct
-  * is on the id value via an open-addressing probe; first-occurrence
-  * order is preserved, matching array_distinct. */
 /** Positionful sibling of [[ShingleIds]]: element i is the xxhash64 of
   * the word n-gram starting at token i — NOT deduplicated, position
   * order preserved, so `posexplode` recovers (position, gram-hash) pairs
@@ -266,6 +257,15 @@ case class PosShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct 64-bit shingle ids straight from a token array: the id of a
+  * window is `xxhash64(concat_ws(" ", window))` — bit-identical to the
+  * HOF formulation (`array_distinct(transform(shingles, xxhash64))`,
+  * kept as the semantics oracle in PipelineSpec) but ONE pass: the HOF
+  * version runs three interpreted lambda layers per row (slice +
+  * concat_ws per window, distinct, hash) and dominated the near-dup
+  * pipeline's map cost (~3.4 s of dedup_near's 6 s at sf0.1). Distinct
+  * is on the id value via an open-addressing probe; first-occurrence
+  * order is preserved, matching array_distinct. */
 case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

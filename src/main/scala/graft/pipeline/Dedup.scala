@@ -310,7 +310,6 @@ object Dedup {
         F.col("cluster_size"), F.col("keep"))
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) array columns. */
   /** Positionful word n-gram hashes: element i = xxhash64 of the gram at
     * token offset i (0-based), NOT deduplicated — [[shingleIds]]' sibling
     * for span-level analyses that need provenance. Native one-pass
@@ -369,6 +368,7 @@ object Dedup {
       .select("doc_id", "start_pos", "end_pos", "n_grams")
   }
 
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = F.size(F.array_intersect(a, b))
     val union = F.size(F.array_union(a, b))

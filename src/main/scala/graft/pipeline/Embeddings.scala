@@ -103,19 +103,30 @@ object Embeddings {
     * as the exact per-label mean vector — one explode plus one
     * map-side-combined groupBy((label, position)) exchange of
     * labels × dim cells; no driver-side matrix, so it works at any corpus
-    * size. DOCUMENTED DIVERGENCE: the reference computes centroids in a
+    * size FOR BOUNDED LABEL CARDINALITY — the collect is labels × dim
+    * cells, so `maxLabels` guards against an id-like column passed as
+    * labelCol (the [[graft.analysis.DriftExact.chi2Stats]] hazard).
+    * DOCUMENTED DIVERGENCE: the reference computes centroids in a
     * low-dim PCA projection (optionally percentile-trimmed) and
     * inverse-transforms back — an artifact of its single-machine sklearn
     * path whose round trip lands near the raw mean anyway; the exact
     * raw-space label centroid is the scale-robust equivalent. */
   def labeledReferences(
-      df: DataFrame, vecCol: String, labelCol: String): Seq[(String, Array[Double])] = {
+      df: DataFrame, vecCol: String, labelCol: String,
+      maxLabels: Int = 10000): Seq[(String, Array[Double])] = {
+    val dim = df.select(F.size(F.col(vecCol)).as("__d"))
+      .filter(F.col("__d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
     val cells = df
       .filter(F.col(vecCol).isNotNull && F.col(labelCol).isNotNull)
       .select(F.col(labelCol).cast("string").as("__l"),
         F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
       .groupBy("__l", "__pos").agg(F.avg("__x").as("__m"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .take(maxLabels * math.max(dim, 1) + 1)
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    require(cells.length <= maxLabels * math.max(dim, 1),
+      s"more than $maxLabels distinct labels in '$labelCol': not a label " +
+        "column — pass a bounded-cardinality column or raise maxLabels")
     cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, cs) =>
       l -> cs.sortBy(_._2).map(_._3).toArray
     }
