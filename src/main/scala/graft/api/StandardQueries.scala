@@ -1382,6 +1382,67 @@ object StandardQueries {
       .select("doc_id", "simhash").orderBy("doc_id"),
     None)
 
+  /** Oracle-checked MinHash bridge: the same min-wise-hashing semantics
+    * as `dedup_minhash_sig` (per permutation j, signature element j =
+    * min over the document's shingle set of h_j(shingle)) with
+    * h_j(g) = md5("j:" ++ g) in place of the native multiply-shift
+    * permutations, so DuckDB reproduces every element verbatim — the md5
+    * hex string's lexicographic min is the same min in both engines.
+    * Pins the FAMILY's shingle→permute→min semantics; the production
+    * path is the codegen'd MinHashSignature expression (one
+    * multiply-add per gram instead of P md5 calls). */
+  private def qDedupMinhashSigMd5 = Q(
+    (s, dir) => {
+      val sh = Dedup.shingles(F.col("text"), 3)
+      val sigs = (0 until 4).map { j =>
+        F.array_min(F.transform(sh, g =>
+          F.md5(F.concat(F.lit(s"$j:"), g)))).as(s"sig$j")
+      }
+      t(s, dir, "documents").select(F.col("doc_id") +: sigs: _*).orderBy("doc_id")
+    },
+    Some {
+      val sigs = (0 until 4).map { j =>
+        s"list_min(list_transform(g, x -> md5('$j:' || x))) AS sig$j"
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> len(w) > 0) AS w
+         |  FROM documents),
+         | sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+         |   for i in range(1, greatest(len(w) - 1, 1))]) AS g FROM tok)
+         | SELECT doc_id, $sigs FROM sh ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Oracle-checked SimHash bridge: the same majority-vote-per-bit
+    * semantics as `dedup_simhash` (bit b of the signature = sign of the
+    * sum over tokens of ±1 according to bit b of the token's hash) at 16
+    * bits with the per-bit hash derived from md5("b:" ++ token) — the
+    * vote is +1 iff the first hex char is >= '8' (the hash's top bit),
+    * a pure string comparison both engines evaluate identically. Ties
+    * (vote sum 0) are bit 0 in both. Pins the FAMILY's
+    * tokenize→vote→sign semantics; production is the one-pass native
+    * SimHash64 expression. */
+  private def qDedupSimhashMd5 = Q(
+    (s, dir) => {
+      val toks = Dedup.tokens(F.col("text"))
+      val sim = (0 until 16).map { b =>
+        val votes = F.aggregate(toks, F.lit(0), (acc, w) =>
+          acc + F.when(F.substring(F.md5(F.concat(F.lit(s"$b:"), w)), 1, 1) >= "8", 1)
+            .otherwise(-1))
+        F.when(votes > 0, F.lit(1L << b)).otherwise(F.lit(0L))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(F.col("doc_id"), sim.as("simhash_md5")).orderBy("doc_id")
+    },
+    Some {
+      val bits = (0 until 16).map { b =>
+        s"CASE WHEN COALESCE(list_sum(list_transform(w, t -> CASE WHEN substr(md5('$b:' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)), 0) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> len(w) > 0) AS w
+         |  FROM documents)
+         | SELECT doc_id, CAST($bits AS BIGINT) AS simhash_md5 FROM tok ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
   private def qNgramJaccard = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2300,6 +2361,8 @@ object StandardQueries {
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,
+    "dedup_minhash_sig_md5" -> qDedupMinhashSigMd5,
+    "dedup_simhash_md5" -> qDedupSimhashMd5,
     "ngram_jaccard" -> qNgramJaccard,
     "dedup_near" -> qDedupNear,
     "dedup_clusters" -> qDedupClusters,
