@@ -130,6 +130,23 @@ class ProfileStore(spark: SparkSession, path: String) {
 }
 
 object ProfileStore {
+
+  /** Read a reference `SQLiteStore` database
+    * (`api/store/sqlite_store.py:41-42`: table
+    * `profile_store(id string, date datetime, profile blob)`, blob =
+    * serialized `WHY1` profile) into graft profile views — the drop-in
+    * migration path for a user with an existing sqlite store. Driver-side
+    * by design: such a store is one small file of KB-scale blobs; rows
+    * with NULL blobs are skipped like the reference's empty-get. */
+  def readSqlite(path: String): Seq[(String, String, DatasetProfileView)] =
+    graft.sources.Sqlite.readTable(path, "profile_store").flatMap { r =>
+      r.get("profile").collect { case b: Array[Byte] =>
+        (String.valueOf(r.getOrElse("id", null)),
+          String.valueOf(r.getOrElse("date", null)),
+          graft.profile.Why1.fromBytes(b))
+      }
+    }
+
   /** Multi-column segment keys join on \u0001; NULL segment values encode
     * as \u0002 so they stay distinct from the literal string "null".
     * Values containing either control char are rejected rather than

@@ -98,6 +98,24 @@ class ProfilerSpec extends SparkSpec {
     assert(v1.columns("l_quantity").counts == v2.columns("l_quantity").counts)
   }
 
+  test("1000-column frame batched at 64 equals the whole-profile view") {
+    import org.apache.spark.sql.{functions => F}
+    val n = 1000
+    val wide = spark.range(500).select(
+      F.col("id") +: (0 until n).map(i => (F.col("id") * i % 101).as(s"c$i")): _*)
+    val batched = new Profiler(MetricConfig(columnBatchSize = 64)).profile(wide)
+    val whole = new Profiler().profile(wide)
+    assert(batched.columns.keySet == whole.columns.keySet)
+    assert(batched.columns.size == n + 1)
+    // batching must be invisible: every column's exact metrics agree
+    batched.columns.keySet.foreach { c =>
+      assert(batched.columns(c).counts == whole.columns(c).counts, c)
+      assert(batched.columns(c).ints == whole.columns(c).ints, c)
+      assert(batched.columns(c).types == whole.columns(c).types, c)
+    }
+    assert(batched.columns("c999").ints.get.max.contains(100L))
+  }
+
   test("single-pass profile survives a 300-column schema") {
     import org.apache.spark.sql.{functions => F}
     val n = 300

@@ -29,6 +29,15 @@ import graft.profile.ProtoWire.Writer
   *    (`segmented_dataset_profile_view.py:193-205` stores the segment
   *    header's own size in the offset slot — sequential readers must not
   *    trust it).
+  *
+  * A golden file EMITTED BY the reference itself would close interop
+  * beyond doubt, but is environment-blocked in this sandbox (verified
+  * round 9): the vendored reference's writer cannot import without
+  * `whylogs_sketching` (a compiled C++ datasketches binding) and
+  * `protobuf`, neither installable offline (`pip install -e
+  * /root/reference/python` fails on the poetry build backend; direct
+  * `sys.path` import fails on both missing modules). The hand-derived
+  * fixtures above are the conformant-peer substitute.
   */
 class Why1GoldenSpec extends AnyFunSuite {
 
