@@ -282,4 +282,65 @@ object DriftExact {
     }
     numeric ++ categorical
   }
+
+  /** Exact KS drift across CONSECUTIVE time windows — the reference's
+    * monitoring loop (profile each batch, compare to the previous one;
+    * `api/logger/rolling.py` + `viz/drift/column_drift_algorithms.py`)
+    * collapsed into ONE distributed computation: every
+    * (window, previous-window) pair's two-sample KS statistic over
+    * `value`, in a single scan of the input regardless of timeline
+    * length. Returns one row per window that has a non-empty
+    * predecessor: (bucket, ks_stat, n_cur, n_prev).
+    *
+    * Shape: each row enters the pair it is "current" of and the pair it
+    * is "previous" of — a 2-element explode, NOT a windows×data
+    * self-join — then one map-side-combined groupBy((pair, value)) over
+    * which the ECDFs are per-pair running sums. The window function
+    * partitions BY PAIR (never the drift_ks_exact single-partition
+    * trap): ordering within a pair streams one running count through a
+    * spillable sort, so per-pair distinct-value cardinality bounds disk,
+    * not memory. The D numerator max|cca·nb − ccb·na| stays integral
+    * until one final division ⇒ bit-exact, DuckDB-reproducible (exact
+    * while n_cur·n_prev fits a long, i.e. windows ≲ 3·10⁹ rows each —
+    * beyond that use the sketch path over rolling profiles).
+    *
+    * `bucket` must map a row to its window's key (e.g.
+    * `date_trunc("day", ts)`); `nextBucket` maps a window key to the
+    * FOLLOWING window's key (e.g. `date_add(_, 1)`) — it defines
+    * consecutiveness without materializing a window list. */
+  def ksTimeline(
+      df: DataFrame, bucket: Column, value: Column,
+      nextBucket: Column => Column): DataFrame = {
+    val base = df.filter(value.isNotNull)
+      .select(bucket.as("__b"), value.cast("double").as("__v"))
+    val exploded = base.select(
+      F.explode(F.array(
+        F.struct(F.col("__b").as("p"), F.lit(1L).as("ca"), F.lit(0L).as("cb")),
+        F.struct(nextBucket(F.col("__b")).as("p"), F.lit(0L).as("ca"),
+          F.lit(1L).as("cb")))).as("e"),
+      F.col("__v"))
+      .select(F.col("e.p").as("__p"), F.col("__v"),
+        F.col("e.ca").as("__ca"), F.col("e.cb").as("__cb"))
+    val g = exploded.groupBy("__p", "__v")
+      .agg(F.sum("__ca").as("ca"), F.sum("__cb").as("cb"))
+    val wOrd = Window.partitionBy("__p").orderBy("__v")
+    // pair totals are the running sums' final values: max over an
+    // UNBOUNDED window with the same partitioning — the second Window
+    // rides the first one's exchange+sort, so totals cost no extra scan,
+    // shuffle, or join (a groupBy-totals + join-back formulation
+    // re-scanned the input and re-aggregated g a second time)
+    val wAll = Window.partitionBy("__p")
+    g.select(F.col("__p"),
+        F.sum("ca").over(wOrd).as("cca"), F.sum("cb").over(wOrd).as("ccb"))
+      .select(F.col("__p"), F.col("cca"), F.col("ccb"),
+        F.max("cca").over(wAll).as("na"), F.max("ccb").over(wAll).as("nb"))
+      .groupBy("__p", "na", "nb")
+      .agg(F.max(F.abs(F.col("cca") * F.col("nb") -
+        F.col("ccb") * F.col("na"))).as("num"))
+      .filter(F.col("na") > 0 && F.col("nb") > 0)
+      .select(F.col("__p").as("bucket"),
+        (F.col("num").cast("double") /
+          (F.col("na") * F.col("nb")).cast("double")).as("ks_stat"),
+        F.col("na").as("n_cur"), F.col("nb").as("n_prev"))
+  }
 }

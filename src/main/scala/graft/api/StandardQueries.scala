@@ -365,6 +365,40 @@ object StandardQueries {
            |        FROM documents))
            | GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin.replaceAll("\n", " ")))
 
+  /** Top-3 characteristic terms per document by tf-idf
+    * ([[graft.pipeline.TextAnalysis.tfIdfTopTerms]], reciprocal idf):
+    * tf and df are exact integers and the score is one IEEE division,
+    * so the full ranked output is oracle-reproducible bit-for-bit. */
+  private def qTfIdfTopTerms = Q(
+    (s, dir) => TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS term
+           |  FROM documents),
+           | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           | s AS (SELECT doc_id, term, tf, df,
+           |   CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+           |   row_number() OVER (PARTITION BY doc_id
+           |     ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS rank
+           |  FROM tf JOIN dfq USING (term))
+           | SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+           | FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", " ")))
+
+  /** Corpus vocabulary / Zipf-tail statistics
+    * ([[graft.pipeline.TextAnalysis.vocabStats]]): vocabulary size,
+    * total tokens, hapax count and fraction — all integers plus one
+    * division. */
+  private def qCorpusVocab = Q(
+    (s, dir) => TextAnalysis.vocabStats(t(s, dir, "documents"), "text"),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           | CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hapax_frac
+           | FROM (SELECT term, count(*) AS cnt FROM (
+           |   SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS term
+           |   FROM documents) GROUP BY term)""".stripMargin.replaceAll("\n", " ")))
+
   /** BagOfWords doc-length + term-length distributions (reference
     * `experimental/extras/nlp_metric.py:199-431`): tokens per document
     * and characters per term, profiled by the distribution metric whose
@@ -575,7 +609,10 @@ object StandardQueries {
       val cols = liNumeric ++ Seq("l_returnflag", "l_linestatus")
       val li = t(s, dir, "lineitem").select(cols.map(F.col): _*)
       new Profiler().summaryDF(li)
-        .filter(F.col("metric").rlike("^(counts/|types/|ints/)"))
+        // distribution n/min/max are exact pass-throughs (count + tracked
+        // extremes, no float accumulation) — only mean/stddev/quantiles
+        // are summation-order- or sketch-dependent and stay rows-only
+        .filter(F.col("metric").rlike("^(counts/|types/|ints/|distribution/(n|min|max)$)"))
         .select(F.col("column").as("col_name"), F.col("metric"), F.col("value"))
         .orderBy("col_name", "metric")
     },
@@ -608,6 +645,12 @@ object StandardQueries {
           row(c, "types/tensor", zero)) ++
           (if (isInt) Seq(
             row(c, "ints/min", s"min($c)"), row(c, "ints/max", s"max($c)"))
+           else Seq.empty) ++
+          (if (isInt || isDbl) Seq(
+            row(c, "distribution/n",
+              s"count(*) FILTER (WHERE $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE)))"),
+            row(c, "distribution/min", s"min($c)"),
+            row(c, "distribution/max", s"max($c)"))
            else Seq.empty)
       }
       rows.mkString("", " UNION ALL ", " ORDER BY col_name, metric")
@@ -1353,6 +1396,38 @@ object StandardQueries {
            |)""".stripMargin.replaceAll("\n", " ")
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
+
+  /** Exact KS drift between every consecutive pair of daily windows of
+    * `events.value` ([[DriftExact.ksTimeline]]) — the monitoring loop as
+    * one distributed query. Integer numerator until one division ⇒
+    * bit-exact oracle; day keys compared as strings. */
+  private def qDriftTimelineKs = Q(
+    (s, dir) => DriftExact.ksTimeline(
+      // events.ts is a nanosecond timestamp, which Spark surfaces as long
+      t(s, dir, "events").withColumn("ts", F.expr("timestamp_micros(ts div 1000)")),
+      F.date_trunc("day", F.col("ts")).cast("date"),
+      F.col("value"),
+      b => F.date_add(b, 1))
+      .select(F.col("bucket").cast("string").as("day"),
+        F.col("ks_stat"), F.col("n_cur"), F.col("n_prev"))
+      .orderBy("day"),
+    Some("""WITH e AS (
+           |  SELECT CAST(date_trunc('day', ts) AS DATE) AS b, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           | u AS (
+           |  SELECT b AS p, v, 1 AS ca, 0 AS cb FROM e
+           |  UNION ALL
+           |  SELECT b + 1 AS p, v, 0 AS ca, 1 AS cb FROM e),
+           | g AS (SELECT p, v, sum(ca) AS ca, sum(cb) AS cb FROM u GROUP BY 1, 2),
+           | t AS (SELECT p, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g GROUP BY 1),
+           | c AS (SELECT p, sum(ca) OVER (PARTITION BY p ORDER BY v) AS cca,
+           |       sum(cb) OVER (PARTITION BY p ORDER BY v) AS ccb FROM g)
+           | SELECT CAST(p AS VARCHAR) AS day,
+           |  CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_stat,
+           |  na AS n_cur, nb AS n_prev
+           | FROM c JOIN t USING (p)
+           | WHERE na > 0 AND nb > 0
+           | GROUP BY p, na, nb ORDER BY day""".stripMargin.replaceAll("\n", " ")))
 
   // ------------------------------------------------------------------
   // dedup / similarity / text / multimodal
@@ -2330,6 +2405,8 @@ object StandardQueries {
     "unicode_range" -> qUnicodeRange,
     "bow_term_counts" -> qBowTermCounts,
     "corpus_ngrams" -> qCorpusNgrams,
+    "tfidf_top_terms" -> qTfIdfTopTerms,
+    "corpus_vocab" -> qCorpusVocab,
     "bow_doc_stats" -> qBowDocStats,
     "segmented_profile" -> qSegmentedProfile,
     "segmented_filtered_profile" -> qSegmentedFilteredProfile,
@@ -2357,6 +2434,7 @@ object StandardQueries {
     "viz_summary_report" -> qVizSummaryReport,
     "drift_chi2_stat" -> qDriftChi2Stat,
     "drift_ks_exact" -> qDriftKsExact,
+    "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,

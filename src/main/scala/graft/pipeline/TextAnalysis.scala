@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 /** Text analysis for training-data pipelines: token counting, quality
@@ -129,4 +130,54 @@ object TextAnalysis {
       .withColumn("lang_guess", langId(F.col(textCol)))
       .select(idCol, "n_chars", "n_tokens", "n_alpha", "n_digits", "n_punct",
         "alpha_ratio", "mean_token_len", "quality_ok", "lang_guess")
+
+  /** Top-k characteristic terms per document by tf-idf with the
+    * reciprocal idf (score = tf/df — term frequency in the doc over the
+    * number of docs containing the term). The single IEEE division makes
+    * the score bit-exact across engines, unlike a log-smoothed idf whose
+    * `ln` may differ in the last ulp between libm implementations; the
+    * ranking this produces is the standard "what words make this doc
+    * different" signal a corpus-exploration pipeline wants.
+    *
+    * Scale shape — ONE scan, three exchanges, no join: explode → one
+    * groupBy((doc, term)) for tf; df attaches as `count(*)` over a
+    * window partitioned BY TERM on the tf rows (tf has exactly one row
+    * per (doc, term), so the partition size IS the document frequency —
+    * a groupBy(term)+join-back formulation re-scanned the corpus and
+    * Spark's stats happily broadcast the vocab side, which at web scale
+    * is 10⁸ terms); then a window partitioned BY DOC (bounded per-doc
+    * term count) for the top-k cut. A stopword's term partition holds
+    * one row per containing doc — WindowExec buffers it through a
+    * spillable sorter, so ubiquitous terms cost disk, not memory. Ties
+    * broken by term so output is deterministic. */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = df.select(F.col(idCol),
+      F.explode(Dedup.tokens(F.col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(F.col("score").desc, F.col("term"))
+    tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+      .withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double"))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df"),
+        F.col("score"), F.col("rank"))
+  }
+
+  /** Corpus vocabulary statistics — the Zipf-tail numbers a pretraining
+    * corpus report leads with: vocabulary size, total token count, hapax
+    * legomena (terms occurring exactly once) and their fraction of the
+    * vocabulary. One groupBy(term) then one global fold; all integers
+    * plus a single division. */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(F.explode(Dedup.tokens(F.col(textCol))).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("cnt"))
+      .agg(
+        F.count(F.lit(1)).as("vocab_size"),
+        F.sum("cnt").as("total_tokens"),
+        F.sum(F.when(F.col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"))
+      .select(F.col("vocab_size"), F.col("total_tokens"), F.col("hapax_count"),
+        (F.col("hapax_count").cast("double") /
+          F.col("vocab_size").cast("double")).as("hapax_frac"))
 }

@@ -170,6 +170,44 @@ class DriftExactSpec extends SparkSpec {
     assert(ksRow.pValue.exists(p => p > 0 && p <= 1))
   }
 
+  test("ksTimeline equals per-pair ksStat on every consecutive window pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // four integer buckets with different distributions; bucket 2 empty
+    // to check that pairs (2,1)->skipped-side and (3,2) vanish
+    val rows = Seq.tabulate(400) { i =>
+      val b = Seq(0, 1, 3, 3)(i % 4)
+      (b, rnd.nextGaussian() * (b + 1) + b)
+    }
+    val df = rows.toDF("b", "v")
+    val tl = DriftExact.ksTimeline(df, F.col("b"), F.col("v"), _ + F.lit(1))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // pairs with both sides non-empty: (1, prev 0) and (4?) no — buckets
+    // are 0,1,3; consecutive pairs present: 1 (0→1) only, since 2 and 4
+    // are empty on one side
+    assert(tl.keySet == Set(1))
+    val pair = df.filter(F.col("b").isin(0, 1))
+    val (d, na, nb) = DriftExact.ksStat(pair, "v", F.col("b") === 1)
+    assert(tl(1) == ((d, na, nb)))
+  }
+
+  test("ksTimeline is exact vs a local ECDF computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(300)(i => (i % 3, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("b", "v")
+    val tl = DriftExact.ksTimeline(df, F.col("b"), F.col("v"), _ + F.lit(1))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(tl.keySet == Set(1, 2))
+    (1 to 2).foreach { p =>
+      val cur = rows.filter(_._1 == p).map(_._2)
+      val prev = rows.filter(_._1 == p - 1).map(_._2)
+      // localKs divides per-ECDF (two roundings); ksTimeline divides once
+      assert(math.abs(tl(p) - localKs(cur, prev)) < 1e-12, s"pair $p")
+    }
+  }
+
   test("ksStat agrees with the sketch-based Drift.ks within rank error on real data") {
     val li = table("lineitem")
     val isT = F.col("l_orderkey") % 3 === 0

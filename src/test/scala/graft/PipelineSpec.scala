@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{functions => F}
 
 import graft.functions.top_k_agg
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Dedup / similarity pipeline operators. */
 class PipelineSpec extends SparkSpec {
@@ -311,6 +311,32 @@ class PipelineSpec extends SparkSpec {
     val g1 = (1L to 20L).map(labeled).toSet
     val g2 = (21L to 40L).map(labeled).toSet
     assert(g1.size == 1 && g2.size == 1 && g1 != g2, s"g1=$g1 g2=$g2")
+  }
+
+  test("tfIdfTopTerms ranks doc-specific terms above corpus-wide ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common common common quark quark"),
+      (3L, "common plain words here")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // zebra: tf 3, df 1 → score 3.0 — beats common (tf 2, df 3 → 0.667)
+    assert(top((1L, 1L)) == (("zebra", 3L, 1L)))
+    assert(top((2L, 1L)) == (("quark", 2L, 1L)))
+    assert(top((1L, 2L))._1 == "common")
+    // rank never exceeds k and every doc appears
+    assert(top.keySet.map(_._1) == Set(1L, 2L, 3L))
+    assert(top.keySet.forall(_._2 <= 2))
+  }
+
+  test("vocabStats counts vocabulary, tokens and hapax terms exactly") {
+    import spark.implicits._
+    val docs = Seq("a a b c", "b d", "").toDF("text")
+    val r = TextAnalysis.vocabStats(docs, "text").collect()(0)
+    // vocab {a,b,c,d}; tokens 6; hapax {c,d}
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.5)
   }
 
   test("rolling_min_hash: equal prefixes beyond window share no forced prefix bias") {
