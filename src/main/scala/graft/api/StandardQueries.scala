@@ -2006,6 +2006,63 @@ object StandardQueries {
            | FROM base b LEFT JOIN bitop t USING (doc_id) LEFT JOIN tridup d USING (doc_id)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Gopher-rules corpus filter
+    * ([[graft.pipeline.TextAnalysis.gopherQualityFilter]]): signals,
+    * keep verdict AND the first-failing-rule reason string, all
+    * oracle-reproducible (integers + single divisions; thresholds
+    * compared on bit-identical doubles). The oracle recomputes the
+    * repetition signals with the same CTEs `text_repetition` pins. */
+  private def qQualityFilter = Q(
+    (s, dir) => TextAnalysis.gopherQualityFilter(
+      t(s, dir, "documents"), "doc_id", "text",
+      // fixture docs run 20-90 words; drop the floor so both verdicts
+      // and several distinct failure reasons appear in the output
+      minWords = 30).orderBy("doc_id"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | base AS (
+           |  SELECT doc_id, len(w) AS nw,
+           |   length(array_to_string(w, ' ')) AS norm_chars,
+           |   len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words
+           |  FROM tok),
+           | bi AS (
+           |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           |  FROM tok WHERE len(w) >= 2),
+           | bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+           | bimax AS (SELECT doc_id, max(c) AS topc FROM bic GROUP BY doc_id),
+           | bitop AS (
+           |  SELECT b.doc_id, m.topc, min(b.g) AS topg FROM bic b
+           |  JOIN bimax m ON b.doc_id = m.doc_id AND b.c = m.topc
+           |  GROUP BY b.doc_id, m.topc),
+           | tri AS (
+           |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS g
+           |  FROM tok WHERE len(w) >= 3),
+           | tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+           | tridup AS (SELECT doc_id, sum(c * length(g)) AS dupchars FROM tric WHERE c > 1 GROUP BY doc_id),
+           | sig AS (
+           |  SELECT b.doc_id, b.nw,
+           |   CASE WHEN b.nw = 0 THEN 0.0
+           |    ELSE CAST(b.norm_chars - b.nw + 1 AS DOUBLE) / b.nw END AS mean_word_len,
+           |   CASE WHEN b.nw = 0 THEN 0.0
+           |    ELSE CAST(b.alpha_words AS DOUBLE) / b.nw END AS alpha_frac,
+           |   CASE WHEN b.norm_chars = 0 THEN 0.0
+           |    ELSE CAST(COALESCE(t.topc * length(t.topg), 0) AS DOUBLE) / b.norm_chars END AS top2_frac,
+           |   CASE WHEN b.norm_chars = 0 THEN 0.0
+           |    ELSE CAST(COALESCE(d.dupchars, 0) AS DOUBLE) / b.norm_chars END AS dup3_frac
+           |  FROM base b LEFT JOIN bitop t USING (doc_id) LEFT JOIN tridup d USING (doc_id))
+           | SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len,
+           |  alpha_frac, top2_frac, dup3_frac,
+           |  (nw BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           |   AND alpha_frac >= 0.8 AND top2_frac <= 0.20 AND dup3_frac <= 0.20 AS keep,
+           |  CASE WHEN NOT (nw BETWEEN 30 AND 100000) THEN 'word_count'
+           |   WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+           |   WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+           |   WHEN top2_frac > 0.20 THEN 'top2_frac'
+           |   WHEN dup3_frac > 0.20 THEN 'dup3_frac'
+           |   ELSE 'ok' END AS reason
+           | FROM sig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextStats = Q(
     (s, dir) => {
       TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
@@ -2456,6 +2513,7 @@ object StandardQueries {
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
     "embedding_metric" -> qEmbeddingMetric,
     "text_stats" -> qTextStats,
+    "quality_filter" -> qQualityFilter,
     "text_repetition" -> qTextRepetition,
     "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,

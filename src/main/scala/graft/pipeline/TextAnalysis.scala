@@ -165,6 +165,53 @@ object TextAnalysis {
         F.col("score"), F.col("rank"))
   }
 
+  /** Gopher-style document quality filter (Rae et al., arXiv:2112.11446,
+    * Table A1 rule family): per document, the rule signals, the overall
+    * keep verdict, and the FIRST failing rule's name — the audit trail a
+    * corpus-curation run reports. Thresholds are parameters; defaults
+    * follow the paper's word-count / word-length / alpha-word /
+    * repetition gates. Every signal is an exact integer count or a
+    * single IEEE division (word lengths derive from the repetition
+    * expression's norm_chars: sum(len) = norm_chars − (n_words − 1)), so
+    * signals, verdicts AND reasons are oracle-reproducible bit-for-bit.
+    * One map-only pass, no shuffle: repetition signals ride the native
+    * [[graft.functions.RepetitionStats]] expression and Spark's
+    * subexpression elimination computes it once per row. */
+  def gopherQualityFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      maxTop2Frac: Double = 0.20, maxDup3Frac: Double = 0.20): DataFrame = {
+    val toks = Dedup.tokens(F.col(textCol))
+    val st = graft.functions.Repetition.repetition_stats(toks)
+    val nw = F.size(toks)
+    val norm = st.getField("norm_chars")
+    val meanLen = F.when(nw === 0, 0.0)
+      .otherwise((norm - nw + 1).cast("double") / nw.cast("double"))
+    val alphaWords = F.size(F.filter(toks, w => w.rlike("[a-z]")))
+    val alphaFrac = F.when(nw === 0, 0.0)
+      .otherwise(alphaWords.cast("double") / nw.cast("double"))
+    def frac(chars: Column): Column =
+      F.when(norm === 0, 0.0).otherwise(chars.cast("double") / norm.cast("double"))
+    val top2 = frac(st.getField("top2_chars"))
+    val dup3 = frac(st.getField("dup3_chars"))
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" -> (nw >= minWords && nw <= maxWords),
+      "mean_word_len" -> (meanLen >= minMeanLen && meanLen <= maxMeanLen),
+      "alpha_frac" -> (alphaFrac >= minAlphaFrac),
+      "top2_frac" -> (top2 <= maxTop2Frac),
+      "dup3_frac" -> (dup3 <= maxDup3Frac))
+    val keep = rules.map(_._2).reduce(_ && _)
+    val reason = rules.foldRight(F.lit("ok"): Column) { case ((name, ok), acc) =>
+      F.when(!ok, F.lit(name)).otherwise(acc)
+    }
+    df.select(F.col(idCol),
+      nw.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"), top2.as("top2_frac"), dup3.as("dup3_frac"),
+      keep.as("keep"), reason.as("reason"))
+  }
+
   /** Corpus vocabulary statistics — the Zipf-tail numbers a pretraining
     * corpus report leads with: vocabulary size, total token count, hapax
     * legomena (terms occurring exactly once) and their fraction of the

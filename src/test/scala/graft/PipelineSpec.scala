@@ -330,6 +330,31 @@ class PipelineSpec extends SparkSpec {
     assert(top.keySet.forall(_._2 <= 2))
   }
 
+  test("gopherQualityFilter verdicts, signals and first-fail reasons") {
+    import spark.implicits._
+    val good = ("alpha words flowing nicely onward " * 10).trim // 50 words
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short"),                       // fails word_count
+      (3L, ("ab " * 60).trim),                 // mean len 2 → mean_word_len
+      (4L, ("1234 5678 " * 30).trim),          // no alpha → alpha_frac
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFilter(docs, "doc_id", "text", minWords = 20)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(6), r.getString(7))).toMap
+    assert(out(2) == ((false, "word_count")))
+    assert(out(3) == ((false, "mean_word_len")))
+    assert(out(4) == ((false, "alpha_frac")))
+    assert(out(5) == ((false, "word_count"))) // empty doc: 0 words
+    val sig = TextAnalysis.gopherQualityFilter(docs, "doc_id", "text", minWords = 20)
+      .filter(F.col("doc_id") === 1).collect()(0)
+    assert(sig.getLong(1) == 50)
+    assert(sig.getDouble(2) >= 3.0 && sig.getDouble(2) <= 10.0)
+    assert(sig.getDouble(3) == 1.0)
+    // the repeated phrase trips a repetition gate rather than passing
+    val r1 = out(1)
+    assert(!r1._1 && (r1._2 == "top2_frac" || r1._2 == "dup3_frac"))
+  }
+
   test("vocabStats counts vocabulary, tokens and hapax terms exactly") {
     import spark.implicits._
     val docs = Seq("a a b c", "b d", "").toDF("text")

@@ -160,4 +160,35 @@ class PlanSpec extends SparkSpec {
     assert(schemas.forall(s => s.subsetOf(Set("doc_id", "text"))),
       s"dedup scan reads unused columns: $schemas")
   }
+
+  test("ksTimeline: one scan, pair-partitioned windows, totals reuse the window exchange") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (i % 3, (i * 37 % 101).toDouble)).toDF("b", "v")
+    val out = graft.analysis.DriftExact.ksTimeline(
+      df, F.col("b"), F.col("v"), _ + F.lit(1))
+    val plan = planOf(out)
+    // one scan of the input (totals derived from running sums, not a
+    // second aggregation over a re-scan)
+    assert(plan.linesIterator.count(_.contains("LocalTableScan")) +
+      plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan.take(3000))
+    // both Window ops partition by pair — never a global
+    // Window.orderBy (empty partition spec = single-partition collapse)
+    assert(!plan.contains("SinglePartition"), "global window collapse:\n" + plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Window")) >= 2)
+    assert(!plan.contains("Join"), "totals must not need a join:\n" + plan.take(3000))
+  }
+
+  test("tfIdfTopTerms: one scan, df via term window — no join, no vocab broadcast") {
+    val out = graft.pipeline.TextAnalysis.tfIdfTopTerms(
+      table("documents"), "doc_id", "text", 3)
+    val plan = planOf(out)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"tf-idf re-scans the corpus:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"df should come from a window, not a join:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastExchange"),
+      s"nothing to broadcast in the no-join formulation:\n${plan.take(3000)}")
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("doc_id", "text"))),
+      s"tf-idf scan reads unused columns: $schemas")
+  }
 }
