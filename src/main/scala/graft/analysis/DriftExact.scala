@@ -154,9 +154,52 @@ object DriftExact {
     * driver-side. */
   def hellingerStats(
       df: DataFrame, valueCols: Seq[String], isTarget: Column,
-      nBins: Int = 30): Map[String, (Double, Long, Long)] = {
+      nBins: Int = 30): Map[String, (Double, Long, Long)] =
+    binnedStats(df, valueCols, isTarget, nBins) { (counts, na, nb) =>
+      var acc = 0.0
+      counts.foreach { case (_, ca, cb) =>
+        val d = math.sqrt(ca.toDouble / na) - math.sqrt(cb.toDouble / nb)
+        acc += d * d
+      }
+      math.sqrt(acc / 2.0)
+    }
+
+  /** Population Stability Index over the same exact fixed-width bins as
+    * [[hellingerStat]]: Σ (pₐ−p_b)·ln(pₐ/p_b) with both proportions
+    * floored at `eps` (the conventional smoothing so a bin empty on one
+    * side contributes a finite term; a bin empty on BOTH sides
+    * contributes exactly 0 and its absence from the groupBy is
+    * harmless). PSI is the model-monitoring industry's third drift
+    * lens next to KS and Hellinger (< 0.1 stable / 0.1–0.25 drifting /
+    * > 0.25 shifted, Siddiqi 2006); the reference stops at its
+    * KS/χ²/Hellinger trio so this is a completion, not a port.
+    * Returns column → (psi, nTarget, nRef). */
+  def psiStats(
+      df: DataFrame, valueCols: Seq[String], isTarget: Column,
+      nBins: Int = 30, eps: Double = 1e-4): Map[String, (Double, Long, Long)] =
+    binnedStats(df, valueCols, isTarget, nBins) { (counts, na, nb) =>
+      var acc = 0.0
+      counts.foreach { case (_, ca, cb) =>
+        val pa = math.max(ca.toDouble / na, eps)
+        val pb = math.max(cb.toDouble / nb, eps)
+        acc += (pa - pb) * math.log(pa / pb)
+      }
+      acc
+    }
+
+  /** Shared exact-binning core of [[hellingerStats]] / [[psiStats]]:
+    * two input scans total (per-column (min, max, n) envelope, then bin
+    * counts), each column's (lo, width) on a broadcast join, ≤ N·nBins
+    * rows collected, and `statOf(binCounts, na, nb)` folded over the
+    * per-bin (bin, ca, cb) triples in ascending bin order driver-side
+    * so the float accumulation order is deterministic. */
+  private def binnedStats(
+      df: DataFrame, valueCols: Seq[String], isTarget: Column,
+      nBins: Int)(
+      statOf: (Array[(Long, Long, Long)], Long, Long) => Double)
+      : Map[String, (Double, Long, Long)] = {
     require(nBins > 0, s"nBins must be positive: $nBins")
-    require(valueCols.nonEmpty, "hellingerStats needs at least one column")
+    require(valueCols.nonEmpty, "binned drift stats need at least one column")
     val pair = F.explode(F.array(valueCols.map(c =>
       F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
     def x = df.select(pair, F.when(isTarget, 1L).otherwise(0L).as("__ca"))
@@ -195,14 +238,7 @@ object DriftExact {
       }
     valueCols.map { c =>
       val (_, _, na, nb) = head.getOrElse(c, (0.0, 0.0, 0L, 0L))
-      val h = binned.get(c).fold(0.0) { counts =>
-        var acc = 0.0
-        counts.foreach { case (_, ca, cb) =>
-          val d = math.sqrt(ca.toDouble / na) - math.sqrt(cb.toDouble / nb)
-          acc += d * d
-        }
-        math.sqrt(acc / 2.0)
-      }
+      val h = binned.get(c).fold(0.0)(statOf(_, na, nb))
       c -> ((h, na, nb))
     }.toMap
   }

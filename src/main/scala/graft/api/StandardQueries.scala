@@ -1397,6 +1397,46 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Population Stability Index over the same exact 30-bin histogram as
+    * `drift_hellinger_exact` ([[DriftExact.psiStats]]). Same two-scan /
+    * broadcast-envelope plan; the oracle replays the per-bin terms with
+    * an ordered sum so the float accumulation order matches the
+    * driver-side ascending-bin fold. */
+  private def qDriftPsi = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import s.implicits._
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val stats = DriftExact.psiStats(li, cols, F.col("l_orderkey") % 3 === 0)
+      cols.sorted.map { c =>
+        val (p, na, nb) = stats(c)
+        (c, p, na, nb)
+      }.toDF("col_name", "psi", "n_target", "n_ref").orderBy("col_name")
+    },
+    Some {
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        s"""SELECT * FROM (
+           | WITH b AS (SELECT CAST($c AS DOUBLE) AS v,
+           |     CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |   FROM lineitem WHERE $c IS NOT NULL),
+           | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+           | g AS (SELECT LEAST(CAST(floor((v - lo) / ((hi - lo) / 30)) AS BIGINT), 29) AS bin,
+           |     sum(ta) AS ca, sum(1 - ta) AS cb
+           |   FROM b, mm GROUP BY 1),
+           | t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+           | d AS (SELECT bin,
+           |     GREATEST(CAST(ca AS DOUBLE) / na, 0.0001) AS pa,
+           |     GREATEST(CAST(cb AS DOUBLE) / nb, 0.0001) AS pb
+           |   FROM g, t)
+           | SELECT '$c' AS col_name,
+           |   sum((pa - pb) * ln(pa / pb) ORDER BY bin) AS psi,
+           |   CAST((SELECT na FROM t) AS BIGINT) AS n_target,
+           |   CAST((SELECT nb FROM t) AS BIGINT) AS n_ref
+           | FROM d
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** Exact KS drift between every consecutive pair of daily windows of
     * `events.value` ([[DriftExact.ksTimeline]]) — the monitoring loop as
     * one distributed query. Integer numerator until one division ⇒
@@ -2158,6 +2198,42 @@ object StandardQueries {
            | FROM (SELECT lang, substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents)
            | GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replaceAll("\n", " ")))
 
+  /** Stratum-balanced deterministic sample
+    * ([[graft.pipeline.Sampling.balancedSample]]): every language kept
+    * at rate n_min/n_lang via pure-integer modular thresholds, so the
+    * exact selected set is engine-reproducible (no pow() rounding).
+    * Checked row-by-row, not just by counts. */
+  private def qSampleBalanced = Q(
+    (s, dir) => Sampling.balancedSample(
+      t(s, dir, "documents"), F.col("doc_id"), F.col("lang"), salt = "bal")
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+           | m AS (SELECT min(n) AS nmin FROM c)
+           | SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.s, m
+           | WHERE CAST('0x' || substr(md5('bal:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % c.n < m.nmin
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Semi-structured ingest: profile a field extracted from the JSON
+    * `events.props` column (`get_json_object` is codegen'd and map-only;
+    * the reference reaches the same shape through its pandas
+    * `json_normalize` pre-pass). All-integer outputs ⇒ exact oracle. */
+  private def qJsonPropsProfile = Q(
+    (s, dir) => {
+      val k = F.get_json_object(F.col("props"), "$.k").cast("long")
+      events(s, dir).select(F.col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("k").isNull.cast("long")).as("k_nulls"),
+          F.min("k").as("k_min"), F.max("k").as("k_max"),
+          F.sum("k").as("k_sum"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           | CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+           | min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum
+           | FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+           | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** Decontamination: 13-gram overlap of the corpus (source ≠ src0)
     * against the src0 "benchmark" slice. The oracle recomputes the
     * overlap on shingle STRINGS; the Spark side matches 64-bit shingle
@@ -2408,6 +2484,35 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Gap-based sessionization ([[graft.pipeline.Sessionize]]): 6h
+    * inactivity splits a user's events into sessions; one row per
+    * session. All outputs are integers (epoch-micros bounds, integer
+    * duration division) so the DuckDB oracle matches bit-for-bit.
+    * Windows partition by user — one exchange, no global sort
+    * (pinned in PlanSpec). */
+  private def qEventsSessionize = Q(
+    (s, dir) => graft.pipeline.Sessionize.sessions(
+      events(s, dir), "user_id", "ts", gapSeconds = 21600L,
+      tieCol = "event_id", valueCol = "value", typeCol = "event_type")
+      .orderBy("user_id", "session_seq"),
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, value,
+           |   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+           | g AS (
+           |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+           |    OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_session
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           | s AS (
+           |  SELECT *, sum(new_session) OVER (
+           |    PARTITION BY user_id ORDER BY ts_us, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+           | SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+           |  count(DISTINCT event_type) AS n_event_types,
+           |  CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_values,
+           |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs
+           | FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
   /** Rolling profiles through a REAL Structured Streaming query: file
     * source → watermark + 1h tumbling windows over the profiler's metric
     * aggregates → AvailableNow → memory sink. Every exact field must
@@ -2493,6 +2598,7 @@ object StandardQueries {
     "drift_ks_exact" -> qDriftKsExact,
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
+    "drift_psi" -> qDriftPsi,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,
@@ -2519,6 +2625,8 @@ object StandardQueries {
     "token_counts" -> qTokenCounts,
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,
+    "sample_balanced" -> qSampleBalanced,
+    "json_props_profile" -> qJsonPropsProfile,
     "decontaminate" -> qDecontaminate,
     "corpus_pack" -> qCorpusPack,
     "doc_fingerprint" -> qDocFingerprint,
@@ -2550,6 +2658,7 @@ object StandardQueries {
           .orderBy("doc_id")
       }, None),
     "window_profile" -> qWindowProfile,
+    "events_sessionize" -> qEventsSessionize,
     "streaming_window_profile" -> qStreamingWindowProfile)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,40 @@ object Sampling {
     df.filter(sampleHash(key, salt) < thr)
   }
 
+  /** Balance strata to the SMALLEST stratum's size (the α→0 limit of
+    * temperature-scaled language sampling, mT5 §3.1 territory): keep a
+    * row iff `md5int(key) % n_s < n_min`, i.e. stratum `s` survives at
+    * rate n_min/n_s — pure integer arithmetic, so the selected set is
+    * bit-reproducible in any engine with md5 (no pow(), whose last-ulp
+    * rounding could flip a threshold). Two scans: a map-side-combined
+    * stratum-count pass whose ≤ `maxStrata` rows come to the driver
+    * (guarded — an id-like strata column fails fast instead of OOMing),
+    * then a map-only filter with the counts on a broadcast join. The
+    * modulo bias is ≤ n_s/2⁶⁰ — unmeasurable at any corpus size.
+    * NULL strata are dropped (they have no count row). */
+  def balancedSample(df: DataFrame, key: Column, strata: Column,
+      salt: String = "", maxStrata: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(strata.as("__s")).agg(F.count(F.lit(1)).as("__n"))
+      .select(F.col("__s").cast("string"), F.col("__n"))
+      .take(maxStrata + 1)
+    require(counts.length <= maxStrata,
+      s"more than $maxStrata strata: not a stratum column — pass a " +
+        "bounded-cardinality column or raise maxStrata")
+    require(counts.nonEmpty, "balancedSample on an empty dataset")
+    val nMin = counts.map(_.getLong(1)).min
+    val meta = F.broadcast(counts.map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.toDF("__s2", "__n"))
+    // 15 hex chars = 60 bits — fits a long with headroom
+    val h = F.conv(F.substring(
+      F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+    df.join(meta, strata.cast("string") === F.col("__s2"))
+      .filter(h % F.col("__n") < F.lit(nMin))
+      .drop("__s2", "__n")
+  }
+
   /** Deterministic dataset split (train/val/test …): assigns each key a
     * label by cumulative hash range. Weights are normalized; the last
     * split absorbs the rounding tail. Same key + salt ⇒ same split on

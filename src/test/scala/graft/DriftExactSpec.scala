@@ -208,6 +208,44 @@ class DriftExactSpec extends SparkSpec {
     }
   }
 
+  test("psiStats: hand-computed two-bin split") {
+    import spark.implicits._
+    // same fixture as the Hellinger two-bin test: p = (.8,.2), q = (.2,.8)
+    val df = (Seq.fill(3)((0.5, true)) ++ Seq((1.5, true)) ++
+      Seq((0.5, false)) ++ Seq.fill(3)((1.5, false)) ++
+      Seq((0.0, true), (2.0, false))).toDF("v", "is_t")
+    val got = DriftExact.psiStats(df, Seq("v"), F.col("is_t"), nBins = 2)("v")
+    assert((got._2, got._3) == (5L, 5L))
+    // PSI = (.8−.2)ln(.8/.2) + (.2−.8)ln(.2/.8) = 1.2·ln 4
+    assert(math.abs(got._1 - 1.2 * math.log(4.0)) < 1e-15)
+  }
+
+  test("psiStats: identical distributions give 0; eps floors empty bins") {
+    import spark.implicits._
+    val same = Seq.tabulate(80)(i => (i.toDouble, i % 2 == 0)).toDF("v", "is_t")
+    assert(DriftExact.psiStats(same, Seq("v"), F.col("is_t"), nBins = 40)("v")._1 < 1e-15)
+    // all target mass in the low bin, all ref in the high bin: each bin has
+    // (p, q) = (1, ε) one way round; PSI = 2·(1−ε)·ln(1/ε) exactly
+    val df = (Seq.fill(40)((0.0, true)) ++ Seq.fill(40)((10.0, false)))
+      .toDF("v", "is_t").repartition(3)
+    val eps = 1e-4
+    val (psi, na, nb) = DriftExact.psiStats(df, Seq("v"), F.col("is_t"), nBins = 2)("v")
+    assert((na, nb) == (40L, 40L))
+    val expected = 2.0 * (1.0 - eps) * math.log(1.0 / eps)
+    assert(math.abs(psi - expected) < 1e-12)
+  }
+
+  test("psiStats: multi-column run equals independent per-column runs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = Seq.fill(250)((rng.nextInt(30).toDouble,
+      rng.nextGaussian() * 2 + 5, rng.nextBoolean()))
+      .toDF("x", "y", "is_t").repartition(6)
+    val multi = DriftExact.psiStats(df, Seq("x", "y"), F.col("is_t"))
+    assert(multi("x") == DriftExact.psiStats(df.select("x", "is_t"), Seq("x"), F.col("is_t"))("x"))
+    assert(multi("y") == DriftExact.psiStats(df.select("y", "is_t"), Seq("y"), F.col("is_t"))("y"))
+  }
+
   test("ksStat agrees with the sketch-based Drift.ks within rank error on real data") {
     val li = table("lineitem")
     val isT = F.col("l_orderkey") % 3 === 0

@@ -86,4 +86,43 @@ class SamplingSpec extends SparkSpec {
     val n = Sampling.hashSample(df, F.col("k"), 1.0 - 1e-9, "s").count()
     assert(n == 2L)
   }
+
+  private def md5long15(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("balancedSample matches the JVM modular-threshold recomputation exactly") {
+    import spark.implicits._
+    // strata a:500, b:1000, c:1500 → n_min = 500
+    val rows = (0L until 3000L).map(k =>
+      (k, if (k % 6 == 0) "a" else if (k % 6 <= 2) "b" else "c"))
+    val df = rows.toDF("k", "s").repartition(7)
+    val got = Sampling.balancedSample(df, F.col("k"), F.col("s"), salt = "bt")
+      .collect().map(r => r.getLong(0)).toSet
+    val nBy = rows.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+    val nMin = nBy.values.min
+    val expected = rows.filter { case (k, s) =>
+      md5long15(s"bt:$k") % nBy(s) < nMin
+    }.map(_._1).toSet
+    assert(got == expected)
+    // each stratum lands near n_min; the smallest is kept whole
+    val byStratum = rows.filter(r => expected.contains(r._1)).groupBy(_._2)
+      .map { case (s, g) => s -> g.size }
+    assert(byStratum("a") == 500)
+    assert(math.abs(byStratum("b") - 500) < 60 && math.abs(byStratum("c") - 500) < 60)
+  }
+
+  test("balancedSample refuses an id-like strata column instead of collecting it") {
+    import spark.implicits._
+    val df = (0L until 200L).map(k => (k, s"id$k")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.balancedSample(df, F.col("k"), F.col("s"), maxStrata = 50)
+    }
+    assert(e.getMessage.contains("strata"))
+    // and the guard is a bound on the collect, not a wrong answer under it
+    assert(Sampling.balancedSample(df, F.col("k"), F.col("s"), maxStrata = 200)
+      .count() == 200L)
+  }
 }
