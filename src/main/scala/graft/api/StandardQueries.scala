@@ -1480,6 +1480,20 @@ object StandardQueries {
            | (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep
            | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Fuzzy-exact dedup over [[Dedup.normalizeText]]-normalized content
+    * (case/punctuation/whitespace-insensitive). The oracle replays the
+    * normalization with RE2 classes chosen to agree with Java regex. */
+  private def qDedupNormalized = Q(
+    (s, dir) => Dedup.normalizedExact(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+           |   lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+           |  FROM documents)
+           | SELECT doc_id, norm_hash,
+           | count(*) OVER (PARTITION BY norm_hash) AS dup_count,
+           | (row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1) AS keep
+           | FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qDedupMinhashSig = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2551,6 +2565,61 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Streaming drift monitor ([[graft.streaming.DriftStream]]): PSI per
+    * daily window of a REAL file-source stream against a bin envelope
+    * frozen on the first 10 days (batch). The windowed bin counts are the
+    * streaming aggregation; the PSI fold runs on the sink table (two
+    * chained stateful aggs are illegal in one streaming query). Every
+    * float op is IEEE-exact and the fold is ascending-bin, so the DuckDB
+    * oracle matches bit-for-bit. */
+  private def qStreamingDriftPsi = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "events") // also sets the nanosAsLong conf
+      val split = F.lit("2024-01-11").cast("timestamp")
+      val env = graft.streaming.DriftStream.referenceEnvelope(
+        events(s, dir).filter(F.col("ts") < split), "value", nBins = 30)
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      val counts = graft.streaming.DriftStream.windowedBinCounts(
+        sdf, "ts", "1 day", "value", env)
+      val qn = "sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // round(8): Math.log and DuckDB's std::log disagree by 1 ulp on
+      // some arguments (~1e-18 on these psi magnitudes) — same parity
+      // trim as nlp_svd's residual
+      graft.streaming.DriftStream.psiPerWindow(s.table(qn), env)
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.round(F.col("psi"), 8).as("psi"), F.col("n_target"))
+        .orderBy("window_start")
+    },
+    Some("""WITH e AS (SELECT CAST(value AS DOUBLE) AS v,
+           |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS w, ts FROM events
+           |   WHERE value IS NOT NULL),
+           | mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS nr FROM e
+           |   WHERE ts < TIMESTAMP '2024-01-11'),
+           | p AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo)/30 ELSE 1.0 END AS wd, nr FROM mm),
+           | rb AS (SELECT LEAST(GREATEST(CAST(floor((v - lo)/wd) AS BIGINT), 0), 29) AS bin,
+           |   count(*) AS rc FROM e, p WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1),
+           | tb AS (SELECT w, LEAST(GREATEST(CAST(floor((v - lo)/wd) AS BIGINT), 0), 29) AS bin,
+           |   count(*) AS c FROM e, p GROUP BY 1, 2),
+           | wn AS (SELECT w, sum(c) AS nt FROM tb GROUP BY 1),
+           | grid AS (SELECT w, b.range AS bin FROM (SELECT DISTINCT w FROM tb), range(30) b),
+           | terms AS (SELECT g.w, g.bin, wn.nt,
+           |     GREATEST(CAST(COALESCE(tb.c, 0) AS DOUBLE) / wn.nt, 0.0001) AS pa,
+           |     GREATEST(CAST(COALESCE(rb.rc, 0) AS DOUBLE) / p.nr, 0.0001) AS pb
+           |   FROM grid g JOIN wn ON g.w = wn.w
+           |   LEFT JOIN tb ON tb.w = g.w AND tb.bin = g.bin
+           |   LEFT JOIN rb ON rb.bin = g.bin, p)
+           | SELECT CAST(epoch(w) AS BIGINT) AS window_start,
+           |   round(sum((pa - pb) * ln(pa / pb) ORDER BY bin), 8) AS psi,
+           |   CAST(max(nt) AS BIGINT) AS n_target
+           | FROM terms GROUP BY w ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -2600,6 +2669,7 @@ object StandardQueries {
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,
     "dedup_exact" -> qDedupExact,
+    "dedup_normalized" -> qDedupNormalized,
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_minhash_sig_md5" -> qDedupMinhashSigMd5,
@@ -2659,7 +2729,8 @@ object StandardQueries {
       }, None),
     "window_profile" -> qWindowProfile,
     "events_sessionize" -> qEventsSessionize,
-    "streaming_window_profile" -> qStreamingWindowProfile)
+    "streaming_window_profile" -> qStreamingWindowProfile,
+    "streaming_drift_psi" -> qStreamingDriftPsi)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

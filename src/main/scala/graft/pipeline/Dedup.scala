@@ -37,6 +37,26 @@ object Dedup {
       .select(F.col(idCol), F.col("text_hash"), F.col("dup_count"), F.col("keep"))
   }
 
+  /** Dedup-oriented text normalization (the Dolma/CCNet "fuzzy-exact"
+    * pre-pass, Soldaini et al. 2024 §3 territory): lowercase, map every
+    * non-alphanumeric to a space (so punctuation differences never merge
+    * adjacent words), collapse runs of whitespace, trim. Pure codegen'd
+    * string ops — map-only, no UDF — and deliberately limited to regex
+    * classes whose semantics agree between Java regex and RE2 so the
+    * DuckDB oracle reproduces it byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    F.trim(F.regexp_replace(
+      F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Exact dedup over [[normalizeText]]-normalized content: two documents
+    * differing only in case, punctuation, or whitespace collapse to one
+    * hash group. Same groupBy + join-back scale shape as [[exact]];
+    * output column is `norm_hash` so callers can carry both hashes. */
+  def normalizedExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn("__norm_text", normalizeText(F.col(textCol))),
+      "__norm_text", idCol)
+      .withColumnRenamed("text_hash", "norm_hash")
+
   /** Lowercased whitespace tokens of a text column; empty text yields an
     * EMPTY array, not [""] (splitting empty text produces one empty
     * token). The one tokenizer shared by shingling, SimHash and the NLP

@@ -120,6 +120,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == (2L, true) && out(4) == (2L, false))
   }
 
+  test("normalizedExact collapses case/punctuation/whitespace variants; exact does not") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO-WORLD"),
+      (4L, "hello worlds")).toDF("doc_id", "text").repartition(3)
+    val norm = Dedup.normalizedExact(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(norm(1L) == ((3L, true)))  // canonical: min doc_id of the trio
+    assert(norm(2L) == ((3L, false)))
+    assert(norm(3L) == ((3L, false)))
+    assert(norm(4L) == ((1L, true))) // different token ⇒ own group
+    // plain exact sees four distinct texts
+    assert(Dedup.exact(df, "text", "doc_id").collect()
+      .forall(_.getLong(2) == 1L))
+  }
+
   test("empty documents produce NULL simhash and minhash signatures") {
     import spark.implicits._
     val df = Seq("", "   ", "real text here").toDF("text")

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** Streaming drift monitor: envelope freezing, edge-bin clamping, the
+  * missing-bin eps floor, and streamed-equals-batch parity on the real
+  * events table. */
+class DriftStreamSpec extends SparkSpec {
+
+  private def eventsBatch = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("referenceEnvelope: counts, bounds, and the degenerate width") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0).toDF("v")
+    val env = DriftStream.referenceEnvelope(df, "v", nBins = 4)
+    assert(env.lo == 0.0 && env.width == 1.0 && env.nRef == 5L)
+    // 4.0 clamps into the last bin: [1, 1, 1, 2]
+    assert(env.refCounts.toSeq == Seq(1L, 1L, 1L, 2L))
+    val point = Seq(7.0, 7.0).toDF("v")
+    val pe = DriftStream.referenceEnvelope(point, "v", nBins = 3)
+    assert(pe.width == 1.0 && pe.refCounts.toSeq == Seq(2L, 0L, 0L))
+  }
+
+  test("psiPerWindow: out-of-envelope live values clamp into edge bins and score") {
+    import spark.implicits._
+    val ref = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")
+    val env = DriftStream.referenceEnvelope(ref, "v", nBins = 2)
+    // live data far outside the envelope on both sides: all mass clamps
+    // to bins 0 and 1 rather than disappearing
+    val live = Seq(("2024-01-01 00:00:00", -100.0), ("2024-01-01 01:00:00", 999.0))
+      .toDF("t", "value").withColumn("ts", F.col("t").cast("timestamp"))
+    val got = DriftStream.monitor(live, "ts", "1 day", "value", env).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_target") == 2L)
+    // p = (.5,.5) vs q = (.5,.5): clamped mass matches the ref split ⇒ 0
+    assert(math.abs(got(0).getAs[Double]("psi")) < 1e-15)
+  }
+
+  test("psiPerWindow: a bin with mass on only one side still contributes via eps") {
+    import spark.implicits._
+    val ref = (Seq.fill(50)(0.5) ++ Seq.fill(50)(1.5)).toDF("v")
+    val env = DriftStream.referenceEnvelope(ref, "v", nBins = 2)
+    // live mass entirely in bin 0: pa=(1,eps), pb=(.5,.5)
+    val live = Seq.fill(10)(("2024-01-01 00:00:00", 0.5))
+      .toDF("t", "value").withColumn("ts", F.col("t").cast("timestamp"))
+    val got = DriftStream.monitor(live, "ts", "1 day", "value", env).collect()
+    val eps = 1e-4
+    val expected = (1.0 - 0.5) * math.log(1.0 / 0.5) +
+      (eps - 0.5) * math.log(eps / 0.5)
+    assert(math.abs(got(0).getAs[Double]("psi") - expected) < 1e-15)
+  }
+
+  test("streamed windowed bin counts equal the batch computation on real events") {
+    val batch = eventsBatch
+    val env = DriftStream.referenceEnvelope(
+      batch.filter(F.col("ts") < F.lit("2024-01-11").cast("timestamp")),
+      "value", nBins = 30)
+    val sdf = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet"))
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val qn = "sds_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = DriftStream.windowedBinCounts(sdf, "ts", "1 day", "value", env)
+      .writeStream.format("memory").queryName(qn).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = DriftStream.psiPerWindow(spark.table(qn), env)
+      .select(F.col("window.start").as("w"), F.col("psi"), F.col("n_target"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = DriftStream.monitor(batch, "ts", "1 day", "value", env)
+      .select(F.col("window.start").as("w"), F.col("psi"), F.col("n_target"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == direct)
+  }
+}
