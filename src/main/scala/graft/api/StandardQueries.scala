@@ -2565,6 +2565,61 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Per-dimension embedding centroid drift
+    * ([[Embeddings.centroidDrift]]) between two corpus slices. Means are
+    * rounded to 6 decimals on both sides — a distributed float sum is
+    * order-sensitive, and the rounding absorbs the ~1e-13 accumulation
+    * spread while keeping 6 significant digits of drift signal. */
+  private def qEmbeddingDrift = Q(
+    (s, dir) => Embeddings.centroidDrift(
+      t(s, dir, "embeddings"), "embedding", F.col("vec_id") % 3 === 0)
+      .select(F.col("dim").cast("long").as("dim"),
+        F.col("n_target"), F.col("n_ref"),
+        F.round(F.col("mean_target"), 6).as("mean_target"),
+        F.round(F.col("mean_ref"), 6).as("mean_ref"))
+      .orderBy("dim"),
+    Some("""WITH x AS (SELECT t, u.dim AS dim, u.v AS v FROM (
+           |  SELECT (vec_id % 3 = 0) AS t,
+           |   unnest(list_transform(generate_series(1, len(embedding)),
+           |     i -> struct_pack(dim := i - 1, v := embedding[i]::DOUBLE))) AS u
+           |  FROM embeddings))
+           | SELECT dim, count(*) FILTER (WHERE t) AS n_target,
+           |  count(*) FILTER (WHERE NOT t) AS n_ref,
+           |  round(sum(v) FILTER (WHERE t) / count(*) FILTER (WHERE t), 6) AS mean_target,
+           |  round(sum(v) FILTER (WHERE NOT t) / count(*) FILTER (WHERE NOT t), 6) AS mean_ref
+           | FROM x GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
+  /** One-row centroid-shift summary ([[Embeddings.centroidShift]]) over
+    * round-6 per-dim means (identical inputs on both engines), folded in
+    * ascending-dim order — every remaining op (·, +, √, ÷) is IEEE
+    * correctly-rounded, so the result is bit-exact with no output
+    * rounding. */
+  private def qEmbeddingCentroidShift = Q(
+    (s, dir) => {
+      val drift = Embeddings.centroidDrift(
+        t(s, dir, "embeddings"), "embedding", F.col("vec_id") % 3 === 0)
+        .select(F.col("dim"), F.col("n_target"), F.col("n_ref"),
+          F.round(F.col("mean_target"), 6).as("mean_target"),
+          F.round(F.col("mean_ref"), 6).as("mean_ref"))
+      Embeddings.centroidShift(drift)
+    },
+    Some("""WITH x AS (SELECT t, u.dim AS dim, u.v AS v FROM (
+           |  SELECT (vec_id % 3 = 0) AS t,
+           |   unnest(list_transform(generate_series(1, len(embedding)),
+           |     i -> struct_pack(dim := i - 1, v := embedding[i]::DOUBLE))) AS u
+           |  FROM embeddings)),
+           | m AS (SELECT dim,
+           |   round(sum(v) FILTER (WHERE t) / count(*) FILTER (WHERE t), 6) AS mt,
+           |   round(sum(v) FILTER (WHERE NOT t) / count(*) FILTER (WHERE NOT t), 6) AS mr,
+           |   count(*) FILTER (WHERE t) AS nt, count(*) FILTER (WHERE NOT t) AS nr
+           |  FROM x GROUP BY 1),
+           | s AS (SELECT sum(mt*mr ORDER BY dim) AS dot,
+           |   sum(mt*mt ORDER BY dim) AS qt, sum(mr*mr ORDER BY dim) AS qr,
+           |   sum((mt-mr)*(mt-mr) ORDER BY dim) AS d2,
+           |   CAST(max(nt) AS BIGINT) AS n_target, CAST(max(nr) AS BIGINT) AS n_ref FROM m)
+           | SELECT dot/(sqrt(qt)*sqrt(qr)) AS cos_shift, sqrt(d2) AS l2_shift,
+           |  n_target, n_ref FROM s""".stripMargin.replaceAll("\n", " ")))
+
   /** Streaming drift monitor ([[graft.streaming.DriftStream]]): PSI per
     * daily window of a REAL file-source stream against a bin envelope
     * frozen on the first 10 days (batch). The windowed bin counts are the
@@ -2688,6 +2743,8 @@ object StandardQueries {
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
     "embedding_metric" -> qEmbeddingMetric,
+    "embedding_drift" -> qEmbeddingDrift,
+    "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
     "quality_filter" -> qQualityFilter,
     "text_repetition" -> qTextRepetition,

@@ -131,4 +131,53 @@ object Embeddings {
       l -> cs.sortBy(_._2).map(_._3).toArray
     }
   }
+
+  /** Per-dimension centroid drift between a target and a reference slice
+    * of one embedding column — the first lens of embedding-distribution
+    * monitoring (the reference's EmbeddingMetric profiles distances to
+    * fixed refs; comparing two SLICES of a corpus is the drift half the
+    * product docs describe but the library never shipped).
+    *
+    * Scale shape: `posexplode` is a map-side ×dim fanout collapsed by
+    * hash aggregation with map-side partials — the exchange carries at
+    * most `dim` rows per upstream partition, and nothing is ever
+    * collected. Output: one row per dimension with per-side counts and
+    * means (raw doubles; callers needing cross-engine bit-parity round,
+    * since a distributed float sum is order-sensitive). */
+  def centroidDrift(df: DataFrame, vecCol: String, isTarget: Column): DataFrame = {
+    val t = isTarget
+    df.filter(F.col(vecCol).isNotNull)
+      .select(t.as("__t"),
+        F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("dim", "__v")))
+      .groupBy("dim").agg(
+        F.count(F.when(F.col("__t"), 1)).as("n_target"),
+        F.count(F.when(!F.col("__t"), 1)).as("n_ref"),
+        F.sum(F.when(F.col("__t"), F.col("__v"))).as("__st"),
+        F.sum(F.when(!F.col("__t"), F.col("__v"))).as("__sr"))
+      .select(F.col("dim"), F.col("n_target"), F.col("n_ref"),
+        (F.col("__st") / F.col("n_target")).as("mean_target"),
+        (F.col("__sr") / F.col("n_ref")).as("mean_ref"))
+  }
+
+  /** Collapse a [[centroidDrift]] frame into one summary row: cosine
+    * similarity and L2 distance between the two centroids. The fold walks
+    * dimensions in ascending order over a collected ≤dim-element array
+    * (KB-scale by construction), so the float accumulation order is
+    * deterministic and engine-exact — no driver collect, one row out. */
+  def centroidShift(drift: DataFrame): DataFrame = {
+    val arr = F.sort_array(F.collect_list(
+      F.struct(F.col("dim"), F.col("mean_target").as("mt"),
+        F.col("mean_ref").as("mr"))))
+    def fold(term: (Column, Column) => Column): Column =
+      F.aggregate(F.col("__a"), F.lit(0.0),
+        (acc, x) => acc + term(x.getField("mt"), x.getField("mr")))
+    drift.agg(arr.as("__a"),
+        F.max("n_target").as("n_target"), F.max("n_ref").as("n_ref"))
+      .select(
+        (fold((a, b) => a * b) /
+          (F.sqrt(fold((a, _) => a * a)) * F.sqrt(fold((_, b) => b * b))))
+          .as("cos_shift"),
+        F.sqrt(fold((a, b) => (a - b) * (a - b))).as("l2_shift"),
+        F.col("n_target"), F.col("n_ref"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{functions => F}
 
 import graft.functions.top_k_agg
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Embeddings, Similarity, TextAnalysis}
 
 /** Dedup / similarity pipeline operators. */
 class PipelineSpec extends SparkSpec {
@@ -329,6 +329,38 @@ class PipelineSpec extends SparkSpec {
     val g1 = (1L to 20L).map(labeled).toSet
     val g2 = (21L to 40L).map(labeled).toSet
     assert(g1.size == 1 && g2.size == 1 && g1 != g2, s"g1=$g1 g2=$g2")
+  }
+
+  test("centroidDrift: exact per-dim means across partitions") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), true), (2L, Seq(3.0f, 2.0f), true),
+      (3L, Seq(0.0f, 4.0f), false), (4L, Seq(2.0f, 0.0f), false),
+      (5L, Seq(4.0f, 2.0f), false))
+    val df = rows.toDF("id", "vec", "t").repartition(3)
+    val got = Embeddings.centroidDrift(df, "vec", F.col("t"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0) == ((2L, 3L, 2.0, 2.0)))
+    assert(got(1) == ((2L, 3L, 1.0, 2.0)))
+  }
+
+  test("centroidShift: identical slices give cos 1 / l2 0; hand-computed shift") {
+    import spark.implicits._
+    val same = Seq((1L, Seq(1.0f, 2.0f), true), (2L, Seq(1.0f, 2.0f), false))
+      .toDF("id", "vec", "t")
+    val s0 = Embeddings.centroidShift(
+      Embeddings.centroidDrift(same, "vec", F.col("t"))).collect()(0)
+    assert(math.abs(s0.getAs[Double]("cos_shift") - 1.0) < 1e-15)
+    assert(s0.getAs[Double]("l2_shift") == 0.0)
+    // orthogonal centroids: target mean (1,0), ref mean (0,2)
+    val orth = Seq((1L, Seq(1.0f, 0.0f), true), (2L, Seq(0.0f, 2.0f), false))
+      .toDF("id", "vec", "t")
+    val s1 = Embeddings.centroidShift(
+      Embeddings.centroidDrift(orth, "vec", F.col("t"))).collect()(0)
+    assert(s1.getAs[Double]("cos_shift") == 0.0)
+    assert(math.abs(s1.getAs[Double]("l2_shift") - math.sqrt(5.0)) < 1e-15)
+    assert((s1.getAs[Long]("n_target"), s1.getAs[Long]("n_ref")) == ((1L, 1L)))
   }
 
   test("tfIdfTopTerms ranks doc-specific terms above corpus-wide ones") {
