@@ -2620,6 +2620,40 @@ object StandardQueries {
            | SELECT dot/(sqrt(qt)*sqrt(qr)) AS cos_shift, sqrt(d2) AS l2_shift,
            |  n_target, n_ref FROM s""".stripMargin.replaceAll("\n", " ")))
 
+  /** Rolling z-score anomaly flags over the daily event-count timeline
+    * ([[graft.analysis.Anomaly.rollingZ]]), per event_type series. All
+    * trailing stats derive from integer-valued running sums, so every
+    * float op is reproducible and the oracle matches bit-for-bit. */
+  private def qTimelineAnomaly = Q(
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 day").as("w"))
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.col("event_type"),
+          F.unix_timestamp(F.col("w.start")).as("window_start"), F.col("n"))
+      graft.analysis.Anomaly.rollingZ(
+        daily, Seq("event_type"), "window_start", "n", k = 7, threshold = 2.0)
+        .orderBy("event_type", "window_start")
+    },
+    Some("""WITH c AS (SELECT event_type,
+           |   CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+           |   count(*) AS n FROM events GROUP BY 1, 2),
+           | w AS (SELECT event_type, window_start, n,
+           |   count(*) OVER tw AS m,
+           |   sum(CAST(n AS DOUBLE)) OVER tw AS s,
+           |   sum(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) OVER tw AS s2
+           |  FROM c WINDOW tw AS (PARTITION BY event_type ORDER BY window_start
+           |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+           | z AS (SELECT *,
+           |   CASE WHEN m = 7 THEN s/m END AS tmn,
+           |   CASE WHEN m = 7 THEN sqrt(GREATEST((s2 - s*s/m)/(m-1), 0.0)) END AS tsd
+           |  FROM w)
+           | SELECT event_type, window_start, n, CAST(m AS BIGINT) AS trail_n,
+           |  tmn AS trail_mean, tsd AS trail_std,
+           |  CASE WHEN tsd > 0 THEN (CAST(n AS DOUBLE) - tmn)/tsd END AS z,
+           |  CASE WHEN tsd > 0 THEN abs((CAST(n AS DOUBLE) - tmn)/tsd) > 2.0 END AS is_anomaly
+           | FROM z ORDER BY event_type, window_start""".stripMargin.replaceAll("\n", " ")))
+
   /** Streaming drift monitor ([[graft.streaming.DriftStream]]): PSI per
     * daily window of a REAL file-source stream against a bin envelope
     * frozen on the first 10 days (batch). The windowed bin counts are the
@@ -2786,6 +2820,7 @@ object StandardQueries {
       }, None),
     "window_profile" -> qWindowProfile,
     "events_sessionize" -> qEventsSessionize,
+    "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
     "streaming_drift_psi" -> qStreamingDriftPsi)
 
