@@ -1,0 +1,104 @@
+package graft.analysis
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.DataFrame
+
+/** Exact interpolated quantiles at scale — the sketch-free complement of
+  * the profiler's KLL path (reference
+  * `core/metrics/metrics.py` DistributionMetric quantiles), for
+  * validation runs and oracle checks where the answer must be exact.
+  *
+  * Spark's built-in `percentile` aggregate buffers EVERY value of the
+  * column in one aggregation buffer — the scale-killer pattern this
+  * module exists to avoid. Here nothing ever holds more than a
+  * partition's worth of DISTINCT values:
+  *  1. one map-side-combined groupBy(column, value) exchange → exact
+  *     per-value counts (the only corpus-sized shuffle; heavy ties
+  *     collapse before the exchange);
+  *  2. `repartitionByRange` + in-partition sort of the distinct values,
+  *     pinned by a localCheckpoint;
+  *  3. per-partition cumulative counts + O(columns × partitions)
+  *     driver-side prefix offsets (the [[DriftExact.ksStats]] /
+  *     [[graft.pipeline.Packing.withOffsets]] two-pass prefix-sum
+  *     shape);
+  *  4. the two order statistics bracketing each requested rank are
+  *     pulled with a broadcast semi-join of the (column, k) targets —
+  *     O(columns × ranks) rows to the driver, then type-7 interpolation
+  *     `(1−f)·v₁ + f·v₂` with `f = h − ⌊h⌋` — the exact float form
+  *     DuckDB's `quantile_cont` evaluates (verified empirically; Spark's
+  *     `percentile` computes `(⌈h⌉−h)·v₁ + (h−⌊h⌋)·v₂`, which can differ
+  *     from this by 1 ulp).
+  */
+object ExactQuantiles {
+
+  /** Exact quantiles of each column at each rank (0 ≤ r ≤ 1), all
+    * columns in ONE input scan. Nulls/NaNs excluded. Returns
+    * column → rank-aligned values; a column with no non-null values maps
+    * to an empty Seq. */
+  def quantiles(
+      df: DataFrame, valueCols: Seq[String], ranks: Seq[Double])
+      : Map[String, Seq[Double]] = {
+    require(valueCols.nonEmpty, "quantiles needs at least one column")
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be within [0, 1]: $ranks")
+    val pair = F.explode(F.array(valueCols.map(c =>
+      F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
+    val g = df.select(pair)
+      .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"))
+      .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+      .groupBy("__c", "__v").agg(F.count(F.lit(1)).as("__n"))
+      .repartitionByRange(F.col("__c"), F.col("__v"))
+      .sortWithinPartitions("__c", "__v")
+      .withColumn("__pid", F.spark_partition_id())
+      .localCheckpoint(false)
+    try {
+      val totals = g.groupBy("__c", "__pid").agg(F.sum("__n").as("t"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val ns = totals.groupBy(_._1).map { case (c, ts) => c -> ts.map(_._3).sum }
+      val bases = totals.groupBy(_._1).toSeq.flatMap { case (c, ts) =>
+        var acc = 0L
+        ts.sortBy(_._2).map { case (_, pid, t) =>
+          val row = (c, pid, acc); acc += t; row
+        }
+      }
+      // 1-based ranks of the two order statistics bracketing each
+      // requested quantile: h = r·(n−1) (type-7), k = ⌊h⌋+1 and ⌈h⌉+1
+      val targets = valueCols.flatMap { c =>
+        ns.get(c).toSeq.filter(_ > 0).flatMap { n =>
+          ranks.flatMap { r =>
+            val h = r * (n - 1).toDouble
+            Seq(math.floor(h).toLong + 1L, math.ceil(h).toLong + 1L)
+          }.distinct.map(k => (c, k))
+        }
+      }
+      if (targets.isEmpty) return valueCols.map(_ -> Seq.empty[Double]).toMap
+      val spark = df.sparkSession
+      import spark.implicits._
+      val baseDf = bases.toDF("__c2", "__pid2", "__base")
+      val tgtDf = targets.toDF("__c3", "__k")
+      val w = Window.partitionBy("__c", "__pid").orderBy("__v")
+      // a value covers ranks (ccum − n, ccum]; each target k hits exactly one
+      val hit = g.join(F.broadcast(baseDf),
+          F.col("__c") === F.col("__c2") && F.col("__pid") === F.col("__pid2"))
+        .withColumn("__ccum", F.sum("__n").over(w) + F.col("__base"))
+        .join(F.broadcast(tgtDf), F.col("__c") === F.col("__c3") &&
+          F.col("__k") <= F.col("__ccum") &&
+          F.col("__k") > F.col("__ccum") - F.col("__n"))
+        .select(F.col("__c"), F.col("__k"), F.col("__v"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      valueCols.map { c =>
+        val qs = ns.get(c).filter(_ > 0).map { n =>
+          ranks.map { r =>
+            val h = r * (n - 1).toDouble
+            val v1 = hit((c, math.floor(h).toLong + 1L))
+            val v2 = hit((c, math.ceil(h).toLong + 1L))
+            val f = h - math.floor(h)
+            (1.0 - f) * v1 + f * v2
+          }
+        }.getOrElse(Seq.empty)
+        c -> qs
+      }.toMap
+    } finally g.unpersist(blocking = false)
+  }
+}

@@ -189,12 +189,17 @@ object StandardQueries {
 
   private def qQuantilesExact = Q(
     (s, dir) => {
-      val cols = Seq("l_quantity", "l_linenumber").flatMap { c =>
-        quantRanks.zipWithIndex.map { case (r, i) =>
-          F.expr(s"percentile($c, ${r}D)").as(s"${c}__p${(r * 100).toInt}")
-        }
-      }
-      t(s, dir, "lineitem").agg(cols.head, cols.tail: _*)
+      // ExactQuantiles, NOT the built-in percentile() aggregate: the
+      // builtin buffers every value in one buffer (a 100×-scale memory
+      // bomb); the distributed prefix-sum path is exact with bounded
+      // state and interpolates with the same type-7 formula.
+      val cols = Seq("l_quantity", "l_linenumber")
+      val qs = graft.analysis.ExactQuantiles.quantiles(
+        t(s, dir, "lineitem"), cols, quantRanks)
+      val named = cols.flatMap(c => quantRanks.zipWithIndex.map { case (r, i) =>
+        F.lit(qs(c)(i)).as(s"${c}__p${(r * 100).toInt}")
+      })
+      s.range(1).select(named: _*)
     },
     Some {
       val parts = Seq("l_quantity", "l_linenumber").flatMap(c =>

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.analysis.ExactQuantiles
+
+/** Distributed exact quantiles vs Spark's buffer-everything percentile()
+  * aggregate (bit-equality — same type-7 interpolation) and hand cases. */
+class ExactQuantilesSpec extends SparkSpec {
+
+  test("hand case: odd/even counts, ties, interpolation") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 2.0, 4.0, 10.0).toDF("x").repartition(3)
+    val qs = ExactQuantiles.quantiles(df, Seq("x"), Seq(0.0, 0.5, 0.75, 1.0))("x")
+    assert(qs == Seq(1.0, 2.0, 4.0, 10.0))
+    val even = Seq(1.0, 3.0).toDF("x")
+    assert(ExactQuantiles.quantiles(even, Seq("x"), Seq(0.5))("x") == Seq(2.0))
+  }
+
+  test("matches a local type-7 recomputation bit-for-bit; Spark percentile within 1 ulp") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(5000)((rng.nextInt(200).toDouble,
+      rng.nextGaussian() * 100))
+    val df = rows.toDF("a", "b").repartition(11)
+    val ranks = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = ExactQuantiles.quantiles(df, Seq("a", "b"), ranks)
+    // local reference: the (1−f)·v1 + f·v2 form DuckDB evaluates
+    def local(xs: Seq[Double], r: Double): Double = {
+      val s = xs.sorted; val h = r * (s.size - 1)
+      val f = h - math.floor(h)
+      (1.0 - f) * s(math.floor(h).toInt) + f * s(math.ceil(h).toInt)
+    }
+    val cols = Map("a" -> rows.map(_._1), "b" -> rows.map(_._2))
+    for ((c, xs) <- cols; i <- ranks.indices)
+      assert(got(c)(i) == local(xs, ranks(i)), s"$c rank ${ranks(i)}")
+    // Spark's percentile() uses the (⌈h⌉−h)·v1 + (h−⌊h⌋)·v2 form — may
+    // differ by 1 ulp but never more
+    val exprs = Seq("a", "b").flatMap(c => ranks.map(r =>
+      F.expr(s"percentile($c, ${r}D)")))
+    val ref = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    Seq("a", "b").zipWithIndex.foreach { case (c, ci) =>
+      ranks.indices.foreach { i =>
+        val e = ref.getDouble(ci * ranks.size + i)
+        assert(math.abs(got(c)(i) - e) <= math.ulp(e), s"$c rank ${ranks(i)}")
+      }
+    }
+  }
+
+  test("nulls and NaNs are excluded; empty column yields empty") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0)).toDF("x")
+    assert(ExactQuantiles.quantiles(df, Seq("x"), Seq(0.5))("x") == Seq(2.0))
+    val empty = Seq.empty[Option[Double]].toDF("x")
+    assert(ExactQuantiles.quantiles(empty, Seq("x"), Seq(0.5))("x").isEmpty)
+  }
+
+  test("single value column: every rank returns it") {
+    import spark.implicits._
+    val df = Seq.fill(7)(42.0).toDF("x").repartition(3)
+    assert(ExactQuantiles.quantiles(df, Seq("x"), Seq(0.0, 0.3, 1.0))("x")
+      == Seq(42.0, 42.0, 42.0))
+  }
+}
