@@ -187,6 +187,58 @@ object DriftExact {
       acc
     }
 
+  /** PSI over REFERENCE-QUANTILE bins — the industry-standard PSI
+    * configuration (equal-population bins frozen on the reference
+    * distribution, so every bin carries signal; fixed-width bins
+    * concentrate mass in a few bins on skewed data and mute the score).
+    * Bin edges are the reference slice's exact `1/nBins … (nBins−1)/nBins`
+    * quantiles via [[ExactQuantiles]] (distributed, bounded state);
+    * bin(v) = #edges ≤ v is a map-only comparison chain; counts are one
+    * map-side-combined groupBy; the ≤ N·nBins collected terms fold in
+    * ascending bin order. Duplicate edges (heavy ties) leave some bins
+    * structurally empty — they contribute 0, and the eps floor keeps
+    * one-sided bins finite. Returns column → (psi, nTarget, nRef). */
+  def psiQuantileStats(
+      df: DataFrame, valueCols: Seq[String], isTarget: Column,
+      nBins: Int = 10, eps: Double = 1e-4): Map[String, (Double, Long, Long)] = {
+    require(nBins >= 2, s"need at least 2 quantile bins: $nBins")
+    require(valueCols.nonEmpty, "psiQuantileStats needs at least one column")
+    val ranks = (1 until nBins).map(_.toDouble / nBins)
+    val edges = ExactQuantiles.quantiles(df.filter(!isTarget), valueCols, ranks)
+    val pair = F.explode(F.array(valueCols.map { c =>
+      val v = F.col(c).cast("double")
+      val bin = edges(c).foldLeft(F.lit(0L)) { (acc, e) =>
+        acc + F.when(v >= F.lit(e), 1L).otherwise(0L)
+      }
+      F.struct(F.lit(c).as("c"), v.as("v"), bin.as("b"))
+    }: _*)).as("__p")
+    val ca = F.when(isTarget, 1L).otherwise(0L)
+    val counts = df.select(pair, ca.as("__ca"))
+      .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"),
+        F.col("__p.b").as("__b"), F.col("__ca"),
+        (F.lit(1L) - F.col("__ca")).as("__cb"))
+      .filter(F.col("__v").isNotNull)
+      .groupBy("__c", "__b")
+      .agg(F.sum("__ca").as("ca"), F.sum("__cb").as("cb"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCol = counts.groupBy(_._1)
+    valueCols.map { c =>
+      val rows = byCol.getOrElse(c, Array.empty).sortBy(_._2)
+      val na = rows.map(_._3).sum
+      val nb = rows.map(_._4).sum
+      val psi = if (na == 0L || nb == 0L) 0.0 else {
+        var acc = 0.0
+        rows.foreach { case (_, _, cca, ccb) =>
+          val pa = math.max(cca.toDouble / na, eps)
+          val pb = math.max(ccb.toDouble / nb, eps)
+          acc += (pa - pb) * math.log(pa / pb)
+        }
+        acc
+      }
+      c -> ((psi, na, nb))
+    }.toMap
+  }
+
   /** Shared exact-binning core of [[hellingerStats]] / [[psiStats]]:
     * two input scans total (per-column (min, max, n) envelope, then bin
     * counts), each column's (lo, width) on a broadcast join, ≤ N·nBins

@@ -1442,6 +1442,53 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** PSI over reference-decile bins ([[DriftExact.psiQuantileStats]]):
+    * the equal-population-bin PSI configuration, with edges from the
+    * distributed [[graft.analysis.ExactQuantiles]] (bit-equal to DuckDB
+    * quantile_cont, so the oracle rebuilds the identical bins). psi
+    * rounded to 8 on both sides to absorb 1-ulp ln() divergence. */
+  private def qDriftPsiQuantile = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import s.implicits._
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val stats = DriftExact.psiQuantileStats(
+        li, cols, F.col("l_orderkey") % 3 === 0)
+      cols.sorted.map { c =>
+        val (p, na, nb) = stats(c)
+        (c, p, na, nb)
+      }.toDF("col_name", "psi", "n_target", "n_ref")
+        .select(F.col("col_name"), F.round(F.col("psi"), 8).as("psi"),
+          F.col("n_target"), F.col("n_ref"))
+        .orderBy("col_name")
+    },
+    Some {
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        val edges = (1 to 9).map(i =>
+          s"quantile_cont(v, 0.$i) AS e$i").mkString(", ")
+        val binSum = (1 to 9).map(i =>
+          s"CASE WHEN v >= e$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""SELECT * FROM (
+           | WITH b AS (SELECT CAST($c AS DOUBLE) AS v,
+           |     CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |   FROM lineitem WHERE $c IS NOT NULL),
+           | e AS (SELECT $edges FROM b WHERE ta = 0),
+           | g AS (SELECT ($binSum) AS bin,
+           |     sum(ta) AS ca, sum(1 - ta) AS cb FROM b, e GROUP BY 1),
+           | t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+           | d AS (SELECT bin,
+           |     GREATEST(CAST(ca AS DOUBLE) / na, 0.0001) AS pa,
+           |     GREATEST(CAST(cb AS DOUBLE) / nb, 0.0001) AS pb
+           |   FROM g, t)
+           | SELECT '$c' AS col_name,
+           |   round(sum((pa - pb) * ln(pa / pb) ORDER BY bin), 8) AS psi,
+           |   CAST((SELECT na FROM t) AS BIGINT) AS n_target,
+           |   CAST((SELECT nb FROM t) AS BIGINT) AS n_ref
+           | FROM d
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** Exact KS drift between every consecutive pair of daily windows of
     * `events.value` ([[DriftExact.ksTimeline]]) — the monitoring loop as
     * one distributed query. Integer numerator until one division ⇒
@@ -2762,6 +2809,7 @@ object StandardQueries {
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,
+    "drift_psi_quantile" -> qDriftPsiQuantile,
     "dedup_exact" -> qDedupExact,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_minhash_sig" -> qDedupMinhashSig,

@@ -246,6 +246,42 @@ class DriftExactSpec extends SparkSpec {
     assert(multi("y") == DriftExact.psiStats(df.select("y", "is_t"), Seq("y"), F.col("is_t"))("y"))
   }
 
+  test("psiQuantileStats: hand-computed two-bin split on reference-median edge") {
+    import spark.implicits._
+    // ref = {1,2,3,4} (median edge 2.5), target = {3,3,4,4}: all target
+    // mass lands in the upper bin ⇒ pa=(eps,1), pb=(.5,.5)
+    val df = (Seq(3.0, 3.0, 4.0, 4.0).map((_, true)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map((_, false))).toDF("v", "is_t").repartition(3)
+    val (psi, na, nb) = DriftExact.psiQuantileStats(
+      df, Seq("v"), F.col("is_t"), nBins = 2)("v")
+    assert((na, nb) == (4L, 4L))
+    val eps = 1e-4
+    val expected = (eps - 0.5) * math.log(eps / 0.5) +
+      (1.0 - 0.5) * math.log(1.0 / 0.5)
+    assert(math.abs(psi - expected) < 1e-15)
+  }
+
+  test("psiQuantileStats: identical slices give ~0; skew does not mute the score") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    // heavily skewed: 95% of mass at small values, a long tail
+    val base = Seq.fill(950)(rng.nextDouble()) ++ Seq.fill(50)(rng.nextDouble() * 1e6)
+    val same = base.zipWithIndex.map { case (v, i) => (v, i % 2 == 0) }.toDF("v", "is_t")
+    val (p0, _, _) = DriftExact.psiQuantileStats(same, Seq("v"), F.col("is_t"))("v")
+    // two 500-sample halves: sampling noise alone keeps PSI under the
+    // 0.1 "stable" boundary (Siddiqi), far from the 0.25 alert level
+    assert(p0 < 0.1, s"same-distribution slices should be stable: $p0")
+    // shift the target above the ref's body: the 1e6 tail stretches the
+    // fixed-width grid so ~all mass (ref AND shifted target) shares bin 0
+    // and the score is muted; decile bins resolve the body and flag it
+    val shifted = (base.map((_, false)) ++
+      base.take(500).map(v => (v + 2.0, true))).toDF("v", "is_t")
+    val (p1, _, _) = DriftExact.psiQuantileStats(shifted, Seq("v"), F.col("is_t"))("v")
+    val (pf, _, _) = DriftExact.psiStats(shifted, Seq("v"), F.col("is_t"), nBins = 10)("v")
+    assert(p1 > 0.25, s"decile PSI should flag the shift: $p1")
+    assert(p1 > pf, s"decile PSI ($p1) should out-signal fixed-width PSI ($pf) on skew")
+  }
+
   test("ksStat agrees with the sketch-based Drift.ks within rank error on real data") {
     val li = table("lineitem")
     val isT = F.col("l_orderkey") % 3 === 0
