@@ -1,0 +1,56 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Tukey-fence outlier detection per column — the data-quality check the
+  * reference expresses only indirectly (constraints on fixed bounds);
+  * here the bounds come from the data's own quartiles, the standard
+  * exploratory rule (Tukey 1977: flag outside [q1 − k·IQR, q3 + k·IQR],
+  * k = 1.5).
+  *
+  * Scale shape: quartiles via the distributed [[ExactQuantiles]]
+  * (bounded state, one scan), then ONE more scan counts all columns'
+  * fence violations map-side into a single collected row. Fences are
+  * computed driver-side from exact quartiles and embedded as literals —
+  * deterministic, and every count is an exact integer. */
+object Outliers {
+
+  /** Per column: quartiles, fences, and outlier counts. Returns a
+    * DataFrame (col_name, q1, q3, iqr, lo_fence, hi_fence, n, n_low,
+    * n_high, n_outliers). Columns with no non-null values are omitted. */
+  def iqrOutliers(
+      df: DataFrame, valueCols: Seq[String], k: Double = 1.5): DataFrame = {
+    require(valueCols.nonEmpty, "iqrOutliers needs at least one column")
+    val qs = ExactQuantiles.quantiles(df, valueCols, Seq(0.25, 0.75))
+    val present = valueCols.filter(c => qs(c).nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (present.isEmpty)
+      return Seq.empty[(String, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
+        .toDF("col_name", "q1", "q3", "iqr", "lo_fence", "hi_fence",
+          "n", "n_low", "n_high", "n_outliers")
+    val fences = present.map { c =>
+      val Seq(q1, q3) = qs(c)
+      val iqr = q3 - q1
+      c -> (q1, q3, iqr, q1 - k * iqr, q3 + k * iqr)
+    }.toMap
+    val aggs = present.flatMap { c =>
+      val v = F.col(c).cast("double")
+      val (_, _, _, lo, hi) = fences(c)
+      Seq(
+        F.count(v).as(s"__n_$c"),
+        F.sum(F.when(v < lo, 1L).otherwise(0L)).as(s"__lo_$c"),
+        F.sum(F.when(v > hi, 1L).otherwise(0L)).as(s"__hi_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.map { c =>
+      val (q1, q3, iqr, lo, hi) = fences(c)
+      val n = row.getAs[Long](s"__n_$c")
+      val nLo = row.getAs[Long](s"__lo_$c")
+      val nHi = row.getAs[Long](s"__hi_$c")
+      (c, q1, q3, iqr, lo, hi, n, nLo, nHi, nLo + nHi)
+    }.toDF("col_name", "q1", "q3", "iqr", "lo_fence", "hi_fence",
+      "n", "n_low", "n_high", "n_outliers")
+  }
+}

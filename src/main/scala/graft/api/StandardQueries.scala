@@ -1442,6 +1442,31 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Tukey-fence outlier counts per column
+    * ([[graft.analysis.Outliers.iqrOutliers]]); quartiles via the
+    * distributed exact-quantile path, fences and counts bit-exact. */
+  private def qIqrOutliers = Q(
+    (s, dir) => graft.analysis.Outliers.iqrOutliers(
+      t(s, dir, "lineitem"), Seq("l_extendedprice", "l_quantity", "l_tax"))
+      .orderBy("col_name"),
+    Some {
+      Seq("l_extendedprice", "l_quantity", "l_tax").map { c =>
+        s"""SELECT * FROM (
+           | WITH v AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+           |   WHERE $c IS NOT NULL),
+           | q AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM v)
+           | SELECT '$c' AS col_name, q1, q3, q3 - q1 AS iqr,
+           |   q1 - 1.5*(q3 - q1) AS lo_fence, q3 + 1.5*(q3 - q1) AS hi_fence,
+           |   count(*) AS n,
+           |   CAST(sum(CASE WHEN v < q1 - 1.5*(q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           |   CAST(sum(CASE WHEN v > q3 + 1.5*(q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           |   CAST(sum(CASE WHEN v < q1 - 1.5*(q3 - q1) OR v > q3 + 1.5*(q3 - q1)
+           |     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           | FROM v, q GROUP BY q1, q3
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** PSI over reference-decile bins ([[DriftExact.psiQuantileStats]]):
     * the equal-population-bin PSI configuration, with edges from the
     * distributed [[graft.analysis.ExactQuantiles]] (bit-equal to DuckDB
@@ -2810,6 +2835,7 @@ object StandardQueries {
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,
     "drift_psi_quantile" -> qDriftPsiQuantile,
+    "iqr_outliers" -> qIqrOutliers,
     "dedup_exact" -> qDedupExact,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_minhash_sig" -> qDedupMinhashSig,

@@ -61,4 +61,24 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(ExactQuantiles.quantiles(df, Seq("x"), Seq(0.0, 0.3, 1.0))("x")
       == Seq(42.0, 42.0, 42.0))
   }
+
+  test("iqrOutliers: hand case flags exactly the fence violations") {
+    import spark.implicits._
+    // {1..8} plus outliers -100, 100: q1 = 1+0.25*9=... use local check
+    val vals = (1 to 8).map(_.toDouble) ++ Seq(-100.0, 100.0)
+    val df = vals.toDF("x").repartition(3)
+    val r = graft.analysis.Outliers.iqrOutliers(df, Seq("x")).collect()(0)
+    val sorted = vals.sorted
+    def q(p: Double) = {
+      val h = p * (sorted.size - 1); val f = h - math.floor(h)
+      (1 - f) * sorted(math.floor(h).toInt) + f * sorted(math.ceil(h).toInt)
+    }
+    val (q1, q3) = (q(0.25), q(0.75))
+    assert(r.getAs[Double]("q1") == q1 && r.getAs[Double]("q3") == q3)
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_low") == vals.count(_ < lo))
+    assert(r.getAs[Long]("n_high") == vals.count(_ > hi))
+    assert(r.getAs[Long]("n_outliers") == 2L)
+  }
 }
