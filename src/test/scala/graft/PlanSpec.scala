@@ -178,6 +178,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "totals must not need a join:\n" + plan.take(3000))
   }
 
+  test("embedding centroid drift: one exchange, pruned scan, no collect-side matrix") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = graft.pipeline.Embeddings.centroidDrift(
+      emb, "embedding", F.col("vec_id") % 3 === 0)
+    val plan = planOf(out)
+    // posexplode fans out map-side; the dim groupBy is the only exchange,
+    // carrying <= dim rows per upstream partition (map-side partials)
+    assert(shuffles(plan) == 1, s"expected 1 exchange:\n${plan.take(3000)}")
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("embedding", "vec_id"))),
+      s"scan reads unused columns: $schemas")
+  }
+
+  test("streaming-drift PSI composition: two bounded exchanges, no driver fold") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val env = graft.streaming.DriftStream.referenceEnvelope(ev, "value", 30)
+    val out = graft.streaming.DriftStream.monitor(ev, "ts", "1 day", "value", env)
+    val plan = planOf(out)
+    // (window, bin) count exchange + window PSI-fold exchange; both carry
+    // <= nBins rows per window — never raw events
+    assert(shuffles(plan) == 2, s"expected 2 exchanges:\n${plan.take(3000)}")
+    // the PSI fold is an expression over the collected bin map, not a join
+    // against a reference table
+    assert(!plan.contains("Join"), s"envelope must ride as literals:\n${plan.take(3000)}")
+  }
+
   test("tfIdfTopTerms: one scan, df via term window — no join, no vocab broadcast") {
     val out = graft.pipeline.TextAnalysis.tfIdfTopTerms(
       table("documents"), "doc_id", "text", 3)
