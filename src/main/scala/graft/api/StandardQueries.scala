@@ -2304,6 +2304,24 @@ object StandardQueries {
            | WHERE CAST('0x' || substr(md5('bal:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % c.n < m.nmin
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Temperature-scaled sampling at α=0.5
+    * ([[graft.pipeline.Sampling.temperatureSample]]): per-stratum
+    * thresholds ⌊√(n_min/n_s)·n_s⌋ (√ is IEEE-exact on both engines),
+    * then the same integer modular selection as `sample_balanced` —
+    * checked row-by-row. */
+  private def qSampleTemperature = Q(
+    (s, dir) => Sampling.temperatureSample(
+      t(s, dir, "documents"), F.col("doc_id"), F.col("lang"),
+      alpha = 0.5, salt = "temp")
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+           | m AS (SELECT min(n) AS nmin FROM c),
+           | t AS (SELECT s, n, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * n) AS BIGINT) AS thr
+           |   FROM c, m)
+           | SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.s
+           | WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % t.n < t.thr
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Semi-structured ingest: profile a field extracted from the JSON
     * `events.props` column (`get_json_object` is codegen'd and map-only;
     * the reference reaches the same shape through its pandas
@@ -2866,6 +2884,7 @@ object StandardQueries {
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,
     "sample_balanced" -> qSampleBalanced,
+    "sample_temperature" -> qSampleTemperature,
     "json_props_profile" -> qJsonPropsProfile,
     "decontaminate" -> qDecontaminate,
     "corpus_pack" -> qCorpusPack,

@@ -89,6 +89,54 @@ object Sampling {
       .drop("__s2", "__n")
   }
 
+  /** Temperature-scaled stratum sampling (the mT5 §3.1 / XLM-R language
+    *-balancing family): stratum `s` survives at rate (n_min/n_s)^α —
+    * α=0 keeps everything, α=1 is [[balancedSample]], and intermediate α
+    * damps the head without flattening it (α≈0.3–0.7 in practice).
+    * Selection is `md5int(key) % n_s < thr_s` with the per-stratum
+    * threshold `thr_s = ⌊(n_min/n_s)^α · n_s⌋` computed ONCE driver-side
+    * from the ≤ `maxStrata` collected counts (guarded like
+    * [[balancedSample]]) — so the data-path stays pure integer
+    * arithmetic and the selected set is engine-reproducible. At α=0.5
+    * the threshold itself is also bit-reproducible (√ is IEEE
+    * correctly-rounded); for other α the pow() may differ by 1 ulp
+    * across engines, which flips a threshold only when
+    * (n_min/n_s)^α·n_s is within an ulp of an integer. α=1 shortcuts to
+    * the exact n_min. */
+  def temperatureSample(df: DataFrame, key: Column, strata: Column,
+      alpha: Double = 0.5, salt: String = "",
+      maxStrata: Int = 10000): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(strata.as("__s")).agg(F.count(F.lit(1)).as("__n"))
+      .select(F.col("__s").cast("string"), F.col("__n"))
+      .take(maxStrata + 1)
+    require(counts.length <= maxStrata,
+      s"more than $maxStrata strata: not a stratum column — pass a " +
+        "bounded-cardinality column or raise maxStrata")
+    require(counts.nonEmpty, "temperatureSample on an empty dataset")
+    val nMin = counts.map(_.getLong(1)).min
+    val meta = F.broadcast(counts.map { r =>
+      val n = r.getLong(1)
+      val thr =
+        if (alpha == 1.0) nMin
+        else if (alpha == 0.0) n
+        // explicit sqrt at α=0.5: correctly-rounded everywhere, unlike
+        // pow(x, 0.5) whose 1-ulp licence engines spend differently
+        else if (alpha == 0.5)
+          math.floor(math.sqrt(nMin.toDouble / n) * n).toLong
+        else math.floor(math.pow(nMin.toDouble / n, alpha) * n).toLong
+      (r.getString(0), n, thr)
+    }.toSeq.toDF("__s2", "__n", "__thr"))
+    val h = F.conv(F.substring(
+      F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+    df.join(meta, strata.cast("string") === F.col("__s2"))
+      .filter(h % F.col("__n") < F.col("__thr"))
+      .drop("__s2", "__n", "__thr")
+  }
+
   /** Deterministic dataset split (train/val/test …): assigns each key a
     * label by cumulative hash range. Weights are normalized; the last
     * split absorbs the rounding tail. Same key + salt ⇒ same split on

@@ -114,6 +114,36 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byStratum("b") - 500) < 60 && math.abs(byStratum("c") - 500) < 60)
   }
 
+  test("temperatureSample: α endpoints and the α=0.5 threshold, JVM-recomputed") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(k =>
+      (k, if (k % 6 == 0) "a" else if (k % 6 <= 2) "b" else "c"))
+    val df = rows.toDF("k", "s").repartition(7)
+    // α=0: everything kept
+    assert(Sampling.temperatureSample(df, F.col("k"), F.col("s"),
+      alpha = 0.0, salt = "t").count() == 3000L)
+    // α=1: identical selected set to balancedSample
+    val bal = Sampling.balancedSample(df, F.col("k"), F.col("s"), salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    val t1 = Sampling.temperatureSample(df, F.col("k"), F.col("s"),
+      alpha = 1.0, salt = "t").collect().map(_.getLong(0)).toSet
+    assert(t1 == bal)
+    // α=0.5: exact JVM recomputation of the sqrt thresholds
+    val nBy = rows.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+    val nMin = nBy.values.min
+    val thr = nBy.map { case (s, n) =>
+      s -> math.floor(math.sqrt(nMin.toDouble / n) * n).toLong
+    }
+    val got = Sampling.temperatureSample(df, F.col("k"), F.col("s"),
+      alpha = 0.5, salt = "t").collect().map(_.getLong(0)).toSet
+    val expected = rows.filter { case (k, s) =>
+      md5long15(s"t:$k") % nBy(s) < thr(s)
+    }.map(_._1).toSet
+    assert(got == expected)
+    // monotone in α: hotter (lower α) keeps a superset
+    assert(bal.subsetOf(got))
+  }
+
   test("balancedSample refuses an id-like strata column instead of collecting it") {
     import spark.implicits._
     val df = (0L until 200L).map(k => (k, s"id$k")).toDF("k", "s")
