@@ -2622,6 +2622,55 @@ object StandardQueries {
            |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs
            | FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Sessionization through a REAL stateful streaming query
+    * ([[graft.streaming.SessionStream]], flatMapGroupsWithState with
+    * event-time timeout): sessions closed by a gap emit immediately;
+    * each user's final open session emits only if the trailing no-data
+    * micro-batch's watermark (max event time − 1h) passes its gap
+    * horizon. The oracle reproduces exactly that emission rule on top of
+    * the batch sessionization SQL — deterministic because the fixture is
+    * one file processed as one batch. */
+  private def qStreamingSessionize = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "events") // also sets the nanosAsLong conf
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      val qn = "ssq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.SessionStream.sessions(sdf, gapSeconds = 21600L)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("user_id", "session_seq")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, value,
+           |   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+           | g AS (
+           |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+           |    OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_session
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           | s AS (
+           |  SELECT *, sum(new_session) OVER (
+           |    PARTITION BY user_id ORDER BY ts_us, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+           | a AS (
+           |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |   count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+           |   count(DISTINCT event_type) AS n_event_types,
+           |   CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_values,
+           |   (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs
+           |  FROM s GROUP BY 1, 2),
+           | wm AS (SELECT max(ts_us) // 1000 - 3600000 AS wm_ms FROM e),
+           | lastq AS (SELECT user_id, max(session_seq) AS last_seq FROM a GROUP BY 1)
+           | SELECT a.user_id, a.session_seq, a.n_events, a.start_us, a.end_us,
+           |  a.n_event_types, a.n_values, a.duration_secs
+           | FROM a JOIN lastq ON a.user_id = lastq.user_id, wm
+           | WHERE a.session_seq < lastq.last_seq
+           |   OR (a.end_us + 21600000000) // 1000 + 1 <= wm.wm_ms
+           | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
   /** Rolling profiles through a REAL Structured Streaming query: file
     * source → watermark + 1h tumbling windows over the profiler's metric
     * aggregates → AvailableNow → memory sink. Every exact field must
@@ -2920,7 +2969,8 @@ object StandardQueries {
     "events_sessionize" -> qEventsSessionize,
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
-    "streaming_drift_psi" -> qStreamingDriftPsi)
+    "streaming_drift_psi" -> qStreamingDriftPsi,
+    "streaming_sessionize" -> qStreamingSessionize)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{functions => F}
+
+/** Streaming gap-based sessionization — the online half of
+  * [[graft.pipeline.Sessionize]], built on
+  * `flatMapGroupsWithState` (the custom-state API; the batch operator's
+  * lag-window formulation has no streaming equivalent because a window
+  * over an unbounded stream never closes).
+  *
+  * State per user is ONE open session (a few fixed-size fields + a
+  * bounded distinct-event-type set) — KB-bounded regardless of stream
+  * length; a closed session is emitted the moment a gap larger than
+  * `gapSeconds` arrives, and an idle user's final session is flushed by
+  * the event-time timeout once the watermark passes its gap horizon.
+  * Output rows match the batch operator's per-session schema
+  * (`n_event_types` capped at `maxEventTypes` — a profiling count, not
+  * an unbounded set).
+  *
+  * Scale shape: `groupByKey(user)` is the same single user-keyed
+  * exchange as the batch plan; state store entries are per ACTIVE user
+  * and expire via the timeout, so state does not grow with history.
+  */
+object SessionStream {
+
+  /** `ts` rides along untouched: it is the watermark-tagged attribute,
+    * and the event-time-timeout checker requires it to survive into the
+    * stateful operator's input (a typed map would re-serialize it into a
+    * fresh, untagged attribute). */
+  case class Event(
+      user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_id: Long,
+      has_value: Boolean, event_type: String)
+
+  case class OpenSession(
+      sessionSeq: Long, startUs: Long, lastUs: Long, nEvents: Long,
+      nValues: Long, eventTypes: Set[String])
+
+  case class Session(
+      user_id: Long, session_seq: Long, n_events: Long, start_us: Long,
+      end_us: Long, n_event_types: Long, n_values: Long,
+      duration_secs: Long)
+
+  private def toSession(user: Long, s: OpenSession): Session =
+    Session(user, s.sessionSeq, s.nEvents, s.startUs, s.lastUs,
+      s.eventTypes.size.toLong, s.nValues, (s.lastUs - s.startUs) / 1000000L)
+
+  /** One user's micro-batch: fold the (time-ordered) new events into the
+    * open session, emitting every session closed by a gap. On timeout,
+    * flush the open session. */
+  private def updateUser(gapUs: Long, maxEventTypes: Int)(
+      user: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toSession(user, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      open = open match {
+        case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+          Some(s.copy(lastUs = math.max(s.lastUs, e.ts_us),
+            nEvents = s.nEvents + 1,
+            nValues = s.nValues + (if (e.has_value) 1L else 0L),
+            eventTypes =
+              if (s.eventTypes.size >= maxEventTypes) s.eventTypes
+              else s.eventTypes + e.event_type))
+        case Some(s) =>
+          closed += toSession(user, s)
+          Some(OpenSession(s.sessionSeq + 1, e.ts_us, e.ts_us, 1L,
+            if (e.has_value) 1L else 0L, Set(e.event_type)))
+        case None =>
+          Some(OpenSession(1L, e.ts_us, e.ts_us, 1L,
+            if (e.has_value) 1L else 0L, Set(e.event_type)))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // flush once the watermark passes the open session's gap horizon
+      state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1L)
+    }
+    closed.result().iterator
+  }
+
+  /** Sessionize a streaming frame with columns
+    * (user_id, ts, event_id, value, event_type). `watermarkDelay` bounds
+    * how late an event may arrive and still join its session; the
+    * output is append-mode (each session emitted exactly once). */
+  def sessions(
+      stream: DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "1 hour",
+      maxEventTypes: Int = 1000): Dataset[Session] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .filter(F.col("user_id").isNotNull && F.col("ts").isNotNull &&
+        F.col("event_id").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(F.col("user_id"), F.col("ts"),
+        F.unix_micros(F.col("ts")).as("ts_us"), F.col("event_id"),
+        F.col("value").isNotNull.as("has_value"), F.col("event_type"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateUser(gapSeconds * 1000000L, maxEventTypes))
+  }
+}
