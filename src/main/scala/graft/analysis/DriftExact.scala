@@ -71,9 +71,37 @@ object DriftExact {
     // measured 20% SLOWER at sf0.1: it ships every raw (c, v) row and
     // loses the partial aggregation, which outweighs the saved small
     // exchange — and the gap only widens with heavier ties.
-    val g = df.select(pair, ca.as("__ca"))
+    val prepared = df.select(pair, ca.as("__ca"))
       .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"),
         F.col("__ca"), (F.lit(1L) - F.col("__ca")).as("__cb"))
+    ksCore(prepared, valueCols)
+  }
+
+  /** [[ksStat]] per KEY — exact KS between the target/ref slices WITHIN
+    * each key group (e.g. a segment column), every group in the same one
+    * scan + two bounded exchanges as [[ksStats]]: the group key simply
+    * takes the role the column name plays there, so per-segment drift of
+    * a million-segment table costs one pass, not one query per segment.
+    * NULL keys are dropped (they are no segment). */
+  def ksStatsByKey(
+      df: DataFrame, key: Column, valueCol: String, isTarget: Column)
+      : Map[String, (Double, Long, Long)] = {
+    val ca = F.when(isTarget, 1L).otherwise(0L)
+    val prepared = df
+      .select(key.cast("string").as("__c"),
+        F.col(valueCol).cast("double").as("__v"), ca.as("__ca"))
+      .filter(F.col("__c").isNotNull)
+      .withColumn("__cb", F.lit(1L) - F.col("__ca"))
+    ksCore(prepared, Nil)
+  }
+
+  /** Shared distributed ECDF-supremum core: `prepared` carries
+    * (__c key, __v value, __ca, __cb). `wantKeys` fixes the output key
+    * set ([[ksStats]] reports every requested column); empty ⇒ the keys
+    * found in the data ([[ksStatsByKey]]). */
+  private def ksCore(prepared: DataFrame, wantKeys: Seq[String])
+      : Map[String, (Double, Long, Long)] = {
+    val g = prepared
       .filter(F.col("__v").isNotNull)
       .groupBy("__c", "__v")
       .agg(F.sum("__ca").as("__ca"), F.sum("__cb").as("__cb"))
@@ -101,7 +129,7 @@ object DriftExact {
           accA += ta; accB += tb; row
         }
       }
-      val spark = df.sparkSession
+      val spark = prepared.sparkSession
       import spark.implicits._
       val baseDf = bases.toDF("__c2", "__pid2", "__baseA", "__baseB", "__na", "__nb")
       val w = Window.partitionBy("__c", "__pid").orderBy("__v")
@@ -114,7 +142,8 @@ object DriftExact {
         .agg(F.max(F.abs(F.col("__cca") * F.col("__nb") -
           F.col("__ccb") * F.col("__na"))).as("num"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      valueCols.map { c =>
+      val outKeys = if (wantKeys.nonEmpty) wantKeys else ns.keys.toSeq.sorted
+      outKeys.map { c =>
         val (na, nb) = ns.getOrElse(c, (0L, 0L))
         val d = if (na == 0L || nb == 0L) 0.0
           else nums(c).toDouble / (na * nb).toDouble

@@ -1467,6 +1467,35 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Exact KS drift PER SEGMENT ([[DriftExact.ksStatsByKey]]): every
+    * event_type's target/ref slices compared in ONE scan — the group key
+    * takes the role the column name plays in `drift_ks_exact`. Integer
+    * numerator until one division ⇒ bit-exact oracle. */
+  private def qDriftKsSegmented = Q(
+    (s, dir) => {
+      import s.implicits._
+      val stats = DriftExact.ksStatsByKey(
+        events(s, dir), F.col("event_type"), "value",
+        F.col("event_id") % 3 === 0)
+      stats.toSeq.sortBy(_._1).map { case (seg, (d, na, nb)) =>
+        (seg, d, na, nb)
+      }.toDF("segment", "ks_stat", "n_target", "n_ref").orderBy("segment")
+    },
+    Some("""WITH g AS (SELECT event_type AS seg, value AS v,
+           |    sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS ca,
+           |    sum(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS cb
+           |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+           |  GROUP BY 1, 2),
+           | t AS (SELECT seg, sum(ca) AS na, sum(cb) AS nb FROM g GROUP BY 1),
+           | c AS (SELECT seg, sum(ca) OVER (PARTITION BY seg ORDER BY v) AS cca,
+           |       sum(cb) OVER (PARTITION BY seg ORDER BY v) AS ccb FROM g)
+           | SELECT c.seg AS segment,
+           |   CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
+           |     / CAST(na * nb AS DOUBLE) AS ks_stat,
+           |   CAST(na AS BIGINT) AS n_target, CAST(nb AS BIGINT) AS n_ref
+           | FROM c JOIN t ON c.seg = t.seg
+           | GROUP BY c.seg, na, nb ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** PSI over reference-decile bins ([[DriftExact.psiQuantileStats]]):
     * the equal-population-bin PSI configuration, with edges from the
     * distributed [[graft.analysis.ExactQuantiles]] (bit-equal to DuckDB
@@ -2898,6 +2927,7 @@ object StandardQueries {
     "viz_summary_report" -> qVizSummaryReport,
     "drift_chi2_stat" -> qDriftChi2Stat,
     "drift_ks_exact" -> qDriftKsExact,
+    "drift_ks_segmented" -> qDriftKsSegmented,
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,

@@ -246,6 +246,23 @@ class DriftExactSpec extends SparkSpec {
     assert(multi("y") == DriftExact.psiStats(df.select("y", "is_t"), Seq("y"), F.col("is_t"))("y"))
   }
 
+  test("ksStatsByKey equals independent per-segment ksStat runs; NULL keys dropped") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = Seq.fill(600)((
+      Seq("a", "b", "c")(rng.nextInt(3)),
+      rng.nextInt(40).toDouble + (if (rng.nextBoolean()) 3.0 else 0.0),
+      rng.nextBoolean())) ++ Seq((null, 1.0, true), (null, 2.0, false))
+    val df = rows.toDF("seg", "v", "is_t").repartition(7)
+    val byKey = DriftExact.ksStatsByKey(df, F.col("seg"), "v", F.col("is_t"))
+    assert(byKey.keySet == Set("a", "b", "c"))
+    Seq("a", "b", "c").foreach { s =>
+      val single = DriftExact.ksStat(
+        df.filter(F.col("seg") === s), "v", F.col("is_t"))
+      assert(byKey(s) == single, s"segment $s")
+    }
+  }
+
   test("psiQuantileStats: hand-computed two-bin split on reference-median edge") {
     import spark.implicits._
     // ref = {1,2,3,4} (median edge 2.5), target = {3,3,4,4}: all target
