@@ -2376,6 +2376,30 @@ object StandardQueries {
     * against the src0 "benchmark" slice. The oracle recomputes the
     * overlap on shingle STRINGS; the Spark side matches 64-bit shingle
     * ids — equal modulo xxhash64 collisions (~|pairs|/2⁶⁴). */
+  /** Per-document 13-gram novelty ([[Dedup.novelty]]): fraction of each
+    * doc's distinct grams appearing in no other doc. Spark matches
+    * 64-bit gram hashes; the oracle rebuilds grams as strings (same
+    * construction as `decontaminate`). */
+  private def qDocNovelty = Q(
+    (s, dir) => Dedup.novelty(t(s, dir, "documents"), "text", "doc_id", n = 13)
+      .orderBy("doc_id"),
+    Some("""WITH g AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+12], ' ')
+           |                  for i in range(1, greatest(len(words) - 11, 1))]) AS ng
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | u AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+           | h AS (SELECT gram, count(*) AS docs FROM u GROUP BY 1),
+           | p AS (SELECT u.doc_id, count(*) AS n_grams,
+           |     CAST(sum(CASE WHEN h.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+           |   FROM u JOIN h USING (gram) GROUP BY 1)
+           | SELECT g.doc_id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           |   CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+           |   1.0 - CAST(COALESCE(p.n_shared, 0) AS DOUBLE)
+           |     / GREATEST(CAST(COALESCE(p.n_grams, 0) AS DOUBLE), 1.0) AS novelty
+           | FROM g LEFT JOIN p USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qDecontaminate = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2966,6 +2990,7 @@ object StandardQueries {
     "sample_temperature" -> qSampleTemperature,
     "json_props_profile" -> qJsonPropsProfile,
     "decontaminate" -> qDecontaminate,
+    "doc_novelty" -> qDocNovelty,
     "corpus_pack" -> qCorpusPack,
     "doc_fingerprint" -> qDocFingerprint,
     "dedup_spans" -> qDedupSpans,

@@ -405,4 +405,35 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that appear in no other document — the doc-level lens
+    * on [[duplicateSpans]]' corpus-level flags (RefinedWeb/Gopher-style
+    * screens keep documents whose content is mostly their own; novelty
+    * ≈ 0 marks boilerplate shells). Returns (id, n_grams, n_shared,
+    * novelty) with novelty = 1 − n_shared/n_grams as ONE exact division;
+    * documents shorter than `n` words have 0 grams and novelty 1.
+    *
+    * Scale shape: grams shuffle as 8-byte xxhash64 ids; the corpus-wide
+    * gram table is a map-side-combined groupBy counting HOLDER DOCS per
+    * gram (grams pre-deduped per doc, so a doc repeating its own phrase
+    * is not "shared"); the join-back is on the gram-id key with AQE skew
+    * handling; nothing driver-side. */
+  def novelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 13): DataFrame = {
+    val grams = df
+      .select(F.col(idCol).as("__id"),
+        F.explode_outer(F.array_distinct(
+          posShingleHashes(F.col(textCol), n))).as("__g"))
+    val holders = grams.filter(F.col("__g").isNotNull)
+      .groupBy("__g").agg(F.count(F.lit(1)).as("__docs"))
+    grams.join(holders, Seq("__g"), "left")
+      .groupBy(F.col("__id").as(idCol))
+      .agg(
+        F.count(F.col("__g")).as("n_grams"),
+        F.sum(F.when(F.col("__docs") > 1L, 1L).otherwise(0L)).as("n_shared"))
+      .select(F.col(idCol), F.col("n_grams"), F.col("n_shared"),
+        (F.lit(1.0) - F.col("n_shared").cast("double") /
+          F.greatest(F.col("n_grams").cast("double"), F.lit(1.0))).as("novelty"))
+  }
 }

@@ -264,6 +264,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("novelty: shared grams counted by holder docs, self-repeats are novel") {
+    import spark.implicits._
+    // doc 1 and 2 share "a b c"; doc 3 repeats ITS OWN phrase (still
+    // novel — one holder); doc 4 is too short for any 3-gram
+    val df = Seq(
+      (1L, "a b c x y"),
+      (2L, "q a b c r"),
+      (3L, "p q r p q r"),
+      (4L, "只 two")).toDF("doc_id", "text").repartition(3)
+    val got = Dedup.novelty(df, "text", "doc_id", n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: grams {abc, bcx, cxy} — 1 shared
+    assert(got(1L) == ((3L, 1L, 1.0 - 1.0 / 3.0)))
+    assert(got(2L) == ((3L, 1L, 1.0 - 1.0 / 3.0)))
+    // doc 3: 4 grams, "p q r" twice but DISTINCT per doc ⇒ 3 distinct? no:
+    // tokens p q r p q r → grams pqr,qrp,rpq,pqr → distinct {pqr,qrp,rpq}
+    assert(got(3L) == ((3L, 0L, 1.0)))
+    assert(got(4L) == ((0L, 0L, 1.0)))
+  }
+
   test("duplicateSpans flags repeated n-grams with positions, within and across docs") {
     import spark.implicits._
     val docs = Seq(
