@@ -24,8 +24,12 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
     var failed = List.empty[String]
+    // local iteration aid (mirrors Verify): SPARK_GRAFT_ONLY=q1,q2
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def runPass(pass: Int): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
