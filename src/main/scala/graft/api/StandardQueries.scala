@@ -2646,6 +2646,38 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Point-in-time join ([[graft.pipeline.AsofJoin]]): every event
+    * joined to the user's latest purchase at-or-before it — the
+    * feature-store leakage-guard join. One exchange by user + local
+    * sort; the oracle is DuckDB's native ASOF LEFT JOIN, so the
+    * semantics (greatest r.ts ≤ l.ts, equal-ts visible) are checked
+    * against an independent implementation, not a SQL re-derivation. */
+  private def qAsofJoin = Q(
+    (s, dir) => {
+      val ev = events(s, dir)
+      val right = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts"),
+          F.col("event_id").as("prev_purchase_id"),
+          F.col("value").as("prev_purchase_value"))
+      graft.pipeline.AsofJoin.asofLeft(
+        ev.select("user_id", "ts", "event_id"), right,
+        keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("prev_purchase_id", "prev_purchase_value"),
+        tieCol = "prev_purchase_id")
+        .select(F.col("event_id"), F.col("user_id"),
+          F.unix_micros(F.col("ts")).as("ts_us"),
+          F.col("prev_purchase_id"), F.col("prev_purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id, l.user_id,
+           | epoch_us(CAST(l.ts AS TIMESTAMP)) AS ts_us,
+           | r.event_id AS prev_purchase_id, r.value AS prev_purchase_value
+           | FROM events l ASOF LEFT JOIN
+           |  (SELECT user_id, ts, event_id, value FROM events
+           |   WHERE event_type = 'purchase') r
+           | ON l.user_id = r.user_id AND l.ts >= r.ts
+           | ORDER BY l.event_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Gap-based sessionization ([[graft.pipeline.Sessionize]]): 6h
     * inactivity splits a user's events into sessions; one row per
     * session. All outputs are integers (epoch-micros bounds, integer
@@ -3022,6 +3054,7 @@ object StandardQueries {
       }, None),
     "window_profile" -> qWindowProfile,
     "events_sessionize" -> qEventsSessionize,
+    "asof_join" -> qAsofJoin,
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
     "streaming_drift_psi" -> qStreamingDriftPsi,

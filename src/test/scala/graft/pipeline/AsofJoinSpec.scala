@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** As-of join semantics: greatest right ts ≤ left ts per key, equal-ts
+  * visibility, right-side tie resolution, null for no-predecessor, and
+  * the one-exchange plan. */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hand case: latest preceding snapshot, equal-ts visible, nulls before first") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 02:00:00"), 11L),
+      (1L, ts("2024-01-01 04:00:00"), 12L),
+      (2L, ts("2024-01-01 01:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id").repartition(3)
+    val right = Seq(
+      (1L, ts("2024-01-01 02:00:00"), 100L, 1.5), // equal-ts: visible to 11
+      (1L, ts("2024-01-01 03:00:00"), 101L, 2.5),
+      (9L, ts("2024-01-01 00:00:00"), 999L, 9.9)) // other key, never joins
+      .toDF("user_id", "ts", "snap_id", "snap_v").repartition(2)
+    val got = AsofJoin.asofLeft(left, right, Seq("user_id"), "ts", "ts",
+      Seq("snap_id", "snap_v"), "snap_id")
+      .collect().map(r => r.getLong(2) ->
+        (Option(r.getAs[java.lang.Long]("snap_id")),
+          Option(r.getAs[java.lang.Double]("snap_v")))).toMap
+    assert(got(10L) == ((None, None)))              // before any snapshot
+    assert(got(11L) == ((Some(100L), Some(1.5))))   // its own instant counts
+    assert(got(12L) == ((Some(101L), Some(2.5))))   // latest, not first
+    assert(got(20L) == ((None, None)))              // key 2 has no snapshots
+  }
+
+  test("right-side ties at one (key, ts) resolve to the larger tie column") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 01:00:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 5L, 0.5),
+      (1L, ts("2024-01-01 00:00:00"), 7L, 0.7)) // same instant: 7 wins
+      .toDF("user_id", "ts", "snap_id", "snap_v")
+    val r = AsofJoin.asofLeft(left, right, Seq("user_id"), "ts", "ts",
+      Seq("snap_id", "snap_v"), "snap_id").collect()(0)
+    assert(r.getAs[Long]("snap_id") == 7L && r.getAs[Double]("snap_v") == 0.7)
+  }
+
+  test("plan: one exchange on the key, no cartesian pair blowup") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val right = ev.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.col("ts"), F.col("event_id").as("pid"))
+    val out = AsofJoin.asofLeft(ev.select("user_id", "ts", "event_id"),
+      right, Seq("user_id"), "ts", "ts", Seq("pid"), "pid")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(shuffles == 1, s"expected 1 exchange (by key):\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"union+window, not a join:\n${plan.take(3000)}")
+  }
+}
