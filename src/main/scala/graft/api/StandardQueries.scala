@@ -2678,6 +2678,45 @@ object StandardQueries {
            | ON l.user_id = r.user_id AND l.ts >= r.ts
            | ORDER BY l.event_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Bucketed range join ([[graft.pipeline.RangeJoin]]): every event
+    * assigned to the session interval containing it. The oracle is the
+    * plain BETWEEN inequality join over the session CTE — fine at
+    * oracle scale, quadratic-per-key at cluster scale, which is exactly
+    * what the bucketed plan avoids. Cross-operator consistency: the
+    * assignment equals Sessionize.assign's numbering. */
+  private def qRangeJoinSessions = Q(
+    (s, dir) => {
+      val ev = events(s, dir)
+      val points = ev.select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"))
+      val intervals = graft.pipeline.Sessionize.sessions(
+        ev, "user_id", "ts", 21600L, "event_id", "value", "event_type")
+        .select(F.col("user_id"), F.col("session_seq"),
+          F.col("start_us"), F.col("end_us"))
+      graft.pipeline.RangeJoin.pointInInterval(
+        points, intervals, Seq("user_id"), "ts_us", "start_us", "end_us",
+        bucketWidth = 21600L * 1000000L)
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+          F.col("session_seq"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+           | g AS (
+           |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+           |    OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_session
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           | s AS (
+           |  SELECT *, sum(new_session) OVER (
+           |    PARTITION BY user_id ORDER BY ts_us, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+           | iv AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |   min(ts_us) AS start_us, max(ts_us) AS end_us FROM s GROUP BY 1, 2)
+           | SELECT e.event_id, e.user_id, e.ts_us, iv.session_seq
+           | FROM e JOIN iv ON e.user_id = iv.user_id
+           |  AND e.ts_us BETWEEN iv.start_us AND iv.end_us
+           | ORDER BY e.event_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Gap-based sessionization ([[graft.pipeline.Sessionize]]): 6h
     * inactivity splits a user's events into sessions; one row per
     * session. All outputs are integers (epoch-micros bounds, integer
@@ -3055,6 +3094,7 @@ object StandardQueries {
     "window_profile" -> qWindowProfile,
     "events_sessionize" -> qEventsSessionize,
     "asof_join" -> qAsofJoin,
+    "range_join_sessions" -> qRangeJoinSessions,
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
     "streaming_drift_psi" -> qStreamingDriftPsi,
