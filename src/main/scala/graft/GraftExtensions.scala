@@ -26,8 +26,11 @@ import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg
   * and `GROUP BY` / partial-final planning work exactly as from Scala.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // opt-in range-join rewrite (no-op until its width conf is set)
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoinRule)
+  }
 }
 
 object GraftFunctions {
