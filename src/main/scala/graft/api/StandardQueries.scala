@@ -2646,6 +2646,45 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Ordered funnel ([[graft.pipeline.Funnel]]) signup → click →
+    * purchase with greedy-earliest semantics; the oracle rebuilds the
+    * greedy chain as nested min-joins. Exact integer counts. */
+  private def qEventsFunnel = Q(
+    (s, dir) => graft.pipeline.Funnel.funnel(
+      events(s, dir), "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .orderBy("step_idx"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           |   event_type FROM events WHERE user_id IS NOT NULL),
+           | t1 AS (SELECT user_id, min(ts_us) AS t FROM e
+           |   WHERE event_type = 'signup' GROUP BY 1),
+           | t2 AS (SELECT e.user_id, min(ts_us) AS t FROM e JOIN t1 USING (user_id)
+           |   WHERE event_type = 'click' AND ts_us >= t1.t GROUP BY 1),
+           | t3 AS (SELECT e.user_id, min(ts_us) AS t FROM e JOIN t2 USING (user_id)
+           |   WHERE event_type = 'purchase' AND ts_us >= t2.t GROUP BY 1)
+           | SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_idx,
+           |   (SELECT count(*) FROM t1) AS users
+           | UNION ALL SELECT 'click', 2, (SELECT count(*) FROM t2)
+           | UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM t3)
+           | ORDER BY step_idx""".stripMargin.replaceAll("\n", " ")))
+
+  /** Cohort retention ([[graft.pipeline.Retention]]) at day 1 and
+    * day 7; exact integer counts over distinct (user, day) activity. */
+  private def qEventsRetention = Q(
+    (s, dir) => graft.pipeline.Retention.cohortRetention(
+      events(s, dir), "user_id", "ts", Seq(1, 7))
+      .orderBy("cohort_day"),
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+           |   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+           |  FROM events WHERE user_id IS NOT NULL),
+           | f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY 1)
+           | SELECT CAST(f.d0 AS BIGINT) AS cohort_day,
+           |  count(DISTINCT a.user_id) AS n_users,
+           |  count(DISTINCT CASE WHEN a.d = f.d0 + 1 THEN a.user_id END) AS retained_d1,
+           |  count(DISTINCT CASE WHEN a.d = f.d0 + 7 THEN a.user_id END) AS retained_d7
+           | FROM a JOIN f USING (user_id) GROUP BY 1
+           | ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** Point-in-time join ([[graft.pipeline.AsofJoin]]): every event
     * joined to the user's latest purchase at-or-before it — the
     * feature-store leakage-guard join. One exchange by user + local
@@ -3095,6 +3134,8 @@ object StandardQueries {
     "events_sessionize" -> qEventsSessionize,
     "asof_join" -> qAsofJoin,
     "range_join_sessions" -> qRangeJoinSessions,
+    "events_funnel" -> qEventsFunnel,
+    "events_retention" -> qEventsRetention,
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
     "streaming_drift_psi" -> qStreamingDriftPsi,
