@@ -2834,6 +2834,32 @@ object StandardQueries {
            |   OR (a.end_us + 21600000000) // 1000 + 1 <= wm.wm_ms
            | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** SLIDING-window stats (2h windows, 1h slide) — each event lands in
+    * exactly two overlapping windows; the oracle replicates the window
+    * fanout with a 2-element unnest of the hour-aligned starts. Same
+    * exact-sum arithmetic as the tumbling `window_profile`. */
+  private def qSlidingWindowProfile = Q(
+    (s, dir) => {
+      val ev = events(s, dir)
+      ev.groupBy(F.window(F.col("ts"), "2 hours", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"),
+          count_where(F.col("value").isNull).as("value_nulls"),
+          exact_sum(F.col("value")).as("value_sum"),
+          F.min("value").as("value_min"), F.max("value").as("value_max"))
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.col("event_type"), F.col("n"), F.col("value_nulls"),
+          F.col("value_sum"), F.col("value_min"), F.col("value_max"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""WITH w AS (SELECT unnest([date_trunc('hour', ts),
+           |   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws, * FROM events)
+           | SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
+           | event_type, count(*) AS n,
+           | count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+           | CAST(sum(CAST(value AS DECIMAL(33,6))) AS DOUBLE) AS value_sum,
+           | min(value) AS value_min, max(value) AS value_max
+           | FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
   /** Rolling profiles through a REAL Structured Streaming query: file
     * source → watermark + 1h tumbling windows over the profiler's metric
     * aggregates → AvailableNow → memory sink. Every exact field must
@@ -3131,6 +3157,7 @@ object StandardQueries {
           .orderBy("doc_id")
       }, None),
     "window_profile" -> qWindowProfile,
+    "sliding_window_profile" -> qSlidingWindowProfile,
     "events_sessionize" -> qEventsSessionize,
     "asof_join" -> qAsofJoin,
     "range_join_sessions" -> qRangeJoinSessions,
