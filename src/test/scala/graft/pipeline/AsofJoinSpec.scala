@@ -50,6 +50,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.getAs[Long]("snap_id") == 7L && r.getAs[Double]("snap_v") == 0.7)
   }
 
+  test("property: matches a local argmax recomputation on random data with ties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def rts() = new Timestamp(base + rng.nextInt(500) * 1000L)
+    val left = Seq.fill(400)((rng.nextInt(6).toLong, rts(), rng.nextLong()))
+    val right = Seq.fill(150)((rng.nextInt(6).toLong, rts(), rng.nextInt(1000).toLong,
+      rng.nextDouble()))
+    val got = AsofJoin.asofLeft(
+      left.toDF("user_id", "ts", "event_id").repartition(7),
+      right.toDF("user_id", "ts", "snap_id", "snap_v").repartition(5),
+      Seq("user_id"), "ts", "ts", Seq("snap_id", "snap_v"), "snap_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)) ->
+        Option(r.getAs[java.lang.Long]("snap_id"))).toMap
+    left.foreach { case (k, t, id) =>
+      val cands = right.filter(r => r._1 == k && !r._2.after(t))
+      val want =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2.getTime, r._3))._3)
+      assert(got((k, t, id)) == want, s"left ($k, $t, $id)")
+    }
+    assert(got.size == left.distinct.size)
+  }
+
   test("plan: one exchange on the key, no cartesian pair blowup") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
