@@ -7,12 +7,13 @@ import org.apache.spark.sql.{functions => F}
   * at fixed day offsets (the standard growth-analytics table; the last
   * event-analytics primitive next to [[Sessionize]] and [[Funnel]]).
   *
-  * Scale shape: activity collapses to DISTINCT (user, day) first — the
-  * big reduction, map-side combined — then first-day per user is a
-  * groupBy on the same key (one exchange serves both via co-partition),
-  * the activity-to-cohort join is user-keyed (no broadcast needed, both
-  * sides already hash by user), and the final cohort rollup aggregates
-  * ≤ (users × active days) rows down to one row per cohort day. All
+  * Scale shape: ONE user-keyed exchange (map-side combined) folds each
+  * user into (first day, active-day set) — the set is bounded by the
+  * corpus' DAY SPAN, not activity volume — then per-user retention
+  * flags are plain array lookups and the cohort rollup is a second,
+  * cohort-day-sized exchange. No join, no multi-column countDistinct
+  * expand (the naive distinct+join formulation plans 4 exchanges plus a
+  * broadcast of the per-user table, which is NOT small at scale). All
   * outputs are exact integers. */
 object Retention {
 
@@ -23,18 +24,16 @@ object Retention {
       df: DataFrame, userCol: String, tsCol: String,
       dayOffsets: Seq[Int] = Seq(1, 7)): DataFrame = {
     require(dayOffsets.nonEmpty, "need at least one day offset")
-    val act = df
+    val perUser = df
       .filter(F.col(userCol).isNotNull && F.col(tsCol).isNotNull)
       .select(F.col(userCol).as("__u"),
         F.floor(F.unix_micros(F.col(tsCol)) / F.lit(86400000000L)).as("__d"))
-      .distinct()
-    val first = act.groupBy("__u").agg(F.min("__d").as("__d0"))
-    val aggs = F.countDistinct(F.col("__u")).as("n_users") +:
-      dayOffsets.map(k => F.countDistinct(
-        F.when(F.col("__d") === F.col("__d0") + k, F.col("__u")))
-        .as(s"retained_d$k"))
-    act.join(first, "__u")
-      .groupBy(F.col("__d0").as("cohort_day"))
+      .groupBy("__u")
+      .agg(F.min("__d").as("__d0"), F.collect_set("__d").as("__days"))
+    val aggs = F.count(F.lit(1)).as("n_users") +:
+      dayOffsets.map(k => F.sum(F.array_contains(
+        F.col("__days"), F.col("__d0") + k).cast("long")).as(s"retained_d$k"))
+    perUser.groupBy(F.col("__d0").as("cohort_day"))
       .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -206,6 +206,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"envelope must ride as literals:\n${plan.take(3000)}")
   }
 
+  test("funnel and retention: two exchanges each (user fold + tiny rollup), no join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for ((name, df) <- Seq(
+      "retention" -> graft.pipeline.Retention.cohortRetention(ev, "user_id", "ts"),
+      "funnel" -> graft.pipeline.Funnel.funnel(
+        ev, "user_id", "ts", "event_type", Seq("signup", "click", "purchase")))) {
+      val plan = planOf(df)
+      assert(shuffles(plan) == 2, s"$name expected 2 exchanges:\n${plan.take(3000)}")
+      assert(!plan.contains("Join"), s"$name must not join:\n${plan.take(3000)}")
+    }
+  }
+
   test("tfIdfTopTerms: one scan, df via term window — no join, no vocab broadcast") {
     val out = graft.pipeline.TextAnalysis.tfIdfTopTerms(
       table("documents"), "doc_id", "text", 3)
