@@ -274,32 +274,75 @@ object DriftExact {
     * rows collected, and `statOf(binCounts, na, nb)` folded over the
     * per-bin (bin, ca, cb) triples in ascending bin order driver-side
     * so the float accumulation order is deterministic. */
+  /** PSI per KEY (e.g. a segment column) over per-key fixed-width bins —
+    * the PSI member of the segmented-drift trio with [[ksStatsByKey]]
+    * (each key gets ITS OWN [min, max] envelope, as running each column
+    * separately would). Same two-scan shape as [[psiStats]]; the driver
+    * holds ≤ keys×nBins rows, so `maxSegments` refuses an id-like key
+    * column instead of collecting it. NULL keys are dropped. */
+  def psiStatsByKey(
+      df: DataFrame, key: Column, valueCol: String, isTarget: Column,
+      nBins: Int = 30, eps: Double = 1e-4,
+      maxSegments: Int = 10000): Map[String, (Double, Long, Long)] = {
+    val prepared = df
+      .select(key.cast("string").as("__c"),
+        F.col(valueCol).cast("double").as("__v"),
+        F.when(isTarget, 1L).otherwise(0L).as("__ca"))
+      .filter(F.col("__c").isNotNull)
+      .withColumn("__cb", F.lit(1L) - F.col("__ca"))
+    binnedCore(prepared, Nil, nBins, maxSegments) { (counts, na, nb) =>
+      var acc = 0.0
+      counts.foreach { case (_, ca, cb) =>
+        val pa = math.max(ca.toDouble / na, eps)
+        val pb = math.max(cb.toDouble / nb, eps)
+        acc += (pa - pb) * math.log(pa / pb)
+      }
+      acc
+    }
+  }
+
   private def binnedStats(
       df: DataFrame, valueCols: Seq[String], isTarget: Column,
       nBins: Int)(
       statOf: (Array[(Long, Long, Long)], Long, Long) => Double)
       : Map[String, (Double, Long, Long)] = {
-    require(nBins > 0, s"nBins must be positive: $nBins")
     require(valueCols.nonEmpty, "binned drift stats need at least one column")
     val pair = F.explode(F.array(valueCols.map(c =>
       F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
-    def x = df.select(pair, F.when(isTarget, 1L).otherwise(0L).as("__ca"))
+    val prepared = df.select(pair, F.when(isTarget, 1L).otherwise(0L).as("__ca"))
       .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"),
         F.col("__ca"), (F.lit(1L) - F.col("__ca")).as("__cb"))
-      .filter(F.col("__v").isNotNull)
-    val head = x.groupBy("__c").agg(
+    binnedCore(prepared, valueCols, nBins, valueCols.size)(statOf)
+  }
+
+  /** Shared per-key exact-binning core: `prepared` carries (__c key,
+    * __v value, __ca, __cb); each key gets its own (min, max) envelope.
+    * `wantKeys` fixes the output key set (empty ⇒ keys found in the
+    * data); `maxKeys` bounds the driver-side envelope collect. */
+  private def binnedCore(
+      prepared: DataFrame, wantKeys: Seq[String], nBins: Int, maxKeys: Int)(
+      statOf: (Array[(Long, Long, Long)], Long, Long) => Double)
+      : Map[String, (Double, Long, Long)] = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val x = prepared.filter(F.col("__v").isNotNull)
+    val headRows = x.groupBy("__c").agg(
       F.min("__v").as("lo"), F.max("__v").as("hi"),
       F.sum("__ca").as("na"), F.sum("__cb").as("nb"))
-      .collect().map(r =>
+      .take(maxKeys + 1)
+    require(headRows.length <= maxKeys,
+      s"more than $maxKeys keys: not a segment column — pass a " +
+        "bounded-cardinality column or raise the limit")
+    val head = headRows.map(r =>
         r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
       .toMap
-    val live = valueCols.filter(c => head.get(c).exists {
+    val outKeys = if (wantKeys.nonEmpty) wantKeys else head.keys.toSeq.sorted
+    val live = outKeys.filter(c => head.get(c).exists {
       case (lo, hi, na, nb) => na > 0L && nb > 0L && hi > lo
     })
     val binned: Map[String, Array[(Long, Long, Long)]] =
       if (live.isEmpty) Map.empty
       else {
-        val spark = df.sparkSession
+        val spark = prepared.sparkSession
         import spark.implicits._
         val meta = live.map { c =>
           val (lo, hi, _, _) = head(c)
@@ -317,7 +360,7 @@ object DriftExact {
             c -> rows.map(t => (t._2, t._3, t._4)).sortBy(_._1)
           }
       }
-    valueCols.map { c =>
+    outKeys.map { c =>
       val (_, _, na, nb) = head.getOrElse(c, (0.0, 0.0, 0L, 0L))
       val h = binned.get(c).fold(0.0)(statOf(_, na, nb))
       c -> ((h, na, nb))

@@ -1496,6 +1496,41 @@ object StandardQueries {
            | FROM c JOIN t ON c.seg = t.seg
            | GROUP BY c.seg, na, nb ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
+  /** Exact PSI PER SEGMENT ([[DriftExact.psiStatsByKey]]): each
+    * event_type scored over its own [min, max] fixed-width bins, one
+    * scan for all segments. psi rounded to 8 on both sides (ln() ulp
+    * parity, as in the other PSI queries). */
+  private def qDriftPsiSegmented = Q(
+    (s, dir) => {
+      import s.implicits._
+      val stats = DriftExact.psiStatsByKey(
+        events(s, dir), F.col("event_type"), "value",
+        F.col("event_id") % 3 === 0)
+      stats.toSeq.sortBy(_._1).map { case (seg, (p, na, nb)) =>
+        (seg, p, na, nb)
+      }.toDF("segment", "psi", "n_target", "n_ref")
+        .select(F.col("segment"), F.round(F.col("psi"), 8).as("psi"),
+          F.col("n_target"), F.col("n_ref"))
+        .orderBy("segment")
+    },
+    Some("""WITH b AS (SELECT event_type AS seg, CAST(value AS DOUBLE) AS v,
+           |   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+           | mm AS (SELECT seg, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+           | p AS (SELECT seg, lo, CASE WHEN hi > lo THEN (hi - lo)/30 ELSE 1.0 END AS wd FROM mm),
+           | g AS (SELECT b.seg, LEAST(CAST(floor((v - lo)/wd) AS BIGINT), 29) AS bin,
+           |   sum(ta) AS ca, sum(1 - ta) AS cb
+           |  FROM b JOIN p ON b.seg = p.seg GROUP BY 1, 2),
+           | t AS (SELECT seg, sum(ca) AS na, sum(cb) AS nb FROM g GROUP BY 1),
+           | d AS (SELECT g.seg, bin,
+           |   GREATEST(CAST(ca AS DOUBLE)/na, 0.0001) AS pa,
+           |   GREATEST(CAST(cb AS DOUBLE)/nb, 0.0001) AS pb, na, nb
+           |  FROM g JOIN t ON g.seg = t.seg)
+           | SELECT seg AS segment,
+           |  round(sum((pa - pb) * ln(pa / pb) ORDER BY bin), 8) AS psi,
+           |  CAST(max(na) AS BIGINT) AS n_target, CAST(max(nb) AS BIGINT) AS n_ref
+           | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** PSI over reference-decile bins ([[DriftExact.psiQuantileStats]]):
     * the equal-population-bin PSI configuration, with edges from the
     * distributed [[graft.analysis.ExactQuantiles]] (bit-equal to DuckDB
@@ -3088,6 +3123,7 @@ object StandardQueries {
     "drift_chi2_stat" -> qDriftChi2Stat,
     "drift_ks_exact" -> qDriftKsExact,
     "drift_ks_segmented" -> qDriftKsSegmented,
+    "drift_psi_segmented" -> qDriftPsiSegmented,
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,

@@ -263,6 +263,30 @@ class DriftExactSpec extends SparkSpec {
     }
   }
 
+  test("psiStatsByKey equals independent per-segment psiStats runs; id-like key refused") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = Seq.fill(500)((
+      Seq("a", "b")(rng.nextInt(2)),
+      rng.nextGaussian() * 10 + (if (rng.nextBoolean()) 5 else 0),
+      rng.nextBoolean()))
+    val df = rows.toDF("seg", "v", "is_t").repartition(5)
+    val byKey = DriftExact.psiStatsByKey(df, F.col("seg"), "v", F.col("is_t"))
+    assert(byKey.keySet == Set("a", "b"))
+    Seq("a", "b").foreach { s =>
+      val single = DriftExact.psiStats(
+        df.filter(F.col("seg") === s), Seq("v"), F.col("is_t"))("v")
+      assert(byKey(s) == single, s"segment $s")
+    }
+    val idLike = rows.zipWithIndex.map { case ((_, v, t), i) => (s"id$i", v, t) }
+      .toDF("seg", "v", "is_t")
+    val e = intercept[IllegalArgumentException] {
+      DriftExact.psiStatsByKey(idLike, F.col("seg"), "v", F.col("is_t"),
+        maxSegments = 50)
+    }
+    assert(e.getMessage.contains("segment"))
+  }
+
   test("psiQuantileStats: hand-computed two-bin split on reference-median edge") {
     import spark.implicits._
     // ref = {1,2,3,4} (median edge 2.5), target = {3,3,4,4}: all target
