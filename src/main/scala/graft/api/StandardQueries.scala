@@ -1531,6 +1531,69 @@ object StandardQueries {
            |  CAST(max(na) AS BIGINT) AS n_target, CAST(max(nb) AS BIGINT) AS n_ref
            | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
+  /** Per-segment drift ALERT report: segmented exact KS and PSI fused
+    * into one monitoring table with the conventional thresholds (KS
+    * 0.1/0.2 per the reference's drift config bands; PSI 0.1/0.25,
+    * Siddiqi 2006) — the table a monitoring loop actually pages on.
+    * Status logic is pure CASE over already-bit-exact stats. */
+  private def qDriftAlertReport = Q(
+    (s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val isT = F.col("event_id") % 3 === 0
+      val ks = DriftExact.ksStatsByKey(ev, F.col("event_type"), "value", isT)
+      val psi = DriftExact.psiStatsByKey(ev, F.col("event_type"), "value", isT)
+      val segs = (ks.keySet ++ psi.keySet).toSeq.sorted
+      segs.map { g =>
+        val (d, na, nb) = ks.getOrElse(g, (0.0, 0L, 0L))
+        val (p, _, _) = psi.getOrElse(g, (0.0, 0L, 0L))
+        (g, d, p, na, nb)
+      }.toDF("segment", "ks_stat", "psi0", "n_target", "n_ref")
+        // round FIRST, derive statuses from the rounded value — both
+        // engines then threshold the identical double
+        .withColumn("psi", F.round(F.col("psi0"), 8))
+        .select(F.col("segment"), F.col("ks_stat"), F.col("psi"),
+          F.when(F.col("ks_stat") >= 0.2, "drift")
+            .when(F.col("ks_stat") >= 0.1, "possible_drift")
+            .otherwise("no_drift").as("ks_status"),
+          F.when(F.col("psi") >= 0.25, "shifted")
+            .when(F.col("psi") >= 0.1, "drifting")
+            .otherwise("stable").as("psi_status"),
+          F.col("n_target"), F.col("n_ref"))
+        .orderBy("segment")
+    },
+    Some("""WITH b AS (SELECT event_type AS seg, CAST(value AS DOUBLE) AS v,
+           |   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+           | kg AS (SELECT seg, v, sum(ta) AS ca, sum(1 - ta) AS cb FROM b GROUP BY 1, 2),
+           | kt AS (SELECT seg, sum(ca) AS na, sum(cb) AS nb FROM kg GROUP BY 1),
+           | kc AS (SELECT seg, sum(ca) OVER (PARTITION BY seg ORDER BY v) AS cca,
+           |        sum(cb) OVER (PARTITION BY seg ORDER BY v) AS ccb FROM kg),
+           | ks AS (SELECT kc.seg,
+           |   CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_stat,
+           |   CAST(na AS BIGINT) AS n_target, CAST(nb AS BIGINT) AS n_ref
+           |  FROM kc JOIN kt ON kc.seg = kt.seg GROUP BY kc.seg, na, nb),
+           | mm AS (SELECT seg, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+           | p AS (SELECT seg, lo, CASE WHEN hi > lo THEN (hi - lo)/30 ELSE 1.0 END AS wd FROM mm),
+           | g AS (SELECT b.seg, LEAST(CAST(floor((v - lo)/wd) AS BIGINT), 29) AS bin,
+           |   sum(ta) AS ca, sum(1 - ta) AS cb FROM b JOIN p ON b.seg = p.seg GROUP BY 1, 2),
+           | t AS (SELECT seg, sum(ca) AS na, sum(cb) AS nb FROM g GROUP BY 1),
+           | d AS (SELECT g.seg, bin,
+           |   GREATEST(CAST(ca AS DOUBLE)/na, 0.0001) AS pa,
+           |   GREATEST(CAST(cb AS DOUBLE)/nb, 0.0001) AS pb FROM g JOIN t ON g.seg = t.seg),
+           | psi AS (SELECT seg, round(sum((pa - pb) * ln(pa / pb) ORDER BY bin), 8) AS psi
+           |  FROM d GROUP BY 1)
+           | SELECT ks.seg AS segment, ks.ks_stat, psi.psi,
+           |  CASE WHEN ks.ks_stat >= 0.2 THEN 'drift'
+           |       WHEN ks.ks_stat >= 0.1 THEN 'possible_drift'
+           |       ELSE 'no_drift' END AS ks_status,
+           |  CASE WHEN psi.psi >= 0.25 THEN 'shifted'
+           |       WHEN psi.psi >= 0.1 THEN 'drifting'
+           |       ELSE 'stable' END AS psi_status,
+           |  ks.n_target, ks.n_ref
+           | FROM ks JOIN psi ON ks.seg = psi.seg
+           | ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** PSI over reference-decile bins ([[DriftExact.psiQuantileStats]]):
     * the equal-population-bin PSI configuration, with edges from the
     * distributed [[graft.analysis.ExactQuantiles]] (bit-equal to DuckDB
@@ -3124,6 +3187,7 @@ object StandardQueries {
     "drift_ks_exact" -> qDriftKsExact,
     "drift_ks_segmented" -> qDriftKsSegmented,
     "drift_psi_segmented" -> qDriftPsiSegmented,
+    "drift_alert_report" -> qDriftAlertReport,
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,
