@@ -2929,7 +2929,7 @@ object StandardQueries {
            |  a.n_event_types, a.n_values, a.duration_secs
            | FROM a JOIN lastq ON a.user_id = lastq.user_id, wm
            | WHERE a.session_seq < lastq.last_seq
-           |   OR (a.end_us + 21600000000) // 1000 + 1 <= wm.wm_ms
+           |   OR (a.end_us + 21600000000) // 1000 + 1 < wm.wm_ms
            | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
   /** SLIDING-window stats (2h windows, 1h slide) — each event lands in

@@ -43,6 +43,9 @@ object AsofJoin {
     require(rightPayload.forall(c => !left.columns.contains(c)),
       s"payload collides with left columns: prefix it " +
         s"(${rightPayload.filter(left.columns.contains).mkString(", ")})")
+    val reserved = Seq("__ts", "__side", "__tie", "__pay", "__last")
+    require((left.columns ++ right.columns).forall(c => !reserved.contains(c)),
+      s"inputs must not use the reserved working names ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val payType = right.select(
       F.struct(rightPayload.map(F.col): _*).as("__pay")).schema("__pay").dataType
@@ -51,7 +54,13 @@ object AsofJoin {
       .withColumn("__side", F.lit(1))
       .withColumn("__tie", F.lit(null).cast("long"))
       .withColumn("__pay", F.lit(null).cast(payType))
+    // NULL never equals NULL in a SQL join: a NULL-keyed right row must
+    // not become the payload of a NULL-keyed left row just because the
+    // window partitioner groups NULLs together — drop such rows up
+    // front (left NULL-key rows then see an empty partition → null
+    // payload, matching ASOF left-outer semantics).
     val r0 = right
+      .filter(keyCols.map(F.col(_).isNotNull).reduce(_ && _))
       .withColumn("__ts", F.col(rightTs))
       .withColumn("__side", F.lit(0))
       .withColumn("__tie", F.col(tieCol).cast("long"))

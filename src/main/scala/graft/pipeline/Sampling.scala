@@ -70,7 +70,11 @@ object Sampling {
       salt: String = "", maxStrata: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(strata.as("__s")).agg(F.count(F.lit(1)).as("__n"))
+    // NULL strata are excluded from the counts too — a small null group
+    // must not drag nMin (and so every stratum's rate) down when its own
+    // rows are dropped by the join anyway.
+    val counts = df.filter(strata.isNotNull)
+      .groupBy(strata.as("__s")).agg(F.count(F.lit(1)).as("__n"))
       .select(F.col("__s").cast("string"), F.col("__n"))
       .take(maxStrata + 1)
     require(counts.length <= maxStrata,
@@ -109,7 +113,10 @@ object Sampling {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(strata.as("__s")).agg(F.count(F.lit(1)).as("__n"))
+    // NULL strata excluded from counts for the same reason as in
+    // balancedSample: they carry no surviving rows.
+    val counts = df.filter(strata.isNotNull)
+      .groupBy(strata.as("__s")).agg(F.count(F.lit(1)).as("__n"))
       .select(F.col("__s").cast("string"), F.col("__n"))
       .take(maxStrata + 1)
     require(counts.length <= maxStrata,

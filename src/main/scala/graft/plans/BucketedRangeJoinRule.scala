@@ -41,9 +41,21 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
 
+  /** Replication-factor bound: an interval spanning more buckets than
+    * this fails at runtime with a clear message instead of exploding to
+    * millions of rows (or hitting `sequence`'s 2^31 hard limit) — the
+    * session-wide rewrite must never turn a slow-but-working BETWEEN
+    * join into a silent OOM on one open-ended sentinel interval. */
+  val MaxBucketsKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
+
   private def width: Long =
     try conf.getConfString(WidthKey, "0").toLong catch {
       case _: NumberFormatException => 0L
+    }
+
+  private def maxBuckets: Long =
+    try conf.getConfString(MaxBucketsKey, "1000000").toLong catch {
+      case _: NumberFormatException => 1000000L
     }
 
   private def integral(e: Expression): Boolean =
@@ -97,8 +109,20 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case (Some((t, lo)), Some((t2, hi))) if t.semanticEquals(t2) && equi =>
             val bL = Alias(bucket(t, w), "__rj_b")()
             val newLeft = Project(left.output :+ bL, left)
+            // per-interval replication guard: fail fast with a clear
+            // message rather than explode an open-ended interval
+            val bLo = bucket(lo, w)
+            val bHi = bucket(hi, w)
+            val guardedHi = If(
+              GreaterThanOrEqual(Subtract(bHi, bLo), Literal(maxBuckets)),
+              Cast(new RaiseError(Literal(
+                s"bucketed range join: interval spans more than $maxBuckets " +
+                  s"buckets at width $w — raise $WidthKey, raise " +
+                  s"$MaxBucketsKey, or pre-filter open-ended intervals")),
+                LongType),
+              bHi)
             val gen = Explode(Sequence(
-              bucket(lo, w), bucket(hi, w), None, Some(conf.sessionLocalTimeZone)))
+              bLo, guardedHi, None, Some(conf.sessionLocalTimeZone)))
             val bR = AttributeReference("__rj_bs", LongType)()
             val newRight = Generate(gen, unrequiredChildIndex = Nil,
               outer = false, qualifier = None,

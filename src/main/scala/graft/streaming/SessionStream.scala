@@ -20,8 +20,10 @@ import org.apache.spark.sql.{functions => F}
   * an unbounded set).
   *
   * Scale shape: `groupByKey(user)` is the same single user-keyed
-  * exchange as the batch plan; state store entries are per ACTIVE user
-  * and expire via the timeout, so state does not grow with history.
+  * exchange as the batch plan; a timed-out user's session state shrinks
+  * to a zero-event sentinel holding only its last session_seq (so
+  * numbering survives the flush), hence state is O(distinct users ever
+  * seen) at a few dozen bytes each — not O(events).
   */
 object SessionStream {
 
@@ -53,15 +55,32 @@ object SessionStream {
       user: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
     if (state.hasTimedOut) {
-      val out = state.getOption.map(toSession(user, _)).iterator
-      state.remove()
-      return out
+      // Flush the idle user's open session but KEEP the sequence counter
+      // as a zero-event sentinel, so the user's next session continues
+      // the batch operator's 1..N numbering instead of restarting at 1
+      // (which would emit duplicate (user_id, session_seq) keys in
+      // append output). The sentinel is a few dozen bytes per ever-seen
+      // user; its timer is pushed effectively to infinity so it never
+      // re-fires (and if it somehow did, the nEvents guard emits
+      // nothing).
+      val flushed = state.getOption.filter(_.nEvents > 0L)
+      flushed.foreach { s =>
+        state.update(OpenSession(s.sessionSeq, 0L, 0L, 0L, 0L, Set.empty))
+        state.setTimeoutTimestamp(Long.MaxValue / 2)
+      }
+      return flushed.map(toSession(user, _)).iterator
     }
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
     sorted.foreach { e =>
       open = open match {
+        // resumed after a timeout flush: the sentinel carries only the
+        // last emitted sequence — continue numbering from it (this case
+        // must precede the gap checks or lastUs=0 would "close" it)
+        case Some(s) if s.nEvents == 0L =>
+          Some(OpenSession(s.sessionSeq + 1, e.ts_us, e.ts_us, 1L,
+            if (e.has_value) 1L else 0L, Set(e.event_type)))
         case Some(s) if e.ts_us - s.lastUs <= gapUs =>
           Some(s.copy(lastUs = math.max(s.lastUs, e.ts_us),
             nEvents = s.nEvents + 1,
@@ -81,7 +100,10 @@ object SessionStream {
     open.foreach { s =>
       state.update(s)
       // flush once the watermark passes the open session's gap horizon
-      state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1L)
+      // (a sentinel can only reach here on a data-less invocation, which
+      // the API never makes — but never arm its stale lastUs=0 timer)
+      if (s.nEvents > 0L)
+        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1L)
     }
     closed.result().iterator
   }

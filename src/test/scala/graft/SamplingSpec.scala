@@ -155,4 +155,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.balancedSample(df, F.col("k"), F.col("s"), maxStrata = 200)
       .count() == 200L)
   }
+
+  test("NULL strata neither survive nor drag other strata's rates down") {
+    import spark.implicits._
+    // stratum a: 100 rows, b: 50 rows, null: 2 rows — if the null group
+    // leaked into the counts, nMin would be 2 and both real strata
+    // would collapse to ~2 rows while the null rows are dropped anyway
+    val rows = (0L until 100L).map(k => (k, Option("a"))) ++
+      (100L until 150L).map(k => (k, Option("b"))) ++
+      Seq((900L, None: Option[String]), (901L, None))
+    val df = rows.toDF("k", "s").repartition(5)
+    val got = Sampling.balancedSample(df, F.col("k"), F.col("s"), salt = "nz")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.forall(_._2 != null), "null-strata rows must be dropped")
+    // nMin is 50 (stratum b), not 2: b survives whole, a keeps ~half
+    assert(got.count(_._2 == "b") == 50)
+    assert(got.count(_._2 == "a") > 25,
+      s"stratum a collapsed to ${got.count(_._2 == "a")} rows — null group leaked into nMin")
+    val t = Sampling.temperatureSample(
+      df, F.col("k"), F.col("s"), alpha = 0.5, salt = "nz")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(t.forall(_._2 != null))
+    assert(t.count(_._2 == "b") == 50)
+    assert(t.count(_._2 == "a") > 25)
+  }
 }

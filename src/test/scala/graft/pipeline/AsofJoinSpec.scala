@@ -91,4 +91,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 exchange (by key):\n${plan.take(3000)}")
     assert(!plan.contains("Join"), s"union+window, not a join:\n${plan.take(3000)}")
   }
+
+  test("NULL keys never match (SQL semantics) and reserved names are refused") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), 100L, 1L), (None: Option[Long], 100L, 2L))
+      .toDF("k", "t", "eid")
+    val right = Seq(
+      (Option(1L), 50L, 10L), (None: Option[Long], 60L, 11L))
+      .toDF("k", "rt", "rid")
+    val got = AsofJoin.asofLeft(left, right, Seq("k"), "t", "rt",
+      Seq("rid"), "rid")
+      .collect().map(r => (r.getLong(2), Option(r.getAs[java.lang.Long]("rid"))))
+      .toMap
+    assert(got(1L) == Some(10L))
+    // the NULL-keyed left row must NOT pick up the NULL-keyed right row
+    assert(got(2L) == None,
+      "NULL = NULL matched — diverges from SQL ASOF join semantics")
+    val bad = Seq((1L, 1L)).toDF("k", "__pay")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofLeft(bad, right, Seq("k"), "t", "rt", Seq("rid"), "rid")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

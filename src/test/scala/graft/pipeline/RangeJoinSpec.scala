@@ -47,4 +47,22 @@ class RangeJoinSpec extends SparkSpec {
       assert(got.toSet == naive, s"width $w")
     }
   }
+
+  test("open-ended sentinel interval fails fast instead of exploding") {
+    import spark.implicits._
+    val points = Seq((1L, 10L, 100L)).toDF("k", "t", "pid")
+    val sentinel = Seq((1L, 0L, Long.MaxValue, 500L)).toDF("k", "lo", "hi", "iid")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, sentinel, Seq("k"), "t", "lo", "hi",
+        bucketWidth = 10L).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("spans more than"), s"wrong failure: $msgs")
+    // a wide-but-bounded interval under the cap still works
+    val ok = RangeJoin.pointInInterval(points,
+      Seq((1L, 0L, 5000L, 500L)).toDF("k", "lo", "hi", "iid"),
+      Seq("k"), "t", "lo", "hi", bucketWidth = 10L).collect()
+    assert(ok.length == 1)
+  }
 }

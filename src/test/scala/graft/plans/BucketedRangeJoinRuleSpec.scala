@@ -101,4 +101,29 @@ class BucketedRangeJoinRuleSpec extends SparkSpec {
       spark.catalog.dropTempView("rj_intervals")
     }
   }
+
+  test("guard: an open-ended interval fails fast under the rewrite") {
+    import spark.implicits._
+    val points = Seq((1L, 10L, 100L)).toDF("k", "t", "pid")
+    val sentinel = Seq((1L, 0L, Long.MaxValue, 500L)).toDF("k2", "lo", "hi", "iid")
+    withRule(10L) {
+      val df = naiveJoin(points, sentinel)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__rj_b"))
+      val ex = intercept[Exception] { df.collect() }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("spans more than"), s"wrong failure: $msgs")
+      // raising the cap conf far enough is honored (small bounded case)
+      val bounded = Seq((1L, 0L, 5000L, 501L)).toDF("k2", "lo", "hi", "iid")
+      spark.conf.set(BucketedRangeJoinRule.MaxBucketsKey, "100")
+      try {
+        val ex2 = intercept[Exception] { naiveJoin(points, bounded).collect() }
+        val m2 = Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+        assert(m2.contains("spans more than"))
+        spark.conf.set(BucketedRangeJoinRule.MaxBucketsKey, "1000")
+        assert(naiveJoin(points, bounded).collect().length == 1)
+      } finally spark.conf.unset(BucketedRangeJoinRule.MaxBucketsKey)
+    }
+  }
 }

@@ -28,8 +28,9 @@ class SessionStreamSpec extends SparkSpec {
           r.getLong(6), r.getLong(7))).toMap
     // batch sessions; each user's LAST session is emitted only if the
     // trailing no-data micro-batch's event-time timeout fired for it:
-    // timer (end_us + gap)/1000 + 1 ms must be <= the final watermark
-    // (max event time − 1h delay)
+    // timer (end_us + gap)/1000 + 1 ms strictly below the final
+    // watermark (max event time − 1h delay) — Spark's
+    // processTimedOutState fires on timeoutTimestamp < watermark
     val all = Sessionize.sessions(batch, "user_id", "ts", 21600L,
       "event_id", "value", "event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
@@ -40,7 +41,7 @@ class SessionStreamSpec extends SparkSpec {
     }
     val wmMs = all.values.map(_._3).max / 1000L - 3600L * 1000L
     val expected = all.filter { case ((u, seq), s) =>
-      seq < lastSeq(u) || (s._3 + 21600L * 1000000L) / 1000L + 1L <= wmMs
+      seq < lastSeq(u) || (s._3 + 21600L * 1000000L) / 1000L + 1L < wmMs
     }
     assert(expected.nonEmpty, "fixture should close at least one session")
     // both regimes must actually occur or the test proves nothing
@@ -73,5 +74,37 @@ class SessionStreamSpec extends SparkSpec {
     assert(r.getLong(5) == 1L)            // n_event_types capped at 1
     assert(r.getLong(6) == 1L)            // n_values
     assert(r.getLong(7) == 30L)           // duration_secs
+  }
+
+  test("session_seq continues across an event-time timeout flush") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, Option[Double], String)](spark)
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "value", "event_type")
+    val qn = "ssc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = SessionStream.sessions(df, gapSeconds = 60L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    def batch(rows: (Long, java.sql.Timestamp, Long, Option[Double], String)*)
+        : Unit = { mem.addData(rows: _*); q.processAllAvailable() }
+    // user 7's first session; user 8 only exists to advance the watermark
+    batch((7L, ts("2024-01-01 00:00:00"), 1L, None, "a"))
+    batch((8L, ts("2024-01-01 02:00:00"), 2L, None, "a"))
+    // watermark (from the 02:00 event) passes 7's gap horizon → timeout
+    // flushes session 1 in this batch
+    batch((8L, ts("2024-01-01 04:00:00"), 3L, None, "a"))
+    // user 7 returns AFTER the flush: must continue as session 2
+    batch((7L, ts("2024-01-01 05:00:00"), 4L, None, "a"))
+    // two more watermark pushes: flush 7's second session via timeout too
+    batch((8L, ts("2024-01-01 08:00:00"), 5L, None, "a"))
+    batch((8L, ts("2024-01-01 10:00:00"), 6L, None, "a"))
+    q.stop()
+    val sevens = spark.table(qn).filter($"user_id" === 7L).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2)
+    // before the sentinel fix this was Seq(1, 1): the counter reset after
+    // the timeout flush and session 2 duplicated (user_id, session_seq)
+    assert(sevens.map(_._1).toSeq == Seq(1L, 2L),
+      s"expected session_seq 1,2 got ${sevens.toSeq}")
   }
 }
