@@ -1211,6 +1211,203 @@ object StandardQueries {
            | FROM tgt JOIN refagg USING (seg), tot ORDER BY segment""".stripMargin.replaceAll("\n", " ")))
 
   // ------------------------------------------------------------------
+  // ranking metrics (reference log_batch_ranking_metrics)
+  // ------------------------------------------------------------------
+
+  /** Per-user row-metrics fixture shared by the ranking queries:
+    * domain = the user's events in (ts, event_id) order, score =
+    * event_id % 97 (deliberate collisions exercise the stable
+    * tie-break), graded relevance 2/1/0 by event type; metrics via
+    * [[Ranking.logBatchRankingMetrics]] in score+target mode with k=10.
+    * The operator itself is map-only array expressions — the one
+    * groupBy here only BUILDS the fixture arrays. */
+  private def rankingRowMetrics(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      F.col("user_id"), F.col("ts"), F.col("event_id"),
+      (F.col("event_id") % 97).cast("double").as("score"),
+      F.when(F.col("event_type") === "purchase", 2.0)
+        .when(F.col("event_type") === "click", 1.0)
+        .otherwise(0.0).as("rel"))
+    val byUser = raw.groupBy("user_id").agg(
+      F.sort_array(F.collect_list(F.struct(
+        F.col("ts"), F.col("event_id"), F.col("score"), F.col("rel"))))
+        .as("evs"))
+      .select(F.col("user_id"),
+        F.transform(F.col("evs"), _.getField("score")).as("scores"),
+        F.transform(F.col("evs"), _.getField("rel")).as("rels"))
+    Ranking.logBatchRankingMetrics(byUser,
+      targetCol = Some("rels"), scoreCol = Some("scores"), k = Some(10),
+      clampK = false)
+      .select(F.col("user_id"),
+        F.round(F.col("recall_k_10"), 8).as("recall_k_10"),
+        F.round(F.col("precision_k_10"), 8).as("precision_k_10"),
+        F.col("top_rank"),
+        F.round(F.col("average_precision_k_10"), 8)
+          .as("average_precision_k_10"),
+        F.round(F.col("norm_dis_cumul_gain_k_10"), 8)
+          .as("norm_dis_cumul_gain_k_10"),
+        F.round(F.col("sum_gain_k_10"), 8).as("sum_gain_k_10"),
+        F.round(F.col("reciprocal_rank"), 8).as("reciprocal_rank"))
+  }
+
+  /** The shared relational CTE prefix reproducing [[rankingRowMetrics]]
+    * in ANSI SQL (k=10). */
+  private val rankingOracleCtes =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |   CAST(event_id % 97 AS DOUBLE) AS score,
+      |   CASE WHEN event_type = 'purchase' THEN 2.0
+      |        WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS rel
+      |  FROM events),
+      | r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY score DESC, ts, event_id) AS rnk
+      |  FROM e),
+      | m AS (
+      |  SELECT user_id,
+      |   count(*) FILTER (WHERE rnk <= 10 AND rel <> 0) AS c_at_k,
+      |   count(*) FILTER (WHERE rel <> 0) AS c_all,
+      |   min(rnk) FILTER (WHERE rel <> 0) AS top_rank,
+      |   coalesce(sum(rel) FILTER (WHERE rnk <= 10), 0) AS sum_gain,
+      |   coalesce(sum(rel / log2(rnk + 1)) FILTER (WHERE rnk <= 10), 0) AS dcg
+      |  FROM r GROUP BY 1),
+      | ideal AS (
+      |  SELECT user_id, sum(rel / log2(pos + 1)) AS idcg FROM (
+      |   SELECT user_id, rel, row_number() OVER (
+      |     PARTITION BY user_id ORDER BY rel DESC) AS pos FROM e)
+      |  WHERE pos <= 10 GROUP BY 1),
+      | ap AS (
+      |  SELECT user_id, avg(rn / CAST(rnk AS DOUBLE)) AS ap FROM (
+      |   SELECT user_id, rnk, row_number() OVER (
+      |     PARTITION BY user_id ORDER BY rnk) AS rn
+      |   FROM r WHERE rel <> 0 AND rnk <= 10) GROUP BY 1),
+      | fin AS (
+      |  SELECT m.user_id,
+      |   round(CASE WHEN m.c_all = 0 THEN NULL
+      |     ELSE m.c_at_k / CAST(m.c_all AS DOUBLE) END, 8) AS recall_k_10,
+      |   round(m.c_at_k / 10.0, 8) AS precision_k_10,
+      |   CAST(m.top_rank AS BIGINT) AS top_rank,
+      |   round(coalesce(ap.ap, 0), 8) AS average_precision_k_10,
+      |   round(CASE WHEN coalesce(ideal.idcg, 0) = 0 THEN 1.0
+      |     ELSE m.dcg / ideal.idcg END, 8) AS norm_dis_cumul_gain_k_10,
+      |   round(m.sum_gain, 8) AS sum_gain_k_10,
+      |   round(coalesce(1.0 / m.top_rank, 0), 8) AS reciprocal_rank
+      |  FROM m LEFT JOIN ideal ON m.user_id = ideal.user_id
+      |         LEFT JOIN ap ON m.user_id = ap.user_id)""".stripMargin
+
+  /** Ranking metrics, score+target mode (reference
+    * `log_batch_ranking_metrics` with `score_column`,
+    * `experimental/api/logger/__init__.py:289-296`): recall@10,
+    * precision@10, AP@10, NDCG@10, sum-gain@10, top rank and
+    * reciprocal rank per user. */
+  private def qRankingMetrics = Q(
+    (s, dir) => rankingRowMetrics(s, dir).orderBy("user_id"),
+    Some((rankingOracleCtes +
+      """
+        | SELECT * FROM fin ORDER BY user_id""").stripMargin
+      .replaceAll("\n", " ")))
+
+  /** Ranking metrics, string mode (the reference's
+    * `convert_non_numeric`, `__init__.py:31-35,66-94`): per user the
+    * ranked item list is their event types by frequency (ties
+    * alphabetical), the relevant set is types seen ≥ 14 times; k=3.
+    * Covers membership relevance, uncovered-target NDCG padding, and
+    * the empty-relevant-set edges (null recall, NDCG 1). */
+  private def qRankingMetricsStrings = Q(
+    (s, dir) => {
+      val cnt = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(F.count(F.lit(1)).as("n"))
+      val byUser = cnt.groupBy("user_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct(
+          (F.col("n") * -1).as("negn"), F.col("event_type").as("ty")))),
+          _.getField("ty")).as("preds"),
+        F.sort_array(F.collect_list(
+          F.when(F.col("n") >= 14, F.col("event_type")))).as("tgts"))
+      Ranking.logBatchRankingMetrics(byUser,
+        predictionCol = Some("preds"), targetCol = Some("tgts"),
+        k = Some(3), clampK = false)
+        .select(F.col("user_id"),
+          F.round(F.col("recall_k_3"), 8).as("recall_k_3"),
+          F.round(F.col("precision_k_3"), 8).as("precision_k_3"),
+          F.col("top_rank"),
+          F.round(F.col("average_precision_k_3"), 8)
+            .as("average_precision_k_3"),
+          F.round(F.col("norm_dis_cumul_gain_k_3"), 8)
+            .as("norm_dis_cumul_gain_k_3"),
+          F.round(F.col("sum_gain_k_3"), 8).as("sum_gain_k_3"),
+          F.round(F.col("reciprocal_rank"), 8).as("reciprocal_rank"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT user_id, event_type, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           | r AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY n DESC, event_type) AS pos,
+           |   (n >= 14) AS relv FROM c),
+           | m AS (
+           |  SELECT user_id,
+           |   count(*) FILTER (WHERE pos <= 3 AND relv) AS c_at_k,
+           |   count(*) FILTER (WHERE relv) AS c_all,
+           |   min(pos) FILTER (WHERE relv) AS top_rank,
+           |   coalesce(sum(1.0 / log2(pos + 1))
+           |     FILTER (WHERE pos <= 3 AND relv), 0) AS dcg
+           |  FROM r GROUP BY 1),
+           | ap AS (
+           |  SELECT user_id, avg(rn / CAST(pos AS DOUBLE)) AS ap FROM (
+           |   SELECT user_id, pos, row_number() OVER (
+           |     PARTITION BY user_id ORDER BY pos) AS rn
+           |   FROM r WHERE relv AND pos <= 3) GROUP BY 1),
+           | ideal AS (
+           |  SELECT user_id, CASE least(3, c_all)
+           |   WHEN 0 THEN 0.0 WHEN 1 THEN 1.0
+           |   WHEN 2 THEN 1.0 + 1.0 / log2(3)
+           |   ELSE 1.0 + 1.0 / log2(3) + 0.5 END AS idcg FROM m)
+           | SELECT m.user_id,
+           |  round(CASE WHEN m.c_all = 0 THEN NULL
+           |    ELSE m.c_at_k / CAST(m.c_all AS DOUBLE) END, 8) AS recall_k_3,
+           |  round(m.c_at_k / 3.0, 8) AS precision_k_3,
+           |  CAST(m.top_rank AS BIGINT) AS top_rank,
+           |  round(coalesce(ap.ap, 0), 8) AS average_precision_k_3,
+           |  round(CASE WHEN ideal.idcg = 0 THEN 1.0
+           |    ELSE m.dcg / ideal.idcg END, 8) AS norm_dis_cumul_gain_k_3,
+           |  round(CAST(m.c_at_k AS DOUBLE), 8) AS sum_gain_k_3,
+           |  round(coalesce(1.0 / m.top_rank, 0), 8) AS reciprocal_rank
+           | FROM m JOIN ideal ON m.user_id = ideal.user_id
+           |        LEFT JOIN ap ON m.user_id = ap.user_id
+           | ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
+  /** Segmented ranking metrics (reference logs ranking metrics through
+    * segmented schemas, `__init__.py:356-369`): the per-user row
+    * metrics flow through the SAME segmented profiler as any other
+    * column set — counts, null counts and exact min/max per segment. */
+  private def qRankingMetricsSegmented = Q(
+    (s, dir) => {
+      val seg = rankingRowMetrics(s, dir)
+        .withColumn("seg", (F.col("user_id") % 4).cast("string"))
+      val prof = new Profiler().profileSegmentedDF(
+        seg.select("seg", "recall_k_10", "average_precision_k_10",
+          "reciprocal_rank"), Seq("seg"))
+      prof.select(F.col("segment_seg").as("seg"),
+        F.col("reciprocal_rank.counts.n").as("n"),
+        F.col("recall_k_10.counts.nulls").as("recall_nulls"),
+        F.col("reciprocal_rank.distribution.min").as("rr_min"),
+        F.col("reciprocal_rank.distribution.max").as("rr_max"),
+        F.col("average_precision_k_10.distribution.min").as("ap_min"),
+        F.col("average_precision_k_10.distribution.max").as("ap_max"))
+        .orderBy("seg")
+    },
+    Some((rankingOracleCtes +
+      """
+        | SELECT CAST(user_id % 4 AS VARCHAR) AS seg, count(*) AS n,
+        |  count(*) FILTER (WHERE recall_k_10 IS NULL) AS recall_nulls,
+        |  min(reciprocal_rank) AS rr_min, max(reciprocal_rank) AS rr_max,
+        |  min(average_precision_k_10) AS ap_min,
+        |  max(average_precision_k_10) AS ap_max
+        | FROM fin GROUP BY 1 ORDER BY 1""").stripMargin
+      .replaceAll("\n", " ")))
+
+  // ------------------------------------------------------------------
   // drift
   // ------------------------------------------------------------------
 
@@ -3263,6 +3460,9 @@ object StandardQueries {
     "range_join_sessions" -> qRangeJoinSessions,
     "events_funnel" -> qEventsFunnel,
     "events_retention" -> qEventsRetention,
+    "ranking_metrics" -> qRankingMetrics,
+    "ranking_metrics_strings" -> qRankingMetricsStrings,
+    "ranking_metrics_segmented" -> qRankingMetricsSegmented,
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
     "streaming_drift_psi" -> qStreamingDriftPsi,

@@ -233,4 +233,24 @@ class PlanSpec extends SparkSpec {
     assert(schemas.forall(_.subsetOf(Set("doc_id", "text"))),
       s"tf-idf scan reads unused columns: $schemas")
   }
+
+  test("ranking metrics: one user-keyed exchange, map-only metrics, no join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table("events")
+    val byUser = ev.select(F.col("user_id"),
+        (F.col("event_id") % 97).cast("double").as("score"),
+        F.when(F.col("event_type") === "purchase", 2.0).otherwise(0.0).as("rel"))
+      .groupBy("user_id")
+      .agg(F.collect_list(F.col("score")).as("scores"),
+        F.collect_list(F.col("rel")).as("rels"))
+    val out = graft.analysis.Ranking.logBatchRankingMetrics(byUser,
+      targetCol = Some("rels"), scoreCol = Some("scores"), k = Some(10),
+      clampK = false)
+    val plan = planOf(out)
+    // the metric computation itself adds NOTHING to the fixture's one
+    // groupBy exchange: every metric is a per-row array expression
+    assert(shuffles(plan) == 1, s"expected 1 exchange (fixture groupBy):\n$plan")
+    assert(!plan.contains("Join"), s"ranking metrics must not join:\n$plan")
+    // clampK=false: no extra job scanned the arrays for max length
+  }
 }
