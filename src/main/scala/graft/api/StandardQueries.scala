@@ -474,7 +474,27 @@ object StandardQueries {
           "hue_std", "sat_mean", "sat_std", "bright_mean", "bright_std")
         .orderBy("doc_id")
     },
-    Some("""WITH px AS (
+    Some(imageStatsOracle))
+
+  /** Same per-image statistics through the `javax.imageio` PNG codec
+    * ([[Multimodal.ImageIo]]) instead of the pure-JVM BMP path: PNG is
+    * lossless, so the decoded pixels — and therefore every statistic —
+    * must be bit-identical to the closed-form oracle. Covers the real
+    * ImageMetric decode surface (reference
+    * `extras/image_metric.py:160-313` profiles arbitrary PIL images). */
+  private def qImageStatsPng = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val png = Multimodal.syntheticImage(docs, "doc_id", format = "png")
+      Multimodal.withImageStats(png, "img")
+        .select("doc_id", "width", "height", "colorspace", "hue_mean",
+          "hue_std", "sat_mean", "sat_std", "bright_mean", "bright_std")
+        .orderBy("doc_id")
+    },
+    Some(imageStatsOracle))
+
+  private val imageStatsOracle =
+    ("""WITH px AS (
            |  SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + d.doc_id % 7 AS ht,
            |    (d.doc_id*7 + x.k*13 + y.k*31) % 256 AS r,
            |    (d.doc_id*11 + x.k*3 + y.k*5) % 256 AS g,
@@ -501,7 +521,7 @@ object StandardQueries {
            |  sqrt(CAST(count(*) * sum(s*s) - sum(s)*sum(s) AS DOUBLE)) / count(*) AS sat_std,
            |  CAST(sum(v) AS DOUBLE) / count(*) AS bright_mean,
            |  sqrt(CAST(count(*) * sum(v*v) - sum(v)*sum(v) AS DOUBLE)) / count(*) AS bright_std
-           | FROM hsv GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+           | FROM hsv GROUP BY doc_id ORDER BY doc_id""").stripMargin.replaceAll("\n", " ")
 
   /** REAL EXIF extraction (reference `image_metric.py:82-103`): a
     * synthetic TIFF per doc — alternating endianness by id parity — goes
@@ -3443,6 +3463,7 @@ object StandardQueries {
     "multimodal_meta" -> qMultimodalMeta,
     "multimodal_profile" -> qMultimodalProfile,
     "image_stats" -> qImageStats,
+    "image_stats_png" -> qImageStatsPng,
     "image_exif" -> qImageExif,
     "frame_hashes" -> Q(
       (s, dir) => {

@@ -9,15 +9,16 @@ import org.apache.spark.sql.types._
   * per partition over an iterator (Arrow-batch-shaped: the Scala analog of
   * a `mapInPandas` batch UDF).
   *
-  * NOTE: compressed codecs (JPEG/PNG/audio) are NOT available in this
-  * environment. Uncompressed BMP needs no codec — [[Bmp]] is a real
-  * pure-JVM decoder computing the reference ImageMetric's per-image
-  * features (width/height/colorspace + HSV channel mean/stddev +
+  * Image decode covers the standard-library formats: JPEG / PNG / GIF /
+  * TIFF / BMP through `javax.imageio` ([[ImageIo]] — the JDK ships these
+  * readers, no external codec needed), plus a pure-JVM streaming BMP
+  * fast path ([[Bmp]], O(1) memory per image, bit-pinned integer
+  * arithmetic). Both compute the reference ImageMetric's per-image
+  * feature set (width/height/colorspace + HSV channel mean/stddev +
   * histogram entropy, cf. reference
-  * python/whylogs/extras/image_metric.py:57-127); [[MediaDecoder.real]]
-  * routes BMP bytes through it and still fails loudly for formats that
-  * genuinely need a codec. The deterministic [[MediaDecoder.fake]]
-  * remains for plumbing tests.
+  * python/whylogs/extras/image_metric.py:57-127). Audio/video codecs
+  * remain out of JDK scope and fail loudly; the deterministic
+  * [[MediaDecoder.fake]] remains for plumbing tests.
   */
 object Multimodal {
 
@@ -29,17 +30,20 @@ object Multimodal {
   }
 
   object MediaDecoder {
-    /** Real decode for formats decodable without external codecs:
-      * uncompressed BMP via [[Bmp.decodeStats]]. Compressed formats
-      * (JPEG/PNG/video) still require a codec this container does not
-      * ship and fail loudly — wire one here in production. */
-    val real: MediaDecoder = (bytes: Array[Byte]) =>
-      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
-        val s = Bmp.decodeStats(bytes)
-        DecodedMedia(s.width, s.height, 3, s.brightMean / 255.0)
-      } else throw new UnsupportedOperationException(
-        "compressed-media codecs unavailable in this environment — " +
-          "only uncompressed BMP decodes; use MediaDecoder.fake for plumbing tests")
+    /** Real image decode: uncompressed BMP via the streaming
+      * [[Bmp.decodeStats]] fast path, every other JDK-readable format
+      * (JPEG/PNG/GIF/TIFF) via [[ImageIo.decodeStats]]. Audio/video (no
+      * JDK codec) fail loudly — wire a codec here in production. */
+    val real: MediaDecoder = (bytes: Array[Byte]) => {
+      val s =
+        if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+          Bmp.decodeStats(bytes)
+        else ImageIo.decodeStats(bytes)
+      val ch = s.colorspace match {
+        case "RGBA" => 4; case "L" => 1; case _ => 3
+      }
+      DecodedMedia(s.width, s.height, ch, s.brightMean / 255.0)
+    }
 
     /** Deterministic fake decode: dims/features derived from content bytes
       * so tests are stable and engine-portable. */
@@ -90,6 +94,114 @@ object Multimodal {
   final case class ImageStats(width: Int, height: Int, colorspace: String,
       hueMean: Double, hueStd: Double, satMean: Double, satStd: Double,
       brightMean: Double, brightStd: Double, entropy: Double)
+
+  /** Streaming per-pixel accumulator shared by every decoder: exact
+    * integer sums for the HSV statistics + the concatenated per-band RGB
+    * histogram for entropy. O(1) memory regardless of resolution. */
+  private[pipeline] final class PixelAcc {
+    private var n = 0L
+    private var sh, ss, sv, qh, qs, qv = 0L
+    private val hist = new Array[Long](768)
+
+    def add(r: Int, g: Int, b: Int): Unit = {
+      val (h, s, v) = Bmp.hsv255(r, g, b)
+      sh += h; ss += s; sv += v
+      qh += h.toLong * h; qs += s.toLong * s; qv += v.toLong * v
+      hist(r) += 1; hist(256 + g) += 1; hist(512 + b) += 1
+      n += 1
+    }
+
+    def result(width: Int, height: Int, colorspace: String): ImageStats = {
+      require(n > 0, "no pixels accumulated")
+      def mean(sum: Long) = sum.toDouble / n
+      def std(sum: Long, sumSq: Long) =
+        math.sqrt((n * sumSq - sum * sum).toDouble) / n
+      var entropy = 0.0
+      val total = 3.0 * n
+      var i = 0
+      while (i < 768) {
+        if (hist(i) > 0) {
+          val p = hist(i) / total
+          entropy -= p * (math.log(p) / math.log(2.0))
+        }
+        i += 1
+      }
+      ImageStats(width, height, colorspace, mean(sh), std(sh, qh), mean(ss),
+        std(ss, qs), mean(sv), std(sv, qv), entropy)
+    }
+  }
+
+  /** `javax.imageio` decode for every format the JDK ships a reader for
+    * — JPEG, PNG, GIF, TIFF (and BMP, though [[Bmp]] is the preferred
+    * streaming path for that): the standard-library analog of the
+    * reference's PIL decode (`extras/image_metric.py:160-313`). Pixels
+    * stream row-by-row through [[PixelAcc]] via `getRGB` row fetches, so
+    * per-image memory is the decoded raster plus one row buffer. */
+  object ImageIo {
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        "no ImageIO reader for these bytes — the JDK decodes " +
+          "JPEG/PNG/GIF/TIFF/BMP; audio/video need an external codec")
+      img
+    }
+
+    def decodeStats(bytes: Array[Byte]): ImageStats = statsOf(decode(bytes))
+
+    def statsOf(img: java.awt.image.BufferedImage): ImageStats = {
+      import java.awt.image.BufferedImage._
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w > 0 && h > 0, s"degenerate dims ${w}x$h")
+      val acc = new PixelAcc
+      val buf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, buf, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = buf(x)
+          acc.add((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      // PIL-mode-style colorspace label, like the reference's
+      // ImageMetric "ImagePixelType"
+      val cs =
+        if (img.getColorModel.hasAlpha) "RGBA"
+        else img.getType match {
+          case TYPE_BYTE_GRAY | TYPE_USHORT_GRAY => "L"
+          case _ => "RGB"
+        }
+      acc.result(w, h, cs)
+    }
+
+    /** Encode a synthetic image via the matching JDK writer ("png",
+      * "jpg", "gif", "tiff", "bmp"); `rgb(x, y)` supplies the pixel at
+      * column x, row y. */
+    def encode(width: Int, height: Int, format: String,
+        rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, s"degenerate dims ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = rgb(x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos),
+        s"no ImageIO writer for format $format")
+      bos.toByteArray
+    }
+  }
 
   /** Pure-JVM codec for uncompressed BMP (the one raster format that
     * needs no external library: 54-byte header + raw BGR rows). Decode is
@@ -182,9 +294,7 @@ object Multimodal {
       val rowSize = (width * step + 3) & ~3
       require(bytes.length >= pixelOff + rowSize.toLong * height,
         "truncated BMP pixel data")
-      val n = width * height
-      var sh, ss, sv, qh, qs, qv = 0L
-      val hist = new Array[Long](768)
+      val acc = new PixelAcc
       var y = 0
       while (y < height) {
         var off = pixelOff + y * rowSize
@@ -193,29 +303,12 @@ object Multimodal {
           val b = bytes(off) & 0xff
           val g = bytes(off + 1) & 0xff
           val r = bytes(off + 2) & 0xff
-          val (h, s, v) = hsv255(r, g, b)
-          sh += h; ss += s; sv += v
-          qh += h.toLong * h; qs += s.toLong * s; qv += v.toLong * v
-          hist(r) += 1; hist(256 + g) += 1; hist(512 + b) += 1
+          acc.add(r, g, b)
           off += step; x += 1
         }
         y += 1
       }
-      def mean(sum: Long) = sum.toDouble / n
-      def std(sum: Long, sumSq: Long) =
-        math.sqrt((n.toLong * sumSq - sum * sum).toDouble) / n
-      var entropy = 0.0
-      val total = 3.0 * n
-      var i = 0
-      while (i < 768) {
-        if (hist(i) > 0) {
-          val p = hist(i) / total
-          entropy -= p * (math.log(p) / math.log(2.0))
-        }
-        i += 1
-      }
-      ImageStats(width, height, "RGB", mean(sh), std(sh, qh), mean(ss),
-        std(ss, qs), mean(sv), std(sv, qv), entropy)
+      acc.result(width, height, "RGB")
     }
   }
 
@@ -227,9 +320,11 @@ object Multimodal {
     StructField("bright_mean", DoubleType), StructField("bright_std", DoubleType),
     StructField("entropy", DoubleType)))
 
-  /** Real decode stage: per-partition streaming BMP decode replacing the
+  /** Real decode stage: per-partition streaming decode replacing the
     * binary column with [[imageStatsSchema]] columns (same batch shape as
-    * [[decodeMetadata]]; NULL binaries yield NULL stats). */
+    * [[decodeMetadata]]; NULL binaries yield NULL stats). BMP bytes take
+    * the O(1)-memory [[Bmp]] path; JPEG/PNG/GIF/TIFF go through
+    * [[ImageIo]]. */
   def withImageStats(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields.filterNot(_.name == binCol) ++
       imageStatsSchema.fields)
@@ -242,7 +337,10 @@ object Multimodal {
         val stats: Seq[Any] =
           if (bytes == null) Seq.fill[Any](10)(null)
           else {
-            val s = Bmp.decodeStats(bytes)
+            val s =
+              if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+                Bmp.decodeStats(bytes)
+              else ImageIo.decodeStats(bytes)
             Seq[Any](s.width, s.height, s.colorspace, s.hueMean, s.hueStd,
               s.satMean, s.satStd, s.brightMean, s.brightStd, s.entropy)
           }
@@ -267,6 +365,31 @@ object Multimodal {
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
         val img = Bmp.encode24(w, h, (x, y) => (
+          ((id * 7 + x * 13 + y * 31) % 256).toInt,
+          ((id * 11 + x * 3 + y * 5) % 256).toInt,
+          ((id * 5 + x * 17 + y * 23) % 256).toInt))
+        Row.fromSeq(row.toSeq :+ img)
+      }
+    }(encoder)
+  }
+
+  /** Same deterministic fixture as [[syntheticBmp]] — identical
+    * closed-form pixel values — but encoded through a JDK `ImageIO`
+    * writer ("png"/"tiff"/"jpg"/...). With a lossless format the decoded
+    * statistics are bit-identical to the BMP path's, which is exactly
+    * what the image_stats_png oracle (and the cross-format spec)
+    * checks. */
+  def syntheticImage(df: DataFrame, idCol: String, format: String = "png",
+      out: String = "img"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val img = ImageIo.encode(w, h, format, (x, y) => (
           ((id * 7 + x * 13 + y * 31) % 256).toInt,
           ((id * 11 + x * 3 + y * 5) % 256).toInt,
           ((id * 5 + x * 17 + y * 23) % 256).toInt))

@@ -97,11 +97,15 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bmp.decodeStats(compressed))
   }
 
-  test("MediaDecoder.real: BMP decodes, codec-requiring formats still throw") {
+  test("MediaDecoder.real: BMP and PNG decode, non-image bytes still throw") {
     val d = MediaDecoder.real.decode(Bmp.encode24(9, 6, pix))
     assert(d.width == 9 && d.height == 6 && d.channels == 3)
-    intercept[UnsupportedOperationException](
-      MediaDecoder.real.decode("PNG".getBytes("ISO-8859-1")))
+    val p = MediaDecoder.real.decode(Multimodal.ImageIo.encode(9, 6, "png", pix))
+    assert(p.width == 9 && p.height == 6 && p.channels == 3)
+    assert(math.abs(p.featureNorm - d.featureNorm) < 1e-12,
+      "PNG and BMP of the same pixels must yield the same feature")
+    intercept[IllegalArgumentException](
+      MediaDecoder.real.decode("not an image at all".getBytes("ISO-8859-1")))
   }
 
   test("syntheticBmp + withImageStats over the corpus; NULL binary -> NULL stats") {
@@ -121,5 +125,75 @@ class MultimodalSpec extends SparkSpec {
     assert(!nr(0).isNullAt(nr(0).fieldIndex("hue_mean")))
     assert(nr(1).isNullAt(nr(1).fieldIndex("hue_mean")) &&
       nr(1).isNullAt(nr(1).fieldIndex("width")))
+  }
+
+  test("ImageIO lossless formats (PNG/TIFF/BMP-via-ImageIO) match Bmp bit-for-bit") {
+    val (w, h) = (13, 9)
+    val ref = Bmp.decodeStats(Bmp.encode24(w, h, pix))
+    for (fmt <- Seq("png", "tiff", "bmp")) {
+      val s = Multimodal.ImageIo.decodeStats(
+        Multimodal.ImageIo.encode(w, h, fmt, pix))
+      assert(s.width == w && s.height == h, fmt)
+      // lossless: identical pixels → identical integer sums → identical
+      // doubles, no tolerance needed
+      assert(s.hueMean == ref.hueMean && s.hueStd == ref.hueStd, fmt)
+      assert(s.satMean == ref.satMean && s.satStd == ref.satStd, fmt)
+      assert(s.brightMean == ref.brightMean && s.brightStd == ref.brightStd, fmt)
+      assert(s.entropy == ref.entropy, fmt)
+    }
+  }
+
+  test("JPEG decodes through ImageIO: exact dims, streaming stats match a naive recompute") {
+    val (w, h) = (24, 16)
+    // smooth gradient: JPEG's DCT quantization stays close on it
+    val smooth: (Int, Int) => (Int, Int, Int) =
+      (x, y) => (40 + x * 4, 60 + y * 6, 90 + x * 2 + y * 2)
+    val bytes = Multimodal.ImageIo.encode(w, h, "jpg", smooth)
+    val img = Multimodal.ImageIo.decode(bytes)
+    val s = Multimodal.ImageIo.statsOf(img)
+    assert(s.width == w && s.height == h && s.colorspace == "RGB")
+    // pin the streaming accumulator against a naive double-loop over the
+    // SAME decoded raster
+    val hsv = for (y <- 0 until h; x <- 0 until w) yield {
+      val p = img.getRGB(x, y)
+      Bmp.hsv255((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    def mean(f: ((Int, Int, Int)) => Int) = hsv.map(f(_).toDouble).sum / hsv.size
+    assert(math.abs(s.hueMean - mean(_._1)) < 1e-9)
+    assert(math.abs(s.satMean - mean(_._2)) < 1e-9)
+    assert(math.abs(s.brightMean - mean(_._3)) < 1e-9)
+    // lossy but close: decoded brightness near the source's on a gradient
+    val srcBright = (for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = smooth(x, y); math.max(r, math.max(g, b)).toDouble
+    }).sum / (w * h)
+    assert(math.abs(s.brightMean - srcBright) < 8.0,
+      s"JPEG brightness drifted: ${s.brightMean} vs $srcBright")
+  }
+
+  test("colorspace labels: grayscale L, alpha RGBA") {
+    import java.awt.image.BufferedImage
+    val g = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      g.setRGB(x, y, { val v = 40 + 10 * x; (v << 16) | (v << 8) | v })
+    val gs = Multimodal.ImageIo.statsOf(g)
+    assert(gs.colorspace == "L")
+    assert(gs.satMean == 0.0, "gray pixels have zero saturation")
+    val a = new BufferedImage(4, 4, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 0 until 4) a.setRGB(x, y, 0xff336699)
+    assert(Multimodal.ImageIo.statsOf(a).colorspace == "RGBA")
+  }
+
+  test("syntheticImage(png) + withImageStats equals the BMP pipeline exactly") {
+    val docs = table("documents").select("doc_id").limit(20)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.withImageStats(df, "img").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getDouble(r.fieldIndex("hue_mean")),
+          r.getDouble(r.fieldIndex("sat_std")),
+          r.getDouble(r.fieldIndex("bright_mean")),
+          r.getDouble(r.fieldIndex("entropy")))).toSeq
+    val viaBmp = run(Multimodal.syntheticBmp(docs, "doc_id"))
+    val viaPng = run(Multimodal.syntheticImage(docs, "doc_id", "png"))
+    assert(viaBmp == viaPng)
   }
 }
