@@ -27,7 +27,9 @@ object ProfileSerde {
   private val Magic = "GRFT1".getBytes("UTF-8")
   // v2: strings are length-delimited UTF-8 (writeUTF caps at 64KB of
   // modified UTF-8, which user metadata values can exceed); v1 readable.
-  private val Version = 2
+  // v3: optional feature-weights block after model performance; v1/v2
+  // files read as featureWeights = None.
+  private val Version = 3
 
   def toBytes(view: DatasetProfileView): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -56,6 +58,16 @@ object ProfileSerde {
         out.writeDouble(r.errorSum); out.writeDouble(r.sqErrorSum)
       }
     }
+    writeOpt(out, view.featureWeights) { fw =>
+      out.writeInt(fw.weights.size)
+      fw.weights.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        writeStr(out, k); out.writeDouble(v)
+      }
+      out.writeInt(fw.metadata.size)
+      fw.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        writeStr(out, k); writeStr(out, v)
+      }
+    }
     out.flush()
     bos.toByteArray
   }
@@ -66,7 +78,8 @@ object ProfileSerde {
     in.readFully(magic)
     require(java.util.Arrays.equals(magic, Magic), "not a GRFT1 profile")
     val version = in.readInt()
-    require(version == 1 || version == Version, s"unsupported profile version $version")
+    require(version >= 1 && version <= Version,
+      s"unsupported profile version $version")
     // v1 wrote modified-UTF8 via writeUTF; v2 writes length-delimited UTF-8
     implicit val readStr: DataInputStream => String =
       if (version == 1) (i: DataInputStream) => i.readUTF()
@@ -88,7 +101,16 @@ object ProfileSerde {
         in.readLong(), in.readDouble(), in.readDouble(), in.readDouble()))
       ModelPerformanceSummary(cm, rg)
     }
-    DatasetProfileView(cols, if (ts < 0) None else Some(ts), meta, mp)
+    val fw =
+      if (version < 3) None
+      else readOpt(in) {
+        val ws = (0 until in.readInt())
+          .map(_ => readStr(in) -> in.readDouble()).toMap
+        val md = (0 until in.readInt())
+          .map(_ => readStr(in) -> readStr(in)).toMap
+        FeatureWeights(ws, md)
+      }
+    DatasetProfileView(cols, if (ts < 0) None else Some(ts), meta, mp, fw)
   }
 
   // --- column blocks ---

@@ -238,7 +238,8 @@ final case class DatasetProfileView(
     columns: Map[String, ColumnProfileView],
     datasetTimestampMs: Option[Long] = None,
     metadata: Map[String, String] = Map.empty,
-    modelPerformance: Option[ModelPerformanceSummary] = None) {
+    modelPerformance: Option[ModelPerformanceSummary] = None,
+    featureWeights: Option[FeatureWeights] = None) {
 
   /** Column-name union, per-metric monoid merge
     * (reference `view/dataset_profile_view.py:172-183`). */
@@ -256,7 +257,11 @@ final case class DatasetProfileView(
       (modelPerformance, o.modelPerformance) match {
         case (Some(a), Some(b)) => Some(a.merge(b))
         case (a, b)             => a.orElse(b)
-      })
+      },
+      // the reference defines no weight-merge semantics (weights are an
+      // externally-supplied annotation, not an aggregate) — keep the
+      // left operand's, falling back to the right's
+      featureWeights.orElse(o.featureWeights))
   }
 
   def summaryRows: Seq[(String, String, Option[Double], Option[String])] =
