@@ -2481,6 +2481,67 @@ object StandardQueries {
            | FROM base b LEFT JOIN bitop t USING (doc_id) LEFT JOIN tridup d USING (doc_id)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** C4 line-level cleaning ([[graft.pipeline.TextAnalysis.c4Clean]]):
+    * the synthetic corpus has no line structure, so the fixture builds a
+    * deterministic 5-line page per doc from text substrings — one good
+    * line, one too-short line, one without terminal punctuation, one
+    * javascript-or-good line, one sometimes-empty line, with a
+    * lorem-ipsum doc-ban salted by doc_id — exercising every rule and
+    * both verdicts. Cleaned text is hash-compared via md5. */
+  private def qC4Clean = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val synth = F.concat_ws("\n",
+        F.concat(F.substring(F.col("text"), 1, 50), F.lit("."),
+          F.when(F.col("doc_id") % 11 === 0, " lorem ipsum").otherwise("")),
+        F.lit("short line"),
+        F.substring(F.col("text"), 51, 60),
+        F.when(F.col("doc_id") % 7 === 0, F.lit("enable javascript to view."))
+          .otherwise(F.concat(F.substring(F.col("text"), 111, 40), F.lit("?"))),
+        F.when(F.col("doc_id") % 3 === 0,
+          F.concat(F.substring(F.col("text"), 151, 45), F.lit("!")))
+          .otherwise(F.lit("")))
+      TextAnalysis.c4Clean(d.withColumn("page", synth), "page",
+        minSentences = 3)
+        .select(F.col("doc_id"), F.col("n_lines"), F.col("n_lines_kept"),
+          F.col("n_sentences"), F.col("c4_keep"), F.col("c4_drop_reason"),
+          F.md5(F.col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           | SELECT doc_id,
+           |  substr(text, 1, 50) || '.' ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END AS l1,
+           |  'short line' AS l2,
+           |  substr(text, 51, 60) AS l3,
+           |  CASE WHEN doc_id % 7 = 0 THEN 'enable javascript to view.'
+           |       ELSE substr(text, 111, 40) || '?' END AS l4,
+           |  CASE WHEN doc_id % 3 = 0 THEN substr(text, 151, 45) || '!'
+           |       ELSE '' END AS l5
+           | FROM documents),
+           | k AS (
+           | SELECT doc_id, [l1, l2, l3, l4, l5] AS ls,
+           |  list_filter([l1, l2, l3, l4, l5], x ->
+           |    regexp_matches(rtrim(x), '[.!?"]$')
+           |    AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+           |    AND NOT contains(lower(x), 'javascript')) AS kept,
+           |  contains(lower(l1 || chr(10) || l2 || chr(10) || l3 || chr(10)
+           |    || l4 || chr(10) || l5), 'lorem ipsum') AS docban
+           | FROM d),
+           | c AS (
+           | SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_lines_kept,
+           |  coalesce(array_to_string(kept, chr(10)), '') AS clean, docban
+           | FROM k)
+           | SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           |  CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+           |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
+           |  (NOT docban AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS c4_keep,
+           |  CASE WHEN docban THEN 'banned_content'
+           |       WHEN len(regexp_extract_all(clean, '[.!?]')) < 3
+           |       THEN 'too_few_sentences' END AS c4_drop_reason,
+           |  md5(clean) AS clean_md5
+           | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Gopher-rules corpus filter
     * ([[graft.pipeline.TextAnalysis.gopherQualityFilter]]): signals,
     * keep verdict AND the first-failing-rule reason string, all
@@ -3434,6 +3495,7 @@ object StandardQueries {
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
     "quality_filter" -> qQualityFilter,
+    "c4_clean" -> qC4Clean,
     "text_repetition" -> qTextRepetition,
     "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,

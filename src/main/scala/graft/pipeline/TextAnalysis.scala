@@ -212,6 +212,47 @@ object TextAnalysis {
       keep.as("keep"), reason.as("reason"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al., arXiv:1910.10683 §2.2
+    * — the other canonical web-corpus rule family next to Gopher's
+    * document-level gates): keep only lines that end in terminal
+    * punctuation, have at least `minLineWords` words and mention no
+    * line-banned phrase (the paper bans "javascript"); then drop
+    * documents whose cleaned text has fewer than `minSentences`
+    * sentences or that contain a doc-banned phrase anywhere (the paper
+    * bans "lorem ipsum" and the curly brace).
+    *
+    * Appends `n_lines`, `n_lines_kept`, `clean_text`, `n_sentences`,
+    * `c4_keep` and `c4_drop_reason` (first failing rule — the audit
+    * trail). Map-only higher-order array expressions over the split
+    * lines: no UDF, no shuffle, and every output is a count, an exact
+    * string or a boolean, so a SQL oracle reproduces it bit-for-bit. */
+  def c4Clean(df: DataFrame, textCol: String, minLineWords: Int = 3,
+      minSentences: Int = 5,
+      bannedDoc: Seq[String] = Seq("lorem ipsum", "{"),
+      bannedLine: Seq[String] = Seq("javascript")): DataFrame = {
+    require(bannedDoc.nonEmpty && bannedLine.nonEmpty,
+      "pass the rule lists you want, not empty ones")
+    val txt = F.coalesce(F.col(textCol), F.lit(""))
+    val lines = F.split(txt, "\n")
+    val keptArr = F.filter(lines, l => {
+      val lineOk = F.rtrim(l).rlike("[.!?\"]$") &&
+        F.size(F.split(F.trim(l), "\\s+")) >= minLineWords
+      bannedLine.foldLeft(lineOk)((acc, b) => acc && !F.lower(l).contains(b))
+    })
+    val clean = F.array_join(keptArr, "\n")
+    val nSent = F.regexp_count(clean, F.lit("[.!?]"))
+    val docBan = bannedDoc.map(b => F.lower(txt).contains(b)).reduce(_ || _)
+    df.withColumn("n_lines", F.size(lines).cast("long"))
+      .withColumn("n_lines_kept", F.size(keptArr).cast("long"))
+      .withColumn("clean_text", clean)
+      .withColumn("n_sentences", nSent.cast("long"))
+      .withColumn("c4_keep", !docBan && nSent >= minSentences)
+      .withColumn("c4_drop_reason",
+        F.when(docBan, "banned_content")
+          .when(nSent < minSentences, "too_few_sentences")
+          .otherwise(F.lit(null).cast("string")))
+  }
+
   /** Corpus vocabulary statistics — the Zipf-tail numbers a pretraining
     * corpus report leads with: vocabulary size, total token count, hapax
     * legomena (terms occurring exactly once) and their fraction of the

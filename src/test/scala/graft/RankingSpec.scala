@@ -163,4 +163,70 @@ class RankingSpec extends SparkSpec {
         b.getAs[Double](s"norm_dis_cumul_gain_k_$k")), s"row $i ndcg")
     }
   }
+
+  test("property: random graded corpora match a direct port of the reference row functions") {
+    import spark.implicits._
+    // faithful port of RowWiseMetrics / _calculate_average_precisions
+    // (reference __init__.py:20-131, numeric branch)
+    def ref(pred: Seq[Long], tgt: Seq[Double], k: Int)
+        : (Long, Long, Option[Long], Option[Double], Double, Double, Double, Double, Double) = {
+      val pairs = pred.zip(tgt).sorted // python sorted(zip(pred, target))
+      def relevantCounter(kk: Int) = pairs.take(kk).count(_._2 != 0.0).toLong
+      def isK(kk: Int): Int = {
+        // the reference's list.index(k) assumes rank k exists (uniform
+        // row lengths — it raises otherwise); absent rank = not relevant
+        val idx = pred.indexOf(kk.toLong)
+        if (idx >= 0 && tgt(idx) != 0.0) 1 else 0
+      }
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val maxK = pred.length
+      val countAtK = relevantCounter(k)
+      val countAll = relevantCounter(maxK)
+      val topRank = (1 to maxK).find(isK(_) == 1).map(_.toLong)
+      val recall =
+        if (countAll == 0) None else Some(countAtK.toDouble / countAll)
+      val precision = countAtK.toDouble / k
+      val aps = (1 to k).map(ki => (relevantCounter(ki).toDouble / ki) * isK(ki))
+      val ap = aps.sum / math.max(aps.count(_ != 0.0), 1)
+      val dcg = tgt.zip(pred).collect {
+        case (t, p) if p <= k => t / log2(p + 1.0)
+      }.sum
+      val idcg = tgt.sorted.reverse.take(k).zipWithIndex.map {
+        case (t, i) => t / log2(i + 2.0)
+      }.sum
+      val ndcg = if (idcg == 0.0) 1.0 else dcg / idcg
+      val sumGain = pairs.take(k).map(_._2).sum
+      val rr = topRank.map(1.0 / _).getOrElse(0.0)
+      (countAtK, countAll, topRank, recall, precision, ap, ndcg, sumGain, rr)
+    }
+    val rng = new scala.util.Random(91)
+    val k = 3
+    val rows = Seq.fill(120) {
+      val n = 1 + rng.nextInt(12)
+      val pred = rng.shuffle((1L to n).toList)
+      val tgt = Seq.fill(n)(Seq(0.0, 0.0, 0.5, 1.0, 2.0)(rng.nextInt(5)))
+      (pred, tgt)
+    }
+    val out = Ranking.logBatchRankingMetrics(
+      rows.toDF("p", "t"), predictionCol = Some("p"), targetCol = Some("t"),
+      k = Some(k), clampK = false).collect()
+    rows.zip(out).zipWithIndex.foreach { case (((pred, tgt), row), i) =>
+      val (_, _, topRank, recall, precision, ap, ndcg, sumGain, rr) =
+        ref(pred, tgt, k)
+      assert(Option(row.getAs[java.lang.Long]("top_rank"))
+        .map(_.longValue) == topRank, s"row $i top_rank")
+      val gotRecall = Option(row.getAs[java.lang.Double](s"recall_k_$k"))
+        .map(_.doubleValue)
+      assert((gotRecall, recall) match {
+        case (Some(x), Some(y)) => near(x, y)
+        case (None, None) => true
+        case _ => false
+      }, s"row $i recall")
+      assert(near(row.getAs[Double](s"precision_k_$k"), precision), s"row $i precision")
+      assert(near(row.getAs[Double](s"average_precision_k_$k"), ap), s"row $i ap")
+      assert(near(row.getAs[Double](s"norm_dis_cumul_gain_k_$k"), ndcg), s"row $i ndcg")
+      assert(near(row.getAs[Double](s"sum_gain_k_$k"), sumGain), s"row $i sum_gain")
+      assert(near(row.getAs[Double]("reciprocal_rank"), rr), s"row $i rr")
+    }
+  }
 }
