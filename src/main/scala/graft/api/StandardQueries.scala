@@ -2542,6 +2542,32 @@ object StandardQueries {
            |  md5(clean) AS clean_md5
            | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** CCNet-style LM quality score
+    * ([[graft.pipeline.TextAnalysis.charBigramCrossEntropy]]): per-doc
+    * character-bigram cross-entropy against the corpus's own bigram
+    * distribution — the deterministic core of perplexity filtering.
+    * log2 sums rounded to 8 places; everything else exact counts. */
+  private def qCharlmScore = Q(
+    (s, dir) => graft.pipeline.TextAnalysis.charBigramCrossEntropy(
+      t(s, dir, "documents"), "doc_id", "text")
+      .select(F.col("doc_id"), F.col("n_bigrams"),
+        F.round(F.col("bits_per_bigram"), 8).as("bits_per_bigram"))
+      .orderBy("doc_id"),
+    Some("""WITH n AS (
+           | SELECT doc_id,
+           |  regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS t
+           | FROM documents),
+           | ex AS (
+           | SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg FROM (
+           |  SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM n)),
+           | c AS (SELECT bg, count(*) AS c FROM ex GROUP BY 1),
+           | tot AS (SELECT sum(c) AS t FROM c)
+           | SELECT ex.doc_id, count(*) AS n_bigrams,
+           |  round(-sum(log2(c.c / CAST(tot.t AS DOUBLE))) / count(*), 8)
+           |    AS bits_per_bigram
+           | FROM ex JOIN c USING (bg), tot
+           | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** Gopher-rules corpus filter
     * ([[graft.pipeline.TextAnalysis.gopherQualityFilter]]): signals,
     * keep verdict AND the first-failing-rule reason string, all
@@ -3496,6 +3522,7 @@ object StandardQueries {
     "text_stats" -> qTextStats,
     "quality_filter" -> qQualityFilter,
     "c4_clean" -> qC4Clean,
+    "charlm_score" -> qCharlmScore,
     "text_repetition" -> qTextRepetition,
     "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,

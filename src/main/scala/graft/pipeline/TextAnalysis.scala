@@ -253,6 +253,42 @@ object TextAnalysis {
           .otherwise(F.lit(null).cast("string")))
   }
 
+  /** Character-bigram cross-entropy quality score — the CCNet-style
+    * LM-filter family (Wenzek et al., arXiv:1911.00359 §4.3: score
+    * documents against a language model and drop the divergent tail)
+    * reduced to a deterministic, engine-reproducible core: the "model"
+    * is the corpus's own character-bigram distribution.
+    * `score(doc) = −(1/n) Σ log2 p(b)` over the doc's bigrams, with
+    * `p(b) = corpus_count(b) / corpus_total` — gibberish, wrong-language
+    * and boilerplate docs sit in the high tail. Text is normalized to
+    * `[a-z ]` with everything else mapped to '#', so the model alphabet
+    * is ≤ 28 chars and the count table ≤ 784 rows.
+    *
+    * Scale shape: pass 1 is a map-side-combined groupBy over ≤ 784 keys
+    * (the shuffle carries one row per key per task); pass 2 re-scans,
+    * explodes bigrams and BROADCAST-joins the KB-sized count table —
+    * the per-bigram log2 sums fold in the same per-doc aggregate. No
+    * window over the exploded relation: partitioning 10⁸ bigram rows by
+    * ≤ 784 keys would be the textbook skew trap. */
+  def charBigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = F.regexp_replace(F.lower(F.col(textCol)), "[^a-z ]", "#")
+    val bigrams = F.when(F.length(norm) < 2, F.array().cast("array<string>"))
+      .otherwise(F.transform(F.sequence(F.lit(1), F.length(norm) - 1),
+        i => norm.substr(i, F.lit(2))))
+    val ex = df.select(F.col(idCol), F.explode(bigrams).as("bg"))
+    val counts = ex.groupBy("bg").agg(F.count(F.lit(1)).as("c"))
+    val total = counts.agg(F.sum("c").as("t"))
+    val scored = ex
+      .join(F.broadcast(counts), "bg")
+      .crossJoin(F.broadcast(total))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).cast("long").as("n_bigrams"),
+        (-F.sum(F.log(2.0, F.col("c").cast("double") / F.col("t"))) /
+          F.count(F.lit(1))).as("bits_per_bigram"))
+    df.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   /** Corpus vocabulary statistics — the Zipf-tail numbers a pretraining
     * corpus report leads with: vocabulary size, total token count, hapax
     * legomena (terms occurring exactly once) and their fraction of the

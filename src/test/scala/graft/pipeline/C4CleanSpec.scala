@@ -55,4 +55,46 @@ class C4CleanSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("c4_keep"))
     assert(out(2L).getAs[String]("c4_drop_reason") == "too_few_sentences")
   }
+
+  test("charBigramCrossEntropy: hand-computed bits on a 2-doc corpus") {
+    import spark.implicits._
+    // doc1 "aa" → bigrams [aa]; doc2 "aab" → [aa, ab]
+    // counts: aa=2, ab=1, total=3
+    val out = TextAnalysis.charBigramCrossEntropy(
+      Seq((1L, "aa"), (2L, "aab")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_bigram"))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - -lg2(2.0 / 3)) < 1e-12)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - (-lg2(2.0 / 3) - lg2(1.0 / 3)) / 2) < 1e-12)
+  }
+
+  test("charBigramCrossEntropy: gibberish scores in the high tail of the real corpus") {
+    import spark.implicits._
+    val docs = table("documents").select("doc_id", "text").limit(200)
+      .unionByName(Seq((99991L, "qzxj wvqk zzpq xjqw vvkk zzzz qqqq"),
+        (99992L, "the table has a fast row scan and a hash value"))
+        .toDF("doc_id", "text"))
+    val scored = TextAnalysis.charBigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits_per_bigram"))
+      .toMap
+    val corpusMax = scored.filter(_._1 < 99991L).values.max
+    assert(scored(99991L) > corpusMax,
+      s"gibberish ${scored(99991L)} should exceed corpus max $corpusMax")
+    assert(scored(99992L) < scored(99991L))
+  }
+
+  test("plan: bigram counts broadcast back — no bigram-keyed window, joins broadcast") {
+    val out = TextAnalysis.charBigramCrossEntropy(
+      table("documents").select("doc_id", "text"), "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"count table must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join anywhere:\n${plan.take(3000)}")
+  }
 }
