@@ -116,6 +116,46 @@ object Graft {
     })
   }
 
+  /** `log_batch_ranking_metrics` (reference
+    * `experimental/api/logger/__init__.py:158-374`): compute the
+    * per-row ranking metrics ([[graft.analysis.Ranking]]) and profile
+    * them — just the metric columns unless `logFullData`, matching the
+    * reference's double-profiling guard (`:362-369`). */
+  def logBatchRankingMetrics(
+      df: DataFrame, predictionCol: Option[String] = None,
+      targetCol: Option[String] = None, scoreCol: Option[String] = None,
+      k: Option[Int] = None, logFullData: Boolean = false,
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): ProfileResultSet = {
+    val m = graft.analysis.Ranking.logBatchRankingMetrics(
+      df, predictionCol, targetCol, scoreCol, k)
+    val out =
+      if (logFullData) m
+      else m.select(m.columns.filterNot(df.columns.contains)
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    log(out, config, resolver)
+  }
+
+  /** Segmented ranking metrics (reference `:356-369`: segment columns
+    * ride along, every other input column is dropped from the result
+    * unless `logFullData`). */
+  def logSegmentedBatchRankingMetrics(
+      df: DataFrame, segmentColumns: Seq[String],
+      predictionCol: Option[String] = None,
+      targetCol: Option[String] = None, scoreCol: Option[String] = None,
+      k: Option[Int] = None, logFullData: Boolean = false,
+      config: MetricConfig = MetricConfig(),
+      resolver: ResolverSpec = ResolverSpec.default): SegmentedResultSet = {
+    val m = graft.analysis.Ranking.logBatchRankingMetrics(
+      df, predictionCol, targetCol, scoreCol, k)
+    val out =
+      if (logFullData) m
+      else m.select((segmentColumns ++
+        m.columns.filterNot(df.columns.contains))
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    logSegmented(out, segmentColumns, None, config, resolver)
+  }
+
   /** `why.write` / `why.read` — local binary profile files. */
   def write(result: ProfileResultSet, path: String): Unit =
     graft.profile.ProfileSerde.writeTo(result.view, path)

@@ -71,6 +71,33 @@ class GraftApiSpec extends SparkSpec {
       math.abs(mergedReg.absErrorSum - wholeReg.absErrorSum) < 1e-9)
   }
 
+  test("logBatchRankingMetrics profiles the metric columns, segmented variant segments them") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", Seq(1.0, 0.0, 1.0), Seq(2L, 3L, 1L)),
+      ("us", Seq(0.0, 0.0, 0.0), Seq(1L, 2L, 3L)),
+      ("eu", Seq(1.0, 1.0, 0.0), Seq(3L, 1L, 2L)))
+      .toDF("region", "targets", "predictions")
+    val r = Graft.logBatchRankingMetrics(df,
+      predictionCol = Some("predictions"), targetCol = Some("targets"),
+      k = Some(3))
+    // only the 7 metric columns are profiled, not the inputs
+    assert(r.view.columns.keySet == Set("recall_k_3", "precision_k_3",
+      "top_rank", "average_precision_k_3", "norm_dis_cumul_gain_k_3",
+      "sum_gain_k_3", "reciprocal_rank"))
+    assert(r.view.columns("reciprocal_rank").counts.get.n == 3)
+    // all-irrelevant row: top_rank null -> 2 non-null entries
+    assert(r.view.columns("top_rank").counts.get.nulls == 1)
+    val seg = Graft.logSegmentedBatchRankingMetrics(df, Seq("region"),
+      predictionCol = Some("predictions"), targetCol = Some("targets"),
+      k = Some(3))
+    assert(seg.segments.keySet == Set(Seq("us"), Seq("eu")))
+    assert(seg.segments(Seq("us")).columns("reciprocal_rank").counts.get.n == 2)
+    assert(!seg.segments(Seq("eu")).columns.keySet.contains("predictions"))
+    // merged segments equal the unsegmented profile on exact counters
+    assert(seg.merged.columns("top_rank").counts.get.nulls == 1)
+  }
+
   test("drift overrides force the chosen algorithm per column") {
     import graft.analysis.Drift
     val li = table("lineitem")
