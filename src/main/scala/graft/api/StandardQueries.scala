@@ -688,9 +688,13 @@ object StandardQueries {
       val li = t(s, dir, "lineitem")
       val p = new Profiler()
       val day0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
-      (0 until 3).foreach { i =>
-        val part = p.profile(li.filter(F.col("l_orderkey") % 3 === i), Some(liNumeric))
-        store.write(part, "lineitem", day0 + i * 86400000L)
+      // one segmented scan produces all three daily partials (the
+      // backfill shape: never re-scan the fact table per day)
+      val byDay = p.profileSegmented(
+        li.select((F.col("l_orderkey") % 3).cast("string").as("__day") +:
+          liNumeric.map(F.col): _*), Seq("__day"))
+      byDay.foreach { case (key, view) =>
+        store.write(view, "lineitem", day0 + key.head.toLong * 86400000L)
       }
       val merged = store.readMerged("lineitem", day0, day0 + 2 * 86400000L)
       import s.implicits._
