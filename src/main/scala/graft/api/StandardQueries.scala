@@ -714,6 +714,33 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** CSV source coverage (SURVEY §2.E: the reference profiles whatever
+    * pandas reads — csv being the everyday case): nation round-trips
+    * through an actual CSV write+read (explicit schema, header) and the
+    * profile of the CSV-sourced frame must match SQL over the parquet
+    * original. Columns restricted to comma-free fields so the format
+    * itself is not under test. */
+  private def qCsvSourceProfile = Q(
+    (s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val out = "target/tmp/csv_src_" + java.util.UUID.randomUUID().toString
+      n.write.mode("overwrite").option("header", "true").csv(out)
+      val back = s.read.option("header", "true").schema(n.schema).csv(out)
+      val prof = new Profiler().profileDF(back)
+      prof.select(
+        F.col("n_nationkey.counts.n").as("row_count"),
+        F.col("n_nationkey.ints.min").as("key_min"),
+        F.col("n_nationkey.ints.max").as("key_max"),
+        F.col("n_regionkey.ints.min").as("region_min"),
+        F.col("n_regionkey.ints.max").as("region_max"),
+        F.col("n_name.counts.nulls").as("name_nulls"))
+    },
+    Some("""SELECT count(*) AS row_count,
+           | min(n_nationkey) AS key_min, max(n_nationkey) AS key_max,
+           | min(n_regionkey) AS region_min, max(n_regionkey) AS region_max,
+           | count(*) FILTER (WHERE n_name IS NULL) AS name_nulls
+           | FROM nation""".stripMargin.replaceAll("\n", " ")))
+
   /** Byte-level `WHY1` interop (reference `dataset_profile_view.py:264-460`):
     * each partial profile goes through a full write→read cycle in the
     * reference container format before the monoid merge, so every compared
@@ -3473,6 +3500,7 @@ object StandardQueries {
     "full_profile_summary" -> qFullProfileSummary,
     "profile_summary_exact" -> qProfileSummaryExact,
     "profile_store_roundtrip" -> qProfileStoreRoundtrip,
+    "csv_source_profile" -> qCsvSourceProfile,
     "why1_roundtrip" -> qWhy1Roundtrip,
     "why1_segmented_roundtrip" -> qWhy1SegmentedRoundtrip,
     "v0_migration_roundtrip" -> qV0MigrationRoundtrip,
