@@ -79,13 +79,21 @@ class SerdePropertySpec extends AnyFunSuite {
     })
   } yield ColumnProfileView(counts, types, ints, dist, card, fi)
 
+  private val genWeights: Gen[FeatureWeights] = for {
+    n <- Gen.chooseNum(0, 6)
+    ks <- Gen.listOfN(n, Gen.identifier.suchThat(_.nonEmpty)).map(_.distinct)
+    vs <- Gen.listOfN(ks.size, Gen.chooseNum(-1e6, 1e6))
+    md <- Gen.mapOf(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), Gen.alphaNumStr))
+  } yield FeatureWeights(ks.zip(vs).toMap, md)
+
   private val genView: Gen[DatasetProfileView] = for {
     nCols <- Gen.chooseNum(0, 5)
     names <- Gen.listOfN(nCols, Gen.identifier.suchThat(_.nonEmpty)).map(_.distinct)
     cols <- Gen.sequence[List[(String, ColumnProfileView)], (String, ColumnProfileView)](
       names.map(n => genColumn.map(n -> _)))
     ts <- Gen.option(Gen.chooseNum(1L, 4102444800000L))
-  } yield DatasetProfileView(cols.toMap, ts)
+    fw <- Gen.option(genWeights)
+  } yield DatasetProfileView(cols.toMap, ts, featureWeights = fw)
 
   /** The fields every container must preserve exactly. */
   private def essence(v: DatasetProfileView): Map[String, Any] =
@@ -102,7 +110,10 @@ class SerdePropertySpec extends AnyFunSuite {
 
   test("GRFT1 round-trips arbitrary profiles exactly") {
     forAll(genView) { v =>
-      assert(essence(ProfileSerde.fromBytes(ProfileSerde.toBytes(v))) == essence(v))
+      val back = ProfileSerde.fromBytes(ProfileSerde.toBytes(v))
+      assert(essence(back) == essence(v))
+      // GRFT1 is the full-fidelity container: feature weights too
+      assert(back.featureWeights == v.featureWeights)
     }
   }
 
