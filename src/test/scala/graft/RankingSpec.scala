@@ -164,6 +164,36 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("edges: empty lists, k=1, and non-permutation duplicate ranks") {
+    import spark.implicits._
+    // empty row: no relevant data → reference semantics give NDCG 1,
+    // zero precision/AP/RR, null recall and top_rank
+    val empty = Ranking.logBatchRankingMetrics(
+      Seq((Seq.empty[Double], Seq.empty[Long]), (Seq(1.0), Seq(1L)))
+        .toDF("t", "p"),
+      predictionCol = Some("p"), targetCol = Some("t"), k = Some(1),
+      clampK = false).collect()
+    val e = empty(0)
+    assert(e.isNullAt(e.fieldIndex("recall_k_1")))
+    assert(e.isNullAt(e.fieldIndex("top_rank")))
+    assert(near(e.getAs[Double]("precision_k_1"), 0.0))
+    assert(near(e.getAs[Double]("average_precision_k_1"), 0.0))
+    assert(near(e.getAs[Double]("norm_dis_cumul_gain_k_1"), 1.0))
+    assert(near(e.getAs[Double]("reciprocal_rank"), 0.0))
+    val one = empty(1)
+    assert(near(one.getAs[Double]("recall_k_1"), 1.0))
+    assert(near(one.getAs[Double]("precision_k_1"), 1.0))
+    assert(one.getAs[Long]("top_rank") == 1L)
+    // duplicate ranks (not a 1..n permutation): the documented contract
+    // is "rank value <= k", so BOTH rank-1 elements count toward k=1
+    val dup = Ranking.logBatchRankingMetrics(
+      Seq((Seq(1.0, 1.0, 0.0), Seq(1L, 1L, 2L))).toDF("t", "p"),
+      predictionCol = Some("p"), targetCol = Some("t"), k = Some(1),
+      clampK = false).head
+    assert(near(dup.getAs[Double]("precision_k_1"), 2.0))
+    assert(dup.getAs[Long]("top_rank") == 1L)
+  }
+
   test("property: random graded corpora match a direct port of the reference row functions") {
     import spark.implicits._
     // faithful port of RowWiseMetrics / _calculate_average_precisions
