@@ -51,22 +51,28 @@ object SessionStream {
   /** One user's micro-batch: fold the (time-ordered) new events into the
     * open session, emitting every session closed by a gap. On timeout,
     * flush the open session. */
-  private def updateUser(gapUs: Long, maxEventTypes: Int)(
+  private def updateUser(gapUs: Long, maxEventTypes: Int,
+      retainSequence: Boolean)(
       user: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
     if (state.hasTimedOut) {
-      // Flush the idle user's open session but KEEP the sequence counter
-      // as a zero-event sentinel, so the user's next session continues
-      // the batch operator's 1..N numbering instead of restarting at 1
-      // (which would emit duplicate (user_id, session_seq) keys in
-      // append output). The sentinel is a few dozen bytes per ever-seen
-      // user; its timer is pushed effectively to infinity so it never
-      // re-fires (and if it somehow did, the nEvents guard emits
-      // nothing).
+      // Flush the idle user's open session but (by default) KEEP the
+      // sequence counter as a zero-event sentinel, so the user's next
+      // session continues the batch operator's 1..N numbering instead of
+      // restarting at 1 (which would emit duplicate
+      // (user_id, session_seq) keys in append output). The sentinel is a
+      // few dozen bytes per ever-seen user; its timer is pushed
+      // effectively to infinity so it never re-fires (and if it somehow
+      // did, the nEvents guard emits nothing). With
+      // retainSequence = false state drops to zero for idle users and
+      // numbering restarts per flush — the documented trade for corpora
+      // whose user universe dwarfs the state store.
       val flushed = state.getOption.filter(_.nEvents > 0L)
       flushed.foreach { s =>
-        state.update(OpenSession(s.sessionSeq, 0L, 0L, 0L, 0L, Set.empty))
-        state.setTimeoutTimestamp(Long.MaxValue / 2)
+        if (retainSequence) {
+          state.update(OpenSession(s.sessionSeq, 0L, 0L, 0L, 0L, Set.empty))
+          state.setTimeoutTimestamp(Long.MaxValue / 2)
+        } else state.remove()
       }
       return flushed.map(toSession(user, _)).iterator
     }
@@ -111,11 +117,16 @@ object SessionStream {
   /** Sessionize a streaming frame with columns
     * (user_id, ts, event_id, value, event_type). `watermarkDelay` bounds
     * how late an event may arrive and still join its session; the
-    * output is append-mode (each session emitted exactly once). */
+    * output is append-mode (each session emitted exactly once).
+    * `retainSequence` (default true) keeps a tiny per-user sentinel after
+    * a timeout flush so session_seq continues 1..N across idle gaps —
+    * state O(distinct users); pass false to drop idle users entirely
+    * (numbering restarts per flush, state O(active users)). */
   def sessions(
       stream: DataFrame, gapSeconds: Long,
       watermarkDelay: String = "1 hour",
-      maxEventTypes: Int = 1000): Dataset[Session] = {
+      maxEventTypes: Int = 1000,
+      retainSequence: Boolean = true): Dataset[Session] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -129,6 +140,6 @@ object SessionStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        updateUser(gapSeconds * 1000000L, maxEventTypes))
+        updateUser(gapSeconds * 1000000L, maxEventTypes, retainSequence))
   }
 }
