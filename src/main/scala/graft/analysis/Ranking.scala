@@ -46,13 +46,23 @@ object Ranking {
   /** Stable dense ranks from a score array: rank 1 = highest score,
     * equal scores rank by list position (numpy stable argsort). O(n log
     * n) per row via two comparator sorts, not the O(n²) pairwise count.
+    * NaN scores rank LAST (worst), matching the reference's
+    * `np.argsort(argsort(-score))` where `-NaN = NaN` sorts to the end
+    * — without the explicit branch the `<`/`>` comparator is
+    * non-transitive on NaN and the sort order would be undefined.
     */
   def ranksFromScores(scores: Column): Column = {
-    val zi = F.transform(scores, (x, i) => F.struct(x.as("s"), i.as("i")))
-    val sorted = F.array_sort(zi, (a, b) =>
-      F.when(a.getField("s") > b.getField("s"), F.lit(-1))
+    val zi = F.transform(scores,
+      (x, i) => F.struct(x.cast("double").as("s"), i.as("i")))
+    val sorted = F.array_sort(zi, (a, b) => {
+      val an = F.isnan(a.getField("s")) || a.getField("s").isNull
+      val bn = F.isnan(b.getField("s")) || b.getField("s").isNull
+      F.when(an && !bn, F.lit(1))
+        .when(!an && bn, F.lit(-1))
+        .when(a.getField("s") > b.getField("s"), F.lit(-1))
         .when(a.getField("s") < b.getField("s"), F.lit(1))
-        .otherwise(a.getField("i") - b.getField("i")))
+        .otherwise(a.getField("i") - b.getField("i"))
+    })
     // invert the permutation: (original index, rank), sorted by index
     val byIdx = F.array_sort(F.transform(sorted, (z, pos) =>
       F.struct(z.getField("i").as("i"), (pos + 1).cast("long").as("r"))))
@@ -185,6 +195,12 @@ object Ranking {
         val c = predictionCol.orElse(targetCol).get
         (indexRanks(F.col(c)), F.col(c).cast("array<double>"), false, c)
       } else if (scoreCol.nonEmpty) {
+        // string targets (or scores) would cast to all-null arrays and
+        // silently zero every metric; the reference raises on misuse
+        require(!isStringArray(df, targetCol.get) &&
+          !isStringArray(df, scoreCol.get),
+          "score mode needs numeric target and score arrays; got a " +
+            "string array — use prediction+target string mode for items")
         (ranksFromScores(F.col(scoreCol.get)),
           F.col(targetCol.get).cast("array<double>"), false, scoreCol.get)
       } else if (isStringArray(df, predictionCol.get) &&
@@ -192,14 +208,33 @@ object Ranking {
         (F.col(predictionCol.get), F.col(targetCol.get), true,
           predictionCol.get)
       } else {
+        require(!isStringArray(df, predictionCol.get) &&
+          !isStringArray(df, targetCol.get),
+          s"mixed ranking input types: ${predictionCol.get} and " +
+            s"${targetCol.get} must be both string arrays (item mode) or " +
+            "both numeric arrays (rank/relevance mode)")
         (F.col(predictionCol.get), F.col(targetCol.get).cast("array<double>"),
           false, predictionCol.get)
       }
     val kk = if (k.isEmpty || clampK) {
-      val maxK = df.agg(F.max(F.size(F.col(lenCol)))).head.getInt(0)
+      val aggRow = df.agg(F.max(F.size(F.col(lenCol)))).head
+      require(!aggRow.isNullAt(0),
+        "ranking metrics need at least one row with a non-null list")
+      val maxK = aggRow.getInt(0)
       require(maxK >= 1, "ranking metrics on empty lists only")
       math.min(k.getOrElse(maxK), maxK)
     } else k.get
+    // the seven appended names are the output contract; a colliding
+    // input column would be silently overwritten and then dropped by
+    // the facade's "new columns only" selection (same reserved-name
+    // stance as AsofJoin)
+    val outNames = Seq(s"recall_k_$kk", s"precision_k_$kk", "top_rank",
+      s"average_precision_k_$kk", s"norm_dis_cumul_gain_k_$kk",
+      s"sum_gain_k_$kk", "reciprocal_rank", "__rank_m")
+    val clashes = outNames.filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"input columns collide with ranking metric outputs: " +
+        s"${clashes.mkString(", ")} — rename them before logging")
     val m = if (stringMode) stringRow(pred, tgt, kk) else numericRow(pred, tgt, kk)
     df.withColumn("__rank_m", m)
       .withColumn(s"recall_k_$kk", F.col("__rank_m.recall"))

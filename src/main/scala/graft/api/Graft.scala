@@ -125,10 +125,11 @@ object Graft {
       df: DataFrame, predictionCol: Option[String] = None,
       targetCol: Option[String] = None, scoreCol: Option[String] = None,
       k: Option[Int] = None, logFullData: Boolean = false,
+      clampK: Boolean = true,
       config: MetricConfig = MetricConfig(),
       resolver: ResolverSpec = ResolverSpec.default): ProfileResultSet = {
     val m = graft.analysis.Ranking.logBatchRankingMetrics(
-      df, predictionCol, targetCol, scoreCol, k)
+      df, predictionCol, targetCol, scoreCol, k, clampK)
     val out =
       if (logFullData) m
       else m.select(m.columns.filterNot(df.columns.contains)
@@ -144,10 +145,11 @@ object Graft {
       predictionCol: Option[String] = None,
       targetCol: Option[String] = None, scoreCol: Option[String] = None,
       k: Option[Int] = None, logFullData: Boolean = false,
+      clampK: Boolean = true,
       config: MetricConfig = MetricConfig(),
       resolver: ResolverSpec = ResolverSpec.default): SegmentedResultSet = {
     val m = graft.analysis.Ranking.logBatchRankingMetrics(
-      df, predictionCol, targetCol, scoreCol, k)
+      df, predictionCol, targetCol, scoreCol, k, clampK)
     val out =
       if (logFullData) m
       else m.select((segmentColumns ++

@@ -114,8 +114,14 @@ object Multimodal {
     def result(width: Int, height: Int, colorspace: String): ImageStats = {
       require(n > 0, "no pixels accumulated")
       def mean(sum: Long) = sum.toDouble / n
+      // n·Σx² − (Σx)² in BigInt: the Long intermediates overflow past
+      // ~12M pixels (reachable through ImageIo, e.g. an 8000×8000
+      // photo) and would yield silent NaN/garbage stddevs. BigInt is
+      // exact, bit-identical to the old Long path where it didn't
+      // overflow, and runs 3×-per-image, not per pixel.
       def std(sum: Long, sumSq: Long) =
-        math.sqrt((n * sumSq - sum * sum).toDouble) / n
+        math.sqrt((BigInt(n) * BigInt(sumSq) - BigInt(sum) * BigInt(sum))
+          .max(BigInt(0)).toDouble) / n
       var entropy = 0.0
       val total = 3.0 * n
       var i = 0

@@ -259,4 +259,66 @@ class RankingSpec extends SparkSpec {
       assert(near(row.getAs[Double]("reciprocal_rank"), rr), s"row $i rr")
     }
   }
+
+  test("NaN scores rank last, matching argsort(-score) with NaN at the end") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 1.0, 0.0), Seq(0.5, Double.NaN, 0.9)))
+      .toDF("tgts", "scores")
+    // -NaN = NaN sorts to the end of np.argsort ascending → worst rank
+    val ranks = df.select(Ranking.ranksFromScores(F.col("scores")).as("r"))
+      .head.getSeq[Long](0)
+    assert(ranks == Seq(2L, 3L, 1L))
+    val out = Ranking.logBatchRankingMetrics(df,
+      targetCol = Some("tgts"), scoreCol = Some("scores"), k = Some(2)).head
+    assert(out.getAs[Long]("top_rank") == 2L)
+    assert(near(out.getAs[Double]("recall_k_2"), 0.5))
+    // two NaNs keep their relative list positions (stable within the group)
+    val two = Seq(Tuple1(Seq(Double.NaN, 0.3, Double.NaN))).toDF("s")
+      .select(Ranking.ranksFromScores(F.col("s"))).head.getSeq[Long](0)
+    assert(two == Seq(2L, 1L, 3L))
+  }
+
+  test("clampK=false with k beyond the longest list is honored, not clamped") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(2L, 1L))).toDF("t", "p")
+    val out = Ranking.logBatchRankingMetrics(df,
+      predictionCol = Some("p"), targetCol = Some("t"), k = Some(5),
+      clampK = false).head
+    // one relevant element at rank 2 of 2; denominators use the RAW k=5
+    assert(near(out.getAs[Double]("recall_k_5"), 1.0))
+    assert(near(out.getAs[Double]("precision_k_5"), 1.0 / 5))
+    assert(out.getAs[Long]("top_rank") == 2L)
+    // clampK=true (default) would have pinned the same frame to k=2
+    val clamped = Ranking.logBatchRankingMetrics(df,
+      predictionCol = Some("p"), targetCol = Some("t"), k = Some(5))
+    assert(clamped.columns.contains("recall_k_2"))
+  }
+
+  test("misuse fails loudly: empty frame, mixed types, reserved columns") {
+    import spark.implicits._
+    val empty = Seq.empty[(Seq[Double], Seq[Long])].toDF("t", "p")
+    val e1 = intercept[IllegalArgumentException] {
+      Ranking.logBatchRankingMetrics(empty,
+        predictionCol = Some("p"), targetCol = Some("t"), k = Some(2))
+    }
+    assert(e1.getMessage.contains("non-null list"), e1.getMessage)
+    val mixed = Seq((Seq("a", "b"), Seq(1L, 0L))).toDF("p", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      Ranking.logBatchRankingMetrics(mixed,
+        predictionCol = Some("p"), targetCol = Some("t"), k = Some(1))
+    }
+    assert(e2.getMessage.contains("mixed ranking input types"), e2.getMessage)
+    val strScore = Seq((Seq("a"), Seq(1.0))).toDF("t", "s")
+    val e3 = intercept[IllegalArgumentException] {
+      Ranking.logBatchRankingMetrics(strScore,
+        targetCol = Some("t"), scoreCol = Some("s"), k = Some(1))
+    }
+    assert(e3.getMessage.contains("score mode"), e3.getMessage)
+    val clash = Seq((Seq(1.0), Seq(1L), 9L)).toDF("t", "p", "top_rank")
+    val e4 = intercept[IllegalArgumentException] {
+      Ranking.logBatchRankingMetrics(clash,
+        predictionCol = Some("p"), targetCol = Some("t"), k = Some(1))
+    }
+    assert(e4.getMessage.contains("collide"), e4.getMessage)
+  }
 }

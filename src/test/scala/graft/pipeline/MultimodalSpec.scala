@@ -196,4 +196,20 @@ class MultimodalSpec extends SparkSpec {
     val viaPng = run(Multimodal.syntheticImage(docs, "doc_id", "png"))
     assert(viaBmp == viaPng)
   }
+
+  test("huge-image stddev does not overflow (PixelAcc BigInt variance)") {
+    // 30M pixels of alternating 0/255 grayscale: the old Long-math
+    // n·Σx²−(Σx)² overflows past ~12M pixels (an 8000×8000 photo is
+    // reachable through ImageIo); exact variance is (255/2)² → std 127.5
+    val acc = new Multimodal.PixelAcc
+    var i = 0
+    while (i < 30000000) {
+      val v = if ((i & 1) == 0) 0 else 255
+      acc.add(v, v, v); i += 1
+    }
+    val st = acc.result(6000, 5000, "RGB")
+    assert(math.abs(st.brightMean - 127.5) < 1e-9 &&
+      math.abs(st.brightStd - 127.5) < 1e-6,
+      s"got ${st.brightMean} / ${st.brightStd}")
+  }
 }
