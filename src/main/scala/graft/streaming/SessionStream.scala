@@ -23,7 +23,11 @@ import org.apache.spark.sql.{functions => F}
   * exchange as the batch plan; a timed-out user's session state shrinks
   * to a zero-event sentinel holding only its last session_seq (so
   * numbering survives the flush), hence state is O(distinct users ever
-  * seen) at a few dozen bytes each — not O(events).
+  * seen) at a few dozen bytes each — not O(events). For user universes
+  * where even that is too much, `sequenceTtlSeconds` expires idle
+  * sentinels (state O(users active within the TTL), numbering restarts
+  * for users idle longer than the TTL) and `retainSequence = false`
+  * drops them immediately (state O(active users)).
   */
 object SessionStream {
 
@@ -52,18 +56,30 @@ object SessionStream {
     * open session, emitting every session closed by a gap. On timeout,
     * flush the open session. */
   private def updateUser(gapUs: Long, maxEventTypes: Int,
-      retainSequence: Boolean)(
+      retainSequence: Boolean, sequenceTtlUs: Option[Long])(
       user: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
     if (state.hasTimedOut) {
+      // A zero-event sentinel timing out means the sequence TTL expired
+      // with no new events: drop the user's state entirely. If the user
+      // returns later, numbering restarts at 1 — the documented trade
+      // that bounds state to O(users active within the TTL) instead of
+      // O(users ever seen).
+      if (state.getOption.exists(_.nEvents == 0L)) {
+        state.remove()
+        return Iterator.empty
+      }
       // Flush the idle user's open session but (by default) KEEP the
       // sequence counter as a zero-event sentinel, so the user's next
       // session continues the batch operator's 1..N numbering instead of
       // restarting at 1 (which would emit duplicate
       // (user_id, session_seq) keys in append output). The sentinel is a
-      // few dozen bytes per ever-seen user; its timer is pushed
-      // effectively to infinity so it never re-fires (and if it somehow
-      // did, the nEvents guard emits nothing). With
+      // few dozen bytes per ever-seen user; with `sequenceTtlUs` set its
+      // timer is re-armed to the TTL horizon so the sentinel itself
+      // expires once the watermark passes lastEmit + ttl (see above) —
+      // otherwise the timer is pushed effectively to infinity and the
+      // sentinel lives forever (and if it somehow fired, the nEvents
+      // guard above removes it without emitting). With
       // retainSequence = false state drops to zero for idle users and
       // numbering restarts per flush — the documented trade for corpora
       // whose user universe dwarfs the state store.
@@ -71,7 +87,15 @@ object SessionStream {
       flushed.foreach { s =>
         if (retainSequence) {
           state.update(OpenSession(s.sessionSeq, 0L, 0L, 0L, 0L, Set.empty))
-          state.setTimeoutTimestamp(Long.MaxValue / 2)
+          state.setTimeoutTimestamp(sequenceTtlUs match {
+            // clamped: setTimeoutTimestamp rejects timestamps at or
+            // behind the watermark, and for a user idle much longer
+            // than the TTL the horizon is already behind it — expire at
+            // the very next batch instead
+            case Some(ttl) => math.max((s.lastUs + gapUs + ttl) / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L)
+            case None      => Long.MaxValue / 2
+          })
         } else state.remove()
       }
       return flushed.map(toSession(user, _)).iterator
@@ -120,13 +144,23 @@ object SessionStream {
     * output is append-mode (each session emitted exactly once).
     * `retainSequence` (default true) keeps a tiny per-user sentinel after
     * a timeout flush so session_seq continues 1..N across idle gaps —
-    * state O(distinct users); pass false to drop idle users entirely
-    * (numbering restarts per flush, state O(active users)). */
+    * state O(distinct users ever seen); pass false to drop idle users
+    * entirely (numbering restarts per flush, state O(active users)).
+    * `sequenceTtlSeconds` is the middle ground for web-scale user
+    * universes: the sentinel expires once the watermark passes
+    * `last event + gap + ttl`, so state is O(users active within the
+    * TTL) and only a user idle LONGER than the TTL restarts numbering
+    * at 1 (duplicate (user_id, session_seq) keys become possible for
+    * such users — downstream keys should include start_us if that
+    * matters). None (the default) retains sentinels forever, which is
+    * fine up to ~10^8 users (a few GB of state store) but wants a TTL
+    * beyond that. */
   def sessions(
       stream: DataFrame, gapSeconds: Long,
       watermarkDelay: String = "1 hour",
       maxEventTypes: Int = 1000,
-      retainSequence: Boolean = true): Dataset[Session] = {
+      retainSequence: Boolean = true,
+      sequenceTtlSeconds: Option[Long] = None): Dataset[Session] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -140,6 +174,7 @@ object SessionStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        updateUser(gapSeconds * 1000000L, maxEventTypes, retainSequence))
+        updateUser(gapSeconds * 1000000L, maxEventTypes, retainSequence,
+          sequenceTtlSeconds.map(_ * 1000000L)))
   }
 }
