@@ -51,8 +51,10 @@ object StandardQueries {
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects unless nanos are surfaced as raw longs.
+    // Older fixtures store events.ts as INT64 TIMESTAMP(NANOS), which
+    // Spark's parquet reader rejects unless nanos are surfaced as raw
+    // longs. Harmless for the current timestamp[us] fixtures; keeping it
+    // lets rebuildTs dispatch on whichever dtype the file actually has.
     if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NOTE: the local test files are single-row-group parquet, so scans
     // arrive as one partition. A blanket repartition was measured SLOWER
@@ -63,10 +65,22 @@ object StandardQueries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` rebuilt as a timestamp from the raw nanos long
-    * (micro truncation — irrelevant at the hour windows we aggregate). */
+  /** Rebuild `ts` as a session-tz timestamp whatever dtype the fixture
+    * stores: legacy raw-nanos BIGINT → micros (truncation irrelevant at
+    * the hour windows we aggregate); any timestamp dtype (the current
+    * fixtures are timestamp[us], read as TIMESTAMP_NTZ) → plain cast.
+    * The NTZ→LTZ cast is instant-exact because every harness entry point
+    * pins spark.sql.session.timeZone=UTC, and the DuckDB oracles already
+    * normalize both dtypes via epoch_us(CAST(ts AS TIMESTAMP)). */
+  private[graft] def rebuildTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", F.col("ts").cast("timestamp"))
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    rebuildTs(t(s, dir, "events"))
 
   private val liNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1895,8 +1909,7 @@ object StandardQueries {
     * bit-exact oracle; day keys compared as strings. */
   private def qDriftTimelineKs = Q(
     (s, dir) => DriftExact.ksTimeline(
-      // events.ts is a nanosecond timestamp, which Spark surfaces as long
-      t(s, dir, "events").withColumn("ts", F.expr("timestamp_micros(ts div 1000)")),
+      events(s, dir),
       F.date_trunc("day", F.col("ts")).cast("date"),
       F.col("value"),
       b => F.date_add(b, 1))
@@ -3231,7 +3244,7 @@ object StandardQueries {
       val raw = t(s, dir, "events") // also sets the nanosAsLong conf
       val sdf = s.readStream.schema(raw.schema)
         .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(rebuildTs)
       val qn = "ssq_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.SessionStream.sessions(sdf, gapSeconds = 21600L)
         .writeStream.format("memory").queryName(qn).outputMode("append")
@@ -3303,7 +3316,7 @@ object StandardQueries {
       val raw = t(s, dir, "events") // also sets the nanosAsLong conf
       val sdf = s.readStream.schema(raw.schema)
         .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(rebuildTs)
       val profiler = new Profiler(MetricConfig(),
         ResolverSpec(byKind = _ => Seq(Namespace.Counts, Namespace.Distribution)))
       val win = graft.streaming.ProfileStream.windowedProfileDF(
@@ -3435,7 +3448,7 @@ object StandardQueries {
         events(s, dir).filter(F.col("ts") < split), "value", nBins = 30)
       val sdf = s.readStream.schema(raw.schema)
         .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(rebuildTs)
       val counts = graft.streaming.DriftStream.windowedBinCounts(
         sdf, "ts", "1 day", "value", env)
       val qn = "sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")

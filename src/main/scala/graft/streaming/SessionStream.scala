@@ -48,6 +48,13 @@ object SessionStream {
       end_us: Long, n_event_types: Long, n_values: Long,
       duration_secs: Long)
 
+  /** Saturating add: a huge `sequenceTtlSeconds` must behave as
+    * retain-nearly-forever, not overflow negative and (via the watermark
+    * clamp) silently expire next batch. */
+  private def satAdd(a: Long, b: Long): Long =
+    try math.addExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   private def toSession(user: Long, s: OpenSession): Session =
     Session(user, s.sessionSeq, s.nEvents, s.startUs, s.lastUs,
       s.eventTypes.size.toLong, s.nValues, (s.lastUs - s.startUs) / 1000000L)
@@ -92,7 +99,8 @@ object SessionStream {
             // behind the watermark, and for a user idle much longer
             // than the TTL the horizon is already behind it — expire at
             // the very next batch instead
-            case Some(ttl) => math.max((s.lastUs + gapUs + ttl) / 1000L + 1L,
+            case Some(ttl) => math.max(
+              satAdd(satAdd(s.lastUs, gapUs), ttl) / 1000L + 1L,
               state.getCurrentWatermarkMs() + 1L)
             case None      => Long.MaxValue / 2
           })
@@ -161,6 +169,8 @@ object SessionStream {
       maxEventTypes: Int = 1000,
       retainSequence: Boolean = true,
       sequenceTtlSeconds: Option[Long] = None): Dataset[Session] = {
+    require(sequenceTtlSeconds.forall(_ > 0L),
+      s"sequenceTtlSeconds must be positive, got $sequenceTtlSeconds")
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -175,6 +185,9 @@ object SessionStream {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateUser(gapSeconds * 1000000L, maxEventTypes, retainSequence,
-          sequenceTtlSeconds.map(_ * 1000000L)))
+          // saturating: a TTL past ~292k years means retain-nearly-forever
+          sequenceTtlSeconds.map(t =>
+            try math.multiplyExact(t, 1000000L)
+            catch { case _: ArithmeticException => Long.MaxValue })))
   }
 }

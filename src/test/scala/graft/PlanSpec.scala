@@ -192,9 +192,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("streaming-drift PSI composition: two bounded exchanges, no driver fold") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val ev = eventsDF
     val env = graft.streaming.DriftStream.referenceEnvelope(ev, "value", 30)
     val out = graft.streaming.DriftStream.monitor(ev, "ts", "1 day", "value", env)
     val plan = planOf(out)
@@ -207,9 +205,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel and retention: two exchanges each (user fold + tiny rollup), no join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val ev = eventsDF
     for ((name, df) <- Seq(
       "retention" -> graft.pipeline.Retention.cohortRetention(ev, "user_id", "ts"),
       "funnel" -> graft.pipeline.Funnel.funnel(
@@ -235,8 +231,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ranking metrics: one user-keyed exchange, map-only metrics, no join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = table("events")
+    val ev = eventsDF
     val byUser = ev.select(F.col("user_id"),
         (F.col("event_id") % 97).cast("double").as("score"),
         F.when(F.col("event_type") === "purchase", 2.0).otherwise(0.0).as("rel"))

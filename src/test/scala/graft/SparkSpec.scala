@@ -21,4 +21,12 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sfDir: String = TestSpark.sfDir
   def table(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events with `ts` normalized to a session-tz timestamp regardless of
+    * the fixture's stored dtype (legacy raw-nanos BIGINT or timestamp).
+    * Same dispatch as the main registry's loader. */
+  def eventsDF: org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.api.StandardQueries.rebuildTs(table("events"))
+  }
 }

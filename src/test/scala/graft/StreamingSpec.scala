@@ -14,17 +14,12 @@ class StreamingSpec extends SparkSpec {
 
   private def eventsStream = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    spark.readStream.schema(raw.schema)
-      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet"))
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    graft.api.StandardQueries.rebuildTs(
+      spark.readStream.schema(table("events").schema)
+        .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet")))
   }
 
-  private def eventsBatch = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-  }
+  private def eventsBatch = eventsDF
 
   test("streamed hourly window profiles equal the batch answer") {
     val profiler = new Profiler(MetricConfig(),

@@ -75,9 +75,7 @@ class AsofJoinSpec extends SparkSpec {
   }
 
   test("plan: one exchange on the key, no cartesian pair blowup") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val ev = eventsDF
     val right = ev.filter(F.col("event_type") === "purchase")
       .select(F.col("user_id"), F.col("ts"), F.col("event_id").as("pid"))
     val out = AsofJoin.asofLeft(ev.select("user_id", "ts", "event_id"),

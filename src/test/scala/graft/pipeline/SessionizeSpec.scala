@@ -73,10 +73,7 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("plan: sessions() shuffles once, on the user key — no global sort") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
+    val df = eventsDF
     val out = Sessionize.sessions(df, "user_id", "ts", 21600L,
       "event_id", "value", "event_type")
     out.collect()

@@ -10,11 +10,7 @@ import graft.SparkSpec
   * events table. */
 class DriftStreamSpec extends SparkSpec {
 
-  private def eventsBatch = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-  }
+  private def eventsBatch = eventsDF
 
   test("referenceEnvelope: counts, bounds, and the degenerate width") {
     import spark.implicits._
@@ -62,10 +58,9 @@ class DriftStreamSpec extends SparkSpec {
     val env = DriftStream.referenceEnvelope(
       batch.filter(F.col("ts") < F.lit("2024-01-11").cast("timestamp")),
       "value", nBins = 30)
-    val sdf = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet"))
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val sdf = graft.api.StandardQueries.rebuildTs(spark.readStream
+      .schema(table("events").schema)
+      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet")))
     val qn = "sds_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = DriftStream.windowedBinCounts(sdf, "ts", "1 day", "value", env)
       .writeStream.format("memory").queryName(qn).outputMode("complete")

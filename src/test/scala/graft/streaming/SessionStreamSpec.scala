@@ -11,12 +11,10 @@ import graft.pipeline.Sessionize
 class SessionStreamSpec extends SparkSpec {
 
   test("streamed sessions equal batch sessions under the gap-close + timeout-flush rule") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val batch = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    val sdf = spark.readStream.schema(raw.schema)
-      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet"))
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val batch = eventsDF
+    val sdf = graft.api.StandardQueries.rebuildTs(
+      spark.readStream.schema(table("events").schema)
+        .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/events.parquet")))
     val qn = "ssz_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = SessionStream.sessions(sdf, gapSeconds = 21600L)
       .writeStream.format("memory").queryName(qn).outputMode("append")
@@ -106,5 +104,85 @@ class SessionStreamSpec extends SparkSpec {
     // the timeout flush and session 2 duplicated (user_id, session_seq)
     assert(sevens.map(_._1).toSeq == Seq(1L, 2L),
       s"expected session_seq 1,2 got ${sevens.toSeq}")
+  }
+
+  /** Run one user-7 story against a TTL'd session stream: session 1 at
+    * 00:00, watermark advanced via user-8 events at `pushes`, user 7
+    * returning at `ret`, then two more pushes to flush the second
+    * session. Returns user 7's (session_seq, start_us) pairs in start
+    * order. */
+  private def ttlStory(ttlSeconds: Long, pushes: Seq[String], ret: String,
+      flushes: Seq[String]): Seq[(Long, Long)] = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, Option[Double], String)](spark)
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "value", "event_type")
+    val qn = "ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = SessionStream.sessions(df, gapSeconds = 60L,
+        watermarkDelay = "0 seconds", sequenceTtlSeconds = Some(ttlSeconds))
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    var eid = 0L
+    def batch(user: Long, at: String): Unit = {
+      eid += 1; mem.addData((user, ts(at), eid, None, "a"))
+      q.processAllAvailable()
+    }
+    batch(7L, "2024-01-01 00:00:00")
+    pushes.foreach(batch(8L, _))
+    batch(7L, ret)
+    flushes.foreach(batch(8L, _))
+    q.stop()
+    spark.table(qn).filter($"user_id" === 7L).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+  }
+
+  test("sequence TTL: sentinel expires, returning user restarts at session_seq 1") {
+    // gap 60s + ttl 1h → sentinel horizon 01:01:00; the 02:00/02:10
+    // pushes expire it (no emission), so 7's 03:00 return restarts at 1
+    val got = ttlStory(3600L,
+      pushes = Seq("2024-01-01 00:10:00", "2024-01-01 00:20:00",
+        "2024-01-01 02:00:00", "2024-01-01 02:10:00"),
+      ret = "2024-01-01 03:00:00",
+      flushes = Seq("2024-01-01 05:00:00", "2024-01-01 06:00:00"))
+    assert(got.map(_._1) == Seq(1L, 1L), s"expected restart at 1, got $got")
+    assert(got.map(_._2) ==
+      Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L,
+        java.sql.Timestamp.valueOf("2024-01-01 03:00:00").getTime * 1000L))
+  }
+
+  test("sequence TTL: numbering continues when the user returns within the TTL") {
+    // same story, ttl 1 day → horizon far past the 02:10 watermark; the
+    // sentinel survives and 7's return continues as session 2
+    val got = ttlStory(86400L,
+      pushes = Seq("2024-01-01 00:10:00", "2024-01-01 00:20:00",
+        "2024-01-01 02:00:00", "2024-01-01 02:10:00"),
+      ret = "2024-01-01 03:00:00",
+      flushes = Seq("2024-01-01 05:00:00", "2024-01-01 06:00:00"))
+    assert(got.map(_._1) == Seq(1L, 2L), s"expected continuation 1,2, got $got")
+  }
+
+  test("sequence TTL: horizon behind the watermark clamps to expire-next-batch") {
+    // the flush happens with wm=04:00 already far past last+gap+ttl
+    // (00:02:00) — the setTimeoutTimestamp clamp (wm+1ms) must re-arm
+    // without throwing, and the sentinel dies on the next push
+    val got = ttlStory(60L,
+      pushes = Seq("2024-01-01 04:00:00", "2024-01-01 04:10:00",
+        "2024-01-01 04:20:00"),
+      ret = "2024-01-01 05:00:00",
+      flushes = Seq("2024-01-01 07:00:00", "2024-01-01 08:00:00"))
+    assert(got.map(_._1) == Seq(1L, 1L), s"expected restart at 1, got $got")
+  }
+
+  test("sequence TTL: a near-overflow TTL saturates to retain-forever") {
+    // Long.MaxValue/2 seconds overflows µs naively; saturation must make
+    // it behave as retain-nearly-forever (numbering continues), not
+    // wrap negative and expire next batch
+    val got = ttlStory(Long.MaxValue / 2,
+      pushes = Seq("2024-01-01 00:10:00", "2024-01-01 00:20:00",
+        "2024-01-01 02:00:00", "2024-01-01 02:10:00"),
+      ret = "2024-01-01 03:00:00",
+      flushes = Seq("2024-01-01 05:00:00", "2024-01-01 06:00:00"))
+    assert(got.map(_._1) == Seq(1L, 2L),
+      s"huge TTL must behave as retain-forever, got $got")
   }
 }
