@@ -2290,6 +2290,27 @@ object StandardQueries {
            |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin.replaceAll("\n", " ")))
 
+  /** Both PCA reference selectors over the embeddings table: one row per
+    * produced reference with its label and basic geometry. Rows-only
+    * (principal axes are eigenvector outputs with sign indeterminacy —
+    * not SQL-expressible); exact subspace/linearity properties are
+    * pinned in PcaSelectorsSpec. */
+  private def qEmbeddingPcaRefs = Q(
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+      val cent = Embeddings.pcaCentroidReferences(
+        emb, "embedding", "label", nComponents = 2)
+        .map { case (l, v) => ("pca_centroids", l, v.length, norm(v)) }
+      val km = Embeddings.pcaKmeansReferences(
+        emb, "vec_id", "embedding", nClusters = 4, nComponents = 2)
+        .map { case (l, v) => ("pca_kmeans", l, v.length, norm(v)) }
+      (cent ++ km).toDF("selector", "label", "dim", "l2_norm")
+        .orderBy("selector", "label")
+    },
+    None)
+
   private def qEmbeddingMetric = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3562,6 +3583,7 @@ object StandardQueries {
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
     "embedding_metric" -> qEmbeddingMetric,
+    "embedding_pca_refs" -> qEmbeddingPcaRefs,
     "embedding_drift" -> qEmbeddingDrift,
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,

@@ -132,6 +132,155 @@ object Embeddings {
     }
   }
 
+  // ------------------------------------------------------------------
+  // PCA reference selectors (reference
+  // `experimental/preprocess/embeddings/selectors.py:22-105`)
+
+  /** A fitted PCA basis: the per-dimension mean plus `k` principal axes
+    * (each length `dim`). Projection/inverse live on the driver only for
+    * KB-scale reference math; bulk projection rides as column
+    * expressions ([[pcaProjection]]). */
+  final case class PcaModel(mean: Array[Double], components: Array[Array[Double]]) {
+    def k: Int = components.length
+    def project(x: Array[Double]): Array[Double] =
+      components.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += (x(i) - mean(i)) * c(i); i += 1 }
+        s
+      }
+    def inverse(z: Array[Double]): Array[Double] = {
+      val out = mean.clone()
+      var j = 0
+      while (j < components.length) {
+        val c = components(j); var i = 0
+        while (i < c.length) { out(i) += z(j) * c(i); i += 1 }
+        j += 1
+      }
+      out
+    }
+    /** Orthogonal projection onto the principal subspace, in raw space —
+      * sklearn's `inverse_transform(transform(x))`, sign-invariant. */
+    def roundTrip(x: Array[Double]): Array[Double] = inverse(project(x))
+  }
+
+  /** Fit PCA DISTRIBUTED (reference `selectors.py` uses driver-side
+    * sklearn `PCA.fit` — a non-starter at corpus scale): per-dimension
+    * means via one posexplode hash-agg, principal axes via
+    * `RowMatrix.computePrincipalComponents` (one treeAggregate Gramian
+    * pass; its covariance step centers internally, so rows ship raw).
+    * The dim×dim covariance lands on the driver, bounding this to
+    * dim ≲ 10k — embedding WIDTHS, never row counts. */
+  def fitPca(df: DataFrame, vecCol: String, nComponents: Int): PcaModel = {
+    val clean = df.filter(F.col(vecCol).isNotNull)
+      .select(F.col(vecCol).cast("array<double>").as("__v"))
+    val mean = clean
+      .select(F.posexplode(F.col("__v")).as(Seq("__p", "__x")))
+      .groupBy("__p").agg(F.avg("__x").as("__m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(mean.nonEmpty, s"no non-null vectors in '$vecCol'")
+    require(nComponents >= 1 && nComponents <= mean.length,
+      s"nComponents must be in [1, ${mean.length}], got $nComponents")
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = clean.rdd.map(r =>
+      MlVectors.dense(r.getAs[scala.collection.Seq[Double]](0).toArray))
+    val pc = new RowMatrix(rows).computePrincipalComponents(nComponents)
+    PcaModel(mean,
+      Array.tabulate(nComponents)(j => Array.tabulate(mean.length)(i => pc(i, j))))
+  }
+
+  /** The k projection coordinates of `vec` as map-only column
+    * expressions: dot(v, c_j) via zip_with/aggregate minus the
+    * precomputed dot(mean, c_j) — the model ships as literals (KB). */
+  def pcaProjection(vec: Column, model: PcaModel): Seq[Column] = {
+    val v = vec.cast("array<double>")
+    model.components.map { c =>
+      var const = 0.0
+      var i = 0
+      while (i < c.length) { const += model.mean(i) * c(i); i += 1 }
+      F.aggregate(
+        F.zip_with(v, F.typedLit(c.toSeq), (a, b) => a * b),
+        F.lit(0.0), (acc, x) => acc + x) - F.lit(const)
+    }
+  }
+
+  /** Supervised PCA selector (reference `PCACentroidsSelector`,
+    * `selectors.py:22-58`): per-label centroids in PCA space,
+    * inverse-transformed back to raw space.
+    *
+    * Untrimmed (the reference default, both limits 0): projection is
+    * linear, so the PCA-space label centroid IS the projection of the
+    * raw label centroid — one [[labeledReferences]] pass plus a driver
+    * round-trip, no per-row projection at all. With percentile limits
+    * set, the trim breaks linearity: vectors project map-only
+    * ([[pcaProjection]]), per-(label, component) exact-percentile bounds
+    * come from one grouped pass and broadcast back, and the trimmed mean
+    * is a second grouped pass — both exchanges carry labels × k cells.
+    * DOCUMENTED DIVERGENCE: the reference trims on percentiles of the
+    * FLATTENED per-label matrix and its elementwise mask collapses the
+    * array to 1-D (the per-label "centroid" degenerates to a scalar) —
+    * a bug we do not reproduce; we trim per component, which is the
+    * evident intent. An all-trimmed (label, component) cell falls back
+    * to its untrimmed mean rather than NaN. */
+  def pcaCentroidReferences(
+      df: DataFrame, vecCol: String, labelCol: String,
+      nComponents: Int = 2,
+      lowerPercentile: Double = 0.0, upperPercentile: Double = 0.0,
+      maxLabels: Int = 10000): Seq[(String, Array[Double])] = {
+    val model = fitPca(df, vecCol, nComponents)
+    if (lowerPercentile == 0.0 && upperPercentile == 0.0)
+      labeledReferences(df, vecCol, labelCol, maxLabels)
+        .map { case (l, c) => l -> model.roundTrip(c) }
+    else {
+      require(lowerPercentile >= 0.0 && upperPercentile <= 100.0 &&
+        lowerPercentile < upperPercentile,
+        s"percentile limits must satisfy 0 <= lower < upper <= 100, " +
+          s"got ($lowerPercentile, $upperPercentile)")
+      val proj = df
+        .filter(F.col(vecCol).isNotNull && F.col(labelCol).isNotNull)
+        .select(F.col(labelCol).cast("string").as("__l"),
+          F.posexplode(F.array(pcaProjection(F.col(vecCol), model): _*))
+            .as(Seq("__c", "__z")))
+      val bounds = proj.groupBy("__l", "__c").agg(
+        F.expr(s"percentile(__z, ${lowerPercentile / 100.0})").as("__lo"),
+        F.expr(s"percentile(__z, ${upperPercentile / 100.0})").as("__hi"))
+      val cells = proj.join(F.broadcast(bounds), Seq("__l", "__c"))
+        .groupBy("__l", "__c")
+        .agg(F.coalesce(
+          F.avg(F.when(F.col("__z") > F.col("__lo") &&
+            F.col("__z") < F.col("__hi"), F.col("__z"))),
+          F.avg(F.col("__z"))).as("__m"))
+        .take(maxLabels * nComponents + 1)
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      require(cells.length <= maxLabels * nComponents,
+        s"more than $maxLabels distinct labels in '$labelCol': not a label " +
+          "column — pass a bounded-cardinality column or raise maxLabels")
+      cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, cs) =>
+        l -> model.inverse(cs.sortBy(_._2).map(_._3).toArray)
+      }
+    }
+  }
+
+  /** Unsupervised PCA selector (reference `PCAKMeansSelector`,
+    * `selectors.py:82-105`): Lloyd centroids trained in the k-dim PCA
+    * projection, inverse-transformed to raw space. Projection is
+    * map-only; clustering reuses [[Similarity.trainCentroids]]'s
+    * bounded-sample Lloyd (deterministic: fixed sample order and seeds;
+    * cosine assignment, the same documented divergence from sklearn's
+    * Euclidean k-means as [[kmeansReferences]]). */
+  def pcaKmeansReferences(
+      df: DataFrame, idCol: String, vecCol: String, nClusters: Int,
+      nComponents: Int = 2, iters: Int = 2,
+      sampleSize: Int = 4096): Seq[(String, Array[Double])] = {
+    val model = fitPca(df, vecCol, nComponents)
+    val projected = df
+      .filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol),
+        F.array(pcaProjection(F.col(vecCol), model): _*).as("__z"))
+    Similarity.trainCentroids(projected, idCol, "__z", nClusters, iters, sampleSize)
+      .map { case (i, z) => s"cluster_$i" -> model.inverse(z) }.toSeq
+  }
+
   /** Per-dimension centroid drift between a target and a reference slice
     * of one embedding column — the first lens of embedding-distribution
     * monitoring (the reference's EmbeddingMetric profiles distances to
