@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** In-memory scale exercise: synthesize a multi-split dataset 10-100x
+  * sf0.1 under `target/scaledata`, then time the board's most expensive
+  * queries against it once — the committed evidence behind SURVEY §8's
+  * "would the plan survive a scale-up" claim (previously argued from
+  * plan shape alone).
+  *
+  * Replication preserves key semantics instead of duplicating rows
+  * verbatim: join/group keys shift per copy (key universes scale with
+  * the data, per-key densities stay constant), document text gets a
+  * per-copy suffix (copies become NEAR-duplicates — LSH banding does
+  * real work instead of collapsing 100-sized exact-dup buckets), and
+  * embeddings get a per-copy additive shift (top-k has no 100-way
+  * ties). Scaled tables are written as 32-split parquet so scans
+  * parallelize at the source like any real multi-file table.
+  *
+  * Usage: `sbt 'runMain graft.ScaleProbe'` — env knobs:
+  * SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+  * (default 32), SPARK_GRAFT_SCALE_OUT (default target/scaledata),
+  * SPARK_GRAFT_SCALE_QUERIES (comma list), SPARK_GRAFT_SCALE_REBUILD=1
+  * to force a rebuild. JSON result line to target/scaleprobe.json.
+  */
+object ScaleProbe {
+
+  /** (table, copies): sized so every scaled table lands at 10-100x sf0.1
+    * while the whole set stays cacheable in a 128 GiB local heap. */
+  val factors: Seq[(String, Int)] = Seq(
+    "lineitem" -> 10, "orders" -> 10, "events" -> 50,
+    "documents" -> 100, "embeddings" -> 20)
+
+  /** Small dims copied verbatim. */
+  val verbatim: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part")
+
+  val defaultQueries: Seq[String] = Seq(
+    "profile_counts", "profile_moments", "cardinality", "merge_profiles",
+    "drift_ks_exact", "viz_summary_report",
+    "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
+    "corpus_ngrams", "corpus_pipeline", "embedding_topk",
+    "events_sessionize", "events_funnel", "sliding_window_profile")
+
+  private def replicate(df: DataFrame, table: String, copies: Int): DataFrame = {
+    val keyCols: Seq[String] = table match {
+      case "lineitem"   => Seq("l_orderkey")
+      case "orders"     => Seq("o_orderkey", "o_custkey")
+      case "events"     => Seq("event_id", "user_id")
+      case "documents"  => Seq("doc_id")
+      case "embeddings" => Seq("vec_id")
+      case _            => Seq.empty
+    }
+    // one scan: per-row explode of the copy index, then per-copy key
+    // shifts by (max key + 1) so copies never collide
+    val maxes = keyCols.map(k => k ->
+      (df.agg(F.max(F.col(k))).collect()(0).getLong(0) + 1L)).toMap
+    var out = df.withColumn("__copy",
+      F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
+    for (k <- keyCols)
+      out = out.withColumn(k, F.col(k) + F.col("__copy") * F.lit(maxes(k)))
+    if (table == "documents")
+      // copy 0 keeps the original text; later copies append a short
+      // suffix (high-Jaccard near-duplicates, not byte-exact ones)
+      out = out.withColumn("text",
+        F.when(F.col("__copy") === 0, F.col("text"))
+          .otherwise(F.concat(F.col("text"), F.lit(" rep"),
+            F.col("__copy").cast("string"))))
+    if (table == "embeddings")
+      out = out.withColumn("embedding",
+        F.transform(F.col("embedding"),
+          x => x + (F.pmod(F.col("__copy"), F.lit(7)) - F.lit(3)).cast("float") * F.lit(0.01f)))
+    out.drop("__copy")
+  }
+
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+      splits: Int): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(fs)
+    for ((table, copies) <- factors) {
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      replicate(src, table, copies)
+        .repartition(splits)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      println(s"[scale] $table x$copies written")
+    }
+    for (table <- verbatim)
+      spark.read.parquet(s"$srcDir/$table.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/scaledata")
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(defaultQueries)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // heap: set SPARK_DRIVER_MEM (build.sbt -Xmx) — local-mode Spark
+      // ignores spark.driver.memory set after JVM start
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val marker = java.nio.file.Paths.get(outDir, "_BUILT")
+    if (sys.env.contains("SPARK_GRAFT_SCALE_REBUILD") ||
+        !java.nio.file.Files.exists(marker)) {
+      buildScaled(spark, srcDir, outDir, cpus)
+      java.nio.file.Files.writeString(marker, srcDir)
+    }
+    var failed = List.empty[String]
+    val times = names.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, outDir).count() }
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s ${dt}%8.2f s")
+      name -> dt
+    }
+    spark.stop()
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"scale_total","value":${f"${times.map(_._2).sum}%.2f"},"unit":"sec","src":"$srcDir","queries":${jmap(times)},"errors":$errs}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target", "scaleprobe.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+  }
+}
