@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * so regressions can be told apart from noise.
   */
 object Bench {
+  /** Queries whose best-of-two still exceeds 4x their prior recorded
+    * time AND by more than 1s absolute (sub-second noise is not worth a
+    * pass) get one bounded retry; a genuine regression survives the
+    * third pass and is published as such. */
+  def outliers(best: Map[String, Double], prior: Map[String, Double]): Set[String] =
+    best.keySet.filter { k =>
+      prior.get(k).exists(p => best(k) > p * 4.0 && best(k) - p > 1.0)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,13 +79,7 @@ object Bench {
     val pass0 = runPass(0)
     val pass1 = runPass(1)
     val best2 = pass0.map { case (k, v) => k -> math.min(v, pass1.getOrElse(k, v)) }
-    // one bounded retry for queries whose best-of-two still exceeds 4x
-    // their prior recorded time (absolute floor 1s — sub-second noise is
-    // not worth a pass); a genuine regression survives the third pass and
-    // is published as such
-    val suspects = best2.keySet.filter { k =>
-      prior.get(k).exists(p => best2(k) > p * 4.0 && best2(k) - p > 1.0)
-    }
+    val suspects = Bench.outliers(best2, prior)
     val pass2 =
       if (suspects.isEmpty) Map.empty[String, Double]
       else runPass(2, Some(suspects))

@@ -43,6 +43,9 @@ object ScaleProbe {
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile")
 
+  private[graft] def replicateForTest(df: DataFrame, table: String, copies: Int): DataFrame =
+    replicate(df, table, copies)
+
   private def replicate(df: DataFrame, table: String, copies: Int): DataFrame = {
     val keyCols: Seq[String] = table match {
       case "lineitem"   => Seq("l_orderkey")
