@@ -2147,6 +2147,57 @@ object StandardQueries {
            | SELECT c.id AS doc_id, c.component, s.cluster_size, c.id = c.component AS keep
            | FROM comp c JOIN sizes s USING (component) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Keep-best cluster selection: identical clustering to
+    * `dedup_clusters`, keeper = (n_chars desc, doc_id asc) argmax per
+    * component — the policy production pipelines actually run (keep the
+    * longest/highest-quality member, drop the rest). */
+  private def qDedupKeepBest = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      Dedup.nearDupClustersKeepBest(docs, "text", "doc_id", "n_chars",
+        numPerm = 64, bands = 32, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5),
+           | edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+           | r AS (
+           |   SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+           |   UNION
+           |   SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.u),
+           | comp AS (SELECT u AS id, min(m) AS component FROM r GROUP BY u),
+           | sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+           | SELECT c.id AS doc_id, c.component, s.cluster_size,
+           |  CAST(d.n_chars AS DOUBLE) AS score,
+           |  row_number() OVER (PARTITION BY c.component
+           |    ORDER BY d.n_chars DESC, c.id ASC) = 1 AS keep
+           | FROM comp c JOIN sizes s USING (component)
+           | JOIN documents d ON d.doc_id = c.id
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Domain balancing: at most 3 docs per source, chosen by the
+    * deterministic md5 rank — the DuckDB oracle replays the identical
+    * hash and window, so the surviving row set matches exactly. */
+  private def qSampleDomainCap = Q(
+    (s, dir) =>
+      Sampling.capPerKey(t(s, dir, "documents"),
+        F.col("source"), F.col("doc_id"), cap = 3)
+        .select("doc_id", "source").orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |   row_number() OVER (PARTITION BY source
+           |     ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+           |  FROM documents) WHERE rk <= 3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** The over-cap branch under the oracle: a 30-copy mega-cluster planted
     * from doc 0 makes every one of its 32 band buckets exceed cap=8, so
     * candidate generation switches to [[Dedup.lshPairs]] star edges — the
@@ -3572,6 +3623,7 @@ object StandardQueries {
     "ngram_jaccard" -> qNgramJaccard,
     "dedup_near" -> qDedupNear,
     "dedup_clusters" -> qDedupClusters,
+    "dedup_keep_best" -> qDedupKeepBest,
     "dedup_near_capped" -> qDedupNearCapped,
     "dedup_incremental" -> qDedupIncremental,
     "embedding_topk" -> qEmbeddingTopK,
@@ -3597,6 +3649,7 @@ object StandardQueries {
     "sample_split" -> qSampleSplit,
     "sample_balanced" -> qSampleBalanced,
     "sample_temperature" -> qSampleTemperature,
+    "sample_domain_cap" -> qSampleDomainCap,
     "json_props_profile" -> qJsonPropsProfile,
     "decontaminate" -> qDecontaminate,
     "doc_novelty" -> qDocNovelty,

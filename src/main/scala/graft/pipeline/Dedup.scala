@@ -330,6 +330,33 @@ object Dedup {
         F.col("cluster_size"), F.col("keep"))
   }
 
+  /** [[nearDupClusters]] with a QUALITY keep policy: production pipelines
+    * keep the best cluster member (longest, highest quality score), not
+    * the smallest id. `scoreCol` ranks members; the keeper is the
+    * (score desc, id asc) argmax — deterministic under ties. Output rows
+    * and clustering are identical to [[nearDupClusters]]; only `keep`
+    * moves, and the member's score rides along.
+    *
+    * Scale shape: clustering is unchanged (banded LSH + star-contraction
+    * components); keeper election is a window max of a (score, -id)
+    * struct over `component` — ONE exchange carrying clustered docs
+    * only, no keeper table ever materializes (a join would broadcast
+    * O(components) rows — corpus-order at 100 TB). */
+  def nearDupClustersKeepBest(
+      df: DataFrame, textCol: String, idCol: String, scoreCol: String,
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val clustered = nearDupClusters(df, textCol, idCol,
+      numPerm, bands, threshold, maxBucketSize)
+      .join(df.select(F.col(idCol).as("doc_id"),
+        F.col(scoreCol).cast("double").as("score")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val best = F.max(F.struct(F.col("score"), (-F.col("doc_id")).as("__nid"))).over(w)
+    clustered
+      .withColumn("keep", F.col("doc_id") === -best.getField("__nid"))
+      .select("doc_id", "component", "cluster_size", "score", "keep")
+  }
+
   /** Positionful word n-gram hashes: element i = xxhash64 of the gram at
     * token offset i (0-based), NOT deduplicated — [[shingleIds]]' sibling
     * for span-level analyses that need provenance. Native one-pass

@@ -161,4 +161,27 @@ object Sampling {
         F.when(h < F.lit(thresholdHex(c)), F.lit(name)).otherwise(acc)
     }
   }
+
+  /** Domain balancing: keep at most `cap` rows per key (the Common-Crawl
+    * "max pages per domain" rule — unchecked, boilerplate-heavy domains
+    * otherwise dominate a crawl corpus). Selection is a deterministic
+    * uniform draw, not head-of-table: rows rank within their key by
+    * (md5 hash of the row id, id) and ranks ≤ cap survive — stable under
+    * any partitioning and engine, and re-salting redraws the survivor
+    * set.
+    *
+    * Scale shape: ONE exchange on the key; the per-key window sort is
+    * bounded by the largest key's row count (a domain, not the corpus).
+    * When a corpus has pathological mega-keys and an exact cap is not
+    * required, prefer [[stratifiedHashSample]] with per-key rates
+    * cap/count — map-only after a count pass, approximate cap. */
+  def capPerKey(df: DataFrame, key: Column, rowId: Column, cap: Int,
+      salt: String = "cap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(sampleHash(rowId, salt).asc, rowId.asc)
+    df.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

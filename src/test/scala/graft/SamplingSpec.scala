@@ -179,4 +179,27 @@ class SamplingSpec extends SparkSpec {
     assert(t.count(_._2 == "b") == 50)
     assert(t.count(_._2 == "a") > 25)
   }
+
+  test("capPerKey: exact cap per key, under-cap keys whole, partitioning-invariant") {
+    import spark.implicits._
+    // domain a: 40 rows, b: 3 rows, c: 1 row; cap 5
+    val rows = (0L until 40L).map(k => (k, "a")) ++
+      (100L until 103L).map(k => (k, "b")) ++ Seq((200L, "c"))
+    val df = rows.toDF("id", "dom")
+    val got = Sampling.capPerKey(df.repartition(7), F.col("dom"), F.col("id"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "a") == 5)
+    assert(got.count(_._2 == "b") == 3)
+    assert(got.count(_._2 == "c") == 1)
+    // deterministic: a different partitioning selects the same rows
+    val again = Sampling.capPerKey(df.repartition(2), F.col("dom"), F.col("id"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == again.toSet)
+    // a different salt redraws the over-cap key's survivors
+    val resalted = Sampling.capPerKey(df, F.col("dom"), F.col("id"), 5, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(resalted.count(_._2 == "a") == 5)
+    assert(resalted.filter(_._2 == "a").toSet != got.filter(_._2 == "a").toSet,
+      "re-salting should redraw the surviving set")
+  }
 }

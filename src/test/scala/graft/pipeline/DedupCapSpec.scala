@@ -151,4 +151,40 @@ class DedupCapSpec extends SparkSpec {
     val comp = components(pairs.select("a", "b"))
     assert(comp.keySet == (1L to 30L).toSet && comp.values.toSet == Set(1L))
   }
+
+  test("nearDupClustersKeepBest: quality argmax keeps, ties break to smallest id") {
+    import spark.implicits._
+    // two near-dup families; family 1 (ids 1-3) has one longer member
+    // (id 2), family 2 (ids 10-11) ties on score -> keeper is id 10
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base, 10.0), (2L, base + " extended", 99.0), (3L, base + " x", 10.0),
+      (10L, "completely different text about spark catalyst optimizers rules",
+        7.0),
+      (11L, "completely different text about spark catalyst optimizers rules y",
+        7.0),
+      (50L, "a singleton unrelated document mentioning nothing shared at all",
+        1.0)).toDF("doc_id", "text", "quality").repartition(4)
+    val got = Dedup.nearDupClustersKeepBest(df, "text", "doc_id", "quality",
+      numPerm = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L), "singleton must not appear")
+    // family 1: keeper is the high-quality member, NOT the min id
+    assert(got(2L)._4 && !got(1L)._4 && !got(3L)._4)
+    // family 2: score tie -> smallest id
+    assert(got(10L)._4 && !got(11L)._4)
+    // clustering identical to nearDupClusters (components + sizes agree)
+    val plain = Dedup.nearDupClusters(df, "text", "doc_id",
+      numPerm = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(plain.keySet == got.keySet)
+    plain.foreach { case (id, (comp2, size)) =>
+      assert(got(id)._1 == comp2 && got(id)._2 == size)
+    }
+    // exactly one keeper per component
+    got.values.groupBy(_._1).foreach { case (_, members) =>
+      assert(members.count(_._4) == 1)
+    }
+  }
 }
