@@ -2184,6 +2184,38 @@ object StandardQueries {
            | JOIN documents d ON d.doc_id = c.id
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Paragraph dedup over deterministic multi-paragraph documents: the
+    * fixture's texts carry no newlines, so 3 consecutive docs join into
+    * one document per `doc_id div 3` — reproducible verbatim in SQL, so
+    * the oracle replays the whole pipeline (assembly, split, md5,
+    * canonical election) exactly. Duplicate paragraphs = duplicate
+    * original texts, which the fixture contains by construction. */
+  private def qDedupParagraphs = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grouped = docs
+        .groupBy(F.expr("doc_id div 3").as("gid"))
+        .agg(F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),
+            x => x.getField("text")), "\n").as("text"))
+      Dedup.paragraphDedup(grouped, "text", "gid")
+        .orderBy("id", "para_idx")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id // 3 AS id, string_agg(text, chr(10) ORDER BY doc_id) AS text
+           |  FROM documents GROUP BY doc_id // 3),
+           | p AS (
+           |  SELECT id, CAST(u.i - 1 AS BIGINT) AS para_idx, u.p AS para FROM (
+           |   SELECT id, unnest([{'i': i, 'p': parts[i]} for i in range(1, len(parts) + 1)]) AS u
+           |   FROM (SELECT id, string_split(text, chr(10)) AS parts FROM g))
+           |  WHERE trim(u.p) <> ''),
+           | h AS (SELECT id, para_idx, md5(para) AS para_hash FROM p)
+           | SELECT id, para_idx, para_hash,
+           |  count(*) OVER (PARTITION BY para_hash) AS occurrences,
+           |  row_number() OVER (PARTITION BY para_hash ORDER BY id, para_idx) = 1 AS keep
+           | FROM h ORDER BY id, para_idx""".stripMargin.replaceAll("\n", " ")))
+
   /** Domain balancing: at most 3 docs per source, chosen by the
     * deterministic md5 rank — the DuckDB oracle replays the identical
     * hash and window, so the surviving row set matches exactly. */
@@ -3624,6 +3656,7 @@ object StandardQueries {
     "dedup_near" -> qDedupNear,
     "dedup_clusters" -> qDedupClusters,
     "dedup_keep_best" -> qDedupKeepBest,
+    "dedup_paragraphs" -> qDedupParagraphs,
     "dedup_near_capped" -> qDedupNearCapped,
     "dedup_incremental" -> qDedupIncremental,
     "embedding_topk" -> qEmbeddingTopK,

@@ -357,6 +357,36 @@ object Dedup {
       .select("doc_id", "component", "cluster_size", "score", "keep")
   }
 
+  /** Paragraph-level exact dedup (the Dolma corpus's second dedup
+    * granularity after whole-document: boilerplate paragraphs — headers,
+    * navigation, license blocks — repeat across documents that are not
+    * themselves duplicates). Explodes `sep`-separated paragraphs with
+    * their in-document position, keys each by md5, and marks every
+    * non-canonical occurrence (canonical = first (id, index) in order);
+    * a pipeline drops or masks `keep = false` rows and reassembles
+    * documents by position.
+    *
+    * Scale shape: paragraphs shuffle ONCE keyed by hash; occurrence
+    * counts and canonical election are two window functions over that
+    * single exchange. Paragraph strings ride to the exchange (they are
+    * the payload being masked); a count-only variant would ship just the
+    * 16-byte hash. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(F.col(idCol).as("id"),
+        F.posexplode(F.split(F.col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("para_idx", "para")))
+      .filter(F.trim(F.col("para")) =!= "")
+      .select(F.col("id"), F.col("para_idx").cast("long").as("para_idx"),
+        F.md5(F.col("para").cast("binary")).as("para_hash"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("para_hash")
+    paras
+      .withColumn("occurrences", F.count(F.lit(1)).over(byHash))
+      .withColumn("keep", F.row_number().over(
+        byHash.orderBy(F.col("id").asc, F.col("para_idx").asc)) === 1)
+  }
+
   /** Positionful word n-gram hashes: element i = xxhash64 of the gram at
     * token offset i (0-based), NOT deduplicated — [[shingleIds]]' sibling
     * for span-level analyses that need provenance. Native one-pass

@@ -447,4 +447,26 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("paragraphDedup: canonical first occurrence, cross-doc counts, empties dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "intro\nSHARED BOILERPLATE\nbody one"),
+      (2L, "SHARED BOILERPLATE\nbody two\n\nSHARED BOILERPLATE"),
+      (3L, "body three")).toDF("doc_id", "text").repartition(3)
+    val got = graft.pipeline.Dedup.paragraphDedup(df, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // doc 2's empty paragraph (the \n\n) is dropped: positions 0,1,3 only
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (2L, 3L), (3L, 0L)))
+    // the boilerplate occurs 3 times; only its first (doc 1, idx 1) keeps
+    assert(got((1L, 1L)) == (3L, true))
+    assert(got((2L, 0L)) == (3L, false))
+    assert(got((2L, 3L)) == (3L, false))
+    // unique paragraphs keep
+    assert(Seq((1L, 0L), (1L, 2L), (2L, 1L), (3L, 0L))
+      .forall(k => got(k) == (1L, true)))
+  }
 }

@@ -230,6 +230,33 @@ class PlanSpec extends SparkSpec {
       s"tf-idf scan reads unused columns: $schemas")
   }
 
+  test("nearDupClustersKeepBest: keeper election is a window, bounded exchange delta") {
+    val docs = table("documents")
+    val plain = planOf(graft.pipeline.Dedup.nearDupClusters(
+      docs, "text", "doc_id", numPerm = 16, bands = 8, threshold = 0.5))
+    val best = planOf(graft.pipeline.Dedup.nearDupClustersKeepBest(
+      docs, "text", "doc_id", "n_chars", numPerm = 16, bands = 8, threshold = 0.5))
+    // keeper election = the score attach + ONE component-keyed window;
+    // anything more means a keeper table materialized (the O(components)
+    // broadcast this operator exists to avoid)
+    assert(best.contains("Window"), "keeper election must be a window max")
+    assert(shuffles(best) <= shuffles(plain) + 3,
+      s"keeper election added ${shuffles(best) - shuffles(plain)} exchanges")
+  }
+
+  test("capPerKey: one key exchange, pruned scan, no join") {
+    val docs = table("documents")
+    val out = graft.pipeline.Sampling.capPerKey(
+      docs, F.col("source"), F.col("doc_id"), 3).select("doc_id", "source")
+    val plan = planOf(out)
+    assert(shuffles(plan) == 1, s"expected 1 exchange:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"cap is a window, not a join:\n${plan.take(3000)}")
+    // scan reads only the key, row id, and selected columns
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("doc_id", "source"))),
+      s"scan reads unused columns: $schemas")
+  }
+
   test("ranking metrics: one user-keyed exchange, map-only metrics, no join") {
     val ev = eventsDF
     val byUser = ev.select(F.col("user_id"),
