@@ -2373,6 +2373,60 @@ object StandardQueries {
            |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin.replaceAll("\n", " ")))
 
+  /** SemDeDup (Abbas et al. 2023), single-cluster configuration — the
+    * oracle-checkable baseline: with `numClusters = 1` the trained
+    * "codebook" degenerates to the corpus mean (seed = first vector,
+    * every Lloyd iteration reassigns all to it), so DuckDB can restate
+    * the whole pipeline exactly — elementwise-mean centroid, cosine to
+    * it, and the paper's keep-low-centroid-similarity rule over exact
+    * near-dup pairs at τ=0.4. `centroid_sim` is rounded to 6 dp: the two
+    * engines sum the 500-row mean in different orders (≈1e-15 relative
+    * drift); every OTHER comparison (pairwise τ, keepability) is over
+    * identically-ordered dot products and bit-exact, same as
+    * `dedup_embedding`. */
+  private def qSemDedup = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDeDup(emb, "vec_id", "embedding", numClusters = 1, tau = 0.4)
+        .select(F.col("id").as("doc_id"),
+          F.round(F.col("centroid_sim"), 6).as("centroid_sim"), F.col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           | m AS (SELECT i, sum(x) / count(*) AS mu FROM (
+           |         SELECT unnest(e) AS x, unnest(generate_series(1, len(e))) AS i FROM v)
+           |       GROUP BY i),
+           | cent AS (SELECT list(mu ORDER BY i) AS c FROM m),
+           | cs AS (SELECT vec_id, list_dot_product(e, c) /
+           |          (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))) AS s
+           |        FROM v, cent),
+           | drops AS (
+           |   SELECT DISTINCT m.vec_id
+           |   FROM v m JOIN cs mc ON mc.vec_id = m.vec_id
+           |   JOIN v x ON x.vec_id <> m.vec_id
+           |   JOIN cs xc ON xc.vec_id = x.vec_id
+           |   WHERE (xc.s < mc.s OR (xc.s = mc.s AND x.vec_id < m.vec_id))
+           |     AND list_dot_product(m.e, x.e) /
+           |         (sqrt(list_dot_product(m.e, m.e)) * sqrt(list_dot_product(x.e, x.e))) >= 0.4)
+           | SELECT cs.vec_id AS doc_id, round(cs.s, 6) AS centroid_sim,
+           |        d.vec_id IS NULL AS keep
+           | FROM cs LEFT JOIN drops d ON d.vec_id = cs.vec_id
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** SemDeDup, clustered production shape (8 cells): rows-only — the
+    * cluster boundaries come from the sampled k-means codebook, which is
+    * deterministic but not SQL-expressible. SemDeDupSpec pins the
+    * semantics (single-cluster equivalence to a brute-force reference,
+    * drop soundness under clustering and anchor caps). */
+  private def qSemDedupClustered = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDeDup(emb, "vec_id", "embedding", numClusters = 8, tau = 0.4)
+        .select(F.col("id").as("doc_id"), F.col("cluster_id"), F.col("keep"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Both PCA reference selectors over the embeddings table: one row per
     * produced reference with its label and basic geometry. Rows-only
     * (principal axes are eigenvector outputs with sign indeterminacy —
@@ -3667,6 +3721,8 @@ object StandardQueries {
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
+    "semdedup" -> qSemDedup,
+    "semdedup_clustered" -> qSemDedupClustered,
     "embedding_metric" -> qEmbeddingMetric,
     "embedding_pca_refs" -> qEmbeddingPcaRefs,
     "embedding_drift" -> qEmbeddingDrift,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 import graft.functions.{cosine_similarity, hyperplane_bands, top_k_agg}
@@ -308,5 +309,69 @@ object Similarity {
         .select("a", "b", "sim")
         .localCheckpoint(true)
     } finally banded.unpersist(blocking = false)
+  }
+
+  // ------------------------------------------------------------------
+  // SemDeDup: semantic deduplication in embedding space
+  // ------------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space, then within each cluster drop every example that
+    * has a cosine near-duplicate (`sim >= tau`) which is FARTHER from
+    * the cluster centroid — the paper's keep-low-centroid-similarity
+    * rule, which retains the least prototypical member of each
+    * duplicate group. Returns one row per input:
+    * `(id, cluster_id, centroid_sim, keep)`.
+    *
+    * Scale shape: the k-cell codebook is trained on a bounded
+    * driver-side sample ([[trainCentroids]]); cluster assignment and
+    * centroid similarity are map-only expressions; the pairwise stage
+    * shuffles once on `cluster_id` and compares each member only
+    * against its cluster's `maxAnchors` MOST-KEEPABLE members (lowest
+    * centroid similarity) — a member is droppable only against a
+    * more-keepable one, so with `maxAnchors >= |cluster|` this is
+    * exact, and smaller caps degrade recall gracefully (drops stay
+    * sound: every drop is verified by exact cosine against a real
+    * anchor). At corpus scale, grow `numClusters` with n so the
+    * per-cluster member × anchor product stays bounded — the paper's
+    * own knob — rather than growing `maxAnchors`. The final per-id
+    * verdict is one more exchange (`groupBy(id)`). */
+  def semDeDup(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      numClusters: Int = 16, tau: Double = 0.9,
+      iters: Int = 2, sampleSize: Int = 4096,
+      maxAnchors: Int = 10000): DataFrame = {
+    require(numClusters >= 1, s"numClusters must be >= 1, got $numClusters")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
+    val cents = trainCentroids(df, idCol, vecCol, numClusters, iters, sampleSize)
+    val sims = centroidSims(F.col(vecCol), cents)
+    val base = df.select(
+        F.col(idCol).as("id"),
+        F.col(vecCol).cast("array<double>").as("__v"),
+        sims.as("__sims"))
+      .select(F.col("id"), F.col("__v"),
+        F.array_max(F.col("__sims")).as("centroid_sim"),
+        centroidIdAt(cents, F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))))
+          .as("cluster_id"))
+    val keepOrder = Window.partitionBy("cluster_id")
+      .orderBy(F.col("centroid_sim").asc, F.col("id").asc)
+    val anchors = base
+      .withColumn("__r", F.row_number().over(keepOrder))
+      .filter(F.col("__r") <= maxAnchors)
+      .select(F.col("cluster_id"), F.col("id").as("__aid"),
+        F.col("__v").as("__av"), F.col("centroid_sim").as("__acs"))
+    // member × cluster-anchors; the cosine is evaluated last so the
+    // cheap keepability guard prunes most pairs before the O(dim) work
+    val moreKeepable =
+      F.col("__acs") < F.col("centroid_sim") ||
+        (F.col("__acs") === F.col("centroid_sim") && F.col("__aid") < F.col("id"))
+    val dropped = base.join(anchors, Seq("cluster_id"))
+      .withColumn("__drop",
+        F.col("__aid") =!= F.col("id") && moreKeepable &&
+          cosine_similarity(F.col("__v"), F.col("__av")) >= tau)
+    dropped.groupBy("id", "cluster_id", "centroid_sim")
+      .agg(F.coalesce(F.max(F.col("__drop")), F.lit(false)).as("__anyDrop"))
+      .select(F.col("id"), F.col("cluster_id"), F.col("centroid_sim"),
+        (!F.col("__anyDrop")).as("keep"))
   }
 }
