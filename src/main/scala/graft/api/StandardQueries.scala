@@ -3438,6 +3438,65 @@ object StandardQueries {
            |   OR (a.end_us + 21600000000) // 1000 + 1 < wm.wm_ms
            | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Streaming exact dedup ([[graft.streaming.DedupStream.exactKeepers]]):
+    * keeper election per content hash through a REAL stateful streaming
+    * aggregation over a file-source stream. `complete` mode against the
+    * memory sink surfaces the final state table, which equals the batch
+    * group-by — min(id) keeper election commutes across any micro-batch
+    * split, so the oracle is plain SQL. */
+  private def qStreamingDedup = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "documents")
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+      val qn = "sdq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.DedupStream.exactKeepers(sdf, "text", "doc_id")
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("text_hash")
+    },
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+           | count(*) AS dup_count
+           | FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin.replaceAll("\n", " ")))
+
+  /** Streaming near-dup ingestion
+    * ([[graft.streaming.DedupStream.nearDupsAgainstIndex]]): the src1
+    * slice arrives as a stream and is band-joined (stream-static,
+    * stateless) against the stored MinHash index of the rest of the
+    * corpus. Same pairs — and the same provable-equality regime
+    * (bimodal corpus, miss-prob 2e-22) — as the batch
+    * `dedup_incremental`, whose oracle this reuses verbatim. */
+  private def qStreamingNearDedup = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.minHashIndex(
+        docs.filter(F.col("source") =!= "src1"), "text", "doc_id")
+      val sdf = s.readStream.schema(docs.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+        .filter(F.col("source") === "src1")
+      val qn = "snq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.DedupStream.nearDupsAgainstIndex(
+        sdf, index, "text", "doc_id", numPerm = 64, bands = 32, threshold = 0.5)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("a", "b")
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id, source,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents))
+           | SELECT a.doc_id AS a, b.doc_id AS b,
+           |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+           | FROM sh a JOIN sh b ON a.source = 'src1' AND b.source <> 'src1'
+           | WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+           | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   /** SLIDING-window stats (2h windows, 1h slide) — each event lands in
     * exactly two overlapping windows; the oracle replicates the window
     * fanout with a 2-element unnest of the hour-aligned starts. Same
@@ -3785,7 +3844,9 @@ object StandardQueries {
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
     "streaming_drift_psi" -> qStreamingDriftPsi,
-    "streaming_sessionize" -> qStreamingSessionize)
+    "streaming_sessionize" -> qStreamingSessionize,
+    "streaming_dedup" -> qStreamingDedup,
+    "streaming_near_dedup" -> qStreamingNearDedup)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -191,7 +191,7 @@ object Dedup {
     * `maxBucketSize <= 0` pass through unchanged. Only for asymmetric
     * join paths — self-join paths use [[lshPairs]]' star edges, which
     * keep every member reachable. */
-  private[pipeline] def capBuckets(
+  private[graft] def capBuckets(
       banded: DataFrame, keyCols: Seq[String], idCol: String,
       maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) banded

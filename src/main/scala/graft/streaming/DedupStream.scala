@@ -6,22 +6,95 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.pipeline.Dedup
 
-/** Streaming near-duplicate flagging against a STATIC corpus index — the
-  * online half of the dedup pipeline: the corpus index is built once in
-  * batch ([[Dedup.minHashIndex]], two pruned columns), then arriving
-  * documents are checked micro-batch by micro-batch before admission.
+/** Streaming deduplication: the ingestion-time face of
+  * [[graft.pipeline.Dedup]]. Exact dedup becomes a stateful keeper
+  * election over content hashes; near-dup flagging joins the arriving
+  * micro-batch against a STATIC corpus index built once in batch
+  * ([[Dedup.minHashIndex]]) — either per-batch inside `foreachBatch`
+  * ([[flagAgainstIndex]], parquet audit sink) or as a plain
+  * stream-static plan ([[nearDupsAgainstIndex]], any streaming sink).
   *
-  * Each micro-batch runs the same candidate-join + exact-Jaccard
-  * verification as the batch path ([[Dedup.nearDupsAgainstIndex]]) inside
-  * `foreachBatch` — a stream-STATIC join per batch, no streaming state,
-  * no watermark: dedup-against-index is per-document, so batch boundaries
-  * cannot change results. Output appends one parquet row per flagged
-  * (doc, index-doc) pair with the batch id for audit. Sink is
-  * at-least-once on retries (idempotent readers dedupe on
-  * (a, b, batch_id)); the flag decision itself is deterministic.
+  * (Reference analog: whylogs' rolling loggers profile arriving data
+  * incrementally — python/whylogs/api/logger/rolling.py — but the
+  * reference has no streaming dedup; this extends the same
+  * arriving-batch model to the training-data dedup operators.)
   */
 object DedupStream {
 
+  /** Streaming exact dedup: a running keeper election per content hash —
+    * `(text_hash, keeper_id = min id seen, dup_count = copies seen)`.
+    *
+    * A streaming groupBy-aggregate: state is one (hash, min, count) row
+    * per DISTINCT document ever seen — the canonical streaming-dedup
+    * state, sharded by the state store on the hash. Use `update` output
+    * with a foreachBatch upsert into a store at scale (`complete` is for
+    * bounded sinks like the test harness's memory table). min(id) as the
+    * keeper makes re-runs deterministic regardless of batch boundaries —
+    * the election commutes, so replaying the stream in any batching
+    * yields the same keepers. */
+  def exactKeepers(stream: DataFrame, textCol: String, idCol: String): DataFrame =
+    stream
+      .withColumn("text_hash", F.md5(F.col(textCol)))
+      .groupBy("text_hash")
+      .agg(F.min(F.col(idCol)).as("keeper_id"), F.count(F.lit(1)).as("dup_count"))
+
+  /** Streaming near-dup against a static [[Dedup.minHashIndex]] as ONE
+    * declarative streaming plan: each arriving document is
+    * shingled/banded map-side, band-joined against the index
+    * (stream-static joins are STATELESS — no watermark, no join state),
+    * and every surviving candidate is verified with the exact
+    * shingle-set Jaccard. Emits `(a = stream doc, b = index doc,
+    * jaccard >= threshold)` in append mode to any sink — use
+    * [[flagAgainstIndex]] instead when you want the per-batch audit
+    * parquet layout.
+    *
+    * Scale shape mirrors the batch [[Dedup.nearDupsAgainstIndex]] with
+    * one deliberate difference: the arriving doc's shingle-id array
+    * rides its own band rows (`bands` copies) instead of being
+    * re-fetched, because a second join back to the stream would be a
+    * stream-stream join (stateful, watermark-bound). The stream side is
+    * an ingestion micro-batch — bands × |batch| array copies — while the
+    * corpus-scale side stays lean: only (doc_id, band, hash) enters the
+    * band join, index arrays are re-fetched by the static candidate
+    * join, and `maxBucketSize` thins boilerplate mega-buckets
+    * ([[Dedup.capBuckets]]).
+    *
+    * The trailing `dropDuplicates` collapses multi-band hits of the same
+    * pair. Docs arrive in exactly one micro-batch, so its state only
+    * ever holds pairs of that batch's docs; with re-delivery (at-least-
+    * once sources) bound it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` upstream. `numPerm`/`bands` must
+    * match the index's. */
+  def nearDupsAgainstIndex(
+      stream: DataFrame, index: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sig = stream.select(F.col(idCol).as("a"),
+        Dedup.shingleIds(F.col(textCol)).as("ia"))
+      .withColumn("bhs", Dedup.bandHashes(F.col("ia"), numPerm, bands))
+    val sBand = sig.select(F.col("a"), F.col("ia"),
+      F.posexplode(F.col("bhs")).as(Seq("band", "bh")))
+    val iBand = Dedup.capBuckets(
+      index.select(F.col("doc_id").as("b"),
+        F.posexplode(F.col("bhs")).as(Seq("band", "bh"))),
+      Seq("band", "bh"), "b", maxBucketSize)
+    sBand.join(iBand, Seq("band", "bh"))
+      .join(index.select(F.col("doc_id").as("b"), F.col("ids").as("ib")), Seq("b"))
+      .withColumn("jaccard", Dedup.jaccard(F.col("ia"), F.col("ib")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .dropDuplicates("a", "b")
+  }
+
+  /** Per-batch near-dup flagging inside `foreachBatch`: runs the BATCH
+    * candidate-join + exact-Jaccard verification
+    * ([[Dedup.nearDupsAgainstIndex]]) on each arriving micro-batch — a
+    * stream-STATIC join per batch, no streaming state, no watermark:
+    * dedup-against-index is per-document, so batch boundaries cannot
+    * change results. Output appends one parquet row per flagged
+    * (doc, index-doc) pair with the batch id for audit. Sink is
+    * at-least-once on retries (idempotent readers dedupe on
+    * (a, b, batch_id)); the flag decision itself is deterministic. */
   def flagAgainstIndex(
       stream: DataFrame,
       index: DataFrame,

@@ -275,4 +275,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"ranking metrics must not join:\n$plan")
     // clampK=false: no extra job scanned the arrays for max length
   }
+
+  test("semDeDup: cluster-keyed pairwise, pruned scan, no cross-cluster cartesian") {
+    val out = graft.pipeline.Similarity.semDeDup(
+      table("embeddings"), "vec_id", "embedding", numClusters = 4, tau = 0.4)
+    val plan = planOf(out)
+    // the pairwise stage must stay keyed on cluster_id — an unkeyed
+    // cross product over the corpus is exactly what clustering avoids
+    assert(!plan.contains("CartesianProduct"),
+      s"semDeDup must not cross-join across clusters:\n${plan.take(3000)}")
+    // bounded composition: anchor window + cluster join + per-id verdict
+    assert(shuffles(plan) <= 4, s"expected <= 4 exchanges:\n${plan.take(3000)}")
+    // codebook training samples (vec_id, embedding); the plan reads the same
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("vec_id", "embedding"))),
+      s"scan reads unused columns: $schemas")
+  }
 }
