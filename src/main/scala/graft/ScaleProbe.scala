@@ -41,7 +41,8 @@ object ScaleProbe {
     "drift_ks_exact", "viz_summary_report",
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
-    "events_sessionize", "events_funnel", "sliding_window_profile")
+    "events_sessionize", "events_funnel", "sliding_window_profile",
+    "semdedup_clustered", "streaming_dedup", "streaming_sessionize")
 
   private[graft] def replicateForTest(df: DataFrame, table: String, copies: Int): DataFrame =
     replicate(df, table, copies)

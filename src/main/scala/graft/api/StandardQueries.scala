@@ -33,6 +33,11 @@ object StandardQueries {
   def streamableDir(file: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(file).toAbsolutePath
+    // a directory-shaped table (multi-split parquet) is already a valid
+    // file-source path — and MUST be returned as-is: the file source
+    // does not descend into a symlinked subdirectory, so the symlink
+    // indirection below would make the stream silently read zero files
+    if (Files.isDirectory(src)) return src.toString
     // dir name from a strong digest of the absolute path — a 32-bit hash
     // could collide two sources into the same temp dir
     val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -3438,6 +3443,33 @@ object StandardQueries {
            |   OR (a.end_us + 21600000000) // 1000 + 1 < wm.wm_ms
            | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Oracle-checked frame-sampling bridge: the same evenly-spaced-window
+    * position arithmetic as `frame_hashes`
+    * ([[graft.pipeline.Multimodal.frameSampleHashes]] — frame i starts at
+    * 1 + i·max(len−w, 0) div (n−1)) with md5-over-UTF-8 in place of the
+    * production xxhash64, and char positions in place of byte offsets, so
+    * DuckDB reproduces every frame verbatim (`substring`/`length` are
+    * char-based and md5 hashes UTF-8 bytes in both engines; `div` and
+    * `//` both floor the non-negative offsets). Pins the FAMILY's
+    * sample-position semantics; production stays the binary xxhash64
+    * variant. */
+  private def qFrameHashesMd5 = Q(
+    (s, dir) => {
+      val frames = (0 until 4).map { i =>
+        F.md5(F.encode(F.expr(
+          s"substring(text, 1 + ($i * greatest(char_length(text) - 64, 0)) div 3, 64)"),
+          "UTF-8")).as(s"f$i")
+      }
+      t(s, dir, "documents")
+        .select(F.col("doc_id") +: frames: _*).orderBy("doc_id")
+    },
+    Some {
+      val frames = (0 until 4).map { i =>
+        s"md5(substring(text, 1 + ($i * greatest(length(text) - 64, 0)) // 3, 64)) AS f$i"
+      }.mkString(", ")
+      s"SELECT doc_id, $frames FROM documents ORDER BY doc_id"
+    })
+
   /** Streaming exact dedup ([[graft.streaming.DedupStream.exactKeepers]]):
     * keeper election per content hash through a REAL stateful streaming
     * aggregation over a file-source stream. `complete` mode against the
@@ -3471,19 +3503,25 @@ object StandardQueries {
   private def qStreamingNearDedup = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // production stores the index as parquet (minHashIndex scaladoc);
+      // this inline build is persisted so the two index references
+      // (band join + array re-fetch) don't re-shingle the corpus
       val index = Dedup.minHashIndex(
         docs.filter(F.col("source") =!= "src1"), "text", "doc_id")
-      val sdf = s.readStream.schema(docs.schema)
-        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
-        .filter(F.col("source") === "src1")
-      val qn = "snq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.DedupStream.nearDupsAgainstIndex(
-        sdf, index, "text", "doc_id", numPerm = 64, bands = 32, threshold = 0.5)
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn).orderBy("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sdf = s.readStream.schema(docs.schema)
+          .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+          .filter(F.col("source") === "src1")
+        val qn = "snq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.DedupStream.nearDupsAgainstIndex(
+          sdf, index, "text", "doc_id", numPerm = 64, bands = 32, threshold = 0.5)
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn).orderBy("a", "b")
+      } finally index.unpersist(blocking = false)
     },
     Some("""WITH sh AS (
            |  SELECT doc_id, source,
@@ -3831,6 +3869,7 @@ object StandardQueries {
             F.col("frame_hashes").getItem(3).as("f3"))
           .orderBy("doc_id")
       }, None),
+    "frame_hashes_md5" -> qFrameHashesMd5,
     "window_profile" -> qWindowProfile,
     "sliding_window_profile" -> qSlidingWindowProfile,
     "events_sessionize" -> qEventsSessionize,

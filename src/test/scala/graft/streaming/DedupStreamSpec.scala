@@ -69,4 +69,26 @@ class DedupStreamSpec extends SparkSpec {
       assert(streamed.nonEmpty) // the fixture must actually exercise the path
     } finally q.stop()
   }
+
+  test("streamableDir streams every row of a DIRECTORY-shaped (multi-split) table") {
+    import spark.implicits._
+    // regression pin: the file source does not descend into a symlinked
+    // subdirectory — before the directory passthrough, a multi-split
+    // table streamed as ZERO rows (single-file fixtures masked it)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_dir_src")
+      .resolve("docs.parquet").toString
+    (1L to 100L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val sdf = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(graft.api.StandardQueries.streamableDir(dir))
+    val qn = "dsd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = DedupStream.exactKeepers(sdf, "text", "doc_id")
+      .writeStream.format("memory").queryName(qn).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      assert(spark.table(qn).count() === 100L)
+    } finally q.stop()
+  }
 }
