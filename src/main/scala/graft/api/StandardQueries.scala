@@ -2235,6 +2235,69 @@ object StandardQueries {
            |     ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
            |  FROM documents) WHERE rk <= 3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Token-budget mixture planning ([[Sampling.mixtureWeights]]) over
+    * four sources at the feasible budget (maxEpochs = 2). Shares are
+    * dyadic (0.5/0.25/0.125) so normalization is exact in binary and
+    * the oracle's CASE literals equal Spark's computed shares bit-for-
+    * bit; `tokens` sums integers (exact in double), and every
+    * downstream expression is replayed operation-for-operation. */
+  private def qMixtureWeights = Q(
+    (s, dir) =>
+      Sampling.mixtureWeights(t(s, dir, "documents"),
+        F.col("source"), F.col("n_chars"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.25,
+          "src2" -> 0.125, "src3" -> 0.125),
+        budget = None, maxEpochs = 2.0)
+        .select(F.col("domain"), F.col("tokens"), F.col("target_share"),
+          F.round(F.col("budget_tokens"), 6).as("budget_tokens"),
+          F.round(F.col("rate"), 6).as("rate"), F.col("capped"))
+        .orderBy("domain"),
+    Some("""WITH s AS (
+           |  SELECT source AS domain, CAST(sum(n_chars) AS DOUBLE) AS tokens,
+           |   CASE source WHEN 'src0' THEN 0.5::DOUBLE WHEN 'src1' THEN 0.25::DOUBLE
+           |     WHEN 'src2' THEN 0.125::DOUBLE WHEN 'src3' THEN 0.125::DOUBLE END AS target_share
+           |  FROM documents WHERE source IN ('src0','src1','src2','src3') GROUP BY source),
+           | b AS (SELECT min(tokens * 2.0::DOUBLE / target_share) AS budget_total FROM s)
+           | SELECT domain, tokens, target_share,
+           |  round(target_share * budget_total, 6) AS budget_tokens,
+           |  round(least(target_share * budget_total / tokens, 2.0::DOUBLE), 6) AS rate,
+           |  target_share * budget_total / tokens > 2.0::DOUBLE AS capped
+           | FROM s, b ORDER BY domain""".stripMargin.replaceAll("\n", " ")))
+
+  /** Mixture application ([[Sampling.applyMixture]]): per-domain rates
+    * spanning every branch — full upsample (2.0), fractional upsample
+    * (1.4), downsample (0.4), drop (0.0), pass-through default. The
+    * oracle replays the epoch fanout and the per-epoch md5 threshold
+    * draw verbatim (thresholds below are the library's own
+    * [[Sampling.thresholdHex]] values). */
+  private def qMixtureApply = Q(
+    (s, dir) =>
+      Sampling.applyMixture(t(s, dir, "documents"),
+        F.col("source"), F.col("doc_id"),
+        rates = Map("src0" -> 2.0, "src1" -> 1.4, "src2" -> 0.4, "src3" -> 0.0))
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch"),
+    Some {
+      def thr(r: Double): String =
+        Sampling.thresholdHex(math.min(math.max(r - math.floor(r), 0.0), 1.0))
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |   CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 2
+         |     WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 ELSE 1 END AS cc,
+         |   CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+         |     WHEN 'src2' THEN 0 WHEN 'src3' THEN 0 ELSE 1 END AS nfull,
+         |   CASE source WHEN 'src0' THEN '${thr(2.0)}' WHEN 'src1' THEN '${thr(1.4)}'
+         |     WHEN 'src2' THEN '${thr(0.4)}' WHEN 'src3' THEN '${thr(0.0)}'
+         |     ELSE '${thr(1.0)}' END AS thr
+         |  FROM documents),
+         | e AS (SELECT doc_id, source, nfull, thr,
+         |   unnest(generate_series(0, cc - 1)) AS epoch FROM r)
+         | SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM e
+         | WHERE epoch < nfull
+         |  OR substr(md5('mix:' || epoch || ':' || doc_id), 1, 8) < thr
+         | ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** The over-cap branch under the oracle: a 30-copy mega-cluster planted
     * from doc 0 makes every one of its 32 band buckets exceed cap=8, so
     * candidate generation switches to [[Dedup.lshPairs]] star edges — the
@@ -3836,6 +3899,8 @@ object StandardQueries {
     "sample_balanced" -> qSampleBalanced,
     "sample_temperature" -> qSampleTemperature,
     "sample_domain_cap" -> qSampleDomainCap,
+    "mixture_weights" -> qMixtureWeights,
+    "mixture_apply" -> qMixtureApply,
     "json_props_profile" -> qJsonPropsProfile,
     "decontaminate" -> qDecontaminate,
     "doc_novelty" -> qDocNovelty,

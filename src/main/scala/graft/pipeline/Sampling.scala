@@ -184,4 +184,98 @@ object Sampling {
       .filter(F.col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Token-budget mixture planning — the data-mixing table of an LLM
+    * pretraining run: each listed domain should contribute
+    * `target_share` of the token budget, and no domain may be repeated
+    * more than `maxEpochs` times. Per domain present in the data:
+    *
+    *   - `tokens`: available tokens (sum of `weight`)
+    *   - `target_share`: the normalized requested share
+    *   - `budget_tokens`: share × budget
+    *   - `rate`: budget_tokens / tokens, clipped at `maxEpochs` —
+    *     feed this straight into [[applyMixture]] (>1 upsamples)
+    *   - `capped`: whether the epoch cap clipped the request
+    *
+    * With `budget = None` the LARGEST feasible budget is used —
+    * min over domains of tokens·maxEpochs / share, the point where the
+    * most-stretched domain hits its epoch cap (so exactly one domain
+    * has rate = maxEpochs and nothing is capped short of target).
+    *
+    * Scale shape: one map-side-combined groupBy over the listed
+    * domains' rows (the result is ≤ |targets| rows); the feasible
+    * budget is a broadcast min over that tiny table — no corpus-sized
+    * state anywhere. Domains listed in `targets` but ABSENT from the
+    * data are absent from the output (and do not constrain the
+    * feasible budget). */
+  def mixtureWeights(df: DataFrame, domain: Column, weight: Column,
+      targets: Map[String, Double], budget: Option[Double] = None,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0), s"target shares must be > 0: $targets")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(budget.forall(_ > 0), s"budget must be > 0: $budget")
+    val total = targets.values.sum
+    val shareCol = targets.toSeq.sortBy(_._1)
+      .foldRight(F.lit(null).cast("double"): Column) { case ((k, w), acc) =>
+        F.when(F.col("__dom") === k, F.lit(w / total)).otherwise(acc)
+      }
+    val stats = df
+      .select(domain.cast("string").as("__dom"), weight.cast("double").as("__w"))
+      .filter(F.col("__dom").isInCollection(targets.keys.toSeq))
+      .groupBy("__dom").agg(F.sum(F.col("__w")).as("tokens"))
+      .withColumn("target_share", shareCol)
+    val withBudget = budget match {
+      case Some(b) => stats.withColumn("budget_total", F.lit(b))
+      case None =>
+        val feasible = stats.agg(
+          F.min(F.col("tokens") * maxEpochs / F.col("target_share"))
+            .as("budget_total"))
+        stats.crossJoin(F.broadcast(feasible))
+    }
+    withBudget
+      .withColumn("budget_tokens", F.col("target_share") * F.col("budget_total"))
+      .withColumn("__rate_raw", F.col("budget_tokens") / F.col("tokens"))
+      .select(F.col("__dom").as("domain"), F.col("tokens"),
+        F.col("target_share"), F.col("budget_tokens"),
+        F.least(F.col("__rate_raw"), F.lit(maxEpochs)).as("rate"),
+        (F.col("__rate_raw") > F.lit(maxEpochs)).as("capped"))
+  }
+
+  /** Apply a per-domain mixture rate (from [[mixtureWeights]] or by
+    * hand): rate r emits ⌊r⌋ full copies of every row plus one partial
+    * copy kept at the fractional rate — deterministic hash-threshold
+    * selection like everything else here, so the mixed corpus is
+    * re-derivable bit-for-bit on any engine with md5. Output rows carry
+    * `epochCol` (0-based copy index): rate 2.4 yields epochs {0,1} for
+    * every row and epoch 2 for a hash-chosen 40%.
+    *
+    * Map-only: the explode factor is ⌈r⌉ per domain — no shuffle, no
+    * RNG state; the per-epoch salt decorrelates the partial-copy draws
+    * from each other and from other samples of the same keys. Domains
+    * not listed get `defaultRate` (1.0 = pass through unchanged; 0
+    * drops). NULL keys hash to NULL and never survive a partial copy
+    * (same contract as [[hashSample]]). */
+  def applyMixture(df: DataFrame, domain: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix", epochCol: String = "epoch"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0),
+      s"rates must be >= 0: $rates default=$defaultRate")
+    val d = domain.cast("string")
+    def chain(f: Double => Column): Column =
+      rates.toSeq.sortBy(_._1).foldRight(f(defaultRate)) { case ((k, r), acc) =>
+        F.when(d === k, f(r)).otherwise(acc)
+      }
+    // candidate epochs: max(⌈r⌉, 1) — the rate-0 candidate is filtered
+    // below (threshold "00000000" admits nothing)
+    val ccCol = chain(r => F.lit(math.max(math.ceil(r).toInt, 1)))
+    val fullCol = chain(r => F.lit(math.floor(r).toInt))
+    val thrCol = chain(r => F.lit(thresholdHex(
+      math.min(math.max(r - math.floor(r), 0.0), 1.0))))
+    val h = F.substring(F.md5(F.concat(
+      F.lit(salt + ":"), F.col(epochCol).cast("string"),
+      F.lit(":"), key.cast("string"))), 1, 8)
+    df.withColumn(epochCol, F.explode(F.sequence(F.lit(0), ccCol - 1)))
+      .filter(F.col(epochCol) < fullCol || h < thrCol)
+  }
 }

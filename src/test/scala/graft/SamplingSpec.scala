@@ -202,4 +202,60 @@ class SamplingSpec extends SparkSpec {
     assert(resalted.filter(_._2 == "a").toSet != got.filter(_._2 == "a").toSet,
       "re-salting should redraw the surviving set")
   }
+
+  test("mixtureWeights: feasible budget, epoch cap, explicit budget") {
+    import spark.implicits._
+    // a: 100 tokens over 2 rows, b: 50 tokens over 1 row
+    val df = Seq(("a", 60L), ("a", 40L), ("b", 50L), ("zzz", 999L))
+      .toDF("dom", "toks")
+    def run(budget: Option[Double]) =
+      Sampling.mixtureWeights(df, F.col("dom"), F.col("toks"),
+        targets = Map("a" -> 0.5, "b" -> 0.5), budget = budget, maxEpochs = 4.0)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+        .toMap
+    // feasible budget = min(100*4/0.5, 50*4/0.5) = 400:
+    // b (the scarce domain) runs at exactly the epoch cap, a at 2
+    val feas = run(None)
+    assert(feas.keySet === Set("a", "b")) // unlisted 'zzz' excluded
+    assert(feas("a") === ((100.0, 0.5, 200.0, 2.0, false)))
+    assert(feas("b") === ((50.0, 0.5, 200.0, 4.0, false)))
+    // explicit over-feasible budget: both clipped at maxEpochs, flagged
+    val over = run(Some(1000.0))
+    assert(over("a") === ((100.0, 0.5, 500.0, 4.0, true)))
+    assert(over("b") === ((50.0, 0.5, 500.0, 4.0, true)))
+  }
+
+  test("applyMixture: full copies, fractional draw, drop, default pass-through") {
+    import spark.implicits._
+    val rows = (0L until 400L).map { i =>
+      (i, Seq("up2", "up14", "down", "gone", "other")((i % 5L).toInt))
+    }
+    val df = rows.toDF("id", "dom")
+    val rates = Map("up2" -> 2.0, "up14" -> 1.4, "down" -> 0.4, "gone" -> 0.0)
+    val got = Sampling.applyMixture(df, F.col("dom"), F.col("id"), rates)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDom = got.groupBy(_._2)
+    // rate 2.0: EVERY row exactly twice, epochs {0, 1}
+    assert(byDom("up2").length === 160)
+    assert(byDom("up2").groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(Seq(0, 1))))
+    // rate 1.4: epoch 0 keeps all 80 rows; epoch 1 is a proper hash subset
+    val up14ByEpoch = byDom("up14").groupBy(_._3).map { case (e, g) => e -> g.length }
+    assert(up14ByEpoch(0) === 80)
+    assert(up14ByEpoch.getOrElse(1, 0) > 0 && up14ByEpoch(1) < 80)
+    // rate 0.4: a proper subset at epoch 0 only
+    assert(byDom("down").forall(_._3 == 0))
+    assert(byDom("down").nonEmpty && byDom("down").length < 80)
+    // rate 0: nothing survives; unlisted: exactly once at epoch 0
+    assert(!byDom.contains("gone"))
+    assert(byDom("other").length === 80 && byDom("other").forall(_._3 == 0))
+    // deterministic under repartitioning
+    val again = Sampling.applyMixture(df.repartition(7), F.col("dom"), F.col("id"), rates)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSet === again.toSet)
+    // fractional draws at different epochs are decorrelated (salted per epoch):
+    // the epoch-1 survivor set of up14 is not the epoch-0 survivor set of down
+    val e1Up = byDom("up14").filter(_._3 == 1).map(_._1 % 5).toSet
+    assert(e1Up.nonEmpty)
+  }
 }
