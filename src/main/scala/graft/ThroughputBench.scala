@@ -27,7 +27,9 @@ object ThroughputBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val targetRows = sys.env.getOrElse("SPARK_GRAFT_TP_ROWS", "4800000").toLong
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TP_PASSES", "3").toInt)
+    // JIT reaches steady state around pass 5-6 on a fresh JVM (measured:
+    // 3.6/1.2/0.92/0.81/0.73/0.73/0.66 s) — 3 passes underreport ~30%
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TP_PASSES", "8").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -2370,6 +2370,29 @@ object StandardQueries {
     },
     None)
 
+  /** IVF with EXHAUSTIVE probing (nprobe = numCentroids): every cell is
+    * probed, so the candidate set is the whole corpus and the result
+    * must equal brute force exactly — the DuckDB all-pairs top-k oracle
+    * states that in SQL (same ordering contract (sim desc, id desc) as
+    * `embedding_topk`). An oracle-checked pin for the IVF
+    * assignment/scoring path; the pruned production shape stays the
+    * recall-gated `embedding_ivf`. */
+  private def qEmbeddingIvfExhaustive = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 20),
+        numCentroids = 8, nprobe = 8, k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id DESC) AS rank
+           |  FROM embeddings q, embeddings c
+           |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+           | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
+
   /** EmbeddingMetric (per-reference distance distributions + closest
     * counts): first 4 corpus vectors are the labeled references. The
     * oracle recomputes cosine distance with the explicit
@@ -3876,6 +3899,7 @@ object StandardQueries {
     "embedding_topk" -> qEmbeddingTopK,
     "embedding_ivf" -> qEmbeddingIvf,
     "embedding_ivf_recall" -> qEmbeddingIvfRecall,
+    "embedding_ivf_exhaustive" -> qEmbeddingIvfExhaustive,
     "embedding_pq" -> qEmbeddingPq,
     "embedding_pq_recall" -> qEmbeddingPqRecall,
     "dedup_embedding" -> qDedupEmbedding,

@@ -104,6 +104,26 @@ class SemDeDupSpec extends SparkSpec {
     ids.map(id => id -> cos(v(id), cent)).toMap
   }
 
+  test("randomized corpora match the brute-force reference (3 seeded draws)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered blobs + noise so near-dup pairs exist at tau
+      val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian()))
+      val rows = (0L until 120L).map { i =>
+        val c = centers(rnd.nextInt(4))
+        (i, c.map(x => x + rnd.nextGaussian() * 0.15))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val v = rows.toMap.map { case (k, arr) => k -> arr }
+      val got = Similarity.semDeDup(df, "vec_id", "embedding",
+          numClusters = 1, tau = 0.9, sampleSize = 4096)
+        .select("id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got === bruteSingleCluster(v, tau = 0.9), s"seed $seed")
+    }
+  }
+
   test("singletons and duplicate groups: keep exactly the least-central member") {
     import spark.implicits._
     // two tight pairs + one far singleton, dim 2
