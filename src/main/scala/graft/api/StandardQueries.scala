@@ -2393,6 +2393,30 @@ object StandardQueries {
            |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
            | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
 
+  /** PQ with EXHAUSTIVE re-rank (rerank >= corpus): every ADC candidate
+    * survives to the exact-cosine re-scoring, so the result must equal
+    * brute force — the documented "re-rank depth ⇒ exactness" contract
+    * of [[Similarity.pqTopK]], stated in SQL. The re-rank scores on
+    * double-cast vectors, so the oracle casts too (tie semantics:
+    * distinct vectors never tie within 1e-16; identical vectors tie
+    * exactly in both engines and break by id desc). Production stays
+    * the bounded-rerank `embedding_pq` + recall gate. */
+  private def qEmbeddingPqExhaustive = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(F.col("vec_id") < 20),
+        m = 16, ksub = 16, k = 5, rerank = 1000000)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id DESC) AS rank
+           |  FROM embeddings q, embeddings c
+           |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+           | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
+
   /** EmbeddingMetric (per-reference distance distributions + closest
     * counts): first 4 corpus vectors are the labeled references. The
     * oracle recomputes cosine distance with the explicit
@@ -3902,6 +3926,7 @@ object StandardQueries {
     "embedding_ivf_exhaustive" -> qEmbeddingIvfExhaustive,
     "embedding_pq" -> qEmbeddingPq,
     "embedding_pq_recall" -> qEmbeddingPqRecall,
+    "embedding_pq_exhaustive" -> qEmbeddingPqExhaustive,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
