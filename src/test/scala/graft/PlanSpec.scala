@@ -276,6 +276,19 @@ class PlanSpec extends SparkSpec {
     // clampK=false: no extra job scanned the arrays for max length
   }
 
+  test("applyMixture is map-only: no exchange, no join, pruned scan") {
+    val out = graft.pipeline.Sampling.applyMixture(
+      table("documents"), F.col("source"), F.col("doc_id"),
+      rates = Map("src0" -> 2.0, "src1" -> 0.4))
+      .select("doc_id", "source", "epoch")
+    val plan = planOf(out)
+    assert(shuffles(plan) == 0, s"mixture application must not shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"mixture application must not join:\n${plan.take(3000)}")
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("doc_id", "source"))),
+      s"scan reads unused columns: $schemas")
+  }
+
   test("semDeDup: cluster-keyed pairwise, pruned scan, no cross-cluster cartesian") {
     val out = graft.pipeline.Similarity.semDeDup(
       table("embeddings"), "vec_id", "embedding", numClusters = 4, tau = 0.4)
