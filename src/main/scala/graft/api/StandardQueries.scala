@@ -2942,6 +2942,79 @@ object StandardQueries {
            |   ELSE 'ok' END AS reason
            | FROM sig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** BM25 ranked retrieval ([[graft.pipeline.TextAnalysis.bm25TopDocs]]):
+    * top-10 docs for a three-term query at the textbook k1=1.5/b=0.75
+    * (both exactly-representable doubles). The oracle replays
+    * tokenize → tf → df → idf → length-normalized term score →
+    * ascending-term ordered sum, operation for operation; ties (exact
+    * duplicate docs score identically) break by doc_id. idf is floored
+    * at 1e-9 granularity on both sides — the one libm-dependent step
+    * (ln) measurably differs by 1 ulp between the JVM and glibc for
+    * some arguments, and floor(x*1e9)/1e9 is an exactly-specified IEEE
+    * chain that absorbs it (production default keeps pure ln). */
+  private def qBm25TopDocs = Q(
+    (s, dir) => TextAnalysis.bm25TopDocs(
+      t(s, dir, "documents"), "doc_id", "text", Seq("join", "vector", "window"),
+      idfQuantize = Some(1e9)),
+    Some("""WITH base AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
+           |  FROM documents),
+           | bd AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+           | st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM bd),
+           | tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           |   FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bd)
+           |   WHERE term IN ('join', 'vector', 'window') GROUP BY 1, 2, 3),
+           | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           | sc AS (SELECT doc_id, term,
+           |   (floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000000.0) / 1000000000.0)
+           |     * (CAST(tf AS DOUBLE) * 2.5)
+           |     / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+           |   FROM tf JOIN dfq USING (term), st),
+           | agg AS (SELECT doc_id, sum(term_score ORDER BY term) AS score,
+           |     CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1)
+           | SELECT doc_id, score, n_terms_hit,
+           |   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           | FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")))
+
+  /** Bloom-filter membership dedup ([[graft.pipeline.Dedup.bloomBuild]] /
+    * [[graft.pipeline.Dedup.bloomProbe]]): build a 2^16-bit / 4-hash
+    * bloom over the even-doc_id half's content keys (md5 of text), probe
+    * EVERY doc — ref docs must flag maybe_dup (no false negatives, the
+    * Bloom guarantee), the rest flag only on (deterministically
+    * replayed) collisions. The oracle derives the identical position
+    * sets from md5 hex substrings and tests them with list_has_all —
+    * bit-for-bit the same membership verdicts, false positives
+    * included. */
+  private def qDedupBloom = Q(
+    (s, dir) => {
+      val key = F.md5(F.col("text"))
+      val pos = Dedup.bloomPositionsMd5(key, numHashes = 4, hexChars = 4)
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(F.col("doc_id") % 2 === 0)
+      val bloom = Dedup.bloomBuild(ref, pos, numBits = 65536)
+      val refKeys = ref.select(key.as("ck")).distinct()
+        .withColumn("in_ref", F.lit(true))
+      Dedup.bloomProbe(docs.select(F.col("doc_id"), key.as("ck")),
+          Dedup.bloomPositionsMd5(F.col("ck"), 4, 4), bloom)
+        .join(F.broadcast(refKeys), Seq("ck"), "left")
+        .withColumn("exact_dup", F.coalesce(F.col("in_ref"), F.lit(false)))
+        .select(F.col("doc_id"), F.col("maybe_dup"), F.col("exact_dup"),
+          (F.col("maybe_dup") && !F.col("exact_dup")).as("false_positive"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ref AS (SELECT md5(text) AS ck FROM documents WHERE doc_id % 2 = 0),
+           | rp AS (SELECT DISTINCT unnest([substr(md5(CAST(j AS VARCHAR) || ':' || ck), 1, 4) for j in range(0, 4)]) AS p FROM ref),
+           | rl AS (SELECT list(p) AS allp FROM rp),
+           | rk AS (SELECT list(DISTINCT ck) AS allk FROM ref),
+           | pr AS (SELECT doc_id, md5(text) AS ck,
+           |     [substr(md5(CAST(j AS VARCHAR) || ':' || md5(text)), 1, 4) for j in range(0, 4)] AS ps
+           |   FROM documents)
+           | SELECT doc_id,
+           |   list_has_all(allp, ps) AS maybe_dup,
+           |   list_contains(allk, ck) AS exact_dup,
+           |   list_has_all(allp, ps) AND NOT list_contains(allk, ck) AS false_positive
+           | FROM pr, rl, rk ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextStats = Q(
     (s, dir) => {
       TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
@@ -3908,6 +3981,7 @@ object StandardQueries {
     "drift_psi_quantile" -> qDriftPsiQuantile,
     "iqr_outliers" -> qIqrOutliers,
     "dedup_exact" -> qDedupExact,
+    "dedup_bloom" -> qDedupBloom,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_minhash_sig" -> qDedupMinhashSig,
     "dedup_simhash" -> qDedupSimhash,
@@ -3937,6 +4011,7 @@ object StandardQueries {
     "embedding_drift" -> qEmbeddingDrift,
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
+    "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,
     "c4_clean" -> qC4Clean,
     "charlm_score" -> qCharlmScore,

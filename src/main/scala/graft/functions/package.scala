@@ -6,7 +6,7 @@ import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.{functions => F}
 
-import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg, VarOptAgg}
+import graft.metrics.{BloomAgg, CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg, VarOptAgg}
 
 /** Column-level entry points for graft's metric aggregates — the analog of
   * `org.apache.spark.sql.functions` for this library.
@@ -46,6 +46,12 @@ package object functions {
     * deterministic, contents are a sample. */
   def var_opt_sample(c: Column, k: Int = 10): Column =
     agg(VarOptAgg(columnExpr(c.cast("string")), k))
+
+  /** Bloom bitset build over per-row bit-position arrays (`array<int>`):
+    * map-side partial bitsets, bitwise-OR merge, `array<bigint>` out.
+    * NULL position arrays skipped. */
+  def bloom_agg(positions: Column, numBits: Int): Column =
+    agg(BloomAgg(columnExpr(positions), numBits))
 
   /** Per-range character counts of a string (+ trailing UNKNOWN slot) —
     * the map stage of the unicode_range MultiMetric. */

@@ -493,4 +493,68 @@ object Dedup {
         (F.lit(1.0) - F.col("n_shared").cast("double") /
           F.greatest(F.col("n_grams").cast("double"), F.lit(1.0))).as("novelty"))
   }
+
+  // ------------------------------------------------------------------
+  // Bloom-filter membership dedup (the memory-bounded large-corpus
+  // exact-dedup device — Dolma's bloom dedup, arXiv:2402.00159 §2.2:
+  // false positives drop a few unique docs, never keep a duplicate).
+  // Build is one scan + the partial/final OR-merge of
+  // [[graft.metrics.BloomAgg]]; probe is a broadcast of the single-row
+  // bitset + a map-only bit test — no distinct-key shuffle, no join on
+  // the corpus.
+  // ------------------------------------------------------------------
+
+  /** Oracle-replayable bit positions for `key`: hash `i` of `numHashes`
+    * is the first `hexChars` hex chars of md5("i:" ++ key), parsed as an
+    * int — so a SQL engine working purely on md5 hex STRINGS derives the
+    * identical position set (the hex substring ↔ parsed int bijection).
+    * Bitset size is 16^hexChars. NULL key → NULL (skipped by the agg). */
+  def bloomPositionsMd5(key: Column, numHashes: Int = 4, hexChars: Int = 4): Column = {
+    require(hexChars >= 1 && hexChars <= 7, "hexChars must keep positions in Int range")
+    // array(...) of NULL elements is not itself NULL — gate on the key
+    // so NULL keys yield a NULL array the bloom agg skips
+    F.when(key.isNull, F.lit(null)).otherwise(
+      F.array((0 until numHashes).map { i =>
+        F.conv(F.substring(F.md5(F.concat(F.lit(s"$i:"), key)), 1, hexChars), 16, 10)
+          .cast("int")
+      }: _*))
+  }
+
+  /** Production bit positions: xxhash64 with per-function seed columns,
+    * modulo `numBits` — one codegen'd hash per function, no string
+    * materialization. */
+  def bloomPositionsXx(key: Column, numHashes: Int, numBits: Int): Column =
+    // xxhash64 skips NULL children (hashing only the seed), which would
+    // silently give every NULL key the same position set — gate instead
+    F.when(key.isNull, F.lit(null)).otherwise(
+      F.array((0 until numHashes).map { i =>
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(numBits.toLong)).cast("int")
+      }: _*))
+
+  /** Build a Bloom bitset over `positions` (an `array<int>` per row, from
+    * [[bloomPositionsMd5]]/[[bloomPositionsXx]]): a single-row frame
+    * `(bloom: array<bigint>, n_items: bigint)`. */
+  def bloomBuild(df: DataFrame, positions: Column, numBits: Int): DataFrame =
+    df.agg(
+      graft.functions.bloom_agg(positions, numBits).as("bloom"),
+      F.sum(F.when(positions.isNotNull, 1L).otherwise(0L)).as("n_items"))
+
+  /** Membership test: true iff every bit in `positions` is set in
+    * `bloom` (an `array<bigint>` bitset column, normally from a
+    * broadcast of [[bloomBuild]]'s row). Codegen'd builtins only
+    * (element_at + getbit). */
+  def bloomMayContain(bloom: Column, positions: Column): Column =
+    F.forall(positions, p =>
+      F.call_function("getbit",
+        F.element_at(bloom, F.shiftright(p, 6) + 1), (p % 64).cast("long")) === 1)
+
+  /** Flag probe rows against a reference corpus' Bloom filter:
+    * `maybe_dup` (bloom membership), plus — when `exactKeys` is given —
+    * `exact_dup` ground truth and `false_positive`, the operator's
+    * documented error mode. `bloomDf` must be [[bloomBuild]]'s
+    * single-row output; it is broadcast, so probing is map-only. */
+  def bloomProbe(probe: DataFrame, positions: Column, bloomDf: DataFrame): DataFrame =
+    probe.crossJoin(F.broadcast(bloomDf.select("bloom")))
+      .withColumn("maybe_dup", bloomMayContain(F.col("bloom"), positions))
+      .drop("bloom")
 }

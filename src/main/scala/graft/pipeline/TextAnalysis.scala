@@ -165,6 +165,74 @@ object TextAnalysis {
         F.col("score"), F.col("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones with the Lucene
+    * `+1`-inside-the-log idf) over whitespace tokens: the standard
+    * lexical search/scoring primitive a corpus-curation pipeline uses
+    * for query-driven subset selection. Defaults `k1 = 1.5`, `b = 0.75`
+    * are the textbook midpoints AND exactly representable doubles, so
+    * every arithmetic step replays bit-for-bit in any IEEE SQL engine.
+    *
+    * Per-document score = Σ over query terms of
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`; the float sum folds in
+    * ascending-term order (sorted collect_list + `aggregate`) so it is
+    * deterministic and equals SQL's `sum(x ORDER BY term)`.
+    *
+    * Plan: the explode is filtered to the (tiny, literal) query term
+    * set before the (doc, term) partial/final count; df rides a
+    * term-partitioned window over that already-aggregated stream (no
+    * second corpus scan, no join); corpus stats (N, Σdl) are one pruned
+    * scan broadcast back; top-N lands in a TakeOrderedAndProject
+    * (bounded per-partition heap, no global sort). Three lean
+    * exchanges — (doc, term), term, doc — all downstream of the
+    * query-term filter, so they carry only matching postings. */
+  def bm25TopDocs(
+      df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+      k1: Double = 1.5, b: Double = 0.75, topN: Int = 10,
+      idfQuantize: Option[Double] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    val base = df.select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("toks"))
+      .select(F.col("doc_id"), F.col("toks"),
+        F.size(F.filter(F.col("toks"), w => F.length(w) > 0)).as("dl"))
+    val stats = base.agg(
+      F.count(F.lit(1)).as("n_docs"), F.sum(F.col("dl")).as("sum_dl"))
+    val tf = base
+      .select(F.col("doc_id"), F.col("dl"), F.explode(F.col("toks")).as("term"))
+      .filter(F.col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).as("tf"))
+      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    val tfD = F.col("tf").cast("double")
+    val avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    // ln is the ONE step libms disagree on at the last ulp (measured:
+    // JVM Math.log vs glibc differ for some arguments); every other op
+    // here is IEEE-exact. idfQuantize = Some(s) floors idf at
+    // granularity 1/s — floor(x*s)/s is an exactly-specified float
+    // chain, so any engine reproduces the quantized idf bit-for-bit.
+    // Ranking impact at s=1e9 is nil (idf perturbed by <1e-9 relative).
+    val rawIdf = F.log(
+      ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) /
+        (F.col("df").cast("double") + 0.5) + 1.0)
+    val idf = idfQuantize match {
+      case Some(s) => F.floor(rawIdf * F.lit(s)).cast("double") / F.lit(s)
+      case None    => rawIdf
+    }
+    val termScore = idf * (tfD * F.lit(k1 + 1.0)) /
+      (tfD + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)))
+    val perDoc = tf.crossJoin(F.broadcast(stats))
+      .select(F.col("doc_id"), F.col("term"), termScore.as("term_score"))
+      .groupBy("doc_id")
+      .agg(
+        F.aggregate(
+          F.sort_array(F.collect_list(F.struct(F.col("term"), F.col("term_score")))),
+          F.lit(0.0), (acc, x) => acc + x.getField("term_score")).as("score"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    perDoc.orderBy(F.col("score").desc, F.col("doc_id")).limit(topN)
+      .withColumn("rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc, F.col("doc_id"))).cast("long"))
+      .orderBy("rank")
+  }
+
   /** Gopher-style document quality filter (Rae et al., arXiv:2112.11446,
     * Table A1 rule family): per document, the rule signals, the overall
     * keep verdict, and the FIRST failing rule's name — the audit trail a

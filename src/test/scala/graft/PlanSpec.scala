@@ -304,4 +304,44 @@ class PlanSpec extends SparkSpec {
     assert(schemas.forall(_.subsetOf(Set("vec_id", "embedding"))),
       s"scan reads unused columns: $schemas")
   }
+
+  test("bloom build has no row shuffle; probe is broadcast + map-only") {
+    import graft.pipeline.Dedup
+    val docs = table("documents")
+    val pos = Dedup.bloomPositionsXx(F.md5(F.col("text")), 4, 65536)
+    val bloom = Dedup.bloomBuild(docs, pos, 65536)
+    val buildPlan = planOf(bloom)
+    // partial bitsets merge through a SinglePartition exchange — never a
+    // row-level hash shuffle (that's the whole point of the OR-merge)
+    assert(shuffles(buildPlan) == 0,
+      s"bloom build must not shuffle rows:\n${buildPlan.take(3000)}")
+    val probed = Dedup.bloomProbe(
+      docs.select(F.col("doc_id"), F.md5(F.col("text")).as("ck")),
+      Dedup.bloomPositionsXx(F.col("ck"), 4, 65536), bloom)
+    val probePlan = planOf(probed)
+    assert(shuffles(probePlan) == 0,
+      s"bloom probe must be map-only over the probe side:\n${probePlan.take(3000)}")
+    assert(probePlan.contains("BroadcastNestedLoopJoin") ||
+      probePlan.contains("BroadcastExchange"),
+      s"single-row bloom must arrive by broadcast:\n${probePlan.take(3000)}")
+  }
+
+  test("bm25: tiny df/stats broadcast back, bounded heap top-N, pruned scan") {
+    val out = graft.pipeline.TextAnalysis.bm25TopDocs(
+      table("documents"), "doc_id", "text", Seq("join", "vector", "window"))
+    val plan = planOf(out)
+    // (doc, term) tf + term-window df + per-doc fold: three keyed
+    // exchanges, all downstream of the query-term filter; corpus stats
+    // are tiny and must come back as a broadcast, not a shuffled join
+    assert(shuffles(plan) <= 3, s"expected <= 3 keyed exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df/stats must broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be a bounded per-partition heap, not a global sort:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffled join belongs here:\n${plan.take(3000)}")
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("doc_id", "text"))),
+      s"scan reads unused columns: $schemas")
+  }
 }

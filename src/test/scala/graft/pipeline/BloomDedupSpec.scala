@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** Bloom-filter membership dedup: build/probe semantics, the
+  * no-false-negative guarantee, OR-merge partitioning invariance, and a
+  * forced-false-positive case at a deliberately tiny bitset. */
+class BloomDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keysDF(keys: Seq[String]) = keys.toDF("k")
+
+  test("no false negatives: every inserted key probes maybe_dup") {
+    val ref = keysDF((1 to 200).map(i => s"doc-$i"))
+    val pos = Dedup.bloomPositionsMd5(F.col("k"), 4, 4)
+    val bloom = Dedup.bloomBuild(ref, pos, 65536)
+    val probed = Dedup.bloomProbe(ref, pos, bloom)
+    assert(probed.filter(!F.col("maybe_dup")).count() === 0L)
+    assert(bloom.select("n_items").as[Long].head() === 200L)
+  }
+
+  test("fresh keys at a right-sized bitset probe clean (16^4 bits, 200 keys)") {
+    val ref = keysDF((1 to 200).map(i => s"doc-$i"))
+    val fresh = keysDF((1 to 200).map(i => s"new-$i"))
+    val pos = Dedup.bloomPositionsMd5(F.col("k"), 4, 4)
+    val bloom = Dedup.bloomBuild(ref, pos, 65536)
+    // ~800 of 65536 bits set → P(single FP) ≈ (800/65536)^4 ≈ 2e-8;
+    // over 200 probes still ≈ 4e-6. A hit here means broken semantics,
+    // not bad luck.
+    assert(Dedup.bloomProbe(fresh, pos, bloom)
+      .filter(F.col("maybe_dup")).count() === 0L)
+  }
+
+  test("tiny bitset forces false positives but never false negatives") {
+    val ref = keysDF((1 to 300).map(i => s"doc-$i"))
+    val fresh = keysDF((1 to 100).map(i => s"new-$i"))
+    // 64 bits, 300 keys × 2 hashes → essentially all bits set
+    val pos2 = Dedup.bloomPositionsXx(F.col("k"), 2, 64)
+    val bloom = Dedup.bloomBuild(ref, pos2, 64)
+    assert(Dedup.bloomProbe(ref, pos2, bloom)
+      .filter(!F.col("maybe_dup")).count() === 0L)
+    val fp = Dedup.bloomProbe(fresh, pos2, bloom)
+      .filter(F.col("maybe_dup")).count()
+    assert(fp > 0L, "saturated 64-bit bloom must collide fresh keys")
+  }
+
+  test("OR-merge is partitioning-invariant (1 vs 7 partitions, xx mode)") {
+    val keys = (1 to 500).map(i => s"doc-$i")
+    val pos = Dedup.bloomPositionsXx(F.col("k"), 4, 4096)
+    val one = Dedup.bloomBuild(keysDF(keys).coalesce(1), pos, 4096)
+      .select("bloom").as[Seq[Long]].head()
+    val many = Dedup.bloomBuild(keysDF(keys).repartition(7), pos, 4096)
+      .select("bloom").as[Seq[Long]].head()
+    assert(one === many)
+  }
+
+  test("null keys are skipped, not inserted") {
+    val ref = Seq(Some("a"), None, Some("b"), None).toDF("k")
+    val pos = Dedup.bloomPositionsMd5(F.col("k"), 4, 4)
+    val bloom = Dedup.bloomBuild(ref, pos, 65536)
+    assert(bloom.select("n_items").as[Long].head() === 2L)
+    val probed = Dedup.bloomProbe(keysDF(Seq("a", "b", "c")), pos, bloom)
+      .orderBy("k").select("maybe_dup").as[Boolean].collect()
+    assert(probed.toSeq === Seq(true, true, false))
+  }
+
+  test("md5 positions match hand-derived hex substrings") {
+    val got = keysDF(Seq("hello"))
+      .select(Dedup.bloomPositionsMd5(F.col("k"), 3, 4).as("p"))
+      .as[Seq[Int]].head()
+    val exp = (0 until 3).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:hello".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16)
+    }
+    assert(got === exp)
+  }
+}
