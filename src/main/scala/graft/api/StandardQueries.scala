@@ -2235,6 +2235,25 @@ object StandardQueries {
            |     ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
            |  FROM documents) WHERE rk <= 3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Deterministic corpus shuffle/sharding
+    * ([[graft.pipeline.Sampling.deterministicShuffle]]): the
+    * reproducible (shard, pos) training order — shard from digest hex
+    * 9–12 mod 8, within-shard order from hex 1–8 with key tie-break.
+    * Pure md5/string/integer ops; DuckDB parses the shard nibble via a
+    * 0x-literal cast and replays the permutation exactly. */
+  private def qCorpusShuffle = Q(
+    (s, dir) =>
+      Sampling.deterministicShuffle(t(s, dir, "documents"),
+        F.col("doc_id"), numShards = 8)
+        .select("doc_id", "shard", "pos").orderBy("doc_id"),
+    Some("""SELECT doc_id, shard, pos FROM (
+           |  SELECT doc_id,
+           |   CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 9, 4) AS INTEGER) % 8 AS shard,
+           |   CAST(row_number() OVER (
+           |     PARTITION BY CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 9, 4) AS INTEGER) % 8
+           |     ORDER BY substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS BIGINT) AS pos
+           |  FROM documents) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Token-budget mixture planning ([[Sampling.mixtureWeights]]) over
     * four sources at the feasible budget (maxEpochs = 2). Shares are
     * dyadic (0.5/0.25/0.125) so normalization is exact in binary and
@@ -4023,6 +4042,7 @@ object StandardQueries {
     "sample_balanced" -> qSampleBalanced,
     "sample_temperature" -> qSampleTemperature,
     "sample_domain_cap" -> qSampleDomainCap,
+    "corpus_shuffle" -> qCorpusShuffle,
     "mixture_weights" -> qMixtureWeights,
     "mixture_apply" -> qMixtureApply,
     "json_props_profile" -> qJsonPropsProfile,

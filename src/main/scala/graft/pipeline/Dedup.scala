@@ -548,11 +548,11 @@ object Dedup {
       F.call_function("getbit",
         F.element_at(bloom, F.shiftright(p, 6) + 1), (p % 64).cast("long")) === 1)
 
-  /** Flag probe rows against a reference corpus' Bloom filter:
-    * `maybe_dup` (bloom membership), plus — when `exactKeys` is given —
-    * `exact_dup` ground truth and `false_positive`, the operator's
-    * documented error mode. `bloomDf` must be [[bloomBuild]]'s
-    * single-row output; it is broadcast, so probing is map-only. */
+  /** Flag probe rows against a reference corpus' Bloom filter with a
+    * `maybe_dup` membership column. `bloomDf` must be [[bloomBuild]]'s
+    * single-row output; it is broadcast, so probing is map-only — which
+    * also makes this legal STATELESS in Structured Streaming (a
+    * stream-static broadcast: no watermark, no state store). */
   def bloomProbe(probe: DataFrame, positions: Column, bloomDf: DataFrame): DataFrame =
     probe.crossJoin(F.broadcast(bloomDf.select("bloom")))
       .withColumn("maybe_dup", bloomMayContain(F.col("bloom"), positions))

@@ -175,6 +175,34 @@ object Sampling {
     * When a corpus has pathological mega-keys and an exact cap is not
     * required, prefer [[stratifiedHashSample]] with per-key rates
     * cap/count — map-only after a count pass, approximate cap. */
+  /** Deterministic corpus shuffle + sharding — the reproducible global
+    * ordering a training run reads its data in. Every row gets a
+    * `shard` (which output file/worker stream it belongs to) and a
+    * `pos` (its position within that shard); both derive solely from
+    * md5(salt:key), so any engine — or a re-run years later — derives
+    * the identical permutation. Shard comes from hex chars 9–12 of the
+    * digest and the within-shard order from chars 1–8, so placement and
+    * order use disjoint digest bits.
+    *
+    * Scale shape: ONE hash exchange on `shard` + a within-partition
+    * sort (the window never sees more than a shard); size `numShards`
+    * to the target file/stream count and each sort stays executor-local
+    * and bounded. No global sort, no driver state. */
+  def deterministicShuffle(df: DataFrame, key: Column, numShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val digest = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    val shard = F.pmod(
+      F.conv(F.substring(digest, 9, 4), 16, 10).cast("int"), F.lit(numShards))
+    val orderKey = F.substring(digest, 1, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("shard")).orderBy(F.col("__ord").asc, key.asc)
+    df.withColumn("shard", shard)
+      .withColumn("__ord", orderKey)
+      .withColumn("pos", F.row_number().over(w).cast("long"))
+      .drop("__ord")
+  }
+
   def capPerKey(df: DataFrame, key: Column, rowId: Column, cap: Int,
       salt: String = "cap"): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

@@ -305,6 +305,20 @@ class PlanSpec extends SparkSpec {
       s"scan reads unused columns: $schemas")
   }
 
+  test("deterministicShuffle: one shard exchange, no join, pruned scan") {
+    val out = graft.pipeline.Sampling.deterministicShuffle(
+      table("documents"), F.col("doc_id"), numShards = 8)
+      .select("doc_id", "shard", "pos")
+    val plan = planOf(out)
+    // one hash exchange on shard + a within-partition window sort — the
+    // property that keeps each shard's sort executor-local at scale
+    assert(shuffles(plan) == 1, s"expected exactly one shard exchange:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"shuffle assignment must not join:\n${plan.take(3000)}")
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(_.subsetOf(Set("doc_id"))),
+      s"scan reads unused columns: $schemas")
+  }
+
   test("bloom build has no row shuffle; probe is broadcast + map-only") {
     import graft.pipeline.Dedup
     val docs = table("documents")

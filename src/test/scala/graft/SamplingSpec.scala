@@ -258,4 +258,41 @@ class SamplingSpec extends SparkSpec {
     val e1Up = byDom("up14").filter(_._3 == 1).map(_._1 % 5).toSet
     assert(e1Up.nonEmpty)
   }
+
+  test("deterministicShuffle: a true permutation, shard-local contiguous positions") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val out = Sampling.deterministicShuffle(df, F.col("id"), numShards = 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every row exactly once
+    assert(out.map(_._1).sorted.toSeq === (1L to 1000L))
+    // positions are 1..n within each shard, no gaps or dups
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // shards all in range and reasonably spread (md5 uniformity: each of
+    // 8 shards gets ~125 of 1000; a shard under 60 means broken hashing)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((0 until 8).toSet))
+    assert(sizes.size === 8 && sizes.values.forall(_ > 60), s"skewed: $sizes")
+    // the order differs from insertion order (it IS a shuffle)
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq !== shard0.sorted.toSeq)
+  }
+
+  test("deterministicShuffle is partitioning-invariant and salt-sensitive") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.deterministicShuffle(d, F.col("id"), 4, salt)
+        .select("id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val a = run(df.coalesce(1), "shuffle")
+    val b = run(df.repartition(7), "shuffle")
+    assert(a.toSeq === b.toSeq)
+    val c = run(df, "epoch1")
+    assert(a.toSeq !== c.toSeq, "a different salt must give a different permutation")
+  }
 }

@@ -70,6 +70,33 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom probe runs STATELESS on a stream and matches the batch verdicts") {
+    val docs = table("documents")
+    val key = F.md5(F.col("text"))
+    val pos = Dedup.bloomPositionsXx(key, 4, 65536)
+    val bloom = Dedup.bloomBuild(docs.filter(F.col("doc_id") % 2 === 0), pos, 65536)
+    val batch = Dedup.bloomProbe(docs.select(F.col("doc_id"), key.as("ck")),
+        Dedup.bloomPositionsXx(F.col("ck"), 4, 65536), bloom)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // the stream side is a stream-static broadcast of the one-row bitset:
+    // no watermark, no state store — arriving docs filter map-only
+    val sdf = spark.readStream.schema(docs.schema)
+      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/documents.parquet"))
+      .select(F.col("doc_id"), F.md5(F.col("text")).as("ck"))
+    val qn = "dsb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Dedup.bloomProbe(sdf, Dedup.bloomPositionsXx(F.col("ck"), 4, 65536), bloom)
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val streamed = spark.table(qn).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(streamed === batch)
+      assert(streamed.values.exists(identity) && streamed.values.exists(!_),
+        "fixture must exercise both verdicts")
+    } finally q.stop()
+  }
+
   test("streamableDir streams every row of a DIRECTORY-shaped (multi-split) table") {
     import spark.implicits._
     // regression pin: the file source does not descend into a symlinked
