@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions._
-import graft.metrics.{CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg}
+import graft.metrics.{BloomAgg, CardinalityAgg, DistributionAgg, FrequentItemsAgg, TopKAgg}
 
 /** SQL surface for graft's native expressions and sketch aggregates.
   *
@@ -108,6 +108,10 @@ object GraftFunctions {
     "top_k_agg" -> { args =>
       arity("top_k_agg", args, 3, 3)
       TopKAgg(args(0), args(1), litInt(args, 2, "top_k_agg"))
+    },
+    "bloom_agg" -> { args =>
+      arity("bloom_agg", args, 2, 2)
+      BloomAgg(args(0), litInt(args, 1, "bloom_agg"))
     })
 
   /** Extension-injectable descriptions. */

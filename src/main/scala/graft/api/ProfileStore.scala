@@ -127,6 +127,54 @@ class ProfileStore(spark: SparkSession, path: String) {
       .filter(F.col("dataset_id") === datasetId)
       .filter(F.col("date") >= dateOf(fromMs) && F.col("date") <= dateOf(toMs))
       .filter(F.col("dataset_ts") >= fromMs && F.col("dataset_ts") <= toMs)
+
+  /** Compact the store: collapse every (date, segment) group of the
+    * datasetId's partitions in [fromMs, toMs] into ONE merged profile
+    * row, rewriting only the touched (dataset_id, date) partitions
+    * (dynamic partition overwrite — other datasets and dates are never
+    * read or written). A store appended per-batch grows one small file
+    * per write; compaction restores O(1) rows and files per day.
+    *
+    * Date-granular by design: the whole date partition is rewritten, so
+    * `fromMs`/`toMs` are widened to full days (a mid-day boundary would
+    * silently drop the partition's out-of-range rows on overwrite).
+    *
+    * Distributed: profiles merge in `mapGroups` on the executors (the
+    * monoid algebra readMerged uses, keyed by (date, segment)), so a
+    * million-segment store compacts without a driver collect. Merged
+    * rows keep the group's EARLIEST dataset_ts. Reads are
+    * merge-equivalent before and after (profile merge is associative);
+    * per-day readMerged results are unchanged. */
+  def compact(datasetId: String, fromMs: Long, toMs: Long): Unit = {
+    import spark.implicits._
+    val id = datasetId
+    val merged = spark.read.schema(schema).parquet(path)
+      .filter(F.col("dataset_id") === id)
+      .filter(F.col("date") >= dateOf(fromMs) && F.col("date") <= dateOf(toMs))
+      .select("date", "segment", "dataset_ts", "profile")
+      .as[(String, String, Long, Array[Byte])]
+      .groupByKey { r: (String, String, Long, Array[Byte]) => (r._1, Option(r._2)) }
+      .mapGroups { (key: (String, Option[String]),
+          it: Iterator[(String, String, Long, Array[Byte])]) =>
+        var ts = Long.MaxValue
+        var acc = DatasetProfileView.empty
+        it.foreach { r =>
+          ts = math.min(ts, r._3)
+          acc = acc.merge(ProfileSerde.fromBytes(r._4))
+        }
+        (ts, key._2.orNull,
+          ProfileSerde.toBytes(acc.copy(datasetTimestampMs = Some(ts))), id, key._1)
+      }
+      .toDF("dataset_ts", "segment", "profile", "dataset_id", "date")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("dataset_id", "date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
 
 object ProfileStore {

@@ -3034,6 +3034,35 @@ object StandardQueries {
            |   list_has_all(allp, ps) AND NOT list_contains(allk, ck) AS false_positive
            | FROM pr, rl, rk ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Unigram-entropy quality signal
+    * ([[graft.pipeline.TextAnalysis.unigramEntropy]]) per document, with
+    * token counts for context. ln floored at 1e-9 on both sides (the
+    * cross-libm bridge); the oracle replays the ascending-token ordered
+    * fold exactly. */
+  private def qTextEntropy = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(F.col("doc_id"),
+        TextAnalysis.tokenCount(F.col("text")).cast("long").as("n_tokens"),
+        F.size(F.array_distinct(F.filter(TextAnalysis.tokens(F.col("text")),
+          w => F.length(w) > 0))).cast("long").as("n_distinct"),
+        TextAnalysis.unigramEntropy(F.col("text"), lnQuantize = Some(1e9)).as("entropy"))
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
+           |  FROM documents),
+           | term AS (SELECT doc_id, len(toks) AS n, unnest(list_sort(list_distinct(toks))) AS t, toks FROM tok),
+           | contrib AS (SELECT doc_id, t,
+           |   (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / CAST(n AS DOUBLE))
+           |     * (floor(ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0) / 1000000000.0) AS c
+           |  FROM term),
+           | ent AS (SELECT doc_id, -sum(c ORDER BY t) AS entropy FROM contrib GROUP BY 1)
+           | SELECT tok.doc_id,
+           |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |  COALESCE(ent.entropy, 0.0) AS entropy
+           | FROM tok JOIN documents USING (doc_id) LEFT JOIN ent ON tok.doc_id = ent.doc_id
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextStats = Q(
     (s, dir) => {
       TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
@@ -4030,6 +4059,7 @@ object StandardQueries {
     "embedding_drift" -> qEmbeddingDrift,
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
+    "text_entropy" -> qTextEntropy,
     "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,
     "c4_clean" -> qC4Clean,

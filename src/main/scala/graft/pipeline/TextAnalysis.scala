@@ -233,6 +233,30 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Shannon entropy (nats) of a document's unigram distribution — the
+    * classic gibberish/boilerplate signal: near 0 for one repeated token,
+    * ln(n_distinct) for a uniform vocabulary; low values flag keyword
+    * stuffing and template text. Map-only higher-order expressions (one
+    * O(distinct × tokens) pass per row, no shuffle); the per-term fold
+    * runs in ascending-token order so the float sum is deterministic and
+    * equals SQL's `sum(x ORDER BY t)`. `lnQuantize = Some(s)` floors each
+    * ln at granularity 1/s (the [[bm25TopDocs]] cross-libm bridge); the
+    * default keeps pure ln. Empty/whitespace text → 0.0. */
+  def unigramEntropy(text: Column, lnQuantize: Option[Double] = None): Column = {
+    val toks = F.filter(tokens(text), w => F.length(w) > 0)
+    val n = F.size(toks)
+    def lnq(x: Column): Column = lnQuantize match {
+      case Some(s) => F.floor(F.log(x) * F.lit(s)).cast("double") / F.lit(s)
+      case None    => F.log(x)
+    }
+    val contributions = F.transform(F.array_sort(F.array_distinct(toks)), t => {
+      val p = F.size(F.filter(toks, x => x === t)).cast("double") / n.cast("double")
+      p * lnq(p)
+    })
+    F.when(n === 0, 0.0).otherwise(
+      -F.aggregate(contributions, F.lit(0.0), (acc, x) => acc + x))
+  }
+
   /** Gopher-style document quality filter (Rae et al., arXiv:2112.11446,
     * Table A1 rule family): per document, the rule signals, the overall
     * keep verdict, and the FIRST failing rule's name — the audit trail a

@@ -58,6 +58,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(top == expected)
   }
 
+  test("bloom_agg from SQL builds the same bitset as the Column API") {
+    val s = registered
+    table("documents").createOrReplaceTempView("docs_bloom_ext")
+    val sqlBits = s.sql(
+      """SELECT bloom_agg(
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE array(CAST(pmod(xxhash64(0, text), 4096) AS INT),
+        |                  CAST(pmod(xxhash64(1, text), 4096) AS INT)) END, 4096) AS b
+        |FROM docs_bloom_ext""".stripMargin)
+      .select(F.col("b")).head.getSeq[Long](0)
+    val apiBits = graft.pipeline.Dedup.bloomBuild(
+        table("documents"),
+        graft.pipeline.Dedup.bloomPositionsXx(F.col("text"), 2, 4096), 4096)
+      .select("bloom").head.getSeq[Long](0)
+    assert(sqlBits == apiBits)
+  }
+
   test("integer-literal arguments are enforced") {
     val s = registered
     table("documents").limit(5).createOrReplaceTempView("docs_ext2")

@@ -469,4 +469,31 @@ class PipelineSpec extends SparkSpec {
     assert(Seq((1L, 0L), (1L, 2L), (2L, 1L), (3L, 0L))
       .forall(k => got(k) == (1L, true)))
   }
+
+  test("unigramEntropy: hand-computed values, invariances, quantization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),            // single token → 0 (sign-insensitive)
+      (2L, "a b a b"),            // uniform 2 → ln 2
+      (3L, "w x y z"),            // uniform 4 → ln 4
+      (4L, "a a a b"),            // 3/4, 1/4 mix
+      (5L, ""),                   // empty → 0
+      (6L, "  B b A a "))         // case-folded → uniform 2 → ln 2
+      .toDF("doc_id", "text")
+    val got = docs.select(F.col("doc_id"),
+      TextAnalysis.unigramEntropy(F.col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L)) === 0.0)
+    assert(math.abs(got(2L) - math.log(2.0)) < 1e-12)
+    assert(math.abs(got(3L) - math.log(4.0)) < 1e-12)
+    val expected4 = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    assert(math.abs(got(4L) - expected4) < 1e-12)
+    assert(got(5L) === 0.0)
+    assert(math.abs(got(6L) - math.log(2.0)) < 1e-12)
+    // quantized variant perturbs by < 2e-9 and keeps the ordering
+    val q = docs.select(F.col("doc_id"),
+      TextAnalysis.unigramEntropy(F.col("text"), Some(1e9)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, h) => assert(math.abs(q(id) - h) < 2e-9, s"doc $id") }
+  }
 }

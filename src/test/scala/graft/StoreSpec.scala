@@ -130,6 +130,61 @@ class StoreSpec extends SparkSpec {
     assert(totalN == li.count())
   }
 
+  test("compact collapses per-day rows, preserves reads, leaves other data alone") {
+    val li = table("lineitem")
+    val p = new Profiler()
+    val dir = tmpDir()
+    val store = new ProfileStore(spark, dir)
+    val day0 = java.time.Instant.parse("2024-04-01T00:00:00Z").toEpochMilli
+    // 3 appends into day 0, 2 into day 1, plus an untouched sibling dataset
+    (0 until 3).foreach { i =>
+      store.write(p.profile(li.filter(F.col("l_orderkey") % 3 === i)),
+        "li_c", day0 + i * 1000L)
+    }
+    (0 until 2).foreach { i =>
+      store.write(p.profile(li.limit(10)), "li_c", day0 + 86400000L + i * 1000L)
+    }
+    store.write(p.profile(li.limit(5)), "li_other", day0)
+    val before = store.readMerged("li_c", day0, day0 + 2 * 86400000L)
+    store.compact("li_c", day0, day0 + 2 * 86400000L)
+    // one row per (date, segment) now
+    val rows = store.read("li_c", day0, day0 + 2 * 86400000L)
+    assert(rows.length === 2)
+    // merged rows keep each group's earliest dataset_ts
+    assert(rows.map(_._1).toSet === Set(day0, day0 + 86400000L))
+    // reads are merge-equivalent: exact metrics unchanged
+    val after = store.readMerged("li_c", day0, day0 + 2 * 86400000L)
+    for (c <- before.columns.keys) {
+      assert(after.columns(c).counts === before.columns(c).counts, c)
+      assert(after.columns(c).ints === before.columns(c).ints, c)
+    }
+    // the sibling dataset's partition was not rewritten
+    val other = store.read("li_other", day0, day0)
+    assert(other.length === 1)
+    assert(other.head._2.columns("l_quantity").counts.get.n === 5L)
+  }
+
+  test("compact merges segmented rows per (date, segment)") {
+    val li = table("lineitem")
+    val p = new Profiler()
+    val store = new ProfileStore(spark, tmpDir())
+    val ts = java.time.Instant.parse("2024-04-10T00:00:00Z").toEpochMilli
+    val seg = p.profileSegmentedDF(li, Seq("l_returnflag"))
+    store.writeSegmented(seg, 1, "li_cs", ts)
+    store.writeSegmented(seg, 1, "li_cs", ts + 1000L) // second append, same day
+    val before = store.readSegments("li_cs", ts, ts + 1000L)
+    store.compact("li_cs", ts, ts + 1000L)
+    val segs = store.readSegments("li_cs", ts, ts + 1000L)
+    assert(segs.keySet === before.keySet)
+    // one row per segment remains; counts doubled rows merge-equivalently
+    val nSegs = segs.size
+    assert(store.read("li_cs", ts, ts + 1000L).length === nSegs)
+    segs.foreach { case (k, v) =>
+      assert(v.columns("l_quantity").counts.get.n ===
+        before(k).columns("l_quantity").counts.get.n, k)
+    }
+  }
+
   test("NULL segment values stay distinct from the string 'null'") {
     import spark.implicits._
     val df = Seq((null: String, 1.0), ("null", 2.0), ("null", 3.0))
