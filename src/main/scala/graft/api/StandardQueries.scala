@@ -3830,6 +3830,43 @@ object StandardQueries {
            | min(value) AS value_min, max(value) AS value_max
            | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Streaming per-window heavy hitters: the frequent-items sketch
+    * aggregating INSIDE Structured Streaming state (partial buffers
+    * merge through the state store across micro-batches) — daily
+    * event-type leaderboards from a file-source stream. event_type's
+    * 5 distinct values sit far inside the lg_max_k=7 map, so estimates
+    * are exact counts and the DuckDB oracle is a plain per-day count
+    * leaderboard with the same (count desc, value asc) order. */
+  private def qStreamingHeavyHitters = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "events")
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
+        .transform(rebuildTs)
+      val win = sdf
+        .groupBy(F.window(F.col("ts"), "1 day"))
+        .agg(frequent_items_agg(F.col("event_type"), limit = 8)
+          .getField("items").as("items"))
+      val qn = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = win.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.posexplode(F.col("items")).as(Seq("rank0", "item")))
+        .select(F.col("window_start"), (F.col("rank0") + 1).cast("long").as("rank"),
+          F.col("item.value").as("event_type"), F.col("item.estimate").as("n"))
+        .orderBy("window_start", "rank")
+    },
+    Some("""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+           | CAST(row_number() OVER (PARTITION BY date_trunc('day', ts)
+           |   ORDER BY count(*) DESC, event_type) AS BIGINT) AS rank,
+           | event_type, count(*) AS n
+           | FROM events GROUP BY date_trunc('day', ts), event_type
+           | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
   /** Per-dimension embedding centroid drift
     * ([[Embeddings.centroidDrift]]) between two corpus slices. Means are
     * rounded to 6 decimals on both sides — a distributed float sum is
@@ -4121,6 +4158,7 @@ object StandardQueries {
     "ranking_metrics_segmented" -> qRankingMetricsSegmented,
     "timeline_anomaly" -> qTimelineAnomaly,
     "streaming_window_profile" -> qStreamingWindowProfile,
+    "streaming_heavy_hitters" -> qStreamingHeavyHitters,
     "streaming_drift_psi" -> qStreamingDriftPsi,
     "streaming_sessionize" -> qStreamingSessionize,
     "streaming_dedup" -> qStreamingDedup,

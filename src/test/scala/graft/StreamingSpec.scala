@@ -137,6 +137,33 @@ class StreamingSpec extends SparkSpec {
     assert(merged.columns("value").counts.get.n == ev.count())
   }
 
+  test("frequent-items sketch state merges across micro-batches (heavy hitters)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val win = in.toDF().toDF("ts", "et")
+      .groupBy(F.window(F.col("ts"), "1 day"))
+      .agg(graft.functions.frequent_items_agg(F.col("et"), limit = 4)
+        .getField("items").as("items"))
+    val qn = "fihh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = win.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      // second micro-batch adds to the SAME day window: the sketch
+      // buffer in the state store must merge, not reset
+      in.addData((ts(4), "b"), (ts(5), "b"), (ts(6), "c"))
+      q.processAllAvailable()
+      val items = spark.table(qn)
+        .select(F.explode(F.col("items")).as("i"))
+        .select("i.value", "i.estimate")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(items === Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
+    } finally q.stop()
+  }
+
   test("toStore with segment columns streams segmented profiles, executor-side") {
     val storeDir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "stream-seg-store-").toString
