@@ -40,9 +40,11 @@ object ScaleProbe {
     "profile_counts", "profile_moments", "cardinality", "merge_profiles",
     "drift_ks_exact", "viz_summary_report",
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
+    "dedup_bloom", "bm25_top_docs", "corpus_shuffle", "text_entropy",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile",
-    "semdedup_clustered", "streaming_dedup", "streaming_sessionize")
+    "semdedup_clustered", "streaming_dedup", "streaming_sessionize",
+    "streaming_heavy_hitters")
 
   private[graft] def replicateForTest(df: DataFrame, table: String, copies: Int): DataFrame =
     replicate(df, table, copies)

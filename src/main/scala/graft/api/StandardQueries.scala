@@ -3034,6 +3034,30 @@ object StandardQueries {
            |   list_has_all(allp, ps) AND NOT list_contains(allk, ck) AS false_positive
            | FROM pr, rl, rk ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Zipf-law corpus fit ([[graft.pipeline.TextAnalysis.zipfFit]]):
+    * least-squares ln(count)-vs-ln(rank) slope + intercept over the top
+    * 1000 terms. ln floored at 1e-9 (cross-libm bridge); the oracle
+    * replays the rank-ordered five-sum fold and the exact formula
+    * chain. */
+  private def qZipfFit = Q(
+    (s, dir) => TextAnalysis.zipfFit(t(s, dir, "documents"), "text",
+      topK = 1000, lnQuantize = Some(1e9)),
+    Some("""WITH tf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS term
+           |    FROM documents) GROUP BY 1 ORDER BY cnt DESC, term LIMIT 1000),
+           | ranked AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank, cnt FROM tf),
+           | xy AS (SELECT rank,
+           |   floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0) / 1000000000.0 AS x,
+           |   floor(ln(CAST(cnt AS DOUBLE)) * 1000000000.0) / 1000000000.0 AS y FROM ranked),
+           | st AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           |   sum(x ORDER BY rank) AS sx, sum(y ORDER BY rank) AS sy,
+           |   sum(x * x ORDER BY rank) AS sxx, sum(x * y ORDER BY rank) AS sxy FROM xy)
+           | SELECT n_terms,
+           |  (CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope,
+           |  (sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n_terms AS DOUBLE) AS intercept
+           | FROM st""".stripMargin.replaceAll("\n", " ")))
+
   /** Unigram-entropy quality signal
     * ([[graft.pipeline.TextAnalysis.unigramEntropy]]) per document, with
     * token counts for context. ln floored at 1e-9 on both sides (the
@@ -4097,6 +4121,7 @@ object StandardQueries {
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
     "text_entropy" -> qTextEntropy,
+    "zipf_fit" -> qZipfFit,
     "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,
     "c4_clean" -> qC4Clean,

@@ -233,6 +233,57 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope /
+    * intercept / r² of ln(count) against ln(rank) for the `topK` most
+    * frequent terms. Natural text sits near slope ≈ −1; strong
+    * deviation flags synthetic, templated, or degenerate corpora — a
+    * one-row corpus-health diagnostic.
+    *
+    * Plan: one (term) count exchange, then TakeOrdered keeps only the
+    * topK terms (bounded heap — the vocabulary never sorts globally);
+    * the regression folds over the ≤ topK collected (rank, x, y) rows
+    * in rank order, so every float sum is deterministic and equals
+    * SQL's `sum(x ORDER BY rank)`. `lnQuantize` is the cross-libm
+    * bridge ([[bm25TopDocs]]). */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 1000,
+      lnQuantize: Option[Double] = None): DataFrame = {
+    require(topK >= 2, "need at least two ranks to fit a line")
+    def lnq(x: Column): Column = lnQuantize match {
+      case Some(s) => F.floor(F.log(x) * F.lit(s)).cast("double") / F.lit(s)
+      case None    => F.log(x)
+    }
+    val tf = df
+      .select(F.explode(F.filter(tokens(F.col(textCol)), w => F.length(w) > 0)).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("term")).limit(topK)
+    val ranked = tf
+      .withColumn("rank", F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc, F.col("term"))).cast("long"))
+      .select(F.col("rank"), lnq(F.col("rank").cast("double")).as("x"),
+        lnq(F.col("cnt").cast("double")).as("y"))
+    val zero = F.struct(F.lit(0.0).as("sx"), F.lit(0.0).as("sy"),
+      F.lit(0.0).as("sxx"), F.lit(0.0).as("sxy"), F.lit(0.0).as("syy"))
+    val sums = F.aggregate(
+      F.sort_array(F.collect_list(F.struct(F.col("rank"), F.col("x"), F.col("y")))),
+      zero,
+      (acc, r) => F.struct(
+        (acc.getField("sx") + r.getField("x")).as("sx"),
+        (acc.getField("sy") + r.getField("y")).as("sy"),
+        (acc.getField("sxx") + r.getField("x") * r.getField("x")).as("sxx"),
+        (acc.getField("sxy") + r.getField("x") * r.getField("y")).as("sxy"),
+        (acc.getField("syy") + r.getField("y") * r.getField("y")).as("syy")))
+    ranked.agg(F.count(F.lit(1)).as("n_terms"), sums.as("s"))
+      .select(F.col("n_terms"),
+        ((F.col("n_terms").cast("double") * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy")) /
+          (F.col("n_terms").cast("double") * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")))
+          .as("slope"),
+        F.col("s.sx").as("sum_ln_rank"), F.col("s.sy").as("sum_ln_cnt"))
+      .withColumn("intercept",
+        (F.col("sum_ln_cnt") - F.col("slope") * F.col("sum_ln_rank")) /
+          F.col("n_terms").cast("double"))
+      .drop("sum_ln_rank", "sum_ln_cnt")
+  }
+
   /** Shannon entropy (nats) of a document's unigram distribution — the
     * classic gibberish/boilerplate signal: near 0 for one repeated token,
     * ln(n_distinct) for a uniform vocabulary; low values flag keyword

@@ -470,6 +470,36 @@ class PipelineSpec extends SparkSpec {
       .forall(k => got(k) == (1L, true)))
   }
 
+  test("zipfFit matches a hand-rolled least-squares fit bit-for-bit") {
+    import spark.implicits._
+    // term counts by construction: a=8, b=4, c=2, d=1
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(row.getLong(0) === 4L)
+    // same-JVM reference fold in rank order
+    // Spark's Log codegen calls StrictMath.log (cross-platform pin);
+    // Math.log's intrinsic can differ by an ulp per point
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      .map { case (r, c) =>
+        (StrictMath.log(r.toDouble), StrictMath.log(c.toDouble)) }
+    val (sx, sy, sxx, sxy) = pts.foldLeft((0.0, 0.0, 0.0, 0.0)) {
+      case ((a, b, cc, d), (x, y)) => (a + x, b + y, cc + x * x, d + x * y)
+    }
+    val n = 4.0
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(row.getDouble(1) === slope)
+    assert(row.getDouble(2) === intercept)
+    // counts halving per rank STEP fall faster than Zipf s=1 (which
+    // halves per rank DOUBLING): the fit lands around -1.46
+    assert(slope < -1.2 && slope > -1.8)
+    // topK truncation keeps the most frequent terms only
+    val trunc = TextAnalysis.zipfFit(docs, "text", topK = 2).collect().head
+    assert(trunc.getLong(0) === 2L)
+  }
+
   test("unigramEntropy: hand-computed values, invariances, quantization") {
     import spark.implicits._
     val docs = Seq(
