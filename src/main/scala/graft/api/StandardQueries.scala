@@ -3288,6 +3288,28 @@ object StandardQueries {
     * the two-pass distributed prefix sum (see [[Packing]] — no
     * single-partition global window). Oracle: the single-window cumsum
     * DuckDB runs happily at sf0.01. */
+  /** Sliding-window long-document chunking
+    * ([[graft.pipeline.Packing.chunkTokens]]): 24-token windows every 16
+    * tokens (8-token overlap). Pure integer arithmetic + token slices;
+    * the oracle replays window count, starts, slices and the joined
+    * chunk text verbatim. */
+  private def qCorpusChunks = Q(
+    (s, dir) => Packing.chunkTokens(t(s, dir, "documents"),
+      "doc_id", "text", window = 24, stride = 16)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
+           |  FROM documents),
+           | base AS (SELECT doc_id, toks, len(toks) AS n,
+           |   CASE WHEN len(toks) <= 24 THEN 1
+           |     ELSE CAST(floor(CAST(len(toks) - 24 + 15 AS DOUBLE) / 16.0) AS BIGINT) + 1 END AS nc
+           |  FROM tok),
+           | ch AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_idx, toks FROM base)
+           | SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |   CAST(len(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 24)) AS BIGINT) AS n_chunk_tokens,
+           |   array_to_string(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 24), ' ') AS chunk_text
+           | FROM ch ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")))
+
   private def qCorpusPack = Q(
     (s, dir) => Packing.withOffsets(
       t(s, dir, "documents")
@@ -4141,6 +4163,7 @@ object StandardQueries {
     "decontaminate" -> qDecontaminate,
     "doc_novelty" -> qDocNovelty,
     "corpus_pack" -> qCorpusPack,
+    "corpus_chunks" -> qCorpusChunks,
     "doc_fingerprint" -> qDocFingerprint,
     "dedup_spans" -> qDedupSpans,
     "dedup_span_ranges" -> qDedupSpanRanges,

@@ -57,4 +57,39 @@ object Packing {
       .withColumn("chunk_id", F.expr(s"offset div ${capacity}L"))
       .drop("__n_tokens", "__pid", "__pid2", "__cum", "__base", "__total")
   }
+
+  /** Sliding-window chunking of LONG documents: split each doc's
+    * whitespace tokens into windows of `window` tokens starting every
+    * `stride` tokens (overlap = window − stride, the context-window
+    * preprocessing HF's `return_overflowing_tokens` does). Windows
+    * start at 0, stride, 2·stride, …; the count is chosen so the last
+    * window reaches the document's end (it may be shorter than
+    * `window`). Docs at or under `window` tokens emit exactly one
+    * chunk; empty docs emit one empty chunk, keeping doc accounting
+    * 1:1-or-more.
+    *
+    * Map-only (sequence → slice → posexplode): no shuffle, no state —
+    * safe inline in any corpus-scale pipeline or stream. Every output
+    * derives from integer arithmetic and token slices, so a SQL engine
+    * replays it verbatim. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    val toks = F.filter(
+      F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), w => F.length(w) > 0)
+    val n = F.size(toks)
+    val nChunks = F.when(n <= window, 1L).otherwise(
+      F.floor((n - window + (stride - 1)).cast("double") / stride.toDouble)
+        .cast("long") + 1L)
+    df.select(F.col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(F.col(idCol),
+        F.posexplode(F.transform(
+          F.sequence(F.lit(0L), F.col("__nc") - 1L),
+          i => F.slice(F.col("__toks"), (i * stride + 1).cast("int"), F.lit(window)))))
+      .select(F.col(idCol), F.col("pos").cast("long").as("chunk_idx"),
+        F.size(F.col("col")).cast("long").as("n_chunk_tokens"),
+        F.array_join(F.col("col"), " ").as("chunk_text"))
+  }
 }

@@ -45,4 +45,33 @@ class PackingSpec extends SparkSpec {
     }
     assert(out.head._3 == 0L)
   }
+
+  test("chunkTokens: window starts, overlap, short tail, single and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: window 4 stride 3
+      (2L, "a b c"),                                  // fits one window
+      (3L, "")                                        // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    // doc 1: starts 0,3,6 -> nc = floor((10-4+2)/3)+1 = 3 windows
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._3).toSeq === Seq(4L, 4L, 4L))
+    // consecutive windows overlap by window - stride = 1 token
+    assert(d1(0)._4.split(" ").last === d1(1)._4.split(" ").head)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0L, 3L, "a b c")))
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.toSeq === Seq((3L, 0L, 0L, "")))
+    // shorter tail: 11 tokens, window 4, stride 3 -> starts 0,3,6,9; last has 2
+    val tail = Packing.chunkTokens(
+      Seq((9L, (1 to 11).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(tail.toSeq === Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 2L)))
+  }
 }
