@@ -216,6 +216,32 @@ object DriftExact {
       acc
     }
 
+  /** Jensen–Shannon divergence (nats) over the same exact fixed-width
+    * bins as [[psiStats]]: JSD = ½·KL(p‖m) + ½·KL(q‖m) with
+    * m = (p+q)/2 — symmetric, bounded by ln 2, and needs no eps floor
+    * (a bin empty on one side contributes only the other side's term;
+    * empty-on-both bins contribute 0). Terms fold in ascending-bin
+    * order, `acc += ta + tb` per bin, with ln floored at 1e-9 — the
+    * cross-libm bridge (JVM Math.log and glibc measurably differ by an
+    * ulp on some arguments), so a SQL oracle replays the fold
+    * bit-for-bit. Returns column → (jsd, nTarget, nRef). */
+  def jsdStats(
+      df: DataFrame, valueCols: Seq[String], isTarget: Column,
+      nBins: Int = 30): Map[String, (Double, Long, Long)] =
+    binnedStats(df, valueCols, isTarget, nBins) { (counts, na, nb) =>
+      def lnq(x: Double): Double = math.floor(math.log(x) * 1e9) / 1e9
+      var acc = 0.0
+      counts.foreach { case (_, ca, cb) =>
+        val pa = ca.toDouble / na
+        val pb = cb.toDouble / nb
+        val m = (pa + pb) / 2
+        val ta = if (pa > 0) 0.5 * (pa * lnq(pa / m)) else 0.0
+        val tb = if (pb > 0) 0.5 * (pb * lnq(pb / m)) else 0.0
+        acc += ta + tb
+      }
+      acc
+    }
+
   /** PSI over REFERENCE-QUANTILE bins — the industry-standard PSI
     * configuration (equal-population bins frozen on the reference
     * distribution, so every bin carries signal; fixed-width bins

@@ -1709,6 +1709,46 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Exact Jensen–Shannon divergence ([[DriftExact.jsdStats]]) over the
+    * PSI query's fixed 30-bin layout and slice split — the symmetric,
+    * ln2-bounded drift score that needs no eps floor. The oracle replays
+    * bins, probabilities and the ascending-bin `acc += ta + tb` fold
+    * with the 1e-9 ln floor. */
+  private def qDriftJsd = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import s.implicits._
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val stats = DriftExact.jsdStats(li, cols, F.col("l_orderkey") % 3 === 0)
+      cols.sorted.map { c =>
+        val (j, na, nb) = stats(c)
+        (c, j, na, nb)
+      }.toDF("col_name", "jsd", "n_target", "n_ref").orderBy("col_name")
+    },
+    Some {
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        s"""SELECT * FROM (
+           | WITH b AS (SELECT CAST($c AS DOUBLE) AS v,
+           |     CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |   FROM lineitem WHERE $c IS NOT NULL),
+           | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+           | g AS (SELECT LEAST(CAST(floor((v - lo) / ((hi - lo) / 30)) AS BIGINT), 29) AS bin,
+           |     sum(ta) AS ca, sum(1 - ta) AS cb
+           |   FROM b, mm GROUP BY 1),
+           | t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+           | d AS (SELECT bin, CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb FROM g, t),
+           | j AS (SELECT bin,
+           |     (CASE WHEN pa > 0 THEN 0.5 * (pa * (floor(ln(pa / ((pa + pb) / 2)) * 1000000000.0) / 1000000000.0)) ELSE 0.0 END)
+           |   + (CASE WHEN pb > 0 THEN 0.5 * (pb * (floor(ln(pb / ((pa + pb) / 2)) * 1000000000.0) / 1000000000.0)) ELSE 0.0 END) AS term
+           |   FROM d)
+           | SELECT '$c' AS col_name,
+           |   (SELECT sum(term ORDER BY bin) FROM j) AS jsd,
+           |   CAST((SELECT na FROM t) AS BIGINT) AS n_target,
+           |   CAST((SELECT nb FROM t) AS BIGINT) AS n_ref
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** Tukey-fence outlier counts per column
     * ([[graft.analysis.Outliers.iqrOutliers]]); quartiles via the
     * distributed exact-quantile path, fences and counts bit-exact. */
@@ -4109,6 +4149,7 @@ object StandardQueries {
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,
+    "drift_jsd_exact" -> qDriftJsd,
     "drift_psi_quantile" -> qDriftPsiQuantile,
     "iqr_outliers" -> qIqrOutliers,
     "dedup_exact" -> qDedupExact,

@@ -336,4 +336,25 @@ class DriftExactSpec extends SparkSpec {
     // KLL k=1024 normalized rank error ≈ 1.3%; two sketches + grid ⇒ 3x slack
     assert(math.abs(exact - sketch) < 0.04, s"exact=$exact sketch=$sketch")
   }
+
+  test("jsdStats: zero on identical split, ln2 on disjoint, symmetric, bounded") {
+    import spark.implicits._
+    // identical distributions on both sides of the split -> JSD = 0
+    val same = (1 to 200).flatMap(i => Seq((i % 10).toDouble, (i % 10).toDouble))
+      .zipWithIndex.map { case (v, i) => (v, i % 2 == 0) }.toDF("x", "t")
+    val j0 = graft.analysis.DriftExact.jsdStats(same, Seq("x"), F.col("t"))("x")._1
+    assert(math.abs(j0) < 1e-9, s"identical slices must give ~0, got $j0")
+    // disjoint supports -> every bin one-sided -> JSD = ln 2 (up to the 1e-9 ln floor)
+    val disj = ((1 to 100).map(i => (i.toDouble, true)) ++
+      (1 to 100).map(i => (1000.0 + i, false))).toDF("x", "t")
+    val jd = graft.analysis.DriftExact.jsdStats(disj, Seq("x"), F.col("t"))("x")._1
+    assert(math.abs(jd - math.log(2.0)) < 1e-6, s"disjoint must give ln2, got $jd")
+    // symmetry: swapping target and reference leaves the score unchanged
+    val mixed = ((1 to 150).map(i => ((i % 13).toDouble, true)) ++
+      (1 to 120).map(i => ((i % 7).toDouble, false))).toDF("x", "t")
+    val a = graft.analysis.DriftExact.jsdStats(mixed, Seq("x"), F.col("t"))("x")._1
+    val b = graft.analysis.DriftExact.jsdStats(mixed, Seq("x"), !F.col("t"))("x")._1
+    assert(math.abs(a - b) < 1e-12, s"JSD must be symmetric: $a vs $b")
+    assert(a >= 0.0 && a <= math.log(2.0) + 1e-12, s"out of [0, ln2]: $a")
+  }
 }
