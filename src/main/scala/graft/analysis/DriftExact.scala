@@ -242,6 +242,38 @@ object DriftExact {
       acc
     }
 
+  /** Normalized grid Earth-Mover's (Wasserstein-1) distance over the
+    * same exact fixed-width bins: Σ over bins of |cdfA − cdfB|, divided
+    * by nBins — 0 for identical histograms, → 1 as the distributions
+    * concentrate at opposite grid ends. Unlike KS (a max), EMD sees the
+    * WHOLE transport cost, so a small shift of much mass and a large
+    * shift of little mass score differently.
+    *
+    * Exactness: the fold keeps integer cumulative counts and compares
+    * `cumA·nb − cumB·na` (exact cross-multiplied CDF difference — no
+    * float until ONE final division), so any engine replays it
+    * bit-for-bit with no libm or summation-order caveats. Empty bins
+    * still contribute their |cum| term (the CDF gap persists across
+    * them). Long arithmetic holds to ~3·10⁹ rows per side; past that,
+    * swap the fold to BigInt (driver-side, ≤ nBins terms).
+    * Returns column → (emd, nTarget, nRef). */
+  def emdStats(
+      df: DataFrame, valueCols: Seq[String], isTarget: Column,
+      nBins: Int = 30): Map[String, (Double, Long, Long)] =
+    binnedStats(df, valueCols, isTarget, nBins) { (counts, na, nb) =>
+      val byBin = counts.map(t => t._1 -> ((t._2, t._3))).toMap
+      var cumA = 0L
+      var cumB = 0L
+      var acc = 0L
+      (0L until nBins.toLong).foreach { b =>
+        val (ca, cb) = byBin.getOrElse(b, (0L, 0L))
+        cumA += ca
+        cumB += cb
+        acc += math.abs(cumA * nb - cumB * na)
+      }
+      acc.toDouble / (na.toDouble * nb.toDouble * nBins.toDouble)
+    }
+
   /** PSI over REFERENCE-QUANTILE bins — the industry-standard PSI
     * configuration (equal-population bins frozen on the reference
     * distribution, so every bin carries signal; fixed-width bins

@@ -1749,6 +1749,49 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Exact normalized grid EMD ([[DriftExact.emdStats]]) on the PSI
+    * query's layout: integer cross-multiplied CDF gaps summed over all
+    * 30 bins (empty bins included), one final division — no float
+    * caveats at all. */
+  private def qDriftEmd = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import s.implicits._
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val stats = DriftExact.emdStats(li, cols, F.col("l_orderkey") % 3 === 0)
+      cols.sorted.map { c =>
+        val (e, na, nb) = stats(c)
+        (c, e, na, nb)
+      }.toDF("col_name", "emd", "n_target", "n_ref").orderBy("col_name")
+    },
+    Some {
+      Seq("l_extendedprice", "l_quantity").sorted.map { c =>
+        s"""SELECT * FROM (
+           | WITH b AS (SELECT CAST($c AS DOUBLE) AS v,
+           |     CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |   FROM lineitem WHERE $c IS NOT NULL),
+           | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+           | g AS (SELECT LEAST(CAST(floor((v - lo) / ((hi - lo) / 30)) AS BIGINT), 29) AS bin,
+           |     sum(ta) AS ca, sum(1 - ta) AS cb
+           |   FROM b, mm GROUP BY 1),
+           | t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+           | bb AS (SELECT unnest(range(0, 30)) AS bin),
+           | d AS (SELECT bb.bin AS bin, COALESCE(g.ca, 0) AS ca, COALESCE(g.cb, 0) AS cb
+           |   FROM bb LEFT JOIN g ON bb.bin = g.bin),
+           | cc AS (SELECT bin,
+           |     sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+           |     sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb
+           |   FROM d),
+           | s AS (SELECT sum(abs(cuma * (SELECT nb FROM t) - cumb * (SELECT na FROM t))) AS acc FROM cc)
+           | SELECT '$c' AS col_name,
+           |   CAST(acc AS DOUBLE) / (CAST((SELECT na FROM t) AS DOUBLE) * CAST((SELECT nb FROM t) AS DOUBLE) * 30.0) AS emd,
+           |   CAST((SELECT na FROM t) AS BIGINT) AS n_target,
+           |   CAST((SELECT nb FROM t) AS BIGINT) AS n_ref
+           | FROM s
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** Tukey-fence outlier counts per column
     * ([[graft.analysis.Outliers.iqrOutliers]]); quartiles via the
     * distributed exact-quantile path, fences and counts bit-exact. */
@@ -4150,6 +4193,7 @@ object StandardQueries {
     "drift_hellinger_exact" -> qDriftHellingerExact,
     "drift_psi" -> qDriftPsi,
     "drift_jsd_exact" -> qDriftJsd,
+    "drift_emd_exact" -> qDriftEmd,
     "drift_psi_quantile" -> qDriftPsiQuantile,
     "iqr_outliers" -> qIqrOutliers,
     "dedup_exact" -> qDedupExact,

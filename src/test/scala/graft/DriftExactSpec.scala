@@ -357,4 +357,27 @@ class DriftExactSpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-12, s"JSD must be symmetric: $a vs $b")
     assert(a >= 0.0 && a <= math.log(2.0) + 1e-12, s"out of [0, ln2]: $a")
   }
+
+  test("emdStats: zero on identical, max on opposite ends, mass-weighted, hand case") {
+    import spark.implicits._
+    val same = (1 to 200).flatMap(i => Seq(((i % 10).toDouble, true), ((i % 10).toDouble, false)))
+      .toDF("x", "t")
+    assert(graft.analysis.DriftExact.emdStats(same, Seq("x"), F.col("t"))("x")._1 === 0.0)
+    // all target mass in bin 0, all ref mass in bin 29 -> |cdf gap| = 1 for
+    // bins 0..28, 0 at 29 -> 29/30
+    val ends = ((1 to 50).map(_ => (0.0, true)) ++ (1 to 50).map(_ => (30.0, false)))
+      .toDF("x", "t")
+    val e = graft.analysis.DriftExact.emdStats(ends, Seq("x"), F.col("t"))("x")._1
+    assert(e === 29.0 / 30.0, s"opposite-end mass must give 29/30, got $e")
+    // hand case: target uniform on {lo, hi}, ref all at lo
+    // target: 10 at 0.0, 10 at 30.0; ref: 20 at 0.0... hi==lo on ref alone is
+    // fine (envelope spans both slices). cdf gap = 1/2 for bins 0..28.
+    val half = ((1 to 10).map(_ => (0.0, true)) ++ (1 to 10).map(_ => (30.0, true)) ++
+      (1 to 20).map(_ => (0.0, false))).toDF("x", "t")
+    val h = graft.analysis.DriftExact.emdStats(half, Seq("x"), F.col("t"))("x")._1
+    assert(h === 29.0 / 60.0, s"half mass at the far end must give 29/60, got $h")
+    // a small shift of much mass vs a large shift of little mass differ
+    // (KS would see only the max gap; EMD weights by distance)
+    assert(h < e)
+  }
 }
