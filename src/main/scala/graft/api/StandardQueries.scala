@@ -3378,7 +3378,8 @@ object StandardQueries {
     * chunk text verbatim. */
   private def qCorpusChunks = Q(
     (s, dir) => Packing.chunkTokens(t(s, dir, "documents"),
-      "doc_id", "text", window = 24, stride = 16)
+      "text", window = 24, stride = 16)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
       .orderBy("doc_id", "chunk_idx"),
     Some("""WITH tok AS (
            |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
@@ -3392,6 +3393,47 @@ object StandardQueries {
            |   CAST(len(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 24)) AS BIGINT) AS n_chunk_tokens,
            |   array_to_string(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 24), ' ') AS chunk_text
            | FROM ch ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")))
+
+  /** End-to-end curation tail: per-domain cap
+    * ([[Sampling.capPerKey]]) → deterministic shuffle/sharding
+    * ([[Sampling.deterministicShuffle]]) → sliding-window chunking
+    * ([[Packing.chunkTokens]]) → per-shard manifest (docs, chunks,
+    * tokens). Three composed operators, each already oracle-pinned
+    * alone; this query pins that they COMPOSE — the md5 rank the cap
+    * keeps, the shard each kept doc lands in, and the chunk fan-out all
+    * replay in SQL as one CTE chain, pure integer/string ops
+    * throughout. */
+  private def qCurationE2e = Q(
+    (s, dir) => {
+      val kept = Sampling.capPerKey(t(s, dir, "documents"),
+        F.col("source"), F.col("doc_id"), cap = 100)
+      val sharded = Sampling.deterministicShuffle(kept, F.col("doc_id"), numShards = 4)
+      Packing.chunkTokens(sharded, "text", window = 24, stride = 16)
+        .groupBy("shard")
+        .agg(F.count_distinct(F.col("doc_id")).as("n_docs"),
+          F.count(F.lit(1)).as("n_chunks"),
+          F.sum("n_chunk_tokens").as("n_tokens"))
+        .orderBy("shard")
+    },
+    Some("""WITH kept AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+           |    FROM documents) WHERE rk <= 100),
+           | sh AS (SELECT doc_id,
+           |   CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 9, 4) AS INTEGER) % 4 AS shard,
+           |   list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
+           |  FROM kept),
+           | base AS (SELECT doc_id, shard, toks, len(toks) AS n,
+           |   CASE WHEN len(toks) <= 24 THEN 1
+           |     ELSE CAST(floor(CAST(len(toks) - 24 + 15 AS DOUBLE) / 16.0) AS BIGINT) + 1 END AS nc
+           |  FROM sh),
+           | ch AS (SELECT doc_id, shard, unnest(range(0, nc)) AS ci, toks FROM base)
+           | SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |   count(*) AS n_chunks,
+           |   CAST(sum(len(list_slice(toks, ci * 16 + 1, ci * 16 + 24))) AS BIGINT) AS n_tokens
+           | FROM ch GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")))
 
   private def qCorpusPack = Q(
     (s, dir) => Packing.withOffsets(
@@ -4249,6 +4291,7 @@ object StandardQueries {
     "doc_novelty" -> qDocNovelty,
     "corpus_pack" -> qCorpusPack,
     "corpus_chunks" -> qCorpusChunks,
+    "curation_e2e" -> qCurationE2e,
     "doc_fingerprint" -> qDocFingerprint,
     "dedup_spans" -> qDedupSpans,
     "dedup_span_ranges" -> qDedupSpanRanges,

@@ -69,10 +69,12 @@ object Packing {
     * 1:1-or-more.
     *
     * Map-only (sequence → slice → posexplode): no shuffle, no state —
-    * safe inline in any corpus-scale pipeline or stream. Every output
-    * derives from integer arithmetic and token slices, so a SQL engine
-    * replays it verbatim. */
-  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+    * safe inline in any corpus-scale pipeline or stream. ALL input
+    * columns ride along (each doc's rows fan out per chunk), plus
+    * chunk_idx, n_chunk_tokens, chunk_text. Every output derives from
+    * integer arithmetic and token slices, so a SQL engine replays it
+    * verbatim. */
+  def chunkTokens(df: DataFrame, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     require(stride >= 1 && stride <= window,
@@ -83,13 +85,17 @@ object Packing {
     val nChunks = F.when(n <= window, 1L).otherwise(
       F.floor((n - window + (stride - 1)).cast("double") / stride.toDouble)
         .cast("long") + 1L)
-    df.select(F.col(idCol), toks.as("__toks"), nChunks.as("__nc"))
-      .select(F.col(idCol),
+    // internal names must not collide with caller columns (e.g. a `pos`
+    // from deterministicShuffle upstream)
+    val inputCols = df.columns.map(F.col).toSeq
+    df.withColumn("__toks", toks).withColumn("__nc", nChunks)
+      .select(inputCols :+
         F.posexplode(F.transform(
           F.sequence(F.lit(0L), F.col("__nc") - 1L),
-          i => F.slice(F.col("__toks"), (i * stride + 1).cast("int"), F.lit(window)))))
-      .select(F.col(idCol), F.col("pos").cast("long").as("chunk_idx"),
-        F.size(F.col("col")).cast("long").as("n_chunk_tokens"),
-        F.array_join(F.col("col"), " ").as("chunk_text"))
+          i => F.slice(F.col("__toks"), (i * stride + 1).cast("int"), F.lit(window))))
+          .as(Seq("__chunk_pos", "__chunk_toks")): _*)
+      .select(inputCols ++ Seq(F.col("__chunk_pos").cast("long").as("chunk_idx"),
+        F.size(F.col("__chunk_toks")).cast("long").as("n_chunk_tokens"),
+        F.array_join(F.col("__chunk_toks"), " ").as("chunk_text")): _*)
   }
 }

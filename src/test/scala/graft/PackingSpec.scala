@@ -53,7 +53,8 @@ class PackingSpec extends SparkSpec {
       (2L, "a b c"),                                  // fits one window
       (3L, "")                                        // empty -> one empty chunk
     ).toDF("doc_id", "text")
-    val got = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+    val got = Packing.chunkTokens(docs, "text", window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(r => (r._1, r._2))
     // doc 1: starts 0,3,6 -> nc = floor((10-4+2)/3)+1 = 3 windows
@@ -70,7 +71,8 @@ class PackingSpec extends SparkSpec {
     // shorter tail: 11 tokens, window 4, stride 3 -> starts 0,3,6,9; last has 2
     val tail = Packing.chunkTokens(
       Seq((9L, (1 to 11).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
-      "doc_id", "text", 4, 3)
+      "text", 4, 3)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(tail.toSeq === Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 2L)))
   }

@@ -319,6 +319,20 @@ class PlanSpec extends SparkSpec {
       s"scan reads unused columns: $schemas")
   }
 
+  test("curation tail composes with bounded exchanges and no join") {
+    import graft.pipeline.{Packing, Sampling}
+    val kept = Sampling.capPerKey(table("documents"),
+      F.col("source"), F.col("doc_id"), cap = 100)
+    val sharded = Sampling.deterministicShuffle(kept, F.col("doc_id"), 4)
+    val out = Packing.chunkTokens(sharded, "text", 24, 16)
+      .groupBy("shard").agg(F.count(F.lit(1)).as("n_chunks"))
+    val plan = planOf(out)
+    // cap (source key) + shuffle (shard key) + rollup: chunking itself
+    // must add NO exchange — it rides map-only between the two keyed ones
+    assert(shuffles(plan) <= 3, s"expected <= 3 exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"the composed tail must not join:\n${plan.take(3000)}")
+  }
+
   test("bloom build has no row shuffle; probe is broadcast + map-only") {
     import graft.pipeline.Dedup
     val docs = table("documents")
