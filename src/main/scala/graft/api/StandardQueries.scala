@@ -2545,6 +2545,44 @@ object StandardQueries {
            |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
            | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Oracle-checked cosine-LSH bridge
+    * ([[Similarity.rademacherBands]]): hyperplane components are
+    * md5-derived ±1 (Rademacher), so DuckDB re-derives the identical
+    * planes, bucket keys, candidate set and exact-cosine verdicts —
+    * pinning the FAMILY's band → bucket-join → verify semantics
+    * end-to-end (candidate recall under these fixed planes is whatever
+    * it is — both engines agree on it exactly). `maxBucketSize = 0`
+    * disables the star-edge cap so the pair set is the plain
+    * per-bucket closure the SQL replays. Production stays the native
+    * seeded Gaussian hyperplanes (rows-only + recall gate below). */
+  private def qDedupEmbeddingLshMd5 = Q(
+    (s, dir) => Similarity.cosineNearDupBanded(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      v => Similarity.rademacherBands(v, dim = 64, bitsPerBand = 8, bands = 8),
+      tau = 0.4, maxBucketSize = 0)
+      .orderBy("a", "b"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           | keys AS (
+           |  SELECT vec_id, b,
+           |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
+           |  FROM (
+           |    SELECT v.vec_id, bb.b AS b, kk.k AS k,
+           |      list_dot_product(
+           |        [CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':' || CAST(kk.k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END for d in range(0, 64)],
+           |        v.e) AS dot
+           |    FROM v, (SELECT unnest(range(0, 8)) AS b) bb, (SELECT unnest(range(0, 8)) AS k) kk)
+           |  GROUP BY vec_id, b),
+           | p AS (SELECT DISTINCT ka.vec_id AS a, kb.vec_id AS b
+           |   FROM keys ka JOIN keys kb ON ka.b = kb.b AND ka.bucket = kb.bucket
+           |     AND ka.vec_id < kb.vec_id)
+           | SELECT a, b,
+           |   list_dot_product(va.e, vb.e) /
+           |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS sim
+           | FROM p JOIN v va ON p.a = va.vec_id JOIN v vb ON p.b = vb.vec_id
+           | WHERE list_dot_product(va.e, vb.e) /
+           |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4
+           | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   /** LSH-bucketed cosine near-dup (random hyperplanes): deliberately
     * rows-only. Unlike `dedup_near` (bimodal corpus: noise ≈0.03 vs
     * planted ≥0.88 ⇒ miss-prob 2e-22, oracle equality provable), this
@@ -4261,6 +4299,7 @@ object StandardQueries {
     "embedding_pq_exhaustive" -> qEmbeddingPqExhaustive,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
+    "dedup_embedding_lsh_md5" -> qDedupEmbeddingLshMd5,
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
     "semdedup" -> qSemDedup,
     "semdedup_clustered" -> qSemDedupClustered,

@@ -293,11 +293,22 @@ object Similarity {
   def cosineNearDupLsh(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       tau: Double = 0.9, bitsPerBand: Int = 8, bands: Int = 16,
-      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame =
+    cosineNearDupBanded(df, idCol, vecCol,
+      v => hyperplane_bands(v, bitsPerBand, bands, seed), tau, maxBucketSize)
+
+  /** The shared banded-candidate tail of the cosine-LSH family:
+    * `bandsOf(vec)` supplies the per-band bucket keys (native seeded
+    * hyperplanes in production, [[rademacherBands]] for the
+    * oracle-replayable bridge); candidates share any (band, bucket);
+    * every emitted pair is exact-cosine verified at `tau`. */
+  def cosineNearDupBanded(
+      df: DataFrame, idCol: String, vecCol: String,
+      bandsOf: Column => Column, tau: Double,
+      maxBucketSize: Int): DataFrame = {
     val vecs = df.select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
     val banded = vecs.select(F.col("id"),
-      F.posexplode(hyperplane_bands(F.col("__v"), bitsPerBand, bands, seed))
-        .as(Seq("band", "bucket")))
+      F.posexplode(bandsOf(F.col("__v"))).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pairs = Dedup.lshPairs(banded, Seq("band", "bucket"), "id", maxBucketSize)
@@ -309,6 +320,32 @@ object Similarity {
         .select("a", "b", "sim")
         .localCheckpoint(true)
     } finally banded.unpersist(blocking = false)
+  }
+
+  /** Oracle-replayable hyperplane band keys: Rademacher (±1) hyperplane
+    * components derived from md5("b:k:d") — a SQL engine re-derives the
+    * identical planes from its own md5, so bucket keys (and therefore
+    * the candidate set) replay exactly; the bucket bit is the sign of a
+    * plain left-fold dot product (the same fold `list_dot_product`
+    * computes). `dim` must match the embedding width — Rademacher signs
+    * are per-dimension constants baked at plan build (KB-scale).
+    * Production stays [[graft.functions.hyperplane_bands]] (native,
+    * Gaussian, seeded). */
+  def rademacherBands(vec: Column, dim: Int, bitsPerBand: Int, bands: Int): Column = {
+    require(dim >= 1 && bitsPerBand >= 1 && bands >= 1, "positive dims required")
+    def sign(b: Int, k: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$k:$d".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+    }
+    F.array((0 until bands).map { b =>
+      F.concat((0 until bitsPerBand).map { k =>
+        val signs = F.lit((0 until dim).map(d => sign(b, k, d)).toArray)
+        val dot = F.aggregate(
+          F.zip_with(signs, vec, (s, x) => s * x), F.lit(0.0), _ + _)
+        F.when(dot >= 0, "1").otherwise("0")
+      }: _*)
+    }: _*)
   }
 
   // ------------------------------------------------------------------
