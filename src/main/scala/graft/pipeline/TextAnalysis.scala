@@ -179,13 +179,15 @@ object TextAnalysis {
     * deterministic and equals SQL's `sum(x ORDER BY term)`.
     *
     * Plan: the explode is filtered to the (tiny, literal) query term
-    * set before the (doc, term) partial/final count; df rides a
-    * term-partitioned window over that already-aggregated stream (no
-    * second corpus scan, no join); corpus stats (N, Σdl) are one pruned
-    * scan broadcast back; top-N lands in a TakeOrderedAndProject
-    * (bounded per-partition heap, no global sort). Three lean
-    * exchanges — (doc, term), term, doc — all downstream of the
-    * query-term filter, so they carry only matching postings. */
+    * set before the (doc, term) partial/final count; per-term document
+    * frequencies ride the SAME global-agg scan as the corpus stats
+    * (one `array_contains` count per query term — no term-partitioned
+    * window, which would funnel every posting of a term into one task
+    * at corpus scale, and no df join); the one-row stats broadcast
+    * back; top-N lands in a TakeOrderedAndProject (bounded
+    * per-partition heap, no global sort). Two keyed exchanges —
+    * (doc, term) then doc — both downstream of the query-term
+    * filter. */
   def bm25TopDocs(
       df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
       k1: Double = 1.5, b: Double = 0.75, topN: Int = 10,
@@ -195,13 +197,22 @@ object TextAnalysis {
     val base = df.select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("toks"))
       .select(F.col("doc_id"), F.col("toks"),
         F.size(F.filter(F.col("toks"), w => F.length(w) > 0)).as("dl"))
-    val stats = base.agg(
-      F.count(F.lit(1)).as("n_docs"), F.sum(F.col("dl")).as("sum_dl"))
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      graft.functions.count_where(F.array_contains(F.col("toks"), t)).as(s"__df_$i")
+    }
+    val statsCols = Seq(F.count(F.lit(1)).as("n_docs"),
+      F.sum(F.col("dl")).as("sum_dl")) ++ dfCols
+    val stats = base.agg(statsCols.head, statsCols.tail: _*)
     val tf = base
       .select(F.col("doc_id"), F.col("dl"), F.explode(F.col("toks")).as("term"))
       .filter(F.col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).as("tf"))
-      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    // per-term df from the broadcast stats row (term is one of the tiny
+    // literal set, so this is a |terms|-branch CASE, not a join)
+    val dfOfTerm = queryTerms.zipWithIndex.tail.foldLeft(
+      F.when(F.col("term") === queryTerms.head, F.col("__df_0"))) {
+        case (acc, (t, i)) => acc.when(F.col("term") === t, F.col(s"__df_$i"))
+      }
     val tfD = F.col("tf").cast("double")
     val avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     // ln is the ONE step libms disagree on at the last ulp (measured:
@@ -211,8 +222,8 @@ object TextAnalysis {
     // chain, so any engine reproduces the quantized idf bit-for-bit.
     // Ranking impact at s=1e9 is nil (idf perturbed by <1e-9 relative).
     val rawIdf = F.log(
-      ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) /
-        (F.col("df").cast("double") + 0.5) + 1.0)
+      ((F.col("n_docs") - dfOfTerm).cast("double") + 0.5) /
+        (dfOfTerm.cast("double") + 0.5) + 1.0)
     val idf = idfQuantize match {
       case Some(s) => F.floor(rawIdf * F.lit(s)).cast("double") / F.lit(s)
       case None    => rawIdf

@@ -358,10 +358,16 @@ class PlanSpec extends SparkSpec {
     val out = graft.pipeline.TextAnalysis.bm25TopDocs(
       table("documents"), "doc_id", "text", Seq("join", "vector", "window"))
     val plan = planOf(out)
-    // (doc, term) tf + term-window df + per-doc fold: three keyed
-    // exchanges, all downstream of the query-term filter; corpus stats
-    // are tiny and must come back as a broadcast, not a shuffled join
-    assert(shuffles(plan) <= 3, s"expected <= 3 keyed exchanges:\n${plan.take(3000)}")
+    // (doc, term) tf + per-doc fold: TWO keyed exchanges, both
+    // downstream of the query-term filter; df rides the one-row stats
+    // broadcast (a term-partitioned window here would funnel every
+    // posting of a term into one task at corpus scale)
+    assert(shuffles(plan) <= 2, s"expected <= 2 keyed exchanges:\n${plan.take(3000)}")
+    // the only window is the post-limit row_number over <= topN rows;
+    // a count-over-term window (df) must not appear
+    val windows = plan.linesIterator.filter(_.trim.startsWith("Window ")).toSeq
+    assert(windows.size <= 1 && windows.forall(_.contains("row_number")),
+      s"unexpected window (a term-keyed df window?):\n${windows.mkString("\n")}")
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       s"df/stats must broadcast:\n${plan.take(3000)}")
     assert(plan.contains("TakeOrderedAndProject"),
