@@ -107,6 +107,41 @@ object DriftStream {
         F.col("n_target"))
   }
 
+  /** Per-window Jensen–Shannon divergence vs the envelope's reference
+    * proportions — the symmetric, ln2-bounded companion to
+    * [[psiPerWindow]], needing no eps floor (a bin empty on one side
+    * contributes only the live side's term). Same fold shape: all
+    * nBins bins walked via `sequence` in ascending order, counts read
+    * from a map, one groupBy(window) shuffle. ln is floored at 1e-9
+    * (the cross-libm bridge), so a SQL oracle replays the fold
+    * bit-for-bit — no output rounding needed. */
+  def jsdPerWindow(binCounts: DataFrame, env: BinEnvelope): DataFrame = {
+    def lnq(x: Column): Column =
+      F.floor(F.log(x) * F.lit(1e9)).cast("double") / F.lit(1e9)
+    val refProps = F.array(env.refCounts.map(c =>
+      F.lit(c.toDouble / env.nRef)): _*)
+    val cntMap = F.map_from_entries(
+      F.collect_list(F.struct(F.col("bin"), F.col("c"))))
+    binCounts
+      .groupBy("window")
+      .agg(F.sum("c").as("n_target"), cntMap.as("__m"))
+      .select(
+        F.col("window"),
+        F.aggregate(
+          F.sequence(F.lit(0), F.lit(env.nBins - 1)), F.lit(0.0),
+          (acc, b) => {
+            val ca = F.coalesce(
+              F.element_at(F.col("__m"), b.cast("long")), F.lit(0L))
+            val pa = ca.cast("double") / F.col("n_target").cast("double")
+            val pb = F.element_at(refProps, b + F.lit(1))
+            val m = (pa + pb) / F.lit(2)
+            val ta = F.when(pa > 0, F.lit(0.5) * (pa * lnq(pa / m))).otherwise(0.0)
+            val tb = F.when(pb > 0, F.lit(0.5) * (pb * lnq(pb / m))).otherwise(0.0)
+            acc + (ta + tb)
+          }).as("jsd"),
+        F.col("n_target"))
+  }
+
   /** The composed monitor: frame → frozen-bin counts → per-window PSI.
     * Composes directly on a BATCH frame (backfill / replay parity). A
     * streaming query can't chain two stateful aggregations, so live

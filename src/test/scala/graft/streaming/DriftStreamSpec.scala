@@ -53,6 +53,26 @@ class DriftStreamSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("psi") - expected) < 1e-15)
   }
 
+  test("jsdPerWindow: zero on matching proportions, bounded, one-sided bins finite") {
+    import spark.implicits._
+    val ref = (Seq.fill(50)(0.5) ++ Seq.fill(50)(1.5)).toDF("v")
+    val env = DriftStream.referenceEnvelope(ref, "v", nBins = 2)
+    def live(vals: Seq[Double]) = vals.map(("2024-01-01 00:00:00", _))
+      .toDF("t", "value").withColumn("ts", F.col("t").cast("timestamp"))
+    def jsdOf(vals: Seq[Double]): Double = DriftStream.jsdPerWindow(
+      DriftStream.windowedBinCounts(live(vals), "ts", "1 day", "value", env), env)
+      .collect()(0).getAs[Double]("jsd")
+    // live matches the 50/50 reference split -> 0
+    assert(math.abs(jsdOf(Seq(0.5, 1.5))) < 1e-9)
+    // all live mass in bin 0 (ref has half there): hand-computed
+    // m = (1 + .5)/2 = .75 for bin0; bin1: pa=0, pb=.5, m=.25
+    val expected = 0.5 * (1.0 * math.log(1.0 / 0.75)) +
+      0.5 * (0.5 * math.log(0.5 / 0.75)) + 0.5 * (0.5 * math.log(0.5 / 0.25))
+    val oneSided = jsdOf(Seq.fill(10)(0.5))
+    assert(math.abs(oneSided - expected) < 1e-8, s"got $oneSided want $expected")
+    assert(oneSided > 0 && oneSided <= math.log(2.0) + 1e-12)
+  }
+
   test("streamed windowed bin counts equal the batch computation on real events") {
     val batch = eventsBatch
     val env = DriftStream.referenceEnvelope(
