@@ -359,6 +359,32 @@ object DriftExact {
     }
   }
 
+  /** Per-segment [[jsdStats]]: one (segment, bin) exchange, each
+    * segment's own (min, max) envelope, same quantized-ln fold. */
+  def jsdStatsByKey(
+      df: DataFrame, key: Column, valueCol: String, isTarget: Column,
+      nBins: Int = 30, maxSegments: Int = 10000): Map[String, (Double, Long, Long)] = {
+    val prepared = df
+      .select(key.cast("string").as("__c"),
+        F.col(valueCol).cast("double").as("__v"),
+        F.when(isTarget, 1L).otherwise(0L).as("__ca"))
+      .filter(F.col("__c").isNotNull)
+      .withColumn("__cb", F.lit(1L) - F.col("__ca"))
+    binnedCore(prepared, Nil, nBins, maxSegments) { (counts, na, nb) =>
+      def lnq(x: Double): Double = math.floor(math.log(x) * 1e9) / 1e9
+      var acc = 0.0
+      counts.foreach { case (_, ca, cb) =>
+        val pa = ca.toDouble / na
+        val pb = cb.toDouble / nb
+        val m = (pa + pb) / 2
+        val ta = if (pa > 0) 0.5 * (pa * lnq(pa / m)) else 0.0
+        val tb = if (pb > 0) 0.5 * (pb * lnq(pb / m)) else 0.0
+        acc += ta + tb
+      }
+      acc
+    }
+  }
+
   private def binnedStats(
       df: DataFrame, valueCols: Seq[String], isTarget: Column,
       nBins: Int)(

@@ -1881,6 +1881,38 @@ object StandardQueries {
            |  CAST(max(na) AS BIGINT) AS n_target, CAST(max(nb) AS BIGINT) AS n_ref
            | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
+  /** Per-segment exact JSD ([[DriftExact.jsdStatsByKey]]) on the
+    * segmented-PSI layout; quantized ln ⇒ exact oracle match, no
+    * rounding. */
+  private def qDriftJsdSegmented = Q(
+    (s, dir) => {
+      import s.implicits._
+      val stats = DriftExact.jsdStatsByKey(
+        events(s, dir), F.col("event_type"), "value",
+        F.col("event_id") % 3 === 0)
+      stats.toSeq.sortBy(_._1).map { case (seg, (j, na, nb)) =>
+        (seg, j, na, nb)
+      }.toDF("segment", "jsd", "n_target", "n_ref")
+        .orderBy("segment")
+    },
+    Some("""WITH b AS (SELECT event_type AS seg, CAST(value AS DOUBLE) AS v,
+           |   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+           | mm AS (SELECT seg, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+           | p AS (SELECT seg, lo, CASE WHEN hi > lo THEN (hi - lo)/30 ELSE 1.0 END AS wd FROM mm),
+           | g AS (SELECT b.seg, LEAST(CAST(floor((v - lo)/wd) AS BIGINT), 29) AS bin,
+           |   sum(ta) AS ca, sum(1 - ta) AS cb
+           |  FROM b JOIN p ON b.seg = p.seg GROUP BY 1, 2),
+           | t AS (SELECT seg, sum(ca) AS na, sum(cb) AS nb FROM g GROUP BY 1),
+           | d AS (SELECT g.seg, bin,
+           |   CAST(ca AS DOUBLE)/na AS pa, CAST(cb AS DOUBLE)/nb AS pb, na, nb
+           |  FROM g JOIN t ON g.seg = t.seg)
+           | SELECT seg AS segment,
+           |  sum((CASE WHEN pa > 0 THEN 0.5 * (pa * (floor(ln(pa / ((pa + pb) / 2)) * 1000000000.0) / 1000000000.0)) ELSE 0.0 END)
+           |   + (CASE WHEN pb > 0 THEN 0.5 * (pb * (floor(ln(pb / ((pa + pb) / 2)) * 1000000000.0) / 1000000000.0)) ELSE 0.0 END) ORDER BY bin) AS jsd,
+           |  CAST(max(na) AS BIGINT) AS n_target, CAST(max(nb) AS BIGINT) AS n_ref
+           | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** Per-segment drift ALERT report: segmented exact KS and PSI fused
     * into one monitoring table with the conventional thresholds (KS
     * 0.1/0.2 per the reference's drift config bands; PSI 0.1/0.25,
@@ -4319,6 +4351,7 @@ object StandardQueries {
     "drift_ks_exact" -> qDriftKsExact,
     "drift_ks_segmented" -> qDriftKsSegmented,
     "drift_psi_segmented" -> qDriftPsiSegmented,
+    "drift_jsd_segmented" -> qDriftJsdSegmented,
     "drift_alert_report" -> qDriftAlertReport,
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,
