@@ -2206,6 +2206,41 @@ object StandardQueries {
            |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
            | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Train/eval split-leakage audit
+    * ([[graft.pipeline.Decontaminate.splitLeakage]]): the corpus under
+    * the standard deterministic 80/10/10 hash split, listing every
+    * near-dup pair that straddles splits — eval contamination. Same
+    * provable-equality regime as `dedup_near` (bimodal corpus), with
+    * the split labels replayed from md5 thresholds like
+    * `sample_split`. */
+  private def qSplitLeakage = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+        .withColumn("split", Sampling.hashSplit(F.col("doc_id"), "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      Decontaminate.splitLeakage(docs, "text", "doc_id", "split")
+        .orderBy("a", "b")
+    },
+    Some("""WITH sp AS (SELECT doc_id,
+           |   CASE WHEN h < 'cccccccd' THEN 'train'
+           |        WHEN h < 'e6666666' THEN 'val'
+           |        ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents)),
+           | sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+           |   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5)
+           | SELECT pr.a, pr.b, pr.jaccard, sa.split AS split_a, sb.split AS split_b
+           | FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
+           | WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   /** Incremental dedup: the src1 slice as the arriving batch, the rest
     * of the corpus as a stored [[Dedup.minHashIndex]] — the ingestion
     * pattern where only the batch is ever re-shingled. Same provable-
@@ -4411,6 +4446,7 @@ object StandardQueries {
     "mixture_apply" -> qMixtureApply,
     "json_props_profile" -> qJsonPropsProfile,
     "decontaminate" -> qDecontaminate,
+    "split_leakage" -> qSplitLeakage,
     "doc_novelty" -> qDocNovelty,
     "corpus_pack" -> qCorpusPack,
     "corpus_chunks" -> qCorpusChunks,

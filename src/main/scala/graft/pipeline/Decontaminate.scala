@@ -41,4 +41,29 @@ object Decontaminate {
       .withColumn("contamination",
         F.col("hits").cast("double") / F.col("n_grams").cast("double"))
   }
+
+  /** Train/eval split-leakage audit: near-duplicate pairs whose members
+    * sit in DIFFERENT splits — the cross-split contamination that
+    * inflates eval scores (Lee et al., arXiv:2107.06499 §6 report the
+    * effect; deterministic hash splits prevent the same DOC leaking,
+    * but near-duplicates still straddle splits freely). `df` must
+    * carry a split-label column; output is
+    * `(a, b, jaccard, split_a, split_b)` for every cross-split
+    * near-dup pair.
+    *
+    * Plan: the [[Dedup.minHashNearDups]] banded candidate machinery
+    * unchanged (its shuffles carry 8-byte keys), plus two lean joins
+    * back to the (id, split) projection — split labels are map-only
+    * derivations, so those scans prune to the id column. */
+  def splitLeakage(
+      df: DataFrame, textCol: String, idCol: String, splitCol: String,
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minHashNearDups(df, textCol, idCol, numPerm, bands, threshold)
+    val s = df.select(F.col(idCol), F.col(splitCol))
+    pairs
+      .join(s.select(F.col(idCol).as("a"), F.col(splitCol).as("split_a")), Seq("a"))
+      .join(s.select(F.col(idCol).as("b"), F.col(splitCol).as("split_b")), Seq("b"))
+      .filter(F.col("split_a") =!= F.col("split_b"))
+      .select("a", "b", "jaccard", "split_a", "split_b")
+  }
 }

@@ -52,4 +52,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(r.length == 1)
     assert(r(0).getLong(1) == 8L && r(0).getLong(2) == 8L && r(0).getDouble(3) == 1.0)
   }
+
+  test("splitLeakage flags only cross-split near-dup pairs") {
+    import spark.implicits._
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val near2 = "alpha beta gamma delta epsilon zeta eta iota" // high Jaccard with near1
+    val docs = Seq(
+      (1L, near1, "train"),
+      (2L, near2, "test"),   // cross-split near-dup of 1 -> flagged
+      (3L, near1, "train"),  // same-split dup of 1 -> NOT flagged
+      (4L, "completely different words entirely here now", "test"))
+      .toDF("doc_id", "text", "split")
+    val got = graft.pipeline.Decontaminate.splitLeakage(
+      docs, "text", "doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (2L, 3L)),
+      s"got ${got.toSeq}")
+    got.foreach { case (_, _, sa, sb) => assert(sa != sb) }
+  }
 }
