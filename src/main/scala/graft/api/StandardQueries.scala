@@ -4338,6 +4338,58 @@ object StandardQueries {
            |   CAST(max(nt) AS BIGINT) AS n_target
            | FROM terms GROUP BY w ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
+  /** Streaming per-window normalized EMD
+    * ([[graft.streaming.DriftStream.emdPerWindow]]) over the PSI/JSD
+    * stream and envelope — integer cross-multiplied CDF gaps, one final
+    * division, zero float caveats. */
+  private def qStreamingDriftEmd = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "events")
+      val split = F.lit("2024-01-11").cast("timestamp")
+      val env = graft.streaming.DriftStream.referenceEnvelope(
+        events(s, dir).filter(F.col("ts") < split), "value", nBins = 30)
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
+        .transform(rebuildTs)
+      val counts = graft.streaming.DriftStream.windowedBinCounts(
+        sdf, "ts", "1 day", "value", env)
+      val qn = "sde_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.DriftStream.emdPerWindow(s.table(qn), env)
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.col("emd"), F.col("n_target"))
+        .orderBy("window_start")
+    },
+    Some("""WITH e AS (SELECT CAST(value AS DOUBLE) AS v,
+           |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS w, ts FROM events
+           |   WHERE value IS NOT NULL),
+           | mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS nr FROM e
+           |   WHERE ts < TIMESTAMP '2024-01-11'),
+           | p AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo)/30 ELSE 1.0 END AS wd, nr FROM mm),
+           | rb AS (SELECT LEAST(GREATEST(CAST(floor((v - lo)/wd) AS BIGINT), 0), 29) AS bin,
+           |   count(*) AS rc FROM e, p WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1),
+           | tb AS (SELECT w, LEAST(GREATEST(CAST(floor((v - lo)/wd) AS BIGINT), 0), 29) AS bin,
+           |   count(*) AS c FROM e, p GROUP BY 1, 2),
+           | wn AS (SELECT w, sum(c) AS nt FROM tb GROUP BY 1),
+           | grid AS (SELECT w, b.range AS bin FROM (SELECT DISTINCT w FROM tb), range(30) b),
+           | cums AS (SELECT g.w, g.bin, wn.nt,
+           |     sum(COALESCE(tb.c, 0)) OVER (PARTITION BY g.w ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS cuml,
+           |     sum(COALESCE(rb.rc, 0)) OVER (PARTITION BY g.w ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS cumr
+           |   FROM grid g JOIN wn ON g.w = wn.w
+           |   LEFT JOIN tb ON tb.w = g.w AND tb.bin = g.bin
+           |   LEFT JOIN rb ON rb.bin = g.bin),
+           | s AS (SELECT w, max(nt) AS nt,
+           |     sum(abs(cuml * (SELECT nr FROM p) - cumr * nt)) AS acc
+           |   FROM cums GROUP BY w)
+           | SELECT CAST(epoch(w) AS BIGINT) AS window_start,
+           |   CAST(acc AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST((SELECT nr FROM p) AS DOUBLE) * 30.0) AS emd,
+           |   CAST(nt AS BIGINT) AS n_target
+           | FROM s ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -4496,6 +4548,7 @@ object StandardQueries {
     "streaming_heavy_hitters" -> qStreamingHeavyHitters,
     "streaming_drift_psi" -> qStreamingDriftPsi,
     "streaming_drift_jsd" -> qStreamingDriftJsd,
+    "streaming_drift_emd" -> qStreamingDriftEmd,
     "streaming_sessionize" -> qStreamingSessionize,
     "streaming_dedup" -> qStreamingDedup,
     "streaming_near_dedup" -> qStreamingNearDedup)

@@ -142,6 +142,39 @@ object DriftStream {
         F.col("n_target"))
   }
 
+  /** Per-window normalized grid EMD (Wasserstein-1) vs the envelope's
+    * reference histogram: Σ over bins of |cdf_live − cdf_ref| / nBins.
+    * INTEGER cumulative counts cross-multiplied (`cumLive·nRef −
+    * cumRef·nLive`) until one final division — like
+    * [[graft.analysis.DriftExact.emdStats]], no libm or float-order
+    * caveats at all, so a SQL oracle replays it bit-for-bit. The fold
+    * walks all nBins in order; one groupBy(window) shuffle. */
+  def emdPerWindow(binCounts: DataFrame, env: BinEnvelope): DataFrame = {
+    val refCum: Array[Long] = env.refCounts.scanLeft(0L)(_ + _).tail
+    val refCumCol = F.array(refCum.map(F.lit(_)): _*)
+    val cntMap = F.map_from_entries(
+      F.collect_list(F.struct(F.col("bin"), F.col("c"))))
+    binCounts
+      .groupBy("window")
+      .agg(F.sum("c").as("n_target"), cntMap.as("__m"))
+      .select(
+        F.col("window"),
+        (F.aggregate(
+          F.sequence(F.lit(0), F.lit(env.nBins - 1)),
+          F.struct(F.lit(0L).as("cum"), F.lit(0L).as("acc")),
+          (st, b) => {
+            val ca = F.coalesce(
+              F.element_at(F.col("__m"), b.cast("long")), F.lit(0L))
+            val cum = st.getField("cum") + ca
+            val gap = F.abs(cum * F.lit(env.nRef) -
+              F.element_at(refCumCol, b + F.lit(1)) * F.col("n_target"))
+            F.struct(cum.as("cum"), (st.getField("acc") + gap).as("acc"))
+          }).getField("acc").cast("double") /
+          (F.col("n_target").cast("double") * F.lit(env.nRef.toDouble) *
+            F.lit(env.nBins.toDouble))).as("emd"),
+        F.col("n_target"))
+  }
+
   /** The composed monitor: frame → frozen-bin counts → per-window PSI.
     * Composes directly on a BATCH frame (backfill / replay parity). A
     * streaming query can't chain two stateful aggregations, so live

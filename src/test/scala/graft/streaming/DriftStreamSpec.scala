@@ -73,6 +73,23 @@ class DriftStreamSpec extends SparkSpec {
     assert(oneSided > 0 && oneSided <= math.log(2.0) + 1e-12)
   }
 
+  test("emdPerWindow: zero on matching proportions, hand-computed shift, bounded") {
+    import spark.implicits._
+    val ref = (Seq.fill(50)(0.5) ++ Seq.fill(50)(1.5)).toDF("v")
+    val env = DriftStream.referenceEnvelope(ref, "v", nBins = 2)
+    def live(vals: Seq[Double]) = vals.map(("2024-01-01 00:00:00", _))
+      .toDF("t", "value").withColumn("ts", F.col("t").cast("timestamp"))
+    def emdOf(vals: Seq[Double]): Double = DriftStream.emdPerWindow(
+      DriftStream.windowedBinCounts(live(vals), "ts", "1 day", "value", env), env)
+      .collect()(0).getAs[Double]("emd")
+    assert(emdOf(Seq(0.5, 1.5)) === 0.0)
+    // all live mass in bin 0 vs the 50/50 ref: cdf gaps are (.5, 0)
+    // over 2 bins -> (0.5 + 0) / 2 = 0.25
+    assert(emdOf(Seq.fill(10)(0.5)) === 0.25)
+    // all mass in bin 1: gap only at bin 0 -> 0.25 as well (symmetry)
+    assert(emdOf(Seq.fill(4)(1.5)) === 0.25)
+  }
+
   test("streamed windowed bin counts equal the batch computation on real events") {
     val batch = eventsBatch
     val env = DriftStream.referenceEnvelope(
