@@ -95,6 +95,31 @@ object Drift {
     math.sqrt(acc / 2.0)
   }
 
+  /** Jensen–Shannon divergence (nats, ≤ ln 2) over the same common
+    * equal-width grid as [[hellinger]], from the two profiles' KLL
+    * PMFs — the sketch-path counterpart of
+    * [[graft.analysis.DriftExact.jsdStats]] (same grid construction:
+    * combined min/max, nBins equal widths), symmetric and needing no
+    * smoothing. */
+  def jsd(target: DistributionSummary, ref: DistributionSummary, nBins: Int = 30): Double = {
+    if (target.n == 0 || ref.n == 0) return 0.0
+    val lo = math.min(target.min.getOrElse(0.0), ref.min.getOrElse(0.0))
+    val hi = math.max(target.max.getOrElse(0.0), ref.max.getOrElse(0.0))
+    if (!(hi > lo)) return 0.0
+    val splits = (1 until nBins).map(i => lo + (hi - lo) * i / nBins).toArray
+    val p = target.pmf(splits)
+    val q = ref.pmf(splits)
+    var acc = 0.0
+    var i = 0
+    while (i < p.length) {
+      val m = (p(i) + q(i)) / 2
+      if (p(i) > 0) acc += 0.5 * (p(i) * math.log(p(i) / m))
+      if (q(i) > 0) acc += 0.5 * (q(i) * math.log(q(i) / m))
+      i += 1
+    }
+    acc
+  }
+
   /** Per-column orchestration: KS + Hellinger for numeric, χ² for
     * categorical (reference `_get_drift_category:54-79`, defaults
     * `:427-455`). `overrides` forces a specific algorithm per column
@@ -113,7 +138,7 @@ object Drift {
     overrides.foreach { case (c, alg) =>
       val t = target.columns(c); val r = ref.columns(c)
       val ok = alg match {
-        case "ks" | "hellinger" =>
+        case "ks" | "hellinger" | "jsd" =>
           t.distribution.exists(_.n > 0) && r.distribution.exists(_.n > 0)
         case "chi2" => t.frequentItems.nonEmpty && r.frequentItems.nonEmpty
         case other  => throw new IllegalArgumentException(s"unknown drift algorithm $other")
@@ -127,11 +152,17 @@ object Drift {
         yield { val (d, p) = ks(td, rd); DriftScore(c, "ks", d, Some(p), pValueCategory(p)) }
       def hellScore = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)
         yield { val h = hellinger(td, rd); DriftScore(c, "hellinger", h, None, distanceCategory(h)) }
+      // category thresholds are calibrated for [0,1] distances; JSD is
+      // bounded by ln 2, so normalize before categorizing
+      def jsdScore = for (td <- t.distribution; rd <- r.distribution if td.n > 0 && rd.n > 0)
+        yield { val j = jsd(td, rd)
+          DriftScore(c, "jsd", j, None, distanceCategory(j / math.log(2.0))) }
       def chi2Score = for (tf <- t.frequentItems; rf <- r.frequentItems)
         yield { val (stat, p) = chiSquare(tf, rf); DriftScore(c, "chi2", stat, Some(p), pValueCategory(p)) }
       overrides.get(c) match {
         case Some("ks")        => ksScore.toSeq
         case Some("hellinger") => hellScore.toSeq
+        case Some("jsd")       => jsdScore.toSeq
         case Some("chi2")      => chi2Score.toSeq
         case Some(other) => throw new IllegalArgumentException(s"unknown drift algorithm $other")
         case None =>

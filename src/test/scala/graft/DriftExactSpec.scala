@@ -399,4 +399,26 @@ class DriftExactSpec extends SparkSpec {
     }
     assert(byKey("b")._1 > byKey("a")._1, "the drifted segment must score higher")
   }
+
+  test("sketch-path Drift.jsd agrees with exact jsdStats within rank error") {
+    val li = table("lineitem")
+    val isT = F.col("l_orderkey") % 3 === 0
+    val exact = graft.analysis.DriftExact.jsdStats(
+      li, Seq("l_extendedprice"), isT)("l_extendedprice")._1
+    val p = new graft.api.Profiler()
+    val target = p.profile(li.filter(isT), Some(Seq("l_extendedprice")))
+    val ref = p.profile(li.filter(!isT), Some(Seq("l_extendedprice")))
+    val td = target.columns("l_extendedprice").distribution.get
+    val rd = ref.columns("l_extendedprice").distribution.get
+    val sketch = graft.analysis.Drift.jsd(td, rd)
+    // KLL PMFs carry ~1.3% rank error per sketch; JSD amplifies small-p
+    // wobble, so allow a loose absolute band — the pin is agreement in
+    // magnitude, not bit equality (that is the exact path's job)
+    assert(math.abs(exact - sketch) < 0.05, s"exact=$exact sketch=$sketch")
+    // and the scores() override path routes to it
+    val sc = graft.analysis.Drift.scores(target, ref,
+      overrides = Map("l_extendedprice" -> "jsd"))
+    assert(sc.map(_.algorithm) === Seq("jsd"))
+    assert(sc.head.statistic === sketch)
+  }
 }
