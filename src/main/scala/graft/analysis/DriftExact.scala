@@ -385,6 +385,32 @@ object DriftExact {
     }
   }
 
+  /** Per-segment [[emdStats]]: same integer cross-multiplied CDF fold,
+    * one (segment, bin) exchange, per-segment envelopes. */
+  def emdStatsByKey(
+      df: DataFrame, key: Column, valueCol: String, isTarget: Column,
+      nBins: Int = 30, maxSegments: Int = 10000): Map[String, (Double, Long, Long)] = {
+    val prepared = df
+      .select(key.cast("string").as("__c"),
+        F.col(valueCol).cast("double").as("__v"),
+        F.when(isTarget, 1L).otherwise(0L).as("__ca"))
+      .filter(F.col("__c").isNotNull)
+      .withColumn("__cb", F.lit(1L) - F.col("__ca"))
+    binnedCore(prepared, Nil, nBins, maxSegments) { (counts, na, nb) =>
+      val byBin = counts.map(t => t._1 -> ((t._2, t._3))).toMap
+      var cumA = 0L
+      var cumB = 0L
+      var acc = 0L
+      (0L until nBins.toLong).foreach { b =>
+        val (ca, cb) = byBin.getOrElse(b, (0L, 0L))
+        cumA += ca
+        cumB += cb
+        acc += math.abs(cumA * nb - cumB * na)
+      }
+      acc.toDouble / (na.toDouble * nb.toDouble * nBins.toDouble)
+    }
+  }
+
   private def binnedStats(
       df: DataFrame, valueCols: Seq[String], isTarget: Column,
       nBins: Int)(

@@ -1913,6 +1913,44 @@ object StandardQueries {
            |  CAST(max(na) AS BIGINT) AS n_target, CAST(max(nb) AS BIGINT) AS n_ref
            | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
+  /** Per-segment exact normalized EMD ([[DriftExact.emdStatsByKey]]) on
+    * the segmented-PSI layout — integer CDF gaps per segment envelope,
+    * empty bins included. */
+  private def qDriftEmdSegmented = Q(
+    (s, dir) => {
+      import s.implicits._
+      val stats = DriftExact.emdStatsByKey(
+        events(s, dir), F.col("event_type"), "value",
+        F.col("event_id") % 3 === 0)
+      stats.toSeq.sortBy(_._1).map { case (seg, (e, na, nb)) =>
+        (seg, e, na, nb)
+      }.toDF("segment", "emd", "n_target", "n_ref")
+        .orderBy("segment")
+    },
+    Some("""WITH b AS (SELECT event_type AS seg, CAST(value AS DOUBLE) AS v,
+           |   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ta
+           |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+           | mm AS (SELECT seg, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+           | p AS (SELECT seg, lo, CASE WHEN hi > lo THEN (hi - lo)/30 ELSE 1.0 END AS wd FROM mm),
+           | g AS (SELECT b.seg, LEAST(CAST(floor((v - lo)/wd) AS BIGINT), 29) AS bin,
+           |   sum(ta) AS ca, sum(1 - ta) AS cb
+           |  FROM b JOIN p ON b.seg = p.seg GROUP BY 1, 2),
+           | t AS (SELECT seg, sum(ca) AS na, sum(cb) AS nb FROM g GROUP BY 1),
+           | grid AS (SELECT t.seg, b.range AS bin FROM t, range(30) b),
+           | d AS (SELECT grid.seg, grid.bin, COALESCE(g.ca, 0) AS ca, COALESCE(g.cb, 0) AS cb
+           |  FROM grid LEFT JOIN g ON grid.seg = g.seg AND grid.bin = g.bin),
+           | cc AS (SELECT seg, bin,
+           |   sum(ca) OVER (PARTITION BY seg ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+           |   sum(cb) OVER (PARTITION BY seg ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb
+           |  FROM d),
+           | s AS (SELECT cc.seg, sum(abs(cuma * t.nb - cumb * t.na)) AS acc,
+           |    max(t.na) AS na, max(t.nb) AS nb
+           |  FROM cc JOIN t ON cc.seg = t.seg GROUP BY 1)
+           | SELECT seg AS segment,
+           |  CAST(acc AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 30.0) AS emd,
+           |  CAST(na AS BIGINT) AS n_target, CAST(nb AS BIGINT) AS n_ref
+           | FROM s ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
   /** Per-segment drift ALERT report: segmented exact KS and PSI fused
     * into one monitoring table with the conventional thresholds (KS
     * 0.1/0.2 per the reference's drift config bands; PSI 0.1/0.25,
@@ -4439,6 +4477,7 @@ object StandardQueries {
     "drift_ks_segmented" -> qDriftKsSegmented,
     "drift_psi_segmented" -> qDriftPsiSegmented,
     "drift_jsd_segmented" -> qDriftJsdSegmented,
+    "drift_emd_segmented" -> qDriftEmdSegmented,
     "drift_alert_report" -> qDriftAlertReport,
     "drift_timeline_ks" -> qDriftTimelineKs,
     "drift_hellinger_exact" -> qDriftHellingerExact,

@@ -421,4 +421,22 @@ class DriftExactSpec extends SparkSpec {
     assert(sc.map(_.algorithm) === Seq("jsd"))
     assert(sc.head.statistic === sketch)
   }
+
+  test("emdStatsByKey: per-segment scores equal independent per-segment runs") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      val seg = if (i % 2 == 0) "a" else "b"
+      val t = i % 3 == 0
+      val v = if (seg == "b" && t) (i % 11) + 5.0 else (i % 11).toDouble
+      (seg, v, t)
+    }.toDF("seg", "x", "t")
+    val byKey = graft.analysis.DriftExact.emdStatsByKey(
+      rows, F.col("seg"), "x", F.col("t"))
+    Seq("a", "b").foreach { seg =>
+      val solo = graft.analysis.DriftExact.emdStats(
+        rows.filter(F.col("seg") === seg), Seq("x"), F.col("t"))("x")
+      assert(byKey(seg) === solo, seg)
+    }
+    assert(byKey("b")._1 > byKey("a")._1, "the drifted segment must score higher")
+  }
 }
