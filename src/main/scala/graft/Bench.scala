@@ -19,6 +19,7 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    val loadBefore = PerfStamp.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -101,8 +102,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${best.size},"errors":${failed.size}}"""
     val retried = suspects.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine-state stamp: distinguishes plan regressions from sandbox
+    // contention when this file is compared across rounds
+    val load = PerfStamp.fields(loadBefore, PerfStamp.loadAvg())
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"errors":$errs,"sf":"$sfDir","retried":$retried,"passes":[${jmap(pass0)},${jmap(pass1)}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"errors":$errs,"sf":"$sfDir","retried":$retried,$load,"passes":[${jmap(pass0)},${jmap(pass1)}]}"""
     // Also persist to a file: sbt appends "[success] Total time: ..." after
     // program output, so stdout's JSON is never the last line the driver
     // sees (this lost round 2's number).

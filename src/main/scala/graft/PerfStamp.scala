@@ -1,0 +1,19 @@
+package graft
+
+/** Machine-state stamp for the perf artifacts (bench / throughput /
+  * scale-probe JSON): the 1-minute system load average sampled before
+  * and after a run. A shared sandbox can inflate a measurement 5-20x
+  * with no code change (round 11's merge_profiles, round 12's final
+  * bench pass); stamping the load turns "it was external contention"
+  * from narrative into evidence readable next to the numbers.
+  */
+object PerfStamp {
+  /** 1-minute system load average (-1.0 where the JVM can't read it). */
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** JSON fields (no braces) to splice into a perf artifact line. */
+  def fields(before: Double, after: Double): String =
+    f""""load_before":$before%.2f,"load_after":$after%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors()}%d"""
+}

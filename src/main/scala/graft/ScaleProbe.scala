@@ -40,11 +40,44 @@ object ScaleProbe {
     "profile_counts", "profile_moments", "cardinality", "merge_profiles",
     "drift_ks_exact", "viz_summary_report",
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
-    "dedup_bloom", "bm25_top_docs", "corpus_shuffle", "text_entropy",
+    "dedup_keep_best", "dedup_paragraphs_counts",
+    "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
+    "corpus_shuffle", "text_entropy",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile",
-    "semdedup_clustered", "streaming_dedup", "streaming_sessionize",
-    "streaming_heavy_hitters")
+    "semdedup_clustered", "semdedup_auto", "streaming_dedup",
+    "streaming_sessionize", "streaming_heavy_hitters")
+
+  /** Adversarial SKEW probes beyond the replicated tables: synthetic
+    * corpora aimed at the exact mega-key windows the round-13 de-skews
+    * closed. Each returns a row count; what's measured is that the job
+    * FINISHES in bounded time with the skewed key spread across tasks
+    * (the window formulations these replaced would funnel every copy
+    * into one task's sort). */
+  def skewProbes(spark: SparkSession): Seq[(String, () => Long)] = Seq(
+    // one boilerplate paragraph repeated 1e6 times (every doc carries
+    // it) + 1e6 unique paragraphs: the boilerplate hash is a single
+    // corpus-wide mega-key through the election
+    "skew_paragraph_1m_copies" -> (() =>
+      graft.pipeline.Dedup.paragraphDedupCounts(
+        spark.range(1000000L).select(F.col("id"),
+          F.concat(
+            F.lit("shared license header boilerplate text\nunique body "),
+            F.col("id").cast("string")).as("text")),
+        "text", "id").count()),
+    // 200k mutually-near-identical docs: every member lands in ONE
+    // connected component (the star-edge design case), so the keeper
+    // election sees a single mega-cluster key
+    "skew_keepbest_one_cluster" -> (() =>
+      graft.pipeline.Dedup.nearDupClustersKeepBest(
+        spark.range(200000L).select(F.col("id"),
+          F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog again and again tail "),
+            (F.col("id") % 3).cast("string")).as("text"),
+          (F.col("id") % 97).cast("double").as("score")),
+        "text", "id", "score", numPerm = 16, bands = 8,
+        threshold = 0.5, maxBucketSize = 500).count())
+  )
 
   private[graft] def replicateForTest(df: DataFrame, table: String, copies: Int): DataFrame =
     replicate(df, table, copies)
@@ -118,10 +151,11 @@ object ScaleProbe {
       buildScaled(spark, srcDir, outDir, cpus)
       java.nio.file.Files.writeString(marker, srcDir)
     }
+    val loadBefore = PerfStamp.loadAvg()
     var failed = List.empty[String]
-    val times = names.map { name =>
+    def timed(name: String)(run: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, outDir).count() }
+      try run()
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
@@ -130,12 +164,17 @@ object ScaleProbe {
       println(f"[scale] $name%-28s ${dt}%8.2f s")
       name -> dt
     }
+    val times =
+      names.map(n => timed(n)(() => { SparkEntry.queries(n)(spark, outDir).count(); () })) ++
+        (if (sys.env.contains("SPARK_GRAFT_SCALE_NO_SKEW")) Seq.empty
+         else skewProbes(spark).map { case (n, run) => timed(n)(() => { run(); () }) })
     spark.stop()
     def jmap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val load = PerfStamp.fields(loadBefore, PerfStamp.loadAvg())
     val json =
-      s"""{"metric":"scale_total","value":${f"${times.map(_._2).sum}%.2f"},"unit":"sec","src":"$srcDir","queries":${jmap(times)},"errors":$errs}"""
+      s"""{"metric":"scale_total","value":${f"${times.map(_._2).sum}%.2f"},"unit":"sec","src":"$srcDir","queries":${jmap(times)},"errors":$errs,$load}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target", "scaleprobe.json"), json + "\n")
     catch { case _: Throwable => () }

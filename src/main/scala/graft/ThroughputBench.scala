@@ -24,6 +24,7 @@ import graft.core.MetricConfig
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
+    val loadBefore = PerfStamp.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val targetRows = sys.env.getOrElse("SPARK_GRAFT_TP_ROWS", "4800000").toLong
@@ -66,8 +67,9 @@ object ThroughputBench {
     spark.stop() // before printing: stray executor log lines break parses
 
     def jarr(xs: Seq[Double]) = xs.map(t => f"$t%.4f").mkString("[", ",", "]")
+    val load = PerfStamp.fields(loadBefore, PerfStamp.loadAvg())
     val json =
-      s"""{"metric":"cells_per_sec","value":${cellsPerSec.round},"unit":"cells/sec","rows":$rows,"cols":$cols,"cores":$cpus,"best_sec":${f"$best%.4f"},"passes":${jarr(times)},"sf":"$sfDir"}"""
+      s"""{"metric":"cells_per_sec","value":${cellsPerSec.round},"unit":"cells/sec","rows":$rows,"cols":$cols,"cores":$cpus,"best_sec":${f"$best%.4f"},"passes":${jarr(times)},$load,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_TP_OUT", "target/throughput.json"))
     try {

@@ -144,7 +144,15 @@ class ProfileStore(spark: SparkSession, path: String) {
     * million-segment store compacts without a driver collect. Merged
     * rows keep the group's EARLIEST dataset_ts. Reads are
     * merge-equivalent before and after (profile merge is associative);
-    * per-day readMerged results are unchanged. */
+    * per-day readMerged results are unchanged.
+    *
+    * Durability caveat: the dynamic-overwrite commit (delete old
+    * partition dir, move staged files in) is not atomic per partition —
+    * a crash mid-commit can leave a partition with neither old nor new
+    * rows. Compaction rewrites the ONLY copy, so run it when the window
+    * is re-derivable (the source batches still exist) or snapshot the
+    * touched partitions first; a transactional table format lifts the
+    * caveat entirely. */
   def compact(datasetId: String, fromMs: Long, toMs: Long): Unit = {
     import spark.implicits._
     val id = datasetId
@@ -166,14 +174,13 @@ class ProfileStore(spark: SparkSession, path: String) {
           ProfileSerde.toBytes(acc.copy(datasetTimestampMs = Some(ts))), id, key._1)
       }
       .toDF("dataset_ts", "segment", "profile", "dataset_id", "date")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("dataset_id", "date").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    // per-write option, NOT spark.conf.set: mutating the session-wide
+    // partitionOverwriteMode would leak dynamic-overwrite semantics into
+    // any concurrent write on the same SparkSession (or lose ours if a
+    // concurrent thread restored the conf mid-write)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dataset_id", "date").parquet(path)
   }
 }
 

@@ -2384,30 +2384,49 @@ object StandardQueries {
     * canonical election) exactly. Duplicate paragraphs = duplicate
     * original texts, which the fixture contains by construction. */
   private def qDedupParagraphs = Q(
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val grouped = docs
-        .groupBy(F.expr("doc_id div 3").as("gid"))
-        .agg(F.array_join(
-          F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),
-            x => x.getField("text")), "\n").as("text"))
-      Dedup.paragraphDedup(grouped, "text", "gid")
-        .orderBy("id", "para_idx")
-    },
-    Some("""WITH g AS (
-           |  SELECT doc_id // 3 AS id, string_agg(text, chr(10) ORDER BY doc_id) AS text
-           |  FROM documents GROUP BY doc_id // 3),
-           | p AS (
-           |  SELECT id, CAST(u.i - 1 AS BIGINT) AS para_idx, u.p AS para FROM (
-           |   SELECT id, unnest([{'i': i, 'p': parts[i]} for i in range(1, len(parts) + 1)]) AS u
-           |   FROM (SELECT id, string_split(text, chr(10)) AS parts FROM g))
-           |  WHERE trim(u.p) <> ''),
-           | h AS (SELECT id, para_idx, md5(para) AS para_hash FROM p)
+    (s, dir) => Dedup.paragraphDedup(paragraphFixture(s, dir), "text", "gid")
+      .orderBy("id", "para_idx"),
+    Some(s"""$paragraphOracleCte
+           | SELECT id, para_idx, para, para_hash,
+           |  count(*) OVER (PARTITION BY para_hash) AS occurrences,
+           |  row_number() OVER (PARTITION BY para_hash ORDER BY id, para_idx) = 1 AS keep
+           | FROM h ORDER BY id, para_idx""".stripMargin.replaceAll("\n", " ")))
+
+  /** The count-only paragraph variant
+    * ([[graft.pipeline.Dedup.paragraphDedupCounts]]): identical
+    * occurrence counts and keep verdicts, no string payload in any
+    * exchange — the shape a 100 TB masking pass runs before
+    * anti-joining `keep = false` positions back against the corpus. */
+  private def qDedupParagraphsCounts = Q(
+    (s, dir) => Dedup.paragraphDedupCounts(paragraphFixture(s, dir), "text", "gid")
+      .orderBy("id", "para_idx"),
+    Some(s"""$paragraphOracleCte
            | SELECT id, para_idx, para_hash,
            |  count(*) OVER (PARTITION BY para_hash) AS occurrences,
            |  row_number() OVER (PARTITION BY para_hash ORDER BY id, para_idx) = 1 AS keep
            | FROM h ORDER BY id, para_idx""".stripMargin.replaceAll("\n", " ")))
+
+  /** Deterministic multi-paragraph documents for both paragraph-dedup
+    * queries: 3 consecutive single-line docs join into one document per
+    * `doc_id div 3`. */
+  private def paragraphFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(F.expr("doc_id div 3").as("gid"))
+      .agg(F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+
+  private val paragraphOracleCte: String =
+    """WITH g AS (
+      |  SELECT doc_id // 3 AS id, string_agg(text, chr(10) ORDER BY doc_id) AS text
+      |  FROM documents GROUP BY doc_id // 3),
+      | p AS (
+      |  SELECT id, CAST(u.i - 1 AS BIGINT) AS para_idx, u.p AS para FROM (
+      |   SELECT id, unnest([{'i': i, 'p': parts[i]} for i in range(1, len(parts) + 1)]) AS u
+      |   FROM (SELECT id, string_split(text, chr(10)) AS parts FROM g))
+      |  WHERE trim(u.p) <> ''),
+      | h AS (SELECT id, para_idx, para, md5(para) AS para_hash FROM p)""".stripMargin
 
   /** Domain balancing: at most 3 docs per source, chosen by the
     * deterministic md5 rank — the DuckDB oracle replays the identical
@@ -2787,6 +2806,24 @@ object StandardQueries {
     },
     None)
 
+  /** SemDeDup with the size-derived cluster count
+    * ([[graft.pipeline.Similarity.semDeDupAuto]]): numClusters =
+    * ceil(n / 64) here, so k grows with the corpus and the per-cluster
+    * member × anchor product stays bounded by construction — the shape
+    * ScaleProbe exercises at 20× data. Rows-only for the same reason as
+    * `semdedup_clustered` (sampled-codebook cluster boundaries);
+    * SemDeDupSpec pins the k rule and the equivalence to [[semDeDup]]
+    * at the derived k. */
+  private def qSemDedupAuto = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDeDupAuto(emb, "vec_id", "embedding", tau = 0.4,
+        targetClusterSize = 64)
+        .select(F.col("id").as("doc_id"), F.col("cluster_id"), F.col("keep"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Both PCA reference selectors over the embeddings table: one row per
     * produced reference with its label and basic geometry. Rows-only
     * (principal axes are eigenvector outputs with sign indeterminacy —
@@ -2807,6 +2844,45 @@ object StandardQueries {
         .orderBy("selector", "label")
     },
     None)
+
+  /** Hash-matched bridge for the PCA centroid selector: a 496-row
+    * balanced ±scale grid in R⁴ derived from doc_id bits — mean exactly
+    * 0, covariance exactly diagonal with well-separated eigenvalues
+    * (64 > 16 > 4 > 1) — so the top-2 principal subspace is analytically
+    * span(e1, e2) and the selector's round-tripped label centroids are
+    * (avg x1, avg x2, 0, 0), which the oracle computes directly. All
+    * sums are exact (±scale doubles), eigen-solver noise is absorbed by
+    * round(·, 6) (+0.0 normalizes any −0.0); the production selector
+    * over real embeddings stays `embedding_pca_refs` (rows-only:
+    * eigenvectors of arbitrary data are not SQL-expressible). */
+  private def qEmbeddingPcaRefsExact = Q(
+    (s, dir) => {
+      import s.implicits._
+      def sgn(bit: Int): Column =
+        F.when(F.shiftright(F.col("doc_id"), bit) % 2 === 0, F.lit(-1.0))
+          .otherwise(F.lit(1.0))
+      val fix = t(s, dir, "documents").filter(F.col("doc_id") < 496)
+        .select(F.col("doc_id"),
+          F.array(sgn(0) * 8.0, sgn(1) * 4.0, sgn(2) * 2.0, sgn(3) * 1.0)
+            .as("vec"),
+          F.concat(F.lit("L"), (F.col("doc_id") % 3).cast("string"))
+            .as("label"))
+      def rnd(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0
+      Embeddings.pcaCentroidReferences(fix, "vec", "label", nComponents = 2)
+        .map { case (l, v) => (l, rnd(v(0)), rnd(v(1)), rnd(v(2)), rnd(v(3))) }
+        .toDF("label", "c1", "c2", "c3", "c4")
+        .orderBy("label")
+    },
+    Some("""WITH f AS (
+           |  SELECT 'L' || CAST(doc_id % 3 AS VARCHAR) AS label,
+           |   CASE WHEN doc_id % 2 = 0 THEN -8.0 ELSE 8.0 END AS x1,
+           |   CASE WHEN (doc_id // 2) % 2 = 0 THEN -4.0 ELSE 4.0 END AS x2
+           |  FROM documents WHERE doc_id < 496)
+           | SELECT label, round(avg(x1), 6) + 0.0 AS c1,
+           |  round(avg(x2), 6) + 0.0 AS c2, 0.0 AS c3, 0.0 AS c4
+           | FROM f GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " ")))
 
   private def qEmbeddingMetric = Q(
     (s, dir) => {
@@ -3260,6 +3336,41 @@ object StandardQueries {
            |   list_has_all(allp, ps) AND NOT list_contains(allk, ck) AS false_positive
            | FROM pr, rl, rk ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Sharded Bloom dedup ([[graft.pipeline.Dedup.bloomBuildSharded]] /
+    * [[graft.pipeline.Dedup.bloomProbeSharded]]) — the past-broadcast-
+    * budget path: 4 independent 2^16-bit blooms keyed by an md5-derived
+    * shard of the content key, probes co-partitioned by the same shard
+    * (shuffle join, no broadcast). The oracle derives the identical
+    * shard routing and per-shard position sets from md5 hex substrings,
+    * so membership verdicts — false positives included — replay
+    * bit-for-bit. */
+  private def qDedupBloomSharded = Q(
+    (s, dir) => {
+      val key = F.md5(F.col("text"))
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(F.col("doc_id") % 2 === 0)
+      val bloom = Dedup.bloomBuildSharded(ref,
+        Dedup.bloomShardMd5(key, 4),
+        Dedup.bloomPositionsMd5(key, numHashes = 4, hexChars = 4),
+        numBits = 65536)
+      Dedup.bloomProbeSharded(docs.select(F.col("doc_id"), key.as("ck")),
+          Dedup.bloomShardMd5(F.col("ck"), 4),
+          Dedup.bloomPositionsMd5(F.col("ck"), 4, 4), bloom)
+        .select("doc_id", "maybe_dup")
+        .orderBy("doc_id")
+    },
+    Some("""WITH ref AS (SELECT md5(text) AS ck FROM documents WHERE doc_id % 2 = 0),
+           | rs AS (SELECT ck, CAST('0x' || substr(md5('shard:' || ck), 1, 7) AS BIGINT) % 4 AS shard FROM ref),
+           | rp AS (SELECT shard, list(p) AS allp FROM (
+           |     SELECT DISTINCT shard, unnest([substr(md5(CAST(j AS VARCHAR) || ':' || ck), 1, 4) for j in range(0, 4)]) AS p FROM rs)
+           |   GROUP BY shard),
+           | pr AS (SELECT doc_id, md5(text) AS ck,
+           |     [substr(md5(CAST(j AS VARCHAR) || ':' || md5(text)), 1, 4) for j in range(0, 4)] AS ps
+           |   FROM documents),
+           | pq AS (SELECT doc_id, ps, CAST('0x' || substr(md5('shard:' || ck), 1, 7) AS BIGINT) % 4 AS shard FROM pr)
+           | SELECT pq.doc_id, coalesce(list_has_all(rp.allp, pq.ps), false) AS maybe_dup
+           | FROM pq LEFT JOIN rp ON rp.shard = pq.shard ORDER BY pq.doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Zipf-law corpus fit ([[graft.pipeline.TextAnalysis.zipfFit]]):
     * least-squares ln(count)-vs-ln(rank) slope + intercept over the top
     * 1000 terms. ln floored at 1e-9 (cross-libm bridge); the oracle
@@ -3525,7 +3636,7 @@ object StandardQueries {
       .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
       .orderBy("doc_id", "chunk_idx"),
     Some("""WITH tok AS (
-           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
+           |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS toks
            |  FROM documents),
            | base AS (SELECT doc_id, toks, len(toks) AS n,
            |   CASE WHEN len(toks) <= 24 THEN 1
@@ -3566,7 +3677,7 @@ object StandardQueries {
            |    FROM documents) WHERE rk <= 100),
            | sh AS (SELECT doc_id,
            |   CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 9, 4) AS INTEGER) % 4 AS shard,
-           |   list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS toks
+           |   list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS toks
            |  FROM kept),
            | base AS (SELECT doc_id, shard, toks, len(toks) AS n,
            |   CASE WHEN len(toks) <= 24 THEN 1
@@ -4038,6 +4149,29 @@ object StandardQueries {
            | count(*) AS dup_count
            | FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin.replaceAll("\n", " ")))
 
+  /** Streaming exact dedup through the PRODUCTION sink
+    * ([[graft.streaming.DedupStream.exactKeepersToStore]]): update-mode
+    * keeper election upserted into the bucket-partitioned parquet state
+    * table, then the table read back — same oracle as
+    * `streaming_dedup`, now proven through the foreachBatch upsert
+    * instead of a bounded memory sink. */
+  private def qStreamingDedupStore = Q(
+    (s, dir) => {
+      val raw = t(s, dir, "documents")
+      val sdf = s.readStream.schema(raw.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+      val path = "target/tmp/sds_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.DedupStream.exactKeepersToStore(
+        sdf, "text", "doc_id", path, numBuckets = 8)
+      q.awaitTermination()
+      s.read.parquet(s"$path/state")
+        .select("text_hash", "keeper_id", "dup_count")
+        .orderBy("text_hash")
+    },
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+           | count(*) AS dup_count
+           | FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin.replaceAll("\n", " ")))
+
   /** Streaming near-dup ingestion
     * ([[graft.streaming.DedupStream.nearDupsAgainstIndex]]): the src1
     * slice arrives as a stream and is band-joined (stream-static,
@@ -4498,6 +4632,8 @@ object StandardQueries {
     "dedup_clusters" -> qDedupClusters,
     "dedup_keep_best" -> qDedupKeepBest,
     "dedup_paragraphs" -> qDedupParagraphs,
+    "dedup_paragraphs_counts" -> qDedupParagraphsCounts,
+    "dedup_bloom_sharded" -> qDedupBloomSharded,
     "dedup_near_capped" -> qDedupNearCapped,
     "dedup_incremental" -> qDedupIncremental,
     "embedding_topk" -> qEmbeddingTopK,
@@ -4513,8 +4649,10 @@ object StandardQueries {
     "dedup_embedding_lsh_recall" -> qDedupEmbeddingLshRecall,
     "semdedup" -> qSemDedup,
     "semdedup_clustered" -> qSemDedupClustered,
+    "semdedup_auto" -> qSemDedupAuto,
     "embedding_metric" -> qEmbeddingMetric,
     "embedding_pca_refs" -> qEmbeddingPcaRefs,
+    "embedding_pca_refs_exact" -> qEmbeddingPcaRefsExact,
     "embedding_drift" -> qEmbeddingDrift,
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
@@ -4590,6 +4728,7 @@ object StandardQueries {
     "streaming_drift_emd" -> qStreamingDriftEmd,
     "streaming_sessionize" -> qStreamingSessionize,
     "streaming_dedup" -> qStreamingDedup,
+    "streaming_dedup_store" -> qStreamingDedupStore,
     "streaming_near_dedup" -> qStreamingNearDedup)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

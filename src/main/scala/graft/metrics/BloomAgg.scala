@@ -30,9 +30,12 @@ import org.apache.spark.sql.types._
   *
   * Scale note: the bitset must fit in one aggregation buffer and later
   * broadcast to probers — size `numBits` for the corpus (10 bits/key ≈
-  * 1% FP at k=4; 1e9 keys ≈ 1.25 GB). Past broadcast budget, shard keys
-  * by hash prefix and build one bloom per shard (a `groupBy(shard)` over
-  * this same aggregate), co-partitioning probes by the same prefix.
+  * 1% FP at k=4; 1e9 keys ≈ 1.25 GB). Past broadcast budget, use the
+  * sharded path ([[graft.pipeline.Dedup.bloomBuildSharded]] /
+  * [[graft.pipeline.Dedup.bloomProbeSharded]]): one independent bloom
+  * per hash-prefix shard via a `groupBy(shard)` over this same
+  * aggregate, probes co-partitioned by the same prefix (shuffle join,
+  * no broadcast).
   */
 case class BloomAgg(
     child: Expression,

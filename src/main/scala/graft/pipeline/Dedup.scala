@@ -338,10 +338,17 @@ object Dedup {
     * moves, and the member's score rides along.
     *
     * Scale shape: clustering is unchanged (banded LSH + star-contraction
-    * components); keeper election is a window max of a (score, -id)
-    * struct over `component` — ONE exchange carrying clustered docs
-    * only, no keeper table ever materializes (a join would broadcast
-    * O(components) rows — corpus-order at 100 TB). */
+    * components); keeper election is a groupBy(component) max of a
+    * (score, -id) struct + a SHUFFLE join-back on the same key — the
+    * [[exact]] shape, NOT a window: a mega-cluster (the star-edge path's
+    * explicit design case — every member of a 10⁸-doc boilerplate
+    * family reaches one component) would land every member in ONE
+    * window task's sort, while the groupBy's map-side partials collapse
+    * each partition's members to one row before the exchange and AQE's
+    * skew handling splits the join-back. The keeper table shuffles on
+    * `component` (O(components) rows but never broadcast — AQE may
+    * still CHOOSE a broadcast when it measures small, which is then
+    * correct by measurement, not by assumption). */
   def nearDupClustersKeepBest(
       df: DataFrame, textCol: String, idCol: String, scoreCol: String,
       numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
@@ -350,10 +357,12 @@ object Dedup {
       numPerm, bands, threshold, maxBucketSize)
       .join(df.select(F.col(idCol).as("doc_id"),
         F.col(scoreCol).cast("double").as("score")), Seq("doc_id"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-    val best = F.max(F.struct(F.col("score"), (-F.col("doc_id")).as("__nid"))).over(w)
-    clustered
-      .withColumn("keep", F.col("doc_id") === -best.getField("__nid"))
+    val best = clustered.groupBy(F.col("component").as("__bcomp"))
+      .agg(F.max(F.struct(F.col("score"), (-F.col("doc_id")).as("__nid")))
+        .as("__best"))
+    clustered.join(best, F.col("component") === F.col("__bcomp"))
+      .withColumn("keep",
+        F.col("doc_id") === -F.col("__best").getField("__nid"))
       .select("doc_id", "component", "cluster_size", "score", "keep")
   }
 
@@ -366,25 +375,52 @@ object Dedup {
     * a pipeline drops or masks `keep = false` rows and reassembles
     * documents by position.
     *
-    * Scale shape: paragraphs shuffle ONCE keyed by hash; occurrence
-    * counts and canonical election are two window functions over that
-    * single exchange. Paragraph strings ride to the exchange (they are
-    * the payload being masked); a count-only variant would ship just the
-    * 16-byte hash. */
+    * Scale shape: occurrence counts and canonical election are a
+    * groupBy(para_hash) + join-back — the [[exact]] shape — NOT a
+    * window: a window over the hash key funnels every copy of a
+    * corpus-wide boilerplate paragraph (a license block repeated 10⁸
+    * times is the very case paragraph dedup exists for) into ONE
+    * task's sort, while the groupBy's map-side partial aggregation
+    * collapses each partition's copies to one (hash, count, min) row
+    * before the exchange and AQE's skew handling splits the join-back
+    * for pathological hashes. The stats exchange carries only 16-byte
+    * hashes; paragraph strings ride the join-back side (they are the
+    * payload being masked). [[paragraphDedupCounts]] ships no string
+    * anywhere. */
   def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
-      sep: String = "\n"): DataFrame = {
-    val paras = df
-      .select(F.col(idCol).as("id"),
+      sep: String = "\n"): DataFrame =
+    electParagraphKeepers(explodeParagraphs(df, textCol, idCol, sep))
+
+  /** Count-only [[paragraphDedup]]: identical occurrence counts and
+    * keep verdicts, but the paragraph STRING is dropped before any
+    * exchange — every shuffled row is (id, para_idx, 16-byte hash).
+    * The masking pass then anti-joins `keep = false` (id, para_idx)
+    * back against the corpus, so the strings never leave their scan. */
+  def paragraphDedupCounts(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame =
+    electParagraphKeepers(
+      explodeParagraphs(df, textCol, idCol, sep).drop("para"))
+
+  /** One row per non-blank paragraph: (id, para_idx, para, para_hash). */
+  private def explodeParagraphs(df: DataFrame, textCol: String,
+      idCol: String, sep: String): DataFrame =
+    df.select(F.col(idCol).as("id"),
         F.posexplode(F.split(F.col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("para_idx", "para")))
       .filter(F.trim(F.col("para")) =!= "")
       .select(F.col("id"), F.col("para_idx").cast("long").as("para_idx"),
-        F.md5(F.col("para").cast("binary")).as("para_hash"))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("para_hash")
-    paras
-      .withColumn("occurrences", F.count(F.lit(1)).over(byHash))
-      .withColumn("keep", F.row_number().over(
-        byHash.orderBy(F.col("id").asc, F.col("para_idx").asc)) === 1)
+        F.col("para"), F.md5(F.col("para").cast("binary")).as("para_hash"))
+
+  /** The groupBy + join-back canonical election shared by both
+    * paragraph variants; any extra columns on `paras` ride along. */
+  private def electParagraphKeepers(paras: DataFrame): DataFrame = {
+    val stats = paras.groupBy(F.col("para_hash").as("__stats_hash")).agg(
+      F.count(F.lit(1)).as("occurrences"),
+      F.min(F.struct(F.col("id"), F.col("para_idx"))).as("__first"))
+    paras.join(stats, F.col("para_hash") <=> F.col("__stats_hash"))
+      .withColumn("keep",
+        F.struct(F.col("id"), F.col("para_idx")) === F.col("__first"))
+      .drop("__stats_hash", "__first")
   }
 
   /** Positionful word n-gram hashes: element i = xxhash64 of the gram at
@@ -557,4 +593,59 @@ object Dedup {
     probe.crossJoin(F.broadcast(bloomDf.select("bloom")))
       .withColumn("maybe_dup", bloomMayContain(F.col("bloom"), positions))
       .drop("bloom")
+
+  // ------------------------------------------------------------------
+  // Sharded Bloom: the past-broadcast-budget path. A single bitset is
+  // bounded by one aggregation buffer and the broadcast to probers
+  // (1e9 keys at 10 bits/key ≈ 1.25 GB — already at the edge); beyond
+  // that, shard keys by a hash prefix and build one INDEPENDENT bloom
+  // per shard (same aggregate, one groupBy(shard)), then co-partition
+  // probes by the same prefix — a shuffle join on the shard id, no
+  // broadcast, each shard's bitset sized for its key share.
+  // ------------------------------------------------------------------
+
+  /** Oracle-replayable shard id in [0, numShards): the first 7 hex
+    * chars of md5("shard:" ++ key) mod numShards — disjoint digest
+    * input from [[bloomPositionsMd5]]'s "i:" prefix, so shard routing
+    * and bit positions are independent hashes of the key. NULL key →
+    * NULL shard (the row joins nothing and probes false). */
+  def bloomShardMd5(key: Column, numShards: Int): Column = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    F.pmod(
+      F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), key)), 1, 7), 16, 10)
+        .cast("int"),
+      F.lit(numShards))
+  }
+
+  /** Build one Bloom bitset PER SHARD: `(shard, bloom, n_items)` rows,
+    * one per shard value present in `df`. Same partial/final OR-merge
+    * as [[bloomBuild]] behind one groupBy on the (tiny) shard key —
+    * map-side partials mean the exchange ships numShards bitsets per
+    * partition, never rows. `shard` and `positions` must both derive
+    * from the SAME key expression ([[bloomShardMd5]] /
+    * [[bloomPositionsMd5]]) so probes route to the bloom that saw the
+    * key. */
+  def bloomBuildSharded(df: DataFrame, shard: Column, positions: Column,
+      numBits: Int): DataFrame =
+    df.groupBy(shard.as("shard")).agg(
+      graft.functions.bloom_agg(positions, numBits).as("bloom"),
+      F.sum(F.when(positions.isNotNull, 1L).otherwise(0L)).as("n_items"))
+
+  /** Membership test against a [[bloomBuildSharded]] table: probes
+    * co-partition with the bloom rows on the shard id — a SHUFFLE hash
+    * join (numShards bitset rows build the hash side; the corpus-scale
+    * probe side streams), never a broadcast: the sharded path exists
+    * precisely because the combined bitsets exceed broadcast budget.
+    * A probe whose shard has no bloom row (or a NULL key) gets
+    * `maybe_dup = false` — nothing was inserted there. */
+  def bloomProbeSharded(probe: DataFrame, shard: Column, positions: Column,
+      bloomDf: DataFrame): DataFrame =
+    probe.withColumn("__shard", shard)
+      .join(
+        bloomDf.select(F.col("shard").as("__bshard"), F.col("bloom"))
+          .hint("shuffle_hash"),
+        F.col("__shard") === F.col("__bshard"), "left")
+      .withColumn("maybe_dup",
+        F.coalesce(bloomMayContain(F.col("bloom"), positions), F.lit(false)))
+      .drop("bloom", "__bshard", "__shard")
 }

@@ -79,8 +79,11 @@ object Packing {
     require(window >= 1, s"window must be >= 1: $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window]: $stride")
+    // NO lowercasing: chunk_text is training text, and the window
+    // arithmetic is case-blind anyway — HF's return_overflowing_tokens
+    // pattern this mirrors preserves the original casing
     val toks = F.filter(
-      F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), w => F.length(w) > 0)
+      F.split(F.trim(F.col(textCol)), "\\s+"), w => F.length(w) > 0)
     val n = F.size(toks)
     val nChunks = F.when(n <= window, 1L).otherwise(
       F.floor((n - window + (stride - 1)).cast("double") / stride.toDouble)

@@ -162,19 +162,6 @@ object Sampling {
     }
   }
 
-  /** Domain balancing: keep at most `cap` rows per key (the Common-Crawl
-    * "max pages per domain" rule — unchecked, boilerplate-heavy domains
-    * otherwise dominate a crawl corpus). Selection is a deterministic
-    * uniform draw, not head-of-table: rows rank within their key by
-    * (md5 hash of the row id, id) and ranks ≤ cap survive — stable under
-    * any partitioning and engine, and re-salting redraws the survivor
-    * set.
-    *
-    * Scale shape: ONE exchange on the key; the per-key window sort is
-    * bounded by the largest key's row count (a domain, not the corpus).
-    * When a corpus has pathological mega-keys and an exact cap is not
-    * required, prefer [[stratifiedHashSample]] with per-key rates
-    * cap/count — map-only after a count pass, approximate cap. */
   /** Deterministic corpus shuffle + sharding — the reproducible global
     * ordering a training run reads its data in. Every row gets a
     * `shard` (which output file/worker stream it belongs to) and a
@@ -184,10 +171,17 @@ object Sampling {
     * digest and the within-shard order from chars 1–8, so placement and
     * order use disjoint digest bits.
     *
+    * Precondition: `key` must be UNIQUE (a row id, like [[capPerKey]]'s
+    * `rowId`) — duplicate keys share both digest and tie-break, so
+    * their relative `pos` would be assigned arbitrarily per run and
+    * partitioning, breaking the identical-permutation guarantee.
+    *
     * Scale shape: ONE hash exchange on `shard` + a within-partition
     * sort (the window never sees more than a shard); size `numShards`
-    * to the target file/stream count and each sort stays executor-local
-    * and bounded. No global sort, no driver state. */
+    * to the target file/stream count — corpus/numShards rows per shard
+    * is the sort bound, so at 100 TB that means thousands of shards,
+    * not eight — and each sort stays executor-local and bounded. No
+    * global sort, no driver state. */
   def deterministicShuffle(df: DataFrame, key: Column, numShards: Int,
       salt: String = "shuffle"): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
@@ -203,6 +197,19 @@ object Sampling {
       .drop("__ord")
   }
 
+  /** Domain balancing: keep at most `cap` rows per key (the Common-Crawl
+    * "max pages per domain" rule — unchecked, boilerplate-heavy domains
+    * otherwise dominate a crawl corpus). Selection is a deterministic
+    * uniform draw, not head-of-table: rows rank within their key by
+    * (md5 hash of the row id, id) and ranks ≤ cap survive — stable under
+    * any partitioning and engine, and re-salting redraws the survivor
+    * set.
+    *
+    * Scale shape: ONE exchange on the key; the per-key window sort is
+    * bounded by the largest key's row count (a domain, not the corpus).
+    * When a corpus has pathological mega-keys and an exact cap is not
+    * required, prefer [[stratifiedHashSample]] with per-key rates
+    * cap/count — map-only after a count pass, approximate cap. */
   def capPerKey(df: DataFrame, key: Column, rowId: Column, cap: Int,
       salt: String = "cap"): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

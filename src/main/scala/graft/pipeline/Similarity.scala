@@ -371,8 +371,9 @@ object Similarity {
     * sound: every drop is verified by exact cosine against a real
     * anchor). At corpus scale, grow `numClusters` with n so the
     * per-cluster member × anchor product stays bounded — the paper's
-    * own knob — rather than growing `maxAnchors`. The final per-id
-    * verdict is one more exchange (`groupBy(id)`). */
+    * own knob — rather than growing `maxAnchors`; [[semDeDupAuto]]
+    * derives it from a count pre-pass. The final per-id verdict is one
+    * more exchange (`groupBy(id)`). */
   def semDeDup(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       numClusters: Int = 16, tau: Double = 0.9,
@@ -411,4 +412,30 @@ object Similarity {
       .select(F.col("id"), F.col("cluster_id"), F.col("centroid_sim"),
         (!F.col("__anyDrop")).as("keep"))
   }
+
+  /** [[semDeDup]] with `numClusters` derived from the corpus size — the
+    * paper's own scale knob, applied by construction instead of by
+    * operator discipline: `numClusters = clamp(ceil(n /
+    * targetClusterSize), 1, maxClusters)`, so the expected per-cluster
+    * member × anchor product stays bounded by `targetClusterSize ×
+    * maxAnchors` as n grows (one cheap `count()` pre-pass; the codebook
+    * stays a KB-scale driver-side sample regardless of k). Same output
+    * and semantics as [[semDeDup]] at the derived k. */
+  def semDeDupAuto(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.9, targetClusterSize: Int = 8192,
+      maxClusters: Int = 65536, iters: Int = 2, sampleSize: Int = 4096,
+      maxAnchors: Int = 10000): DataFrame = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    require(maxClusters >= 1, s"maxClusters must be >= 1, got $maxClusters")
+    val k = autoClusters(df.count(), targetClusterSize, maxClusters)
+    semDeDup(df, idCol, vecCol, k, tau, iters, sampleSize, maxAnchors)
+  }
+
+  /** The [[semDeDupAuto]] k rule, exposed for tests. */
+  private[graft] def autoClusters(n: Long, targetClusterSize: Int,
+      maxClusters: Int): Int =
+    math.max(1L, math.min(maxClusters.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
 }

@@ -27,8 +27,9 @@ object DedupStream {
     * A streaming groupBy-aggregate: state is one (hash, min, count) row
     * per DISTINCT document ever seen — the canonical streaming-dedup
     * state, sharded by the state store on the hash. Use `update` output
-    * with a foreachBatch upsert into a store at scale (`complete` is for
-    * bounded sinks like the test harness's memory table). min(id) as the
+    * with a foreachBatch upsert into a store at scale —
+    * [[exactKeepersToStore]] is that sink (`complete` is for bounded
+    * sinks like the test harness's memory table). min(id) as the
     * keeper makes re-runs deterministic regardless of batch boundaries —
     * the election commutes, so replaying the stream in any batching
     * yields the same keepers. */
@@ -37,6 +38,74 @@ object DedupStream {
       .withColumn("text_hash", F.md5(F.col(textCol)))
       .groupBy("text_hash")
       .agg(F.min(F.col(idCol)).as("keeper_id"), F.count(F.lit(1)).as("dup_count"))
+
+  /** The production sink for [[exactKeepers]]: `update`-mode output +
+    * a foreachBatch upsert into a bucket-partitioned parquet state
+    * table at `path/state` (checkpoint at `path/_checkpoint`). Each
+    * micro-batch emits only the hashes it CHANGED, each row carrying
+    * the full recomputed (keeper_id, dup_count) from the state store —
+    * so the upsert is a pure replace-by-hash, and the table converges
+    * to the same keepers whatever the batch boundaries were (the
+    * min-id election commutes).
+    *
+    * Scale shape: rows partition by `bucket = xxhash64(text_hash) mod
+    * numBuckets`; an upsert rewrites ONLY the buckets its batch
+    * touched (dynamic partition overwrite, per-write option), merging
+    * the batch's rows with the touched buckets' untouched hashes via
+    * one semi + one anti join — per-batch cost is O(touched buckets),
+    * never O(table). Size `numBuckets` so one bucket ≈ one comfortable
+    * task. Same non-atomic-commit caveat as any dynamic overwrite of
+    * the only copy: retries are idempotent (replays rewrite the same
+    * buckets with the same rows), but a mid-commit crash should be
+    * restored from the checkpoint by re-running the batch — or use a
+    * transactional table format. */
+  def exactKeepersToStore(
+      stream: DataFrame, textCol: String, idCol: String, path: String,
+      numBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    exactKeepers(stream, textCol, idCol)
+      .writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertKeepers(batch, s"$path/state", numBuckets)
+      }
+      .start()
+  }
+
+  /** Replace-by-hash upsert of one update-mode batch into the bucketed
+    * parquet state table (see [[exactKeepersToStore]]). */
+  private[streaming] def upsertKeepers(
+      batch: DataFrame, statePath: String, numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val bucketed = batch.withColumn("bucket",
+      F.pmod(F.xxhash64(F.col("text_hash")), F.lit(numBuckets.toLong)))
+    val hasState =
+      try spark.read.parquet(statePath).schema.nonEmpty
+      catch { case _: Throwable => false }
+    val merged =
+      if (!hasState) bucketed
+      else {
+        val existing = spark.read.parquet(statePath)
+        // keep only touched buckets (dynamic overwrite leaves the rest
+        // on disk untouched), minus the hashes this batch re-emitted
+        val touched = bucketed.select("bucket").distinct()
+        val carried = existing
+          .join(F.broadcast(touched), Seq("bucket"), "left_semi")
+          .join(bucketed.select("text_hash"), Seq("text_hash"), "left_anti")
+          .select(bucketed.columns.map(F.col): _*)
+        bucketed.unionByName(carried)
+      }
+    // materialize before writing: the plan reads the same directory the
+    // write overwrites, so break the lineage first
+    val out = merged.localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(statePath)
+  }
 
   /** Streaming near-dup against a static [[Dedup.minHashIndex]] as ONE
     * declarative streaming plan: each arriving document is

@@ -148,7 +148,15 @@ object DriftStream {
     * cumRef·nLive`) until one final division — like
     * [[graft.analysis.DriftExact.emdStats]], no libm or float-order
     * caveats at all, so a SQL oracle replays it bit-for-bit. The fold
-    * walks all nBins in order; one groupBy(window) shuffle. */
+    * walks all nBins in order; one groupBy(window) shuffle.
+    *
+    * Scale bound (mirrors emdStats): the cross-product `cum · nRef`
+    * wraps Long silently past nRef · n_target ≈ 2⁶³ under Spark's
+    * default non-ANSI arithmetic — keep each side under ~3e9 rows. A
+    * complete-mode window accumulates n_target unboundedly, so
+    * long-running monitors should watermark (append mode) or rotate
+    * the reference envelope rather than let one window grow without
+    * limit. */
   def emdPerWindow(binCounts: DataFrame, env: BinEnvelope): DataFrame = {
     val refCum: Array[Long] = env.refCounts.scanLeft(0L)(_ + _).tail
     val refCumCol = F.array(refCum.map(F.lit(_)): _*)

@@ -76,4 +76,12 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(tail.toSeq === Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 2L)))
   }
+
+  test("chunkTokens preserves the original casing of training text") {
+    import spark.implicits._
+    val got = Packing.chunkTokens(
+      Seq((1L, "The Quick BROWN fox")).toDF("doc_id", "text"), "text", 4, 4)
+      .select("chunk_text").as[String].head()
+    assert(got === "The Quick BROWN fox")
+  }
 }

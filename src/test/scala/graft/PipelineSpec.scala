@@ -454,9 +454,10 @@ class PipelineSpec extends SparkSpec {
       (1L, "intro\nSHARED BOILERPLATE\nbody one"),
       (2L, "SHARED BOILERPLATE\nbody two\n\nSHARED BOILERPLATE"),
       (3L, "body three")).toDF("doc_id", "text").repartition(3)
-    val got = graft.pipeline.Dedup.paragraphDedup(df, "text", "doc_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4)))
+    val full = graft.pipeline.Dedup.paragraphDedup(df, "text", "doc_id")
+    val got = full
+      .select("id", "para_idx", "occurrences", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
       .toMap
     // doc 2's empty paragraph (the \n\n) is dropped: positions 0,1,3 only
     assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L),
@@ -468,6 +469,20 @@ class PipelineSpec extends SparkSpec {
     // unique paragraphs keep
     assert(Seq((1L, 0L), (1L, 2L), (2L, 1L), (3L, 0L))
       .forall(k => got(k) == (1L, true)))
+    // the paragraph string rides along for masking pipelines
+    assert(full.filter(F.col("id") === 1L && F.col("para_idx") === 1L)
+      .select("para").collect().head.getString(0) === "SHARED BOILERPLATE")
+    // the count-only variant is the same verdict table minus the string
+    val counts = graft.pipeline.Dedup.paragraphDedupCounts(df, "text", "doc_id")
+    assert(counts.columns.toSeq ===
+      Seq("id", "para_idx", "para_hash", "occurrences", "keep"))
+    val fullRows = full.drop("para").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    val countRows = counts.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(countRows === fullRows)
   }
 
   test("zipfFit matches a hand-rolled least-squares fit bit-for-bit") {

@@ -230,18 +230,81 @@ class PlanSpec extends SparkSpec {
       s"tf-idf scan reads unused columns: $schemas")
   }
 
-  test("nearDupClustersKeepBest: keeper election is a window, bounded exchange delta") {
+  test("nearDupClustersKeepBest: election is groupBy + join-back, never a window") {
     val docs = table("documents")
     val plain = planOf(graft.pipeline.Dedup.nearDupClusters(
       docs, "text", "doc_id", numPerm = 16, bands = 8, threshold = 0.5))
     val best = planOf(graft.pipeline.Dedup.nearDupClustersKeepBest(
       docs, "text", "doc_id", "n_chars", numPerm = 16, bands = 8, threshold = 0.5))
-    // keeper election = the score attach + ONE component-keyed window;
-    // anything more means a keeper table materialized (the O(components)
-    // broadcast this operator exists to avoid)
-    assert(best.contains("Window"), "keeper election must be a window max")
-    assert(shuffles(best) <= shuffles(plain) + 3,
+    // a window over `component` would funnel a mega-cluster (the
+    // star-edge path's design case: every member of a boilerplate
+    // family reaches ONE component) into a single task's sort; the
+    // groupBy's map-side partials collapse members per partition and
+    // AQE skew-splits the join-back — so the election must show up as
+    // an aggregate + join, with NO window added over the plain plan
+    assert(plain.linesIterator.count(_.contains("Window")) ==
+      best.linesIterator.count(_.contains("Window")),
+      "keeper election added a window over component")
+    // the struct is projected before the aggregate; pin the max agg itself
+    // (struct-max plans as SortAggregate/ObjectHashAggregate, not the
+    // unsafe-row HashAggregate)
+    assert(best.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("max(")),
+      s"election must be a struct-max aggregate:\n${best.take(3000)}")
+    // bounded delta: score attach join + election agg + join-back
+    assert(shuffles(best) <= shuffles(plain) + 4,
       s"keeper election added ${shuffles(best) - shuffles(plain)} exchanges")
+  }
+
+  test("paragraphDedup: election is groupBy + join-back, counts variant hash-only") {
+    import graft.pipeline.Dedup
+    val docs = table("documents")
+    val full = planOf(Dedup.paragraphDedup(docs, "text", "doc_id"))
+    // same mega-key argument as the keep-best pin: a window over
+    // para_hash would land every copy of a corpus-wide boilerplate
+    // paragraph in one task
+    assert(!full.contains("Window"),
+      s"paragraph election must not window over para_hash:\n${full.take(3000)}")
+    assert(full.contains("partial_count") || full.contains("partial_min") ||
+      full.contains("HashAggregate"),
+      s"occurrence counts must map-side combine:\n${full.take(3000)}")
+    // stats agg + both join sides: never more than 3 exchanges
+    assert(shuffles(full) <= 3, s"expected <= 3 exchanges:\n${full.take(3000)}")
+    val counts = planOf(Dedup.paragraphDedupCounts(docs, "text", "doc_id"))
+    assert(!counts.contains("Window") && shuffles(counts) <= 3)
+    // the count-only variant must not carry the paragraph string into
+    // any exchange: no `para` column below an Exchange operator
+    val exchangeInputs = counts.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchangeInputs.contains(", para#") && !exchangeInputs.contains("(para#"),
+      s"counts variant shuffles the paragraph string:\n$exchangeInputs")
+  }
+
+  test("sharded bloom: build groups bitsets; probe is a shuffle join, no broadcast") {
+    import graft.pipeline.Dedup
+    val docs = table("documents")
+    val key = F.md5(F.col("text"))
+    val bloom = Dedup.bloomBuildSharded(docs,
+      Dedup.bloomShardMd5(key, 4), Dedup.bloomPositionsXx(key, 4, 65536), 65536)
+    val buildPlan = planOf(bloom)
+    // one groupBy(shard) exchange whose payload is numShards bitsets per
+    // partition (map-side partials), never rows
+    assert(shuffles(buildPlan) == 1,
+      s"sharded build must shuffle only partial bitsets:\n${buildPlan.take(3000)}")
+    assert(buildPlan.contains("partial_graft_bloom_build"),
+      s"bloom partials must combine map-side:\n${buildPlan.take(3000)}")
+    val probed = Dedup.bloomProbeSharded(
+      docs.select(F.col("doc_id"), F.md5(F.col("text")).as("ck")),
+      Dedup.bloomShardMd5(F.col("ck"), 4),
+      Dedup.bloomPositionsXx(F.col("ck"), 4, 65536), bloom)
+    val probePlan = planOf(probed)
+    // the sharded path exists because the combined bitsets exceed
+    // broadcast budget: the bloom table must arrive by shuffle
+    assert(!probePlan.contains("BroadcastExchange") &&
+      !probePlan.contains("BroadcastHashJoin"),
+      s"sharded bloom must not broadcast:\n${probePlan.take(3000)}")
+    assert(probePlan.contains("ShuffledHashJoin") || probePlan.contains("SortMergeJoin"),
+      s"probe must co-partition with the bloom rows:\n${probePlan.take(3000)}")
   }
 
   test("capPerKey: one key exchange, pruned scan, no join") {

@@ -78,4 +78,57 @@ class BloomDedupSpec extends SparkSpec {
     }
     assert(got === exp)
   }
+
+  test("sharded ≡ per-shard single blooms at equal per-shard bits") {
+    // the sharded table is by construction a union of independent
+    // blooms, one per key shard; a probe must get EXACTLY the verdict
+    // of the single bloom built over its shard's keys alone
+    val ref = keysDF((1 to 400).map(i => s"doc-$i"))
+    val fresh = keysDF((1 to 400).map(i => s"new-$i"))
+    val all = ref.unionByName(fresh)
+    val pos = Dedup.bloomPositionsMd5(F.col("k"), 4, 3) // 4096 bits: some FPs
+    val shard = Dedup.bloomShardMd5(F.col("k"), 4)
+    val table = Dedup.bloomBuildSharded(ref, shard, pos, 4096)
+    val got = Dedup.bloomProbeSharded(all, shard, pos, table)
+      .select("k", "maybe_dup").as[(String, Boolean)].collect().toMap
+    for (s <- 0 until 4) {
+      val single = Dedup.bloomBuild(ref.filter(shard === s), pos, 4096)
+      val exp = Dedup.bloomProbe(all.filter(shard === s), pos, single)
+        .select("k", "maybe_dup").as[(String, Boolean)].collect().toMap
+      assert(exp.nonEmpty, s"empty shard $s breaks the parity claim")
+      exp.foreach { case (k, v) => assert(got(k) === v, s"key $k shard $s") }
+    }
+    // and the union covers every probe exactly once
+    assert(got.size === 800)
+  }
+
+  test("sharded: no false negatives, n_items partitions the key count") {
+    val ref = keysDF((1 to 300).map(i => s"doc-$i"))
+    val pos = Dedup.bloomPositionsMd5(F.col("k"), 4, 4)
+    val shard = Dedup.bloomShardMd5(F.col("k"), 8)
+    val table = Dedup.bloomBuildSharded(ref, shard, pos, 65536)
+    assert(table.agg(F.sum("n_items")).as[Long].head() === 300L)
+    assert(table.count() <= 8L)
+    val probed = Dedup.bloomProbeSharded(ref, shard, pos, table)
+    assert(probed.filter(!F.col("maybe_dup")).count() === 0L)
+    // a probe routed to a shard with no bloom row flags false, not null
+    val empty = Dedup.bloomBuildSharded(
+      ref.filter(F.lit(false)), shard, pos, 65536)
+    val missed = Dedup.bloomProbeSharded(ref, shard, pos, empty)
+    assert(missed.filter(F.col("maybe_dup")).count() === 0L)
+    assert(missed.filter(F.col("maybe_dup").isNull).count() === 0L)
+  }
+
+  test("bloomShardMd5 is stable, in-range, and md5-derived") {
+    val got = keysDF(Seq("hello"))
+      .select(Dedup.bloomShardMd5(F.col("k"), 7).as("s")).as[Int].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("shard:hello".getBytes("UTF-8"))
+    val exp = (Integer.parseInt(md.map("%02x".format(_)).mkString.take(7), 16) % 7 + 7) % 7
+    assert(got === exp)
+    val shards = keysDF((1 to 500).map(i => s"k$i"))
+      .select(Dedup.bloomShardMd5(F.col("k"), 4).as("s")).distinct()
+      .as[Int].collect().toSet
+    assert(shards === Set(0, 1, 2, 3))
+  }
 }

@@ -124,6 +124,36 @@ class SemDeDupSpec extends SparkSpec {
     }
   }
 
+  test("semDeDupAuto: k rule clamps correctly and matches semDeDup at the derived k") {
+    // the k rule itself, across the clamp boundaries
+    assert(Similarity.autoClusters(0L, 8192, 65536) === 1)
+    assert(Similarity.autoClusters(1L, 8192, 65536) === 1)
+    assert(Similarity.autoClusters(8192L, 8192, 65536) === 1)
+    assert(Similarity.autoClusters(8193L, 8192, 65536) === 2)
+    assert(Similarity.autoClusters(1000000L, 8192, 65536) === 123)
+    assert(Similarity.autoClusters(Long.MaxValue, 1, 65536) === 65536)
+    // end-to-end: auto at targetClusterSize n (k=1) ≡ explicit k=1,
+    // and a small target derives the expected larger k
+    val emb = table("embeddings")
+    val n = emb.count()
+    val auto = Similarity.semDeDupAuto(emb, "vec_id", "embedding", tau = 0.4,
+        targetClusterSize = n.toInt)
+      .select("id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val explicit = Similarity.semDeDup(emb, "vec_id", "embedding",
+        numClusters = 1, tau = 0.4)
+      .select("id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(auto === explicit)
+    val k = Similarity.autoClusters(n, 16, 65536)
+    assert(k === ((n + 15) / 16).toInt && k > 1)
+    val clustered = Similarity.semDeDupAuto(emb, "vec_id", "embedding",
+      tau = 0.4, targetClusterSize = 16)
+    // cluster ids come from the k-codebook, and every row gets a verdict
+    assert(clustered.count() === n)
+    assert(clustered.agg(F.max("cluster_id")).collect()(0).getInt(0) < k)
+  }
+
   test("singletons and duplicate groups: keep exactly the least-central member") {
     import spark.implicits._
     // two tight pairs + one far singleton, dim 2

@@ -45,6 +45,65 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactKeepersToStore: upsert sink converges to batch keepers across boundaries") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (5L, "aaa"), (7L, "bbb"),               // batch 1
+      (2L, "aaa"), (9L, "aaa"), (8L, "ccc"))  // batch 2: smaller "aaa" id
+    def runWith(batches: Seq[Seq[(Long, String)]]): Map[String, (Long, Long)] = {
+      val path = java.nio.file.Files.createTempDirectory("keeper_store").toString
+      val in = MemoryStream[(Long, String)]
+      val q = DedupStream.exactKeepersToStore(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", path,
+        numBuckets = 4, trigger = Trigger.ProcessingTime(0))
+      try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val out = spark.read.parquet(s"$path/state")
+      // the bucket partition column rides along; verdict columns only
+      out.select("text_hash", "keeper_id", "dup_count").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val twoBatches = runWith(Seq(rows.take(2), rows.drop(2)))
+    val oneBatch = runWith(Seq(rows))
+    val perRow = runWith(rows.map(Seq(_)))
+    // batch-boundary independence: same keepers however the stream batched
+    assert(twoBatches === oneBatch)
+    assert(perRow === oneBatch)
+    // and the state equals the batch groupBy over the union — including
+    // the keeper moving to the LATER-arriving smaller id
+    val expected = Dedup.exact(rows.toDF("doc_id", "text"), "text", "doc_id")
+      .groupBy("text_hash").agg(
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).as("keeper_id"),
+        F.first("dup_count").as("dup_count"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(oneBatch === expected)
+    assert(oneBatch.values.map(_._1).toSet.contains(2L), "keeper must move to id 2")
+  }
+
+  test("upsertKeepers rewrites only touched buckets and replaces by hash") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("keeper_upsert")
+      .resolve("state").toString
+    def df(rows: (String, Long, Long)*) =
+      rows.toDF("text_hash", "keeper_id", "dup_count")
+    DedupStream.upsertKeepers(df(("h1", 5L, 1L), ("h2", 7L, 2L)), path, 4)
+    val before = spark.read.parquet(path)
+      .select("text_hash", "bucket").collect()
+      .map(r => r.getString(0) -> String.valueOf(r.get(1))).toMap
+    // an update touching ONLY h1's bucket: h2's row must survive verbatim,
+    // h1's must be replaced (not duplicated)
+    DedupStream.upsertKeepers(df(("h1", 2L, 3L)), path, 4)
+    val after = spark.read.parquet(path)
+      .select("text_hash", "keeper_id", "dup_count").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after === Map("h1" -> (2L, 3L), "h2" -> (7L, 2L)))
+    // a fresh hash in a previously untouched bucket appends cleanly
+    DedupStream.upsertKeepers(df(("h3", 1L, 1L)), path, 4)
+    assert(spark.read.parquet(path).count() === 3L)
+    assert(before.keySet === Set("h1", "h2"))
+  }
+
   test("streamed near-dup pairs equal the batch nearDupsAgainstIndex") {
     val docs = table("documents")
     val index = Dedup.minHashIndex(
