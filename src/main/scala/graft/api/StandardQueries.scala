@@ -2377,6 +2377,45 @@ object StandardQueries {
            | JOIN documents d ON d.doc_id = c.id
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Dedup APPLIED as a corpus filter ([[graft.pipeline.Dedup.dropNearDups]]):
+    * the documents table minus every clustered non-best member — the
+    * anti-join shape a 100 TB pipeline runs (the drop list is bounded
+    * by duplicates found, never corpus-sized identity rows). Oracle:
+    * the `dedup_keep_best` recursive-CTE clustering, inverted into a
+    * NOT IN filter. */
+  private def qDedupApply = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      Dedup.dropNearDups(docs, "text", "doc_id", scoreCol = Some("n_chars"),
+        numPerm = 64, bands = 32, threshold = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5),
+           | edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+           | r AS (
+           |   SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+           |   UNION
+           |   SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.u),
+           | comp AS (SELECT u AS id, min(m) AS component FROM r GROUP BY u),
+           | keepers AS (
+           |   SELECT c.id,
+           |    row_number() OVER (PARTITION BY c.component
+           |      ORDER BY d.n_chars DESC, c.id ASC) = 1 AS keep
+           |   FROM comp c JOIN documents d ON d.doc_id = c.id)
+           | SELECT doc_id, source FROM documents
+           | WHERE doc_id NOT IN (SELECT id FROM keepers WHERE NOT keep)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Paragraph dedup over deterministic multi-paragraph documents: the
     * fixture's texts carry no newlines, so 3 consecutive docs join into
     * one document per `doc_id div 3` — reproducible verbatim in SQL, so
@@ -4634,6 +4673,7 @@ object StandardQueries {
     "dedup_paragraphs" -> qDedupParagraphs,
     "dedup_paragraphs_counts" -> qDedupParagraphsCounts,
     "dedup_bloom_sharded" -> qDedupBloomSharded,
+    "dedup_apply" -> qDedupApply,
     "dedup_near_capped" -> qDedupNearCapped,
     "dedup_incremental" -> qDedupIncremental,
     "embedding_topk" -> qEmbeddingTopK,

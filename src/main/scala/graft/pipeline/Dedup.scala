@@ -330,6 +330,30 @@ object Dedup {
         F.col("cluster_size"), F.col("keep"))
   }
 
+  /** Apply near-dup clustering as a CORPUS FILTER: `df` minus every
+    * clustered non-keeper — the materialized form of the anti-join the
+    * [[nearDupClusters]] scaladoc prescribes (docs with no near-dup
+    * never enter the drop list, so the anti-join's build side is
+    * bounded by duplicates FOUND, not corpus size). `scoreCol = Some`
+    * keeps the best member per cluster ([[nearDupClustersKeepBest]]);
+    * `None` keeps the minimum id. All input columns pass through
+    * untouched. */
+  def dropNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      scoreCol: Option[String] = None,
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val clustered = scoreCol match {
+      case Some(s) => nearDupClustersKeepBest(df, textCol, idCol, s,
+        numPerm, bands, threshold, maxBucketSize)
+      case None => nearDupClusters(df, textCol, idCol,
+        numPerm, bands, threshold, maxBucketSize)
+    }
+    val drops = clustered.filter(!F.col("keep"))
+      .select(F.col("doc_id").as("__drop_id"))
+    df.join(drops, F.col(idCol) === F.col("__drop_id"), "left_anti")
+  }
+
   /** [[nearDupClusters]] with a QUALITY keep policy: production pipelines
     * keep the best cluster member (longest, highest quality score), not
     * the smallest id. `scoreCol` ranks members; the keeper is the

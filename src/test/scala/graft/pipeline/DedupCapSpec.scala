@@ -187,4 +187,28 @@ class DedupCapSpec extends SparkSpec {
       assert(members.count(_._4) == 1)
     }
   }
+
+  test("dropNearDups applies the keep verdicts as a corpus anti-join") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base, 10.0), (2L, base + " extended", 99.0), (3L, base + " x", 10.0),
+      (10L, "completely different text about spark catalyst optimizers rules", 7.0),
+      (11L, "completely different text about spark catalyst optimizers rules y", 7.0),
+      (50L, "a singleton unrelated document mentioning nothing shared at all", 1.0)
+    ).toDF("doc_id", "text", "quality").repartition(4)
+    // keep-best policy: survivors = best per family + the singleton
+    val best = Dedup.dropNearDups(df, "text", "doc_id",
+        scoreCol = Some("quality"), numPerm = 64, bands = 32, threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best === Set(2L, 10L, 50L))
+    // min-id policy: survivors = min id per family + the singleton
+    val minId = Dedup.dropNearDups(df, "text", "doc_id",
+        scoreCol = None, numPerm = 64, bands = 32, threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 10L, 50L))
+    // all input columns pass through untouched
+    val cols = Dedup.dropNearDups(df, "text", "doc_id").columns.toSeq
+    assert(cols === Seq("doc_id", "text", "quality"))
+  }
 }

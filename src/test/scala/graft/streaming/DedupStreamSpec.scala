@@ -156,6 +156,34 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sharded bloom probe runs STATELESS on a stream (stream-static shuffle join)") {
+    val docs = table("documents")
+    val key = F.md5(F.col("text"))
+    val shard = Dedup.bloomShardMd5(key, 4)
+    val pos = Dedup.bloomPositionsXx(key, 4, 65536)
+    val bloom = Dedup.bloomBuildSharded(
+      docs.filter(F.col("doc_id") % 2 === 0), shard, pos, 65536)
+    def probeShape(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bloomProbeSharded(df.select(F.col("doc_id"), key.as("ck")),
+        Dedup.bloomShardMd5(F.col("ck"), 4),
+        Dedup.bloomPositionsXx(F.col("ck"), 4, 65536), bloom)
+    val batch = probeShape(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val sdf = spark.readStream.schema(docs.schema)
+      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/documents.parquet"))
+    val qn = "dss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = probeShape(sdf)
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val streamed = spark.table(qn).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(streamed === batch)
+      assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+    } finally q.stop()
+  }
+
   test("streamableDir streams every row of a DIRECTORY-shaped (multi-split) table") {
     import spark.implicits._
     // regression pin: the file source does not descend into a symlinked
