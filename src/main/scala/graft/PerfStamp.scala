@@ -13,7 +13,12 @@ object PerfStamp {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** JSON fields (no braces) to splice into a perf artifact line. */
-  def fields(before: Double, after: Double): String =
-    f""""load_before":$before%.2f,"load_after":$after%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors()}%d"""
+  /** JSON fields (no braces) to splice into a perf artifact line.
+    * Formats with Locale.ROOT: the f-interpolator uses the JVM default
+    * locale, which under a comma-decimal locale would emit `0,42` —
+    * invalid JSON. */
+  def fields(before: Double, after: Double): String = {
+    def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    s""""load_before":${d2(before)},"load_after":${d2(after)},"host_cpus":${Runtime.getRuntime.availableProcessors()}"""
+  }
 }

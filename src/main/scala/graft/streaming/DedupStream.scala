@@ -76,24 +76,34 @@ object DedupStream {
   }
 
   /** Replace-by-hash upsert of one update-mode batch into the bucketed
-    * parquet state table (see [[exactKeepersToStore]]). */
+    * parquet state table (see [[exactKeepersToStore]]).
+    *
+    * The carried-state read lists and reads ONLY the touched buckets'
+    * directories — an explicit path list, not a partition filter the
+    * planner must prune — so the O(touched buckets) per-batch cost
+    * holds by construction, with no dependence on dynamic partition
+    * pruning firing. The touched-bucket set is collected on the driver
+    * but is bounded by `numBuckets`, never by data volume. Any
+    * filesystem error while probing or reading state propagates and
+    * fails the micro-batch (retried from the checkpoint) — a transient
+    * read failure must never be mistaken for "no state yet", or the
+    * dynamic overwrite would silently drop every carried hash in the
+    * touched buckets. */
   private[streaming] def upsertKeepers(
       batch: DataFrame, statePath: String, numBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val bucketed = batch.withColumn("bucket",
       F.pmod(F.xxhash64(F.col("text_hash")), F.lit(numBuckets.toLong)))
-    val hasState =
-      try spark.read.parquet(statePath).schema.nonEmpty
-      catch { case _: Throwable => false }
+    val touchedDirs = touchedBucketDirs(bucketed, statePath)
     val merged =
-      if (!hasState) bucketed
+      if (touchedDirs.isEmpty) bucketed
       else {
-        val existing = spark.read.parquet(statePath)
-        // keep only touched buckets (dynamic overwrite leaves the rest
-        // on disk untouched), minus the hashes this batch re-emitted
-        val touched = bucketed.select("bucket").distinct()
+        val existing = spark.read
+          .option("basePath", statePath)
+          .parquet(touchedDirs: _*)
+        // the touched buckets' untouched hashes, minus the hashes this
+        // batch re-emitted (those rows carry the fresher state values)
         val carried = existing
-          .join(F.broadcast(touched), Seq("bucket"), "left_semi")
           .join(bucketed.select("text_hash"), Seq("text_hash"), "left_anti")
           .select(bucketed.columns.map(F.col): _*)
         bucketed.unionByName(carried)
@@ -105,6 +115,24 @@ object DedupStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(statePath)
+  }
+
+  /** The state directories this batch's buckets map to, keeping only
+    * those that already exist on disk (first batch: none). `exists` on
+    * a bucket directory distinguishes genuinely-absent (false) from a
+    * failing filesystem (throws) — a transient error fails the batch
+    * rather than reading partial state. */
+  private[streaming] def touchedBucketDirs(
+      bucketed: DataFrame, statePath: String): Seq[String] = {
+    val spark = bucketed.sparkSession
+    val touched = bucketed.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val base = new org.apache.hadoop.fs.Path(statePath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    touched
+      .map(b => new org.apache.hadoop.fs.Path(base, s"bucket=$b"))
+      .filter(fs.exists(_))
+      .map(_.toString)
   }
 
   /** Streaming near-dup against a static [[Dedup.minHashIndex]] as ONE

@@ -22,6 +22,28 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
 
+  /** Every node of the executed plan, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec / query stages), which TreeNode.children
+    * does not traverse. */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: flattenPlan(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      s +: flattenPlan(s.plan)
+    case other => other +: other.children.flatMap(flattenPlan)
+  }
+
+  /** The attribute names each shuffle exchange's child emits — i.e. the
+    * columns that actually ride each shuffle's wire format. */
+  private def shuffledColumns(df: DataFrame): Seq[Seq[String]] = {
+    df.collect()
+    flattenPlan(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.child.output.map(_.name)
+    }
+  }
+
   private def readSchemas(plan: String): Seq[Set[String]] =
     "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
       .map(_.group(1).split(",").map(_.trim.takeWhile(_ != ':')).filter(_.nonEmpty).toSet)
@@ -270,14 +292,18 @@ class PlanSpec extends SparkSpec {
       s"occurrence counts must map-side combine:\n${full.take(3000)}")
     // stats agg + both join sides: never more than 3 exchanges
     assert(shuffles(full) <= 3, s"expected <= 3 exchanges:\n${full.take(3000)}")
-    val counts = planOf(Dedup.paragraphDedupCounts(docs, "text", "doc_id"))
+    val countsDf = Dedup.paragraphDedupCounts(docs, "text", "doc_id")
+    val counts = planOf(countsDf)
     assert(!counts.contains("Window") && shuffles(counts) <= 3)
     // the count-only variant must not carry the paragraph string into
-    // any exchange: no `para` column below an Exchange operator
-    val exchangeInputs = counts.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).mkString("\n")
-    assert(!exchangeInputs.contains(", para#") && !exchangeInputs.contains("(para#"),
-      s"counts variant shuffles the paragraph string:\n$exchangeInputs")
+    // any exchange: walk every ShuffleExchange's CHILD output (the
+    // columns that actually ride the wire — the exchange's own plan
+    // line only prints partitioning expressions, so a string grep
+    // there would pass vacuously)
+    val wires = shuffledColumns(countsDf)
+    assert(wires.nonEmpty, s"expected at least one exchange:\n${counts.take(3000)}")
+    assert(wires.forall(!_.contains("para")),
+      s"counts variant shuffles the paragraph string: $wires")
   }
 
   test("sharded bloom: build groups bitsets; probe is a shuffle join, no broadcast") {

@@ -104,6 +104,43 @@ class DedupStreamSpec extends SparkSpec {
     assert(before.keySet === Set("h1", "h2"))
   }
 
+  test("carried-state read touches ONLY the batch's buckets, and corrupt state fails the batch") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("keeper_prune")
+      .resolve("state").toString
+    def df(rows: (String, Long, Long)*) =
+      rows.toDF("text_hash", "keeper_id", "dup_count")
+    // pick two hashes that land in DIFFERENT buckets (bucket is
+    // pmod(xxhash64(hash), 4) — derive it with the same expression)
+    val buckets = (1 to 50).map(i => s"h$i").toDF("text_hash")
+      .withColumn("bucket", F.pmod(F.xxhash64(F.col("text_hash")), F.lit(4L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val (hA, bA) = buckets.head
+    val (hB, bB) = buckets.find(_._2 != bA).get
+    DedupStream.upsertKeepers(df((hA, 1L, 1L), (hB, 2L, 1L)), path, 4)
+    // poison the UNTOUCHED bucket's directory with a non-parquet file:
+    // any read of that directory throws, so a successful upsert that
+    // touches only hA's bucket PROVES the carried-state read opened
+    // only the touched bucket dirs (explicit paths — not planner
+    // pruning that could silently degrade to a full scan)
+    val junk = java.nio.file.Paths.get(path, s"bucket=$bB", "junk.parquet")
+    java.nio.file.Files.write(junk, "not a parquet file".getBytes)
+    DedupStream.upsertKeepers(df((hA, 0L, 2L)), path, 4)
+    // a batch that DOES touch the poisoned bucket must fail the
+    // micro-batch (checkpoint retry) — unreadable state is an error,
+    // never "no state yet": the old catch-all here turned a transient
+    // read failure into a lossy overwrite of every carried hash
+    intercept[Exception] {
+      DedupStream.upsertKeepers(df((hB, 0L, 9L)), path, 4)
+    }
+    java.nio.file.Files.delete(junk)
+    val out = spark.read.parquet(path)
+      .select("text_hash", "keeper_id", "dup_count").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hA replaced by its second upsert; hB untouched by the failed batch
+    assert(out === Map(hA -> (0L, 2L), hB -> (2L, 1L)))
+  }
+
   test("streamed near-dup pairs equal the batch nearDupsAgainstIndex") {
     val docs = table("documents")
     val index = Dedup.minHashIndex(
