@@ -40,13 +40,13 @@ object ScaleProbe {
     "profile_counts", "profile_moments", "cardinality", "merge_profiles",
     "drift_ks_exact", "viz_summary_report",
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
-    "dedup_keep_best", "dedup_paragraphs_counts",
+    "dedup_keep_best", "dedup_paragraphs_counts", "dedup_apply",
     "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
     "corpus_shuffle", "text_entropy",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile",
     "semdedup_clustered", "semdedup_auto", "streaming_dedup",
-    "streaming_sessionize", "streaming_heavy_hitters")
+    "streaming_dedup_store", "streaming_sessionize", "streaming_heavy_hitters")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -77,6 +77,35 @@ object ScaleProbe {
           (F.col("id") % 97).cast("double").as("score")),
         "text", "id", "score", numPerm = 16, bands = 8,
         threshold = 0.5, maxBucketSize = 500).count())
+  )
+
+  /** Probes over the SCALED tables beyond the registered queries: the
+    * sharded-Bloom production shape at 16 shards, probed through the
+    * actual Structured Streaming path (stream-static shuffle join into
+    * a noop sink). The plan pin covers shape; this covers wall-time at
+    * 100x. Returns the shard-row count, asserted = 16 (every shard
+    * materialized a bitset). */
+  def extraProbes(spark: SparkSession, outDir: String): Seq[(String, () => Long)] = Seq(
+    "bloom_sharded16_stream" -> (() => {
+      import graft.pipeline.Dedup
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      // ~10 bits/key/shard at the 100x corpus: 2^19 bits x 16 shards
+      val keyer = Dedup.BloomKeyer.xx(numShards = 16, numHashes = 4, numBits = 1 << 19)
+      val bloom = Dedup
+        .bloomBuildKeyed(docs.filter(F.col("doc_id") % 2 === 0), F.md5(F.col("text")), keyer)
+        .persist()
+      val shards = bloom.count()
+      require(shards == 16, s"expected 16 shard bitsets, got $shards")
+      val sdf = spark.readStream.schema(docs.schema)
+        .parquet(graft.api.StandardQueries.streamableDir(s"$outDir/documents.parquet"))
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("ck"))
+      val q = Dedup.bloomProbeKeyed(sdf, F.col("ck"), keyer, bloom)
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { q.stop(); bloom.unpersist() }
+      shards
+    })
   )
 
   private[graft] def replicateForTest(df: DataFrame, table: String, copies: Int): DataFrame =
@@ -152,29 +181,57 @@ object ScaleProbe {
       java.nio.file.Files.writeString(marker, srcDir)
     }
     val loadBefore = PerfStamp.loadAvg()
-    var failed = List.empty[String]
+    // per-probe errors are PERSISTED into the artifact (class + message,
+    // not just a name to stderr): a crashed run must be readable as a
+    // crashed run, never as N fast failures
+    var failed = List.empty[(String, String, String)] // (probe, class, message)
+    var skipped = List.empty[String]
+    var crashed = false
+    def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     def timed(name: String)(run: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       try run()
       catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+          .replaceAll("\\s+", " ").take(300)
+        failed ::= ((name, e.getClass.getName, msg))
+        // liveness check: a dead SparkContext means every later probe
+        // would "fail" in milliseconds — flag it and stop probing
+        if (spark.sparkContext.isStopped) crashed = true
+        System.err.println(s"[scale] $name FAILED: ${e.getClass.getName}: $msg")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-28s ${dt}%8.2f s")
+      println(s"[scale] ${name.padTo(28, ' ')} ${d2(dt)} s" +
+        (if (crashed) "  (SESSION DEAD)" else ""))
       name -> dt
     }
-    val times =
-      names.map(n => timed(n)(() => { SparkEntry.queries(n)(spark, outDir).count(); () })) ++
+    val probes: Seq[(String, () => Unit)] =
+      names.map(n => n -> (() => { SparkEntry.queries(n)(spark, outDir).count(); () })) ++
         (if (sys.env.contains("SPARK_GRAFT_SCALE_NO_SKEW")) Seq.empty
-         else skewProbes(spark).map { case (n, run) => timed(n)(() => { run(); () }) })
+         else (skewProbes(spark) ++ extraProbes(spark, outDir))
+           .map { case (n, run) => n -> (() => { run(); () }) })
+    var times = Vector.empty[(String, Double)]
+    for ((n, run) <- probes) {
+      if (crashed) skipped ::= n
+      else times :+= timed(n)(run)
+    }
     spark.stop()
     def jmap(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      m.map { case (k, v) => jstr(k) + ":" + d2(v) }.mkString("{", ",", "}")
+    val errs = failed.reverse.map { case (n, cls, msg) =>
+      s"""{"query":${jstr(n)},"class":${jstr(cls)},"message":${jstr(msg)}}"""
+    }.mkString("[", ",", "]")
+    val skips = skipped.reverse.map(jstr).mkString("[", ",", "]")
     val load = PerfStamp.fields(loadBefore, PerfStamp.loadAvg())
     val json =
-      s"""{"metric":"scale_total","value":${f"${times.map(_._2).sum}%.2f"},"unit":"sec","src":"$srcDir","queries":${jmap(times)},"errors":$errs,$load}"""
+      s"""{"metric":"scale_total","value":${d2(times.map(_._2).sum)},"unit":"sec","src":"$srcDir","queries":${jmap(times)},"errors":$errs,"crashed":$crashed,"skipped":$skips,$load}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target", "scaleprobe.json"), json + "\n")
     catch { case _: Throwable => () }

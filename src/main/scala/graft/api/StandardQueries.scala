@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -2810,7 +2810,12 @@ object StandardQueries {
           F.round(F.col("centroid_sim"), 6).as("centroid_sim"), F.col("keep"))
         .orderBy("doc_id")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    Some(semDedupExactSql))
+
+  /** The single-cluster SemDeDup restatement shared by `semdedup` and
+    * `semdedup_auto_exact` (see [[qSemDedup]] for the derivation). */
+  private val semDedupExactSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            | m AS (SELECT i, sum(x) / count(*) AS mu FROM (
            |         SELECT unnest(e) AS x, unnest(generate_series(1, len(e))) AS i FROM v)
            |       GROUP BY i),
@@ -2829,7 +2834,25 @@ object StandardQueries {
            | SELECT cs.vec_id AS doc_id, round(cs.s, 6) AS centroid_sim,
            |        d.vec_id IS NULL AS keep
            | FROM cs LEFT JOIN drops d ON d.vec_id = cs.vec_id
-           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
+  /** [[qSemDedupAuto]]'s auto-k path driven to the oracle-checkable
+    * configuration: `targetClusterSize = Int.MaxValue` makes
+    * `autoClusters(n) = 1` for any corpus, so the auto wrapper — count
+    * pre-pass, k rule, then the shared pipeline — must replay
+    * `semdedup`'s exact single-cluster oracle verbatim. A hash-matched
+    * bridge proving the wrapper changes only the k derivation, never
+    * the dedup semantics. */
+  private def qSemDedupAutoExact = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDeDupAuto(emb, "vec_id", "embedding", tau = 0.4,
+        targetClusterSize = Int.MaxValue)
+        .select(F.col("id").as("doc_id"),
+          F.round(F.col("centroid_sim"), 6).as("centroid_sim"), F.col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(semDedupExactSql))
 
   /** SemDeDup, clustered production shape (8 cells): rows-only — the
     * cluster boundaries come from the sampled k-means codebook, which is
@@ -3385,16 +3408,15 @@ object StandardQueries {
     * bit-for-bit. */
   private def qDedupBloomSharded = Q(
     (s, dir) => {
-      val key = F.md5(F.col("text"))
       val docs = t(s, dir, "documents")
       val ref = docs.filter(F.col("doc_id") % 2 === 0)
-      val bloom = Dedup.bloomBuildSharded(ref,
-        Dedup.bloomShardMd5(key, 4),
-        Dedup.bloomPositionsMd5(key, numHashes = 4, hexChars = 4),
-        numBits = 65536)
-      Dedup.bloomProbeSharded(docs.select(F.col("doc_id"), key.as("ck")),
-          Dedup.bloomShardMd5(F.col("ck"), 4),
-          Dedup.bloomPositionsMd5(F.col("ck"), 4, 4), bloom)
+      // one keyer derives shard AND positions — mismatched key
+      // expressions between the two are unrepresentable
+      val keyer = Dedup.BloomKeyer.md5(numShards = 4, numHashes = 4, hexChars = 4)
+      val bloom = Dedup.bloomBuildKeyed(ref, F.md5(F.col("text")), keyer)
+      Dedup.bloomProbeKeyed(
+          docs.select(F.col("doc_id"), F.md5(F.col("text")).as("ck")),
+          F.col("ck"), keyer, bloom)
         .select("doc_id", "maybe_dup")
         .orderBy("doc_id")
     },
@@ -3439,6 +3461,60 @@ object StandardQueries {
     * token counts for context. ln floored at 1e-9 on both sides (the
     * cross-libm bridge); the oracle replays the ascending-token ordered
     * fold exactly. */
+  /** Linear quality-classifier scoring
+    * ([[graft.pipeline.QualityClassifier.scoreDocs]], the GPT-3/CCNet
+    * learned-filter shape) with the md5-derived DYADIC weight vector:
+    * every per-token weight has 16 fractional bits, so the map-only
+    * logit fold is exact and order-independent in both engines — the
+    * oracle re-derives the 1024 weights and each token's feature id
+    * from md5 hex substrings and replays the sum bit-for-bit.
+    * Production scoring swaps in trained weights + xxhash64 features
+    * ([[QualityClassifier.featureXx]]); `quality_classifier_train`
+    * exercises that full path. */
+  private def qQualityClassifierScore = Q(
+    (s, dir) => QualityClassifier.scoreDocs(
+        t(s, dir, "documents"), "text", "doc_id",
+        QualityClassifier.md5Weights(1024).toSeq,
+        bias = 0.0, dim = 1024, md5Mode = true)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT j, (CAST('0x' || substr(md5('w:' || CAST(j AS VARCHAR)), 1, 4) AS INT) - 32768) / 65536.0 AS wt
+           |   FROM generate_series(0, 1023) g(j)),
+           | tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS t
+           |   FROM documents),
+           | f AS (SELECT doc_id, CAST('0x' || substr(md5('f:' || t), 1, 4) AS INT) % 1024 AS j FROM tok),
+           | sc AS (SELECT doc_id, sum(wt) AS logit FROM f JOIN w USING (j) GROUP BY 1)
+           | SELECT d.doc_id, coalesce(sc.logit, 0.0) AS logit,
+           |   coalesce(sc.logit, 0.0) >= 0 AS keep
+           | FROM documents d LEFT JOIN sc USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** End-to-end distributed training of the quality classifier
+    * ([[graft.pipeline.QualityClassifier.train]]): batch logistic GD —
+    * one cached featurized scan + one dim-bounded feature exchange per
+    * iteration — against a deterministic stand-in label (docs whose
+    * token stream contains `spark`, playing the "trusted corpus"
+    * role), then scoring with the learned weights. Rows-only: gradient
+    * sums are float-order sensitive (≈1e-15), so train is specified by
+    * QualityClassifierSpec (driver-side GD parity to 1e-12, ≥0.95
+    * held-out accuracy on a marker corpus) rather than hash equality;
+    * the exact-scoring sibling is `quality_classifier_score`. */
+  private def qQualityClassifierTrain = Q(
+    (s, dir) => {
+      val labeled = t(s, dir, "documents").withColumn("label",
+        F.array_contains(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"), "spark").cast("double"))
+      val (w, b) = QualityClassifier.train(
+        labeled, "text", "label", dim = 1 << 12, iters = 10, lr = 1.0)
+      QualityClassifier.scoreDocs(labeled, "text", "doc_id",
+          w.toSeq, b, dim = 1 << 12)
+        .join(labeled.select("doc_id", "label"), Seq("doc_id"))
+        .select(F.col("doc_id"), F.col("label"),
+          F.round(F.col("logit"), 3).as("logit_r"),
+          F.col("keep").as("pred"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private def qTextEntropy = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"),
@@ -4690,6 +4766,7 @@ object StandardQueries {
     "semdedup" -> qSemDedup,
     "semdedup_clustered" -> qSemDedupClustered,
     "semdedup_auto" -> qSemDedupAuto,
+    "semdedup_auto_exact" -> qSemDedupAutoExact,
     "embedding_metric" -> qEmbeddingMetric,
     "embedding_pca_refs" -> qEmbeddingPcaRefs,
     "embedding_pca_refs_exact" -> qEmbeddingPcaRefsExact,
@@ -4700,6 +4777,8 @@ object StandardQueries {
     "zipf_fit" -> qZipfFit,
     "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,
+    "quality_classifier_score" -> qQualityClassifierScore,
+    "quality_classifier_train" -> qQualityClassifierTrain,
     "c4_clean" -> qC4Clean,
     "charlm_score" -> qCharlmScore,
     "text_repetition" -> qTextRepetition,

@@ -663,13 +663,69 @@ object Dedup {
     * A probe whose shard has no bloom row (or a NULL key) gets
     * `maybe_dup = false` — nothing was inserted there. */
   def bloomProbeSharded(probe: DataFrame, shard: Column, positions: Column,
-      bloomDf: DataFrame): DataFrame =
+      bloomDf: DataFrame): DataFrame = {
+    // the bloom side's columns join in under reserved __-prefixed names
+    // so a probe frame already carrying `bloom` (or `shard`) stays
+    // unambiguous; only the internal __ names themselves are reserved
+    val reserved = Set("__shard", "__bshard", "__bbloom")
+    val clash = probe.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"probe columns ${clash.mkString(", ")} collide with reserved internal names")
     probe.withColumn("__shard", shard)
       .join(
-        bloomDf.select(F.col("shard").as("__bshard"), F.col("bloom"))
+        bloomDf.select(F.col("shard").as("__bshard"), F.col("bloom").as("__bbloom"))
           .hint("shuffle_hash"),
         F.col("__shard") === F.col("__bshard"), "left")
       .withColumn("maybe_dup",
-        F.coalesce(bloomMayContain(F.col("bloom"), positions), F.lit(false)))
-      .drop("bloom", "__bshard", "__shard")
+        F.coalesce(bloomMayContain(F.col("__bbloom"), positions), F.lit(false)))
+      .drop("__bbloom", "__bshard", "__shard")
+  }
+
+  /** A sharded-Bloom key derivation: closes over shard count, hash
+    * count and bitset size, and derives BOTH the shard id and the bit
+    * positions from ONE key expression — so a caller can never pair
+    * `bloomShardMd5(colA)` with positions of `colB` (which routes
+    * probes to blooms that never saw the key and returns
+    * silently-wrong membership). Build with [[BloomKeyer.md5]]
+    * (oracle-replayable hex-string derivation) or [[BloomKeyer.xx]]
+    * (codegen'd xxhash64 production derivation), then pass the SAME
+    * keyer to [[Dedup.bloomBuildKeyed]] and [[Dedup.bloomProbeKeyed]]. */
+  final class BloomKeyer private[Dedup] (
+      val numShards: Int, val numBits: Int,
+      shardOf: Column => Column, positionsOf: Column => Column) {
+    def shard(key: Column): Column = shardOf(key)
+    def positions(key: Column): Column = positionsOf(key)
+  }
+
+  object BloomKeyer {
+    /** Oracle-replayable derivation ([[bloomShardMd5]] +
+      * [[bloomPositionsMd5]]); bitset size is 16^hexChars. */
+    def md5(numShards: Int, numHashes: Int = 4, hexChars: Int = 4): BloomKeyer = {
+      require(hexChars >= 1 && hexChars <= 7, "hexChars must keep positions in Int range")
+      new BloomKeyer(numShards, 1 << (4 * hexChars),
+        bloomShardMd5(_, numShards), bloomPositionsMd5(_, numHashes, hexChars))
+    }
+
+    /** Production derivation: shard = xxhash64 with a dedicated seed
+      * (disjoint from [[bloomPositionsXx]]'s 0..numHashes-1 seeds, so
+      * routing and positions stay independent hashes of the key). */
+    def xx(numShards: Int, numHashes: Int, numBits: Int): BloomKeyer = {
+      require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+      new BloomKeyer(numShards, numBits,
+        key => F.when(key.isNull, F.lit(null)).otherwise(
+          F.pmod(F.xxhash64(F.lit("shard"), key), F.lit(numShards.toLong)).cast("int")),
+        bloomPositionsXx(_, numHashes, numBits))
+    }
+  }
+
+  /** [[bloomBuildSharded]] with shard and positions derived from one
+    * `key` by the same [[BloomKeyer]] the probe side will use. */
+  def bloomBuildKeyed(df: DataFrame, key: Column, keyer: BloomKeyer): DataFrame =
+    bloomBuildSharded(df, keyer.shard(key), keyer.positions(key), keyer.numBits)
+
+  /** [[bloomProbeSharded]] with shard and positions derived from one
+    * `key` by the same [[BloomKeyer]] that built `bloomDf`. */
+  def bloomProbeKeyed(probe: DataFrame, key: Column, keyer: BloomKeyer,
+      bloomDf: DataFrame): DataFrame =
+    bloomProbeSharded(probe, keyer.shard(key), keyer.positions(key), bloomDf)
 }

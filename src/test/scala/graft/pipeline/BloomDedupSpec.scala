@@ -119,6 +119,49 @@ class BloomDedupSpec extends SparkSpec {
     assert(missed.filter(F.col("maybe_dup").isNull).count() === 0L)
   }
 
+  test("BloomKeyer: keyed build/probe ≡ raw sharded calls, both modes") {
+    val ref = keysDF((1 to 300).map(i => s"doc-$i"))
+    val all = ref.unionByName(keysDF((1 to 100).map(i => s"new-$i")))
+    // md5 mode replays the raw md5-derived calls verdict-for-verdict
+    val km = Dedup.BloomKeyer.md5(numShards = 4, numHashes = 4, hexChars = 3)
+    assert(km.numBits === 4096)
+    val keyedM = Dedup.bloomProbeKeyed(all, F.col("k"), km,
+        Dedup.bloomBuildKeyed(ref, F.col("k"), km))
+      .select("k", "maybe_dup").as[(String, Boolean)].collect().toMap
+    val pos = Dedup.bloomPositionsMd5(F.col("k"), 4, 3)
+    val shard = Dedup.bloomShardMd5(F.col("k"), 4)
+    val rawM = Dedup.bloomProbeSharded(all, shard, pos,
+        Dedup.bloomBuildSharded(ref, shard, pos, 4096))
+      .select("k", "maybe_dup").as[(String, Boolean)].collect().toMap
+    assert(keyedM === rawM)
+    // xx mode: no false negatives, shard routing covers all shards
+    val kx = Dedup.BloomKeyer.xx(numShards = 4, numHashes = 4, numBits = 65536)
+    val tableX = Dedup.bloomBuildKeyed(ref, F.col("k"), kx)
+    assert(tableX.agg(F.sum("n_items")).as[Long].head() === 300L)
+    val probedX = Dedup.bloomProbeKeyed(ref, F.col("k"), kx, tableX)
+    assert(probedX.filter(!F.col("maybe_dup")).count() === 0L)
+  }
+
+  test("probe frames carrying a `bloom` column stay unambiguous; reserved names require") {
+    val km = Dedup.BloomKeyer.md5(numShards = 2)
+    val ref = keysDF((1 to 50).map(i => s"doc-$i"))
+    val table = Dedup.bloomBuildKeyed(ref, F.col("k"), km)
+    // a user column named `bloom` (or `shard`) must not collide with
+    // the join's internal columns
+    val probe = ref.withColumn("bloom", F.lit("user data"))
+      .withColumn("shard", F.lit(9))
+    val out = Dedup.bloomProbeKeyed(probe, F.col("k"), km, table)
+    assert(out.columns.toSeq === Seq("k", "bloom", "shard", "maybe_dup"))
+    assert(out.filter(!F.col("maybe_dup")).count() === 0L)
+    assert(out.select("bloom").distinct().as[String].collect().toSeq === Seq("user data"))
+    // only the internal __-prefixed names are reserved — and loudly
+    val bad = ref.withColumn("__shard", F.lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomProbeKeyed(bad, F.col("k"), km, table)
+    }
+    assert(e.getMessage.contains("__shard"))
+  }
+
   test("bloomShardMd5 is stable, in-range, and md5-derived") {
     val got = keysDF(Seq("hello"))
       .select(Dedup.bloomShardMd5(F.col("k"), 7).as("s")).as[Int].head()
