@@ -23,6 +23,17 @@ import org.apache.spark.sql.{functions => F}
   * (default 32), SPARK_GRAFT_SCALE_OUT (default target/scaledata),
   * SPARK_GRAFT_SCALE_QUERIES (comma list), SPARK_GRAFT_SCALE_REBUILD=1
   * to force a rebuild. JSON result line to target/scaleprobe.json.
+  *
+  * Run the full probe with `SPARK_DRIVER_MEM=24g`: the uncapped
+  * dedup_near/dedup_clusters pair enumerates ~25M genuine pairs at the
+  * adversarial 100x fixture and completes at the default 8g only via
+  * the spill path (measured: 196 s at 24g, 245 s at 8g with
+  * page-allocation retries — and the round-13 probe session died here
+  * under external memory pressure, load 25+ on the host). A probe
+  * failure now persists its exception class+message into the
+  * artifact's `errors`, and a dead SparkContext sets `crashed: true`
+  * and lists the unprobed queries in `skipped` instead of timing
+  * failures against a dead session.
   */
 object ScaleProbe {
 
@@ -43,6 +54,7 @@ object ScaleProbe {
     "dedup_keep_best", "dedup_paragraphs_counts", "dedup_apply",
     "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
     "corpus_shuffle", "text_entropy",
+    "quality_classifier_score", "trigram_lm_score",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile",
     "semdedup_clustered", "semdedup_auto", "streaming_dedup",

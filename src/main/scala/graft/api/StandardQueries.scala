@@ -3515,6 +3515,41 @@ object StandardQueries {
     },
     None)
 
+  /** Trigram LM cross-entropy scoring
+    * ([[graft.pipeline.TextAnalysis.ngramLmScore]], the CCNet
+    * perplexity-filter shape) with the corpus as its own trusted
+    * training set: add-0.5-smoothed `P(w3 | w1 w2)` over corpus-wide
+    * gram/context counts, per-doc nats. Every probability is a ratio
+    * of exact integers-plus-dyadic-k, each ln floored at 1e-9 (the
+    * established cross-libm bridge), and both engines sum each doc's
+    * contributions in ascending-gram order — hash-matched end to end.
+    * Production at 100 TB sets `hashGrams = true` (8-byte gram ids in
+    * every exchange; NgramLmSpec pins parity). */
+  private def qTrigramLmScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramLmScore(docs, docs, "text", "doc_id",
+          n = 3, addK = 0.5, lnQuantize = Some(1e9))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |   FROM documents),
+           | g3 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS g
+           |   FROM tok WHERE len(w) >= 3),
+           | gc AS (SELECT g, count(*) AS cg FROM g3 GROUP BY g),
+           | cc AS (SELECT array_to_string(string_split(g, ' ')[1:2], ' ') AS ctx, sum(cg) AS ccnt FROM gc GROUP BY 1),
+           | v AS (SELECT count(DISTINCT t) AS vs FROM (SELECT unnest(w) AS t FROM tok)),
+           | p AS (SELECT g3.doc_id, g3.g,
+           |     floor(ln((coalesce(gc.cg, 0) + 0.5) / (coalesce(cc.ccnt, 0) + 0.5 * v.vs)) * 1000000000.0) / 1000000000.0 AS lnp
+           |   FROM g3 LEFT JOIN gc USING (g)
+           |   LEFT JOIN cc ON cc.ctx = array_to_string(string_split(g3.g, ' ')[1:2], ' ')
+           |   CROSS JOIN v),
+           | agg AS (SELECT doc_id, count(*) AS n_grams, -sum(lnp ORDER BY g) AS sce FROM p GROUP BY 1)
+           | SELECT d.doc_id, coalesce(agg.n_grams, 0) AS n_grams,
+           |   coalesce(agg.sce / agg.n_grams, 0.0) AS cross_entropy
+           | FROM documents d LEFT JOIN agg USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextEntropy = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"),
@@ -4294,6 +4329,30 @@ object StandardQueries {
     * corpus. Same pairs — and the same provable-equality regime
     * (bimodal corpus, miss-prob 2e-22) — as the batch
     * `dedup_incremental`, whose oracle this reuses verbatim. */
+  /** Quality-classifier scoring at INGESTION: the same map-only logit
+    * fold as `quality_classifier_score` over a file-source stream —
+    * scoring is stateless (weights ride the plan as a literal; no
+    * join, no watermark, no state store), so streamed verdicts must
+    * equal the batch query's bit-for-bit, and this reuses its exact
+    * oracle verbatim. The production shape: score-and-filter documents
+    * as they arrive, profile/route on `keep`. */
+  private def qStreamingQualityScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sdf = s.readStream.schema(docs.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+      val qn = "sqs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = QualityClassifier.scoreDocs(sdf, "text", "doc_id",
+          QualityClassifier.md5Weights(1024).toSeq,
+          bias = 0.0, dim = 1024, md5Mode = true)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("doc_id")
+    },
+    qQualityClassifierScore.oracle)
+
   private def qStreamingNearDedup = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -4774,6 +4833,7 @@ object StandardQueries {
     "embedding_centroid_shift" -> qEmbeddingCentroidShift,
     "text_stats" -> qTextStats,
     "text_entropy" -> qTextEntropy,
+    "trigram_lm_score" -> qTrigramLmScore,
     "zipf_fit" -> qZipfFit,
     "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,
@@ -4848,7 +4908,8 @@ object StandardQueries {
     "streaming_sessionize" -> qStreamingSessionize,
     "streaming_dedup" -> qStreamingDedup,
     "streaming_dedup_store" -> qStreamingDedupStore,
-    "streaming_near_dedup" -> qStreamingNearDedup)
+    "streaming_near_dedup" -> qStreamingNearDedup,
+    "streaming_quality_score" -> qStreamingQualityScore)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -458,4 +458,100 @@ object TextAnalysis {
       .select(F.col("vocab_size"), F.col("total_tokens"), F.col("hapax_count"),
         (F.col("hapax_count").cast("double") /
           F.col("vocab_size").cast("double")).as("hapax_frac"))
+
+  /** Word n-grams as space-joined strings — element `i` =
+    * `toks[i..i+n-1]`, exactly `size − n + 1` grams (empty below `n`
+    * tokens). Assembled by a zip_with chain over SLICED copies of the
+    * token array: the lambdas only touch their bound arguments, so the
+    * tokenizer never re-evaluates per gram (the transform-lambda
+    * formulation re-tokenized once per gram after CollapseProject —
+    * the 20x trap [[posShingleHashes]]' scaladoc documents, avoided
+    * the same way here but kept as strings for LM counting). */
+  private[pipeline] def wordGrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sz = F.size(toks)
+    var g = toks
+    for (k <- 1 until n)
+      g = F.zip_with(g,
+        F.slice(toks, F.lit(k + 1), F.greatest(sz - k, F.lit(0))),
+        // zip_with pads the shorter side with nulls; concat propagates
+        // them, so tail entries shorter than n null out and filter away
+        (a, b) => F.concat(a, F.lit(" "), b))
+    F.filter(g, x => x.isNotNull)
+  }
+
+  /** N-gram language-model scoring — the CCNet/Wenzek et al.
+    * (arXiv:1911.00359) perplexity-filter shape: fit an add-k-smoothed
+    * word n-gram LM on `train` (the trusted corpus) and score every
+    * `score` document with its per-gram cross-entropy in nats,
+    * `ce = −(1/G) Σ ln P(w_n | ctx)` with
+    * `P = (c(gram) + k) / (c(ctx) + k·V)`, `c(ctx) = Σ_w c(ctx, w)`
+    * and `V` = train vocabulary size. High ce = far from the trusted
+    * corpus — the screening signal CCNet thresholds on. Output:
+    * `(idCol, n_grams, cross_entropy)`; docs below `n` tokens score
+    * `(0, 0.0)`; a fully-unseen context scores exactly `ln V` per gram
+    * (`k/(k·V) = 1/V`, k-independent).
+    *
+    * Scale shape: gram and context counts are groupBy aggregations
+    * with map-side partials (context counts fold from the ALREADY
+    * AGGREGATED gram counts — one extra tiny exchange, never a second
+    * corpus pass); scoring joins co-partition on the gram/context
+    * keys; the per-document fold sorts each doc's (gram, lnP) pairs
+    * and sums in gram order, so the float sum is deterministic and
+    * equals SQL's `sum(x ORDER BY g)` (the [[unigramEntropy]]
+    * bridge). `V` is one count() on the driver — a training-time
+    * scalar. `hashGrams = true` swaps 8-byte xxhash64 gram ids for
+    * the gram STRINGS in every exchange and join — the 100 TB path
+    * (collisions merge counts; at 64 bits the expected effect on a
+    * trillion-gram table is nil); `lnQuantize` floors each ln at
+    * 1/s for cross-libm oracle replay. */
+  def ngramLmScore(train: DataFrame, score: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, addK: Double = 0.5, lnQuantize: Option[Double] = None,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, s"n must be >= 2 (unigram LM has no context), got $n")
+    require(addK > 0, s"addK must be > 0, got $addK")
+    def toks(c: Column) = F.filter(tokens(c), w => F.length(w) > 0)
+    def lnq(x: Column): Column = lnQuantize match {
+      case Some(s) => F.floor(F.log(x) * F.lit(s)).cast("double") / F.lit(s)
+      case None    => F.log(x)
+    }
+    def gid(g: Column): Column = if (hashGrams) F.xxhash64(g) else g
+    val trainGrams = train
+      .select(F.explode(wordGrams(toks(F.col(textCol)), n)).as("__g"))
+      .select(gid(F.col("__g")).as("__gid"),
+        gid(F.substring_index(F.col("__g"), " ", n - 1)).as("__cid"))
+    val gramCounts = trainGrams.groupBy("__gid")
+      .agg(F.first("__cid").as("__cid"), F.count(F.lit(1)).as("__cg"))
+    val ctxCounts = gramCounts.groupBy("__cid").agg(F.sum("__cg").as("__cc"))
+    val vocab = train
+      .select(F.explode(toks(F.col(textCol))).as("__t"))
+      .distinct().count()
+    val scoreGrams = score
+      .select(F.col(idCol).as("__id"),
+        F.explode(wordGrams(toks(F.col(textCol)), n)).as("__g"))
+      .select(F.col("__id"), gid(F.col("__g")).as("__sgid"),
+        gid(F.substring_index(F.col("__g"), " ", n - 1)).as("__scid"))
+    val lnp = lnq(
+      (F.coalesce(F.col("__cg"), F.lit(0L)).cast("double") + F.lit(addK)) /
+        (F.coalesce(F.col("__cc"), F.lit(0L)).cast("double") +
+          F.lit(addK) * F.lit(vocab.toDouble)))
+    val perDoc = scoreGrams
+      .join(gramCounts.select(F.col("__gid"), F.col("__cg")),
+        F.col("__sgid") === F.col("__gid"), "left")
+      .join(ctxCounts, F.col("__scid") === F.col("__cid"), "left")
+      .select(F.col("__id"), F.struct(F.col("__sgid").as("g"), lnp.as("p")).as("__gp"))
+      .groupBy("__id")
+      .agg(F.sort_array(F.collect_list(F.col("__gp"))).as("__ps"))
+      .select(F.col("__id"),
+        F.size(F.col("__ps")).cast("long").as("n_grams"),
+        (-F.aggregate(F.col("__ps"), F.lit(0.0),
+          (acc, x) => acc + x.getField("p")) /
+          F.size(F.col("__ps")).cast("double")).as("cross_entropy"))
+    score.select(F.col(idCol))
+      .join(perDoc, F.col(idCol) === F.col("__id"), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_grams"), F.lit(0L)).as("n_grams"),
+        F.coalesce(F.col("cross_entropy"), F.lit(0.0)).as("cross_entropy"))
+  }
 }

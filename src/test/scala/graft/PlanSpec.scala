@@ -443,6 +443,36 @@ class PlanSpec extends SparkSpec {
       s"single-row bloom must arrive by broadcast:\n${probePlan.take(3000)}")
   }
 
+  test("quality classifier scoring is map-only: no exchange, no join, pruned scan") {
+    import graft.pipeline.QualityClassifier
+    val docs = table("documents")
+    val scored = QualityClassifier.scoreDocs(docs, "text", "doc_id",
+      QualityClassifier.md5Weights(1024).toSeq, bias = 0.0, dim = 1024,
+      md5Mode = true)
+    val plan = planOf(scored)
+    assert(shuffles(plan) == 0, s"scoring must be map-only:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"scoring must not join:\n${plan.take(3000)}")
+    val schemas = readSchemas(plan)
+    assert(schemas.nonEmpty && schemas.forall(_ == Set("doc_id", "text")),
+      s"scan reads more than (doc_id, text): $schemas")
+  }
+
+  test("ngram LM (hashed mode): keyed exchanges only, no cartesian, no gram string on any wire") {
+    val docs = table("documents")
+    val scored = graft.pipeline.TextAnalysis.ngramLmScore(
+      docs, docs, "text", "doc_id", hashGrams = true)
+    val plan = planOf(scored)
+    assert(!plan.contains("Cartesian"), s"no cartesian:\n${plan.take(3000)}")
+    assert(shuffles(plan) <= 8, s"expected <= 8 exchanges:\n${plan.take(3000)}")
+    // hashGrams is the 100 TB path BECAUSE the gram string never rides
+    // a shuffle: every exchange input carries 8-byte ids, counts, or
+    // the bounded per-doc struct array — never the __g string column
+    val wires = shuffledColumns(scored)
+    assert(wires.nonEmpty)
+    assert(wires.forall(!_.contains("__g")),
+      s"gram string shuffled in hashed mode: $wires")
+  }
+
   test("bm25: tiny df/stats broadcast back, bounded heap top-N, pruned scan") {
     val out = graft.pipeline.TextAnalysis.bm25TopDocs(
       table("documents"), "doc_id", "text", Seq("join", "vector", "window"))
