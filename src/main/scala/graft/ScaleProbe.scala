@@ -54,7 +54,7 @@ object ScaleProbe {
     "dedup_keep_best", "dedup_paragraphs_counts", "dedup_apply",
     "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
     "corpus_shuffle", "text_entropy",
-    "quality_classifier_score", "trigram_lm_score",
+    "quality_classifier_score", "trigram_lm_score", "backoff_lm_score",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile",
     "semdedup_clustered", "semdedup_auto", "streaming_dedup",

@@ -3550,6 +3550,49 @@ object StandardQueries {
            | FROM documents d LEFT JOIN agg USING (doc_id)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Stupid-backoff trigram LM scoring
+    * ([[graft.pipeline.TextAnalysis.stupidBackoffScore]], Brants et
+    * al. 2007 — the backoff built FOR distributed count tables):
+    * highest-order nonzero count wins, each backoff step damped by
+    * `alpha = 0.5` (dyadic, so `alpha` and `alpha²` are the same
+    * binary64 in both engines — 0.4² is not), add-0.5 unigram base.
+    * The oracle rebuilds all three count tables and replays the
+    * CASE cascade, quantized ln, and ordered per-doc sum. */
+  private def qBackoffLmScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.stupidBackoffScore(docs, docs, "text", "doc_id",
+          n = 3, alpha = 0.5, addK = 0.5, lnQuantize = Some(1e9))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |   FROM documents),
+           | c1 AS (SELECT g, count(*) AS c FROM (SELECT unnest(w) AS g FROM tok) GROUP BY g),
+           | nv AS (SELECT sum(c) AS n, count(*) AS v FROM c1),
+           | c2 AS (SELECT g, count(*) AS c FROM (
+           |     SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM tok WHERE len(w) >= 2)
+           |   GROUP BY g),
+           | g3r AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS g
+           |   FROM tok WHERE len(w) >= 3),
+           | c3 AS (SELECT g, count(*) AS c FROM g3r GROUP BY g),
+           | p AS (SELECT s.doc_id, s.g,
+           |     CASE WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / CAST(d3.c AS DOUBLE)
+           |          WHEN t2.c IS NOT NULL THEN 0.5 * CAST(t2.c AS DOUBLE) / CAST(d2.c AS DOUBLE)
+           |          ELSE 0.25 * (coalesce(t1.c, 0) + 0.5) / (nv.n + 0.5 * nv.v) END AS pr
+           |   FROM g3r s
+           |   LEFT JOIN c3 t3 ON t3.g = s.g
+           |   LEFT JOIN c2 d3 ON d3.g = array_to_string(string_split(s.g, ' ')[1:2], ' ')
+           |   LEFT JOIN c2 t2 ON t2.g = array_to_string(string_split(s.g, ' ')[2:3], ' ')
+           |   LEFT JOIN c1 d2 ON d2.g = string_split(s.g, ' ')[2]
+           |   LEFT JOIN c1 t1 ON t1.g = string_split(s.g, ' ')[3]
+           |   CROSS JOIN nv),
+           | q AS (SELECT doc_id, g, floor(ln(pr) * 1000000000.0) / 1000000000.0 AS lnp FROM p),
+           | agg AS (SELECT doc_id, count(*) AS n_grams, -sum(lnp ORDER BY g) AS sce FROM q GROUP BY 1)
+           | SELECT d.doc_id, coalesce(agg.n_grams, 0) AS n_grams,
+           |   coalesce(agg.sce / agg.n_grams, 0.0) AS cross_entropy
+           | FROM documents d LEFT JOIN agg USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextEntropy = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"),
@@ -4834,6 +4877,7 @@ object StandardQueries {
     "text_stats" -> qTextStats,
     "text_entropy" -> qTextEntropy,
     "trigram_lm_score" -> qTrigramLmScore,
+    "backoff_lm_score" -> qBackoffLmScore,
     "zipf_fit" -> qZipfFit,
     "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,

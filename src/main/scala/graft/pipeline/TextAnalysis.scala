@@ -480,6 +480,109 @@ object TextAnalysis {
     F.filter(g, x => x.isNotNull)
   }
 
+  /** Stupid-backoff n-gram LM scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the backoff
+    * designed FOR distributed count tables: no discount mass to
+    * redistribute, so each order is an independent groupBy count):
+    * per-gram score
+    * `S(w | ctx) = c_m(gram) / c_{m-1}(denominator-prefix)` at the
+    * highest order `m <= n` with a nonzero count, damped by
+    * `alpha^(n-m)`; the unigram base is add-k smoothed
+    * (`alpha^(n-1) · (c_1(w) + k) / (N + kV)`), so every gram scores
+    * > 0. Output matches [[ngramLmScore]]'s shape:
+    * `(idCol, n_grams, cross_entropy)` in nats, `-mean ln S`.
+    *
+    * Scale shape: one count table per order (n groupBys over the same
+    * cached token-gram scan), then 2(n−1)+1 co-partitioned left joins
+    * keyed on suffix/prefix grams — every join key is a gram id
+    * (8-byte xxhash64 under `hashGrams = true`), every count table
+    * aggregates map-side. The cascade itself is a map-only CASE over
+    * the joined counts; the per-document fold is the same
+    * ascending-gram ordered sum as [[ngramLmScore]], so quantized-ln
+    * scoring replays in SQL. */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, alpha: Double = 0.4, addK: Double = 0.5,
+      lnQuantize: Option[Double] = None,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(addK > 0, s"addK must be > 0, got $addK")
+    def toksOf(c: Column) = F.filter(tokens(c), w => F.length(w) > 0)
+    def lnq(x: Column): Column = lnQuantize match {
+      case Some(s) => F.floor(F.log(x) * F.lit(s)).cast("double") / F.lit(s)
+      case None    => F.log(x)
+    }
+    def gid(g: Column): Column = if (hashGrams) F.xxhash64(g) else g
+    // one count table per order — n passes over `train` (persist the
+    // input upstream to amortize them at corpus scale; the tables
+    // themselves are aggregated map-side and shuffle only counts)
+    val counts: Map[Int, DataFrame] = (1 to n).map { m =>
+      m -> train
+        .select(F.explode(wordGrams(toksOf(F.col(textCol)), m)).as("__g"))
+        .groupBy(gid(F.col("__g")).as(s"__k$m"))
+        .agg(F.count(F.lit(1)).as(s"__c$m"))
+    }.toMap
+    locally {
+      val uniTotals = counts(1)
+        .agg(F.sum(s"__c1").as("n"), F.count(F.lit(1)).as("v"))
+        .collect()(0)
+      val (bigN, vocab) =
+        if (uniTotals.isNullAt(0)) (0L, 0L)
+        else (uniTotals.getLong(0), uniTotals.getLong(1))
+      val scoreGrams = score
+        .select(F.col(idCol).as("__id"),
+          F.explode(wordGrams(toksOf(F.col(textCol)), n)).as("__g"))
+      // suffix of length m and its length-(m-1) denominator prefix;
+      // tokens contain no whitespace, so substring_index is exact
+      def suffix(m: Int): Column = F.substring_index(F.col("__g"), " ", -m)
+      def denomPrefix(m: Int): Column =
+        F.substring_index(suffix(m), " ", m - 1)
+      var joined = scoreGrams
+      for (m <- n to 2 by -1) {
+        joined = joined
+          .join(counts(m).withColumnRenamed(s"__c$m", s"__num$m"),
+            gid(suffix(m)) === F.col(s"__k$m"), "left")
+          .drop(s"__k$m")
+          .join(counts(m - 1)
+              .select(F.col(s"__k${m - 1}").as(s"__dk$m"),
+                F.col(s"__c${m - 1}").as(s"__den$m")),
+            gid(denomPrefix(m)) === F.col(s"__dk$m"), "left")
+          .drop(s"__dk$m")
+      }
+      joined = joined
+        .join(counts(1).withColumnRenamed("__c1", "__uni"),
+          gid(suffix(1)) === F.col("__k1"), "left")
+        .drop("__k1")
+      // highest-order hit wins; alpha damping compounds per backoff
+      // vocab floored at 1 so an empty train corpus still yields a
+      // finite base (alpha^(n-1) per gram) instead of a 0 denominator
+      val base = F.lit(math.pow(alpha, (n - 1).toDouble)) *
+        (F.coalesce(F.col("__uni"), F.lit(0L)).cast("double") + F.lit(addK)) /
+        F.lit(bigN.toDouble + addK * math.max(vocab, 1L).toDouble)
+      val prob = (n to 2 by -1).foldRight(base) { (m, lower) =>
+        F.when(F.col(s"__num$m").isNotNull,
+          F.lit(math.pow(alpha, (n - m).toDouble)) *
+            F.col(s"__num$m").cast("double") / F.col(s"__den$m").cast("double"))
+          .otherwise(lower)
+      }
+      val perDoc = joined
+        .select(F.col("__id"),
+          F.struct(gid(F.col("__g")).as("g"), lnq(prob).as("p")).as("__gp"))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.col("__gp"))).as("__ps"))
+        .select(F.col("__id"),
+          F.size(F.col("__ps")).cast("long").as("n_grams"),
+          (-F.aggregate(F.col("__ps"), F.lit(0.0),
+            (acc, x) => acc + x.getField("p")) /
+            F.size(F.col("__ps")).cast("double")).as("cross_entropy"))
+      score.select(F.col(idCol))
+        .join(perDoc, F.col(idCol) === F.col("__id"), "left")
+        .select(F.col(idCol),
+          F.coalesce(F.col("n_grams"), F.lit(0L)).as("n_grams"),
+          F.coalesce(F.col("cross_entropy"), F.lit(0.0)).as("cross_entropy"))
+    }
+  }
   /** N-gram language-model scoring — the CCNet/Wenzek et al.
     * (arXiv:1911.00359) perplexity-filter shape: fit an add-k-smoothed
     * word n-gram LM on `train` (the trusted corpus) and score every
@@ -487,10 +590,11 @@ object TextAnalysis {
     * `ce = −(1/G) Σ ln P(w_n | ctx)` with
     * `P = (c(gram) + k) / (c(ctx) + k·V)`, `c(ctx) = Σ_w c(ctx, w)`
     * and `V` = train vocabulary size. High ce = far from the trusted
-    * corpus — the screening signal CCNet thresholds on. Output:
-    * `(idCol, n_grams, cross_entropy)`; docs below `n` tokens score
-    * `(0, 0.0)`; a fully-unseen context scores exactly `ln V` per gram
-    * (`k/(k·V) = 1/V`, k-independent).
+    * corpus — the screening signal CCNet thresholds on (for the
+    * production-grade backoff variant see [[stupidBackoffScore]]).
+    * Output: `(idCol, n_grams, cross_entropy)`; docs below `n` tokens
+    * score `(0, 0.0)`; a fully-unseen context scores exactly `ln V`
+    * per gram (`k/(k·V) = 1/V`, k-independent).
     *
     * Scale shape: gram and context counts are groupBy aggregations
     * with map-side partials (context counts fold from the ALREADY

@@ -51,6 +51,42 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff matches hand-computed cascade at every order") {
+    val train = df(1L -> "a b c", 2L -> "a b d", 3L -> "b c")
+    // c1: a2 b3 c2 d1 (N=8, V=4); c2: "a b"2 "b c"2 "b d"1;
+    // c3: "a b c"1 "a b d"1
+    val score = df(
+      10L -> "a b c", // trigram hit: 1 / c2("a b") = 0.5
+      11L -> "c b c", // bigram backoff: a * c2("b c")/c1(b) = a*2/3
+      12L -> "x y d", // unigram base: a^2 * (1+0.5)/(8+0.5*4)
+      13L -> "a b x") // unseen everywhere: a^2 * 0.5/10
+    val a = 0.4
+    val got = TextAnalysis.stupidBackoffScore(train, score, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def ce(p: Double) = -math.log(p)
+    assert(got(10L)._1 === 1L)
+    assert(math.abs(got(10L)._2 - ce(1.0 / 2.0)) < 1e-12)
+    assert(math.abs(got(11L)._2 - ce(a * 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(got(12L)._2 - ce(math.pow(a, 2) * 1.5 / 10.0)) < 1e-12)
+    assert(math.abs(got(13L)._2 - ce(math.pow(a, 2) * 0.5 / 10.0)) < 1e-12)
+  }
+
+  test("stupid backoff: hashed-gram parity and quantized partitioning invariance") {
+    val docs = table("documents").limit(120)
+    def run(hash: Boolean, parts: Int) =
+      TextAnalysis.stupidBackoffScore(
+        docs.repartition(parts), docs.repartition(parts), "text", "doc_id",
+        alpha = 0.5, lnQuantize = Some(1e9), hashGrams = hash)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = run(hash = false, parts = 1)
+    val hashed = run(hash = true, parts = 1)
+    base.foreach { case (id, (ng, ce)) =>
+      assert(hashed(id)._1 === ng)
+      assert(math.abs(hashed(id)._2 - ce) < 1e-9, s"doc $id")
+    }
+    assert(run(hash = false, parts = 7) === base) // ordered fold: bit-exact
+  }
+
   test("quantized-ln scoring is partitioning-invariant bit-for-bit") {
     val docs = table("documents")
     def run(parts: Int) =
