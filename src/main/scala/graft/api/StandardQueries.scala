@@ -3593,6 +3593,57 @@ object StandardQueries {
            | FROM documents d LEFT JOIN agg USING (doc_id)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Within-document repeated-line trimming
+    * ([[graft.pipeline.TextAnalysis.dropRepeatedLines]], the Dolma/C4
+    * in-page cleanup): the fixture wraps every document in a repeated
+    * nav/footer shape (text, footer, text again, unique tail), and the
+    * oracle replays the first-occurrence filter with DuckDB's indexed
+    * list lambda — exact string semantics, so verdicts, counts and the
+    * reassembled text all hash-match. Map-only (no exchange). */
+  /** One-row corpus report card
+    * ([[graft.pipeline.TextAnalysis.corpusReport]]): docs, exact-dup
+    * docs + fraction, vocabulary/hapax stats, mean tokens/doc, top
+    * language + share — integers and single divisions only, replayed
+    * verbatim. */
+  private def qCorpusReport = Q(
+    (s, dir) => TextAnalysis.corpusReport(
+      t(s, dir, "documents"), "text", "doc_id"),
+    Some("""WITH d AS (SELECT count(*) AS n_docs FROM documents),
+           | dup AS (SELECT coalesce(sum(c), 0) AS n_dup_docs FROM (
+           |     SELECT count(*) AS c FROM documents GROUP BY md5(text) HAVING count(*) > 1)),
+           | vt AS (SELECT term, count(*) AS cnt FROM (
+           |     SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS term
+           |     FROM documents) GROUP BY term),
+           | vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size, CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           |     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           |     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hapax_frac
+           |   FROM vt),
+           | lg AS (SELECT lang AS top_lang, count(*) AS lc FROM documents GROUP BY lang ORDER BY lc DESC, top_lang ASC LIMIT 1)
+           | SELECT CAST(d.n_docs AS BIGINT) AS n_docs, CAST(dup.n_dup_docs AS BIGINT) AS n_dup_docs,
+           |   CAST(dup.n_dup_docs AS DOUBLE) / d.n_docs AS dup_frac,
+           |   vs.vocab_size, vs.total_tokens, vs.hapax_count, vs.hapax_frac,
+           |   CAST(vs.total_tokens AS DOUBLE) / d.n_docs AS mean_doc_tokens,
+           |   lg.top_lang, CAST(lg.lc AS DOUBLE) / d.n_docs AS top_lang_frac
+           | FROM d, dup, vs, lg""".stripMargin.replaceAll("\n", " ")))
+
+  private def qDocLineDedup = Q(
+    (s, dir) => {
+      val fx = t(s, dir, "documents").select(F.col("doc_id"),
+        F.concat_ws("\n", F.col("text"), F.lit("boilerplate footer"),
+          F.col("text"), F.concat(F.lit("unique "), F.col("doc_id"))).as("text"))
+      TextAnalysis.dropRepeatedLines(fx, "text", "doc_id").orderBy("doc_id")
+    },
+    Some("""WITH fx AS (SELECT doc_id, text || chr(10) || 'boilerplate footer' || chr(10) || text || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+           |   FROM documents),
+           | l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM fx),
+           | k AS (SELECT doc_id, len(lines) AS n_lines,
+           |     list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+           |   FROM l)
+           | SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           |   CAST(len(kept) AS BIGINT) AS n_kept,
+           |   array_to_string(kept, chr(10)) AS text
+           | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qTextEntropy = Q(
     (s, dir) => t(s, dir, "documents")
       .select(F.col("doc_id"),
@@ -4878,6 +4929,8 @@ object StandardQueries {
     "text_entropy" -> qTextEntropy,
     "trigram_lm_score" -> qTrigramLmScore,
     "backoff_lm_score" -> qBackoffLmScore,
+    "doc_line_dedup" -> qDocLineDedup,
+    "corpus_report" -> qCorpusReport,
     "zipf_fit" -> qZipfFit,
     "bm25_top_docs" -> qBm25TopDocs,
     "quality_filter" -> qQualityFilter,

@@ -443,6 +443,73 @@ object TextAnalysis {
     df.select(F.col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** One-row corpus report card — the summary table a pretraining-data
+    * run leads with: document and exact-duplicate counts, vocabulary
+    * statistics ([[vocabStats]]), mean tokens per document, and the
+    * dominant language with its share. Every number is an exact
+    * integer count or a single IEEE division, so the whole row is
+    * oracle-reproducible. Each constituent is a proper distributed
+    * aggregation (hash groupBys with map-side partials) collapsing to
+    * a one-row frame; the final assembly cross-joins four one-row
+    * frames — all broadcast, no corpus-sized shuffle beyond the
+    * constituent aggs. `n_dup_docs` counts documents belonging to an
+    * exact-text group of size > 1 (md5 keys — the [[Dedup.exact]]
+    * identity); ties for the top language break lexicographically. */
+  def corpusReport(df: DataFrame, textCol: String, idCol: String,
+      langCol: String = "lang"): DataFrame = {
+    val nDocs = df.agg(F.count(F.lit(1)).as("n_docs"))
+    val dups = df
+      .groupBy(F.md5(F.col(textCol).cast("binary")).as("__h"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .filter(F.col("__c") > 1)
+      .agg(F.coalesce(F.sum("__c"), F.lit(0L)).as("n_dup_docs"))
+    val vocab = vocabStats(df, textCol)
+    val topLang = df.groupBy(F.col(langCol).as("top_lang"))
+      .agg(F.count(F.lit(1)).as("__lc"))
+      .orderBy(F.col("__lc").desc, F.col("top_lang").asc)
+      .limit(1)
+    nDocs.crossJoin(dups).crossJoin(vocab).crossJoin(topLang)
+      .select(
+        F.col("n_docs"), F.col("n_dup_docs"),
+        (F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"))
+          .as("dup_frac"),
+        F.col("vocab_size"), F.col("total_tokens"), F.col("hapax_count"),
+        F.col("hapax_frac"),
+        (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"))
+          .as("mean_doc_tokens"),
+        F.col("top_lang"),
+        (F.col("__lc").cast("double") / F.col("n_docs").cast("double"))
+          .as("top_lang_frac"))
+  }
+
+  /** Within-document repeated-line trimming — the Dolma/C4 in-doc
+    * cleanup that runs BEFORE corpus-level dedup: keep the FIRST
+    * occurrence of each exact line, preserving order (web text repeats
+    * nav bars, footers and cookie banners inside one page; corpus-level
+    * [[Dedup.paragraphDedup]] masks across documents, this masks
+    * within). Map-only: one `aggregate` fold appends each line the
+    * accumulator hasn't seen — the lambda touches only its bound
+    * arguments, so the line split evaluates once per document (a
+    * filter-with-index over `array_position(lines, …)` would re-split
+    * per element — the [[posShingleHashes]] CollapseProject trap);
+    * comparisons stay O(lines²) per document, which is the per-row
+    * cost bound (documents are KB-scale; the corpus never
+    * materializes pairs). Output: `(idCol*, n_lines, n_kept, text:
+    * deduped)`. Lines compare EXACTLY (no trim/case fold — compose
+    * with normalization upstream if wanted); empty lines dedupe like
+    * any other line. */
+  def dropRepeatedLines(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = F.split(F.col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = F.aggregate(lines, F.array().cast("array<string>"),
+      (acc, l) => F.when(F.array_contains(acc, l), acc)
+        .otherwise(F.concat(acc, F.array(l))))
+    df.select(F.col(idCol),
+      F.size(lines).cast("long").as("n_lines"),
+      F.size(kept).cast("long").as("n_kept"),
+      F.array_join(kept, sep).as("text"))
+  }
+
   /** Corpus vocabulary statistics — the Zipf-tail numbers a pretraining
     * corpus report leads with: vocabulary size, total token count, hapax
     * legomena (terms occurring exactly once) and their fraction of the

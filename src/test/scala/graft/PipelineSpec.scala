@@ -541,4 +541,52 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     got.foreach { case (id, h) => assert(math.abs(q(id) - h) < 2e-9, s"doc $id") }
   }
+
+  test("corpusReport: hand-computed one-row summary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "a b", "en"), (3L, "c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusReport(docs, "text", "doc_id").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") === 3L)
+    assert(row.getAs[Long]("n_dup_docs") === 2L)
+    assert(row.getAs[Double]("dup_frac") === 2.0 / 3.0)
+    assert(row.getAs[Long]("vocab_size") === 3L)
+    assert(row.getAs[Long]("total_tokens") === 5L)
+    assert(row.getAs[Long]("hapax_count") === 1L)
+    assert(row.getAs[Double]("hapax_frac") === 1.0 / 3.0)
+    assert(row.getAs[Double]("mean_doc_tokens") === 5.0 / 3.0)
+    assert(row.getAs[String]("top_lang") === "en")
+    assert(row.getAs[Double]("top_lang_frac") === 2.0 / 3.0)
+    // all-unique corpus: zero dups, coalesce keeps the row
+    val uniq = Seq((1L, "x", "en"), (2L, "y", "en")).toDF("doc_id", "text", "lang")
+    val u = TextAnalysis.corpusReport(uniq, "text", "doc_id").collect()(0)
+    assert(u.getAs[Long]("n_dup_docs") === 0L)
+    assert(u.getAs[Double]("dup_frac") === 0.0)
+  }
+
+  test("dropRepeatedLines keeps first occurrences in order, exact-match only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),   // repeated nav bar
+      (2L, "a\nA\na "),                             // case/space differ: all kept
+      (3L, "solo"),                                 // single line
+      (4L, ""),                                     // empty: one empty line
+      (5L, "x\n\ny\n\nx"))                          // empty lines dedupe too
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dropRepeatedLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) === ((5L, 3L, "nav\nbody one\nbody two")))
+    assert(got(2L) === ((3L, 3L, "a\nA\na ")))
+    assert(got(3L) === ((1L, 1L, "solo")))
+    assert(got(4L) === ((1L, 1L, "")))
+    assert(got(5L) === ((5L, 3L, "x\n\ny")))
+    // map-only plan: no exchange, no join
+    val plan = TextAnalysis.dropRepeatedLines(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"))
+  }
 }
