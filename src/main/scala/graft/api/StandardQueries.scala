@@ -484,6 +484,87 @@ object StandardQueries {
     * both sides derive each double from the same integer sums with one
     * correctly-rounded divide/sqrt. Entropy is excluded here (libm log is
     * not bit-portable across engines) and is spec-tested instead. */
+  /** Two synthetic BMPs per document — the original closed-form pixel
+    * pattern and a +1-red-channel NEAR-DUPLICATE variant (a uniform
+    * luminance shift cancels exactly in dHash's mean comparisons
+    * except where the channel wraps mod 256, so variant pairs sit a
+    * few Hamming bits apart while unrelated images sit ~32 apart). */
+  private def imageVariantFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(F.col("doc_id"))
+    docs.select((F.col("doc_id") * 2).as("img_id"),
+        F.col("doc_id").as("base"), F.lit(0).as("shift"))
+      .unionByName(docs.select((F.col("doc_id") * 2 + 1).as("img_id"),
+        F.col("doc_id").as("base"), F.lit(1).as("shift")))
+  }
+
+  /** Analytic replay of [[graft.pipeline.Multimodal.DHash]] over the
+    * [[imageVariantFixture]]: pixels from the closed-form formulas,
+    * 9×8 luminance cells, cross-multiplied mean comparisons, bits
+    * summed in HUGEINT then wrapped to the signed 64-bit value. */
+  private val imageDhashCte: String =
+    """WITH ids AS (
+      |  SELECT doc_id * 2 AS img_id, doc_id AS base, 0 AS shift FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents),
+      | dims AS (SELECT img_id, base, shift, 8 + base % 9 AS w, 8 + base % 7 AS h FROM ids),
+      | px AS (SELECT img_id, w, h, u.x AS x, u.y AS y,
+      |     299 * ((base * 7 + u.x * 13 + u.y * 31 + shift) % 256)
+      |   + 587 * ((base * 11 + u.x * 3 + u.y * 5) % 256)
+      |   + 114 * ((base * 5 + u.x * 17 + u.y * 23) % 256) AS q
+      |   FROM (SELECT img_id, base, shift, w, h,
+      |       unnest(flatten([[{'x': x, 'y': y} for y in range(0, h)] for x in range(0, w)])) AS u
+      |     FROM dims)),
+      | cell AS (SELECT img_id, (x * 9) // w AS ci, (y * 8) // h AS cj, sum(q) AS s, count(*) AS n
+      |   FROM px GROUP BY 1, 2, 3),
+      | grid AS (SELECT g.img_id, g.i, g.j, coalesce(c.s, 0) AS s, coalesce(c.n, 0) AS n
+      |   FROM (SELECT img_id, gi.i, gj.j FROM dims,
+      |       (SELECT unnest(range(0, 9)) AS i) gi, (SELECT unnest(range(0, 8)) AS j) gj) g
+      |   LEFT JOIN cell c ON c.img_id = g.img_id AND c.ci = g.i AND c.cj = g.j),
+      | bits AS (SELECT a.img_id,
+      |     CASE WHEN b.s * a.n > a.s * b.n THEN (1::HUGEINT << (a.j * 8 + a.i)) ELSE 0::HUGEINT END AS bit
+      |   FROM grid a JOIN grid b ON b.img_id = a.img_id AND b.j = a.j AND b.i = a.i + 1
+      |   WHERE a.i < 8),
+      | dh AS (SELECT img_id, (CASE WHEN sum(bit) >= 9223372036854775808::HUGEINT
+      |     THEN sum(bit) - 18446744073709551616::HUGEINT ELSE sum(bit) END)::BIGINT AS dhash
+      |   FROM bits GROUP BY 1)""".stripMargin.replaceAll("\n", " ")
+
+  /** Perceptual image hashing
+    * ([[graft.pipeline.Multimodal.DHash]]): the REAL per-partition BMP
+    * decode computes each image's 64-bit difference hash; the oracle
+    * re-derives every hash analytically from the fixture's closed-form
+    * pixels — integer-only luminance, integer cell assignment and
+    * cross-multiplied comparisons make the hash engine-exact. */
+  private def qImageDhash = Q(
+    (s, dir) => Multimodal.withDHash(
+        Multimodal.syntheticBmpShifted(
+          imageVariantFixture(s, dir), "base", "shift"), "img")
+      .select("img_id", "dhash").orderBy("img_id"),
+    Some(imageDhashCte + " SELECT img_id, dhash FROM dh ORDER BY img_id"))
+
+  /** Near-duplicate IMAGE detection
+    * ([[graft.pipeline.Dedup.hashNearDups]] over
+    * [[graft.pipeline.Multimodal.DHash]]): banded Hamming join — 8
+    * bands of 8 bits, candidates share a band, exact
+    * `bit_count(xor) <= 7` verify. With `maxHamming < bands` the
+    * pigeonhole guarantee makes the banded join EXHAUSTIVE, so the
+    * oracle can check it against the brute-force all-pairs Hamming
+    * join over the analytically derived hashes. */
+  private def qDedupImages = Q(
+    (s, dir) => {
+      val hashed = Multimodal.withDHash(
+        Multimodal.syntheticBmpShifted(
+          imageVariantFixture(s, dir), "base", "shift"), "img")
+        .select("img_id", "dhash")
+      Dedup.hashNearDups(hashed, "img_id", "dhash", maxHamming = 7, bands = 8)
+        .orderBy("a", "b")
+    },
+    Some(imageDhashCte +
+      """ SELECT a.img_id AS a, b.img_id AS b,
+        | CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        | FROM dh a JOIN dh b ON a.img_id < b.img_id
+        | WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   private def qImageStats = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id")
@@ -4974,6 +5055,8 @@ object StandardQueries {
     "multimodal_meta" -> qMultimodalMeta,
     "multimodal_profile" -> qMultimodalProfile,
     "image_stats" -> qImageStats,
+    "image_dhash" -> qImageDhash,
+    "dedup_images" -> qDedupImages,
     "image_stats_png" -> qImageStatsPng,
     "image_exif" -> qImageExif,
     "frame_hashes" -> Q(

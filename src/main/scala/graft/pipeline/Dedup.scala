@@ -523,6 +523,45 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
+  /** Banded Hamming near-dup pairs over ANY 64-bit signature column —
+    * SimHash for text, [[Multimodal.DHash]] for images: split the
+    * signature into `bands` contiguous chunks, candidates = id pairs
+    * sharing at least one chunk value (one chunk-keyed exchange per
+    * side — never all-pairs), verify = exact `bit_count(xor) <=
+    * maxHamming`. Pigeonhole recall guarantee: a pair within
+    * `maxHamming < bands` bits ALWAYS shares an exact band; beyond
+    * that banding is approximate — raise `bands` (or permute bits
+    * upstream) for higher recall. Degenerate chunks (a constant
+    * region across the corpus, e.g. letterboxed borders) form
+    * mega-buckets; [[capBuckets]] thins them like every other banded
+    * family. Output: `(a, b, hamming)` with `a < b`, one row per
+    * pair. */
+  def hashNearDups(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def chunks(h: Column): Column =
+      F.array((0 until bands).map { b =>
+        F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask))
+      }: _*)
+    def side(a: String, h: String) = df
+      .select(F.col(idCol).as(a), F.col(hashCol).cast("long").as(h))
+      .select(F.col(a), F.col(h),
+        F.posexplode(chunks(F.col(h))).as(Seq("band", "bv")))
+    val left = capBuckets(side("a", "ha"), Seq("band", "bv"), "a", maxBucketSize)
+    val right = side("b", "hb")
+    left.join(right, Seq("band", "bv"))
+      .filter(F.col("a") < F.col("b"))
+      .select(F.col("a"), F.col("b"),
+        hamming64(F.col("ha"), F.col("hb")).cast("int").as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in no other document — the doc-level lens
     * on [[duplicateSpans]]' corpus-level flags (RefinedWeb/Gopher-style

@@ -242,9 +242,9 @@ object Multimodal {
       (h, s, maxc)
     }
 
-    private def le16(a: Array[Byte], i: Int): Int =
+    private[pipeline] def le16(a: Array[Byte], i: Int): Int =
       (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8)
-    private def le32(a: Array[Byte], i: Int): Int =
+    private[pipeline] def le32(a: Array[Byte], i: Int): Int =
       (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8) | ((a(i + 2) & 0xff) << 16) | ((a(i + 3) & 0xff) << 24)
 
     /** Encode a 24-bpp bottom-up uncompressed BMP; `rgb(x, y)` supplies
@@ -397,6 +397,145 @@ object Multimodal {
         val h = (8 + id % 7).toInt
         val img = ImageIo.encode(w, h, format, (x, y) => (
           ((id * 7 + x * 13 + y * 31) % 256).toInt,
+          ((id * 11 + x * 3 + y * 5) % 256).toInt,
+          ((id * 5 + x * 17 + y * 23) % 256).toInt))
+        Row.fromSeq(row.toSeq :+ img)
+      }
+    }(encoder)
+  }
+
+  /** 64-bit perceptual difference hash (dHash) — the image analog of
+    * SimHash for near-duplicate IMAGE detection: downsample to a 9×8
+    * luminance grid, set bit `j·8 + i` iff cell `(i+1, j)` is brighter
+    * than cell `(i, j)`. All arithmetic is exact integers so every
+    * engine derives the identical hash: luminance `q = 299r + 587g +
+    * 114b` (×1000 ITU-R 601 weights, no division), pixel `(x, y)`
+    * lands in cell `(x·9 / w, y·8 / h)` (integer division), and cell
+    * MEANS compare by cross-multiplying sums with counts — no float
+    * ever. Images narrower than the grid leave empty cells (count 0),
+    * which compare as not-brighter: deterministic, and replayed
+    * verbatim by the analytic oracle. Pair with
+    * [[Dedup.hashNearDups]] for the banded near-dup join. */
+  object DHash {
+    private[pipeline] def packed(sums: Array[Array[Long]],
+        cnts: Array[Array[Long]]): Long = {
+      var hash = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          if (sums(i + 1)(j) * cnts(i)(j) > sums(i)(j) * cnts(i + 1)(j))
+            hash |= 1L << (j * 8 + i)
+          i += 1
+        }
+        j += 1
+      }
+      hash
+    }
+
+    private def grid(): (Array[Array[Long]], Array[Array[Long]]) =
+      (Array.ofDim[Long](9, 8), Array.ofDim[Long](9, 8))
+
+    def ofBmp(bytes: Array[Byte]): Long = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP (missing BM magic)")
+      val pixelOff = Bmp.le32(bytes, 10)
+      val width = Bmp.le32(bytes, 18)
+      val rawH = Bmp.le32(bytes, 22)
+      val height = math.abs(rawH)
+      val bpp = Bmp.le16(bytes, 28)
+      require(Bmp.le32(bytes, 30) == 0 && (bpp == 24 || bpp == 32),
+        "only uncompressed 24/32-bpp BMP supported")
+      require(width > 0 && height > 0, "degenerate dims")
+      val step = bpp / 8
+      val rowSize = (width * step + 3) & ~3
+      val (sums, cnts) = grid()
+      var y = 0
+      while (y < height) {
+        var off = pixelOff + y * rowSize
+        var x = 0
+        // dHash is orientation-SENSITIVE (unlike the pixel stats):
+        // positive height = bottom-up storage, so storage row y is
+        // logical row height-1-y
+        val ly = if (rawH > 0) height - 1 - y else y
+        val cj = ly * 8 / height
+        while (x < width) {
+          val q = 299L * (bytes(off + 2) & 0xff) +
+            587L * (bytes(off + 1) & 0xff) + 114L * (bytes(off) & 0xff)
+          val ci = x * 9 / width
+          sums(ci)(cj) += q
+          cnts(ci)(cj) += 1
+          off += step; x += 1
+        }
+        y += 1
+      }
+      packed(sums, cnts)
+    }
+
+    def ofImage(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w > 0 && h > 0, s"degenerate dims ${w}x$h")
+      val (sums, cnts) = grid()
+      val buf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, buf, 0, w)
+        val cj = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = buf(x)
+          val q = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+          sums(x * 9 / w)(cj) += q
+          cnts(x * 9 / w)(cj) += 1
+          x += 1
+        }
+        y += 1
+      }
+      packed(sums, cnts)
+    }
+
+    def of(bytes: Array[Byte]): Long =
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') ofBmp(bytes)
+      else ofImage(ImageIo.decode(bytes))
+  }
+
+  /** Append the [[DHash]] of a binary image column (same per-partition
+    * streaming decode shape as [[withImageStats]]; NULL binaries yield
+    * NULL hashes). */
+  def withDHash(df: DataFrame, binCol: String, out: String = "dhash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val v: Any = if (bytes == null) null else DHash.of(bytes)
+        Row.fromSeq(row.toSeq :+ v)
+      }
+    }(encoder)
+  }
+
+  /** [[syntheticBmp]] with a per-row (base id, red-channel shift): dims
+    * and pixel pattern come from `baseCol`, the red channel is offset
+    * by `shiftCol` (mod 256) — the controlled NEAR-DUPLICATE image
+    * fixture (a tiny luminance perturbation flips only the grid cells
+    * whose means nearly tie). */
+  def syntheticBmpShifted(df: DataFrame, baseCol: String, shiftCol: String,
+      out: String = "img"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val baseIdx = df.schema.fieldIndex(baseCol)
+    val shiftIdx = df.schema.fieldIndex(shiftCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(baseIdx)
+        val shift = row.getInt(shiftIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val img = Bmp.encode24(w, h, (x, y) => (
+          ((id * 7 + x * 13 + y * 31 + shift) % 256).toInt,
           ((id * 11 + x * 3 + y * 5) % 256).toInt,
           ((id * 5 + x * 17 + y * 23) % 256).toInt))
         Row.fromSeq(row.toSeq :+ img)

@@ -212,4 +212,56 @@ class MultimodalSpec extends SparkSpec {
       math.abs(st.brightStd - 127.5) < 1e-6,
       s"got ${st.brightMean} / ${st.brightStd}")
   }
+
+  test("dHash: gradients saturate, codecs agree, orientation respected") {
+    import Multimodal.DHash
+    // strictly brighter to the right: every adjacent-cell comparison
+    // fires -> all 64 bits set
+    val right = Bmp.encode24(18, 16, (x, _) => (x * 14, x * 14, x * 14))
+    assert(DHash.of(right) === -1L)
+    // strictly dimmer to the right: no bit set
+    val left = Bmp.encode24(18, 16, (x, _) => (250 - x * 14, 250 - x * 14, 250 - x * 14))
+    assert(DHash.of(left) === 0L)
+    // BMP (bottom-up storage) and PNG (top-down) must hash identically
+    // for the same LOGICAL pixels — an orientation-sensitive feature,
+    // unlike the mean/std stats
+    val pngBytes = Multimodal.ImageIo.encode(18, 16, "png",
+      (x, y) => ((x * 14 + y * 3) % 256, (x * 5 + y * 7) % 256, (x * 11 + y) % 256))
+    val bmpBytes = Bmp.encode24(18, 16,
+      (x, y) => ((x * 14 + y * 3) % 256, (x * 5 + y * 7) % 256, (x * 11 + y) % 256))
+    assert(DHash.of(pngBytes) === DHash.of(bmpBytes))
+    // a vertically-asymmetric image must differ from its flip (would
+    // pass vacuously if decode ignored orientation)
+    val top = Bmp.encode24(18, 16, (x, y) => if (y < 8) (250, 250, 250) else (x, x, x))
+    val flip = Bmp.encode24(18, 16, (x, y) => if (y >= 8) (250, 250, 250) else (x, x, x))
+    assert(DHash.of(top) !== DHash.of(flip))
+    // a uniform +1 luminance shift (no channel wrap) cancels exactly in
+    // the cross-multiplied mean comparisons: hamming 0
+    val base = Bmp.encode24(18, 16, (x, y) => (x * 3, y * 2, (x + y) % 64))
+    val lifted = Bmp.encode24(18, 16, (x, y) => (x * 3 + 1, y * 2, (x + y) % 64))
+    assert(DHash.of(base) === DHash.of(lifted))
+  }
+
+  test("hashNearDups: pigeonhole-exhaustive at maxHamming < bands, verified vs brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val baseHashes = Seq.fill(40)(rng.nextLong())
+    // plant near-dups: flip 1-7 bits of some bases
+    val rows = baseHashes.zipWithIndex.flatMap { case (h, i) =>
+      val planted =
+        if (i % 3 == 0)
+          Seq((i * 10L + 1, (1 to 1 + i % 7).foldLeft(h)((a, b) => a ^ (1L << (b * 5)))))
+        else Seq.empty
+      Seq((i * 10L, h)) ++ planted
+    }
+    val df = rows.toDF("id", "h")
+    val got = graft.pipeline.Dedup.hashNearDups(df, "id", "h", maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture must plant at least one near pair")
+  }
 }
