@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -484,6 +484,125 @@ object StandardQueries {
     * both sides derive each double from the same integer sums with one
     * correctly-rounded divide/sqrt. Entropy is excluded here (libm log is
     * not bit-portable across engines) and is spec-tested instead. */
+  /** REAL WAV decode ([[graft.pipeline.Audio.Wav]]): a synthetic 16-bit
+    * PCM WAV per doc (closed-form samples, silent lead-in/out, periodic
+    * full-scale spikes) goes through the RIFF chunk walker and the
+    * one-pass exact stats — peak / Σs² / zero crossings / clipped /
+    * silence bounds are all integers the oracle re-derives analytically;
+    * `rms` is the one double, two correctly-rounded IEEE ops over exact
+    * integers on both engines. */
+  private def qAudioStats = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.lit(0).as("shift"))
+      Audio.withAudioStats(Audio.syntheticWav(docs, "doc_id", "shift"), "wav")
+        .select(F.col("doc_id"), F.col("audio.n_frames"), F.col("audio.channels"),
+          F.col("audio.sample_rate"), F.col("audio.duration_ms"),
+          F.col("audio.peak"), F.col("audio.sum_sq"), F.col("audio.rms"),
+          F.col("audio.zero_crossings"), F.col("audio.clipped"),
+          F.col("audio.lead_silence"), F.col("audio.trail_silence"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, 300 + doc_id % 211 AS nf, 1 + doc_id % 2 AS nch,
+           |    8000 * (1 + doc_id % 3) AS sr, doc_id % 37 AS lead0, doc_id % 23 AS trail0
+           |  FROM documents),
+           | smp AS (SELECT doc_id, u.i AS i, u.ch AS ch,
+           |    CASE WHEN u.i < lead0 OR u.i >= nf - trail0 THEN 0
+           |         WHEN (doc_id + u.i) % 97 = 0 THEN 32767
+           |         ELSE (doc_id * 131 + u.i * 773 + u.ch * 409) % 4001 - 2000 END AS s
+           |   FROM (SELECT doc_id, nf, lead0, trail0,
+           |       unnest(flatten([[{'i': i, 'ch': ch} for ch in range(0, nch)] for i in range(0, nf)])) AS u
+           |     FROM p)),
+           | agg AS (SELECT doc_id, max(abs(s)) AS peak, sum(s * s) AS sum_sq,
+           |     sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS clipped
+           |   FROM smp GROUP BY 1),
+           | zc AS (SELECT doc_id,
+           |     sum(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS zc
+           |   FROM (SELECT doc_id, s,
+           |       lag(s) OVER (PARTITION BY doc_id, ch ORDER BY i) AS prev FROM smp)
+           |   GROUP BY 1),
+           | loud AS (SELECT doc_id, min(i) FILTER (WHERE fm >= 256) AS fl,
+           |     max(i) FILTER (WHERE fm >= 256) AS ll
+           |   FROM (SELECT doc_id, i, max(abs(s)) AS fm FROM smp GROUP BY doc_id, i)
+           |   GROUP BY 1)
+           | SELECT p.doc_id, CAST(p.nf AS BIGINT) AS n_frames, CAST(p.nch AS INT) AS channels,
+           |  CAST(p.sr AS INT) AS sample_rate, CAST(p.nf * 1000 // p.sr AS BIGINT) AS duration_ms,
+           |  CAST(a.peak AS INT) AS peak, CAST(a.sum_sq AS BIGINT) AS sum_sq,
+           |  sqrt(a.sum_sq / (p.nf * p.nch)) AS rms,
+           |  CAST(z.zc AS BIGINT) AS zero_crossings, CAST(a.clipped AS BIGINT) AS clipped,
+           |  CAST(coalesce(l.fl, p.nf) AS BIGINT) AS lead_silence,
+           |  CAST(coalesce(p.nf - 1 - l.ll, p.nf) AS BIGINT) AS trail_silence
+           | FROM p JOIN agg a USING (doc_id) JOIN zc z USING (doc_id)
+           | LEFT JOIN loud l USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Two synthetic WAVs per document — the original and a variant whose
+    * every-50th-frame samples are nudged by +17 (a NEAR-duplicate:
+    * most window-energy comparisons survive, so variant fingerprints
+    * sit a few Hamming bits apart while unrelated audio sits ~32). */
+  private val audioFpCte: String =
+    """WITH ids AS (
+      |  SELECT doc_id * 2 AS aud_id, doc_id AS base, 0 AS shift FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents),
+      | p AS (SELECT aud_id, base, shift, 300 + base % 211 AS nf, 1 + base % 2 AS nch,
+      |   base % 37 AS lead0, base % 23 AS trail0 FROM ids),
+      | smp AS (SELECT aud_id, nf, u.i AS i,
+      |    CASE WHEN u.i < lead0 OR u.i >= nf - trail0 THEN 0
+      |         WHEN (base + u.i) % 97 = 0 THEN 32767
+      |         ELSE (base * 131 + u.i * 773 + u.ch * 409 +
+      |               CASE WHEN u.i % 50 = 0 THEN shift * 17 ELSE 0 END) % 4001 - 2000 END AS s
+      |   FROM (SELECT aud_id, base, shift, nf, lead0, trail0,
+      |       unnest(flatten([[{'i': i, 'ch': ch} for ch in range(0, nch)] for i in range(0, nf)])) AS u
+      |     FROM p)),
+      | win AS (SELECT aud_id, (i * 65) // nf AS w, sum(abs(s)) AS e FROM smp GROUP BY 1, 2),
+      | bits AS (SELECT a.aud_id,
+      |     CASE WHEN b.e > a.e THEN (1::HUGEINT << a.w) ELSE 0::HUGEINT END AS bit
+      |   FROM win a JOIN win b ON b.aud_id = a.aud_id AND b.w = a.w + 1 WHERE a.w < 64),
+      | fp AS (SELECT aud_id, (CASE WHEN sum(bit) >= 9223372036854775808::HUGEINT
+      |     THEN sum(bit) - 18446744073709551616::HUGEINT ELSE sum(bit) END)::BIGINT AS afp
+      |   FROM bits GROUP BY 1)""".stripMargin.replaceAll("\n", " ")
+
+  private def audioVariantFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(F.col("doc_id"))
+    docs.select((F.col("doc_id") * 2).as("aud_id"),
+        F.col("doc_id").as("base"), F.lit(0).as("shift"))
+      .unionByName(docs.select((F.col("doc_id") * 2 + 1).as("aud_id"),
+        F.col("doc_id").as("base"), F.lit(1).as("shift")))
+  }
+
+  /** Audio fingerprinting ([[graft.pipeline.Audio.Wav.fingerprint]]):
+    * 65-window energy dHash over the real PCM decode; the oracle
+    * re-derives every fingerprint from the closed-form samples
+    * (window energies in exact integers, HUGEINT bit sum, signed
+    * 64-bit wrap). Every window is non-empty because the fixture's
+    * nFrames >= 300 >= 65. */
+  private def qAudioFingerprint = Q(
+    (s, dir) => Audio.withFingerprint(
+        Audio.syntheticWav(audioVariantFixture(s, dir), "base", "shift"), "wav")
+      .select("aud_id", "afp").orderBy("aud_id"),
+    Some(audioFpCte + " SELECT aud_id, afp FROM fp ORDER BY aud_id"))
+
+  /** Near-duplicate AUDIO detection ([[graft.pipeline.Dedup.hashNearDups]]
+    * over [[graft.pipeline.Audio.Wav.fingerprint]]): the same banded
+    * Hamming join as `dedup_images`, pigeonhole-exhaustive at
+    * `maxHamming < bands`, checked against the brute-force all-pairs
+    * Hamming join over analytically derived fingerprints. */
+  private def qDedupAudio = Q(
+    (s, dir) => {
+      val hashed = Audio.withFingerprint(
+        Audio.syntheticWav(audioVariantFixture(s, dir), "base", "shift"), "wav")
+        .select("aud_id", "afp")
+      Dedup.hashNearDups(hashed, "aud_id", "afp", maxHamming = 7, bands = 8)
+        .orderBy("a", "b")
+    },
+    Some(audioFpCte +
+      """ SELECT a.aud_id AS a, b.aud_id AS b,
+        | CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        | FROM fp a JOIN fp b ON a.aud_id < b.aud_id
+        | WHERE bit_count(xor(a.afp, b.afp)) <= 7
+        | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   /** Two synthetic BMPs per document — the original closed-form pixel
     * pattern and a +1-red-channel NEAR-DUPLICATE variant (a uniform
     * luminance shift cancels exactly in dHash's mean comparisons
@@ -5056,6 +5175,9 @@ object StandardQueries {
     "multimodal_profile" -> qMultimodalProfile,
     "image_stats" -> qImageStats,
     "image_dhash" -> qImageDhash,
+    "audio_stats" -> qAudioStats,
+    "audio_fingerprint" -> qAudioFingerprint,
+    "dedup_audio" -> qDedupAudio,
     "dedup_images" -> qDedupImages,
     "image_stats_png" -> qImageStatsPng,
     "image_exif" -> qImageExif,

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * arithmetic). Both compute the reference ImageMetric's per-image
   * feature set (width/height/colorspace + HSV channel mean/stddev +
   * histogram entropy, cf. reference
-  * python/whylogs/extras/image_metric.py:57-127). Audio/video codecs
-  * remain out of JDK scope and fail loudly; the deterministic
-  * [[MediaDecoder.fake]] remains for plumbing tests.
+  * python/whylogs/extras/image_metric.py:57-127). Uncompressed PCM WAV
+  * audio decodes for real via [[Audio.Wav]] (no codec needed);
+  * compressed audio/video codecs remain out of JDK scope and fail
+  * loudly; the deterministic [[MediaDecoder.fake]] remains for
+  * plumbing tests.
   */
 object Multimodal {
 
