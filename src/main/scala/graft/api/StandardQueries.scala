@@ -4202,6 +4202,44 @@ object StandardQueries {
            |  CAST(max(pos) + 4 AS BIGINT) AS end_pos, count(*) AS n_grams
            | FROM f GROUP BY doc_id, island ORDER BY doc_id, start_pos""".stripMargin.replaceAll("\n", " ")))
 
+  /** Duplicated-span REMOVAL ([[graft.pipeline.Dedup.cutDuplicateSpans]],
+    * n = 5): drop every token covered by a duplicated 5-gram occurrence
+    * except the corpus-wide min-(doc, pos) canonical one, and re-join
+    * the survivors — the APPLY step for the `dedup_spans` /
+    * `dedup_span_ranges` cut lists. The engine elects canonicals by
+    * struct-min over (doc, pos); the oracle uses the numeric key
+    * doc·10⁶ + pos, identical ordering while positions stay below 10⁶
+    * (the fixture's docs are hundreds of tokens). */
+  private def qDedupSpansApply = Q(
+    (s, dir) => Dedup.cutDuplicateSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | g AS (
+           |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+           |   SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+           |     i -> struct_pack(pos := i, gram := array_to_string(w[i:i+4], ' ')))) AS u
+           |   FROM tok)),
+           | d AS (SELECT gram, min(doc_id * 1000000 + pos) AS fk FROM g
+           |   GROUP BY gram HAVING count(*) > 1),
+           | nc AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+           |   WHERE g.doc_id * 1000000 + g.pos <> d.fk),
+           | cut AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS idx FROM nc),
+           | tokidx AS (SELECT doc_id, u.idx AS idx, u.t AS t FROM (
+           |   SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+           |     i -> struct_pack(idx := i, t := w[i]))) AS u FROM tok)),
+           | kept AS (SELECT tk.doc_id, tk.idx, tk.t FROM tokidx tk
+           |   LEFT JOIN cut c ON c.doc_id = tk.doc_id AND c.idx = tk.idx
+           |   WHERE c.idx IS NULL),
+           | clean AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS text_clean
+           |   FROM kept GROUP BY 1),
+           | ncut AS (SELECT doc_id, count(*) AS n_cut FROM cut GROUP BY 1)
+           | SELECT tok.doc_id, coalesce(clean.text_clean, '') AS text_clean,
+           |  CAST(coalesce(ncut.n_cut, 0) AS BIGINT) AS n_cut
+           | FROM tok LEFT JOIN clean USING (doc_id) LEFT JOIN ncut USING (doc_id)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Oracle-checked fingerprint bridge: the same 1-fingerprint winnowing
     * semantic as `doc_fingerprint` (min hash over all k-char windows)
     * with md5 in place of the native rolling hash, so DuckDB reproduces
@@ -5159,6 +5197,7 @@ object StandardQueries {
     "doc_fingerprint" -> qDocFingerprint,
     "dedup_spans" -> qDedupSpans,
     "dedup_span_ranges" -> qDedupSpanRanges,
+    "dedup_spans_apply" -> qDedupSpansApply,
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,

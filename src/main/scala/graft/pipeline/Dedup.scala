@@ -505,6 +505,52 @@ object Dedup {
       .select("doc_id", "start_pos", "end_pos", "n_grams")
   }
 
+  /** APPLY the duplicated-span cut list: remove every token covered by a
+    * duplicated n-gram occurrence EXCEPT the corpus-wide canonical one
+    * (the minimum (doc, position) occurrence keeps its copy — Lee et
+    * al.'s "drop all but one copy", arXiv:2107.06499, at n-token
+    * resolution). Output one row per input doc: `(doc_id, <out>,
+    * n_cut)` where `<out>` is the surviving tokens re-joined by single
+    * spaces (whitespace-NORMALIZED text, the same token stream every
+    * downstream op here consumes) and `n_cut` counts removed tokens.
+    *
+    * A token inside a CANONICAL occurrence can still be cut when an
+    * overlapping non-canonical occurrence of a different gram covers
+    * it — the union-of-cut-ranges semantics is deterministic and
+    * order-free, which is what makes it one declarative plan.
+    *
+    * Scale shape: grams shuffle as 8-byte hashes with int positions
+    * (strings never leave the row until reconstruction); the per-doc
+    * cut set is bounded by document length and rides one doc-keyed
+    * exchange; reconstruction is a doc-keyed left join of the (tiny)
+    * cut arrays back to one row per doc. */
+  def cutDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 20, out: String = "text_clean"): DataFrame = {
+    val toks = df.select(F.col(idCol).as("doc_id"),
+      tokens(F.col(textCol)).as("__toks"))
+    val exploded = toks
+      .select(F.col("doc_id"),
+        F.posexplode(graft.functions.MinHash.pos_shingle_hashes(F.col("__toks"), n))
+          .as(Seq("pos0", "__g")))
+      .select(F.col("doc_id"), (F.col("pos0") + 1).as("pos"), F.col("__g"))
+    val dups = exploded.groupBy("__g").agg(
+      F.count(F.lit(1)).as("n_copies"),
+      F.min(F.struct(F.col("doc_id"), F.col("pos"))).as("__first"))
+      .filter(F.col("n_copies") > 1L)
+    val cut = exploded.join(dups, "__g")
+      .filter(F.struct(F.col("doc_id"), F.col("pos")) =!= F.col("__first"))
+      .select(F.col("doc_id"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).as("idx"))
+      .groupBy("doc_id").agg(F.collect_set("idx").as("__cut"))
+    toks.join(cut, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.array_join(
+          F.filter(F.col("__toks"), (t, i) =>
+            !F.coalesce(F.array_contains(F.col("__cut"), i + 1), F.lit(false))),
+          " ").as(out),
+        F.coalesce(F.size(F.col("__cut")), F.lit(0)).cast("long").as("n_cut"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = F.size(F.array_intersect(a, b))

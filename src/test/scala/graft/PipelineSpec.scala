@@ -317,6 +317,27 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set((1L, 1, 4, 2L), (2L, 3, 6, 2L), (3L, 1, 6, 4L)))
   }
 
+  test("cutDuplicateSpans keeps the canonical occurrence, cuts every other copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix words alpha beta gamma delta tail"),
+      (3L, "one two one two one two"),
+      (4L, "too short")).toDF("doc_id", "text").repartition(3)
+    val got = graft.pipeline.Dedup
+      .cutDuplicateSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 holds the canonical (min doc,pos) copies of both shared
+    // grams -> untouched; doc 2 cuts tokens 3..6; doc 3's canonicals
+    // ("one two one" at pos 1, "two one two" at pos 2) protect tokens
+    // 1..2 while the non-canonical repeats at pos 3/4 cut tokens 3..6;
+    // doc 4 has no grams
+    assert(got(1L) === (("alpha beta gamma delta epsilon zeta", 0L)))
+    assert(got(2L) === (("prefix words tail", 4L)))
+    assert(got(3L) === (("one two", 4L)))
+    assert(got(4L) === (("too short", 0L)))
+  }
+
   test("labeledReferences: exact per-label centroids, distributed") {
     import spark.implicits._
     val df = Seq(
