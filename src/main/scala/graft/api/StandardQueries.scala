@@ -2700,6 +2700,71 @@ object StandardQueries {
            |     ORDER BY substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS BIGINT) AS pos
            |  FROM documents) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Size-balanced shard planning ([[Sampling.balancedShards]]): the
+    * 64 heaviest docs dealt by global serpentine, the tail by an
+    * golden-ratio rotation of in-group weight ranks over per-shard
+    * deficit quotas — per-shard token totals near-equal even with
+    * indivisible outliers, with every rank window bounded (64-row
+    * top-k; corpus/4 per salt group). The oracle replays the top-k
+    * rank, boustrophedon arithmetic, integer quota fold and the
+    * integer rotation exactly. */
+  private def qCorpusShards = Q(
+    (s, dir) =>
+      Sampling.balancedShards(
+          t(s, dir, "documents")
+            .select(F.col("doc_id"),
+              TextAnalysis.tokenCount(F.col("text")).cast("long").as("tokens")),
+          F.col("doc_id"), F.col("tokens"), numShards = 8, saltGroups = 4)
+        .select("doc_id", "tokens", "shard").orderBy("doc_id"),
+    Some(corpusShardsCte + " SELECT doc_id, tokens, shard FROM a ORDER BY doc_id"))
+
+  private val corpusShardsCte: String =
+    """WITH w AS (SELECT doc_id,
+      |   CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS tokens
+      |  FROM documents),
+      | t AS (SELECT doc_id, tokens,
+      |   row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS tr FROM w),
+      | top AS (SELECT doc_id, tokens,
+      |   CAST(CASE WHEN tr % 16 < 8 THEN tr % 16 ELSE 15 - tr % 16 END AS INT) AS shard
+      |  FROM t WHERE tr < 64),
+      | tt AS (SELECT shard, CAST(sum(tokens) AS BIGINT) AS tw FROM top GROUP BY 1),
+      | q AS (SELECT s.shard,
+      |   greatest(0, (SELECT CAST(sum(tokens) AS BIGINT) FROM w) - 8 * coalesce(tt.tw, 0)) AS d
+      |  FROM (SELECT unnest(range(0, 8)) AS shard) s LEFT JOIN tt USING (shard)),
+      | qq AS (SELECT shard, CAST(sum(d) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM q),
+      | qn AS (SELECT shard, CAST(cum AS DOUBLE) / CASE WHEN (SELECT max(cum) FROM qq) = 0
+      |   THEN 1 ELSE (SELECT max(cum) FROM qq) END AS thr FROM qq),
+      | rest AS (SELECT doc_id, tokens,
+      |   CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 4 AS grp
+      |  FROM t WHERE tr >= 64),
+      | rr AS (SELECT doc_id, tokens, grp,
+      |   row_number() OVER (PARTITION BY grp ORDER BY tokens DESC, doc_id) - 1 AS r0 FROM rest),
+      | ru AS (SELECT doc_id, tokens,
+      |   ((r0 * 2654435761 + grp * 1013904223) % 4294967296) / 4294967296.0 AS u FROM rr),
+      | ra AS (SELECT doc_id, tokens,
+      |   CAST((SELECT min(shard) FROM qn WHERE ru.u < qn.thr OR qn.shard = 7) AS INT) AS shard
+      |  FROM ru),
+      | a AS (SELECT doc_id, tokens, shard FROM top UNION ALL SELECT doc_id, tokens, shard FROM ra)""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** Per-shard rollup of [[qCorpusShards]]' plan — the balance report a
+    * shard writer checks before committing: docs and token totals per
+    * shard. */
+  private def qCorpusShardStats = Q(
+    (s, dir) =>
+      Sampling.balancedShards(
+          t(s, dir, "documents")
+            .select(F.col("doc_id"),
+              TextAnalysis.tokenCount(F.col("text")).cast("long").as("tokens")),
+          F.col("doc_id"), F.col("tokens"), numShards = 8, saltGroups = 4)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.sum("tokens").as("total_tokens"))
+        .orderBy("shard"),
+    Some(corpusShardsCte +
+      """ SELECT shard, count(*) AS n_docs,
+        | CAST(sum(tokens) AS BIGINT) AS total_tokens
+        | FROM a GROUP BY 1 ORDER BY shard""".stripMargin.replaceAll("\n", " ")))
+
   /** Token-budget mixture planning ([[Sampling.mixtureWeights]]) over
     * four sources at the feasible budget (maxEpochs = 2). Shares are
     * dyadic (0.5/0.25/0.125) so normalization is exact in binary and
@@ -5185,6 +5250,8 @@ object StandardQueries {
     "sample_temperature" -> qSampleTemperature,
     "sample_domain_cap" -> qSampleDomainCap,
     "corpus_shuffle" -> qCorpusShuffle,
+    "corpus_shards" -> qCorpusShards,
+    "corpus_shard_stats" -> qCorpusShardStats,
     "mixture_weights" -> qMixtureWeights,
     "mixture_apply" -> qMixtureApply,
     "json_props_profile" -> qJsonPropsProfile,

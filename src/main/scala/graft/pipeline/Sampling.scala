@@ -313,4 +313,105 @@ object Sampling {
     df.withColumn(epochCol, F.explode(F.sequence(F.lit(0), ccCol - 1)))
       .filter(F.col(epochCol) < fullCol || h < thrCol)
   }
+
+  /** Deterministic size-BALANCED shard assignment — the training-shard
+    * planning step: spread a corpus over `numShards` output shards so
+    * per-shard total weight (token count) comes out near-equal, without
+    * a global data-scale sort or unbounded driver state.
+    *
+    * Two-tier design, because indivisible outliers are what break
+    * balance (a few 100k-token docs among millions of 500-token ones):
+    *
+    *  1. The `topK` heaviest docs (exact distributed top-k on (weight
+    *     desc, id asc), default 8 x numShards — bounded by SHARDS, not
+    *     data) are dealt by GLOBAL serpentine (0,1,...,S-1,S-1,...,1,0):
+    *     each 2S-block pairs its largest with its smallest. The rank
+    *     window sees only topK rows.
+    *  2. Every other doc is dealt over per-shard DEFICIT QUOTAS: shard
+    *     s receives tail weight proportional to max(0, grandTotal/S −
+    *     topWeight_s), so shards that drew heavy outliers get
+    *     proportionally less tail — the counterweight no equal-count
+    *     dealing can provide. The dealing position is a golden-ratio
+    *     rotation of the doc's rank within `saltGroups` md5-salted
+    *     groups (ranked by weight desc): a LOW-DISCREPANCY sequence,
+    *     so consecutive similar-weight docs sweep the quota buckets
+    *     evenly and per-group counts are off by at most one doc per
+    *     bucket — far tighter than an independent uniform draw's
+    *     sqrt(n) noise. The only data-scale sort is the per-group rank
+    *     window, bounded by corpus/saltGroups rows (set `saltGroups`
+    *     to thousands at 100 TB, like [[deterministicShuffle]]).
+    *
+    * All arithmetic is engine-replayable: quotas are numShards-scaled
+    * INTEGER deficits (exact, summation-order-free), each threshold is
+    * one correctly-rounded integer division, and the rotation is pure
+    * 64-bit integer arithmetic — a SQL oracle replays every assignment
+    * bit-for-bit. NOTE: this function
+    * is EAGER (it runs two small aggregate jobs to compute top-k
+    * totals before returning the plan); quota thresholds are embedded
+    * as plan literals.
+    *
+    * Output: input columns + `shard` (0-based int). Deterministic
+    * under any partitioning; `id` must be unique and non-NULL. */
+  def balancedShards(df: DataFrame, id: Column, weight: Column,
+      numShards: Int, topK: Int = -1, saltGroups: Int = 64,
+      salt: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(saltGroups >= 1, s"saltGroups must be >= 1, got $saltGroups")
+    val k = if (topK >= 0) topK else 8 * numShards
+    val slim = df.select(id.as("__id"), weight.cast("long").as("__w"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("__w").desc, F.col("__id").asc)
+    val cycle = (F.row_number().over(wTop) - 1) % (2 * numShards)
+    // the single-partition window is bounded by topK rows (post-limit)
+    val topA = slim.orderBy(F.col("__w").desc, F.col("__id").asc).limit(k)
+      .withColumn("__tshard",
+        F.when(cycle < numShards, cycle)
+          .otherwise(F.lit(2 * numShards - 1) - cycle).cast("int"))
+    // quota inputs: numShards + 1 driver-side values, never data-scale
+    val topTotals: Map[Int, Long] = topA.groupBy("__tshard")
+      .agg(F.sum("__w").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val grand: Long = slim.agg(F.sum("__w")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    // deficits scaled by numShards stay INTEGER (proportions unchanged):
+    // the quota fold is exact and order-free, and the one float op per
+    // threshold is a single correctly-rounded division — engine-portable
+    val deficits = (0 until numShards)
+      .map(s => math.max(0L, grand - numShards.toLong * topTotals.getOrElse(s, 0L)))
+    val cum = deficits.scanLeft(0L)(_ + _).tail
+    val qsum = if (cum.last == 0L) 1L else cum.last // 0 only when tail empty
+    val marked = df.join(
+      F.broadcast(topA.select(F.col("__id"), F.col("__tshard"))),
+      id <=> F.col("__id"), "left")
+    // tail: rank within bounded salt groups by (weight desc, id), then a
+    // golden-ratio rotation of the rank (Knuth 2654435761/2^32, plus a
+    // per-group phase) gives a LOW-DISCREPANCY deterministic position in
+    // [0, 1): consecutive (similar-weight) ranks sweep the quota buckets
+    // evenly, so per-(group, shard) counts differ by at most one doc per
+    // quota bucket — far below the sqrt(n) noise of an independent draw
+    val grp = F.pmod(
+      F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), id.cast("string"))), 1, 7), 16, 10)
+        .cast("long"),
+      F.lit(saltGroups.toLong))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("__grp")).orderBy(weight.cast("long").desc, id.asc)
+    val r0 = (F.row_number().over(wg) - 1).cast("long")
+    val u = F.pmod(r0 * F.lit(2654435761L) + F.col("__grp") * F.lit(1013904223L),
+      F.lit(4294967296L)).cast("double") / F.lit(4294967296.0)
+    // first shard whose cumulative quota exceeds the rotation position
+    val tailShard = (0 until numShards - 1).foldRight(
+      F.lit(numShards - 1): Column) { (s, acc) =>
+      F.when(u < F.lit(cum(s).toDouble / qsum.toDouble), s).otherwise(acc)
+    }
+    val top = marked.filter(F.col("__tshard").isNotNull)
+      .withColumn("shard", F.col("__tshard"))
+    val rest = marked.filter(F.col("__tshard").isNull)
+      .withColumn("__grp", grp)
+      .withColumn("shard", tailShard.cast("int"))
+      .drop("__grp")
+    top.unionByName(rest).drop("__id", "__tshard")
+  }
 }
