@@ -497,4 +497,66 @@ class PlanSpec extends SparkSpec {
     assert(schemas.forall(_.subsetOf(Set("doc_id", "text"))),
       s"scan reads unused columns: $schemas")
   }
+
+  test("hashNearDups: band-keyed join only — no cartesian, no broadcast of the corpus") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("id", "h")
+    val out = graft.pipeline.Dedup.hashNearDups(df, "id", "h",
+      maxHamming = 7, bands = 8)
+    val plan = planOf(out)
+    // candidates come from the (band, value) equi-join; an all-pairs
+    // plan (cartesian / nested-loop) would be quadratic in the corpus
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to all-pairs:\n${plan.take(3000)}")
+    // every shuffle wire carries only ids/hashes/band keys — 8-byte
+    // columns, never a payload
+    val wires = shuffledColumns(out).flatten.toSet
+    assert(wires.subsetOf(Set("a", "b", "ha", "hb", "band", "bv", "hamming")),
+      s"unexpected columns on a shuffle wire: $wires")
+  }
+
+  test("cutDuplicateSpans: gram strings never ride a wire; one doc-keyed rebuild join") {
+    val out = graft.pipeline.Dedup.cutDuplicateSpans(
+      table("documents"), "text", "doc_id", n = 5)
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n${plan.take(3000)}")
+    // the gram-frequency exchanges must carry the 8-byte __g hash, never
+    // the token array or raw text; the doc payload may ride only the
+    // final doc-keyed reconstruction join
+    val gramWires = shuffledColumns(out).filter(_.contains("__g"))
+    assert(gramWires.nonEmpty, "expected gram-hash keyed exchanges")
+    assert(gramWires.forall(w => !w.contains("__toks") && !w.contains("text")),
+      s"token payload rides a gram exchange: $gramWires")
+  }
+
+  test("balancedShards: data-scale windows are group-partitioned; top-k broadcasts back") {
+    val docs = table("documents")
+      .select(F.col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(F.col("text")).cast("long").as("tokens"))
+    val out = graft.pipeline.Sampling.balancedShards(
+      docs, F.col("doc_id"), F.col("tokens"), numShards = 8, saltGroups = 4)
+    out.collect()
+    val nodes = flattenPlan(out.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the tail rank window")
+    // an UNPARTITIONED window is legal only above the bounded top-k
+    // (limit) — over the corpus it would funnel everything into one task
+    windows.foreach { w =>
+      val bounded = flattenPlan(w).exists {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _ => false
+      }
+      assert(w.partitionSpec.nonEmpty || bounded,
+        s"unpartitioned window over unbounded input:\n$w")
+    }
+    // the top-k assignments come back as a broadcast, never a shuffle join
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastExchange"),
+      s"top-k join must broadcast:\n${plan.take(3000)}")
+  }
 }
