@@ -53,6 +53,8 @@ object ScaleProbe {
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
     "dedup_keep_best", "dedup_paragraphs_counts", "dedup_apply",
     "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
+    "dedup_spans_apply", "dedup_images", "dedup_audio", "audio_stats",
+    "corpus_shards",
     "corpus_shuffle", "text_entropy",
     "quality_classifier_score", "trigram_lm_score", "backoff_lm_score",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
@@ -88,7 +90,17 @@ object ScaleProbe {
             (F.col("id") % 3).cast("string")).as("text"),
           (F.col("id") % 97).cast("double").as("score")),
         "text", "id", "score", numPerm = 16, bands = 8,
-        threshold = 0.5, maxBucketSize = 500).count())
+        threshold = 0.5, maxBucketSize = 500).count()),
+    // 500k 64-bit signatures whose low 32 bits are CONSTANT across the
+    // corpus (the letterboxed-image case): four of eight Hamming bands
+    // are corpus-wide mega-buckets; capBuckets must thin them or the
+    // band join is quadratic
+    "skew_hashdups_const_bands" -> (() =>
+      graft.pipeline.Dedup.hashNearDups(
+        spark.range(500000L).select(F.col("id"),
+          (F.shiftleft(F.xxhash64(F.col("id")), 32)
+            .bitwiseOR(F.lit(0x5a5a5a5aL))).as("h")),
+        "id", "h", maxHamming = 7, bands = 8, maxBucketSize = 1000).count())
   )
 
   /** Probes over the SCALED tables beyond the registered queries: the
