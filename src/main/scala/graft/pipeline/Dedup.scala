@@ -579,9 +579,15 @@ object Dedup {
     * that banding is approximate — raise `bands` (or permute bits
     * upstream) for higher recall. Degenerate chunks (a constant
     * region across the corpus, e.g. letterboxed borders) form
-    * mega-buckets; [[capBuckets]] thins them like every other banded
-    * family. Output: `(a, b, hamming)` with `a < b`, one row per
-    * pair. */
+    * mega-buckets; [[capBuckets]] thins BOTH join sides to the same
+    * hash-sampled ≤ `maxBucketSize` member set (the cap filter is
+    * deterministic in (band, value, id), so the two sides keep
+    * identical survivors) — an overflowing bucket contributes
+    * C(cap, 2) candidate pairs instead of cap × bucket, and a pair is
+    * reported iff it shares a band where both members survive the
+    * thinning. With `maxBucketSize` at or above every bucket size the
+    * join is exhaustive. Output: `(a, b, hamming)` with `a < b`, one
+    * row per pair. */
   def hashNearDups(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, bands: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -599,7 +605,7 @@ object Dedup {
       .select(F.col(a), F.col(h),
         F.posexplode(chunks(F.col(h))).as(Seq("band", "bv")))
     val left = capBuckets(side("a", "ha"), Seq("band", "bv"), "a", maxBucketSize)
-    val right = side("b", "hb")
+    val right = capBuckets(side("b", "hb"), Seq("band", "bv"), "b", maxBucketSize)
     left.join(right, Seq("band", "bv"))
       .filter(F.col("a") < F.col("b"))
       .select(F.col("a"), F.col("b"),

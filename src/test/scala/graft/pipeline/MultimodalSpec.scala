@@ -264,4 +264,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got === brute)
     assert(brute.nonEmpty, "fixture must plant at least one near pair")
   }
+
+  test("hashNearDups: mega-buckets thin symmetrically — bounded sound pairs, never cap x bucket") {
+    import spark.implicits._
+    // 200 identical signatures: every band is one corpus-wide bucket
+    val df = (0L until 200L).map(i => (i, 0x0123456789abcdefL)).toDF("id", "h")
+    val got = graft.pipeline.Dedup
+      .hashNearDups(df, "id", "h", maxHamming = 7, bands = 8, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // sound: all real pairs (hamming 0, a < b)
+    assert(got.forall { case (a, b, d) => a < b && d === 0 })
+    // bounded: at most C(cap, 2) per band — the uncapped bucket would
+    // emit C(200, 2) = 19900; cap x bucket asymmetry would emit ~4000
+    assert(got.nonEmpty && got.length <= 8 * (20 * 19) / 2,
+      s"expected <= 1520 thinned pairs, got ${got.length}")
+  }
 }
