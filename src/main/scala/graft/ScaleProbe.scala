@@ -53,8 +53,7 @@ object ScaleProbe {
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
     "dedup_keep_best", "dedup_paragraphs_counts", "dedup_apply",
     "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
-    "dedup_spans_apply", "dedup_images", "dedup_audio", "audio_stats",
-    "corpus_shards",
+    "audio_stats", "corpus_shards",
     "corpus_shuffle", "text_entropy",
     "quality_classifier_score", "trigram_lm_score", "backoff_lm_score",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
@@ -110,6 +109,45 @@ object ScaleProbe {
     * 100x. Returns the shard-row count, asserted = 16 (every shard
     * materialized a bitset). */
   def extraProbes(spark: SparkSession, outDir: String): Seq[(String, () => Long)] = Seq(
+    // span REMOVAL at 100x — probed through sum(n_cut) because count()
+    // alone lets Catalyst eliminate the unique-key rebuild join (and
+    // with it the whole gram pipeline): the r14 first run measured
+    // 0.2 s of nothing
+    "dedup_spans_apply_sum" -> (() => {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      graft.pipeline.Dedup.cutDuplicateSpans(docs, "text", "doc_id", n = 20)
+        .agg(F.sum("n_cut")).collect()(0).getLong(0)
+    }),
+    // image/audio near-dup at 100x in the documented at-scale config:
+    // 16-bit bands (buckets of n/65536) instead of the sf0.01 oracle's
+    // exhaustive 8-bit bands, whose n^2/256 pair enumeration measured
+    // ~8 CPU-minutes per modality at 1M signatures
+    "dedup_images_scaled" -> (() => {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(F.col("doc_id"))
+      val fixture = docs.select((F.col("doc_id") * 2).as("img_id"),
+          F.col("doc_id").as("base"), F.lit(0).as("shift"))
+        .unionByName(docs.select((F.col("doc_id") * 2 + 1).as("img_id"),
+          F.col("doc_id").as("base"), F.lit(1).as("shift")))
+      val hashed = graft.pipeline.Multimodal.withDHash(
+        graft.pipeline.Multimodal.syntheticBmpShifted(fixture, "base", "shift"), "img")
+        .select("img_id", "dhash")
+      graft.pipeline.Dedup.hashNearDups(hashed, "img_id", "dhash",
+        maxHamming = 3, bands = 4, maxBucketSize = 5000).count()
+    }),
+    "dedup_audio_scaled" -> (() => {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(F.col("doc_id"))
+      val fixture = docs.select((F.col("doc_id") * 2).as("aud_id"),
+          F.col("doc_id").as("base"), F.lit(0).as("shift"))
+        .unionByName(docs.select((F.col("doc_id") * 2 + 1).as("aud_id"),
+          F.col("doc_id").as("base"), F.lit(1).as("shift")))
+      val hashed = graft.pipeline.Audio.withFingerprint(
+        graft.pipeline.Audio.syntheticWav(fixture, "base", "shift"), "wav")
+        .select("aud_id", "afp")
+      graft.pipeline.Dedup.hashNearDups(hashed, "aud_id", "afp",
+        maxHamming = 3, bands = 4, maxBucketSize = 5000).count()
+    }),
     "bloom_sharded16_stream" -> (() => {
       import graft.pipeline.Dedup
       val docs = spark.read.parquet(s"$outDir/documents.parquet")

@@ -577,7 +577,17 @@ object Dedup {
     * maxHamming`. Pigeonhole recall guarantee: a pair within
     * `maxHamming < bands` bits ALWAYS shares an exact band; beyond
     * that banding is approximate — raise `bands` (or permute bits
-    * upstream) for higher recall. Degenerate chunks (a constant
+    * upstream) for higher recall.
+    *
+    * SELECTIVITY AT SCALE: a random band value is `64/bands` bits, so
+    * the expected bucket holds n/2^(64/bands) signatures and the band
+    * join enumerates Σ n_b² pairs — with 8-bit bands (bands = 8) that
+    * is n²/256, QUADRATIC once n reaches millions (measured: 1M
+    * signatures ≈ 8 CPU-minutes at local[32]). At corpus scale either
+    * widen the bands (bands = 4 ⇒ 16-bit values, buckets of n/65536,
+    * guarantee maxHamming < 4) or tighten `maxBucketSize` and account
+    * the recall loss — the same cap/recall trade every banded family
+    * here documents. Degenerate chunks (a constant
     * region across the corpus, e.g. letterboxed borders) form
     * mega-buckets; [[capBuckets]] thins BOTH join sides to the same
     * hash-sampled ≤ `maxBucketSize` member set (the cap filter is
