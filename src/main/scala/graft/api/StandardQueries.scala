@@ -684,6 +684,49 @@ object StandardQueries {
         | WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Near-duplicate image detection at INGESTION
+    * ([[graft.pipeline.Dedup.hashNearDupsAgainstIndex]]): arriving docs
+    * become the +1-red VARIANT images, dHash-ed in-stream
+    * (mapPartitions on the streaming Dataset) and band-joined
+    * stream-static against the stored dHash index of the base images —
+    * stateless but for the per-batch pair dedup. Pigeonhole-exhaustive
+    * at maxHamming 7 < 8 bands, so the oracle is the brute-force
+    * variant-vs-base Hamming join over analytic hashes. */
+  private def qStreamingDedupImages = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Multimodal.withDHash(
+        Multimodal.syntheticBmpShifted(
+          docs.select((F.col("doc_id") * 2).as("img_id"),
+            F.col("doc_id").as("base"), F.lit(0).as("shift")),
+          "base", "shift"), "img")
+        .select("img_id", "dhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sdf = s.readStream.schema(docs.schema)
+          .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+          .select((F.col("doc_id") * 2 + 1).as("img_id"),
+            F.col("doc_id").as("base"), F.lit(1).as("shift"))
+        val probe = Multimodal.withDHash(
+          Multimodal.syntheticBmpShifted(sdf, "base", "shift"), "img")
+          .select("img_id", "dhash")
+        val qn = "sdi_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = Dedup.hashNearDupsAgainstIndex(probe, "img_id", "dhash",
+            index, "img_id", "dhash", maxHamming = 7, bands = 8)
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn).orderBy("a", "b")
+      } finally index.unpersist(blocking = false)
+    },
+    Some(imageDhashCte +
+      """ SELECT p.img_id AS a, i.img_id AS b,
+        | CAST(bit_count(xor(p.dhash, i.dhash)) AS INT) AS hamming
+        | FROM dh p JOIN dh i ON p.img_id % 2 = 1 AND i.img_id % 2 = 0
+        | WHERE bit_count(xor(p.dhash, i.dhash)) <= 7
+        | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   private def qImageStats = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id")
@@ -5285,6 +5328,7 @@ object StandardQueries {
     "audio_fingerprint" -> qAudioFingerprint,
     "dedup_audio" -> qDedupAudio,
     "dedup_images" -> qDedupImages,
+    "streaming_dedup_images" -> qStreamingDedupImages,
     "image_stats_png" -> qImageStatsPng,
     "image_exif" -> qImageExif,
     "frame_hashes" -> Q(

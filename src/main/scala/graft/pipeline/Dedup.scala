@@ -598,26 +598,63 @@ object Dedup {
     * thinning. With `maxBucketSize` at or above every bucket size the
     * join is exhaustive. Output: `(a, b, hamming)` with `a < b`, one
     * row per pair. */
+  /** The `bands` contiguous `64/bands`-bit chunks of a signature, as an
+    * array column (shared by the symmetric and asymmetric banded
+    * Hamming joins — both sides MUST chunk identically). */
+  private def hashChunks(h: Column, bands: Int): Column = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    F.array((0 until bands).map { b =>
+      F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask))
+    }: _*)
+  }
+
   def hashNearDups(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, bands: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
-    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    def chunks(h: Column): Column =
-      F.array((0 until bands).map { b =>
-        F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask))
-      }: _*)
     def side(a: String, h: String) = df
       .select(F.col(idCol).as(a), F.col(hashCol).cast("long").as(h))
       .select(F.col(a), F.col(h),
-        F.posexplode(chunks(F.col(h))).as(Seq("band", "bv")))
+        F.posexplode(hashChunks(F.col(h), bands)).as(Seq("band", "bv")))
     val left = capBuckets(side("a", "ha"), Seq("band", "bv"), "a", maxBucketSize)
     val right = capBuckets(side("b", "hb"), Seq("band", "bv"), "b", maxBucketSize)
     left.join(right, Seq("band", "bv"))
       .filter(F.col("a") < F.col("b"))
+      .select(F.col("a"), F.col("b"),
+        hamming64(F.col("ha"), F.col("hb")).cast("int").as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
+  }
+
+  /** [[hashNearDups]]' ASYMMETRIC sibling: probe rows against a stored
+    * signature index — the media analog of [[nearDupsAgainstIndex]].
+    * Only the (tiny) banded index side is bucket-capped; each probe row
+    * carries its own signature through the band join, so the plan is
+    * one declarative stream-static join when `probe` is a streaming
+    * DataFrame (stateless but for the trailing pair dedup, which holds
+    * only the current batch's pairs under exactly-once file sources —
+    * same accounting as [[graft.streaming.DedupStream
+    * .nearDupsAgainstIndex]]). Output: `(a = probe id, b = index id,
+    * hamming)`, one row per pair; ids may come from disjoint spaces —
+    * no `a < b` ordering is imposed. */
+  def hashNearDupsAgainstIndex(probe: DataFrame, probeId: String,
+      probeHash: String, index: DataFrame, indexId: String,
+      indexHash: String, maxHamming: Int, bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val p = probe
+      .select(F.col(probeId).as("a"), F.col(probeHash).cast("long").as("ha"))
+      .select(F.col("a"), F.col("ha"),
+        F.posexplode(hashChunks(F.col("ha"), bands)).as(Seq("band", "bv")))
+    val ix = capBuckets(
+      index.select(F.col(indexId).as("b"), F.col(indexHash).cast("long").as("hb"))
+        .select(F.col("b"), F.col("hb"),
+          F.posexplode(hashChunks(F.col("hb"), bands)).as(Seq("band", "bv"))),
+      Seq("band", "bv"), "b", maxBucketSize)
+    p.join(ix, Seq("band", "bv"))
       .select(F.col("a"), F.col("b"),
         hamming64(F.col("ha"), F.col("hb")).cast("int").as("hamming"))
       .filter(F.col("hamming") <= maxHamming)

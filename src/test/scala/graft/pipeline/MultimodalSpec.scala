@@ -265,6 +265,26 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must plant at least one near pair")
   }
 
+  test("hashNearDupsAgainstIndex: asymmetric pairs match brute force, ids from disjoint spaces") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val idx = (0L until 30L).map(i => (i, rng.nextLong()))
+    // probes: some near an index hash (flip <= 5 bits), some random
+    val prb = idx.take(10).zipWithIndex.map { case ((_, h), i) =>
+      (1000L + i, (0 to i % 5).foldLeft(h)((a, b) => a ^ (1L << (b * 7))))
+    } ++ (0 until 10).map(i => (2000L + i, rng.nextLong()))
+    val got = graft.pipeline.Dedup.hashNearDupsAgainstIndex(
+        prb.toDF("id", "h"), "id", "h", idx.toDF("id", "h"), "id", "h",
+        maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- prb; (b, hb) <- idx
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("hashNearDups: mega-buckets thin symmetrically — bounded sound pairs, never cap x bucket") {
     import spark.implicits._
     // 200 identical signatures: every band is one corpus-wide bucket
