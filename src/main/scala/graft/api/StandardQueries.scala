@@ -536,6 +536,24 @@ object StandardQueries {
            | LEFT JOIN loud l USING (doc_id)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** RIFF LIST/INFO metadata extraction
+    * ([[graft.pipeline.Audio.Wav.info]], the audio EXIF analog): tags
+    * round-trip through a real RIFF encode (NUL-terminated, even-padded
+    * sub-chunks spliced between fmt and data) and the chunk-walking
+    * parse; the oracle restates the closed-form tag values. */
+  private def qAudioMeta = Q(
+    (s, dir) => Audio.withAudioInfo(
+        Audio.syntheticWavTagged(
+          t(s, dir, "documents").select(F.col("doc_id")), "doc_id"), "wav",
+        Seq("INAM", "IART", "ICRD"))
+      .select(F.col("doc_id"), F.col("inam").as("title"),
+        F.col("iart").as("artist"), F.col("icrd").as("created"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, 'track ' || CAST(doc_id AS VARCHAR) AS title,
+           | 'artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+           | CAST(2000 + doc_id % 25 AS VARCHAR) AS created
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Two synthetic WAVs per document — the original and a variant whose
     * every-50th-frame samples are nudged by +17 (a NEAR-duplicate:
     * most window-energy comparisons survive, so variant fingerprints
@@ -5325,6 +5343,7 @@ object StandardQueries {
     "image_stats" -> qImageStats,
     "image_dhash" -> qImageDhash,
     "audio_stats" -> qAudioStats,
+    "audio_meta" -> qAudioMeta,
     "audio_fingerprint" -> qAudioFingerprint,
     "dedup_audio" -> qDedupAudio,
     "dedup_images" -> qDedupImages,

@@ -127,6 +127,79 @@ object Audio {
       out
     }
 
+    /** RIFF LIST/INFO metadata tags (the audio analog of EXIF — INAM
+      * title, IART artist, ICRD date, ICMT comment, IGNR genre, …):
+      * walk the top-level chunks to a `LIST` of type `INFO`, then its
+      * sub-chunks; values are ASCII with trailing NULs stripped. A WAV
+      * without an INFO list yields an empty map. Malformed sub-chunk
+      * sizes fail loudly like every other truncation. */
+    def info(bytes: Array[Byte]): Map[String, String] = {
+      require(bytes.length >= 12 && bytes(0) == 'R' && bytes(8) == 'W',
+        "not a RIFF/WAVE file")
+      var off = 12
+      var out = Map.empty[String, String]
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val size = Multimodal.Bmp.le32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size <= bytes.length,
+          s"truncated WAV chunk '$id' (size $size at offset $off)")
+        if (id == "LIST" && size >= 4 &&
+            new String(bytes, off + 8, 4, "US-ASCII") == "INFO") {
+          var so = off + 12
+          val end = off + 8 + size
+          while (so + 8 <= end) {
+            val sid = new String(bytes, so, 4, "US-ASCII")
+            val ssize = Multimodal.Bmp.le32(bytes, so + 4)
+            require(ssize >= 0 && so + 8 + ssize <= end,
+              s"truncated INFO sub-chunk '$sid' (size $ssize)")
+            val raw = new String(bytes, so + 8, ssize, "US-ASCII")
+            out += sid -> raw.takeWhile(_ != '\u0000')
+            so += 8 + ssize + (ssize & 1)
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      out
+    }
+
+    /** [[encodePcm16]] plus a RIFF LIST/INFO metadata chunk (each value
+      * NUL-terminated and even-padded, per the RIFF spec) — the tagged
+      * synthetic-fixture builder. */
+    def encodePcm16WithInfo(channels: Int, sampleRate: Int, nFrames: Int,
+        sample: (Int, Int) => Int, info: Seq[(String, String)]): Array[Byte] = {
+      val base = encodePcm16(channels, sampleRate, nFrames, sample)
+      if (info.isEmpty) return base
+      val subs = info.map { case (id, v) =>
+        require(id.length == 4, s"INFO tag ids are 4 ASCII chars, got '$id'")
+        val value = v.getBytes("US-ASCII") :+ 0.toByte
+        val padded = if (value.length % 2 == 1) value :+ 0.toByte else value
+        (id, value.length, padded)
+      }
+      val listLen = 4 + subs.map(8 + _._3.length).sum
+      val chunk = new Array[Byte](8 + listLen)
+      def put32(a: Array[Byte], o: Int, v: Int): Unit = {
+        a(o) = v.toByte; a(o + 1) = (v >> 8).toByte
+        a(o + 2) = (v >> 16).toByte; a(o + 3) = (v >> 24).toByte
+      }
+      "LIST".getBytes("US-ASCII").copyToArray(chunk, 0)
+      put32(chunk, 4, listLen)
+      "INFO".getBytes("US-ASCII").copyToArray(chunk, 8)
+      var o = 12
+      for ((id, declared, padded) <- subs) {
+        id.getBytes("US-ASCII").copyToArray(chunk, o)
+        put32(chunk, o + 4, declared)
+        padded.copyToArray(chunk, o + 8)
+        o += 8 + padded.length
+      }
+      // splice between the fmt chunk (ends at 36) and the data chunk
+      val out = new Array[Byte](base.length + chunk.length)
+      System.arraycopy(base, 0, out, 0, 36)
+      System.arraycopy(chunk, 0, out, 36, chunk.length)
+      System.arraycopy(base, 36, out, 36 + chunk.length, base.length - 36)
+      put32(out, 4, out.length - 8) // RIFF size covers the new chunk
+      out
+    }
+
     /** One streaming pass → [[AudioStats]]. */
     def statsOf(bytes: Array[Byte], silenceThreshold: Int = 256): AudioStats = {
       val (channels, sampleRate, dataOff, nFrames) = parse(bytes)
@@ -246,6 +319,47 @@ object Audio {
       val bytes = row.getAs[Array[Byte]](binIdx)
       if (bytes == null) null else Wav.fingerprint(bytes)
     }
+  }
+
+  /** Append selected RIFF LIST/INFO tag values ([[Wav.info]]) as string
+    * columns named by the lowercased tag id (NULL when the tag — or the
+    * whole INFO list, or the binary — is absent). The audio analog of
+    * the EXIF extraction ([[Exif]]): same per-partition streaming
+    * shape. */
+  def withAudioInfo(df: DataFrame, binCol: String,
+      keys: Seq[String]): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++
+      keys.map(k => StructField(k.toLowerCase(java.util.Locale.ROOT), StringType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val m = if (bytes == null) Map.empty[String, String] else Wav.info(bytes)
+        Row.fromSeq(row.toSeq ++ keys.map(k => m.get(k).orNull))
+      }
+    }(encoder)
+  }
+
+  /** [[syntheticWav]] with a closed-form LIST/INFO tag set — the tagged
+    * fixture for the metadata path:
+    * `INAM = "track " + base`, `IART = "artist " + base % 7`,
+    * `ICRD = 2000 + base % 25`. */
+  def syntheticWavTagged(df: DataFrame, baseCol: String,
+      out: String = "wav"): DataFrame = {
+    val baseIdx = df.schema.fieldIndex(baseCol)
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val base = row.getLong(baseIdx)
+        val wav = Wav.encodePcm16WithInfo(1, 8000, (40 + base % 13).toInt,
+          (i, _) => ((base * 31 + i * 17) % 1001).toInt - 500,
+          Seq("INAM" -> s"track $base", "IART" -> s"artist ${base % 7}",
+            "ICRD" -> (2000 + base % 25).toString))
+        Row.fromSeq(row.toSeq :+ wav)
+      }
+    }(encoder)
   }
 
   /** Synthetic closed-form PCM fixture (the audio sibling of

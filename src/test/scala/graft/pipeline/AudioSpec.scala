@@ -76,6 +76,26 @@ class AudioSpec extends SparkSpec {
     assert(Wav.fingerprint(stereo) === Wav.fingerprint(a))
   }
 
+  test("LIST/INFO metadata: round-trip, odd-length padding, stats unaffected, absent tags NULL") {
+    val plain = Wav.encodePcm16(1, 8000, 5, (i, _) => i * 100)
+    assert(Wav.info(plain) === Map.empty)
+    // odd-length value ("abc" + NUL = 4... use "abcd" + NUL = 5 -> padded)
+    val tagged = Wav.encodePcm16WithInfo(1, 8000, 5, (i, _) => i * 100,
+      Seq("INAM" -> "abcd", "IART" -> "x"))
+    assert(Wav.info(tagged) === Map("INAM" -> "abcd", "IART" -> "x"))
+    // the spliced LIST chunk must not disturb parse/stats
+    assert(Wav.statsOf(tagged) === Wav.statsOf(plain))
+    // absent keys come back NULL through the operator
+    import spark.implicits._
+    val df = Audio.withAudioInfo(
+      Seq(0L, 8L).toDF("base").transform(d => Audio.syntheticWavTagged(d, "base")),
+      "wav", Seq("INAM", "IGNR"))
+    val rows = df.select("base", "inam", "ignr").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.isNullAt(2)))).toMap
+    assert(rows(0L) === (("track 0", true)))
+    assert(rows(8L) === (("track 8", true)))
+  }
+
   test("spark operators: stats + fingerprint over the synthetic fixture, null passthrough") {
     import spark.implicits._
     val base = Seq(0L, 1L, 2L, 41L).toDF("base")
