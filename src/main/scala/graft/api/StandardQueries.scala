@@ -745,6 +745,41 @@ object StandardQueries {
         | WHERE bit_count(xor(p.dhash, i.dhash)) <= 7
         | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Image RESIZE ([[graft.pipeline.Multimodal.resizeBmp24]]): every
+    * synthetic BMP is nearest-neighbor resized to 32×32 (pure-integer
+    * source mapping, dest (x,y) ← source (x·w/32, y·h/32)) and the
+    * RESIZED image dHash-ed — the oracle replays resize + hash
+    * analytically, so one hash mismatch catches any off-by-one in the
+    * coordinate mapping, row padding, or orientation handling. */
+  private def qImageResizeDhash = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.lit(0).as("shift"))
+      Multimodal.withDHash(
+          Multimodal.withResizedBmp(
+            Multimodal.syntheticBmpShifted(docs, "doc_id", "shift"), "img", 32, 32),
+          "img_resized")
+        .select("doc_id", "dhash").orderBy("doc_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS base, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+           | px AS (SELECT base, u.x AS x, u.y AS y,
+           |     299 * ((base * 7 + ((u.x * w) // 32) * 13 + ((u.y * h) // 32) * 31) % 256)
+           |   + 587 * ((base * 11 + ((u.x * w) // 32) * 3 + ((u.y * h) // 32) * 5) % 256)
+           |   + 114 * ((base * 5 + ((u.x * w) // 32) * 17 + ((u.y * h) // 32) * 23) % 256) AS q
+           |   FROM (SELECT base, w, h,
+           |       unnest(flatten([[{'x': x, 'y': y} for y in range(0, 32)] for x in range(0, 32)])) AS u
+           |     FROM dims)),
+           | cell AS (SELECT base, (x * 9) // 32 AS ci, (y * 8) // 32 AS cj, sum(q) AS s, count(*) AS n
+           |   FROM px GROUP BY 1, 2, 3),
+           | bits AS (SELECT a.base,
+           |     CASE WHEN b.s * a.n > a.s * b.n THEN (1::HUGEINT << (a.cj * 8 + a.ci)) ELSE 0::HUGEINT END AS bit
+           |   FROM cell a JOIN cell b ON b.base = a.base AND b.cj = a.cj AND b.ci = a.ci + 1
+           |   WHERE a.ci < 8),
+           | dh AS (SELECT base, (CASE WHEN sum(bit) >= 9223372036854775808::HUGEINT
+           |     THEN sum(bit) - 18446744073709551616::HUGEINT ELSE sum(bit) END)::BIGINT AS dhash
+           |   FROM bits GROUP BY 1)
+           | SELECT base AS doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   private def qImageStats = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id")
@@ -5342,6 +5377,7 @@ object StandardQueries {
     "multimodal_profile" -> qMultimodalProfile,
     "image_stats" -> qImageStats,
     "image_dhash" -> qImageDhash,
+    "image_resize_dhash" -> qImageResizeDhash,
     "audio_stats" -> qAudioStats,
     "audio_meta" -> qAudioMeta,
     "audio_fingerprint" -> qAudioFingerprint,

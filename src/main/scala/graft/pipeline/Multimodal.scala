@@ -503,6 +503,51 @@ object Multimodal {
       else ofImage(ImageIo.decode(bytes))
   }
 
+  /** Nearest-neighbor resize of an uncompressed 24/32-bpp BMP to
+    * `dw`×`dh`, emitted as a fresh 24-bpp BMP. Pure integer source
+    * mapping — dest (x, y) samples logical source pixel
+    * (x·srcW / dw, y·srcH / dh), floor division — so a SQL oracle
+    * replays every output pixel; bottom-up and top-down source layouts
+    * both map through LOGICAL coordinates. */
+  def resizeBmp24(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+    require(dw >= 1 && dh >= 1, s"degenerate target dims ${dw}x$dh")
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP (missing BM magic)")
+    val pixelOff = Bmp.le32(bytes, 10)
+    val width = Bmp.le32(bytes, 18)
+    val rawH = Bmp.le32(bytes, 22)
+    val height = math.abs(rawH)
+    val bpp = Bmp.le16(bytes, 28)
+    require(Bmp.le32(bytes, 30) == 0 && (bpp == 24 || bpp == 32),
+      "only uncompressed 24/32-bpp BMP supported")
+    require(width > 0 && height > 0, "degenerate source dims")
+    val step = bpp / 8
+    val rowSize = (width * step + 3) & ~3
+    Bmp.encode24(dw, dh, (x, y) => {
+      val sx = x * width / dw
+      val sy = y * height / dh
+      val storageY = if (rawH > 0) height - 1 - sy else sy
+      val off = pixelOff + storageY * rowSize + sx * step
+      ((bytes(off + 2) & 0xff), (bytes(off + 1) & 0xff), bytes(off) & 0xff)
+    })
+  }
+
+  /** Append a [[resizeBmp24]]-resized copy of a binary BMP column (NULL
+    * in, NULL out; per-partition streaming shape). */
+  def withResizedBmp(df: DataFrame, binCol: String, dw: Int, dh: Int,
+      out: String = "img_resized"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val v: Any = if (bytes == null) null else resizeBmp24(bytes, dw, dh)
+        Row.fromSeq(row.toSeq :+ v)
+      }
+    }(encoder)
+  }
+
   /** Append the [[DHash]] of a binary image column (same per-partition
     * streaming decode shape as [[withImageStats]]; NULL binaries yield
     * NULL hashes). */

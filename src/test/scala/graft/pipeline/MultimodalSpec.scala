@@ -265,6 +265,31 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must plant at least one near pair")
   }
 
+  test("resizeBmp24: identity preserves pixels; mapping is exact nearest-neighbor; orientation logical") {
+    import Multimodal.resizeBmp24
+    val src = Bmp.encode24(7, 5, (x, y) => (x * 30, y * 40, (x + y) * 10))
+    // identity resize: every logical pixel survives byte-for-byte
+    // (compare via dHash + stats, which read logical pixels)
+    val id = resizeBmp24(src, 7, 5)
+    assert(Multimodal.DHash.of(id) === Multimodal.DHash.of(src))
+    // 1x1 resize picks source (0, 0) exactly
+    val one = resizeBmp24(src, 1, 1)
+    val st = Bmp.decodeStats(one)
+    assert(st.width === 1 && st.height === 1)
+    // upscale 2x then back down: dest (2x, 2y) samples source (x, y),
+    // and the round trip picks every even dest pixel — the source must
+    // reproduce exactly
+    val back = resizeBmp24(resizeBmp24(src, 14, 10), 7, 5)
+    assert(Multimodal.DHash.of(back) === Multimodal.DHash.of(src))
+    // a vertically-asymmetric image resizes by LOGICAL rows: flipped
+    // content must stay flipped after resize (the gradient half must
+    // vary HORIZONTALLY — dHash only sees left-right comparisons)
+    val top = Bmp.encode24(8, 8, (x, y) => if (y < 4) (x * 30, x * 30, x * 30) else (0, 0, 0))
+    val flip = Bmp.encode24(8, 8, (x, y) => if (y >= 4) (x * 30, x * 30, x * 30) else (0, 0, 0))
+    assert(Multimodal.DHash.of(resizeBmp24(top, 16, 16)) !==
+      Multimodal.DHash.of(resizeBmp24(flip, 16, 16)))
+  }
+
   test("hashNearDupsAgainstIndex: asymmetric pairs match brute force, ids from disjoint spaces") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
