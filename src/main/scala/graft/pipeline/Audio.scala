@@ -134,8 +134,10 @@ object Audio {
       * without an INFO list yields an empty map. Malformed sub-chunk
       * sizes fail loudly like every other truncation. */
     def info(bytes: Array[Byte]): Map[String, String] = {
-      require(bytes.length >= 12 && bytes(0) == 'R' && bytes(8) == 'W',
-        "not a RIFF/WAVE file")
+      require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a RIFF/WAVE file") // a full magic check: WebP etc. are RIFF too
       var off = 12
       var out = Map.empty[String, String]
       while (off + 8 <= bytes.length) {
@@ -323,9 +325,11 @@ object Audio {
 
   /** Append selected RIFF LIST/INFO tag values ([[Wav.info]]) as string
     * columns named by the lowercased tag id (NULL when the tag — or the
-    * whole INFO list, or the binary — is absent). The audio analog of
-    * the EXIF extraction ([[Exif]]): same per-partition streaming
-    * shape. */
+    * whole INFO list, or the binary — is absent). Tags are looked up
+    * by the raw key, then by its uppercased canonical form, so
+    * `Seq("inam")` and `Seq("INAM")` behave identically. The audio
+    * analog of the EXIF extraction ([[Exif]]): same per-partition
+    * streaming shape. */
   def withAudioInfo(df: DataFrame, binCol: String,
       keys: Seq[String]): DataFrame = {
     val outSchema = StructType(df.schema.fields ++
@@ -336,7 +340,8 @@ object Audio {
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val m = if (bytes == null) Map.empty[String, String] else Wav.info(bytes)
-        Row.fromSeq(row.toSeq ++ keys.map(k => m.get(k).orNull))
+        Row.fromSeq(row.toSeq ++ keys.map(k =>
+          m.get(k).orElse(m.get(k.toUpperCase(java.util.Locale.ROOT))).orNull))
       }
     }(encoder)
   }
@@ -348,18 +353,13 @@ object Audio {
   def syntheticWavTagged(df: DataFrame, baseCol: String,
       out: String = "wav"): DataFrame = {
     val baseIdx = df.schema.fieldIndex(baseCol)
-    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
-    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { row =>
-        val base = row.getLong(baseIdx)
-        val wav = Wav.encodePcm16WithInfo(1, 8000, (40 + base % 13).toInt,
-          (i, _) => ((base * 31 + i * 17) % 1001).toInt - 500,
-          Seq("INAM" -> s"track $base", "IART" -> s"artist ${base % 7}",
-            "ICRD" -> (2000 + base % 25).toString))
-        Row.fromSeq(row.toSeq :+ wav)
-      }
-    }(encoder)
+    appended(df, StructField(out, BinaryType)) { row =>
+      val base = row.getLong(baseIdx)
+      Wav.encodePcm16WithInfo(1, 8000, (40 + base % 13).toInt,
+        (i, _) => ((base * 31 + i * 17) % 1001).toInt - 500,
+        Seq("INAM" -> s"track $base", "IART" -> s"artist ${base % 7}",
+          "ICRD" -> (2000 + base % 25).toString))
+    }
   }
 
   /** Synthetic closed-form PCM fixture (the audio sibling of

@@ -590,14 +590,22 @@ object Dedup {
     * here documents. Degenerate chunks (a constant
     * region across the corpus, e.g. letterboxed borders) form
     * mega-buckets; [[capBuckets]] thins BOTH join sides to the same
-    * hash-sampled ≤ `maxBucketSize` member set (the cap filter is
-    * deterministic in (band, value, id), so the two sides keep
+    * hash-sampled member set of EXPECTED size `maxBucketSize` (the
+    * `pmod(hash, n) < cap` filter is binomial sampling, not a hard
+    * cap; deterministic in (band, value, id), so the two sides keep
     * identical survivors) — an overflowing bucket contributes
-    * C(cap, 2) candidate pairs instead of cap × bucket, and a pair is
-    * reported iff it shares a band where both members survive the
-    * thinning. With `maxBucketSize` at or above every bucket size the
-    * join is exhaustive. Output: `(a, b, hamming)` with `a < b`, one
-    * row per pair. */
+    * O(cap²)-expected candidate pairs instead of cap × bucket, and a
+    * pair is reported iff it shares a band where both members survive
+    * the thinning. With `maxBucketSize` at or above every bucket size
+    * the join is exhaustive.
+    *
+    * The slim (id, hash) projection is localCheckpoint-ed before the
+    * self-join: the two banded sides plus the two cap-count aggregates
+    * would otherwise re-run the upstream lineage — e.g. a per-row
+    * image decode + dHash — four times. Batch-only (the checkpoint and
+    * self-join both need a bounded input); streams use
+    * [[hashNearDupsAgainstIndex]]. Output: `(a, b, hamming)` with
+    * `a < b`, one row per pair. */
   /** The `bands` contiguous `64/bands`-bit chunks of a signature, as an
     * array column (shared by the symmetric and asymmetric banded
     * Hamming joins — both sides MUST chunk identically). */
@@ -615,8 +623,11 @@ object Dedup {
       maxHamming: Int, bands: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    def side(a: String, h: String) = df
-      .select(F.col(idCol).as(a), F.col(hashCol).cast("long").as(h))
+    val slim = df
+      .select(F.col(idCol).as("__hnd_id"), F.col(hashCol).cast("long").as("__hnd_h"))
+      .localCheckpoint(true)
+    def side(a: String, h: String) = slim
+      .select(F.col("__hnd_id").as(a), F.col("__hnd_h").as(h))
       .select(F.col(a), F.col(h),
         F.posexplode(hashChunks(F.col(h), bands)).as(Seq("band", "bv")))
     val left = capBuckets(side("a", "ha"), Seq("band", "bv"), "a", maxBucketSize)
@@ -634,12 +645,20 @@ object Dedup {
     * Only the (tiny) banded index side is bucket-capped; each probe row
     * carries its own signature through the band join, so the plan is
     * one declarative stream-static join when `probe` is a streaming
-    * DataFrame (stateless but for the trailing pair dedup, which holds
-    * only the current batch's pairs under exactly-once file sources —
-    * same accounting as [[graft.streaming.DedupStream
-    * .nearDupsAgainstIndex]]). Output: `(a = probe id, b = index id,
-    * hamming)`, one row per pair; ids may come from disjoint spaces —
-    * no `a < b` ordering is imposed. */
+    * DataFrame. The index's slim (id, hash) projection is
+    * localCheckpoint-ed (it is referenced by both the cap-count
+    * aggregate and the band join); the probe side stays lazy and is
+    * evaluated once. CAUTION on unbounded streams: the trailing
+    * `dropDuplicates` is STATEFUL and retains every emitted pair
+    * indefinitely — fine under bounded triggers (`AvailableNow`, the
+    * test/backfill shape), but a continuous ingestion stream must
+    * bound it upstream with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` (docs arrive in one micro-batch,
+    * so a short watermark suffices — same accounting as
+    * [[graft.streaming.DedupStream.nearDupsAgainstIndex]]). Output:
+    * `(a = probe id, b = index id, hamming)`, one row per pair; ids
+    * may come from disjoint spaces — no `a < b` ordering is
+    * imposed. */
   def hashNearDupsAgainstIndex(probe: DataFrame, probeId: String,
       probeHash: String, index: DataFrame, indexId: String,
       indexHash: String, maxHamming: Int, bands: Int = 8,
@@ -649,10 +668,12 @@ object Dedup {
       .select(F.col(probeId).as("a"), F.col(probeHash).cast("long").as("ha"))
       .select(F.col("a"), F.col("ha"),
         F.posexplode(hashChunks(F.col("ha"), bands)).as(Seq("band", "bv")))
+    val slimIx = index
+      .select(F.col(indexId).as("b"), F.col(indexHash).cast("long").as("hb"))
+      .localCheckpoint(true)
     val ix = capBuckets(
-      index.select(F.col(indexId).as("b"), F.col(indexHash).cast("long").as("hb"))
-        .select(F.col("b"), F.col("hb"),
-          F.posexplode(hashChunks(F.col("hb"), bands)).as(Seq("band", "bv"))),
+      slimIx.select(F.col("b"), F.col("hb"),
+        F.posexplode(hashChunks(F.col("hb"), bands)).as(Seq("band", "bv"))),
       Seq("band", "bv"), "b", maxBucketSize)
     p.join(ix, Seq("band", "bv"))
       .select(F.col("a"), F.col("b"),

@@ -249,6 +249,34 @@ object Multimodal {
     private[pipeline] def le32(a: Array[Byte], i: Int): Int =
       (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8) | ((a(i + 2) & 0xff) << 16) | ((a(i + 3) & 0xff) << 24)
 
+    /** Fully validated uncompressed 24/32-bpp BMP header —
+      * `(pixelOff, width, rawHeight, step, rowSize)` — shared by every
+      * BMP reader so they all fail loudly (never index out of bounds
+      * or read in-bounds garbage) on truncated pixel data, hostile
+      * dims (`width·step` is computed in Long), compressed payloads,
+      * or a pixel offset pointing outside the buffer. */
+    private[pipeline] def header(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP (missing BM magic)")
+      val pixelOff = le32(bytes, 10)
+      val hdrSize = le32(bytes, 14)
+      require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+      val width = le32(bytes, 18)
+      val rawH = le32(bytes, 22)
+      val height = math.abs(rawH)
+      val bpp = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      require(compression == 0, s"compressed BMP (method $compression) unsupported")
+      require(bpp == 24 || bpp == 32, s"only 24/32-bpp BMP supported, got $bpp")
+      require(width > 0 && height > 0, s"degenerate dims ${width}x$rawH")
+      require(pixelOff >= 54, s"pixel offset $pixelOff inside the header")
+      val step = bpp / 8
+      val rowSizeL = (width.toLong * step + 3) & ~3L
+      require(bytes.length >= pixelOff.toLong + rowSizeL * height,
+        "truncated BMP pixel data")
+      (pixelOff, width, rawH, step, rowSizeL.toInt)
+    }
+
     /** Encode a 24-bpp bottom-up uncompressed BMP; `rgb(x, y)` supplies
       * the pixel at column x, TOP-DOWN row y as (r, g, b) in 0..255. */
     def encode24(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
@@ -285,23 +313,8 @@ object Multimodal {
       * compute [[ImageStats]] in one pass. Rejects anything else loudly —
       * no silent partial stats. */
     def decodeStats(bytes: Array[Byte]): ImageStats = {
-      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
-        "not a BMP (missing BM magic)")
-      val pixelOff = le32(bytes, 10)
-      val hdrSize = le32(bytes, 14)
-      require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
-      val width = le32(bytes, 18)
-      val rawH = le32(bytes, 22)
+      val (pixelOff, width, rawH, step, rowSize) = header(bytes)
       val height = math.abs(rawH)
-      val bpp = le16(bytes, 28)
-      val compression = le32(bytes, 30)
-      require(compression == 0, s"compressed BMP (method $compression) unsupported")
-      require(bpp == 24 || bpp == 32, s"only 24/32-bpp BMP supported, got $bpp")
-      require(width > 0 && height > 0, s"degenerate dims ${width}x$rawH")
-      val step = bpp / 8
-      val rowSize = (width * step + 3) & ~3
-      require(bytes.length >= pixelOff + rowSize.toLong * height,
-        "truncated BMP pixel data")
       val acc = new PixelAcc
       var y = 0
       while (y < height) {
@@ -419,6 +432,17 @@ object Multimodal {
     * verbatim by the analytic oracle. Pair with
     * [[Dedup.hashNearDups]] for the banded near-dup join. */
   object DHash {
+    /** a·b > c·d for non-negative longs, exact via 128-bit products —
+      * the naive Long product overflows (and silently flips hash bits)
+      * for gigapixel-scale bright images where cell sums reach ~10¹²
+      * against ~10⁷ counts; the oracle's HUGEINT arithmetic is exact,
+      * so the engine must be too. */
+    private def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+      val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+      hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+    }
+
     private[pipeline] def packed(sums: Array[Array[Long]],
         cnts: Array[Array[Long]]): Long = {
       var hash = 0L
@@ -426,7 +450,7 @@ object Multimodal {
       while (j < 8) {
         var i = 0
         while (i < 8) {
-          if (sums(i + 1)(j) * cnts(i)(j) > sums(i)(j) * cnts(i + 1)(j))
+          if (productGreater(sums(i + 1)(j), cnts(i)(j), sums(i)(j), cnts(i + 1)(j)))
             hash |= 1L << (j * 8 + i)
           i += 1
         }
@@ -439,18 +463,8 @@ object Multimodal {
       (Array.ofDim[Long](9, 8), Array.ofDim[Long](9, 8))
 
     def ofBmp(bytes: Array[Byte]): Long = {
-      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
-        "not a BMP (missing BM magic)")
-      val pixelOff = Bmp.le32(bytes, 10)
-      val width = Bmp.le32(bytes, 18)
-      val rawH = Bmp.le32(bytes, 22)
+      val (pixelOff, width, rawH, step, rowSize) = Bmp.header(bytes)
       val height = math.abs(rawH)
-      val bpp = Bmp.le16(bytes, 28)
-      require(Bmp.le32(bytes, 30) == 0 && (bpp == 24 || bpp == 32),
-        "only uncompressed 24/32-bpp BMP supported")
-      require(width > 0 && height > 0, "degenerate dims")
-      val step = bpp / 8
-      val rowSize = (width * step + 3) & ~3
       val (sums, cnts) = grid()
       var y = 0
       while (y < height) {
@@ -511,18 +525,8 @@ object Multimodal {
     * both map through LOGICAL coordinates. */
   def resizeBmp24(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
     require(dw >= 1 && dh >= 1, s"degenerate target dims ${dw}x$dh")
-    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
-      "not a BMP (missing BM magic)")
-    val pixelOff = Bmp.le32(bytes, 10)
-    val width = Bmp.le32(bytes, 18)
-    val rawH = Bmp.le32(bytes, 22)
+    val (pixelOff, width, rawH, step, rowSize) = Bmp.header(bytes)
     val height = math.abs(rawH)
-    val bpp = Bmp.le16(bytes, 28)
-    require(Bmp.le32(bytes, 30) == 0 && (bpp == 24 || bpp == 32),
-      "only uncompressed 24/32-bpp BMP supported")
-    require(width > 0 && height > 0, "degenerate source dims")
-    val step = bpp / 8
-    val rowSize = (width * step + 3) & ~3
     Bmp.encode24(dw, dh, (x, y) => {
       val sx = x * width / dw
       val sy = y * height / dh
