@@ -53,7 +53,7 @@ object ScaleProbe {
     "dedup_exact", "dedup_near", "dedup_clusters", "dedup_near_capped",
     "dedup_keep_best", "dedup_paragraphs_counts", "dedup_apply",
     "dedup_bloom", "dedup_bloom_sharded", "bm25_top_docs",
-    "audio_stats", "corpus_shards",
+    "audio_stats", "corpus_shards", "video_frame_dhash",
     "corpus_shuffle", "text_entropy",
     "quality_classifier_score", "trigram_lm_score", "backoff_lm_score",
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",

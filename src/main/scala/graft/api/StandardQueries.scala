@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis, Video}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -535,6 +535,65 @@ object StandardQueries {
            | FROM p JOIN agg a USING (doc_id) JOIN zc z USING (doc_id)
            | LEFT JOIN loud l USING (doc_id)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** REAL video container decode ([[graft.pipeline.Video.Avi]]): a
+    * synthetic uncompressed AVI per doc goes through the RIFF walker —
+    * avih geometry/timing, strl skip, movi frame enumeration. The
+    * oracle restates the closed-form header fields (duration =
+    * frames·usPerFrame/1000, integer division). */
+  private def qVideoMeta = Q(
+    (s, dir) => Video.withVideoMeta(
+        Video.syntheticAvi(
+          t(s, dir, "documents").select(F.col("doc_id")), "doc_id"), "avi")
+      .select(F.col("doc_id"), F.col("video.width"), F.col("video.height"),
+        F.col("video.n_frames"), F.col("video.us_per_frame"),
+        F.col("video.duration_ms"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+           | CAST(8 + doc_id % 7 AS INT) AS height,
+           | CAST(3 + doc_id % 4 AS INT) AS n_frames,
+           | CAST(33333 AS INT) AS us_per_frame,
+           | CAST((3 + doc_id % 4) * 33333 // 1000 AS BIGINT) AS duration_ms
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Per-FRAME perceptual hashing ([[graft.pipeline.Video.Avi
+    * .frameDHashes]] over real DIB frame decode): one row per (video,
+    * frame) with the frame's [[graft.pipeline.Multimodal.DHash]]; the
+    * oracle re-derives every frame hash analytically from the
+    * closed-form pixels (frame term in every channel). The scene-dedup
+    * path feeds these into `hashNearDups`. */
+  private def qVideoFrameDhash = Q(
+    (s, dir) => Video.withFrameDHashes(
+        Video.syntheticAvi(
+          t(s, dir, "documents").select(F.col("doc_id")), "doc_id"), "avi")
+      .select(F.col("doc_id"),
+        F.posexplode(F.col("frame_dhashes")).as(Seq("frame", "dhash")))
+      .orderBy("doc_id", "frame"),
+    Some("""WITH dims AS (SELECT doc_id AS base, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           |   3 + doc_id % 4 AS nf FROM documents),
+           | fr AS (SELECT base, w, h, unnest(range(0, nf)) AS f FROM dims),
+           | px AS (SELECT base, f, w, h, u.x AS x, u.y AS y,
+           |     299 * ((base * 7 + u.x * 13 + u.y * 31 + f * 19) % 256)
+           |   + 587 * ((base * 11 + u.x * 3 + u.y * 5 + f * 19) % 256)
+           |   + 114 * ((base * 5 + u.x * 17 + u.y * 23 + f * 19) % 256) AS q
+           |   FROM (SELECT base, f, w, h,
+           |       unnest(flatten([[{'x': x, 'y': y} for y in range(0, h)] for x in range(0, w)])) AS u
+           |     FROM fr)),
+           | cell AS (SELECT base, f, (x * 9) // w AS ci, (y * 8) // h AS cj, sum(q) AS s, count(*) AS n
+           |   FROM px GROUP BY 1, 2, 3, 4),
+           | grid AS (SELECT g.base, g.f, g.i, g.j, coalesce(c.s, 0) AS s, coalesce(c.n, 0) AS n
+           |   FROM (SELECT base, f, gi.i, gj.j FROM fr,
+           |       (SELECT unnest(range(0, 9)) AS i) gi, (SELECT unnest(range(0, 8)) AS j) gj) g
+           |   LEFT JOIN cell c ON c.base = g.base AND c.f = g.f AND c.ci = g.i AND c.cj = g.j),
+           | bits AS (SELECT a.base, a.f,
+           |     CASE WHEN b.s * a.n > a.s * b.n THEN (1::HUGEINT << (a.j * 8 + a.i)) ELSE 0::HUGEINT END AS bit
+           |   FROM grid a JOIN grid b ON b.base = a.base AND b.f = a.f AND b.j = a.j AND b.i = a.i + 1
+           |   WHERE a.i < 8),
+           | dh AS (SELECT base, f, (CASE WHEN sum(bit) >= 9223372036854775808::HUGEINT
+           |     THEN sum(bit) - 18446744073709551616::HUGEINT ELSE sum(bit) END)::BIGINT AS dhash
+           |   FROM bits GROUP BY 1, 2)
+           | SELECT base AS doc_id, CAST(f AS INT) AS frame, dhash FROM dh
+           | ORDER BY doc_id, frame""".stripMargin.replaceAll("\n", " ")))
 
   /** RIFF LIST/INFO metadata extraction
     * ([[graft.pipeline.Audio.Wav.info]], the audio EXIF analog): tags
@@ -5380,6 +5439,8 @@ object StandardQueries {
     "image_resize_dhash" -> qImageResizeDhash,
     "audio_stats" -> qAudioStats,
     "audio_meta" -> qAudioMeta,
+    "video_meta" -> qVideoMeta,
+    "video_frame_dhash" -> qVideoFrameDhash,
     "audio_fingerprint" -> qAudioFingerprint,
     "dedup_audio" -> qDedupAudio,
     "dedup_images" -> qDedupImages,

@@ -464,15 +464,23 @@ object Multimodal {
 
     def ofBmp(bytes: Array[Byte]): Long = {
       val (pixelOff, width, rawH, step, rowSize) = Bmp.header(bytes)
+      ofDib(bytes, pixelOff, width, rawH, step, rowSize)
+    }
+
+    /** dHash of a raw DIB pixel block (the BMP body without a file
+      * header — also an uncompressed AVI video frame). Caller supplies
+      * VALIDATED geometry (see [[Bmp.header]] / [[Video]]); positive
+      * `rawH` = bottom-up storage, so storage row y is logical row
+      * height−1−y — dHash is orientation-SENSITIVE, unlike the pixel
+      * stats. */
+    private[pipeline] def ofDib(bytes: Array[Byte], pixelOff: Int,
+        width: Int, rawH: Int, step: Int, rowSize: Int): Long = {
       val height = math.abs(rawH)
       val (sums, cnts) = grid()
       var y = 0
       while (y < height) {
         var off = pixelOff + y * rowSize
         var x = 0
-        // dHash is orientation-SENSITIVE (unlike the pixel stats):
-        // positive height = bottom-up storage, so storage row y is
-        // logical row height-1-y
         val ly = if (rawH > 0) height - 1 - y else y
         val cj = ly * 8 / height
         while (x < width) {
