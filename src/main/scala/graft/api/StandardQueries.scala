@@ -562,14 +562,8 @@ object StandardQueries {
     * oracle re-derives every frame hash analytically from the
     * closed-form pixels (frame term in every channel). The scene-dedup
     * path feeds these into `hashNearDups`. */
-  private def qVideoFrameDhash = Q(
-    (s, dir) => Video.withFrameDHashes(
-        Video.syntheticAvi(
-          t(s, dir, "documents").select(F.col("doc_id")), "doc_id"), "avi")
-      .select(F.col("doc_id"),
-        F.posexplode(F.col("frame_dhashes")).as(Seq("frame", "dhash")))
-      .orderBy("doc_id", "frame"),
-    Some("""WITH dims AS (SELECT doc_id AS base, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+  private val videoDhashCte: String =
+    """WITH dims AS (SELECT doc_id AS base, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
            |   3 + doc_id % 4 AS nf FROM documents),
            | fr AS (SELECT base, w, h, unnest(range(0, nf)) AS f FROM dims),
            | px AS (SELECT base, f, w, h, u.x AS x, u.y AS y,
@@ -589,11 +583,47 @@ object StandardQueries {
            |     CASE WHEN b.s * a.n > a.s * b.n THEN (1::HUGEINT << (a.j * 8 + a.i)) ELSE 0::HUGEINT END AS bit
            |   FROM grid a JOIN grid b ON b.base = a.base AND b.f = a.f AND b.j = a.j AND b.i = a.i + 1
            |   WHERE a.i < 8),
-           | dh AS (SELECT base, f, (CASE WHEN sum(bit) >= 9223372036854775808::HUGEINT
-           |     THEN sum(bit) - 18446744073709551616::HUGEINT ELSE sum(bit) END)::BIGINT AS dhash
-           |   FROM bits GROUP BY 1, 2)
-           | SELECT base AS doc_id, CAST(f AS INT) AS frame, dhash FROM dh
-           | ORDER BY doc_id, frame""".stripMargin.replaceAll("\n", " ")))
+      | dh AS (SELECT base, f, (CASE WHEN sum(bit) >= 9223372036854775808::HUGEINT
+      |     THEN sum(bit) - 18446744073709551616::HUGEINT ELSE sum(bit) END)::BIGINT AS dhash
+      |   FROM bits GROUP BY 1, 2)""".stripMargin.replaceAll("\n", " ")
+
+  private def qVideoFrameDhash = Q(
+    (s, dir) => Video.withFrameDHashes(
+        Video.syntheticAvi(
+          t(s, dir, "documents").select(F.col("doc_id")), "doc_id"), "avi")
+      .select(F.col("doc_id"),
+        F.posexplode(F.col("frame_dhashes")).as(Seq("frame", "dhash")))
+      .orderBy("doc_id", "frame"),
+    Some(videoDhashCte +
+      """ SELECT base AS doc_id, CAST(f AS INT) AS frame, dhash FROM dh
+        | ORDER BY doc_id, frame""".stripMargin.replaceAll("\n", " ")))
+
+  /** Scene-level video dedup: every (video, frame) becomes one
+    * signature entity (id = doc·100 + frame; frame counts stay far
+    * below 100) and [[graft.pipeline.Dedup.hashNearDups]] finds
+    * frame pairs within `maxHamming` ACROSS the whole corpus — the
+    * shared-scene detector. 16 bands of 4 bits keep the banded join
+    * pigeonhole-EXHAUSTIVE at maxHamming 10, so the brute-force
+    * all-pairs Hamming oracle replays it exactly (4-bit bands are the
+    * small-corpus config; at scale, fewer/wider bands + the bucket
+    * cap — the documented trade). */
+  private def qDedupVideoScenes = Q(
+    (s, dir) => {
+      val frames = Video.withFrameDHashes(
+        Video.syntheticAvi(
+          t(s, dir, "documents").select(F.col("doc_id")), "doc_id"), "avi")
+        .select(F.col("doc_id"),
+          F.posexplode(F.col("frame_dhashes")).as(Seq("frame", "dhash")))
+        .select((F.col("doc_id") * 100 + F.col("frame")).as("fid"), F.col("dhash"))
+      Dedup.hashNearDups(frames, "fid", "dhash", maxHamming = 10, bands = 16)
+        .orderBy("a", "b")
+    },
+    Some(videoDhashCte +
+      """ SELECT a.base * 100 + a.f AS a, b.base * 100 + b.f AS b,
+        | CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        | FROM dh a JOIN dh b ON a.base * 100 + a.f < b.base * 100 + b.f
+        | WHERE bit_count(xor(a.dhash, b.dhash)) <= 10
+        | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
   /** RIFF LIST/INFO metadata extraction
     * ([[graft.pipeline.Audio.Wav.info]], the audio EXIF analog): tags
@@ -5441,6 +5471,7 @@ object StandardQueries {
     "audio_meta" -> qAudioMeta,
     "video_meta" -> qVideoMeta,
     "video_frame_dhash" -> qVideoFrameDhash,
+    "dedup_video_scenes" -> qDedupVideoScenes,
     "audio_fingerprint" -> qAudioFingerprint,
     "dedup_audio" -> qDedupAudio,
     "dedup_images" -> qDedupImages,
