@@ -602,11 +602,11 @@ object StandardQueries {
     * signature entity (id = doc·100 + frame; frame counts stay far
     * below 100) and [[graft.pipeline.Dedup.hashNearDups]] finds
     * frame pairs within `maxHamming` ACROSS the whole corpus — the
-    * shared-scene detector. 16 bands of 4 bits keep the banded join
-    * pigeonhole-EXHAUSTIVE at maxHamming 10, so the brute-force
-    * all-pairs Hamming oracle replays it exactly (4-bit bands are the
-    * small-corpus config; at scale, fewer/wider bands + the bucket
-    * cap — the documented trade). */
+    * shared-scene detector. 8-bit bands keep the banded join
+    * pigeonhole-EXHAUSTIVE at maxHamming 7 while staying selective
+    * (4-bit bands measured 220 s at sf0.1's 22k frames — n²/16 per
+    * band); the brute-force all-pairs Hamming oracle replays it
+    * exactly. */
   private def qDedupVideoScenes = Q(
     (s, dir) => {
       val frames = Video.withFrameDHashes(
@@ -615,14 +615,14 @@ object StandardQueries {
         .select(F.col("doc_id"),
           F.posexplode(F.col("frame_dhashes")).as(Seq("frame", "dhash")))
         .select((F.col("doc_id") * 100 + F.col("frame")).as("fid"), F.col("dhash"))
-      Dedup.hashNearDups(frames, "fid", "dhash", maxHamming = 10, bands = 16)
+      Dedup.hashNearDups(frames, "fid", "dhash", maxHamming = 7, bands = 8)
         .orderBy("a", "b")
     },
     Some(videoDhashCte +
       """ SELECT a.base * 100 + a.f AS a, b.base * 100 + b.f AS b,
         | CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
         | FROM dh a JOIN dh b ON a.base * 100 + a.f < b.base * 100 + b.f
-        | WHERE bit_count(xor(a.dhash, b.dhash)) <= 10
+        | WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
   /** RIFF LIST/INFO metadata extraction
