@@ -1,0 +1,210 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.LongType
+
+/** Dataset-level integrity audits for training-data pipelines: referential
+  * integrity across fact/dimension tables, k-anonymity of quasi-identifier
+  * combinations, schema drift between two snapshots of a table, and a
+  * Benford first-digit conformance screen for numeric columns.
+  *
+  * These extend the reference's constraint/validator surface
+  * (/root/reference/python/whylogs/core/constraints/factories/) from
+  * single-column predicates to whole-dataset relational invariants — the
+  * checks a 100 TB ingest actually needs before training.
+  *
+  * Exactness: every emitted value is an integer count, a literal, or a
+  * single IEEE divide of two integers, so DuckDB oracles hash-match.
+  *
+  * Scale notes per operator are on the methods; the common theme is that
+  * nothing here ever shuffles a payload column — audits reduce to key/flag
+  * aggregations pushed map-side before any exchange.
+  */
+object DataAudit {
+
+  /** One foreign-key relation to audit: `child.fk` must reference
+    * `parent.pk`. `broadcastParent` declares the parent's distinct key set
+    * small enough to broadcast (dimension tables); big-big relations leave
+    * it false and get a shuffle join on the key.
+    */
+  final case class FkRelation(
+      name: String,
+      child: DataFrame, fk: String,
+      parent: DataFrame, pk: String,
+      broadcastParent: Boolean = false)
+
+  /** Referential-integrity audit: one row per relation with child row
+    * count, null-FK count, distinct FK count, and orphan (dangling FK)
+    * row/key counts.
+    *
+    * Scale: the child side reduces to (fk, count) BEFORE the join — the
+    * orphan join's left side carries one row per DISTINCT key, not per
+    * child row, so a 100 TB fact table enters the join as its key
+    * cardinality. Dimension parents broadcast their distinct-key set;
+    * big-big relations shuffle on the key with AQE free to pick the
+    * strategy. No payload column ever crosses an exchange.
+    */
+  def referentialIntegrity(relations: Seq[FkRelation]): DataFrame = {
+    require(relations.nonEmpty, "at least one relation")
+    relations.map { r =>
+      val fk = F.col(r.fk)
+      val base = r.child.select(fk.as("__fk"))
+      val stats = base.agg(
+        F.count(F.lit(1)).as("child_rows"),
+        F.count(F.col("__fk")).as("nonnull_fk"),
+        F.count_distinct(F.col("__fk")).as("distinct_fk"))
+      // one row per distinct child key with its multiplicity: the join
+      // input is bounded by key cardinality, not child row count
+      val childKeys = base.where(F.col("__fk").isNotNull)
+        .groupBy("__fk").agg(F.count(F.lit(1)).as("__mult"))
+      val parentKeys0 = r.parent.select(F.col(r.pk).as("__pk")).distinct()
+      val parentKeys = if (r.broadcastParent) F.broadcast(parentKeys0) else parentKeys0
+      val orphans = childKeys
+        .join(parentKeys, F.col("__fk") === F.col("__pk"), "left_anti")
+        .agg(F.coalesce(F.sum("__mult"), F.lit(0L)).as("orphan_rows"),
+          F.count(F.lit(1)).as("orphan_keys"))
+      stats.crossJoin(orphans).select(
+        F.lit(r.name).as("relation"),
+        F.col("child_rows"),
+        (F.col("child_rows") - F.col("nonnull_fk")).as("null_fk"),
+        F.col("distinct_fk"),
+        F.col("orphan_rows"), F.col("orphan_keys"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** k-anonymity audit over a quasi-identifier column set: for each
+    * requested k, how many rows sit in an equivalence class smaller than
+    * k and how many classes are that small; plus the dataset's achieved
+    * anonymity (its smallest class).
+    *
+    * Output: one row per k — (k, n_rows, n_groups, min_group_size,
+    * groups_below_k, rows_below_k, frac_rows_below_k).
+    *
+    * Scale: one shuffle on the QI tuple producing (class, size), then a
+    * per-k reduction over class sizes — the second stage's input is the
+    * number of distinct QI classes, which is what the audit is about, so
+    * it never exceeds the first stage's output. Map-side partial
+    * aggregation applies to both stages.
+    */
+  def kAnonymity(df: DataFrame, qi: Seq[String], ks: Seq[Int]): DataFrame = {
+    require(qi.nonEmpty && ks.nonEmpty, "need quasi-identifiers and ks")
+    val sizes = df.groupBy(qi.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__sz"))
+      .select("__sz")
+    val perK = ks.sorted.map { k =>
+      sizes.agg(
+        F.lit(k).as("k"),
+        F.sum("__sz").cast(LongType).as("n_rows"),
+        F.count(F.lit(1)).as("n_groups"),
+        F.min("__sz").as("min_group_size"),
+        F.sum(F.when(F.col("__sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        F.sum(F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0L)).as("rows_below_k"))
+    }.reduce(_.unionByName(_))
+    perK.withColumn("frac_rows_below_k",
+      F.col("rows_below_k").cast("double") / F.col("n_rows").cast("double"))
+  }
+
+  /** Schema-drift report between two snapshots of a table: per column
+    * (union of both schemas) the declared Spark type on each side, a
+    * changed/added/removed status, and null counts/rates.
+    *
+    * Scale: each side is ONE wide aggregation pass (count + per-column
+    * null counts) — no shuffle beyond the single-row agg exchange; types
+    * come from the schema, not the data.
+    */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    def nullCounts(df: DataFrame): (Map[String, String], DataFrame) = {
+      val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val aggs = F.count(F.lit(1)).as("__n") +:
+        df.schema.fieldNames.map(c =>
+          F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+      (types, df.agg(aggs.head, aggs.tail: _*))
+    }
+    val (typesA, aggA) = nullCounts(a)
+    val (typesB, aggB) = nullCounts(b)
+    val rowA = aggA.collect().head
+    val rowB = aggB.collect().head
+    val nA = rowA.getAs[Long]("__n")
+    val nB = rowB.getAs[Long]("__n")
+    val cols = (a.schema.fieldNames ++ b.schema.fieldNames).distinct.sorted.toSeq
+    import spark.implicits._
+    cols.map { c =>
+      val tA = typesA.get(c)
+      val tB = typesB.get(c)
+      val status = (tA, tB) match {
+        case (Some(x), Some(y)) if x == y => "unchanged"
+        case (Some(_), Some(_)) => "type_changed"
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (None, None) => "impossible"
+      }
+      val nullA = tA.map(_ => rowA.getAs[Long](s"__null_$c"))
+      val nullB = tB.map(_ => rowB.getAs[Long](s"__null_$c"))
+      (c, tA.getOrElse(""), tB.getOrElse(""), status,
+        nullA.getOrElse(0L), nA, nullB.getOrElse(0L), nB)
+    }.toDF("col_name", "type_a", "type_b", "status",
+      "null_a", "n_a", "null_b", "n_b")
+      .withColumn("null_rate_a", F.col("null_a").cast("double") / F.col("n_a").cast("double"))
+      .withColumn("null_rate_b", F.col("null_b").cast("double") / F.col("n_b").cast("double"))
+  }
+
+  /** Streaming referential-integrity monitor: orphan-FK rows per event
+    * time window, from a stream-static left-anti join against the
+    * parent's (broadcast) distinct key set. Works on a streaming
+    * DataFrame; run with complete-mode output (one aggregation).
+    *
+    * Scale: the anti-join is stateless per micro-batch (static side
+    * broadcast once); only the windowed count keeps state, bounded by
+    * the number of open windows.
+    */
+  def streamingOrphanCounts(stream: DataFrame, fk: String, tsCol: String,
+      window: String, parent: DataFrame, pk: String): DataFrame = {
+    val parentKeys = F.broadcast(
+      parent.where(F.col(pk).isNotNull).select(F.col(pk).as("__pk")).distinct())
+    stream.where(F.col(fk).isNotNull)
+      .join(parentKeys, F.col(fk) === F.col("__pk"), "left_anti")
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(F.count(F.lit(1)).as("orphan_rows"))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, rounded to 6 decimals — literal
+    * constants shared verbatim with the SQL oracle. */
+  val benfordP: Seq[Double] =
+    Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** Benford first-significant-digit conformance for a positive numeric
+    * column with up to two decimal places (prices, amounts): per digit
+    * 1..9 the observed count, observed proportion (one divide), the
+    * Benford expectation (literal), and their difference (exact IEEE
+    * subtract of two reproducible doubles).
+    *
+    * The first digit is taken from the integer cents rendering
+    * (round(v*100) → decimal string → first char), which both engines
+    * evaluate identically — no float log10 in the extraction path.
+    *
+    * Scale: a 9-bucket groupBy with map-side combine; one scan, one
+    * 9-row exchange.
+    */
+  def benfordDigits(df: DataFrame, col: String): DataFrame = {
+    val cents = F.round(F.col(col) * 100).cast(LongType)
+    val digit = F.substring(cents.cast("string"), 1, 1).cast(LongType)
+    val counts = df.where(F.col(col).isNotNull && F.col(col) > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(F.count(F.lit(1)).as("n"))
+    val total = counts.agg(F.sum("n").as("__total"))
+    val expected = df.sparkSession.createDataFrame(
+      benfordP.zipWithIndex.map { case (p, i) => (i + 1L, p) })
+      .toDF("digit", "benford_p")
+    counts.crossJoin(F.broadcast(total))
+      .join(F.broadcast(expected), Seq("digit"), "right")
+      .select(F.col("digit"),
+        F.coalesce(F.col("n"), F.lit(0L)).as("n"),
+        (F.coalesce(F.col("n"), F.lit(0L)).cast("double") /
+          F.col("__total").cast("double")).as("obs_p"),
+        F.col("benford_p"))
+      .withColumn("excess", F.col("obs_p") - F.col("benford_p"))
+  }
+}

@@ -40,12 +40,35 @@ object ExactQuantiles {
       df: DataFrame, valueCols: Seq[String], ranks: Seq[Double])
       : Map[String, Seq[Double]] = {
     require(valueCols.nonEmpty, "quantiles needs at least one column")
-    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
-      s"ranks must be within [0, 1]: $ranks")
     val pair = F.explode(F.array(valueCols.map(c =>
       F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
-    val g = df.select(pair)
+    val tagged = df.select(pair)
       .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"))
+    val got = quantilesOfTagged(tagged, ranks)
+    valueCols.map(c => c -> got.getOrElse(c, Seq.empty)).toMap
+  }
+
+  /** Exact quantiles of `valueCol` PER GROUP (`keyCol` rendered as
+    * string), same machinery with the group key in the role the column
+    * name plays in [[quantiles]] — one scan for every segment, bounded
+    * state everywhere. Groups with no non-null values are absent. */
+  def quantilesByKey(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column, valueCol: String,
+      ranks: Seq[Double]): Map[String, Seq[Double]] = {
+    val tagged = df
+      .select(keyCol.cast("string").as("__c"),
+        F.col(valueCol).cast("double").as("__v"))
+      .filter(F.col("__c").isNotNull)
+    quantilesOfTagged(tagged, ranks)
+  }
+
+  /** Core: tagged (__c string key, __v double) → key → rank-aligned
+    * exact quantiles. Keys discovered from the data. */
+  private def quantilesOfTagged(
+      tagged: DataFrame, ranks: Seq[Double]): Map[String, Seq[Double]] = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be within [0, 1]: $ranks")
+    val g = tagged
       .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
       .groupBy("__c", "__v").agg(F.count(F.lit(1)).as("__n"))
       .repartitionByRange(F.col("__c"), F.col("__v"))
@@ -64,7 +87,8 @@ object ExactQuantiles {
       }
       // 1-based ranks of the two order statistics bracketing each
       // requested quantile: h = r·(n−1) (type-7), k = ⌊h⌋+1 and ⌈h⌉+1
-      val targets = valueCols.flatMap { c =>
+      val keys = ns.keys.toSeq.sorted
+      val targets = keys.flatMap { c =>
         ns.get(c).toSeq.filter(_ > 0).flatMap { n =>
           ranks.flatMap { r =>
             val h = r * (n - 1).toDouble
@@ -72,8 +96,8 @@ object ExactQuantiles {
           }.distinct.map(k => (c, k))
         }
       }
-      if (targets.isEmpty) return valueCols.map(_ -> Seq.empty[Double]).toMap
-      val spark = df.sparkSession
+      if (targets.isEmpty) return Map.empty
+      val spark = tagged.sparkSession
       import spark.implicits._
       val baseDf = bases.toDF("__c2", "__pid2", "__base")
       val tgtDf = targets.toDF("__c3", "__k")
@@ -87,7 +111,7 @@ object ExactQuantiles {
           F.col("__k") > F.col("__ccum") - F.col("__n"))
         .select(F.col("__c"), F.col("__k"), F.col("__v"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      valueCols.map { c =>
+      keys.map { c =>
         val qs = ns.get(c).filter(_ > 0).map { n =>
           ranks.map { r =>
             val h = r * (n - 1).toDouble

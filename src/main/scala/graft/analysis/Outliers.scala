@@ -53,4 +53,56 @@ object Outliers {
     }.toDF("col_name", "q1", "q3", "iqr", "lo_fence", "hi_fence",
       "n", "n_low", "n_high", "n_outliers")
   }
+
+  /** Robust (MAD-based) outlier detection per column: median and median
+    * absolute deviation via two [[ExactQuantiles]] passes, fences at
+    * median ± k·(scale·MAD) with the Gaussian consistency constant
+    * scale = 1.4826 (Hampel 1974; the robust analog of ±k·σ), then one
+    * counting scan. Returns (col_name, med, mad, lo_fence, hi_fence, n,
+    * n_low, n_high, n_outliers). Columns with no non-null values are
+    * omitted.
+    *
+    * Exactness: med/MAD are exact interpolated order statistics; fences
+    * are the literal IEEE expression `med − k·(scale·mad)` mirrored in
+    * the oracle; counts are integers. Scale shape identical to
+    * [[iqrOutliers]] — bounded state, three scans total. */
+  def madOutliers(
+      df: DataFrame, valueCols: Seq[String], k: Double = 3.0,
+      scale: Double = 1.4826): DataFrame = {
+    require(valueCols.nonEmpty, "madOutliers needs at least one column")
+    val med = ExactQuantiles.quantiles(df, valueCols, Seq(0.5))
+    val present = valueCols.filter(c => med(c).nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (present.isEmpty)
+      return Seq.empty[(String, Double, Double, Double, Double, Long, Long, Long, Long)]
+        .toDF("col_name", "med", "mad", "lo_fence", "hi_fence",
+          "n", "n_low", "n_high", "n_outliers")
+    // second pass: median of |v − med| per column, one scan for all
+    val devDf = df.select(present.map(c =>
+      F.abs(F.col(c).cast("double") - med(c).head).as(s"__d_$c")): _*)
+    val mad = ExactQuantiles.quantiles(devDf, present.map(c => s"__d_$c"), Seq(0.5))
+    val fences = present.map { c =>
+      val m = med(c).head
+      val d = mad(s"__d_$c").head
+      c -> (m, d, m - k * (scale * d), m + k * (scale * d))
+    }.toMap
+    val aggs = present.flatMap { c =>
+      val v = F.col(c).cast("double")
+      val (_, _, lo, hi) = fences(c)
+      Seq(
+        F.count(v).as(s"__n_$c"),
+        F.sum(F.when(v < lo, 1L).otherwise(0L)).as(s"__lo_$c"),
+        F.sum(F.when(v > hi, 1L).otherwise(0L)).as(s"__hi_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.map { c =>
+      val (m, d, lo, hi) = fences(c)
+      val n = row.getAs[Long](s"__n_$c")
+      val nLo = row.getAs[Long](s"__lo_$c")
+      val nHi = row.getAs[Long](s"__hi_$c")
+      (c, m, d, lo, hi, n, nLo, nHi, nLo + nHi)
+    }.toDF("col_name", "med", "mad", "lo_fence", "hi_fence",
+      "n", "n_low", "n_high", "n_outliers")
+  }
 }

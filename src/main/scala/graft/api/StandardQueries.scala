@@ -5319,6 +5319,322 @@ object StandardQueries {
            | FROM s ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
   // ------------------------------------------------------------------
+  // Data-integrity audits + corpus comparison (round 14b)
+
+  /** Referential-integrity audit across the TPC-H-ish fixture: two
+    * broadcast dimension relations, one big-big (lineitem→orders,
+    * shuffle join on the key), and one deliberately-violated coverage
+    * relation (customer→events.user_id: most customers have no events)
+    * so the nonzero-orphan path is exercised. */
+  private def qReferentialIntegrity = Q(
+    (s, dir) => {
+      import graft.analysis.DataAudit.{FkRelation, referentialIntegrity}
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer"); val part = t(s, dir, "part")
+      val ev = t(s, dir, "events")
+      referentialIntegrity(Seq(
+        FkRelation("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+        FkRelation("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey",
+          broadcastParent = true),
+        FkRelation("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey",
+          broadcastParent = true),
+        FkRelation("customer.c_custkey->events.user_id", cust, "c_custkey", ev, "user_id",
+          broadcastParent = true)
+      )).orderBy("relation")
+    },
+    Some {
+      def rel(name: String, c: String, f: String, p: String, k: String) =
+        s"""SELECT '$name' AS relation,
+           | (SELECT count(*) FROM $c) AS child_rows,
+           | (SELECT count(*) FROM $c WHERE $f IS NULL) AS null_fk,
+           | (SELECT count(DISTINCT $f) FROM $c) AS distinct_fk,
+           | CAST(COALESCE((SELECT sum(cnt) FROM
+           |   (SELECT $f AS fk, count(*) AS cnt FROM $c WHERE $f IS NOT NULL GROUP BY 1) ck
+           |   WHERE fk NOT IN (SELECT $k FROM $p WHERE $k IS NOT NULL)), 0) AS BIGINT) AS orphan_rows,
+           | (SELECT count(*) FROM
+           |   (SELECT DISTINCT $f AS fk FROM $c WHERE $f IS NOT NULL) ck
+           |   WHERE fk NOT IN (SELECT $k FROM $p WHERE $k IS NOT NULL)) AS orphan_keys""".stripMargin
+      Seq(
+        rel("customer.c_custkey->events.user_id", "customer", "c_custkey", "events", "user_id"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("", " UNION ALL ", " ORDER BY relation").replaceAll("\n", " ")
+    })
+
+  /** k-anonymity of the (c_nationkey, c_mktsegment) quasi-identifier
+    * tuple at several k thresholds. */
+  private def qKAnonymity = Q(
+    (s, dir) => graft.analysis.DataAudit.kAnonymity(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      Seq(2, 5, 10, 50)).orderBy("k"),
+    Some("""WITH s AS (SELECT count(*) AS sz FROM customer
+           |   GROUP BY c_nationkey, c_mktsegment),
+           | k AS (SELECT unnest([2, 5, 10, 50]) AS k)
+           | SELECT CAST(k.k AS INTEGER) AS k,
+           |   CAST(sum(sz) AS BIGINT) AS n_rows,
+           |   count(*) AS n_groups,
+           |   CAST(min(sz) AS BIGINT) AS min_group_size,
+           |   CAST(sum(CASE WHEN sz < k.k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+           |   CAST(sum(CASE WHEN sz < k.k THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k,
+           |   CAST(sum(CASE WHEN sz < k.k THEN sz ELSE 0 END) AS DOUBLE)
+           |     / CAST(sum(sz) AS DOUBLE) AS frac_rows_below_k
+           | FROM s, k GROUP BY k.k ORDER BY k""".stripMargin.replaceAll("\n", " ")))
+
+  /** Schema drift between two orders snapshots; the later snapshot
+    * narrows a key type, drops a column, and adds a derived one, so all
+    * four statuses appear. Types are Spark `simpleString`s, mirrored as
+    * literals in the oracle. */
+  private def qSchemaDrift = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val pivot = F.lit("1998-01-01").cast("timestamp_ntz")
+      val a = orders.where(F.col("o_orderdate") < pivot)
+      val b = orders.where(F.col("o_orderdate") >= pivot)
+        .withColumn("o_custkey", F.col("o_custkey").cast("int"))
+        .drop("o_orderstatus")
+        .withColumn("o_priority_num",
+          F.substring(F.col("o_orderpriority"), 1, 1).cast("int"))
+      graft.analysis.DataAudit.schemaDrift(a, b).orderBy("col_name")
+    },
+    Some {
+      val cols = Seq(
+        // (name, type_a, type_b, status)
+        ("o_custkey", "bigint", "int", "type_changed"),
+        ("o_orderdate", "timestamp_ntz", "timestamp_ntz", "unchanged"),
+        ("o_orderkey", "bigint", "bigint", "unchanged"),
+        ("o_orderpriority", "string", "string", "unchanged"),
+        ("o_orderstatus", "string", "", "removed"),
+        ("o_priority_num", "", "int", "added"),
+        ("o_totalprice", "double", "double", "unchanged"))
+      val rows = cols.map { case (c, ta, tb, st) =>
+        val nullA = if (ta.isEmpty) "0" else s"(SELECT count(*) FROM a WHERE $c IS NULL)"
+        val nullB = if (tb.isEmpty || st == "removed") "0"
+          else if (c == "o_priority_num") "(SELECT count(*) FROM b WHERE o_orderpriority IS NULL)"
+          else s"(SELECT count(*) FROM b WHERE $c IS NULL)"
+        s"""SELECT '$c' AS col_name, '$ta' AS type_a, '$tb' AS type_b,
+           | '$st' AS status, CAST($nullA AS BIGINT) AS null_a,
+           | (SELECT count(*) FROM a) AS n_a,
+           | CAST($nullB AS BIGINT) AS null_b,
+           | (SELECT count(*) FROM b) AS n_b""".stripMargin
+      }.mkString("", " UNION ALL ", "")
+      s"""WITH a AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+         | b AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+         | SELECT col_name, type_a, type_b, status, null_a, n_a, null_b, n_b,
+         |   CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS null_rate_a,
+         |   CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS null_rate_b
+         | FROM ($rows) t ORDER BY col_name""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Benford first-digit conformance of l_extendedprice: counts are
+    * exact integers, proportions one divide, expectation literal. */
+  private def qBenfordDigits = Q(
+    (s, dir) => graft.analysis.DataAudit.benfordDigits(
+      t(s, dir, "lineitem"), "l_extendedprice").orderBy("digit"),
+    Some {
+      val vals = graft.analysis.DataAudit.benfordP.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |   FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         | c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |   count(*) AS n FROM src GROUP BY 1),
+         | tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+         | e(digit, p) AS (VALUES $vals)
+         | SELECT CAST(e.digit AS BIGINT) AS digit,
+         |   CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+         |   CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS obs_p,
+         |   CAST(e.p AS DOUBLE) AS benford_p,
+         |   CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+         |     - CAST(e.p AS DOUBLE) AS excess
+         | FROM e LEFT JOIN c ON e.digit = c.digit, tot
+         | ORDER BY digit""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Corpus snapshot diff: v2 drops every 5th doc, v1 lacked every 7th,
+    * every 11th doc's text changed in v2 — counts per (status, source),
+    * comparing 16-byte content hashes only (no text over the shuffle). */
+  private def qCorpusDiff = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(F.col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(F.col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          F.when(F.col("doc_id") % 11 === 0,
+            F.concat(F.col("text"), F.lit(" [v2]")))
+            .otherwise(F.col("text")))
+      graft.pipeline.CorpusCompare.diff(v1, v2, "doc_id", "source", "text")
+        .orderBy("status", "source")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents
+           |   WHERE doc_id % 7 <> 0),
+           | v2 AS (SELECT doc_id, source,
+           |     md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END) AS h
+           |   FROM documents WHERE doc_id % 5 <> 0),
+           | j AS (SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+           |     WHEN v2.doc_id IS NULL THEN 'removed'
+           |     WHEN v1.h = v2.h THEN 'unchanged' ELSE 'changed' END AS status,
+           |     COALESCE(v2.source, v1.source) AS source
+           |   FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+           | SELECT status, source, count(*) AS n_docs FROM j
+           | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
+  /** Distinct-content overlap between two source slices (two crawl
+    * snapshots sharing shards src3-src4): Jaccard + both containments,
+    * each one divide of exact counts. */
+  private def qCorpusOverlap = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.CorpusCompare.overlap(
+        docs.where(F.col("source") < "src5"),
+        docs.where(F.col("source") >= "src3"), "text")
+    },
+    Some("""WITH f AS (SELECT md5(text) AS h,
+           |     max(CASE WHEN source < 'src5' THEN 1 ELSE 0 END) AS ia,
+           |     max(CASE WHEN source >= 'src3' THEN 1 ELSE 0 END) AS ib
+           |   FROM documents WHERE source < 'src5' OR source >= 'src3'
+           |   GROUP BY 1),
+           | t AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+           |     CAST(sum(ib) AS BIGINT) AS n_b,
+           |     CAST(sum(ia * ib) AS BIGINT) AS n_common,
+           |     count(*) AS n_union FROM f)
+           | SELECT n_a, n_b, n_common,
+           |   CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+           |   CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+           |   CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+           | FROM t""".stripMargin.replaceAll("\n", " ")))
+
+  /** Bottom-16 minhash containment of the src9 eval slice inside the
+    * rest of the corpus (decontamination scoring): md5 shingle hashes,
+    * sort-ascending bottom-k, left join against the distinct train
+    * shingle set. */
+  private def qContainmentMinhash = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.CorpusCompare.containmentBottomK(
+        docs.where(F.col("source") === "src9"),
+        docs.where(F.col("source") =!= "src9"),
+        "doc_id", "text", k = 16, shingleWidth = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, source,
+           |     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |       w -> len(w) > 0) AS w
+           |   FROM documents),
+           | sh AS (SELECT doc_id, source,
+           |     list_distinct([array_to_string(w[i:i+2], ' ')
+           |       for i in range(1, greatest(len(w) - 1, 1))]) AS g FROM tok),
+           | tr AS (SELECT DISTINCT unnest(list_transform(g, x -> md5('cont:' || x))) AS h
+           |   FROM sh WHERE source <> 'src9'),
+           | ev AS (SELECT doc_id,
+           |     list_sort(list_transform(g, x -> md5('cont:' || x)))[1:16] AS hs
+           |   FROM sh WHERE source = 'src9'),
+           | pr AS (SELECT doc_id, unnest(hs) AS h FROM ev),
+           | m AS (SELECT pr.doc_id, count(*) AS k_used,
+           |     CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit
+           |   FROM pr LEFT JOIN tr ON pr.h = tr.h GROUP BY 1)
+           | SELECT doc_id, k_used, k_hit,
+           |   CAST(k_hit AS DOUBLE) / CAST(k_used AS DOUBLE) AS containment
+           | FROM m ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Code-likeness statistics per source (code-filtering signals):
+    * indented-line fraction, brace/semicolon density, mean line length —
+    * integer sums, one divide per ratio. */
+  private def qCodeStats = Q(
+    (s, dir) => graft.pipeline.CorpusCompare.codeStats(
+      t(s, dir, "documents"), "source", "text").orderBy("source"),
+    Some("""WITH d AS (SELECT source, text, string_split(text, chr(10)) AS ls
+           |   FROM documents)
+           | SELECT source, count(*) AS n_docs,
+           |   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           |   CAST(sum(len(ls)) AS BIGINT) AS total_lines,
+           |   CAST(sum(len(list_filter(ls, l -> l LIKE ' %' OR l LIKE chr(9) || '%'))) AS DOUBLE)
+           |     / CAST(sum(len(ls)) AS DOUBLE) AS indent_frac,
+           |   CAST(sum(length(text) - length(replace(text, '{', ''))
+           |       + length(text) - length(replace(text, '}', ''))) AS DOUBLE)
+           |     / CAST(sum(length(text)) AS DOUBLE) AS brace_density,
+           |   CAST(sum(length(text) - length(replace(text, ';', ''))) AS DOUBLE)
+           |     / CAST(sum(length(text)) AS DOUBLE) AS semi_density,
+           |   CAST(sum(length(text)) AS DOUBLE) / CAST(sum(len(ls)) AS DOUBLE) AS mean_line_len
+           | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
+  /** Robust (MAD) outlier fences per column — the robust sibling of
+    * `iqr_outliers`, same three-scan bounded-state shape. */
+  private def qMadOutliers = Q(
+    (s, dir) => graft.analysis.Outliers.madOutliers(
+      t(s, dir, "lineitem"), Seq("l_discount", "l_extendedprice", "l_quantity"))
+      .orderBy("col_name"),
+    Some {
+      Seq("l_discount", "l_extendedprice", "l_quantity").map { c =>
+        s"""SELECT * FROM (
+           | WITH v AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+           |   WHERE $c IS NOT NULL),
+           | m AS (SELECT quantile_cont(v, 0.5) AS med FROM v),
+           | d AS (SELECT quantile_cont(abs(v - med), 0.5) AS mad FROM v, m)
+           | SELECT '$c' AS col_name, med, mad,
+           |   med - 3.0 * (1.4826 * mad) AS lo_fence,
+           |   med + 3.0 * (1.4826 * mad) AS hi_fence,
+           |   count(*) AS n,
+           |   CAST(sum(CASE WHEN v < med - 3.0 * (1.4826 * mad) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           |   CAST(sum(CASE WHEN v > med + 3.0 * (1.4826 * mad) THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           |   CAST(sum(CASE WHEN v < med - 3.0 * (1.4826 * mad)
+           |     OR v > med + 3.0 * (1.4826 * mad) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           | FROM v, m, d GROUP BY med, mad
+           |)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
+  /** Exact per-segment quantiles in one scan — the group key riding
+    * [[graft.analysis.ExactQuantiles]]'s column-name channel. */
+  private def qSegmentQuantiles = Q(
+    (s, dir) => {
+      import s.implicits._
+      val ranks = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val qs = graft.analysis.ExactQuantiles.quantilesByKey(
+        events(s, dir), F.col("event_type"), "value", ranks)
+      qs.toSeq.sortBy(_._1).flatMap { case (seg, vals) =>
+        ranks.zip(vals).map { case (r, v) => (seg, r, v) }
+      }.toDF("segment", "rank", "q").orderBy("segment", "rank")
+    },
+    Some {
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9).map { r =>
+        s"""SELECT event_type AS segment, CAST($r AS DOUBLE) AS rank,
+           | quantile_cont(CAST(value AS DOUBLE), $r) AS q
+           | FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+           | GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY segment, rank")
+    })
+
+  /** Streaming referential-integrity monitor: per-day orphan-FK counts
+    * from a stream-static broadcast anti-join (events whose user_id is
+    * missing from a shrunk customer dim, so the orphan path is live). */
+  private def qStreamingRefIntegrity = Q(
+    (s, dir) => {
+      val env = t(s, dir, "events")
+      val sdf = s.readStream.schema(env.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/events.parquet"))
+        .transform(rebuildTs)
+      val dim = t(s, dir, "customer").where(F.col("c_custkey") < 100)
+      val qn = "sri_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.analysis.DataAudit.streamingOrphanCounts(
+          sdf, "user_id", "ts", "1 day", dim, "c_custkey")
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(F.unix_timestamp(F.col("window.start")).as("window_start"),
+          F.col("orphan_rows"))
+        .orderBy("window_start")
+    },
+    Some("""SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           |   AS window_start, count(*) AS orphan_rows
+           | FROM events
+           | WHERE user_id IS NOT NULL AND user_id NOT IN
+           |   (SELECT c_custkey FROM customer
+           |    WHERE c_custkey IS NOT NULL AND c_custkey < 100)
+           | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
+  // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
     "profile_counts" -> qProfileCounts,
@@ -5508,7 +5824,18 @@ object StandardQueries {
     "streaming_dedup" -> qStreamingDedup,
     "streaming_dedup_store" -> qStreamingDedupStore,
     "streaming_near_dedup" -> qStreamingNearDedup,
-    "streaming_quality_score" -> qStreamingQualityScore)
+    "streaming_quality_score" -> qStreamingQualityScore,
+    "referential_integrity" -> qReferentialIntegrity,
+    "k_anonymity" -> qKAnonymity,
+    "schema_drift" -> qSchemaDrift,
+    "benford_digits" -> qBenfordDigits,
+    "corpus_diff" -> qCorpusDiff,
+    "corpus_overlap" -> qCorpusOverlap,
+    "containment_minhash" -> qContainmentMinhash,
+    "code_stats" -> qCodeStats,
+    "mad_outliers" -> qMadOutliers,
+    "segment_quantiles" -> qSegmentQuantiles,
+    "streaming_ref_integrity" -> qStreamingRefIntegrity)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

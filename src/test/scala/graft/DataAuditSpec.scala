@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.analysis.DataAudit
+import graft.analysis.DataAudit.FkRelation
+
+/** Dataset-integrity audits: referential integrity (orphan accounting,
+  * null handling, broadcast parity), k-anonymity thresholds, schema-drift
+  * statuses, and Benford digit extraction. */
+class DataAuditSpec extends SparkSpec {
+
+  test("referentialIntegrity: orphan rows vs keys, null FKs excluded") {
+    import spark.implicits._
+    // child: key 1 ok (×2), key 9 orphan (×3), key 8 orphan (×1), 2 nulls
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L),
+      Some(8L), None, None).toDF("fk").repartition(3)
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = DataAudit.referentialIntegrity(
+      Seq(FkRelation("c->p", child, "fk", parent, "pk"))).collect().head
+    assert(r.getAs[Long]("child_rows") == 8L)
+    assert(r.getAs[Long]("null_fk") == 2L)
+    assert(r.getAs[Long]("distinct_fk") == 3L)  // 1, 8, 9
+    assert(r.getAs[Long]("orphan_rows") == 4L)  // 9×3 + 8×1
+    assert(r.getAs[Long]("orphan_keys") == 2L)  // {8, 9}
+  }
+
+  test("referentialIntegrity: broadcast and shuffle paths agree; intact relation is clean") {
+    import spark.implicits._
+    val child = (1L to 100L).map(i => i % 10).toDF("fk")
+    val parent = (0L to 9L).toDF("pk")
+    val Seq(bc, sh) = Seq(true, false).map { b =>
+      DataAudit.referentialIntegrity(
+        Seq(FkRelation("r", child, "fk", parent, "pk", broadcastParent = b)))
+        .collect().head
+    }
+    assert(bc == sh)
+    assert(bc.getAs[Long]("orphan_rows") == 0L && bc.getAs[Long]("orphan_keys") == 0L)
+    // the broadcast flag actually produces a broadcast join
+    val plan = DataAudit.referentialIntegrity(
+      Seq(FkRelation("r", child, "fk", parent, "pk", broadcastParent = true)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast join in:\n$plan")
+  }
+
+  test("kAnonymity: per-k group accounting over skewed class sizes") {
+    import spark.implicits._
+    // classes: (a,×1), (b,×3), (c,×6) — n=10, groups=3, min=1
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
+      .zipWithIndex.map { case (q, i) => (q, i) }.toDF("qi", "v")
+      .repartition(4)
+    val rows = DataAudit.kAnonymity(df, Seq("qi"), Seq(2, 4, 10))
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("min_group_size"), r.getAs[Long]("groups_below_k"),
+          r.getAs[Long]("rows_below_k"), r.getAs[Double]("frac_rows_below_k")))
+      .toMap
+    assert(rows(2) == ((10L, 3L, 1L, 1L, 1L, 0.1)))
+    assert(rows(4) == ((10L, 3L, 1L, 2L, 4L, 0.4)))
+    assert(rows(10) == ((10L, 3L, 1L, 3L, 10L, 1.0)))
+  }
+
+  test("schemaDrift: all four statuses with null accounting") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x"), Some(1.0)), (2L, None, None))
+      .toDF("id", "gone", "both")
+    val b = Seq((1, Some("n"), Some(2.0)), (2, None, Some(3.0)), (3, None, None))
+      .toDF("id", "fresh", "both")
+      .withColumn("id", F.col("id").cast("int"))
+    val rows = DataAudit.schemaDrift(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("id").getAs[String]("status") == "type_changed")
+    assert(rows("id").getAs[String]("type_a") == "bigint")
+    assert(rows("id").getAs[String]("type_b") == "int")
+    assert(rows("gone").getAs[String]("status") == "removed")
+    assert(rows("fresh").getAs[String]("status") == "added")
+    assert(rows("both").getAs[String]("status") == "unchanged")
+    assert(rows("both").getAs[Long]("null_a") == 1L)
+    assert(rows("both").getAs[Long]("null_b") == 1L)
+    assert(rows("both").getAs[Double]("null_rate_a") == 0.5)
+    assert(rows("fresh").getAs[Long]("null_b") == 2L)
+    assert(rows("fresh").getAs[Long]("null_a") == 0L)
+    assert(rows.size == 4)
+  }
+
+  test("streamingOrphanCounts transformations: anti-join + day window on a batch frame") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // day 1: fks {1(ok), 5(orphan), 5(orphan)}; day 2: {7(orphan)}; nulls dropped
+    val rows = Seq(
+      (Some(1L), Timestamp.valueOf("2024-01-01 10:00:00")),
+      (Some(5L), Timestamp.valueOf("2024-01-01 11:00:00")),
+      (Some(5L), Timestamp.valueOf("2024-01-01 12:00:00")),
+      (Some(7L), Timestamp.valueOf("2024-01-02 09:00:00")),
+      (None, Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("fk", "ts")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = DataAudit.streamingOrphanCounts(rows, "fk", "ts", "1 day", parent, "pk")
+      .select(F.col("window.start").cast("string").as("w"), F.col("orphan_rows"))
+      .collect().map(r => r.getString(0).take(10) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+  }
+
+  test("benfordDigits: digit extraction from cents, zero/null/negative excluded") {
+    import spark.implicits._
+    // 1.23→123 (d1), 0.05→5 (d5), 912.00→91200 (d9), 19.99→1999 (d1),
+    // 0.0 and null and -5.0 excluded
+    val df = Seq(Some(1.23), Some(0.05), Some(912.00), Some(19.99),
+      Some(0.0), None, Some(-5.0)).toDF("v").repartition(3)
+    val rows = DataAudit.benfordDigits(df, "v").collect()
+      .map(r => r.getAs[Long]("digit") -> r).toMap
+    assert(rows.size == 9)
+    assert(rows(1L).getAs[Long]("n") == 2L)
+    assert(rows(5L).getAs[Long]("n") == 1L)
+    assert(rows(9L).getAs[Long]("n") == 1L)
+    assert(rows(2L).getAs[Long]("n") == 0L)
+    assert(rows(1L).getAs[Double]("obs_p") == 0.5)
+    assert(rows(1L).getAs[Double]("benford_p") == 0.301030)
+    assert(rows(1L).getAs[Double]("excess") == 0.5 - 0.301030)
+    // proportions over PRESENT digits sum to 1
+    val tot = rows.values.map(_.getAs[Double]("obs_p")).sum
+    assert(math.abs(tot - 1.0) < 1e-12)
+  }
+}

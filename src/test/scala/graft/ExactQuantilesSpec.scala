@@ -81,4 +81,55 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_high") == vals.count(_ > hi))
     assert(r.getAs[Long]("n_outliers") == 2L)
   }
+
+  test("quantilesByKey: per-group medians match per-group local recomputation") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0),
+      ("b", 5.0), ("b", 7.0), ("b", 9.0), ("b", 11.0),
+      ("c", 3.0)).toDF("k", "v").repartition(4)
+    val got = ExactQuantiles.quantilesByKey(df, F.col("k"), "v", Seq(0.25, 0.5))
+    assert(got("a") == Seq(1.5, 2.0))
+    assert(got("b") == Seq(6.5, 8.0))   // h=0.75 → 5 + 0.75·2; med (7+9)/2
+    assert(got("c") == Seq(3.0, 3.0))
+    assert(got.size == 3)
+  }
+
+  test("quantilesByKey: null keys and null values excluded; agrees with column-channel path") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), None),
+      (None, Some(99.0)), (Some("a"), Some(3.0))).toDF("k", "v")
+    val got = ExactQuantiles.quantilesByKey(df, F.col("k"), "v", Seq(0.5))
+    assert(got == Map("a" -> Seq(2.0)))
+    // the same numbers through the unkeyed path on the filtered slice
+    val plain = ExactQuantiles.quantiles(
+      df.where(F.col("k") === "a").select(F.col("v")), Seq("v"), Seq(0.5))
+    assert(plain("v") == got("a"))
+  }
+
+  test("madOutliers: hand case — median, MAD, fences, counts") {
+    import spark.implicits._
+    // {1..9} ∪ {1000}: med = 5.5, |v−med| sorted = {0.5,0.5,1.5,1.5,2.5,
+    // 2.5,3.5,3.5,4.5,994.5} → mad = 2.5
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.toDF("x").repartition(3)
+    val r = graft.analysis.Outliers.madOutliers(df, Seq("x")).collect()(0)
+    assert(r.getAs[Double]("med") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    val lo = 5.5 - 3.0 * (1.4826 * 2.5)
+    val hi = 5.5 + 3.0 * (1.4826 * 2.5)
+    assert(r.getAs[Double]("lo_fence") == lo)
+    assert(r.getAs[Double]("hi_fence") == hi)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_low") == 0L)
+    assert(r.getAs[Long]("n_high") == 1L)   // only 1000
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("madOutliers: constant column has mad 0 and flags nothing") {
+    import spark.implicits._
+    val df = Seq.fill(5)(7.0).toDF("x")
+    val r = graft.analysis.Outliers.madOutliers(df, Seq("x")).collect()(0)
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_outliers") == 0L)
+  }
 }

@@ -559,4 +559,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       s"top-k join must broadcast:\n${plan.take(3000)}")
   }
+
+  test("corpusDiff: no text payload on any wire — only (id, group, 16-byte hash)") {
+    val docs = table("documents")
+    val out = graft.pipeline.CorpusCompare.diff(
+      docs, docs.withColumn("text", F.concat(F.col("text"), F.lit("!"))),
+      "doc_id", "source", "text")
+    out.collect()
+    val wires = shuffledColumns(out)
+    assert(wires.nonEmpty, "expected the id-keyed diff exchange")
+    wires.foreach(w => assert(!w.contains("text"),
+      s"text crossed a shuffle: $w"))
+  }
+
+  test("referentialIntegrity: dim parents broadcast; child pre-aggregates before the orphan join") {
+    import graft.analysis.DataAudit.{FkRelation, referentialIntegrity}
+    val out = referentialIntegrity(Seq(FkRelation(
+      "orders->customer", table("orders"), "o_custkey",
+      table("customer"), "c_custkey", broadcastParent = true)))
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastExchange"),
+      s"dimension parent must broadcast:\n${plan.take(3000)}")
+    // the anti-join's left side must be the (key, mult) aggregate, not raw
+    // child rows: every shuffle wire here is key+counters, never a payload
+    val wires = shuffledColumns(out)
+    wires.foreach(w => assert(
+      !w.exists(c => c.startsWith("o_") && c != "o_custkey"),
+      s"child payload column crossed a shuffle: $w"))
+  }
+
+  test("containmentBottomK: probes explode to k rows; train side distinct before the hash join") {
+    val docs = table("documents")
+    val out = graft.pipeline.CorpusCompare.containmentBottomK(
+      docs.where(F.col("source") === "src9"),
+      docs.where(F.col("source") =!= "src9"),
+      "doc_id", "text", k = 16)
+    out.collect()
+    val plan = planOf(out)
+    // the probe-vs-train join keys on the hash; neither side may carry text
+    val wires = shuffledColumns(out)
+    assert(wires.nonEmpty)
+    wires.foreach(w => assert(!w.contains("text") && !w.contains("g"),
+      s"payload crossed the containment shuffle: $w"))
+    // distinct train set: a hash-keyed aggregate below the join
+    assert(plan.contains("HashAggregate"),
+      s"train shingle set must deduplicate via aggregate:\n${plan.take(2000)}")
+  }
 }
