@@ -5634,6 +5634,63 @@ object StandardQueries {
            |    WHERE c_custkey IS NOT NULL AND c_custkey < 100)
            | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
 
+  /** Pairwise class-centroid separation over the labeled embeddings —
+    * round-6 per-dim means, dim-ordered folds, exact like
+    * `embedding_centroid_shift`. */
+  private def qEmbeddingClassSeparation = Q(
+    (s, dir) => Embeddings.classSeparation(
+      t(s, dir, "embeddings"), "embedding", "label")
+      .orderBy("label_a", "label_b"),
+    Some("""WITH x AS (SELECT label, u.dim AS dim, u.v AS v FROM (
+           |  SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+           |    i -> struct_pack(dim := i - 1, v := embedding[i]::DOUBLE))) AS u
+           |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)),
+           | m AS (SELECT label, dim, round(sum(v) / count(*), 6) AS m
+           |   FROM x GROUP BY 1, 2),
+           | n AS (SELECT label, count(*) AS n FROM embeddings
+           |   WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1),
+           | p AS (SELECT a.label AS label_a, b.label AS label_b,
+           |     sum(a.m * b.m ORDER BY a.dim) AS dot,
+           |     sum(a.m * a.m ORDER BY a.dim) AS qa,
+           |     sum(b.m * b.m ORDER BY a.dim) AS qb,
+           |     sum((a.m - b.m) * (a.m - b.m) ORDER BY a.dim) AS d2
+           |   FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+           |   GROUP BY 1, 2)
+           | SELECT p.label_a, p.label_b, na.n AS n_a, nb.n AS n_b,
+           |   dot / (sqrt(qa) * sqrt(qb)) AS cos_sim, sqrt(d2) AS l2_dist
+           | FROM p JOIN n na ON p.label_a = na.label
+           |   JOIN n nb ON p.label_b = nb.label
+           | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
+  /** Exact per-label quantiles of the embedding L2 norm — per-row norms
+    * fold in array order (deterministic), then the keyed exact-quantile
+    * machinery; no rounding anywhere. */
+  private def qEmbeddingNormQuantiles = Q(
+    (s, dir) => {
+      import s.implicits._
+      val ranks = Seq(0.1, 0.5, 0.9)
+      val df = t(s, dir, "embeddings")
+        .where(F.col("label").isNotNull && F.col("embedding").isNotNull)
+        .select(F.col("label"),
+          Embeddings.l2Norm(F.col("embedding")).as("norm"))
+      val qs = graft.analysis.ExactQuantiles.quantilesByKey(
+        df, F.col("label"), "norm", ranks)
+      qs.toSeq.sortBy(_._1).flatMap { case (l, vals) =>
+        ranks.zip(vals).map { case (r, v) => (l, r, v) }
+      }.toDF("label", "rank", "q").orderBy("label", "rank")
+    },
+    Some {
+      Seq(0.1, 0.5, 0.9).map { r =>
+        s"""SELECT CAST(label AS VARCHAR) AS label, CAST($r AS DOUBLE) AS rank,
+           | quantile_cont(sqrt(list_reduce(
+           |   list_prepend(CAST(0.0 AS DOUBLE),
+           |     list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+           |   (a, b) -> a + b)), $r) AS q
+           | FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+           | GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY label, rank")
+    })
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -5835,7 +5892,9 @@ object StandardQueries {
     "code_stats" -> qCodeStats,
     "mad_outliers" -> qMadOutliers,
     "segment_quantiles" -> qSegmentQuantiles,
-    "streaming_ref_integrity" -> qStreamingRefIntegrity)
+    "streaming_ref_integrity" -> qStreamingRefIntegrity,
+    "embedding_class_separation" -> qEmbeddingClassSeparation,
+    "embedding_norm_quantiles" -> qEmbeddingNormQuantiles)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -308,6 +308,62 @@ object Embeddings {
         (F.col("__sr") / F.col("n_ref")).as("mean_ref"))
   }
 
+  /** Pairwise class-centroid separation: for every label pair (a < b)
+    * the cosine similarity and L2 distance between the two class
+    * centroids — the compactness/confusability audit for labeled
+    * embedding corpora (low inter-class distance flags label noise or
+    * collapsed representations).
+    *
+    * Exactness: per-dim means are rounded to `roundDecimals` (identical
+    * on both engines), then every downstream op folds in ascending dim
+    * order over the collected ≤dim array — the [[centroidShift]] recipe
+    * extended per label.
+    *
+    * Scale: the ×dim fanout collapses via map-side partials into
+    * |labels|·dim rows; the pairwise join is over |labels| rows (one
+    * per class — KB-scale by construction), so the quadratic part never
+    * touches data volume. */
+  def classSeparation(df: DataFrame, vecCol: String, labelCol: String,
+      roundDecimals: Int = 6): DataFrame = {
+    val base = df.filter(F.col(labelCol).isNotNull && F.col(vecCol).isNotNull)
+    val perDim = base
+      .select(F.col(labelCol).as("label"),
+        F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("dim", "__v")))
+      .groupBy("label", "dim")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__v").as("__s"))
+      .select(F.col("label"), F.col("dim"),
+        F.round(F.col("__s") / F.col("__n"), roundDecimals).as("__m"))
+    val cents = perDim.groupBy("label")
+      .agg(F.array_sort(F.collect_list(
+        F.struct(F.col("dim"), F.col("__m")))).as("__c0"))
+      .select(F.col("label"),
+        F.transform(F.col("__c0"), x => x.getField("__m")).as("__c"))
+    val counts = base.groupBy(F.col(labelCol).as("label"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val withN = cents.join(counts, "label")
+    val a = withN.select(F.col("label").as("label_a"), F.col("n").as("n_a"),
+      F.col("__c").as("__ca"))
+    val b = withN.select(F.col("label").as("label_b"), F.col("n").as("n_b"),
+      F.col("__c").as("__cb"))
+    def fold(c: Column) = F.aggregate(c, F.lit(0.0), (acc, x) => acc + x)
+    val dot = fold(F.zip_with(F.col("__ca"), F.col("__cb"), (x, y) => x * y))
+    val qa = fold(F.transform(F.col("__ca"), x => x * x))
+    val qb = fold(F.transform(F.col("__cb"), x => x * x))
+    val d2 = fold(F.zip_with(F.col("__ca"), F.col("__cb"),
+      (x, y) => (x - y) * (x - y)))
+    a.join(b, F.col("label_a") < F.col("label_b"))
+      .select(F.col("label_a"), F.col("label_b"), F.col("n_a"), F.col("n_b"),
+        (dot / (F.sqrt(qa) * F.sqrt(qb))).as("cos_sim"),
+        F.sqrt(d2).as("l2_dist"))
+  }
+
+  /** Per-row L2 norm of a vector column — the fold runs in array order
+    * with a 0.0 seed, so the double accumulation is deterministic and
+    * engine-exact (0.0 + x² ≡ x² in IEEE for the non-negative squares). */
+  def l2Norm(vecCol: Column): Column =
+    F.sqrt(F.aggregate(vecCol.cast("array<double>"), F.lit(0.0),
+      (acc, x) => acc + x * x))
+
   /** Collapse a [[centroidDrift]] frame into one summary row: cosine
     * similarity and L2 distance between the two centroids. The fold walks
     * dimensions in ascending order over a collected ≤dim-element array

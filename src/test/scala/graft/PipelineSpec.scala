@@ -404,6 +404,34 @@ class PipelineSpec extends SparkSpec {
     assert((s1.getAs[Long]("n_target"), s1.getAs[Long]("n_ref")) == ((1L, 1L)))
   }
 
+  test("classSeparation: orthogonal and identical class centroids, counts, a<b pairs only") {
+    import spark.implicits._
+    // class 0 centroid (1,0); class 1 centroid (0,2); class 2 ≡ class 0
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),
+      (1, Seq(0.0f, 2.0f)),
+      (2, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)))
+      .toDF("label", "vec").repartition(3)
+    val got = Embeddings.classSeparation(df, "vec", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("cos_sim"),
+          r.getAs[Double]("l2_dist"))).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(got((0, 1)) == ((2L, 1L, 0.0, math.sqrt(5.0))))
+    assert(got((0, 2))._3 == 1.0 && got((0, 2))._4 == 0.0)
+    assert(got((0, 2))._1 == 2L && got((0, 2))._2 == 3L)
+  }
+
+  test("l2Norm folds in array order; null vectors stay null") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq(3.0f, 4.0f))), (2L, None))
+      .toDF("id", "vec")
+    val got = df.select(F.col("id"), Embeddings.l2Norm(F.col("vec")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("n"))).toMap
+    assert(got(1L).contains(5.0))
+    assert(got(2L).isEmpty)
+  }
+
   test("tfIdfTopTerms ranks doc-specific terms above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
