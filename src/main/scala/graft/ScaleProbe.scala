@@ -59,7 +59,12 @@ object ScaleProbe {
     "corpus_ngrams", "corpus_pipeline", "embedding_topk",
     "events_sessionize", "events_funnel", "sliding_window_profile",
     "semdedup_clustered", "semdedup_auto", "streaming_dedup",
-    "streaming_dedup_store", "streaming_sessionize", "streaming_heavy_hitters")
+    "streaming_dedup_store", "streaming_sessionize", "streaming_heavy_hitters",
+    // round-14b audit/comparison families — lineitem x10, documents x100,
+    // events x50 paths through each new module
+    "referential_integrity", "benford_digits", "mad_outliers",
+    "segment_quantiles", "corpus_diff", "containment_minhash",
+    "embedding_class_separation", "streaming_ref_integrity")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
