@@ -5691,6 +5691,73 @@ object StandardQueries {
       }.mkString("", " UNION ALL ", " ORDER BY label, rank")
     })
 
+  /** The bm25_retrieval query set: four keyword queries over the shared
+    * vocabulary — one overlapping term (join) pins df sharing. */
+  private val retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q_join" -> Seq("join", "shuffle"),
+    "q_vector" -> Seq("vector", "index"),
+    "q_stream" -> Seq("stream", "window", "join"),
+    "q_text" -> Seq("language", "model"))
+
+  /** Top-5 BM25 retrieval per query in one corpus pass
+    * ([[TextAnalysis.bm25Retrieve]]); same quantized-idf bridge as
+    * `bm25_top_docs`. */
+  private def qBm25Retrieval = Q(
+    (s, dir) => TextAnalysis.bm25Retrieve(
+      t(s, dir, "documents"), "doc_id", "text", retrievalQueries,
+      topN = 5, idfQuantize = Some(1e9)),
+    Some {
+      val qtVals = retrievalQueries.flatMap { case (q, ts) =>
+        ts.map(t => s"('$q', '$t')") }.mkString(", ")
+      val vocabIn = retrievalQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH qt(qid, term) AS (VALUES $qtVals),
+         | base AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> len(w) > 0) AS toks
+         |  FROM documents),
+         | bd AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+         | st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM bd),
+         | tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |   FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bd)
+         |   WHERE term IN ($vocabIn) GROUP BY 1, 2, 3),
+         | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         | sc AS (SELECT qt.qid, tf.doc_id, tf.term,
+         |   (floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000000.0) / 1000000000.0)
+         |     * (CAST(tf AS DOUBLE) * 2.5)
+         |     / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+         |   FROM tf JOIN dfq USING (term) JOIN qt USING (term), st),
+         | agg AS (SELECT qid, doc_id, sum(term_score ORDER BY term) AS score,
+         |     CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1, 2),
+         | r AS (SELECT qid, doc_id, score, n_terms_hit,
+         |     CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |   FROM agg)
+         | SELECT qid, doc_id, score, n_terms_hit, rank FROM r
+         | WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Winnowing fingerprints ([[Dedup.winnowFingerprints]], 4-gram /
+    * window 4) exploded per document — md5-derived hashes so the full
+    * select-the-minima semantics replay in SQL. */
+  private def qDocWinnowing = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.explode(Dedup.winnowFingerprints(F.col("text"), 4, 4)).as("fp"))
+      .orderBy("doc_id", "fp"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | g AS (SELECT doc_id,
+           |   list_transform(generate_series(1, greatest(len(w) - 3, 0)),
+           |     i -> CAST('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15) AS BIGINT)) AS ghs
+           |   FROM tok),
+           | wins AS (SELECT doc_id,
+           |   CASE WHEN len(ghs) - 3 >= 1 THEN
+           |     list_transform(generate_series(1, len(ghs) - 3), j -> list_min(ghs[j:j+3]))
+           |   WHEN len(ghs) > 0 THEN [list_min(ghs)]
+           |   ELSE [] END AS fps FROM g)
+           | SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins
+           | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -5894,7 +5961,9 @@ object StandardQueries {
     "segment_quantiles" -> qSegmentQuantiles,
     "streaming_ref_integrity" -> qStreamingRefIntegrity,
     "embedding_class_separation" -> qEmbeddingClassSeparation,
-    "embedding_norm_quantiles" -> qEmbeddingNormQuantiles)
+    "embedding_norm_quantiles" -> qEmbeddingNormQuantiles,
+    "bm25_retrieval" -> qBm25Retrieval,
+    "doc_winnowing" -> qDocWinnowing)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -77,6 +77,36 @@ object Dedup {
       F.transform(idx, i => F.concat_ws(" ", F.slice(words, i, F.lit(n)))))
   }
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS scheme): hash every POSITIONAL word n-gram, slide a
+    * `window`-hash window, keep each window's minimum, dedupe. Two
+    * documents sharing any run of `n + window − 1` words share a
+    * fingerprint — position-robust substring sampling with density
+    * ~2/(window+1), the multi-fingerprint generalization of
+    * [[graft.functions.Fingerprints.rolling_min_hash]].
+    *
+    * The default hash is the md5-prefix→long idiom so oracles replay it;
+    * production callers pass `F.xxhash64(_)` for the codegen'd path
+    * (selection semantics are hash-agnostic). Pure per-row map work —
+    * no shuffle; join the exploded fingerprints to find cross-doc
+    * matches. */
+  def winnowFingerprints(textCol: Column, n: Int = 4, window: Int = 4,
+      hash: Column => Column = g =>
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")): Column = {
+    val words = tokens(textCol)
+    val count = F.size(words) - (n - 1)
+    val idx = F.when(count > 0, F.sequence(F.lit(1), count))
+      .otherwise(F.array().cast("array<int>"))
+    val ghs = F.transform(idx, i => hash(F.concat_ws(" ", F.slice(words, i, F.lit(n)))))
+    val nw = F.size(ghs) - (window - 1)
+    val mins = F.when(nw >= 1,
+        F.transform(F.sequence(F.lit(1), nw),
+          j => F.array_min(F.slice(ghs, j, F.lit(window)))))
+      .when(F.size(ghs) > 0, F.array(F.array_min(ghs)))
+      .otherwise(F.array().cast("array<long>"))
+    F.array_sort(F.array_distinct(mins))
+  }
+
   /** MinHash signature (P permutations) of a shingle-ID array column via
     * the native one-pass expression. (The HOF formulation re-evaluates
     * the shingle pipeline per permutation after projection collapse —

@@ -244,6 +244,78 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Batch BM25 retrieval: top-N documents PER QUERY for a set of
+    * keyword queries in one corpus pass — the retrieval counterpart of
+    * [[bm25TopDocs]] (one query), for eval-set retrieval and RAG-corpus
+    * audits.
+    *
+    * One scan computes corpus stats and per-term tfs over the combined
+    * vocabulary; the (qid, term) map joins in as a broadcast; per-query
+    * ranking is a window PARTITIONED BY query over only the documents
+    * that hit ≥1 of its terms. Scale: the per-query sort is bounded by
+    * that query's hit count, queries parallelize across partitions, and
+    * document frequencies are shared across queries (computed once).
+    *
+    * Exactness: identical idf/term-score chain to [[bm25TopDocs]]
+    * (`idfQuantize` bridges libm ln); per-doc score folds term-ordered. */
+  def bm25Retrieve(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.5, b: Double = 0.75, topN: Int = 10,
+      idfQuantize: Option[Double] = None): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts, s"query $q terms must be distinct, non-empty") }
+    val vocab = queries.flatMap(_._2).distinct
+    val base = df.select(F.col(idCol).as("doc_id"), tokens(F.col(textCol)).as("toks"))
+      .select(F.col("doc_id"), F.col("toks"),
+        F.size(F.filter(F.col("toks"), w => F.length(w) > 0)).as("dl"))
+    val dfCols = vocab.zipWithIndex.map { case (t, i) =>
+      graft.functions.count_where(F.array_contains(F.col("toks"), t)).as(s"__df_$i")
+    }
+    val statsCols = Seq(F.count(F.lit(1)).as("n_docs"),
+      F.sum(F.col("dl")).as("sum_dl")) ++ dfCols
+    val stats = base.agg(statsCols.head, statsCols.tail: _*)
+    val tf = base
+      .select(F.col("doc_id"), F.col("dl"), F.explode(F.col("toks")).as("term"))
+      .filter(F.col("term").isin(vocab: _*))
+      .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).as("tf"))
+    val dfOfTerm = vocab.zipWithIndex.tail.foldLeft(
+      F.when(F.col("term") === vocab.head, F.col("__df_0"))) {
+        case (acc, (t, i)) => acc.when(F.col("term") === t, F.col(s"__df_$i"))
+      }
+    val tfD = F.col("tf").cast("double")
+    val avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    val rawIdf = F.log(
+      ((F.col("n_docs") - dfOfTerm).cast("double") + 0.5) /
+        (dfOfTerm.cast("double") + 0.5) + 1.0)
+    val idf = idfQuantize match {
+      case Some(s) => F.floor(rawIdf * F.lit(s)).cast("double") / F.lit(s)
+      case None    => rawIdf
+    }
+    val termScore = idf * (tfD * F.lit(k1 + 1.0)) /
+      (tfD + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val perQueryDoc = tf.crossJoin(F.broadcast(stats))
+      .select(F.col("doc_id"), F.col("term"), termScore.as("term_score"))
+      .join(F.broadcast(qt), Seq("term"))
+      .groupBy("qid", "doc_id")
+      .agg(
+        F.aggregate(
+          F.sort_array(F.collect_list(F.struct(F.col("term"), F.col("term_score")))),
+          F.lit(0.0), (acc, x) => acc + x.getField("term_score")).as("score"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    perQueryDoc
+      .withColumn("rank", F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("score").desc, F.col("doc_id")))
+        .cast("long"))
+      .where(F.col("rank") <= topN)
+      .orderBy("qid", "rank")
+  }
+
   /** Zipf-law fit over the corpus vocabulary: least-squares slope /
     * intercept / r² of ln(count) against ln(rank) for the `topK` most
     * frequent terms. Natural text sits near slope ≈ −1; strong

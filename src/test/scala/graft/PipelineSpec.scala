@@ -422,6 +422,47 @@ class PipelineSpec extends SparkSpec {
     assert(got((0, 2))._1 == 2L && got((0, 2))._2 == 3L)
   }
 
+  test("winnowFingerprints: shared n+w−1 word run ⇒ shared fingerprint; short docs degrade") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta" // 7 words = n+w−1 at n=w=4
+    val df = Seq(
+      (1L, s"prefix words here $run and a tail"),
+      (2L, s"$run totally different continuation text now"),
+      (3L, "tiny doc"),                       // < n words → no grams
+      (4L, "one two three four"))             // exactly one gram → one fp
+      .toDF("doc_id", "text").repartition(3)
+    val fps = df.select(F.col("doc_id"),
+        graft.pipeline.Dedup.winnowFingerprints(F.col("text"), 4, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // winnowing guarantee: any shared window-covering run shares ≥1 pick
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(3L).isEmpty)
+    assert(fps(4L).size == 1)
+    // fingerprints are sorted distinct
+    assert(fps(1L) == fps(1L).sorted.distinct)
+  }
+
+  test("bm25Retrieve: per-query top-N, shared dfs, exact single-query agreement") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join shuffle join"), (2L, "vector index search"),
+      (3L, "spark vector join"), (4L, "plain text nothing")).toDF("doc_id", "text")
+    val multi = TextAnalysis.bm25Retrieve(docs, "doc_id", "text",
+      Seq("qa" -> Seq("join"), "qb" -> Seq("vector", "index")), topN = 2)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    // qa: doc 1 (tf 2) outranks doc 3 (tf 1)
+    assert(multi(("qa", 1L))._1 == 1L && multi(("qa", 2L))._1 == 3L)
+    // qb: doc 2 hits both terms, doc 3 one
+    assert(multi(("qb", 1L))._1 == 2L && multi(("qb", 2L))._1 == 3L)
+    // a query run through the single-query path scores identically
+    val single = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      Seq("vector", "index"), topN = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(single(2L) == multi(("qb", 1L))._2)
+    assert(single(3L) == multi(("qb", 2L))._2)
+  }
+
   test("l2Norm folds in array order; null vectors stay null") {
     import spark.implicits._
     val df = Seq((1L, Some(Seq(3.0f, 4.0f))), (2L, None))
