@@ -153,6 +153,17 @@ object ScaleProbe {
       graft.pipeline.Dedup.hashNearDups(hashed, "aud_id", "afp",
         maxHamming = 3, bands = 4, maxBucketSize = 5000).count()
     }),
+    // winnowing matches at 100x in the at-scale config: df-cap 20 (the
+    // 100-near-copy families exceed it, exactly the boilerplate class
+    // the cap exists to drop) and xxhash64 instead of the oracle's md5
+    "dedup_winnow_scaled" -> (() => {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      graft.pipeline.Dedup.winnowMatches(docs, "text", "doc_id",
+        n = 4, window = 4, minShared = 2, maxDocFreq = 20,
+        hash = F.xxhash64(_))
+        .agg(F.count(F.lit(1)), F.sum("n_shared"))
+        .collect()(0).getLong(0)
+    }),
     "bloom_sharded16_stream" -> (() => {
       import graft.pipeline.Dedup
       val docs = spark.read.parquet(s"$outDir/documents.parquet")

@@ -5758,6 +5758,34 @@ object StandardQueries {
            | SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins
            | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", " ")))
 
+  /** Cross-doc winnowing matches ([[Dedup.winnowMatches]]): pairs
+    * sharing ≥2 fingerprints after the df-100 boilerplate cap. */
+  private def qDedupWinnow = Q(
+    (s, dir) => Dedup.winnowMatches(
+      t(s, dir, "documents"), "text", "doc_id",
+      n = 4, window = 4, minShared = 2, maxDocFreq = 100)
+      .orderBy("a", "b"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | g AS (SELECT doc_id,
+           |   list_transform(generate_series(1, greatest(len(w) - 3, 0)),
+           |     i -> CAST('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15) AS BIGINT)) AS ghs
+           |   FROM tok),
+           | wins AS (SELECT doc_id,
+           |   CASE WHEN len(ghs) - 3 >= 1 THEN
+           |     list_transform(generate_series(1, len(ghs) - 3), j -> list_min(ghs[j:j+3]))
+           |   WHEN len(ghs) > 0 THEN [list_min(ghs)]
+           |   ELSE [] END AS fps FROM g),
+           | fp AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins),
+           | keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100),
+           | k AS (SELECT doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+           | p AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+           |   FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |   GROUP BY 1, 2)
+           | SELECT a, b, n_shared FROM p WHERE n_shared >= 2
+           | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -5963,7 +5991,8 @@ object StandardQueries {
     "embedding_class_separation" -> qEmbeddingClassSeparation,
     "embedding_norm_quantiles" -> qEmbeddingNormQuantiles,
     "bm25_retrieval" -> qBm25Retrieval,
-    "doc_winnowing" -> qDocWinnowing)
+    "doc_winnowing" -> qDocWinnowing,
+    "dedup_winnow" -> qDedupWinnow)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -107,6 +107,38 @@ object Dedup {
     F.array_sort(F.array_distinct(mins))
   }
 
+  /** Cross-document winnowing matches: document pairs sharing ≥
+    * `minShared` winnowing fingerprints — position-robust substring
+    * plagiarism/boilerplate detection (the MOSS match step).
+    *
+    * `maxDocFreq` is SEMANTICS, not a perf hack: fingerprints present in
+    * more than that many documents (corpus-wide boilerplate) carry no
+    * pair signal and are dropped BEFORE pairing — exactly the df-cap
+    * every plagiarism detector applies, and deterministically
+    * replayable in SQL (HAVING count ≤ cap). It also bounds the join:
+    * each surviving fingerprint bucket yields ≤ cap² pairs, so the
+    * fp-keyed self-join can never go corpus-quadratic.
+    *
+    * Scale: explode (id, fp) → df-filter via one fp-keyed aggregate →
+    * fp-keyed self-join → (a, b) count aggregation. Only 8-byte
+    * fingerprints and ids ever shuffle. */
+  def winnowMatches(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, window: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = 100,
+      hash: Column => Column = g =>
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")): DataFrame = {
+    val fps = df.select(F.col(idCol).as("__id"),
+      F.explode(winnowFingerprints(F.col(textCol), n, window, hash)).as("fp"))
+    val keep = fps.groupBy("fp").agg(F.count(F.lit(1)).as("__df"))
+      .where(F.col("__df") <= maxDocFreq).select("fp")
+    val kept = fps.join(keep, Seq("fp"))
+    val a = kept.select(F.col("fp"), F.col("__id").as("a"))
+    val b = kept.select(F.col("fp"), F.col("__id").as("b"))
+    a.join(b, Seq("fp")).where(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("n_shared"))
+      .where(F.col("n_shared") >= minShared)
+  }
+
   /** MinHash signature (P permutations) of a shingle-ID array column via
     * the native one-pass expression. (The HOF formulation re-evaluates
     * the shingle pipeline per permutation after projection collapse —

@@ -442,6 +442,29 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L) == fps(1L).sorted.distinct)
   }
 
+  test("winnowMatches: df-cap drops boilerplate fingerprints; minShared filters pairs") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "common license header words appear everywhere in all docs"
+    val df = Seq(
+      (1L, s"$boiler $shared one"), (2L, s"$boiler $shared two"),
+      (3L, s"$boiler completely different content about other things entirely here"),
+      (4L, s"$boiler yet more unrelated words that share nothing else at all"))
+      .toDF("doc_id", "text").repartition(3)
+    // cap 2: the boilerplate run (in all 4 docs) is dropped; the shared
+    // 10-word run (docs 1,2 only) survives and pairs them
+    val got = graft.pipeline.Dedup.winnowMatches(df, "text", "doc_id",
+      minShared = 2, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) >= 2L)
+    // without the cap the boilerplate links every pair
+    val uncapped = graft.pipeline.Dedup.winnowMatches(df, "text", "doc_id",
+      minShared = 1, maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6)
+  }
+
   test("bm25Retrieve: per-query top-N, shared dfs, exact single-query agreement") {
     import spark.implicits._
     val docs = Seq(
