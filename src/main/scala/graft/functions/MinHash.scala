@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native MinHash expressions over 64-bit shingle-id arrays.
   *
@@ -133,6 +133,64 @@ object MinHashUtil {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Non-distinct positional shingle STRINGS (the grams themselves),
+    * for callers that hash with a replayable idiom (md5-prefix) instead
+    * of [[posShingleHashes]]'s xxhash64. One pass: the HOF formulation
+    * (`transform(sequence..., i -> concat_ws(slice(words, i, n)))`)
+    * re-evaluates the tokenizer subtree once per gram after
+    * CollapseProject inlines it — O(len²) char work per document. */
+  def posShingleStrings(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val count = toks.numElements() - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken): the sorted distinct
+    * minima of every `window`-wide sliding window over the positional
+    * gram hashes — monotonic-deque, O(len) total. Edge semantics match
+    * the HOF formulation it replaces: empty input → empty; fewer hashes
+    * than `window` → the single global minimum. Input longs must be
+    * non-null (hashes of non-null grams). */
+  def winnowSelect(hs: ArrayData, window: Int): ArrayData = {
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val a = hs.toLongArray()
+    if (m < window) {
+      var mn = a(0); var i = 1
+      while (i < m) { if (a(i) < mn) mn = a(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val nw = m - window + 1
+    val mins = new Array[Long](nw)
+    val dq = new Array[Int](m)
+    var head = 0; var tail = 0 // live deque indices: [head, tail)
+    var i = 0
+    while (i < m) {
+      while (tail > head && a(dq(tail - 1)) >= a(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - window) head += 1
+      if (i >= window - 1) mins(i - window + 1) = a(dq(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var w = 1; var r = 1
+    while (r < nw) {
+      if (mins(r) != mins(w - 1)) { mins(w) = mins(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, w))
   }
 
   private def permMins(ids: ArrayData, numPerm: Int): Array[Long] = {
@@ -284,6 +342,53 @@ case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional n-gram STRINGS from a token array — the material for a
+  * replayable (md5-idiom) winnowing hash. One pass; short/empty input
+  * yields an EMPTY array. Exists for the same CollapseProject reason as
+  * [[ShingleIds]]: a HOF gram builder re-tokenizes per gram. */
+case class PosShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pos_shingle_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.posShingleStrings(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $util.posShingleStrings($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosShingleStrings =
+    copy(child = newChild)
+}
+
+/** Winnowing selection over positional gram hashes: sorted distinct
+  * sliding-window minima in one O(len) deque pass. The child is
+  * evaluated ONCE — the HOF formulation
+  * (`transform(sequence(1, nw), j -> array_min(slice(ghs, j, w)))`)
+  * re-evaluates the whole gram-hash subtree per window position after
+  * CollapseProject, O(len²) hashing per document (the shape that put
+  * doc_winnowing at 925 s on the 100× probe). */
+case class WinnowSelect(child: Expression, window: Int) extends UnaryExpression {
+  require(window > 0, "window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.winnowSelect(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = "graft.functions.MinHashUtil"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $util.winnowSelect($c, $window);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
 /** Column wrappers. */
 object MinHash {
   def minhash_signature(ids: Column, numPerm: Int): Column =
@@ -296,4 +401,8 @@ object MinHash {
     exprColumn(ShingleIds(columnExpr(tokens), n))
   def pos_shingle_hashes(tokens: Column, n: Int): Column =
     exprColumn(PosShingleHashes(columnExpr(tokens), n))
+  def pos_shingle_strings(tokens: Column, n: Int): Column =
+    exprColumn(PosShingleStrings(columnExpr(tokens), n))
+  def winnow_select(gramHashes: Column, window: Int): Column =
+    exprColumn(WinnowSelect(columnExpr(gramHashes), window))
 }

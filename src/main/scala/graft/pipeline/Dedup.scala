@@ -89,22 +89,21 @@ object Dedup {
     * production callers pass `F.xxhash64(_)` for the codegen'd path
     * (selection semantics are hash-agnostic). Pure per-row map work —
     * no shuffle; join the exploded fingerprints to find cross-doc
-    * matches. */
+    * matches.
+    *
+    * Built on the native [[graft.functions.PosShingleStrings]] /
+    * [[graft.functions.WinnowSelect]] expressions, NOT nested HOFs:
+    * a `transform` lambda referencing the gram array re-evaluates the
+    * entire gram subtree per window position after CollapseProject —
+    * O(len²) hashing per document, measured 925 s (vs seconds) on the
+    * 100× scale probe. Only the per-gram hash itself stays a lambda
+    * (over the MATERIALIZED gram-string array), so it remains
+    * caller-pluggable at O(len). */
   def winnowFingerprints(textCol: Column, n: Int = 4, window: Int = 4,
       hash: Column => Column = g =>
         F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")): Column = {
-    val words = tokens(textCol)
-    val count = F.size(words) - (n - 1)
-    val idx = F.when(count > 0, F.sequence(F.lit(1), count))
-      .otherwise(F.array().cast("array<int>"))
-    val ghs = F.transform(idx, i => hash(F.concat_ws(" ", F.slice(words, i, F.lit(n)))))
-    val nw = F.size(ghs) - (window - 1)
-    val mins = F.when(nw >= 1,
-        F.transform(F.sequence(F.lit(1), nw),
-          j => F.array_min(F.slice(ghs, j, F.lit(window)))))
-      .when(F.size(ghs) > 0, F.array(F.array_min(ghs)))
-      .otherwise(F.array().cast("array<long>"))
-    F.array_sort(F.array_distinct(mins))
+    val grams = graft.functions.MinHash.pos_shingle_strings(tokens(textCol), n)
+    graft.functions.MinHash.winnow_select(F.transform(grams, hash), window)
   }
 
   /** Cross-document winnowing matches: document pairs sharing ≥
@@ -121,7 +120,11 @@ object Dedup {
     *
     * Scale: explode (id, fp) → df-filter via one fp-keyed aggregate →
     * fp-keyed self-join → (a, b) count aggregation. Only 8-byte
-    * fingerprints and ids ever shuffle. */
+    * fingerprints and ids ever shuffle. The exploded (id, fp) frame is
+    * localCheckpoint-ed first: the df-aggregate and BOTH self-join sides
+    * read it, and without the checkpoint each of the three would re-run
+    * the whole tokenize→gram→hash→winnow pipeline (same pattern as
+    * [[hashNearDups]]). */
   def winnowMatches(df: DataFrame, textCol: String, idCol: String,
       n: Int = 4, window: Int = 4, minShared: Int = 2,
       maxDocFreq: Int = 100,
@@ -129,6 +132,7 @@ object Dedup {
         F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")): DataFrame = {
     val fps = df.select(F.col(idCol).as("__id"),
       F.explode(winnowFingerprints(F.col(textCol), n, window, hash)).as("fp"))
+      .localCheckpoint(true)
     val keep = fps.groupBy("fp").agg(F.count(F.lit(1)).as("__df"))
       .where(F.col("__df") <= maxDocFreq).select("fp")
     val kept = fps.join(keep, Seq("fp"))

@@ -442,6 +442,43 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L) == fps(1L).sorted.distinct)
   }
 
+  test("winnowFingerprints: native selection ≡ HOF formulation (semantics oracle)") {
+    import spark.implicits._
+    // text shapes that exercise every edge: empty, <n words, exactly n,
+    // n..n+w-1 (single global min), long with repeated runs (duplicate
+    // window minima → distinct collapse), and mixed whitespace
+    val texts = Seq(
+      "", "a b c", "a b c d", "a b c d e f",
+      "x y z w x y z w x y z w x y z w",
+      "the quick brown fox jumps over the lazy dog again and again and again",
+      "  padded   with\todd   whitespace between tokens here okay then  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(2)
+    val n = 4; val w = 4
+    val words = graft.pipeline.Dedup.tokens(F.col("text"))
+    val count = F.size(words) - (n - 1)
+    val idx = F.when(count > 0, F.sequence(F.lit(1), count))
+      .otherwise(F.array().cast("array<int>"))
+    val md5 = (g: org.apache.spark.sql.Column) =>
+      F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    val ghs = F.transform(idx, i => md5(F.concat_ws(" ", F.slice(words, i, F.lit(n)))))
+    val nw = F.size(ghs) - (w - 1)
+    val mins = F.when(nw >= 1,
+        F.transform(F.sequence(F.lit(1), nw),
+          j => F.array_min(F.slice(ghs, j, F.lit(w)))))
+      .when(F.size(ghs) > 0, F.array(F.array_min(ghs)))
+      .otherwise(F.array().cast("array<long>"))
+    val hof = F.array_sort(F.array_distinct(mins))
+    val rows = df.select(F.col("doc_id"),
+        graft.pipeline.Dedup.winnowFingerprints(F.col("text"), n, w).as("nat"),
+        hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("winnowMatches: df-cap drops boilerplate fingerprints; minShared filters pairs") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
