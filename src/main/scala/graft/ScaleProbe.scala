@@ -64,7 +64,11 @@ object ScaleProbe {
     // events x50 paths through each new module
     "referential_integrity", "benford_digits", "mad_outliers",
     "segment_quantiles", "corpus_diff", "containment_minhash",
-    "embedding_class_separation", "streaming_ref_integrity")
+    "embedding_class_separation", "streaming_ref_integrity",
+    // round-14c: heap-cut class keywords over the 100x corpus
+    // (cluster_safe_split is NOT probed separately: its scale path IS
+    // dedup_clusters' probed clustering plus one bounded left join)
+    "class_tfidf")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

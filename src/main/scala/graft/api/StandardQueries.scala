@@ -409,6 +409,26 @@ object StandardQueries {
            | SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
            | FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", " ")))
 
+  /** c-TF-IDF class keywords ([[TextAnalysis.classTfidf]]): top-10
+    * characteristic terms per `source` class. Exact: integer tf /
+    * class_df + one IEEE divide; rank = (score DESC, term DESC), the
+    * bounded-heap's deterministic tie order, mirrored in the oracle. */
+  private def qClassTfidf = Q(
+    (s, dir) => TextAnalysis.classTfidf(t(s, dir, "documents"), "source", "text", 10)
+      .orderBy("class", "rank"),
+    Some("""WITH tok AS (
+           |  SELECT source AS class, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS term
+           |  FROM documents),
+           | tf AS (SELECT class, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           | cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS class_df FROM tf GROUP BY 1),
+           | s AS (SELECT class, term, tf, class_df,
+           |   CAST(tf AS DOUBLE) / CAST(class_df AS DOUBLE) AS score,
+           |   row_number() OVER (PARTITION BY class
+           |     ORDER BY CAST(tf AS DOUBLE) / CAST(class_df AS DOUBLE) DESC, term DESC) AS rank
+           |  FROM tf JOIN cdf USING (term))
+           | SELECT class, term, tf, class_df, score, CAST(rank AS BIGINT) AS rank
+           | FROM s WHERE rank <= 10 ORDER BY class, rank""".stripMargin.replaceAll("\n", " ")))
+
   /** Corpus vocabulary / Zipf-tail statistics
     * ([[graft.pipeline.TextAnalysis.vocabStats]]): vocabulary size,
     * total tokens, hapax count and fraction — all integers plus one
@@ -5758,6 +5778,43 @@ object StandardQueries {
            | SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins
            | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", " ")))
 
+  /** Leakage-safe split ([[Dedup.clusterSafeSplit]]): near-dup clusters
+    * land whole in one split (split key = component id, else own id),
+    * hashSplit 80/10/10. Oracle replays the full clustering with exact
+    * Jaccard + recursive components (same 2e-22 LSH-recall argument as
+    * `dedup_clusters`) and the md5 split idiom of `sample_split`. */
+  private def qClusterSafeSplit = Q(
+    (s, dir) => Dedup.clusterSafeSplit(
+      t(s, dir, "documents"), "text", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      numPerm = 64, bands = 32, threshold = 0.5)
+      .select("doc_id", "split_key", "split").orderBy("doc_id"),
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5),
+           | edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+           | r AS (
+           |   SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+           |   UNION
+           |   SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.u),
+           | comp AS (SELECT u AS id, min(m) AS component FROM r GROUP BY u),
+           | k AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+           |   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+           | SELECT doc_id, split_key,
+           |  CASE WHEN h < 'cccccccd' THEN 'train'
+           |       WHEN h < 'e6666666' THEN 'val'
+           |       ELSE 'test' END AS split
+           | FROM (SELECT doc_id, split_key,
+           |   substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 8) AS h FROM k)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Cross-doc winnowing matches ([[Dedup.winnowMatches]]): pairs
     * sharing ≥2 fingerprints after the df-100 boilerplate cap. */
   private def qDedupWinnow = Q(
@@ -5992,7 +6049,9 @@ object StandardQueries {
     "embedding_norm_quantiles" -> qEmbeddingNormQuantiles,
     "bm25_retrieval" -> qBm25Retrieval,
     "doc_winnowing" -> qDocWinnowing,
-    "dedup_winnow" -> qDedupWinnow)
+    "dedup_winnow" -> qDedupWinnow,
+    "cluster_safe_split" -> qClusterSafeSplit,
+    "class_tfidf" -> qClassTfidf)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

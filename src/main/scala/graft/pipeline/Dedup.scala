@@ -420,6 +420,38 @@ object Dedup {
     df.join(drops, F.col(idCol) === F.col("__drop_id"), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split: every near-dup CLUSTER lands
+    * entirely in ONE split. Plain [[Sampling.hashSplit]] on the doc id
+    * puts two near-duplicates of the same document on opposite sides of
+    * the train/test boundary with probability 2·p·(1−p) each — the
+    * contamination `split_leakage` audits for AFTER the fact; splitting
+    * on the cluster's canonical component id instead makes that leak
+    * impossible by construction (reference analog: whylogs validates
+    * splits but cannot repair them; this is the repair).
+    *
+    * The split key is the component id (min member id) for clustered
+    * docs and the doc's own id for singletons — both deterministic, so
+    * the split is stable across runs and engines like every hashSplit.
+    *
+    * Scale: clustering is [[nearDupClusters]] (banded LSH + star
+    * contraction, never all-pairs); the (doc → component) table is
+    * bounded by CLUSTERED docs, not corpus size, and joins back LEFT on
+    * the id key — singletons pass through with no extra shuffle beyond
+    * that join. Output: all input columns + `split_key` + `split`. */
+  def clusterSafeSplit(
+      df: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "split",
+      numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val comp = nearDupClusters(df, textCol, idCol,
+        numPerm, bands, threshold, maxBucketSize)
+      .select(F.col("doc_id").as("__cs_id"), F.col("component"))
+    df.join(comp, F.col(idCol) === F.col("__cs_id"), "left")
+      .withColumn("split_key", F.coalesce(F.col("component"), F.col(idCol)))
+      .withColumn("split", Sampling.hashSplit(F.col("split_key"), salt, splits))
+      .drop("__cs_id", "component")
+  }
+
   /** [[nearDupClusters]] with a QUALITY keep policy: production pipelines
     * keep the best cluster member (longest, highest quality score), not
     * the smallest id. `scoreCol` ranks members; the keeper is the

@@ -165,6 +165,43 @@ object TextAnalysis {
         F.col("score"), F.col("rank"))
   }
 
+  /** c-TF-IDF class keywords (the BERTopic/class-based variant of
+    * [[tfIdfTopTerms]]): the k terms most characteristic of each CLASS
+    * (source, language, topic cluster …) — `tf` counted over the class's
+    * concatenated text, down-weighted by the number of classes containing
+    * the term. Same reciprocal-idf scoring as [[tfIdfTopTerms]] (exact
+    * integers + one IEEE divide), so the ranked output replays
+    * bit-for-bit in SQL. Rank order is (score DESC, term DESC): the
+    * bounded-heap keeps the lexicographically largest payload on score
+    * ties, and the oracle mirrors it.
+    *
+    * Scale shape: tokens collapse map-side into the (class, term) tf
+    * aggregate; class_df is a second aggregate over that (vocab-sized,
+    * NOT corpus-sized) frame; the scored frame is localCheckpoint-ed so
+    * the top-k pass and the tf/class_df rejoin don't re-scan the corpus;
+    * the per-class cut is [[graft.functions.top_k_agg]] — O(k) heap per
+    * class in partial AND final, never a window over a class mega-key
+    * (one class's vocab at web scale is 10⁸ rows in one window task's
+    * sort). The rejoin build side is classes × k rows — broadcast. */
+  def classTfidf(
+      df: DataFrame, classCol: String, textCol: String, k: Int = 10): DataFrame = {
+    val toks = df.select(F.col(classCol).as("class"),
+      F.explode(Dedup.tokens(F.col(textCol))).as("term"))
+    val tf = toks.groupBy("class", "term").agg(F.count(F.lit(1)).as("tf"))
+    val cdf = tf.groupBy("term").agg(F.count(F.lit(1)).as("class_df"))
+    val scored = tf.join(cdf, Seq("term"))
+      .withColumn("score", F.col("tf").cast("double") / F.col("class_df").cast("double"))
+      .localCheckpoint(true)
+    val top = scored.groupBy("class")
+      .agg(graft.functions.top_k_agg(F.col("score"), F.col("term"), k).as("top"))
+      .select(F.col("class"), F.posexplode(F.col("top")).as(Seq("pos", "entry")))
+      .select(F.col("class"), F.col("entry.id").as("term"),
+        (F.col("pos") + 1).cast("long").as("rank"))
+    scored.join(F.broadcast(top), Seq("class", "term"))
+      .select(F.col("class"), F.col("term"), F.col("tf"), F.col("class_df"),
+        F.col("score"), F.col("rank"))
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones with the Lucene
     * `+1`-inside-the-log idf) over whitespace tokens: the standard
     * lexical search/scoring primitive a corpus-curation pipeline uses

@@ -550,6 +550,36 @@ class PipelineSpec extends SparkSpec {
     assert(top.keySet.forall(_._2 <= 2))
   }
 
+  test("classTfidf: class-exclusive terms outrank shared; heap cut ≡ window formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "wiki", "encyclopedia encyclopedia neutral tone common words"),
+      (2L, "wiki", "encyclopedia citations neutral common words"),
+      (3L, "web", "clickbait clickbait listicle common words"),
+      (4L, "web", "clickbait banner common words here")).toDF("doc_id", "source", "text")
+      .repartition(3)
+    val got = TextAnalysis.classTfidf(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // class-exclusive, high-tf terms win: encyclopedia (tf 3, cdf 1),
+    // clickbait (tf 3, cdf 1); 'common' (cdf 2) never outranks them
+    assert(got(("wiki", 1L))._1 == "encyclopedia" && got(("wiki", 1L))._4 == 3.0)
+    assert(got(("web", 1L))._1 == "clickbait" && got(("web", 1L))._4 == 3.0)
+    // bounded-heap cut ≡ window row_number over (score desc, term desc)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("class")
+      .orderBy(F.col("score").desc, F.col("term").desc)
+    val toks = docs.select(F.col("source").as("class"),
+      F.explode(graft.pipeline.Dedup.tokens(F.col("text"))).as("term"))
+    val tf = toks.groupBy("class", "term").agg(F.count(F.lit(1)).as("tf"))
+    val ref = tf.join(tf.groupBy("term").agg(F.count(F.lit(1)).as("class_df")), Seq("term"))
+      .withColumn("score", F.col("tf").cast("double") / F.col("class_df").cast("double"))
+      .withColumn("rank", F.row_number().over(win).cast("long"))
+      .filter(F.col("rank") <= 3)
+      .collect().map(r => (r.getString(1), r.getLong(5)) ->
+        ((r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == ref)
+  }
+
   test("gopherQualityFilter verdicts, signals and first-fail reasons") {
     import spark.implicits._
     val good = ("alpha words flowing nicely onward " * 10).trim // 50 words

@@ -605,4 +605,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"train shingle set must deduplicate via aggregate:\n${plan.take(2000)}")
   }
+
+  test("classTfidf: heap top-k (no window over the class key); rejoin broadcasts the cut") {
+    val docs = table("documents")
+    val out = graft.pipeline.TextAnalysis.classTfidf(docs, "source", "text", 10)
+    val plan = planOf(out)
+    // the per-class cut must be the bounded-heap aggregate, never a
+    // window partitioned by class (one class's whole vocab in one task)
+    assert(!plan.contains("Window"),
+      s"class top-k must not window over class:\n${plan.take(3000)}")
+    assert(plan.contains("top_k_agg") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"),
+      s"expected the bounded-heap aggregate:\n${plan.take(3000)}")
+    // the classes x k cut joins back by broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tf/class_df rejoin must broadcast the top-k side:\n${plan.take(3000)}")
+  }
 }

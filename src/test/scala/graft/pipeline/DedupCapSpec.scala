@@ -211,4 +211,33 @@ class DedupCapSpec extends SparkSpec {
     val cols = Dedup.dropNearDups(df, "text", "doc_id").columns.toSeq
     assert(cols === Seq("doc_id", "text", "quality"))
   }
+
+  test("clusterSafeSplit: near-dup clusters never straddle splits; singletons = plain hashSplit") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base), (2L, base + " extended"), (3L, base + " x"),
+      (10L, "completely different text about spark catalyst optimizers rules"),
+      (11L, "completely different text about spark catalyst optimizers rules y"),
+      (50L, "a singleton unrelated document mentioning nothing shared at all")
+    ).toDF("doc_id", "text").repartition(4)
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Dedup.clusterSafeSplit(df, "text", "doc_id", splits,
+        numPerm = 64, bands = 32, threshold = 0.4)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the leakage-impossibility property: one split per cluster
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L))
+    // cluster key = min member id; singleton key = own id
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L && got(50L)._1 == 50L)
+    // singleton's split is exactly plain hashSplit of its own id
+    val plain = df.filter($"doc_id" === 50L)
+      .select(Sampling.hashSplit(F.col("doc_id"), "split", splits))
+      .as[String].collect()(0)
+    assert(got(50L)._2 == plain)
+    // every doc present exactly once, with a legal label
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 50L))
+    assert(got.values.map(_._2).forall(Set("train", "test")))
+  }
 }
