@@ -68,7 +68,14 @@ object ScaleProbe {
     // round-14c: heap-cut class keywords over the 100x corpus
     // (cluster_safe_split is NOT probed separately: its scale path IS
     // dedup_clusters' probed clustering plus one bounded left join)
-    "class_tfidf")
+    "class_tfidf",
+    // round-14d: trainable classifiers/regressors + compressed ANN +
+    // skew preflight at 100x (pagerank_neardups is NOT probed via the
+    // registry query — its uncapped pair graph is the output-bound
+    // quadratic family; the Graph iterations are probed over capped
+    // pairs in extraProbes)
+    "nb_lang_score", "ols_doc_length", "key_skew_report",
+    "embedding_sq8_topk", "bpe_pair_stats")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -118,6 +125,18 @@ object ScaleProbe {
     * 100x. Returns the shard-row count, asserted = 16 (every shard
     * materialized a bitset). */
   def extraProbes(spark: SparkSession, outDir: String): Seq[(String, () => Long)] = Seq(
+    // fixed-point PageRank at 100x over the CAPPED near-dup pair graph
+    // (the documented at-scale candidate path — the uncapped graph's
+    // ~25M-pair output is the known quadratic family, measured under
+    // dedup_near); what this times is 3 integer iterations of
+    // exchange + join over a multi-million-edge list
+    "pagerank_capped_pairs" -> (() => {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val pairs = graft.pipeline.Dedup.minHashNearDups(
+        docs, "text", "doc_id", numPerm = 64, bands = 32,
+        threshold = 0.5, maxBucketSize = 64)
+      graft.pipeline.Graph.pageRank(pairs, "a", "b", iters = 3).count()
+    }),
     // span REMOVAL at 100x — probed through sum(n_cut) because count()
     // alone lets Catalyst eliminate the unique-key rebuild join (and
     // with it the whole gram pipeline): the r14 first run measured

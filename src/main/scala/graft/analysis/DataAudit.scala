@@ -207,4 +207,39 @@ object DataAudit {
         F.col("benford_p"))
       .withColumn("excess", F.col("obs_p") - F.col("benford_p"))
   }
+
+  /** Key-skew preflight for a planned join/aggregation key: the top-k
+    * heaviest keys with their row share and cumulative share, each row
+    * also carrying the global row/key totals — the report you read
+    * BEFORE shuffling 100 TB on `keyCol` to decide whether salting or
+    * AQE skew handling is needed (one key holding 30% of the rows
+    * serializes 30% of the shuffle into one task).
+    *
+    * Output: `(key, cnt, share, cum_share, n_rows, n_keys)`, ordered
+    * by (cnt DESC, key) — counts exact integers, shares single IEEE
+    * divides of exact integers, cum_share a divide of an integer
+    * prefix sum over k bounded rows.
+    *
+    * Scale: one map-side-combined groupBy(key) — a mega-hot key
+    * collapses to one row per partition before the exchange — then
+    * TakeOrderedAndProject for the top-k (never a global sort of the
+    * key table) and a broadcast of the 1-row totals. The only window
+    * runs over the k collected rows. NULL keys count as a key (they
+    * hash to one partition too — the classic silent skew). */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(F.col(keyCol).cast("string").as("key"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val totals = counts.agg(F.sum("cnt").as("n_rows"),
+      F.count(F.lit(1)).as("n_keys"))
+    val top = counts.orderBy(F.col("cnt").desc, F.col("key")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("cnt").desc, F.col("key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(F.broadcast(totals))
+      .withColumn("share", F.col("cnt").cast("double") / F.col("n_rows").cast("double"))
+      .withColumn("cum_share",
+        F.sum("cnt").over(w).cast("double") / F.col("n_rows").cast("double"))
+      .select("key", "cnt", "share", "cum_share", "n_rows", "n_keys")
+  }
 }

@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, Multimodal, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, Multimodal, NaiveBayes, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis, Video}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -5843,6 +5843,188 @@ object StandardQueries {
            | SELECT a, b, n_shared FROM p WHERE n_shared >= 2
            | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")))
 
+  /** Fixed-point PageRank ([[graft.pipeline.Graph.pageRank]]) over the
+    * near-dup pair graph — centrality-based keeper election / source
+    * ranking. Integer fixed-point end to end (init `scale div n`, step
+    * `base + (85·Σ(rank div outdeg)) div 100`), so three unrolled
+    * iterations replay EXACTLY in SQL; the pair list reuses the
+    * `dedup_near` provable-equality regime. */
+  private def qPagerankNearDups = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+        numPerm = 64, bands = 32, threshold = 0.5)
+      graft.pipeline.Graph.pageRank(pairs, "a", "b", iters = 3)
+        .orderBy(F.col("rank").desc, F.col("id"))
+    },
+    Some {
+      val shPr = """sh AS (
+        |  SELECT doc_id,
+        |   list_distinct([array_to_string(words[i:i+2], ' ')
+        |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+        | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+        |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5)"""
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+           | FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id GROUP BY 1),
+           | r$k AS (SELECT v.id,
+           |  (SELECT ((1000000000000 * 15) // 100) // n FROM nn) + (85 * COALESCE(c$k.s, 0)) // 100 AS rank
+           | FROM v LEFT JOIN c$k ON v.id = c$k.id)"""
+      }.mkString(",\n ")
+      s"""WITH $shPr,
+         | e AS (SELECT DISTINCT src, dst FROM
+         |   (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr)),
+         | v AS (SELECT DISTINCT src AS id FROM e),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         | deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         | r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS rank FROM v),
+         | $iters
+         | SELECT id, CAST(rank AS BIGINT) AS rank,
+         |  CAST(rank AS DOUBLE) / 1000000000000.0 AS rank_frac
+         | FROM r3 ORDER BY rank DESC, id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Multinomial Naive Bayes ([[graft.pipeline.NaiveBayes.trainScore]]):
+    * train on (text, lang), score the corpus — the hash-exact trainable
+    * classifier (the model is counts; log-probs integer-quantized at
+    * 1e-6, summed as BIGINTs, so the fitted scores replay bit-for-bit;
+    * argmax ties break to the largest class in both engines). */
+  private def qNbLangScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      NaiveBayes.trainScore(docs, docs, "text", "lang", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokw AS (
+           |  SELECT doc_id, lang, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+           |  FROM documents),
+           | tr AS (SELECT lang AS c, unnest(w) AS t FROM tokw),
+           | tc AS (SELECT c, t, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2),
+           | ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS total FROM tc GROUP BY 1),
+           | vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tc),
+           | nc AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
+           | nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           | st AS (SELECT doc_id, unnest(w) AS t FROM tokw),
+           | sc AS (SELECT st.doc_id, ct.c,
+           |   SUM(CAST(floor(ln(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+           |     - CAST(floor(ln(CAST(ct.total + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT)) AS s2
+           |  FROM st CROSS JOIN ct CROSS JOIN vv
+           |  LEFT JOIN tc ON tc.c = ct.c AND tc.t = st.t
+           |  GROUP BY 1, 2),
+           | fu AS (SELECT d.doc_id, nc.c,
+           |   COALESCE(sc.s2, 0) + CAST(floor(ln(CAST(nc.nd AS DOUBLE)) * 1000000.0) AS BIGINT)
+           |     - CAST(floor(ln(CAST((SELECT n FROM nt) AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+           |  FROM documents d CROSS JOIN nc
+           |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.c = nc.c),
+           | best AS (SELECT doc_id, c, q,
+           |   row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, c DESC) AS rn FROM fu)
+           | SELECT doc_id, c AS pred, CAST(q AS DOUBLE) / 1000000.0 AS score
+           | FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Closed-form OLS ([[graft.analysis.Ols.fit2]]): document length
+    * model n_chars ~ (token count, alpha-char count). The nine
+    * sufficient statistics are exact BIGINT sums; Cramer's rule and R²
+    * are one fixed scalar IEEE expression tree mirrored verbatim in
+    * the oracle, so the fitted coefficients hash-match. */
+  private def qOlsDocLength = Q(
+    (s, dir) => Ols.fit2(
+      t(s, dir, "documents").select(
+        F.col("n_chars").as("y"),
+        TextAnalysis.tokenCount(F.col("text")).as("x1"),
+        TextAnalysis.alphaCount(F.col("text")).as("x2")),
+      "y", "x1", "x2"),
+    Some("""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS y,
+           |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS x1,
+           |   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS x2
+           |  FROM documents),
+           | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy,
+           |   CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           |   CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           |   CAST(sum(x2 * y) AS BIGINT) AS s2y, CAST(sum(y * y) AS BIGINT) AS syy FROM f),
+           | d AS (SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+           |   CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+           |   CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+           |   CAST(syy AS DOUBLE) AS syy FROM s),
+           | c AS (SELECT n, sy, s1y, s2y, syy,
+           |   (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+           |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b0,
+           |   (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+           |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b1,
+           |   (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+           |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b2
+           |  FROM d)
+           | SELECT (SELECT n FROM s) AS n, b0, b1, b2,
+           |  1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / (syy - sy * sy / n) AS r2
+           | FROM c""".stripMargin.replaceAll("\n", " ")))
+
+  /** Key-skew preflight ([[DataAudit.keySkewReport]]) on the stream
+    * table's join key — top-20 heaviest user_ids with row shares and
+    * global totals. Counts exact; shares single IEEE divides. */
+  private def qKeySkewReport = Q(
+    (s, dir) => DataAudit.keySkewReport(t(s, dir, "events"), "user_id", 20),
+    Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1),
+           | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys FROM c),
+           | top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+           | SELECT key, cnt,
+           |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+           |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |    / CAST(n_rows AS DOUBLE) AS cum_share,
+           |  n_rows, n_keys
+           | FROM top CROSS JOIN t ORDER BY cnt DESC, key""".stripMargin.replaceAll("\n", " ")))
+
+  /** Int8 scalar-quantized ANN ([[Similarity.sq8TopK]]): one global
+    * symmetric corpus scale (angle-preserving), floor quantization,
+    * ranking by the cosine of the QUANTIZED vectors — three exact
+    * BIGINTs, two sqrts and a divide per pair, so the compressed-domain
+    * top-k replays in SQL with no float-accumulation caveat. */
+  private def qEmbeddingSq8TopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(F.col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH x AS (SELECT vec_id,
+           |   unnest(list_transform(generate_series(1, len(embedding)), i -> {'i': i, 'v': embedding[i]})) AS s
+           |  FROM embeddings),
+           | x2 AS (SELECT vec_id, s.i AS i, s.v AS v FROM x),
+           | mx AS (SELECT max(abs(v)) AS m FROM x2),
+           | q AS (SELECT vec_id, i,
+           |   CASE WHEN (SELECT m FROM mx) = 0 THEN 0 ELSE
+           |     CAST(floor((CAST(v AS DOUBLE) / CAST((SELECT m FROM mx) AS DOUBLE)) * 127.0) AS BIGINT)
+           |   END AS qi
+           |  FROM x2),
+           | n2 AS (SELECT vec_id, CAST(sum(qi * qi) AS BIGINT) AS qn2 FROM q GROUP BY 1),
+           | dt AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           |   CAST(sum(a.qi * b.qi) AS BIGINT) AS dot
+           |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+           |  WHERE b.vec_id < 20 GROUP BY 1, 2),
+           | sc AS (SELECT query_id, neighbor_id,
+           |   CASE WHEN na.qn2 = 0 OR nb.qn2 = 0 THEN 0.0 ELSE
+           |     CAST(dot AS DOUBLE) / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE)))
+           |   END AS qcos
+           |  FROM dt JOIN n2 na ON na.vec_id = dt.neighbor_id
+           |   JOIN n2 nb ON nb.vec_id = dt.query_id),
+           | r AS (SELECT query_id, neighbor_id, qcos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id DESC) AS rank FROM sc)
+           | SELECT query_id, neighbor_id, qcos, rank FROM r WHERE rank <= 5
+           | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
+
+  /** BPE merge-candidate table ([[TextAnalysis.bpePairCounts]]): top-50
+    * adjacent character pairs within tokens, occurrence-weighted — the
+    * round-0 pair counts of BPE vocabulary training. */
+  private def qBpePairStats = Q(
+    (s, dir) => TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", 50),
+    Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS t FROM documents),
+           | pr AS (SELECT unnest([substr(t, i, 2) for i in range(1, len(t))]) AS pair FROM tok WHERE len(t) >= 2)
+           | SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY pair
+           | ORDER BY cnt DESC, pair LIMIT 50""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -6051,7 +6233,13 @@ object StandardQueries {
     "doc_winnowing" -> qDocWinnowing,
     "dedup_winnow" -> qDedupWinnow,
     "cluster_safe_split" -> qClusterSafeSplit,
-    "class_tfidf" -> qClassTfidf)
+    "class_tfidf" -> qClassTfidf,
+    "pagerank_neardups" -> qPagerankNearDups,
+    "nb_lang_score" -> qNbLangScore,
+    "ols_doc_length" -> qOlsDocLength,
+    "key_skew_report" -> qKeySkewReport,
+    "embedding_sq8_topk" -> qEmbeddingSq8TopK,
+    "bpe_pair_stats" -> qBpePairStats)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

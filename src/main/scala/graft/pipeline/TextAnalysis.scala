@@ -834,4 +834,29 @@ object TextAnalysis {
         F.coalesce(F.col("n_grams"), F.lit(0L)).as("n_grams"),
         F.coalesce(F.col("cross_entropy"), F.lit(0.0)).as("cross_entropy"))
   }
+
+  /** Corpus-wide adjacent character-pair counts WITHIN tokens — the
+    * inner loop of BPE vocabulary training (Sennrich et al., ACL 2016:
+    * each merge round picks the most frequent adjacent symbol pair;
+    * round 0 over characters is exactly this table). Counting every
+    * token OCCURRENCE is the paper's word-frequency weighting. Output:
+    * the `topK` pairs as `(pair, cnt)`, ties (cnt DESC, pair).
+    *
+    * Scale: pair extraction is array-local (one `substr` per position,
+    * no per-gram re-tokenization), the count is ONE map-side-combined
+    * groupBy whose key universe is ~|alphabet|² — tiny — and the top-k
+    * is TakeOrderedAndProject, never a global sort. Character
+    * semantics (not bytes), so multibyte scripts count correctly. */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val tok = F.explode(F.filter(tokens(F.col(textCol)), w => F.length(w) > 0))
+    val pairs = F.when(F.length(F.col("__tok")) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(F.col("__tok")) - 1),
+          i => F.col("__tok").substr(i, F.lit(2))))
+      .otherwise(F.array())
+    df.select(tok.as("__tok"))
+      .select(F.explode(pairs).as("pair"))
+      .groupBy("pair").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("pair"))
+      .limit(topK)
+  }
 }

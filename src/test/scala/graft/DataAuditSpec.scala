@@ -122,4 +122,28 @@ class DataAuditSpec extends SparkSpec {
     val tot = rows.values.map(_.getAs[Double]("obs_p")).sum
     assert(math.abs(tot - 1.0) < 1e-12)
   }
+
+  test("keySkewReport: top-k heavy keys with exact shares; NULL counts as a key") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq(Some("c")) ++ Seq.fill(2)(Option.empty[String]))
+      .toDF("k").repartition(3)
+    val rows = DataAudit.keySkewReport(df, "k", 3).collect()
+    assert(rows.length == 3)
+    val top = rows.map(r => (Option(r.getString(0)), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(top(0) == ((Some("a"), 5L, 5.0 / 11.0, 5.0 / 11.0, 11L, 4L)))
+    assert(top(1) == ((Some("b"), 3L, 3.0 / 11.0, 8.0 / 11.0, 11L, 4L)))
+    assert(top(2) == ((None, 2L, 2.0 / 11.0, 10.0 / 11.0, 11L, 4L)))
+  }
+
+  test("keySkewReport: k beyond the key count returns every key; shares sum to 1") {
+    import spark.implicits._
+    val df = Seq("x", "x", "y", "y").toDF("k")
+    val rows = DataAudit.keySkewReport(df, "k", 10).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "y")) // count tie -> key order
+    assert(rows.map(_.getDouble(2)).sum == 1.0)
+    assert(rows.last.getDouble(3) == 1.0) // cumulative share closes at 1
+  }
 }

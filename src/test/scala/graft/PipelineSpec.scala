@@ -769,4 +769,20 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"))
   }
+
+  test("bpePairCounts: occurrence-weighted within-token character pairs, tie order") {
+    import spark.implicits._
+    // "aaab": aa, aa, ab; "bc": bc; "x" too short; case folds (Ab -> ab)
+    val docs = Seq((1L, "aaab bc x"), (2L, "Ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aa", 2L), ("ab", 2L), ("bc", 1L)))
+    // topK cuts after ordering (cnt desc, pair asc)
+    val top1 = TextAnalysis.bpePairCounts(docs, "text", 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("aa"))
+    // blank corpus yields no rows
+    assert(TextAnalysis.bpePairCounts(
+      Seq((1L, "   "), (2L, "")).toDF("doc_id", "text"), "text", 5).count() == 0)
+  }
 }

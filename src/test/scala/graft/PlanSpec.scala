@@ -621,4 +621,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"tf/class_df rejoin must broadcast the top-k side:\n${plan.take(3000)}")
   }
+
+  test("keySkewReport / bpePairCounts: top-k is a bounded heap, never a global key sort") {
+    val skew = graft.analysis.DataAudit.keySkewReport(eventsDF, "user_id", 20)
+    val p1 = planOf(skew)
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"top-k keys must TakeOrdered, not globally sort the key table:\n${p1.take(3000)}")
+    // the only full sort allowed is inside TakeOrdered's bounded heap;
+    // the cum-share window runs over the k collected rows
+    val windows1 = p1.linesIterator.filter(_.trim.startsWith("Window ")).size
+    assert(windows1 <= 1, s"unexpected windows:\n${p1.take(3000)}")
+    val pairs = graft.pipeline.TextAnalysis.bpePairCounts(table("documents"), "text", 50)
+    val p2 = planOf(pairs)
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"pair top-k must TakeOrdered:\n${p2.take(3000)}")
+    assert(shuffles(p2) <= 1, s"one pair-keyed exchange expected:\n${p2.take(3000)}")
+  }
+
+  test("naive bayes scoring: no window; one doc-keyed aggregate; model joins by token") {
+    val docs = table("documents")
+    val out = graft.pipeline.NaiveBayes.trainScore(docs, docs, "text", "lang", "doc_id")
+    val plan = planOf(out)
+    assert(!plan.contains("Window"),
+      s"NB scoring must not window:\n${plan.take(3000)}")
+    // scoring path: explode -> token join -> ONE groupBy(doc) with
+    // map-side partials; no text payload on the scoring exchanges
+    val wires = shuffledColumns(out)
+    wires.foreach(w => assert(!w.contains("text"),
+      s"text crossed a shuffle: $w"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** Multinomial NB semantics: quantized log-prob arithmetic checked
+  * against the formula computed independently in the test, argmax
+  * tie-breaking, empty-doc priors, and partitioning invariance. */
+class NaiveBayesSpec extends SparkSpec {
+
+  private def lnq(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+
+  private val train = Seq(
+    ("apple banana", "fruit"),
+    ("carrot potato", "veg"),
+    ("banana banana apple", "fruit"))
+
+  test("scores equal the add-one multinomial formula under 1e-6 quantization") {
+    import spark.implicits._
+    val tr = train.toDF("text", "label")
+    val sc = Seq((10L, "banana"), (11L, "potato carrot carrot")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(tr, sc, "text", "label", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // fruit: tokens {apple:2, banana:3} total 5, docs 2; veg: total 2, docs 1
+    // V = 4, nDocs = 3
+    val fruitBanana = (lnq(3 + 1) - lnq(5 + 4)) + lnq(2) - lnq(3)
+    assert(got(10L) == ("fruit", fruitBanana.toDouble / 1e6))
+    val vegDoc = // potato(1) + carrot(1)*2 under veg
+      (lnq(1 + 1) - lnq(2 + 4)) * 3 + lnq(1) - lnq(3)
+    assert(got(11L) == ("veg", vegDoc.toDouble / 1e6))
+  }
+
+  test("empty/blank documents score on priors alone") {
+    import spark.implicits._
+    val tr = train.toDF("text", "label")
+    val sc = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(tr, sc, "text", "label", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val prior = (lnq(2) - lnq(3)).toDouble / 1e6 // fruit has 2 of 3 docs
+    assert(got(1L) == ("fruit", prior) && got(2L) == ("fruit", prior))
+  }
+
+  test("exact score ties break to the largest class label") {
+    import spark.implicits._
+    val tr = Seq(("x", "a"), ("x", "b")).toDF("text", "label")
+    val sc = Seq((1L, "x")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(tr, sc, "text", "label", "doc_id").collect()
+    assert(got.head.getString(1) == "b")
+  }
+
+  test("numeric labels are accepted (cast to string classes)") {
+    import spark.implicits._
+    val tr = Seq(("apple apple", 0), ("zebra zebra", 1)).toDF("text", "label")
+    val sc = Seq((1L, "zebra")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(tr, sc, "text", "label", "doc_id").collect()
+    assert(got.head.getString(1) == "1")
+  }
+
+  test("result is partitioning-invariant (integer-quantized sums)") {
+    import spark.implicits._
+    val docs = table("documents")
+    val a = NaiveBayes.trainScore(docs.coalesce(1), docs.coalesce(1),
+      "text", "lang", "doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val b = NaiveBayes.trainScore(docs.repartition(7), docs.repartition(5),
+      "text", "lang", "doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
