@@ -75,7 +75,8 @@ object ScaleProbe {
     // quadratic family; the Graph iterations are probed over capped
     // pairs in extraProbes)
     "nb_lang_score", "ols_doc_length", "key_skew_report",
-    "embedding_sq8_topk", "bpe_pair_stats")
+    "embedding_sq8_topk", "bpe_pair_stats",
+    "class_chi2_keywords", "calibration_report", "bpe_train_merges")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

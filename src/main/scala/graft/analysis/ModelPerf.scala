@@ -128,6 +128,44 @@ object ModelPerf {
           r.getAs[Double]("error_sum"), r.getAs[Double]("sq_error_sum"))
     }.toMap
   }
+
+  /** Calibration / reliability bins for a classifier score: equal-width
+    * bins over `[lo, hi]` (scores outside clamp into the edge bins),
+    * one row per NON-EMPTY bin —
+    * `(bin, bin_lo, bin_hi, n, n_pos, frac_pos)` — the table a
+    * reliability diagram plots and the drift monitors compare release
+    * to release. Counts are exact BIGINTs; bounds and frac_pos are
+    * single IEEE expressions of exact inputs, so (for a reproducible
+    * score column, e.g. the dyadic-weight
+    * [[graft.pipeline.QualityClassifier.logitOf]]) the whole table is
+    * oracle-reproducible bit-for-bit.
+    *
+    * Scale: one map-side-combined groupBy over ≤ `bins` keys — the
+    * cheapest possible shuffle; no window, no join. (Reference analog:
+    * whylogs model-performance profiles score DISTRIBUTIONS
+    * (`model_performance_metrics.py`); this is the calibration view of
+    * the same inputs.) */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val width = hi - lo
+    val bin = F.when(score <= F.lit(lo), F.lit(0L))
+      .when(score >= F.lit(hi), F.lit((bins - 1).toLong))
+      .otherwise(F.least(
+        F.floor(((score - F.lit(lo)) / F.lit(width)) * F.lit(bins.toDouble)),
+        F.lit((bins - 1).toLong)))
+    df.select(bin.as("bin"), label.cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__y").as("n_pos"))
+      .select(F.col("bin"),
+        (F.lit(lo) + (F.col("bin").cast("double") * F.lit(width)) /
+          F.lit(bins.toDouble)).as("bin_lo"),
+        (F.lit(lo) + ((F.col("bin") + F.lit(1L)).cast("double") * F.lit(width)) /
+          F.lit(bins.toDouble)).as("bin_hi"),
+        F.col("n"), F.col("n_pos"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).as("frac_pos"))
+  }
 }
 
 /** Accuracy estimation for unlabeled targets (reference
@@ -164,4 +202,5 @@ object AccuracyEstimator {
     }
     Result(segments.map(_.contribution).sum, segments)
   }
+
 }

@@ -5925,6 +5925,33 @@ object StandardQueries {
            | SELECT doc_id, c AS pred, CAST(q AS DOUBLE) / 1000000.0 AS score
            | FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** NB classification at INGESTION ([[NaiveBayes.scoreColumn]]): the
+    * model trains in one batch pass, then rides the streaming plan as
+    * a map literal — scoring is map-only (no join, no state, append
+    * mode), so streamed predictions must equal the batch
+    * `nb_lang_score` bit-for-bit; this reuses its exact oracle
+    * verbatim. The production shape: classify documents as they
+    * arrive, route on `pred`. */
+  private def qStreamingNbScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = NaiveBayes.trainModel(docs, "text", "lang")
+      val sdf = s.readStream.schema(docs.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+      val qn = "nbs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf
+        .select(F.col("doc_id"),
+          NaiveBayes.scoreColumn(F.col("text"), model).as("r"))
+        .select(F.col("doc_id"), F.col("r.pred").as("pred"),
+          F.col("r.score").as("score"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("doc_id")
+    },
+    qNbLangScore.oracle)
+
   /** Closed-form OLS ([[graft.analysis.Ols.fit2]]): document length
     * model n_chars ~ (token count, alpha-char count). The nine
     * sufficient statistics are exact BIGINT sums; Cramer's rule and R²
@@ -6014,6 +6041,106 @@ object StandardQueries {
            |   row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id DESC) AS rank FROM sc)
            | SELECT query_id, neighbor_id, qcos, rank FROM r WHERE rank <= 5
            | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
+
+  /** Distributed BPE training ([[TextAnalysis.bpeTrainMerges]]): three
+    * greedy merge rounds over the frequency-weighted vocabulary. The
+    * double-separator string encoding makes each round's merge ONE
+    * lookahead-free regexp_replace that java.util.regex and RE2
+    * evaluate identically, and all counts are BIGINTs — so the oracle
+    * replays the full training loop (count → argmax → merge → recount)
+    * bit-for-bit across three unrolled CTE rounds. */
+  private def qBpeTrainMerges = Q(
+    (s, dir) => TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)
+      .orderBy("round"),
+    Some {
+      val sep = "chr(31)"
+      val sep2 = "chr(31) || chr(31)"
+      def round(k: Int) =
+        s"""w$k AS (SELECT list_filter(string_split(e, $sep2), x -> len(x) > 0) AS w, freq FROM v${k - 1}),
+           | q$k AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p, freq FROM w$k),
+           | t$k AS (SELECT p.a AS s1, p.b AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM q$k GROUP BY 1, 2),
+           | m$k AS (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+           | v$k AS (SELECT regexp_replace(e,
+           |    $sep || (SELECT s1 FROM m$k) || $sep2 || (SELECT s2 FROM m$k) || $sep,
+           |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') AS e, freq FROM v${k - 1})"""
+      s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents),
+         | v0 AS (SELECT $sep2 || array_to_string([substr(t, i, 1) for i in range(1, len(t)+1)], $sep2) || $sep2 AS e,
+         |   CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+         | ${round(1)},
+         | ${round(2)},
+         | ${round(3)}
+         | SELECT 1 AS round, s1, s2, s1 || s2 AS merged, cnt FROM m1
+         | UNION ALL SELECT 2, s1, s2, s1 || s2, cnt FROM m2
+         | UNION ALL SELECT 3, s1, s2, s1 || s2, cnt FROM m3
+         | ORDER BY round""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** χ² class keywords ([[TextAnalysis.classChi2Keywords]]): top-10
+    * class-DISCRIMINATIVE terms per `source` (the feature-selection
+    * companion of `class_tfidf`). All 2×2-table inputs are exact
+    * BIGINT document frequencies; the statistic is one fixed scalar
+    * IEEE tree mirrored verbatim, rank ties (chi2 DESC, term DESC). */
+  private def qClassChi2Keywords = Q(
+    (s, dir) => TextAnalysis.classChi2Keywords(
+        t(s, dir, "documents"), "source", "text", 10)
+      .orderBy("class", "rank"),
+    Some("""WITH dt AS (
+           |  SELECT source AS class, unnest(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0))) AS term
+           |  FROM documents),
+           | a AS (SELECT class, term, CAST(count(*) AS BIGINT) AS df_class FROM dt GROUP BY 1, 2),
+           | dft AS (SELECT term, CAST(sum(df_class) AS BIGINT) AS df FROM a GROUP BY 1),
+           | nc AS (SELECT source AS class, CAST(count(*) AS BIGINT) AS ncd FROM documents GROUP BY 1),
+           | nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           | s1 AS (SELECT a.class, a.term, a.df_class, dft.df, (SELECT n FROM nt) AS n,
+           |   CAST(a.df_class AS DOUBLE) AS ad, CAST(nc.ncd - a.df_class AS DOUBLE) AS bd,
+           |   CAST(dft.df - a.df_class AS DOUBLE) AS cd,
+           |   CAST((SELECT n FROM nt) - nc.ncd - (dft.df - a.df_class) AS DOUBLE) AS dd,
+           |   CAST((SELECT n FROM nt) AS DOUBLE) AS nd
+           |  FROM a JOIN dft USING (term) JOIN nc USING (class)),
+           | s2 AS (SELECT class, term, df_class, df,
+           |   CASE WHEN df = n THEN 0.0 ELSE
+           |     (nd * (ad * dd - bd * cd) * (ad * dd - bd * cd))
+           |       / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)) END AS chi2
+           |  FROM s1),
+           | r AS (SELECT class, term, df_class, df, chi2,
+           |   row_number() OVER (PARTITION BY class ORDER BY chi2 DESC, term DESC) AS rank FROM s2)
+           | SELECT class, term, df_class, df, chi2, CAST(rank AS BIGINT) AS rank
+           | FROM r WHERE rank <= 10 ORDER BY class, rank""".stripMargin.replaceAll("\n", " ")))
+
+  /** Calibration bins ([[ModelPerf.calibrationBins]]) of the dyadic
+    * md5-weight classifier logit against the `lang = 'en'` label: the
+    * reliability table, 16 bins over [−8, 8]. Logits are exact (16
+    * fractional bits per weight), counts BIGINT, bounds/frac single
+    * IEEE expressions — the whole table hash-matches. */
+  private def qCalibrationReport = Q(
+    (s, dir) => {
+      val w = QualityClassifier.md5Weights(1024)
+      val scored = t(s, dir, "documents").select(
+        QualityClassifier.logitOf(F.col("text"), w.toSeq, 0.0,
+          QualityClassifier.featureMd5(_, 1024)).as("logit"),
+        (F.col("lang") === "en").as("y"))
+      ModelPerf.calibrationBins(scored, F.col("logit"), F.col("y"),
+        bins = 16, lo = -8.0, hi = 8.0).orderBy("bin")
+    },
+    Some("""WITH w AS (SELECT j, (CAST('0x' || substr(md5('w:' || CAST(j AS VARCHAR)), 1, 4) AS INT) - 32768) / 65536.0 AS wt
+           |   FROM generate_series(0, 1023) g(j)),
+           | tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS t
+           |   FROM documents),
+           | f AS (SELECT doc_id, CAST('0x' || substr(md5('f:' || t), 1, 4) AS INT) % 1024 AS j FROM tok),
+           | sc AS (SELECT doc_id, sum(wt) AS logit FROM f JOIN w USING (j) GROUP BY 1),
+           | lg AS (SELECT d.doc_id, coalesce(sc.logit, 0.0) AS logit,
+           |   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents d LEFT JOIN sc USING (doc_id)),
+           | b AS (SELECT CASE WHEN logit <= -8.0 THEN 0
+           |   WHEN logit >= 8.0 THEN 15
+           |   ELSE least(CAST(floor(((logit - -8.0) / 16.0) * 16.0) AS BIGINT), 15) END AS bin, y
+           |  FROM lg),
+           | g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1)
+           | SELECT bin, -8.0 + (CAST(bin AS DOUBLE) * 16.0) / 16.0 AS bin_lo,
+           |  -8.0 + (CAST(bin + 1 AS DOUBLE) * 16.0) / 16.0 AS bin_hi,
+           |  n, n_pos, CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+           | FROM g ORDER BY bin""".stripMargin.replaceAll("\n", " ")))
 
   /** BPE merge-candidate table ([[TextAnalysis.bpePairCounts]]): top-50
     * adjacent character pairs within tokens, occurrence-weighted — the
@@ -6239,7 +6366,11 @@ object StandardQueries {
     "ols_doc_length" -> qOlsDocLength,
     "key_skew_report" -> qKeySkewReport,
     "embedding_sq8_topk" -> qEmbeddingSq8TopK,
-    "bpe_pair_stats" -> qBpePairStats)
+    "bpe_pair_stats" -> qBpePairStats,
+    "class_chi2_keywords" -> qClassChi2Keywords,
+    "calibration_report" -> qCalibrationReport,
+    "bpe_train_merges" -> qBpeTrainMerges,
+    "streaming_nb_score" -> qStreamingNbScore)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -104,4 +104,79 @@ object NaiveBayes {
         .localCheckpoint(true)
     } finally { tc.unpersist(blocking = false); () }
   }
+
+  /** A driver-held NB model: the per-(token, class) count table plus
+    * class stats. Counts stay RAW integers — every log is quantized
+    * in-plan at scoring time, so model transport never touches libm.
+    * Sized by the TRAINING corpus's vocabulary: the CCNet/GPT-3
+    * pattern trains on a small trusted seed, so the model is a plan
+    * literal even when the corpus being scored is 100 TB. */
+  final case class NbModel(
+      classes: Seq[String], classTotals: Seq[Long], classDocs: Seq[Long],
+      vocab: Long, nDocs: Long, counts: Map[String, Seq[Long]],
+      quant: Double)
+
+  /** One counting pass over `train` → driver-held [[NbModel]]
+    * (classes sorted; `counts(token)(i)` = occurrences under
+    * `classes(i)`). Same exchange shape as [[trainScore]]'s training
+    * half; the collect is bounded by seed-vocabulary × classes. */
+  def trainModel(train: DataFrame, textCol: String, labelCol: String,
+      quant: Double = 1000000.0): NbModel = {
+    val tc = train.select(F.col(labelCol).cast("string").as("__c"),
+        F.explode(toks(F.col(textCol))).as("__t"))
+      .groupBy("__c", "__t").agg(F.count(F.lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = tc.groupBy("__c").agg(F.sum("__cnt").as("__total"))
+        .join(train.groupBy(F.col(labelCol).cast("string").as("__c"))
+          .agg(F.count(F.lit(1)).as("__nd")), Seq("__c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      require(stats.nonEmpty, "trainModel: no training documents")
+      val classIdx = stats.map(_._1).zipWithIndex.toMap
+      val counts = tc.collect()
+        .groupBy(_.getString(1))
+        .map { case (tok, rows) =>
+          val arr = Array.fill(stats.length)(0L)
+          rows.foreach(r => arr(classIdx(r.getString(0))) = r.getLong(2))
+          tok -> arr.toSeq
+        }
+      NbModel(stats.map(_._1).toSeq, stats.map(_._2).toSeq, stats.map(_._3).toSeq,
+        counts.size.toLong, stats.map(_._3).sum, counts, quant)
+    } finally { tc.unpersist(blocking = false); () }
+  }
+
+  /** MAP-ONLY scoring against a driver-held model:
+    * `struct(pred, score)` per row, the exact same quantized-integer
+    * arithmetic as [[trainScore]] (their outputs are bit-identical on
+    * the same training data — pinned by spec). No shuffle, no join, no
+    * state — so it composes with Structured Streaming in append mode
+    * (ingestion-time classification) and costs one corpus scan at any
+    * scale. The model rides the plan as ONE map literal; lookups are
+    * per-token, so keep the seed vocabulary bounded (the contract in
+    * [[NbModel]]). */
+  def scoreColumn(text: Column, model: NbModel): Column = {
+    val k = model.classes.length
+    val cm = F.typedlit(model.counts)
+    val zeros = F.typedlit(Seq.fill(k)(0L))
+    val lnTotV = model.classTotals.map(t =>
+      lnqL(F.lit((t + model.vocab).toDouble), model.quant))
+    val step = (acc: Column, t: Column) => {
+      val arr = F.coalesce(F.element_at(cm, t), zeros)
+      val contrib = F.array((0 until k).map { i =>
+        lnqL(F.element_at(arr, i + 1) + F.lit(1L), model.quant) - lnTotV(i)
+      }: _*)
+      F.zip_with(acc, contrib, (a, b) => a + b)
+    }
+    val sums = F.aggregate(toks(text), zeros, step)
+    val scored = (0 until k).map { i =>
+      val prior = lnqL(F.lit(model.classDocs(i).toDouble), model.quant) -
+        lnqL(F.lit(model.nDocs.toDouble), model.quant)
+      F.struct((F.element_at(sums, i + 1) + prior).as("q"),
+        F.lit(model.classes(i)).as("c"))
+    }
+    val best = F.array_max(F.array(scored: _*))
+    F.struct(best.getField("c").as("pred"),
+      (best.getField("q").cast("double") / F.lit(model.quant)).as("score"))
+  }
 }

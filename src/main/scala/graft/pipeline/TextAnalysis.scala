@@ -202,6 +202,141 @@ object TextAnalysis {
         F.col("score"), F.col("rank"))
   }
 
+  /** Distributed BPE vocabulary training (Sennrich et al., ACL 2016):
+    * greedy merge rounds over the frequency-weighted word vocabulary —
+    * the tokenizer-training pass a 100 TB corpus pipeline runs. Each
+    * round counts adjacent SYMBOL pairs (weighted by word frequency),
+    * merges the most frequent pair everywhere, and repeats; returns
+    * the learned merge table `(round, s1, s2, merged, cnt)`.
+    *
+    * Representation: a word's symbol sequence is one STRING with
+    * double U+001F separators at every boundary INCLUDING both ends
+    * (`••a••b••`), so one `regexp_replace` of `•s1••s2•` with
+    * `•s1s2•` applies a merge with correct greedy left-to-right
+    * non-overlapping semantics: each match consumes one separator from
+    * each flanking boundary, leaving a single `•` behind for the next
+    * adjacent occurrence to anchor on (`••a••b••a••b••` merges BOTH
+    * pairs in one pass), while a symbol-INTERNAL `s1s2` substring can
+    * never match (no separator inside a symbol). No lookahead, so the
+    * same pattern runs on java.util.regex and RE2 — the cross-engine
+    * bridge that makes the SQL oracle replay training exactly.
+    *
+    * Only `[a-z0-9]+` tokens enter the vocabulary (the standard
+    * pre-tokenization cut, and what keeps patterns metacharacter-free
+    * in both engines). Ties break (count DESC, s1, s2). Training stops
+    * early when no pair remains.
+    *
+    * Scale shape per round: ONE map-side-combined groupBy over the
+    * adjacent-pair space (bounded by running-vocab size, not corpus),
+    * a driver-side top-1 (TakeOrdered), and a map-only regexp_replace
+    * over the vocabulary frame — which holds one row per DISTINCT
+    * word, not per occurrence, so rounds never rescan the corpus. The
+    * evolving frame is localCheckpointed per round (iterative lineage
+    * truncation, as [[graft.pipeline.ConnectedComponents]]). */
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val vocab = df
+      .select(F.explode(F.filter(tokens(F.col(textCol)),
+        w => w.rlike("^[a-z0-9]+$"))).as("t"))
+      .groupBy("t").agg(F.count(F.lit(1)).as("freq"))
+      .select(F.concat(F.lit(sep2),
+          F.regexp_replace(F.col("t"), "(.)", "$1" + sep2)).as("e"),
+        F.col("freq"))
+    var frame = vocab.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = F.filter(F.split(F.col("e"), sep2), s => F.length(s) > 0)
+      val len = F.greatest(F.size(syms) - 1, F.lit(0))
+      val adj = F.arrays_zip(F.slice(syms, F.lit(1), len), F.slice(syms, F.lit(2), len))
+      val top = frame
+        .select(F.explode(adj).as("p"), F.col("freq"))
+        .groupBy(F.col("p.0").as("s1"), F.col("p.1").as("s2"))
+        .agg(F.sum("freq").as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("s1"), F.col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (s1, s2, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, s1, s2, s1 + s2, cnt))
+        val next = frame.select(
+          F.regexp_replace(F.col("e"),
+            F.lit(sep + s1 + sep2 + s2 + sep), F.lit(sep + s1 + s2 + sep)).as("e"),
+          F.col("freq")).localCheckpoint(true)
+        frame = next
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "s1", "s2", "merged", "cnt")
+  }
+
+  /** χ²-test class keywords: the feature-selection step ahead of
+    * training a class/quality/domain classifier (Yang & Pedersen,
+    * ICML 1997: χ² picks the most class-DISCRIMINATIVE terms, where
+    * [[classTfidf]] picks the most class-characteristic by frequency).
+    * Document-frequency based: for class c and term t over the 2×2
+    * table a = docs-in-c-with-t, b = n_c − a, c' = df_t − a,
+    * d = n − n_c − c', the statistic is
+    * `n·(a·d − b·c')² / ((a+b)(c'+d)(a+c')(b+d))` — every input an
+    * exact BIGINT count, the statistic one fixed scalar IEEE tree, so
+    * the ranked output is oracle-reproducible bit-for-bit. A term
+    * present in EVERY document has no signal and scores 0 (its
+    * denominator term b+d is 0). Requires ≥ 2 classes (with one class
+    * c'+d = 0 for every term).
+    *
+    * Output: top `k` terms per class as
+    * `(class, term, df_class, df, chi2, rank)`, rank by
+    * (chi2 DESC, term DESC) — the bounded-heap tie order.
+    *
+    * Scale: per-doc DISTINCT terms explode once; two map-side-combined
+    * aggregates (class×term, then term); per-class doc counts are a
+    * driver-bounded broadcast; the per-class cut is the bounded-heap
+    * top-k aggregate (no window over the class mega-key) and the
+    * detail columns rejoin via broadcast of the classes×k cut. */
+  def classChi2Keywords(
+      df: DataFrame, classCol: String, textCol: String, k: Int = 10): DataFrame = {
+    val docTerms = df.select(F.col(classCol).as("class"),
+      F.explode(F.array_distinct(Dedup.tokens(F.col(textCol)))).as("term"))
+    val a = docTerms.groupBy("class", "term").agg(F.count(F.lit(1)).as("df_class"))
+    val dft = a.groupBy("term").agg(F.sum("df_class").as("df"))
+    val classCounts = df.groupBy(F.col(classCol).as("class"))
+      .agg(F.count(F.lit(1)).as("__nc")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    require(classCounts.length >= 2,
+      s"chi2 needs >= 2 classes, got ${classCounts.length}")
+    val n = classCounts.map(_._2).sum
+    val ncCol = classCounts.tail.foldLeft(
+        F.when(F.col("class") === F.lit(classCounts.head._1), F.lit(classCounts.head._2))) {
+      case (acc, (c, nc)) => acc.when(F.col("class") === F.lit(c), F.lit(nc))
+    }
+    def d(c: Column): Column = c.cast("double")
+    val scored0 = a.join(dft, Seq("term")).withColumn("__nc", ncCol)
+    val aD = d(F.col("df_class"))
+    val bD = d(F.col("__nc") - F.col("df_class"))
+    val cD = d(F.col("df") - F.col("df_class"))
+    val dD = d(F.lit(n) - F.col("__nc") - (F.col("df") - F.col("df_class")))
+    val num = d(F.lit(n)) * (aD * dD - bD * cD) * (aD * dD - bD * cD)
+    val den = (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD)
+    val scored = scored0
+      .withColumn("chi2", F.when(F.col("df") === F.lit(n), F.lit(0.0))
+        .otherwise(num / den))
+      .drop("__nc")
+      .localCheckpoint(true)
+    val top = scored.groupBy("class")
+      .agg(graft.functions.top_k_agg(F.col("chi2"), F.col("term"), k).as("top"))
+      .select(F.col("class"), F.posexplode(F.col("top")).as(Seq("pos", "entry")))
+      .select(F.col("class"), F.col("entry.id").as("term"),
+        (F.col("pos") + 1).cast("long").as("rank"))
+    scored.join(F.broadcast(top), Seq("class", "term"))
+      .select(F.col("class"), F.col("term"), F.col("df_class"), F.col("df"),
+        F.col("chi2"), F.col("rank"))
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones with the Lucene
     * `+1`-inside-the-log idf) over whitespace tokens: the standard
     * lexical search/scoring primitive a corpus-curation pipeline uses

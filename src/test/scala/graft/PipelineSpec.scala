@@ -770,6 +770,75 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("classChi2Keywords: hand 2x2 tables, zero-signal and everywhere-terms") {
+    import spark.implicits._
+    // A docs: "x y z", "x z"; B docs: "y z", "z w"
+    val docs = Seq(
+      ("A", "x y z"), ("A", "x z"), ("B", "y z"), ("B", "z w"))
+      .toDF("cls", "text")
+    val got = TextAnalysis.classChi2Keywords(docs, "cls", "text", 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // x: only in A (a=2,b=0,c=0,d=2) -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4
+    assert(got(("A", "x")) == ((2L, 2L, 4.0)))
+    // y: one in each (a=1,b=1,c=1,d=1) -> chi2 = 0
+    assert(got(("A", "y")) == ((1L, 2L, 0.0)))
+    assert(got(("B", "y")) == ((1L, 2L, 0.0)))
+    // z: in every doc -> guarded to 0
+    assert(got(("A", "z")) == ((2L, 4L, 0.0)))
+    // w: only in one B doc (a=1, b=1, c=0, d=2)
+    // chi2 = 4*(1*2 - 1*0)^2 / ((1+1)*(0+2)*(1+0)*(1+2)) = 16/12
+    assert(got(("B", "w")) == ((1L, 1L, 4.0 * 4.0 / 12.0)))
+    // rank ties (chi2 desc, term desc) are deterministic
+    val ranks = TextAnalysis.classChi2Keywords(docs, "cls", "text", 10)
+      .filter(F.col("class") === "A").orderBy("rank")
+      .collect().map(_.getString(1)).toSeq
+    assert(ranks.head == "x")
+  }
+
+  test("classChi2Keywords refuses a single-class corpus") {
+    import spark.implicits._
+    val docs = Seq(("A", "x y"), ("A", "y z")).toDF("cls", "text")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.classChi2Keywords(docs, "cls", "text", 5)
+    }
+  }
+
+  test("bpeTrainMerges: greedy rounds, frequency weighting, early stop, alnum gate") {
+    import spark.implicits._
+    // vocab after the [a-z0-9]+ gate: aa:1, ab:2 ("AB?" lowers to "ab?", dropped)
+    val docs = Seq((1L, "aa ab"), (2L, "ab AB?")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // r1: (a,b) x2 beats (a,a) x1; r2: only (a,a) remains; r3: exhausted
+    assert(got.toSeq == Seq((1, "a", "b", "ab", 2L), (2, "a", "a", "aa", 1L)))
+  }
+
+  test("bpeTrainMerges: one round merges greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // "aaaa": 3 adjacent (a,a); ONE merge pass yields [aa, aa] (greedy,
+    // non-overlapping), so round 2 sees exactly one (aa, aa) pair
+    assert(got.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+  }
+
+  test("bpeTrainMerges: merges never cross symbol boundaries") {
+    import spark.implicits._
+    // (a,b) and (x,a) tie at 1; tie-break (s1 asc) picks (a,b); applying
+    // it must NOT touch "xa" even though "a" ends one symbol of it
+    val docs = Seq((1L, "xa ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.head == ((1, "a", "b", 1L)))
+    // round 2: "xa" still splits as (x, a)
+    assert(got(1) == ((2, "x", "a", 1L)))
+  }
+
   test("bpePairCounts: occurrence-weighted within-token character pairs, tie order") {
     import spark.implicits._
     // "aaab": aa, aa, ab; "bc": bc; "x" too short; case folds (Ab -> ab)

@@ -57,6 +57,33 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got.head.getString(1) == "1")
   }
 
+  test("map-only scoreColumn is bit-identical to the distributed trainScore") {
+    import spark.implicits._
+    val docs = table("documents")
+    val dist = NaiveBayes.trainScore(docs, docs, "text", "lang", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val model = NaiveBayes.trainModel(docs, "text", "lang")
+    val local = docs.select(F.col("doc_id"),
+        NaiveBayes.scoreColumn(F.col("text"), model).as("r"))
+      .select(F.col("doc_id"), F.col("r.pred"), F.col("r.score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(local == dist && local.nonEmpty)
+    // the map-only plan carries no exchange and no join
+    val plan = docs.select(NaiveBayes.scoreColumn(F.col("text"), model))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"))
+  }
+
+  test("trainModel: counts, totals, vocab and priors match hand counting") {
+    import spark.implicits._
+    val m = NaiveBayes.trainModel(train.toDF("text", "label"), "text", "label")
+    assert(m.classes == Seq("fruit", "veg"))
+    assert(m.classTotals == Seq(5L, 2L) && m.classDocs == Seq(2L, 1L))
+    assert(m.vocab == 4L && m.nDocs == 3L)
+    assert(m.counts("banana") == Seq(3L, 0L))
+    assert(m.counts("carrot") == Seq(0L, 1L))
+  }
+
   test("result is partitioning-invariant (integer-quantized sums)") {
     import spark.implicits._
     val docs = table("documents")
