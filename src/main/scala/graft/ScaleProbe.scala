@@ -76,7 +76,12 @@ object ScaleProbe {
     // pairs in extraProbes)
     "nb_lang_score", "ols_doc_length", "key_skew_report",
     "embedding_sq8_topk", "bpe_pair_stats",
-    "class_chi2_keywords", "calibration_report", "bpe_train_merges")
+    "class_chi2_keywords", "calibration_report", "bpe_train_merges",
+    // round-14e (dedup_cluster_histogram is NOT probed separately: its
+    // scale path IS dedup_clusters' probed clustering plus a bounded
+    // histogram rollup)
+    "normalize_nfc", "l_diversity", "attribution_last_touch",
+    "streaming_nb_score")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

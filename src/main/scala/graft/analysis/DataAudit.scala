@@ -208,6 +208,25 @@ object DataAudit {
       .withColumn("excess", F.col("obs_p") - F.col("benford_p"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006), the
+    * companion of [[kAnonymity]]: a quasi-identifier group is l-diverse
+    * when it contains ≥ l distinct SENSITIVE values — k-anonymity alone
+    * leaks the sensitive attribute when a whole group shares one value.
+    * Output: the histogram `(l, n_groups, n_rows)` ordered by l; the
+    * smallest l row is the finding.
+    *
+    * Scale: one groupBy(qi) with an exact distinct count (partial
+    * aggregation handles hot groups), then a histogram rollup over the
+    * bounded l domain. Counts exact BIGINTs. */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    val groups = df.groupBy(qi.map(F.col): _*)
+      .agg(F.countDistinct(F.col(sensitive)).as("l"),
+        F.count(F.lit(1)).as("__rows"))
+    groups.groupBy("l")
+      .agg(F.count(F.lit(1)).as("n_groups"), F.sum("__rows").as("n_rows"))
+  }
+
   /** Key-skew preflight for a planned join/aggregation key: the top-k
     * heaviest keys with their row share and cumulative share, each row
     * also carrying the global row/key totals — the report you read

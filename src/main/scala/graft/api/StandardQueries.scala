@@ -6152,6 +6152,107 @@ object StandardQueries {
            | SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY pair
            | ORDER BY cnt DESC, pair LIMIT 50""".stripMargin.replaceAll("\n", " ")))
 
+  /** NFC text canonicalization ([[graft.functions.UnicodeNormalize]],
+    * the native codegen'd expression): per doc the md5 of the
+    * normalized text, a changed flag, and the normalized length. Java
+    * and ICU both implement UAX #15, so the digests hash-match. */
+  private def qNormalizeNfc = Q(
+    (s, dir) => {
+      val norm = graft.functions.Normalize.unicode_normalize(F.col("text"), "NFC")
+      t(s, dir, "documents").select(F.col("doc_id"),
+          F.md5(norm).as("norm_md5"),
+          (norm =!= F.col("text")).as("changed"),
+          F.length(norm).as("n_chars_norm"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+           | nfc_normalize(text) <> text AS changed,
+           | length(nfc_normalize(text)) AS n_chars_norm
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** l-diversity audit ([[DataAudit.lDiversity]]): distinct users per
+    * (event_type, day) quasi-identifier group, reported as the
+    * l-histogram. All counts exact. */
+  private def qLDiversity = Q(
+    (s, dir) => DataAudit.lDiversity(
+        events(s, dir).withColumn("day", F.to_date(F.col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      .orderBy("l"),
+    Some("""WITH g AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |   CAST(count(DISTINCT user_id) AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS r
+           |  FROM events GROUP BY 1, 2)
+           | SELECT l, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(r) AS BIGINT) AS n_rows
+           | FROM g GROUP BY l ORDER BY l""".stripMargin.replaceAll("\n", " ")))
+
+  /** Near-dup cluster-size histogram: one row per duplicate-family
+    * size with the family count — the "how bad is the duplication"
+    * summary a curation run reports before deciding cap/threshold
+    * settings. Reuses the `dedup_clusters` provable-equality regime;
+    * the keeper rows (one per cluster) make the histogram exact. */
+  private def qDedupClusterHistogram = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, F.col("doc_id"))
+      Dedup.nearDupClusters(docs, "text", "doc_id",
+          numPerm = 64, bands = 32, threshold = 0.5)
+        .filter(F.col("keep"))
+        .groupBy("cluster_size").agg(F.count(F.lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |   list_distinct([array_to_string(words[i:i+2], ' ')
+           |                  for i in range(1, greatest(len(words) - 1, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)),
+           | pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           |  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+           |   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5),
+           | edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+           | r AS (
+           |   SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+           |   UNION
+           |   SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.u),
+           | comp AS (SELECT u AS id, min(m) AS component FROM r GROUP BY u),
+           | sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component)
+           | SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           | FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replaceAll("\n", " ")))
+
+  /** Last-touch attribution ([[graft.pipeline.AsofJoin]]): every
+    * purchase joined to the user's latest click/view at-or-before it —
+    * the marketing-analytics shape of the point-in-time join. Oracle =
+    * DuckDB's native ASOF LEFT JOIN (independent implementation), same
+    * regime as `asof_join`. */
+  private def qAttributionLastTouch = Q(
+    (s, dir) => {
+      val ev = events(s, dir)
+      val touches = ev.filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("user_id"), F.col("ts"),
+          F.col("event_id").as("touch_id"),
+          F.col("event_type").as("touch_type"))
+      graft.pipeline.AsofJoin.asofLeft(
+          ev.filter(F.col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          touches, keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("touch_id", "touch_type"), tieCol = "touch_id")
+        .select(F.col("event_id"), F.col("user_id"),
+          F.unix_micros(F.col("ts")).as("ts_us"),
+          F.col("value").as("purchase_value"),
+          F.col("touch_id"), F.col("touch_type"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id, l.user_id,
+           | epoch_us(CAST(l.ts AS TIMESTAMP)) AS ts_us,
+           | l.value AS purchase_value,
+           | r.event_id AS touch_id, r.event_type AS touch_type
+           | FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+           | ASOF LEFT JOIN
+           |  (SELECT user_id, ts, event_id, event_type FROM events
+           |   WHERE event_type IN ('click', 'view')) r
+           | ON l.user_id = r.user_id AND l.ts >= r.ts
+           | ORDER BY l.event_id""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -6370,7 +6471,11 @@ object StandardQueries {
     "class_chi2_keywords" -> qClassChi2Keywords,
     "calibration_report" -> qCalibrationReport,
     "bpe_train_merges" -> qBpeTrainMerges,
-    "streaming_nb_score" -> qStreamingNbScore)
+    "streaming_nb_score" -> qStreamingNbScore,
+    "normalize_nfc" -> qNormalizeNfc,
+    "l_diversity" -> qLDiversity,
+    "dedup_cluster_histogram" -> qDedupClusterHistogram,
+    "attribution_last_touch" -> qAttributionLastTouch)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -123,6 +123,20 @@ class DataAuditSpec extends SparkSpec {
     assert(math.abs(tot - 1.0) < 1e-12)
   }
 
+  test("lDiversity: histogram of distinct-sensitive counts per qi group") {
+    import spark.implicits._
+    // group (a,1): users {u1,u2}; (a,2): {u1}; (b,1): {u1,u2,u3}
+    val df = Seq(
+      ("a", 1, "u1"), ("a", 1, "u2"), ("a", 1, "u1"),
+      ("a", 2, "u1"),
+      ("b", 1, "u1"), ("b", 1, "u2"), ("b", 1, "u3"))
+      .toDF("q1", "q2", "user")
+    val got = DataAudit.lDiversity(df, Seq("q1", "q2"), "user")
+      .orderBy("l").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
   test("keySkewReport: top-k heavy keys with exact shares; NULL counts as a key") {
     import spark.implicits._
     val df = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
