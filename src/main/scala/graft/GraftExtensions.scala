@@ -112,6 +112,16 @@ object GraftFunctions {
     "bloom_agg" -> { args =>
       arity("bloom_agg", args, 2, 2)
       BloomAgg(args(0), litInt(args, 1, "bloom_agg"))
+    },
+    "unicode_normalize" -> { args =>
+      arity("unicode_normalize", args, 1, 2)
+      val form = if (args.length < 2) "NFC" else args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize: argument 2 must be a string literal, got $other")
+      }
+      UnicodeNormalize(args.head, form)
     })
 
   /** Extension-injectable descriptions. */

@@ -125,4 +125,32 @@ object ExactQuantiles {
       }.toMap
     } finally g.unpersist(blocking = false)
   }
+
+  /** Quantile (equal-frequency) binning — the feature-discretization
+    * pass: cut points are EXACT order statistics from [[quantiles]],
+    * assignment is a literal CASE over them, and the output is the
+    * per-bin summary `(bin, n, v_min, v_max)` with exact counts and
+    * picked (never blended) extremes. Values ≤ the i-th cut point land
+    * in bin i; NULL/NaN rows are excluded.
+    *
+    * Scale: the quantile pass is the module's one-scan distributed
+    * order-statistics machinery; binning is then a map-only CASE and
+    * ONE ≤ (ranks+1)-key groupBy. With integer-valued columns the
+    * type-7 interpolation is exact in binary64, so the cut points —
+    * and therefore every assignment — replay bit-for-bit in any
+    * engine's `quantile_cont`. */
+  def quantileBins(df: DataFrame, valueCol: String,
+      ranks: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val qs = quantiles(df, Seq(valueCol), ranks)(valueCol)
+    require(qs.nonEmpty, s"no non-null values in $valueCol")
+    val v = F.col(valueCol).cast("double")
+    val bin = qs.zipWithIndex.reverse.foldLeft(F.lit(qs.length).cast("int")) {
+      case (acc, (q, i)) => F.when(v <= F.lit(q), F.lit(i)).otherwise(acc)
+    }
+    df.filter(v.isNotNull && !F.isnan(v))
+      .select(bin.as("bin"), v.as("__v"))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"), F.min("__v").as("v_min"),
+        F.max("__v").as("v_max"))
+  }
 }

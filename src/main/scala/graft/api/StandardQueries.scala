@@ -6049,32 +6049,96 @@ object StandardQueries {
     * evaluate identically, and all counts are BIGINTs — so the oracle
     * replays the full training loop (count → argmax → merge → recount)
     * bit-for-bit across three unrolled CTE rounds. */
+  /** Shared WITH-chain for the BPE oracles: vocab → 3 unrolled merge
+    * rounds (`m1..m3` the picked merges, `v3` the encoded vocabulary). */
+  private def bpeSqlCtes: String = {
+    val sep = "chr(31)"
+    val sep2 = "chr(31) || chr(31)"
+    def round(k: Int) =
+      s"""w$k AS (SELECT list_filter(string_split(e, $sep2), x -> len(x) > 0) AS w, freq FROM v${k - 1}),
+         | q$k AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p, freq FROM w$k),
+         | t$k AS (SELECT p.a AS s1, p.b AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM q$k GROUP BY 1, 2),
+         | m$k AS (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         | v$k AS (SELECT regexp_replace(e,
+         |    $sep || (SELECT s1 FROM m$k) || $sep2 || (SELECT s2 FROM m$k) || $sep,
+         |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') AS e, freq FROM v${k - 1})"""
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |    w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents),
+       | v0 AS (SELECT $sep2 || array_to_string([substr(t, i, 1) for i in range(1, len(t)+1)], $sep2) || $sep2 AS e,
+       |   CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+       | ${round(1)},
+       | ${round(2)},
+       | ${round(3)}"""
+  }
+
   private def qBpeTrainMerges = Q(
     (s, dir) => TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)
       .orderBy("round"),
     Some {
-      val sep = "chr(31)"
-      val sep2 = "chr(31) || chr(31)"
-      def round(k: Int) =
-        s"""w$k AS (SELECT list_filter(string_split(e, $sep2), x -> len(x) > 0) AS w, freq FROM v${k - 1}),
-           | q$k AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p, freq FROM w$k),
-           | t$k AS (SELECT p.a AS s1, p.b AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM q$k GROUP BY 1, 2),
-           | m$k AS (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
-           | v$k AS (SELECT regexp_replace(e,
-           |    $sep || (SELECT s1 FROM m$k) || $sep2 || (SELECT s2 FROM m$k) || $sep,
-           |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') AS e, freq FROM v${k - 1})"""
-      s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |    w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents),
-         | v0 AS (SELECT $sep2 || array_to_string([substr(t, i, 1) for i in range(1, len(t)+1)], $sep2) || $sep2 AS e,
-         |   CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
-         | ${round(1)},
-         | ${round(2)},
-         | ${round(3)}
+      s"""$bpeSqlCtes
          | SELECT 1 AS round, s1, s2, s1 || s2 AS merged, cnt FROM m1
          | UNION ALL SELECT 2, s1, s2, s1 || s2, cnt FROM m2
          | UNION ALL SELECT 3, s1, s2, s1 || s2, cnt FROM m3
          | ORDER BY round""".stripMargin.replaceAll("\n", " ")
     })
+
+  /** BPE ENCODING round-trip ([[TextAnalysis.bpeSegment]]): train 3
+    * merges, encode the whole corpus with them, report the top-30
+    * symbol frequencies. The oracle replays training AND encoding
+    * (its `v3` CTE IS the encoded vocabulary, frequency-weighted), so
+    * a train/encode disagreement anywhere fails the hash. */
+  private def qBpeEncode = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(F.explode(
+          TextAnalysis.bpeSegment(F.col("text"), merges)).as("sym"))
+        .groupBy("sym").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("sym")).limit(30)
+    },
+    Some {
+      s"""$bpeSqlCtes
+         | SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |   SELECT unnest(list_filter(string_split(e, chr(31) || chr(31)), x -> len(x) > 0)) AS sym, freq
+         |   FROM v3)
+         | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Quantile binning ([[ExactQuantiles.quantileBins]]): lineitem
+    * quantity cut at exact quartiles (integer-valued, so type-7
+    * interpolation is exact in binary64 and the cut points equal
+    * `quantile_cont`'s bit-for-bit), then the per-bin summary. */
+  private def qQuantileBins = Q(
+    (s, dir) => ExactQuantiles.quantileBins(
+        t(s, dir, "lineitem"), "l_quantity").orderBy("bin"),
+    Some("""WITH q AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+           |   quantile_cont(l_quantity, 0.5) AS q2,
+           |   quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem),
+           | b AS (SELECT CASE WHEN CAST(l_quantity AS DOUBLE) <= q1 THEN 0
+           |   WHEN CAST(l_quantity AS DOUBLE) <= q2 THEN 1
+           |   WHEN CAST(l_quantity AS DOUBLE) <= q3 THEN 2
+           |   ELSE 3 END AS bin, CAST(l_quantity AS DOUBLE) AS v
+           |  FROM lineitem CROSS JOIN q)
+           | SELECT bin, CAST(count(*) AS BIGINT) AS n, min(v) AS v_min, max(v) AS v_max
+           | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " ")))
+
+  /** Smoothed target encoding ([[FeatureEncoding.targetEncode]]): each
+    * event_type's mean `value` shrunk toward the global prior with
+    * m = 10. Decimal-exact sums + one fixed IEEE tree → hash-exact. */
+  private def qTargetEncoding = Q(
+    (s, dir) => FeatureEncoding.targetEncode(
+        events(s, dir), "event_type", "value", smoothing = 10.0)
+      .orderBy("category"),
+    Some("""WITH pc AS (SELECT event_type AS category, CAST(count(value) AS BIGINT) AS n,
+           |   CAST(sum(CAST(value AS DECIMAL(33,6))) AS DOUBLE) AS s
+           |  FROM events GROUP BY 1),
+           | g AS (SELECT CAST(count(value) AS BIGINT) AS gn,
+           |   CAST(sum(CAST(value AS DECIMAL(33,6))) AS DOUBLE) AS gs FROM events)
+           | SELECT category, n,
+           |  (s + 10.0 * (gs / CAST(gn AS DOUBLE))) / (CAST(n AS DOUBLE) + 10.0) AS enc
+           | FROM pc CROSS JOIN g ORDER BY category""".stripMargin.replaceAll("\n", " ")))
 
   /** χ² class keywords ([[TextAnalysis.classChi2Keywords]]): top-10
     * class-DISCRIMINATIVE terms per `source` (the feature-selection
@@ -6475,7 +6539,10 @@ object StandardQueries {
     "normalize_nfc" -> qNormalizeNfc,
     "l_diversity" -> qLDiversity,
     "dedup_cluster_histogram" -> qDedupClusterHistogram,
-    "attribution_last_touch" -> qAttributionLastTouch)
+    "attribution_last_touch" -> qAttributionLastTouch,
+    "bpe_encode" -> qBpeEncode,
+    "quantile_bins" -> qQuantileBins,
+    "target_encoding" -> qTargetEncoding)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

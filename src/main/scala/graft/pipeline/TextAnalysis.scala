@@ -275,6 +275,29 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "s1", "s2", "merged", "cnt")
   }
 
+  /** BPE ENCODING with a learned merge table — the inference side of
+    * [[bpeTrainMerges]]: apply the merges in training order to every
+    * `[a-z0-9]+` token and return the document's BPE symbols in
+    * order. Map-only (one regexp_replace per merge over the
+    * double-separator encoding, then split), so encoding a 100 TB
+    * corpus is one scan whatever the merge count; the same replace
+    * semantics as training means train-then-encode round-trips
+    * exactly (oracle-checked end to end in `bpe_encode`). */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val toksA = F.filter(tokens(text), w => w.rlike("^[a-z0-9]+$"))
+    val enc = F.transform(toksA, t => {
+      val e0 = F.concat(F.lit(sep2), F.regexp_replace(t, "(.)", "$1" + sep2))
+      val eN = merges.foldLeft(e0) { case (e, (s1, s2)) =>
+        F.regexp_replace(e, F.lit(sep + s1 + sep2 + s2 + sep),
+          F.lit(sep + s1 + s2 + sep))
+      }
+      F.filter(F.split(eN, sep2), x => F.length(x) > 0)
+    })
+    F.flatten(enc)
+  }
+
   /** χ²-test class keywords: the feature-selection step ahead of
     * training a class/quality/domain classifier (Yang & Pedersen,
     * ICML 1997: χ² picks the most class-DISCRIMINATIVE terms, where

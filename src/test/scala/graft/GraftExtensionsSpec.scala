@@ -100,4 +100,18 @@ class GraftExtensionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("unicode_normalize from SQL: forms, default NFC, literal-arg enforcement") {
+    val s = registered
+    val decomposed = "e\u0301"
+    val composed = "\u00e9"
+    val r = s.sql(
+      s"""SELECT unicode_normalize('$decomposed') AS nfc,
+         |  unicode_normalize('$decomposed', 'NFD') AS nfd,
+         |  unicode_normalize('\ufb01', 'NFKC') AS nfkc""".stripMargin).head
+    assert(r.getString(0) == composed)
+    assert(r.getString(1) == decomposed)
+    assert(r.getString(2) == "fi")
+    assertThrows[Exception] { s.sql("SELECT unicode_normalize('x', 'NFX')").collect() }
+  }
 }

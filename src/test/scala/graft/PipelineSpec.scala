@@ -839,6 +839,30 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((2, "x", "a", 1L)))
   }
 
+  test("bpeSegment: applies merges in order; non-alnum tokens are dropped") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq((1L, "abc ab x! ba")).toDF("doc_id", "text")
+    val got = docs.select(TextAnalysis.bpeSegment(F.col("text"), merges))
+      .collect().head.getSeq[String](0)
+    // abc -> [ab, c] -> [abc]; ab -> [ab]; "x!" dropped; ba stays split
+    assert(got == Seq("abc", "ab", "b", "a"))
+    // train-then-encode agreement on the corpus: segment lengths sum to
+    // original char count (merges only join, never drop characters)
+    val docs2 = table("documents")
+    val ms = TextAnalysis.bpeTrainMerges(docs2, "text", 3).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val bad = docs2.select(
+        TextAnalysis.bpeSegment(F.col("text"), ms).as("syms"), F.col("text"))
+      .select(F.aggregate(F.col("syms"), F.lit(0),
+          (acc, s) => acc + F.length(s)).as("symlen"),
+        F.aggregate(F.filter(TextAnalysis.tokens(F.col("text")),
+          w => w.rlike("^[a-z0-9]+$")), F.lit(0),
+          (acc, t) => acc + F.length(t)).as("toklen"))
+      .filter(F.col("symlen") =!= F.col("toklen")).count()
+    assert(bad == 0)
+  }
+
   test("bpePairCounts: occurrence-weighted within-token character pairs, tie order") {
     import spark.implicits._
     // "aaab": aa, aa, ab; "bc": bc; "x" too short; case folds (Ab -> ab)
