@@ -81,7 +81,8 @@ object ScaleProbe {
     // scale path IS dedup_clusters' probed clustering plus a bounded
     // histogram rollup)
     "normalize_nfc", "l_diversity", "attribution_last_touch",
-    "streaming_nb_score", "bpe_encode", "quantile_bins", "target_encoding")
+    "streaming_nb_score", "bpe_encode", "quantile_bins", "target_encoding",
+    "join_cardinality", "robust_scale")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -208,6 +208,43 @@ object DataAudit {
       .withColumn("excess", F.col("obs_p") - F.col("benford_p"))
   }
 
+  /** Join-cardinality preflight — the [[keySkewReport]] companion:
+    * computes EXACTLY how many rows `left ⋈ right` on `key` would
+    * produce WITHOUT running the join, from the per-key count tables:
+    * `|A ⋈ B| = Σ_k cntA(k)·cntB(k)`. One summary row:
+    * `(out_rows, left_rows, right_rows, matched_keys, max_key_product,
+    * max_key)` — `max_key_product` is the single worst key's
+    * contribution, i.e. the largest task a skew-unaware shuffle join
+    * would build. Run this BEFORE a 100 TB join: an unexpected
+    * many-to-many key turns a join linear in its inputs into one
+    * quadratic in the hot key's multiplicity, and this audit prices
+    * that at the cost of two count aggregations.
+    *
+    * Scale: one map-side-combined groupBy per side, an inner join on
+    * DISTINCT keys (each side enters at key cardinality, not row
+    * count), and a 1-row aggregate. All values exact BIGINTs; max_key
+    * ties break to the largest key string. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val la = left.groupBy(F.col(leftKey).cast("string").as("__k"))
+      .agg(F.count(F.lit(1)).as("__ca"))
+    val rb = right.groupBy(F.col(rightKey).cast("string").as("__k"))
+      .agg(F.count(F.lit(1)).as("__cb"))
+    val joined = la.join(rb, Seq("__k"))
+      .select(F.col("__k"), (F.col("__ca") * F.col("__cb")).as("__p"))
+    val lTot = left.agg(F.count(F.lit(1)).as("left_rows"))
+    val rTot = right.agg(F.count(F.lit(1)).as("right_rows"))
+    joined.agg(
+        F.sum("__p").as("out_rows"),
+        F.count(F.lit(1)).as("matched_keys"),
+        F.max(F.struct(F.col("__p").as("p"), F.col("__k").as("k"))).as("__m"))
+      .crossJoin(F.broadcast(lTot)).crossJoin(F.broadcast(rTot))
+      .select(
+        F.coalesce(F.col("out_rows"), F.lit(0L)).as("out_rows"),
+        F.col("left_rows"), F.col("right_rows"), F.col("matched_keys"),
+        F.col("__m.p").as("max_key_product"), F.col("__m.k").as("max_key"))
+  }
+
   /** l-diversity audit (Machanavajjhala et al., ICDE 2006), the
     * companion of [[kAnonymity]]: a quasi-identifier group is l-diverse
     * when it contains ≥ l distinct SENSITIVE values — k-anonymity alone

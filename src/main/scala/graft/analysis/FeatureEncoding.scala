@@ -45,4 +45,30 @@ object FeatureEncoding {
     perCat.crossJoin(F.broadcast(global))
       .select(F.col("category"), F.col("n"), enc.as("enc"))
   }
+
+  /** Robust (median/IQR) scaling `(v − median) / iqr` — the
+    * outlier-insensitive standardization (sklearn's RobustScaler
+    * default). A zero IQR (≥ half the mass on one value) scales to 0
+    * rather than dividing by zero. */
+  def robustScale(v: Column, median: Double, iqr: Double): Column =
+    if (iqr == 0.0) F.lit(0.0)
+    else (v.cast("double") - F.lit(median)) / F.lit(iqr)
+
+  /** Fit-and-audit for [[robustScale]]: exact median/quartiles from
+    * [[ExactQuantiles]] (one distributed order-statistics pass), then
+    * ONE summary row `(median, iqr, n, scaled_min, scaled_max)` from a
+    * second scan applying the scaling. Cut points are literals; with
+    * integer-valued columns they are exact in binary64, so the audit
+    * replays bit-for-bit through `quantile_cont`. */
+  def robustScaleStats(df: DataFrame, valueCol: String): DataFrame = {
+    val qs = ExactQuantiles.quantiles(df, Seq(valueCol), Seq(0.25, 0.5, 0.75))(valueCol)
+    require(qs.nonEmpty, s"no non-null values in $valueCol")
+    val (q1, med, q3) = (qs(0), qs(1), qs(2))
+    val scaled = robustScale(F.col(valueCol), med, q3 - q1)
+    df.filter(F.col(valueCol).isNotNull && !F.isnan(F.col(valueCol).cast("double")))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.min(scaled).as("scaled_min"), F.max(scaled).as("scaled_max"))
+      .select(F.lit(med).as("median"), F.lit(q3 - q1).as("iqr"),
+        F.col("n"), F.col("scaled_min"), F.col("scaled_max"))
+  }
 }

@@ -6317,6 +6317,42 @@ object StandardQueries {
            | ON l.user_id = r.user_id AND l.ts >= r.ts
            | ORDER BY l.event_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Join-cardinality preflight ([[DataAudit.joinCardinality]]): the
+    * exact output size of the events⋈events self-join on user_id
+    * (Σ cnt² — the worst-case many-to-many shape) computed WITHOUT
+    * running the join. All BIGINTs; max_key ties to the largest key. */
+  private def qJoinCardinality = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      DataAudit.joinCardinality(ev, ev, "user_id", "user_id")
+    },
+    Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1),
+           | j AS (SELECT k, CAST(cnt * cnt AS BIGINT) AS p FROM c),
+           | m AS (SELECT p, k FROM j ORDER BY p DESC, k DESC LIMIT 1)
+           | SELECT CAST(COALESCE(sum(p), 0) AS BIGINT) AS out_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS left_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS right_rows,
+           |  CAST(count(*) AS BIGINT) AS matched_keys,
+           |  (SELECT p FROM m) AS max_key_product,
+           |  (SELECT k FROM m) AS max_key
+           | FROM j""".stripMargin.replaceAll("\n", " ")))
+
+  /** Robust scaling audit ([[FeatureEncoding.robustScaleStats]]):
+    * median/IQR fit on the integer-valued quantity column (cut points
+    * exact in binary64 → replay through quantile_cont) and the scaled
+    * range in one summary row. */
+  private def qRobustScale = Q(
+    (s, dir) => FeatureEncoding.robustScaleStats(
+      t(s, dir, "lineitem"), "l_quantity"),
+    Some("""WITH q AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+           |   quantile_cont(l_quantity, 0.5) AS med,
+           |   quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+           | SELECT med AS median, q3 - q1 AS iqr, CAST(count(*) AS BIGINT) AS n,
+           |  min((CAST(l_quantity AS DOUBLE) - med) / (q3 - q1)) AS scaled_min,
+           |  max((CAST(l_quantity AS DOUBLE) - med) / (q3 - q1)) AS scaled_max
+           | FROM lineitem CROSS JOIN q GROUP BY med, q3 - q1""".stripMargin.replaceAll("\n", " ")))
+
   // ------------------------------------------------------------------
 
   val all: ListMap[String, Q] = ListMap(
@@ -6542,7 +6578,9 @@ object StandardQueries {
     "attribution_last_touch" -> qAttributionLastTouch,
     "bpe_encode" -> qBpeEncode,
     "quantile_bins" -> qQuantileBins,
-    "target_encoding" -> qTargetEncoding)
+    "target_encoding" -> qTargetEncoding,
+    "join_cardinality" -> qJoinCardinality,
+    "robust_scale" -> qRobustScale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

@@ -38,6 +38,35 @@ class FeaturePrepSpec extends SparkSpec {
       ("b", 1L, (10.0 + 10.0 * prior) / (1.0 + 10.0))))
   }
 
+  test("robustScaleStats: hand median/IQR of 1..9; zero IQR scales to 0") {
+    import spark.implicits._
+    val df = (1 to 9).map(_.toDouble).toDF("v")
+    val r = FeatureEncoding.robustScaleStats(df, "v").collect().head
+    // quartiles of 1..9 (type-7): q1=3, med=5, q3=7 -> iqr=4
+    assert((r.getDouble(0), r.getDouble(1), r.getLong(2)) == ((5.0, 4.0, 9L)))
+    assert((r.getDouble(3), r.getDouble(4)) == ((-1.0, 1.0)))
+    val const = Seq(2.0, 2.0, 2.0).toDF("v")
+    val c = FeatureEncoding.robustScaleStats(const, "v").collect().head
+    assert(c.getDouble(1) == 0.0 && c.getDouble(3) == 0.0 && c.getDouble(4) == 0.0)
+  }
+
+  test("joinCardinality: exact fan-out without running the join") {
+    import spark.implicits._
+    val left = Seq("a", "a", "a", "b", "c").toDF("k")   // a:3, b:1, c:1
+    val right = Seq("a", "a", "b", "d").toDF("k")       // a:2, b:1, d:1
+    val r = graft.analysis.DataAudit.joinCardinality(left, right, "k", "k")
+      .collect().head
+    // out = 3*2 + 1*1 = 7; worst key a contributes 6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getString(5)) == ((7L, 5L, 4L, 2L, 6L, "a")))
+    // the audit's prediction equals the actual join size
+    assert(left.join(right, Seq("k")).count() == 7L)
+    // disjoint keys -> zero output, null worst key
+    val z = graft.analysis.DataAudit.joinCardinality(
+      left, Seq("x").toDF("k"), "k", "k").collect().head
+    assert(z.getLong(0) == 0L && z.getLong(3) == 0L && z.isNullAt(4))
+  }
+
   test("targetEncode: zero smoothing is the plain category mean; invariant to partitioning") {
     import spark.implicits._
     val df = Seq(("a", 1.5), ("a", 2.5), ("b", 7.0)).toDF("c", "y")
