@@ -82,7 +82,7 @@ object ScaleProbe {
     // histogram rollup)
     "normalize_nfc", "l_diversity", "attribution_last_touch",
     "streaming_nb_score", "bpe_encode", "quantile_bins", "target_encoding",
-    "join_cardinality", "robust_scale")
+    "join_cardinality", "robust_scale", "percent_ranks")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -122,7 +122,29 @@ object ScaleProbe {
         spark.range(500000L).select(F.col("id"),
           (F.shiftleft(F.xxhash64(F.col("id")), 32)
             .bitwiseOR(F.lit(0x5a5a5a5aL))).as("h")),
-        "id", "h", maxHamming = 7, bands = 8, maxBucketSize = 1000).count())
+        "id", "h", maxHamming = 7, bands = 8, maxBucketSize = 1000).count()),
+    // a 1M-leaf star: vertex 0 receives 1e6 in-edges — the hub key
+    // through PageRank's dst-keyed exchange; map-side partial sums
+    // must collapse it per partition or the hub serializes one task
+    "skew_pagerank_hub" -> (() => {
+      val edges = spark.range(1L, 1000001L)
+        .select(F.lit(0L).as("a"), F.col("id").as("b"))
+      val ranks = graft.pipeline.Graph.pageRank(edges, "a", "b", iters = 3)
+      val hub = ranks.filter(F.col("id") === 0L)
+        .select("rank").collect()(0).getLong(0)
+      require(hub > 500000000000L, s"hub rank $hub should dominate")
+      ranks.count()
+    }),
+    // BPE on pathological run-tokens: 100k DISTINCT vocabulary words,
+    // each starting with a 16-char single-character run (the
+    // regexp_replace worst case — every position is a candidate
+    // match); each merge pass must stay linear in total characters
+    "skew_bpe_runs" -> (() => {
+      val docs = spark.range(100000L).select(F.col("id"),
+        F.concat(F.lit("aaaaaaaaaaaaaaaa"),
+          F.col("id").cast("string")).as("text"))
+      graft.pipeline.TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3).count()
+    })
   )
 
   /** Probes over the SCALED tables beyond the registered queries: the

@@ -126,6 +126,50 @@ object ExactQuantiles {
     } finally g.unpersist(blocking = false)
   }
 
+  /** Exact percent-rank per DISTINCT value — global ranking WITHOUT a
+    * global sort: the naive `percent_rank() OVER (ORDER BY v)` plans
+    * an unpartitioned window that funnels the entire table through ONE
+    * task; this formulation reduces to per-value counts (map-side
+    * combined), range-partitions the value table so each partition
+    * sorts locally, and turns per-partition totals (collected — one
+    * row per partition, driver-bounded) into prefix-sum bases, exactly
+    * the [[quantiles]] machinery. Returns
+    * `(value, n_below, pct_rank = n_below / (n − 1))` per distinct
+    * value — SQL `percent_rank` semantics (ties share the rank of
+    * their first row). Join it back to rows by value for a per-row
+    * relative score; the join side is DISTINCT values, not rows.
+    * NULL/NaN excluded; a single-value column gets pct_rank 0. */
+  def percentRanks(df: DataFrame, valueCol: String): DataFrame = {
+    val g = df
+      .select(F.col(valueCol).cast("double").as("__v"))
+      .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+      .groupBy("__v").agg(F.count(F.lit(1)).as("__n"))
+      .repartitionByRange(F.col("__v"))
+      .sortWithinPartitions("__v")
+      .withColumn("__pid", F.spark_partition_id())
+      .localCheckpoint(false)
+    try {
+      val parts = g.groupBy("__pid").agg(F.sum("__n").as("t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = parts.map(_._2).sum
+      require(n > 0, s"no non-null values in $valueCol")
+      var acc = 0L
+      val bases = parts.map { case (pid, t) =>
+        val row = (pid, acc); acc += t; row
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val baseDf = bases.toSeq.toDF("__pid2", "__base")
+      val w = Window.partitionBy("__pid").orderBy("__v")
+      val denom = math.max(n - 1L, 1L).toDouble
+      g.join(F.broadcast(baseDf), F.col("__pid") === F.col("__pid2"))
+        .withColumn("__below",
+          F.coalesce(F.sum("__n").over(w) - F.col("__n"), F.lit(0L)) + F.col("__base"))
+        .select(F.col("__v").as("value"), F.col("__below").as("n_below"),
+          (F.col("__below").cast("double") / F.lit(denom)).as("pct_rank"))
+    } finally { g.unpersist(blocking = false); () }
+  }
+
   /** Quantile (equal-frequency) binning — the feature-discretization
     * pass: cut points are EXACT order statistics from [[quantiles]],
     * assignment is a literal CASE over them, and the output is the

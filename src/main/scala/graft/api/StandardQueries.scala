@@ -6338,6 +6338,22 @@ object StandardQueries {
            |  (SELECT k FROM m) AS max_key
            | FROM j""".stripMargin.replaceAll("\n", " ")))
 
+  /** Exact percent-rank without a global sort
+    * ([[ExactQuantiles.percentRanks]]): per-value counts →
+    * range-partitioned prefix sums, never an unpartitioned window (the
+    * single-task trap `percent_rank() OVER (ORDER BY v)` plans). The
+    * oracle IS that native window function — an independent
+    * implementation, not a SQL re-derivation. */
+  private def qPercentRanks = Q(
+    (s, dir) => ExactQuantiles.percentRanks(
+      t(s, dir, "lineitem"), "l_quantity").orderBy("value"),
+    Some("""WITH pr AS (SELECT CAST(l_quantity AS DOUBLE) AS value,
+           |   percent_rank() OVER (ORDER BY CAST(l_quantity AS DOUBLE)) AS p,
+           |   row_number() OVER (ORDER BY CAST(l_quantity AS DOUBLE)) AS rn
+           |  FROM lineitem)
+           | SELECT value, CAST(min(rn) - 1 AS BIGINT) AS n_below, min(p) AS pct_rank
+           | FROM pr GROUP BY value ORDER BY value""".stripMargin.replaceAll("\n", " ")))
+
   /** Robust scaling audit ([[FeatureEncoding.robustScaleStats]]):
     * median/IQR fit on the integer-valued quantity column (cut points
     * exact in binary64 → replay through quantile_cont) and the scaled
@@ -6580,7 +6596,8 @@ object StandardQueries {
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,
-    "robust_scale" -> qRobustScale)
+    "robust_scale" -> qRobustScale,
+    "percent_ranks" -> qPercentRanks)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

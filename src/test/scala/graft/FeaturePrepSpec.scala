@@ -67,6 +67,25 @@ class FeaturePrepSpec extends SparkSpec {
     assert(z.getLong(0) == 0L && z.getLong(3) == 0L && z.isNullAt(4))
   }
 
+  test("percentRanks: hand values with ties; no unpartitioned window in the plan") {
+    import spark.implicits._
+    // values 1,2,2,3 (n=4): below = 0,1,1,3 -> pct 0, 1/3, 1/3, 1
+    val df = Seq(1.0, 2.0, 2.0, 3.0).toDF("v").repartition(3)
+    val got = ExactQuantiles.percentRanks(df, "v").orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1.0, 0L, 0.0), (2.0, 1L, 1.0 / 3.0), (3.0, 3L, 1.0)))
+    // single value: denominator clamps, rank 0
+    val one = ExactQuantiles.percentRanks(Seq(5.0, 5.0).toDF("v"), "v").collect()
+    assert(one.map(r => (r.getLong(1), r.getDouble(2))).toSeq == Seq((0L, 0.0)))
+    // scale pin: every window is partitioned (no single-task global sort)
+    val out = ExactQuantiles.percentRanks(table("lineitem"), "l_quantity")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.trim.startsWith("Window ")).toSeq
+    assert(windows.forall(_.contains("__pid")),
+      s"unpartitioned window found:\n${windows.mkString("\n")}")
+  }
+
   test("targetEncode: zero smoothing is the plain category mean; invariant to partitioning") {
     import spark.implicits._
     val df = Seq(("a", 1.5), ("a", 2.5), ("b", 7.0)).toDF("c", "y")
