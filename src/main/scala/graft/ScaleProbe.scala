@@ -82,7 +82,7 @@ object ScaleProbe {
     // histogram rollup)
     "normalize_nfc", "l_diversity", "attribution_last_touch",
     "streaming_nb_score", "bpe_encode", "quantile_bins", "target_encoding",
-    "join_cardinality", "robust_scale", "percent_ranks")
+    "join_cardinality", "robust_scale", "percent_ranks", "streaming_ann")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

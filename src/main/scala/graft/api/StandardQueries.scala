@@ -6338,6 +6338,30 @@ object StandardQueries {
            |  (SELECT k FROM m) AS max_key
            | FROM j""".stripMargin.replaceAll("\n", " ")))
 
+  /** ANN at INGESTION ([[Similarity.ivfTopK]] streaming mode): query
+    * vectors arrive as a stream, probe the static IVF-indexed corpus
+    * via a stateless stream-static cell join, and the bounded top-k
+    * aggregate (complete mode, k entries of state per query) emits
+    * neighbors. Probed EXHAUSTIVELY (nprobe = numCentroids), so the
+    * streamed result must equal the batch brute force — this reuses
+    * the `embedding_ivf_exhaustive` oracle verbatim. */
+  private def qStreamingAnn = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sdf = s.readStream.schema(emb.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/embeddings.parquet"))
+        .filter(F.col("vec_id") < 20)
+      val qn = "ann_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Similarity.ivfTopK(emb, sdf, numCentroids = 8, nprobe = 8, k = 5)
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    qEmbeddingIvfExhaustive.oracle)
+
   /** Exact percent-rank without a global sort
     * ([[ExactQuantiles.percentRanks]]): per-value counts →
     * range-partitioned prefix sums, never an unpartitioned window (the
@@ -6597,7 +6621,8 @@ object StandardQueries {
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,
     "robust_scale" -> qRobustScale,
-    "percent_ranks" -> qPercentRanks)
+    "percent_ranks" -> qPercentRanks,
+    "streaming_ann" -> qStreamingAnn)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }

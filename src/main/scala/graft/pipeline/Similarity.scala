@@ -143,7 +143,16 @@ object Similarity {
     val qWithProbes = queries
       .select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
         F.explode(nearestCentroidIds(F.col(vecCol), cents, nprobe)).as("centroid_id"))
-    val scored = assigned.join(F.broadcast(qWithProbes), Seq("centroid_id"))
+    // Batch: the (small) query side broadcasts. Streaming queries (ANN
+    // at INGESTION — vectors arrive, the indexed corpus is static):
+    // broadcasting a stream is illegal, so the probe side stays the
+    // stream and the cell-keyed join runs stream-static — stateless,
+    // the centroid assignment rides the plan as a literal, and the
+    // bounded per-query top-k aggregate carries the only state (k
+    // entries per query in the store). Same candidate set either way.
+    val scored = (if (queries.isStreaming)
+        qWithProbes.join(assigned, Seq("centroid_id"))
+      else assigned.join(F.broadcast(qWithProbes), Seq("centroid_id")))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
       .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
       .select("query_id", "neighbor_id", "score")

@@ -203,4 +203,24 @@ class StreamingSpec extends SparkSpec {
     val merged = all.map(_._2).reduce(_ merge _)
     assert(merged.columns("value").counts.get.n == eventsBatch.count())
   }
+
+  test("streaming ANN (ivfTopK on a stream) equals the batch path exactly") {
+    import graft.pipeline.Similarity
+    val emb = table("embeddings")
+    val srcDir = graft.api.StandardQueries.streamableDir(s"$sfDir/embeddings.parquet")
+    val stream = spark.readStream.schema(emb.schema).parquet(srcDir)
+      .filter(F.col("vec_id") < 10)
+    val qn = "annspec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Similarity.ivfTopK(emb, stream, numCentroids = 4, nprobe = 4, k = 3)
+      .writeStream.format("memory").queryName(qn).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(qn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val batch = Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 10),
+        numCentroids = 4, nprobe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
