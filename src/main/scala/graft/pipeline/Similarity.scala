@@ -267,7 +267,8 @@ object Similarity {
       .agg(F.max(F.abs(F.col("__x"))).as("m"))
       .collect()
     require(r.nonEmpty && !r.head.isNullAt(0), "sq8Train: empty corpus")
-    r.head.getFloat(0).toDouble
+    // float32 widens to double exactly; accept either element width
+    r.head.getAs[Number](0).doubleValue()
   }
 
   /** Quantize a vector to int8 with the [[sq8Train]] scale:

@@ -9,10 +9,12 @@ import graft.SparkSpec
   * recall against the float brute force on the real fixture. */
 class Sq8Spec extends SparkSpec {
 
-  test("sq8Train returns the corpus-wide max |x|") {
+  test("sq8Train returns the corpus-wide max |x| (float or double elements)") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.5f, -10.0f)), (2L, Seq(5.0f, 2.0f))).toDF("vec_id", "embedding")
     assert(Similarity.sq8Train(df, "embedding") == 10.0)
+    val dd = Seq((1L, Seq(0.5, -10.0)), (2L, Seq(5.0, 2.0))).toDF("vec_id", "embedding")
+    assert(Similarity.sq8Train(dd, "embedding") == 10.0)
   }
 
   test("sq8Quantize: symmetric floor mapping, zero stays zero, zero scale maps all to 0") {
