@@ -323,11 +323,15 @@ object TextAnalysis {
     * detail columns rejoin via broadcast of the classes×k cut. */
   def classChi2Keywords(
       df: DataFrame, classCol: String, textCol: String, k: Int = 10): DataFrame = {
-    val docTerms = df.select(F.col(classCol).as("class"),
+    // NULL-class rows are excluded up front: a NULL never satisfies the
+    // per-class equality below, so keeping them would silently distort
+    // n and every d-cell without ever producing a NULL-class row
+    val in = df.filter(F.col(classCol).isNotNull)
+    val docTerms = in.select(F.col(classCol).as("class"),
       F.explode(F.array_distinct(Dedup.tokens(F.col(textCol)))).as("term"))
     val a = docTerms.groupBy("class", "term").agg(F.count(F.lit(1)).as("df_class"))
     val dft = a.groupBy("term").agg(F.sum("df_class").as("df"))
-    val classCounts = df.groupBy(F.col(classCol).as("class"))
+    val classCounts = in.groupBy(F.col(classCol).as("class"))
       .agg(F.count(F.lit(1)).as("__nc")).collect()
       .map(r => (r.get(0), r.getLong(1)))
     require(classCounts.length >= 2,

@@ -796,12 +796,23 @@ class PipelineSpec extends SparkSpec {
     assert(ranks.head == "x")
   }
 
-  test("classChi2Keywords refuses a single-class corpus") {
+  test("classChi2Keywords refuses a single-class corpus; NULL classes are excluded") {
     import spark.implicits._
     val docs = Seq(("A", "x y"), ("A", "y z")).toDF("cls", "text")
     assertThrows[IllegalArgumentException] {
       TextAnalysis.classChi2Keywords(docs, "cls", "text", 5)
     }
+    // a NULL class neither forms a class nor inflates n
+    val withNull = Seq((Some("A"), "x z"), (Some("A"), "x z"), (Some("B"), "y z"),
+      (Some("B"), "z w"), (Option.empty[String], "x y z w"))
+      .toDF("cls", "text")
+    val clean = Seq(("A", "x z"), ("A", "x z"), ("B", "y z"), ("B", "z w"))
+      .toDF("cls", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.classChi2Keywords(df, "cls", "text", 10)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(rows(withNull) == rows(clean))
   }
 
   test("bpeTrainMerges: greedy rounds, frequency weighting, early stop, alnum gate") {
