@@ -5893,37 +5893,65 @@ object StandardQueries {
     * classifier (the model is counts; log-probs integer-quantized at
     * 1e-6, summed as BIGINTs, so the fitted scores replay bit-for-bit;
     * argmax ties break to the largest class in both engines). */
+  /** Shared WITH-chain for the NB oracles: counts model → per-(doc,
+    * class) quantized scores → `best` (argmax rows, rn = 1). */
+  private def nbSqlCtes: String =
+    """WITH tokw AS (
+      |  SELECT doc_id, lang, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
+      |  FROM documents),
+      | tr AS (SELECT lang AS c, unnest(w) AS t FROM tokw),
+      | tc AS (SELECT c, t, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2),
+      | ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS total FROM tc GROUP BY 1),
+      | vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tc),
+      | nc AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
+      | nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      | st AS (SELECT doc_id, unnest(w) AS t FROM tokw),
+      | sc AS (SELECT st.doc_id, ct.c,
+      |   SUM(CAST(floor(ln(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |     - CAST(floor(ln(CAST(ct.total + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT)) AS s2
+      |  FROM st CROSS JOIN ct CROSS JOIN vv
+      |  LEFT JOIN tc ON tc.c = ct.c AND tc.t = st.t
+      |  GROUP BY 1, 2),
+      | fu AS (SELECT d.doc_id, nc.c,
+      |   COALESCE(sc.s2, 0) + CAST(floor(ln(CAST(nc.nd AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |     - CAST(floor(ln(CAST((SELECT n FROM nt) AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+      |  FROM documents d CROSS JOIN nc
+      |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.c = nc.c),
+      | best AS (SELECT doc_id, c, q,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, c DESC) AS rn FROM fu)"""
+
   private def qNbLangScore = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
       NaiveBayes.trainScore(docs, docs, "text", "lang", "doc_id")
         .orderBy("doc_id")
     },
-    Some("""WITH tokw AS (
-           |  SELECT doc_id, lang, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS w
-           |  FROM documents),
-           | tr AS (SELECT lang AS c, unnest(w) AS t FROM tokw),
-           | tc AS (SELECT c, t, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2),
-           | ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS total FROM tc GROUP BY 1),
-           | vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tc),
-           | nc AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
-           | nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-           | st AS (SELECT doc_id, unnest(w) AS t FROM tokw),
-           | sc AS (SELECT st.doc_id, ct.c,
-           |   SUM(CAST(floor(ln(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
-           |     - CAST(floor(ln(CAST(ct.total + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT)) AS s2
-           |  FROM st CROSS JOIN ct CROSS JOIN vv
-           |  LEFT JOIN tc ON tc.c = ct.c AND tc.t = st.t
-           |  GROUP BY 1, 2),
-           | fu AS (SELECT d.doc_id, nc.c,
-           |   COALESCE(sc.s2, 0) + CAST(floor(ln(CAST(nc.nd AS DOUBLE)) * 1000000.0) AS BIGINT)
-           |     - CAST(floor(ln(CAST((SELECT n FROM nt) AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
-           |  FROM documents d CROSS JOIN nc
-           |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.c = nc.c),
-           | best AS (SELECT doc_id, c, q,
-           |   row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, c DESC) AS rn FROM fu)
-           | SELECT doc_id, c AS pred, CAST(q AS DOUBLE) / 1000000.0 AS score
-           | FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+    Some {
+      s"""$nbSqlCtes
+         | SELECT doc_id, c AS pred, CAST(q AS DOUBLE) / 1000000.0 AS score
+         | FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** The evaluate step of the NB train→score→evaluate loop: confusion
+    * matrix of self-scored predictions vs true labels — all exact
+    * counts, and the oracle replays the entire classifier inside the
+    * confusion rollup (any model/argmax disagreement fails the hash).
+    * Scale: the scoring plan plus ONE ≤ classes² rollup. */
+  private def qNbConfusion = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      NaiveBayes.trainScore(docs, docs, "text", "lang", "doc_id")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(F.col("lang").as("target"), F.col("pred").as("prediction"))
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy("target", "prediction")
+    },
+    Some {
+      s"""$nbSqlCtes
+         | SELECT d.lang AS target, b.c AS prediction, CAST(count(*) AS BIGINT) AS n
+         | FROM best b JOIN documents d USING (doc_id)
+         | WHERE b.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
+    })
 
   /** NB classification at INGESTION ([[NaiveBayes.scoreColumn]]): the
     * model trains in one batch pass, then rides the streaming plan as
@@ -6622,7 +6650,8 @@ object StandardQueries {
     "join_cardinality" -> qJoinCardinality,
     "robust_scale" -> qRobustScale,
     "percent_ranks" -> qPercentRanks,
-    "streaming_ann" -> qStreamingAnn)
+    "streaming_ann" -> qStreamingAnn,
+    "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }
