@@ -288,9 +288,13 @@ object DataAudit {
       .agg(F.count(F.lit(1)).as("cnt"))
     val totals = counts.agg(F.sum("cnt").as("n_rows"),
       F.count(F.lit(1)).as("n_keys"))
-    val top = counts.orderBy(F.col("cnt").desc, F.col("key")).limit(k)
+    // NULL keys are a counted, documented case — pin their tie-break
+    // position explicitly (Spark's bare asc is NULLS FIRST, most SQL
+    // engines' is NULLS LAST; an implicit default diverges on a NULL
+    // key tied in cnt at the top-k boundary).
+    val top = counts.orderBy(F.col("cnt").desc, F.col("key").asc_nulls_last).limit(k)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(F.col("cnt").desc, F.col("key"))
+      .orderBy(F.col("cnt").desc, F.col("key").asc_nulls_last)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     top.crossJoin(F.broadcast(totals))
       .withColumn("share", F.col("cnt").cast("double") / F.col("n_rows").cast("double"))

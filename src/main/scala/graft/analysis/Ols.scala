@@ -46,7 +46,14 @@ object Ols {
     val y = F.col(yCol).cast("long")
     val x1 = F.col(x1Col).cast("long")
     val x2 = F.col(x2Col).cast("long")
-    val sums = df.agg(
+    // NULL rows are DROPPED, not silently half-counted: `count(*)` sees
+    // every row while `sum` skips NULLs, so without this filter a single
+    // NULL feature skews n against the sufficient statistics and the
+    // coefficients are wrong with no error. Complete-case analysis is
+    // the only consistent closed-form choice.
+    val complete = df.filter(
+      F.col(yCol).isNotNull && F.col(x1Col).isNotNull && F.col(x2Col).isNotNull)
+    val sums = complete.agg(
       F.count(F.lit(1)).as("n"),
       F.sum(x1).as("s1"), F.sum(x2).as("s2"), F.sum(y).as("sy"),
       F.sum(x1 * x1).as("s11"), F.sum(x1 * x2).as("s12"),

@@ -5995,7 +5995,7 @@ object StandardQueries {
     Some("""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS y,
            |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS x1,
            |   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS x2
-           |  FROM documents),
+           |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
            | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
            |   CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy,
            |   CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
@@ -6025,13 +6025,13 @@ object StandardQueries {
     Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
            |  FROM events GROUP BY 1),
            | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys FROM c),
-           | top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+           | top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key NULLS LAST LIMIT 20)
            | SELECT key, cnt,
            |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
-           |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, key NULLS LAST ROWS UNBOUNDED PRECEDING) AS DOUBLE)
            |    / CAST(n_rows AS DOUBLE) AS cum_share,
            |  n_rows, n_keys
-           | FROM top CROSS JOIN t ORDER BY cnt DESC, key""".stripMargin.replaceAll("\n", " ")))
+           | FROM top CROSS JOIN t ORDER BY cnt DESC, key NULLS LAST""".stripMargin.replaceAll("\n", " ")))
 
   /** Int8 scalar-quantized ANN ([[Similarity.sq8TopK]]): one global
     * symmetric corpus scale (angle-preserving), floor quantization,
@@ -6087,9 +6087,9 @@ object StandardQueries {
          | q$k AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p, freq FROM w$k),
          | t$k AS (SELECT p.a AS s1, p.b AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM q$k GROUP BY 1, 2),
          | m$k AS (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
-         | v$k AS (SELECT regexp_replace(e,
+         | v$k AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM m$k) THEN regexp_replace(e,
          |    $sep || (SELECT s1 FROM m$k) || $sep2 || (SELECT s2 FROM m$k) || $sep,
-         |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') AS e, freq FROM v${k - 1})"""
+         |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') ELSE e END AS e, freq FROM v${k - 1})"""
     s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |    w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents),
        | v0 AS (SELECT $sep2 || array_to_string([substr(t, i, 1) for i in range(1, len(t)+1)], $sep2) || $sep2 AS e,
@@ -6133,6 +6133,27 @@ object StandardQueries {
          |   FROM v3)
          | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
     })
+
+  /** PRODUCTION-VOCABULARY BPE encoding
+    * ([[TextAnalysis.bpeSegmentNative]], the native
+    * [[graft.functions.BpeEncodeTokens]] expression): train the same 3
+    * merges, encode the corpus with the table as ONE reference object
+    * instead of per-merge regex plan nodes, report the same top-30
+    * symbol frequencies. Shares `bpe_encode`'s oracle verbatim — so the
+    * native encoder's fold-equivalence is certified against the
+    * training-replay oracle every round, not just by its spec. */
+  private def qBpeEncodeNative = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(F.explode(
+          TextAnalysis.bpeSegmentNative(F.col("text"), merges)).as("sym"))
+        .groupBy("sym").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("sym")).limit(30)
+    },
+    qBpeEncode.oracle)
 
   /** Quantile binning ([[ExactQuantiles.quantileBins]]): lineitem
     * quantity cut at exact quartiles (integer-valued, so type-7
@@ -6355,7 +6376,7 @@ object StandardQueries {
       DataAudit.joinCardinality(ev, ev, "user_id", "user_id")
     },
     Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
-           |  FROM events GROUP BY 1),
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
            | j AS (SELECT k, CAST(cnt * cnt AS BIGINT) AS p FROM c),
            | m AS (SELECT p, k FROM j ORDER BY p DESC, k DESC LIMIT 1)
            | SELECT CAST(COALESCE(sum(p), 0) AS BIGINT) AS out_rows,
@@ -6645,6 +6666,7 @@ object StandardQueries {
     "dedup_cluster_histogram" -> qDedupClusterHistogram,
     "attribution_last_touch" -> qAttributionLastTouch,
     "bpe_encode" -> qBpeEncode,
+    "bpe_encode_native" -> qBpeEncodeNative,
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,

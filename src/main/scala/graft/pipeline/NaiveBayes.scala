@@ -154,8 +154,24 @@ object NaiveBayes {
     * (ingestion-time classification) and costs one corpus scan at any
     * scale. The model rides the plan as ONE map literal; lookups are
     * per-token, so keep the seed vocabulary bounded (the contract in
-    * [[NbModel]]). */
-  def scoreColumn(text: Column, model: NbModel): Column = {
+    * [[NbModel]]).
+    *
+    * The seed-vocabulary contract is ENFORCED, not just documented:
+    * `vocab × classes` must stay ≤ `maxPlanCells` (default 2⁶⁴k cells
+    * ≈ a few MB of plan literal). A model trained on a large corpus
+    * would otherwise ride the plan as a multi-MB `typedlit` and fail
+    * deep inside codegen/plan serialization, far from the cause —
+    * route such models through [[trainScore]]'s distributed
+    * token-keyed join instead, which has no vocabulary ceiling. */
+  def scoreColumn(text: Column, model: NbModel,
+      maxPlanCells: Long = 1L << 18): Column = {
+    val cells = model.vocab * model.classes.length
+    require(cells <= maxPlanCells,
+      s"NbModel has vocab=${model.vocab} x classes=${model.classes.length} = " +
+        s"$cells plan-literal cells > maxPlanCells=$maxPlanCells; a model this " +
+        "size cannot ride the plan as one typedlit map - score with " +
+        "NaiveBayes.trainScore (distributed token-keyed join) or raise the " +
+        "bound explicitly if you accept the plan size")
     val k = model.classes.length
     val cm = F.typedlit(model.counts)
     val zeros = F.typedlit(Seq.fill(k)(0L))

@@ -279,10 +279,19 @@ object TextAnalysis {
     * [[bpeTrainMerges]]: apply the merges in training order to every
     * `[a-z0-9]+` token and return the document's BPE symbols in
     * order. Map-only (one regexp_replace per merge over the
-    * double-separator encoding, then split), so encoding a 100 TB
-    * corpus is one scan whatever the merge count; the same replace
-    * semantics as training means train-then-encode round-trips
-    * exactly (oracle-checked end to end in `bpe_encode`). */
+    * double-separator encoding, then split), so encoding is one
+    * corpus scan; the same replace semantics as training means
+    * train-then-encode round-trips exactly (oracle-checked end to end
+    * in `bpe_encode`).
+    *
+    * PLAN-SIZE BUDGET: this shape folds ONE regex node per merge into
+    * the Column tree, so it is the ORACLE-BRIDGE encoder — correct and
+    * SQL-replayable for merge tables up to a few hundred entries, but
+    * unplannable at a production 32k-merge vocabulary. For real
+    * vocabularies use [[bpeSegmentNative]], which computes the
+    * identical function (equivalence spec-pinned, same oracle) with
+    * the table as one broadcast-style reference object instead of
+    * plan nodes. */
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
     val sep = "\u001f"
     val sep2 = sep + sep
@@ -296,6 +305,19 @@ object TextAnalysis {
       F.filter(F.split(eN, sep2), x => F.length(x) > 0)
     })
     F.flatten(enc)
+  }
+
+  /** Production-vocabulary BPE encoding: the same function as
+    * [[bpeSegment]] — bit-identical output, pinned by spec and by the
+    * shared `bpe_encode` oracle — computed by the native
+    * [[graft.functions.BpeEncodeTokens]] expression, which applies the
+    * merge table in O(passes × word-length) per word with the table
+    * held once per executor. No per-merge plan nodes, so a 32k-merge
+    * production vocabulary encodes a 100 TB corpus in one map-only
+    * codegen'd scan. Prefer this everywhere except the oracle bridge. */
+  def bpeSegmentNative(text: Column, merges: Seq[(String, String)]): Column = {
+    val toksA = F.filter(tokens(text), w => w.rlike("^[a-z0-9]+$"))
+    graft.functions.BpeEncode.bpe_encode_tokens(toksA, merges)
   }
 
   /** χ²-test class keywords: the feature-selection step ahead of
