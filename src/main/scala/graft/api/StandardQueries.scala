@@ -9,7 +9,7 @@ import graft.analysis._
 import graft.core.{MetricConfig, Namespace, ResolverSpec}
 import graft.functions._
 import graft.functions.Fingerprints.rolling_min_hash
-import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, Multimodal, NaiveBayes, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Decontaminate, Dedup, Embeddings, Exif, HtmlExtract, Multimodal, NaiveBayes, Packing, Pii, QualityClassifier, Sampling, Similarity, TextAnalysis, Video}
 import graft.profile.Why1
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -6134,6 +6134,142 @@ object StandardQueries {
          | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Deterministic synthetic web page for the HTML-extraction family:
+    * the documents table rendered as a page with the canonical
+    * boilerplate anatomy — nav, headline, two body paragraphs (the doc
+    * text halved, one with an inline `<b>` and entity), a share bar, an
+    * ad block, a footer. Built from the SAME string expressions in both
+    * engines, so extraction is oracle-checked end to end on content the
+    * classifier must actually separate. */
+  private def syntheticHtml: Column = {
+    val text = F.col("text")
+    val half = F.floor(F.length(text) / F.lit(2)).cast("int")
+    val p1 = F.replace(text.substr(F.lit(1), half),
+      F.lit(" merge "), F.lit(" <b>merge</b> "))
+    val p2 = text.substr(half + 1, F.length(text))
+    F.concat(
+      F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+      F.lit("</title></head><body>"),
+      F.lit("<nav><a href=\"/\">Home</a> <a href=\"/t/"), F.col("lang"),
+      F.lit("\">"), F.col("lang"), F.lit("</a> <a href=\"/c\">Contact</a></nav>"),
+      F.lit("<h1>"), F.upper(text.substr(F.lit(1), F.lit(20))), F.lit("</h1>"),
+      F.lit("<p>"), p1, F.lit("</p>"),
+      F.lit("<div class=\"share\">Share <a href=\"/s\">this</a> <a href=\"/x\">now</a></div>"),
+      F.lit("<p>"), p2, F.lit("</p>"),
+      F.lit("<div class=\"ad\">Buy now &amp; save! <a href=\"/buy\">Click here</a> <a href=\"/deal\">deal</a></div>"),
+      F.lit("<footer>Copyright 2024 Example Corp&nbsp;<a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a></footer>"),
+      F.lit("</body></html>"))
+  }
+
+  /** The same page construction in DuckDB SQL (`h` CTE: doc_id, source,
+    * html), shared by the three HTML oracles. */
+  private def htmlFixtureCte: String =
+    """h AS (SELECT doc_id, source,
+      | '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
+      | || '<nav><a href="/">Home</a> <a href="/t/' || lang || '">' || lang || '</a> <a href="/c">Contact</a></nav>'
+      | || '<h1>' || upper(substr(text, 1, 20)) || '</h1>'
+      | || '<p>' || replace(substr(text, 1, CAST(floor(len(text) / 2) AS INT)), ' merge ', ' <b>merge</b> ') || '</p>'
+      | || '<div class="share">Share <a href="/s">this</a> <a href="/x">now</a></div>'
+      | || '<p>' || substr(text, CAST(floor(len(text) / 2) AS INT) + 1, len(text)) || '</p>'
+      | || '<div class="ad">Buy now &amp; save! <a href="/buy">Click here</a> <a href="/deal">deal</a></div>'
+      | || '<footer>Copyright 2024 Example Corp&nbsp;<a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>'
+      | || '</body></html>' AS html
+      | FROM documents)""".stripMargin.replaceAll("\n", " ")
+
+  /** The block feature/classification pipeline in DuckDB SQL on top of
+    * [[htmlFixtureCte]] — mirrors [[HtmlExtract.blocks]] expression by
+    * expression (tag split, strip, entity chain, word/stopword/link
+    * features, threshold rule, per-doc rank). */
+  private def htmlBlocksCtes: String =
+    s"""WITH $htmlFixtureCte,
+       | sp AS (SELECT doc_id, source, string_split_regex(html,
+       |   '(?i)</?(?:p|div|h[1-6]|li|ul|ol|nav|header|footer|aside|article|section|table|tr|td|blockquote|br|body|html|head|title)\\b[^>]*>') AS segs FROM h),
+       | sg AS (SELECT doc_id, source,
+       |   unnest(list_transform(generate_series(1, len(segs)), i -> {'pos': i, 'seg': segs[i]})) AS s FROM sp),
+       | sg2 AS (SELECT doc_id, source, s.pos AS pos, s.seg AS seg FROM sg),
+       | f AS (SELECT doc_id, source, pos,
+       |   trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+       |     regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+       |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+       |     '\\s+', ' ', 'g')) AS text,
+       |   regexp_extract_all(seg, '(?i)<a\\b[^>]*>(.*?)</a>', 1) AS links
+       |  FROM sg2),
+       | g AS (SELECT doc_id, source, pos, text,
+       |   list_filter(string_split(text, ' '), w -> len(w) > 0) AS words, links
+       |  FROM f WHERE len(text) > 0),
+       | feats AS (SELECT doc_id, source, pos, text,
+       |   CAST(len(text) AS BIGINT) AS n_chars,
+       |   CAST(len(words) AS BIGINT) AS n_words,
+       |   CAST(len(list_filter(words, w -> list_contains(['the','a','an','and','of','to','in','is','on','for','with','as','by','at','it'], w))) AS BIGINT) AS stop_words,
+       |   CAST(coalesce(list_sum(list_transform(links, x -> len(trim(regexp_replace(x, '<[^>]*>', ' ', 'g'))))), 0) AS BIGINT) AS link_chars
+       |  FROM g),
+       | blk AS (SELECT doc_id, source, text, n_chars, n_words, stop_words, link_chars,
+       |   CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS link_density,
+       |   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS block_idx,
+       |   CASE WHEN n_words >= 10 AND CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.25
+       |     THEN 'content' ELSE 'boilerplate' END AS label
+       |  FROM feats)""".stripMargin.replaceAll("\n", " ")
+
+  /** Per-block boilerplate classification ([[HtmlExtract.blocks]]) over
+    * the synthetic page fixture: every block of every page with its
+    * exact features and content/boilerplate label. */
+  private def qHtmlBlockClassify = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"),
+        F.col("text"), F.col("source"))
+      HtmlExtract.blocks(docs.withColumn("html", syntheticHtml), "html", Seq("doc_id"))
+        .orderBy("doc_id", "block_idx")
+    },
+    Some(s"""$htmlBlocksCtes
+            | SELECT doc_id, block_idx, text, n_chars, n_words, stop_words, link_chars, link_density, label
+            | FROM blk ORDER BY doc_id, block_idx""".stripMargin.replaceAll("\n", " ")))
+
+  /** Extracted training text ([[HtmlExtract.extractText]]): content
+    * blocks concatenated in page order, one row per page that kept
+    * any — the input the c4/Gopher/dedup families consume. */
+  private def qHtmlExtractText = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"),
+        F.col("text"), F.col("source"))
+      HtmlExtract.extractText(docs.withColumn("html", syntheticHtml), "html", Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$htmlBlocksCtes
+            | SELECT doc_id, text, n_blocks, CAST(len(text) AS BIGINT) AS n_chars FROM (
+            |   SELECT doc_id, string_agg(text, ' ' ORDER BY block_idx) AS text,
+            |     CAST(count(*) AS BIGINT) AS n_blocks
+            |   FROM blk WHERE label = 'content' GROUP BY doc_id)
+            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Corpus-level boilerplate audit: per source, how many chars the
+    * extractor kept vs dropped — the yield report a crawl-curation run
+    * reads before committing to an extraction config. */
+  private def qHtmlBoilerplateRate = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"),
+        F.col("text"), F.col("source"))
+      HtmlExtract.blocks(docs.withColumn("html", syntheticHtml), "html",
+          Seq("doc_id", "source"))
+        .groupBy("source")
+        .agg(
+          F.sum(F.when(F.col("label") === "content", F.col("n_chars"))
+            .otherwise(F.lit(0L))).as("content_chars"),
+          F.sum(F.when(F.col("label") === "boilerplate", F.col("n_chars"))
+            .otherwise(F.lit(0L))).as("boiler_chars"),
+          F.count(F.lit(1)).as("n_blocks"))
+        .withColumn("boiler_share", F.col("boiler_chars").cast("double") /
+          (F.col("content_chars") + F.col("boiler_chars")).cast("double"))
+        .orderBy("source")
+    },
+    Some(s"""$htmlBlocksCtes
+            | SELECT source,
+            |  CAST(sum(CASE WHEN label = 'content' THEN n_chars ELSE 0 END) AS BIGINT) AS content_chars,
+            |  CAST(sum(CASE WHEN label = 'boilerplate' THEN n_chars ELSE 0 END) AS BIGINT) AS boiler_chars,
+            |  CAST(count(*) AS BIGINT) AS n_blocks,
+            |  CAST(sum(CASE WHEN label = 'boilerplate' THEN n_chars ELSE 0 END) AS DOUBLE)
+            |    / CAST(sum(n_chars) AS DOUBLE) AS boiler_share
+            | FROM blk GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")))
+
   /** PRODUCTION-VOCABULARY BPE encoding
     * ([[TextAnalysis.bpeSegmentNative]], the native
     * [[graft.functions.BpeEncodeTokens]] expression): train the same 3
@@ -6667,6 +6803,9 @@ object StandardQueries {
     "attribution_last_touch" -> qAttributionLastTouch,
     "bpe_encode" -> qBpeEncode,
     "bpe_encode_native" -> qBpeEncodeNative,
+    "html_block_classify" -> qHtmlBlockClassify,
+    "html_extract_text" -> qHtmlExtractText,
+    "html_boilerplate_rate" -> qHtmlBoilerplateRate,
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** HTML → training-text extraction: the block-classification pass every
+  * web-corpus pipeline runs BEFORE the text-quality family
+  * (`c4Clean` / Gopher rules assume already-extracted text). A
+  * deterministic simplification of jusText (Pomikálek 2011) /
+  * Boilerpipe (Kohlschütter et al., WSDM 2010): segment the page into
+  * text blocks at block-level tag boundaries, score each block with
+  * exact features (length, word count, link density, stopword count),
+  * and classify content vs boilerplate with fixed thresholds — no
+  * fitted model, so the whole pass is SQL-replayable and hash-matched
+  * like `c4_clean`.
+  *
+  * Everything is map-only over the page string (split + regex + HOFs,
+  * all codegen'd builtins) except the one per-document block-index
+  * window (partitioned by document — thousands of rows per partition
+  * key at most, never a global window) and `extractText`'s one
+  * groupBy(doc). At 100 TB this is a single scan shape: no joins, no
+  * broadcast state, filters push down to the parquet scan.
+  *
+  * (Reference analog: none — whylogs profiles text it is given; this
+  * is part of the beyond-reference LLM-pipeline surface, upstream of
+  * [[TextAnalysis]] / [[Decontaminate]] / [[Dedup]].)
+  */
+object HtmlExtract {
+
+  /** Block-level tags: a boundary ends the enclosing text block (both
+    * open and close forms, attributes allowed). Inline tags (`<a>`,
+    * `<b>`, `<span>`, …) do NOT split — their text belongs to the
+    * block, which is exactly what link density measures. */
+  val blockTagPattern: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|nav|header|footer|aside|article|section|table|tr|td|blockquote|br|body|html|head|title)\\b[^>]*>"
+
+  /** Fixed English stopword list for the stopword-count feature (the
+    * jusText signal; kept tiny and frozen so the feature is a stable
+    * cross-engine constant, not a config). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to",
+    "in", "is", "on", "for", "with", "as", "by", "at", "it")
+
+  /** Content rule: a block is `content` iff it has ≥ `minWords` words
+    * AND link density ≤ `maxLinkDensity`. Navigation, share bars, ads
+    * and footers are short and/or link-dominated; body paragraphs are
+    * neither. */
+  val minWords = 10
+  val maxLinkDensity = 0.25
+
+  private val entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: never double-decode
+
+  /** Visible text of an HTML fragment: strip tags to spaces, decode the
+    * frozen entity set, collapse whitespace, trim. */
+  def visibleText(html: Column): Column = {
+    val stripped = F.regexp_replace(html, "<[^>]*>", " ")
+    val decoded = entities.foldLeft(stripped) { case (c, (e, ch)) =>
+      F.replace(c, F.lit(e), F.lit(ch))
+    }
+    F.trim(F.regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-block classification table: one row per non-empty text block,
+    * `keyCols ++ (block_idx, text, n_chars, n_words, stop_words,
+    * link_chars, link_density, label)`. `block_idx` is the 1-based
+    * rank among the document's non-empty blocks in page order. */
+  def blocks(df: DataFrame, htmlCol: String, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one document key column")
+    val segs = df.select(
+      keyCols.map(F.col) :+
+        F.posexplode(F.split(F.col(htmlCol), blockTagPattern)).as(Seq("__pos", "__seg")): _*)
+    val vis = visibleText(F.col("__seg"))
+    val links = F.regexp_extract_all(F.col("__seg"),
+      F.lit("(?i)<a\\b[^>]*>(.*?)</a>"), F.lit(1))
+    val feat = segs
+      .withColumn("text", vis)
+      .filter(F.length(F.col("text")) > 0)
+      .withColumn("__words",
+        F.filter(F.split(F.col("text"), " "), w => F.length(w) > 0))
+      .withColumn("__links", links)
+    val nChars = F.length(F.col("text")).cast("long")
+    val nWords = F.size(F.col("__words")).cast("long")
+    val stopW = F.size(F.filter(F.col("__words"),
+      w => F.array_contains(F.typedlit(stopwords), w))).cast("long")
+    // link text is tag-stripped and trimmed only (no entity decode /
+    // whitespace collapse — density is a ratio, the simpler exact
+    // definition keeps the SQL mirror one regex deep)
+    val linkChars = F.aggregate(F.col("__links"), F.lit(0L),
+      (acc, x) =>
+        acc + F.length(F.trim(F.regexp_replace(x, "<[^>]*>", " "))).cast("long"))
+    val linkDensity = linkChars.cast("double") / nChars.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(F.col): _*).orderBy(F.col("__pos"))
+    feat
+      .withColumn("block_idx", F.row_number().over(w).cast("long"))
+      .withColumn("n_chars", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("stop_words", stopW)
+      .withColumn("link_chars", linkChars)
+      .withColumn("link_density", linkDensity)
+      .withColumn("label",
+        F.when(F.col("n_words") >= minWords &&
+          F.col("link_density") <= maxLinkDensity, "content")
+          .otherwise("boilerplate"))
+      .select(keyCols.map(F.col) ++ Seq(F.col("block_idx"), F.col("text"),
+        F.col("n_chars"), F.col("n_words"), F.col("stop_words"),
+        F.col("link_chars"), F.col("link_density"), F.col("label")): _*)
+  }
+
+  /** The extracted training text: content blocks concatenated in page
+    * order. One row per document that has ≥ 1 content block:
+    * `keyCols ++ (text, n_blocks, n_chars)`. */
+  def extractText(df: DataFrame, htmlCol: String, keyCols: Seq[String]): DataFrame = {
+    val b = blocks(df, htmlCol, keyCols).filter(F.col("label") === "content")
+    b.groupBy(keyCols.map(F.col): _*)
+      .agg(F.array_sort(F.collect_list(
+        F.struct(F.col("block_idx"), F.col("text").as("t")))).as("__bs"))
+      .select(keyCols.map(F.col) ++ Seq(
+        F.concat_ws(" ", F.transform(F.col("__bs"), s => s.getField("t"))).as("text"),
+        F.size(F.col("__bs")).cast("long").as("n_blocks")): _*)
+      .withColumn("n_chars", F.length(F.col("text")).cast("long"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blocksOf(html: String) =
+    HtmlExtract.blocks(Seq((1L, html)).toDF("doc_id", "html"), "html", Seq("doc_id"))
+      .orderBy("block_idx").collect()
+
+  test("block segmentation: block tags split, inline tags don't") {
+    val rows = blocksOf(
+      "<div>one <b>bold</b> two three four five six seven eight nine ten</div>" +
+        "<p>second block of mostly prose text here to pass the length rule ok</p>")
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("text") ==
+      "one bold two three four five six seven eight nine ten")
+    assert(rows(0).getAs[Long]("n_words") == 11)
+    assert(rows.map(_.getAs[String]("label")).toSeq == Seq("content", "content"))
+  }
+
+  test("entity decode and whitespace collapse") {
+    val rows = blocksOf("<p>a &amp;&nbsp; b &lt;tag&gt;   c &quot;q&#39;s&quot;</p>")
+    assert(rows.head.getAs[String]("text") == "a & b <tag> c \"q's\"")
+  }
+
+  test("link density: anchor text chars over visible chars") {
+    val rows = blocksOf("<p>read <a href=\"/x\">this link</a> now</p>")
+    val r = rows.head
+    assert(r.getAs[String]("text") == "read this link now")
+    assert(r.getAs[Long]("link_chars") == 9) // "this link"
+    assert(r.getAs[Long]("n_chars") == 18)
+    assert(r.getAs[Double]("link_density") == 9.0 / 18.0)
+    assert(r.getAs[String]("label") == "boilerplate") // 4 words, dense links
+  }
+
+  test("classification thresholds: exactly-10 words and exactly-0.25 density pass") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ") // 10 words, no links
+    assert(blocksOf(s"<p>$ten</p>").head.getAs[String]("label") == "content")
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")
+    assert(blocksOf(s"<p>$nine</p>").head.getAs[String]("label") == "boilerplate")
+    // 10 words, link text exactly a quarter of the visible chars
+    // visible = "aaaaaaa" + 9 more words; construct 40 chars, 10 link chars
+    val words = Seq("aaaaaaaaaa") ++ (1 to 9).map(_ => "abc") // 10 words total
+    val html = s"<p><a href='/'>${words.head}</a> ${words.tail.mkString(" ")}</p>"
+    val r = blocksOf(html).head
+    assert(r.getAs[Long]("link_chars") == 10)
+    val d = r.getAs[Double]("link_density")
+    assert(r.getAs[String]("label") == (if (d <= 0.25) "content" else "boilerplate"))
+  }
+
+  test("stopword counting is exact and case-sensitive") {
+    val rows = blocksOf("<p>The the a cat of it IT extra words to reach ten total</p>")
+    // lowercase matches only: the, a, of, it, to = 5
+    assert(rows.head.getAs[Long]("stop_words") == 5)
+  }
+
+  test("empty and whitespace-only blocks are dropped; indices re-rank") {
+    val rows = blocksOf("<div>   </div><p>first real block with enough words here to count ok</p><br><p>x</p>")
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("block_idx")).toSeq == Seq(1L, 2L))
+    assert(rows(0).getAs[String]("text").startsWith("first real"))
+    assert(rows(1).getAs[String]("text") == "x")
+  }
+
+  test("extractText: content blocks joined in page order; empty pages absent") {
+    val df = Seq(
+      (1L, "<p>one two three four five six seven eight nine ten</p>" +
+        "<nav><a href='/'>Home</a></nav>" +
+        "<p>eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty</p>"),
+      (2L, "<nav><a href='/'>Only boilerplate</a></nav>")).toDF("doc_id", "html")
+    val got = HtmlExtract.extractText(df, "html", Seq("doc_id")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_id") == 1L)
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[String]("text") ==
+      "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+  }
+
+  test("multiple key columns pass through") {
+    val df = Seq((1L, "web", "<p>enough words to make this block count as real content</p>"))
+      .toDF("doc_id", "source", "html")
+    val rows = HtmlExtract.blocks(df, "html", Seq("doc_id", "source")).collect()
+    assert(rows.head.getAs[String]("source") == "web")
+  }
+}
