@@ -82,7 +82,13 @@ object ScaleProbe {
     // histogram rollup)
     "normalize_nfc", "l_diversity", "attribution_last_touch",
     "streaming_nb_score", "bpe_encode", "quantile_bins", "target_encoding",
-    "join_cardinality", "robust_scale", "percent_ranks", "streaming_ann")
+    "join_cardinality", "robust_scale", "percent_ranks", "streaming_ann",
+    // round-15: HTML extraction over the 100x corpus (page build +
+    // block explode + per-doc window), fixed-point k-means (3
+    // iterations x one histogram exchange over 20x embeddings),
+    // histogram stump scan over 10x lineitem, native BPE encode
+    // (trains the same 3 merges, then the reference-object encoder)
+    "html_extract_text", "kmeans_train", "tree_stump", "bpe_encode_native")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -134,6 +140,21 @@ object ScaleProbe {
         .select("rank").collect()(0).getLong(0)
       require(hub > 500000000000L, s"hub rank $hub should dominate")
       ranks.count()
+    }),
+    // native BPE ENCODER on pathological run-tokens: 200k distinct
+    // 64-char single-character runs against a doubling merge chain —
+    // each word needs 6 full merge passes (the per-word pass-count
+    // worst case), padded with 500 unreachable merges to prove lookup
+    // cost is independent of table size
+    "skew_bpe_native_runs" -> (() => {
+      val docs = spark.range(200000L).select(F.col("id"),
+        F.concat(F.lit("a" * 64), F.lit(" tail"),
+          F.col("id").cast("string")).as("text"))
+      val chain = Seq.iterate("a", 6)(s => s + s).map(s => (s, s))
+      val pad = (0 until 500).map(i => (s"zz$i", s"qq$i"))
+      docs.select(F.explode(graft.pipeline.TextAnalysis
+          .bpeSegmentNative(F.col("text"), chain ++ pad)).as("sym"))
+        .groupBy("sym").count().count()
     }),
     // BPE on pathological run-tokens: 100k DISTINCT vocabulary words,
     // each starting with a 16-char single-character run (the

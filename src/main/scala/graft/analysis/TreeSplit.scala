@@ -1,0 +1,105 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Exact decision-stump split finding — the trainable family's tree
+  * member, in the histogram shape every scale GBDT uses (LightGBM /
+  * XGBoost-hist): ONE map-side-combined `groupBy(feature, bin, label)`
+  * over the corpus builds the bounded split histogram, and the split
+  * scan runs over that histogram, never the rows. Supervised split
+  * quality for data curation: "which single quality-feature threshold
+  * best separates kept from dropped documents" is a stump question.
+  *
+  * Exactness: all counts are BIGINTs; the split criterion is kept as
+  * an exact integer FRACTION and one final IEEE divide —
+  * `impurity = num / den` with
+  * `num = (nL² − ΣcL²)·nR + (nR² − ΣcR²)·nL`, `den = nL·nR`
+  * (= n × the weighted mean Gini impurity of the split, a monotone
+  * transform of the usual criterion for fixed n). No float
+  * accumulation anywhere, so candidate ranking replays in SQL
+  * bit-for-bit. Integer range: `nL²·nR ≤ n³` must stay below 2⁶³ —
+  * exact up to ~2M rows per stump (ANSI mode overflows LOUDLY past
+  * it); at larger n, pre-bin with [[graft.analysis.ExactQuantiles]]
+  * sketch-free quantile bins and subsample per the usual GBDT recipe.
+  *
+  * Scale shape: one exchange (the histogram groupBy — hot bins
+  * collapse map-side), a driver-side scan of the bounded histogram
+  * (features × bins × classes rows — the LightGBM contract that bins
+  * are bounded, NOT the corpus), no windows, no joins.
+  *
+  * (Reference analog: none in whylogs — it profiles model OUTPUTS;
+  * this trains the model whose outputs [[ModelPerf]] then monitors.)
+  */
+object TreeSplit {
+
+  /** A candidate feature: `bin` must be an integer-valued (castable to
+    * long) binned expression — raw integer columns, cents-scaled
+    * decimals, or quantile-bin ids. NULL bins/labels are excluded. */
+  final case class FeatureSpec(name: String, bin: Column)
+
+  /** All candidate splits `(feature, threshold, n_left, n_right, num,
+    * den, impurity)` — left = rows with bin ≤ threshold; only splits
+    * with both sides non-empty. Ordered best-first
+    * (impurity, feature, threshold). */
+  /** The distributed half: the `(feature, bin, label) → count` split
+    * histogram — ONE map-side-combined exchange, no joins, the scan
+    * pruned to the feature/label columns. Its size is bounded by
+    * features × bins × classes (the LightGBM contract), which is what
+    * makes the driver-side split scan legitimate at any corpus size. */
+  def histogram(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec]): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val fs = F.explode(F.array(features.map(f =>
+      F.struct(F.lit(f.name).as("f"), f.bin.cast("long").as("b"))): _*)).as("fs")
+    df.select(fs, F.col(labelCol).cast("string").as("__l"))
+      .select(F.col("fs.f").as("__f"), F.col("fs.b").as("__b"), F.col("__l"))
+      .filter(F.col("__b").isNotNull && F.col("__l").isNotNull)
+      .groupBy("__f", "__b", "__l").agg(F.count(F.lit(1)).as("__c"))
+  }
+
+  def stumpCandidates(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = histogram(df, labelCol, features)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long, Double)]
+    hist.groupBy(_._1).foreach { case (feat, rows) =>
+      val labels = rows.map(_._3).distinct.sorted
+      val bins = rows.map(_._2).distinct.sorted
+      val counts = rows.map(r => (r._2, r._3) -> r._4).toMap
+      val total = labels.map(l => l -> rows.filter(_._3 == l).map(_._4).sum).toMap
+      val n = total.valuesIterator.sum
+      val cl = scala.collection.mutable.Map(labels.map(_ -> 0L): _*)
+      bins.foreach { thr =>
+        labels.foreach(l => cl(l) += counts.getOrElse((thr, l), 0L))
+        val nL = cl.valuesIterator.sum
+        val nR = n - nL
+        if (nL > 0 && nR > 0) {
+          val sl2 = labels.map(l => cl(l) * cl(l)).sum
+          val sr2 = labels.map { l => val r = total(l) - cl(l); r * r }.sum
+          val num = (nL * nL - sl2) * nR + (nR * nR - sr2) * nL
+          val den = nL * nR
+          out += ((feat, thr, nL, nR, num, den, num.toDouble / den.toDouble))
+        }
+      }
+    }
+    out.toSeq.sortBy(t => (t._7, t._1, t._2))
+      .toDF("feature", "threshold", "n_left", "n_right", "num", "den", "impurity")
+  }
+
+  /** The best split per feature (lowest impurity, threshold ties low). */
+  def stumpBest(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec]): DataFrame = {
+    val c = stumpCandidates(df, labelCol, features)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature")
+      .orderBy(F.col("impurity"), F.col("threshold"))
+    c.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1).drop("__rn")
+      .orderBy("feature")
+  }
+}

@@ -6291,6 +6291,102 @@ object StandardQueries {
     },
     qBpeEncode.oracle)
 
+  /** Fixed-point k-means ([[graft.pipeline.KMeansFixed]]): the oracle
+    * replays ALL of training — quantization, smallest-id init, integer
+    * argmin assignment with (distance, index) ties, floor-div centroid
+    * updates, empty-cluster survival — as unrolled iteration CTEs, so
+    * any divergence anywhere in the 3-round training run fails the
+    * hash, exactly like the BPE and NB oracles. */
+  private def kmeansSqlCtes(k: Int, iters: Int, scale: Long): String = {
+    def round(i: Int) =
+      s"""d$i AS (SELECT e.vec_id, ct.c, CAST(sum((e.q - ct.v) * (e.q - ct.v)) AS BIGINT) AS d2
+         |  FROM e JOIN cent${i - 1} ct ON ct.dim = e.dim GROUP BY 1, 2),
+         | a$i AS (SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d$i),
+         | b$i AS (SELECT vec_id, c, d2 FROM a$i WHERE rn = 1),
+         | s$i AS (SELECT b.c, e.dim, CAST(sum(e.q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM b$i b JOIN e ON e.vec_id = b.vec_id GROUP BY 1, 2),
+         | cent$i AS (SELECT p.c, p.dim,
+         |   CASE WHEN s.n IS NULL THEN p.v ELSE CAST(floor(CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) AS BIGINT) END AS v
+         |  FROM cent${i - 1} p LEFT JOIN s$i s ON s.c = p.c AND s.dim = p.dim),
+         | st$i AS (SELECT c, CAST(count(*) AS BIGINT) AS n_members, CAST(sum(d2) AS BIGINT) AS inertia FROM b$i GROUP BY 1)"""
+    val rounds = (1 to iters).map(round).mkString(",\n ")
+    s"""WITH x AS (SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)), i -> {'i': i, 'v': embedding[i]})) AS s FROM embeddings),
+       | e AS (SELECT vec_id, s.i AS dim, CAST(floor(CAST(s.v AS DOUBLE) * $scale.0) AS BIGINT) AS q FROM x),
+       | ids AS (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $k),
+       | c0m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, vec_id FROM ids),
+       | cent0 AS (SELECT c0m.c, e.dim, e.q AS v FROM c0m JOIN e ON e.vec_id = c0m.vec_id),
+       | $rounds""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** Shared CTEs for the decision-stump oracles: the histogram, the
+    * non-equi prefix join (histogram-sized — the oracle's luxury; the
+    * implementation scans the collected histogram once), and the
+    * integer-fraction impurity. */
+  private def treeStumpCtes: String =
+    """WITH u AS (
+      |  SELECT 'l_quantity' AS f, CAST(l_quantity AS BIGINT) AS b, l_returnflag AS l FROM lineitem
+      |  UNION ALL SELECT 'l_discount_c', CAST(round(l_discount * 100) AS BIGINT), l_returnflag FROM lineitem
+      |  UNION ALL SELECT 'l_tax_c', CAST(round(l_tax * 100) AS BIGINT), l_returnflag FROM lineitem),
+      | bins AS (SELECT f, b, l, CAST(count(*) AS BIGINT) AS c FROM u
+      |  WHERE b IS NOT NULL AND l IS NOT NULL GROUP BY 1, 2, 3),
+      | thr AS (SELECT DISTINCT f, b FROM bins),
+      | tot AS (SELECT f, l, CAST(sum(c) AS BIGINT) AS ct FROM bins GROUP BY 1, 2),
+      | lc AS (SELECT t.f, t.b AS thr, bb.l, CAST(sum(bb.c) AS BIGINT) AS cl
+      |  FROM thr t JOIN bins bb ON bb.f = t.f AND bb.b <= t.b GROUP BY 1, 2, 3),
+      | sides AS (SELECT th.f, th.b AS thr, tt.l, coalesce(l2.cl, 0) AS cl, tt.ct - coalesce(l2.cl, 0) AS cr
+      |  FROM thr th JOIN tot tt ON tt.f = th.f
+      |  LEFT JOIN lc l2 ON l2.f = th.f AND l2.thr = th.b AND l2.l = tt.l),
+      | spl AS (SELECT f, thr, CAST(sum(cl) AS BIGINT) AS n_left, CAST(sum(cr) AS BIGINT) AS n_right,
+      |  CAST(sum(cl * cl) AS BIGINT) AS sl2, CAST(sum(cr * cr) AS BIGINT) AS sr2
+      |  FROM sides GROUP BY 1, 2),
+      | cand AS (SELECT f AS feature, thr AS threshold, n_left, n_right,
+      |  CAST((n_left * n_left - sl2) * n_right + (n_right * n_right - sr2) * n_left AS BIGINT) AS num,
+      |  CAST(n_left * n_right AS BIGINT) AS den
+      |  FROM spl WHERE n_left > 0 AND n_right > 0),
+      | scored AS (SELECT feature, threshold, n_left, n_right, num, den,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS impurity FROM cand)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private def treeFeatures: Seq[TreeSplit.FeatureSpec] = Seq(
+    TreeSplit.FeatureSpec("l_quantity", F.col("l_quantity")),
+    TreeSplit.FeatureSpec("l_discount_c", F.round(F.col("l_discount") * 100)),
+    TreeSplit.FeatureSpec("l_tax_c", F.round(F.col("l_tax") * 100)))
+
+  /** Exact-Gini stump candidates ([[TreeSplit.stumpCandidates]]) on
+    * lineitem's return flag: the 20 best (impurity, feature,
+    * threshold) splits, every count exact, the criterion an integer
+    * fraction with one final divide. */
+  private def qTreeStump = Q(
+    (s, dir) => TreeSplit.stumpCandidates(
+        t(s, dir, "lineitem"), "l_returnflag", treeFeatures)
+      .orderBy(F.col("impurity"), F.col("feature"), F.col("threshold"))
+      .limit(20),
+    Some(s"""$treeStumpCtes
+            | SELECT feature, threshold, n_left, n_right, num, den, impurity
+            | FROM scored ORDER BY impurity, feature, threshold LIMIT 20"""
+      .stripMargin.replaceAll("\n", " ")))
+
+  /** Best split per feature ([[TreeSplit.stumpBest]]). */
+  private def qTreeStumpBest = Q(
+    (s, dir) => TreeSplit.stumpBest(
+        t(s, dir, "lineitem"), "l_returnflag", treeFeatures),
+    Some(s"""$treeStumpCtes
+            | SELECT feature, threshold, n_left, n_right, num, den, impurity FROM (
+            |   SELECT *, row_number() OVER (PARTITION BY feature ORDER BY impurity, threshold) AS rn
+            |   FROM scored)
+            | WHERE rn = 1 ORDER BY feature""".stripMargin.replaceAll("\n", " ")))
+
+  private def qKmeansTrain = Q(
+    (s, dir) => graft.pipeline.KMeansFixed.train(
+      t(s, dir, "embeddings"), "embedding", "vec_id", k = 4, iters = 3),
+    Some {
+      s"""${kmeansSqlCtes(4, 3, 1000L)}
+         | SELECT ct.c AS cluster, CAST(ct.dim AS BIGINT) AS dim, ct.v AS cval,
+         |  coalesce(st.n_members, 0) AS n_members, coalesce(st.inertia, 0) AS inertia
+         | FROM cent3 ct LEFT JOIN st3 st ON st.c = ct.c
+         | ORDER BY cluster, dim""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Quantile binning ([[ExactQuantiles.quantileBins]]): lineitem
     * quantity cut at exact quartiles (integer-valued, so type-7
     * interpolation is exact in binary64 and the cut points equal
@@ -6806,6 +6902,9 @@ object StandardQueries {
     "html_block_classify" -> qHtmlBlockClassify,
     "html_extract_text" -> qHtmlExtractText,
     "html_boilerplate_rate" -> qHtmlBoilerplateRate,
+    "kmeans_train" -> qKmeansTrain,
+    "tree_stump" -> qTreeStump,
+    "tree_stump_best" -> qTreeStumpBest,
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,

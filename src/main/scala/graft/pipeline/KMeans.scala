@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** FIXED-POINT k-means training — the trainable family's clustering
+  * member: Lloyd's algorithm over integer-quantized vectors, so the
+  * ENTIRE training run (assignments, centroid updates, inertia) is
+  * bit-reproducible under any partitioning and replays in SQL as
+  * unrolled iteration CTEs — the property float k-means (MLlib
+  * included) cannot give, because float centroid sums depend on fold
+  * order. The quantized model is what a curation pipeline wants from
+  * k-means anyway (IVF coarse quantizers, SemDeDup cluster maps,
+  * reference-profile selectors): cluster geometry, not float polish.
+  *
+  * Determinism contract, mirrored expression-for-expression by the
+  * oracle:
+  *  - quantize: `q = floor(double(v) * scale)` per dimension (exact
+  *    BIGINTs thereafter);
+  *  - init: the k vectors with the SMALLEST ids, in id order;
+  *  - assign: argmin of the integer squared L2 distance, ties to the
+  *    lowest centroid index;
+  *  - update: per-dimension `floor(sum / n)` (the one double divide —
+  *    exact while |sum| < 2⁵³, i.e. any realistic corpus since
+  *    members·scale·|v| per cluster stays far below it); an EMPTY
+  *    cluster keeps its previous centroid.
+  *
+  * Scale shape per iteration: the k×dim centroid table rides the plan
+  * as one literal (model-sized, like [[NaiveBayes.NbModel]] but k·dim
+  * bounded — enforced), distances are a map-only codegen'd
+  * zip_with/aggregate over each row, and the update is ONE
+  * map-side-combined groupBy(cluster, dim) whose k·dim partial sums
+  * are the only shuffled bytes — the classic distributed-kmeans
+  * shape. The driver holds k·dim longs between iterations; the corpus
+  * is scanned `iters` times and never cached, shuffled whole, or
+  * collected.
+  *
+  * (Reference analog: whylogs uses sklearn KMeans for PCA reference
+  * selection — `viz/reference_selection.py`; this is the trainable,
+  * hash-exact counterpart, and [[Embeddings]] can consume its
+  * centroids.)
+  */
+object KMeansFixed {
+
+  /** Bound on the centroid plan literal (k·dim cells). */
+  val maxPlanCells: Int = 1 << 16
+
+  final case class Model(
+      centroids: Array[Array[Long]], // k × dim, post-update
+      members: Array[Long], // final-assignment cluster sizes
+      inertia: Array[Long]) // final-assignment integer SSE per cluster
+
+  /** Train and return the model as a DataFrame:
+    * `(cluster, dim, cval, n_members, inertia)` — one row per
+    * (cluster, 1-based dimension); `n_members`/`inertia` are the
+    * cluster's final-assignment stats repeated across its dims.
+    * Rows ordered (cluster, dim). */
+  def train(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, scale: Long = 1000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = trainModel(df, vecCol, idCol, k, iters, scale)
+    val rows = for {
+      c <- m.centroids.indices
+      d <- m.centroids(c).indices
+    } yield (c.toLong, (d + 1).toLong, m.centroids(c)(d), m.members(c), m.inertia(c))
+    rows.toDF("cluster", "dim", "cval", "n_members", "inertia")
+      .orderBy("cluster", "dim")
+  }
+
+  /** Driver-held model variant for composition (assignment scoring,
+    * IVF seeding). */
+  def trainModel(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, scale: Long = 1000L): Model = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = quantized(df, vecCol, idCol, scale)
+    // init: k smallest ids, in id order (TakeOrdered — never a global sort)
+    val init = base.orderBy("__id").limit(k).collect()
+    require(init.length == k, s"k=$k but only ${init.length} vectors")
+    var cents: Array[Array[Long]] = init.map(_.getSeq[Long](1).toArray)
+    val dim = cents(0).length
+    require(cents.forall(_.length == dim), "ragged vector dimensions")
+    require(k.toLong * dim <= maxPlanCells,
+      s"k*dim = ${k.toLong * dim} exceeds the $maxPlanCells-cell centroid plan-literal bound")
+    var members: Array[Long] = null
+    var inertia: Array[Long] = null
+    var it = 0
+    while (it < iters) {
+      val stats = iterStats(base, cents).collect()
+      val sums = Array.fill(k, dim)(0L)
+      val ns = Array.fill(k)(0L)
+      val sse = Array.fill(k)(0L)
+      stats.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        sums(c)(d) = r.getLong(2)
+        if (d == 0) { ns(c) = r.getLong(3); sse(c) = r.getLong(4) }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (ns(c) == 0L) cents(c) // empty cluster: centroid survives
+        else Array.tabulate(dim)(d => math.floor(sums(c)(d).toDouble / ns(c)).toLong)
+      }
+      members = ns
+      inertia = sse
+      it += 1
+    }
+    Model(cents, members, inertia)
+  }
+
+  /** One Lloyd iteration's update frame over a `(__id, __q)` quantized
+    * base: assignment is a map-only codegen'd literal scan (centroids
+    * ride the plan, NOT a join side), and the grouped update is ONE
+    * map-side-combined exchange whose k·dim partial rows are the only
+    * shuffled bytes. Public shape so PlanSpec can pin it. */
+  private[graft] def iterStats(base: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val best = assignBest(F.col("__q"), cents)
+    base
+      .select(best.getField("c").as("__c"), best.getField("d").as("__d2"),
+        F.posexplode(F.col("__q")).as(Seq("__dim", "__qv")))
+      .groupBy("__c", "__dim")
+      .agg(F.sum("__qv").as("__s"), F.count(F.lit(1)).as("__n"),
+        F.sum("__d2").as("__sd"))
+  }
+
+  /** Quantized `(__id, __q)` base frame. */
+  private[graft] def quantized(df: DataFrame, vecCol: String, idCol: String,
+      scale: Long): DataFrame =
+    df.select(F.col(idCol).cast("long").as("__id"),
+        quantize(F.col(vecCol), scale).as("__q"))
+      .filter(F.col("__q").isNotNull)
+
+  /** `floor(double(v) * scale)` per element. */
+  def quantize(vec: Column, scale: Long): Column =
+    F.transform(vec, v => F.floor(v.cast("double") * F.lit(scale.toDouble)))
+
+  /** Nearest centroid of a quantized vector as `struct(d, c)` — integer
+    * squared L2, ties to the lowest index (struct min ordering). */
+  private def assignBest(q: Column, cents: Array[Array[Long]]): Column = {
+    val entries = cents.zipWithIndex.map { case (cv, j) =>
+      val d2 = F.aggregate(
+        F.zip_with(q, F.typedlit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        F.lit(0L), (acc, x) => acc + x)
+      F.named_struct(F.lit("d"), d2, F.lit("c"), F.lit(j))
+    }
+    F.array_min(F.array(entries.toSeq: _*))
+  }
+}

@@ -650,4 +650,64 @@ class PlanSpec extends SparkSpec {
     wires.foreach(w => assert(!w.contains("text"),
       s"text crossed a shuffle: $w"))
   }
+
+  test("html blocks: window partitioned by document, one exchange, no join") {
+    import spark.implicits._
+    val df = (1 to 50).map(i =>
+      (i.toLong, s"<p>block $i one two three four five six seven eight nine</p>" +
+        "<nav><a href='/'>Home</a></nav>")).toDF("doc_id", "html")
+    val out = graft.pipeline.HtmlExtract.blocks(df, "html", Seq("doc_id"))
+    val plan = planOf(out)
+    assert(shuffles(plan) == 1, s"expected one block-index exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition stage — the window lost its partition spec:\n$plan")
+    // the one Window must be doc-partitioned, never a global sort
+    assert(plan.contains("Window"), s"expected the block-index window:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"window exchange must partition by document:\n$plan")
+    assert(!plan.contains("Join"), s"map-only, no join:\n$plan")
+  }
+
+  test("kmeans iteration: centroids are plan literals; ONE histogram exchange, no join") {
+    val base = graft.pipeline.KMeansFixed.quantized(
+      table("embeddings"), "embedding", "vec_id", 1000L)
+    val cents = Array.fill(4)(Array.fill(64)(0L))
+    val out = graft.pipeline.KMeansFixed.iterStats(base, cents)
+    val plan = planOf(out)
+    assert(shuffles(plan) == 1,
+      s"one map-side-combined update exchange expected:\n$plan")
+    assert(!plan.contains("Join"),
+      s"centroids must ride the plan, not a join:\n$plan")
+    // only k*dim partial rows cross the wire — never the vectors
+    val wires = shuffledColumns(out)
+    wires.foreach(w => assert(!w.contains("__q") && !w.contains("embedding"),
+      s"vector payload crossed the update shuffle: $w"))
+  }
+
+  test("tree stump histogram: one exchange, no join, scan pruned to features+label") {
+    val out = graft.analysis.TreeSplit.histogram(
+      table("lineitem"), "l_returnflag",
+      Seq(graft.analysis.TreeSplit.FeatureSpec("q", F.col("l_quantity")),
+        graft.analysis.TreeSplit.FeatureSpec("d", F.round(F.col("l_discount") * 100))))
+    val plan = planOf(out)
+    assert(shuffles(plan) == 1, s"one histogram exchange expected:\n$plan")
+    assert(!plan.contains("Join"), s"no join in the histogram pass:\n$plan")
+    val schemas = readSchemas(plan)
+    assert(schemas.nonEmpty && schemas.forall(
+      _ == Set("l_quantity", "l_discount", "l_returnflag")),
+      s"scan must read only the stump columns: $schemas")
+  }
+
+  test("native bpe encode: one expression node, zero regex-chain nodes, map-only") {
+    val merges = (0 until 200).map(i => (s"s$i", s"t$i")) :+ (("a", "b"))
+    val out = table("documents").select(F.explode(
+      graft.pipeline.TextAnalysis.bpeSegmentNative(F.col("text"), merges)).as("sym"))
+    val plan = planOf(out)
+    assert(plan.contains("bpe_encode_tokens"),
+      s"native encoder expression missing:\n${plan.take(2000)}")
+    assert(!plan.contains("regexp_replace"),
+      s"a 201-merge table must not plan as a regex chain:\n${plan.take(2000)}")
+    assert(shuffles(plan) == 0 && !plan.contains("Join"),
+      s"encoding must be map-only:\n$plan")
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.analysis.TreeSplit
+import graft.analysis.TreeSplit.FeatureSpec
+import org.apache.spark.sql.{functions => F}
+
+class TreeSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed two-class split: counts, integer fraction, ordering") {
+    // x: 1,2,3,4 with labels a,a,b,b — perfect split at x <= 2
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b")).toDF("x", "y")
+    val got = TreeSplit.stumpCandidates(df, "y", Seq(FeatureSpec("x", F.col("x"))))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+    // thr=1: L={a}, R={a,b,b}: num=(1-1)*3 + (9-5)*1=4, den=3
+    // thr=2: L={a,a}, R={b,b}: num=(4-4)*2 + (4-4)*2=0, den=4
+    // thr=3: L={a,a,b}, R={b}: num=(9-5)*1 + 0=4, den=3
+    // thr=4 excluded (empty right)
+    assert(got.toSet == Set(
+      (1L, 1L, 3L, 4L, 3L, 4.0 / 3.0),
+      (2L, 2L, 2L, 0L, 4L, 0.0),
+      (3L, 3L, 1L, 4L, 3L, 4.0 / 3.0)))
+    // best-first ordering: perfect split leads
+    assert(got.head == ((2L, 2L, 2L, 0L, 4L, 0.0)))
+  }
+
+  test("NULL bins and labels are excluded from the histogram") {
+    val df = Seq((Some(1), Some("a")), (Some(2), Some("b")),
+      (None, Some("a")), (Some(3), None)).toDF("x", "y")
+    val got = TreeSplit.stumpCandidates(df, "y", Seq(FeatureSpec("x", F.col("x"))))
+      .collect()
+    // surviving rows: (1,a),(2,b) -> only thr=1 valid
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 1L && got.head.getLong(3) == 1L)
+  }
+
+  test("multiple features scan independently; stumpBest picks per-feature argmin") {
+    val df = Seq((1, 10, "a"), (2, 20, "a"), (3, 10, "b"), (4, 20, "b"))
+      .toDF("x", "z", "y")
+    val best = TreeSplit.stumpBest(df, "y",
+      Seq(FeatureSpec("x", F.col("x")), FeatureSpec("z", F.col("z"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(6)))
+    assert(best.length == 2)
+    // x splits perfectly at 2; z is uninformative (each z value holds one a one b)
+    assert(best(0) == (("x", 2L, 0.0)))
+    assert(best(1)._1 == "z" && best(1)._3 > 0.0)
+  }
+
+  test("three classes: sums of squares over all class counts") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("x", "y")
+    val got = TreeSplit.stumpCandidates(df, "y", Seq(FeatureSpec("x", F.col("x"))))
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    // thr=1: L={a,b} sl2=2, R={c,c} sr2=4: num=(4-2)*2+(4-4)*2=4, den=4
+    assert(got.toSeq == Seq((1L, 4L, 4L)))
+  }
+}
