@@ -38,10 +38,6 @@ object TreeSplit {
     * decimals, or quantile-bin ids. NULL bins/labels are excluded. */
   final case class FeatureSpec(name: String, bin: Column)
 
-  /** All candidate splits `(feature, threshold, n_left, n_right, num,
-    * den, impurity)` — left = rows with bin ≤ threshold; only splits
-    * with both sides non-empty. Ordered best-first
-    * (impurity, feature, threshold). */
   /** The distributed half: the `(feature, bin, label) → count` split
     * histogram — ONE map-side-combined exchange, no joins, the scan
     * pruned to the feature/label columns. Its size is bounded by
@@ -58,13 +54,25 @@ object TreeSplit {
       .groupBy("__f", "__b", "__l").agg(F.count(F.lit(1)).as("__c"))
   }
 
-  def stumpCandidates(df: DataFrame, labelCol: String,
-      features: Seq[FeatureSpec]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hist = histogram(df, labelCol, features)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+  /** Node-tagged histogram: the same single exchange builds EVERY
+    * tree-level node's histogram at once (`groupBy(node, feature, bin,
+    * label)`) — how a level-wise tree grows one level per pass. */
+  private def histogramBy(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec], nodeCol: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val fs = F.explode(F.array(features.map(f =>
+      F.struct(F.lit(f.name).as("f"), f.bin.cast("long").as("b"))): _*)).as("fs")
+    df.select(nodeCol.as("__node"), fs, F.col(labelCol).cast("string").as("__l"))
+      .select(F.col("__node"), F.col("fs.f").as("__f"), F.col("fs.b").as("__b"),
+        F.col("__l"))
+      .filter(F.col("__b").isNotNull && F.col("__l").isNotNull)
+      .groupBy("__node", "__f", "__b", "__l").agg(F.count(F.lit(1)).as("__c"))
+  }
+
+  /** Driver-side candidate scan over a collected histogram slice. */
+  private def scanCandidates(
+      hist: Seq[(String, Long, String, Long)])
+      : Seq[(String, Long, Long, Long, Long, Long, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long, Long, Long, Double)]
     hist.groupBy(_._1).foreach { case (feat, rows) =>
@@ -88,7 +96,58 @@ object TreeSplit {
       }
     }
     out.toSeq.sortBy(t => (t._7, t._1, t._2))
+  }
+
+  /** All candidate splits `(feature, threshold, n_left, n_right, num,
+    * den, impurity)` — left = rows with bin ≤ threshold; only splits
+    * with both sides non-empty. Ordered best-first
+    * (impurity, feature, threshold). */
+  def stumpCandidates(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    scanCandidates(collectHistogram(histogram(df, labelCol, features)))
       .toDF("feature", "threshold", "n_left", "n_right", "num", "den", "impurity")
+  }
+
+  private def collectHistogram(h: DataFrame): Seq[(String, Long, String, Long)] =
+    h.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** DEPTH-2 tree: the root split, then the best split of each child —
+    * the standard level-wise step. ONE extra exchange grows the whole
+    * level: child membership is a map-side `when(rootBin ≤ thr)` tag
+    * and BOTH child histograms build in the same
+    * `groupBy(node, feature, bin, label)` pass (never one pass per
+    * node — at depth d that discipline keeps the scan count at d, not
+    * 2^d). Rows with a NULL root-feature bin route right, mirroring
+    * `CASE WHEN b <= thr … ELSE 'right' END`. Output: one row per node
+    * (`'root' | 'left' | 'right'`) with that node's best split,
+    * ordered by node; a pure or single-bin child contributes no row. */
+  def depth2(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val root = scanCandidates(collectHistogram(histogram(df, labelCol, features)))
+    require(root.nonEmpty, "no valid root split (single bin or empty input)")
+    val rb = root.head
+    val rootBin = features.find(_.name == rb._1).get.bin.cast("long")
+    val node = F.when(rootBin <= rb._2, "left").otherwise("right")
+    val childHist = histogramBy(df, labelCol, features, node)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val children = childHist.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (nd, rows) =>
+        scanCandidates(rows.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+          .headOption
+          .map(t => (nd, t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+    }
+    (children :+ (("root", rb._1, rb._2, rb._3, rb._4, rb._5, rb._6, rb._7)))
+      .sortBy(_._1)
+      .toDF("node", "feature", "threshold", "n_left", "n_right", "num", "den",
+        "impurity")
   }
 
   /** The best split per feature (lowest impurity, threshold ties low). */

@@ -6291,6 +6291,43 @@ object StandardQueries {
     },
     qBpeEncode.oracle)
 
+  /** Tokenizer fertility audit ([[TextAnalysis.bpeFertility]]): train
+    * 3 merges, then per-source compression stats through the NATIVE
+    * encoder. The oracle recovers each distinct word from the
+    * trained `v3` vocabulary (strip separators), joins the per-source
+    * token stream to its symbol count, and aggregates — so it
+    * cross-checks training, the native encoder, and the audit
+    * arithmetic in one hash. */
+  private def qBpeFertility = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeFertility(docs, "text", "source", merges)
+        .orderBy("source")
+    },
+    Some {
+      s"""$bpeSqlCtes,
+         | wsym AS (SELECT replace(e, chr(31), '') AS w,
+         |   CAST(len(list_filter(string_split(e, chr(31) || chr(31)), x -> len(x) > 0)) AS BIGINT) AS nsym FROM v3),
+         | tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |   w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents),
+         | st AS (SELECT tk.source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |   CAST(sum(len(tk.t)) AS BIGINT) AS n_chars, CAST(sum(ws.nsym) AS BIGINT) AS n_symbols
+         |  FROM tk JOIN wsym ws ON ws.w = tk.t GROUP BY 1),
+         | dn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         | SELECT dn.source, dn.n_docs,
+         |  coalesce(st.n_tokens, 0) AS n_tokens, coalesce(st.n_chars, 0) AS n_chars,
+         |  coalesce(st.n_symbols, 0) AS n_symbols,
+         |  CASE WHEN coalesce(st.n_symbols, 0) = 0 THEN 0.0
+         |   ELSE CAST(st.n_chars AS DOUBLE) / CAST(st.n_symbols AS DOUBLE) END AS chars_per_symbol,
+         |  CASE WHEN coalesce(st.n_tokens, 0) = 0 THEN 0.0
+         |   ELSE CAST(st.n_symbols AS DOUBLE) / CAST(st.n_tokens AS DOUBLE) END AS symbols_per_token
+         | FROM dn LEFT JOIN st ON st.source = dn.source
+         | ORDER BY dn.source""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Fixed-point k-means ([[graft.pipeline.KMeansFixed]]): the oracle
     * replays ALL of training — quantization, smallest-id init, integer
     * argmin assignment with (distance, index) ties, floor-div centroid
@@ -6323,10 +6360,12 @@ object StandardQueries {
     * implementation scans the collected histogram once), and the
     * integer-fraction impurity. */
   private def treeStumpCtes: String =
-    """WITH u AS (
-      |  SELECT 'l_quantity' AS f, CAST(l_quantity AS BIGINT) AS b, l_returnflag AS l FROM lineitem
-      |  UNION ALL SELECT 'l_discount_c', CAST(round(l_discount * 100) AS BIGINT), l_returnflag FROM lineitem
-      |  UNION ALL SELECT 'l_tax_c', CAST(round(l_tax * 100) AS BIGINT), l_returnflag FROM lineitem),
+    """WITH rbase AS MATERIALIZED (
+      |  SELECT row_number() OVER () AS rid, l_quantity, l_discount, l_tax, l_returnflag FROM lineitem),
+      | u AS (
+      |  SELECT rid, 'l_quantity' AS f, CAST(l_quantity AS BIGINT) AS b, l_returnflag AS l FROM rbase
+      |  UNION ALL SELECT rid, 'l_discount_c', CAST(round(l_discount * 100) AS BIGINT), l_returnflag FROM rbase
+      |  UNION ALL SELECT rid, 'l_tax_c', CAST(round(l_tax * 100) AS BIGINT), l_returnflag FROM rbase),
       | bins AS (SELECT f, b, l, CAST(count(*) AS BIGINT) AS c FROM u
       |  WHERE b IS NOT NULL AND l IS NOT NULL GROUP BY 1, 2, 3),
       | thr AS (SELECT DISTINCT f, b FROM bins),
@@ -6376,6 +6415,47 @@ object StandardQueries {
             |   FROM scored)
             | WHERE rn = 1 ORDER BY feature""".stripMargin.replaceAll("\n", " ")))
 
+  /** Depth-2 tree ([[TreeSplit.depth2]]): root split + each child's
+    * best split. The oracle picks the root from the shared stump scan,
+    * routes every ROW by `CASE WHEN b <= thr … ELSE 'right'` via the
+    * row id, rebuilds both child histograms, and re-runs the whole
+    * candidate scan per node — the full level-wise training step
+    * replayed in SQL. */
+  private def qTreeDepth2 = Q(
+    (s, dir) => TreeSplit.depth2(
+      t(s, dir, "lineitem"), "l_returnflag", treeFeatures),
+    Some(s"""$treeStumpCtes,
+            | root AS (SELECT feature, threshold FROM scored ORDER BY impurity, feature, threshold LIMIT 1),
+            | sd AS (SELECT u2.rid, CASE WHEN u2.b <= (SELECT threshold FROM root) THEN 'left' ELSE 'right' END AS node
+            |  FROM u u2 WHERE u2.f = (SELECT feature FROM root)),
+            | ub AS (SELECT sd.node, u.f, u.b, u.l FROM u JOIN sd ON sd.rid = u.rid),
+            | bins2 AS (SELECT node, f, b, l, CAST(count(*) AS BIGINT) AS c FROM ub
+            |  WHERE b IS NOT NULL AND l IS NOT NULL GROUP BY 1, 2, 3, 4),
+            | thr2 AS (SELECT DISTINCT node, f, b FROM bins2),
+            | tot2 AS (SELECT node, f, l, CAST(sum(c) AS BIGINT) AS ct FROM bins2 GROUP BY 1, 2, 3),
+            | lc2 AS (SELECT t.node, t.f, t.b AS thr, bb.l, CAST(sum(bb.c) AS BIGINT) AS cl
+            |  FROM thr2 t JOIN bins2 bb ON bb.node = t.node AND bb.f = t.f AND bb.b <= t.b GROUP BY 1, 2, 3, 4),
+            | sides2 AS (SELECT th.node, th.f, th.b AS thr, tt.l, coalesce(l2.cl, 0) AS cl, tt.ct - coalesce(l2.cl, 0) AS cr
+            |  FROM thr2 th JOIN tot2 tt ON tt.node = th.node AND tt.f = th.f
+            |  LEFT JOIN lc2 l2 ON l2.node = th.node AND l2.f = th.f AND l2.thr = th.b AND l2.l = tt.l),
+            | spl2 AS (SELECT node, f, thr, CAST(sum(cl) AS BIGINT) AS n_left, CAST(sum(cr) AS BIGINT) AS n_right,
+            |  CAST(sum(cl * cl) AS BIGINT) AS sl2, CAST(sum(cr * cr) AS BIGINT) AS sr2
+            |  FROM sides2 GROUP BY 1, 2, 3),
+            | cand2 AS (SELECT node, f AS feature, thr AS threshold, n_left, n_right,
+            |  CAST((n_left * n_left - sl2) * n_right + (n_right * n_right - sr2) * n_left AS BIGINT) AS num,
+            |  CAST(n_left * n_right AS BIGINT) AS den
+            |  FROM spl2 WHERE n_left > 0 AND n_right > 0),
+            | scored2 AS (SELECT node, feature, threshold, n_left, n_right, num, den,
+            |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS impurity FROM cand2),
+            | best2 AS (SELECT node, feature, threshold, n_left, n_right, num, den, impurity FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY node ORDER BY impurity, feature, threshold) AS rn FROM scored2)
+            |  WHERE rn = 1)
+            | SELECT node, feature, threshold, n_left, n_right, num, den, impurity FROM (
+            |  SELECT 'root' AS node, feature, threshold, n_left, n_right, num, den, impurity
+            |   FROM scored ORDER BY impurity, feature, threshold LIMIT 1)
+            | UNION ALL SELECT node, feature, threshold, n_left, n_right, num, den, impurity FROM best2
+            | ORDER BY node""".stripMargin.replaceAll("\n", " ")))
+
   private def qKmeansTrain = Q(
     (s, dir) => graft.pipeline.KMeansFixed.train(
       t(s, dir, "embeddings"), "embedding", "vec_id", k = 4, iters = 3),
@@ -6386,6 +6466,45 @@ object StandardQueries {
          | FROM cent3 ct LEFT JOIN st3 st ON st.c = ct.c
          | ORDER BY cluster, dim""".stripMargin.replaceAll("\n", " ")
     })
+
+  /** k-means INFERENCE ([[graft.pipeline.KMeansFixed.assign]]): train
+    * the 3-iteration model, then map-only assignment of the whole
+    * corpus. The oracle unrolls a FOURTH assignment round against the
+    * trained centroids — so train and inference are both replayed. */
+  private def qKmeansAssign = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.pipeline.KMeansFixed.trainModel(emb, "embedding", "vec_id",
+        k = 4, iters = 3)
+      graft.pipeline.KMeansFixed.assign(emb, "embedding", "vec_id", m)
+        .orderBy("id")
+    },
+    Some {
+      s"""${kmeansSqlCtes(4, 4, 1000L)}
+         | SELECT vec_id AS id, c AS cluster, d2 AS dist2 FROM b4 ORDER BY id"""
+        .stripMargin.replaceAll("\n", " ")
+    })
+
+  /** k-means assignment AT INGESTION: the same map-only scoring column
+    * on a Structured Streaming frame (stateless — the model is a plan
+    * literal), append mode, AvailableNow. Oracle shared with
+    * [[qKmeansAssign]] verbatim. */
+  private def qStreamingKmeansAssign = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.pipeline.KMeansFixed.trainModel(emb, "embedding", "vec_id",
+        k = 4, iters = 3)
+      val sdf = s.readStream.schema(emb.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/embeddings.parquet"))
+      val qn = "km_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.pipeline.KMeansFixed.assign(sdf, "embedding", "vec_id", m)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("id")
+    },
+    qKmeansAssign.oracle)
 
   /** Quantile binning ([[ExactQuantiles.quantileBins]]): lineitem
     * quantity cut at exact quartiles (integer-valued, so type-7
@@ -6905,6 +7024,10 @@ object StandardQueries {
     "kmeans_train" -> qKmeansTrain,
     "tree_stump" -> qTreeStump,
     "tree_stump_best" -> qTreeStumpBest,
+    "tree_depth2" -> qTreeDepth2,
+    "bpe_fertility" -> qBpeFertility,
+    "kmeans_assign" -> qKmeansAssign,
+    "streaming_kmeans_assign" -> qStreamingKmeansAssign,
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,

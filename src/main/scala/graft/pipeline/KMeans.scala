@@ -107,6 +107,20 @@ object KMeansFixed {
     Model(cents, members, inertia)
   }
 
+  /** INFERENCE: assign every vector to its nearest trained centroid —
+    * `keep ++ (cluster, dist2)` with the same integer distance and tie
+    * rule as training. Map-only and stateless (the centroid table is a
+    * plan literal), so it runs unchanged on a Structured Streaming
+    * frame at ingestion time — the cluster-routing step of an IVF
+    * index build or a SemDeDup bucketing pass. */
+  def assign(df: DataFrame, vecCol: String, idCol: String, model: Model,
+      scale: Long = 1000L): DataFrame = {
+    val best = assignBest(quantize(F.col(vecCol), scale), model.centroids)
+    df.select(F.col(idCol).cast("long").as("id"),
+      best.getField("c").cast("long").as("cluster"),
+      best.getField("d").as("dist2"))
+  }
+
   /** One Lloyd iteration's update frame over a `(__id, __q)` quantized
     * base: assignment is a map-only codegen'd literal scan (centroids
     * ride the plan, NOT a join side), and the grouped update is ONE

