@@ -88,7 +88,9 @@ object ScaleProbe {
     // iterations x one histogram exchange over 20x embeddings),
     // histogram stump scan over 10x lineitem, native BPE encode
     // (trains the same 3 merges, then the reference-object encoder)
-    "html_extract_text", "kmeans_train", "tree_stump", "bpe_encode_native")
+    "html_extract_text", "kmeans_train", "tree_stump", "bpe_encode_native",
+    "html_extract_inline", "range_partition_plan", "tree_depth2",
+    "kmeans_assign", "bpe_fertility")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -282,6 +282,48 @@ object DataAudit {
     * key table) and a broadcast of the 1-row totals. The only window
     * runs over the k collected rows. NULL keys count as a key (they
     * hash to one partition too — the classic silent skew). */
+  /** Range-partitioner preflight: exact balanced bounds for
+    * `repartitionByRange(p, keyCol)` plus the EXACT row count each
+    * resulting partition would hold — the report you read before
+    * range-shuffling 100 TB (Spark's own RangePartitioner samples, so
+    * heavy ties silently produce empty buckets next to mega-buckets;
+    * this shows that imbalance before you pay for the shuffle).
+    *
+    * Bounds are the exact type-7 quantiles at ranks i/p from
+    * [[ExactQuantiles.quantiles]] (bit-equal to `quantile_cont`);
+    * bucket(v) = #bounds strictly below v, so a value equal to a bound
+    * lands in that bound's bucket. NULL keys are excluded (they never
+    * enter a range partition; [[keySkewReport]] counts them).
+    *
+    * Output: `(bucket, lo, hi, n_rows, share)` — `lo`/`hi` NULL at the
+    * open ends, counts exact BIGINTs, share one IEEE divide. Scale:
+    * the quantile machinery's bounded-state passes plus ONE map-side-
+    * combined groupBy(bucket) over p buckets. */
+  def rangePartitionPlan(df: DataFrame, valueCol: String, p: Int): DataFrame = {
+    require(p >= 2, s"need at least 2 partitions, got $p")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = (1 until p).map(_.toDouble / p)
+    val bounds = ExactQuantiles.quantiles(df, Seq(valueCol), ranks)(valueCol)
+    require(bounds.nonEmpty, s"no non-null values in $valueCol")
+    val v = F.col(valueCol).cast("double")
+    val bucket = bounds.zipWithIndex.foldLeft(F.lit(0)) { case (acc, (b, _)) =>
+      acc + F.when(F.lit(b) < v, 1).otherwise(0)
+    }
+    val counts = df.filter(v.isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.valuesIterator.sum
+    val rows = (0 until p).map { i =>
+      val lo = if (i == 0) None else Some(bounds(i - 1))
+      val hi = if (i == p - 1) None else Some(bounds(i))
+      val n = counts.getOrElse(i.toLong, 0L)
+      (i.toLong, lo, hi, n, n.toDouble / total.toDouble)
+    }
+    rows.toDF("bucket", "lo", "hi", "n_rows", "share").orderBy("bucket")
+  }
+
   def keySkewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(F.col(keyCol).cast("string").as("key"))

@@ -6291,6 +6291,71 @@ object StandardQueries {
     },
     qBpeEncode.oracle)
 
+  /** Range-partitioner preflight ([[DataAudit.rangePartitionPlan]]):
+    * exact balanced bounds + exact per-bucket row counts for an 8-way
+    * range shuffle of the events join key. Bounds are exact type-7
+    * quantiles (bit-equal to `quantile_cont`); bucket(v) = #bounds
+    * strictly below v. */
+  private def qRangePartitionPlan = Q(
+    (s, dir) => DataAudit.rangePartitionPlan(t(s, dir, "events"), "user_id", 8),
+    Some {
+      val qs = (1 until 8).map(i => s"quantile_cont(v, ${i.toDouble / 8})").mkString(", ")
+      s"""WITH vv AS (SELECT CAST(user_id AS DOUBLE) AS v FROM events WHERE user_id IS NOT NULL),
+         | b AS (SELECT [$qs] AS bs FROM vv),
+         | bk AS (SELECT len(list_filter((SELECT bs FROM b), x -> x < v)) AS bucket FROM vv),
+         | c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1),
+         | t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         | g AS (SELECT unnest(generate_series(0, 7)) AS bucket)
+         | SELECT CAST(g.bucket AS BIGINT) AS bucket,
+         |  CASE WHEN g.bucket = 0 THEN NULL ELSE (SELECT bs FROM b)[g.bucket] END AS lo,
+         |  CASE WHEN g.bucket = 7 THEN NULL ELSE (SELECT bs FROM b)[g.bucket + 1] END AS hi,
+         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(c.n, 0) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE) AS share
+         | FROM g LEFT JOIN c ON c.bucket = g.bucket ORDER BY bucket"""
+        .stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Inline (zero-exchange) page extraction
+    * ([[HtmlExtract.extractTextColumn]]): the same result as
+    * `html_extract_text` from a pure HOF column — no explode, no
+    * window, no groupBy — sharing that query's oracle verbatim. */
+  private def qHtmlExtractInline = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"), F.col("lang"),
+        F.col("text"), F.col("source"))
+      docs.withColumn("html", syntheticHtml)
+        .select(F.col("doc_id"),
+          HtmlExtract.extractTextColumn(F.col("html")).as("x"))
+        .select(F.col("doc_id"), F.col("x.text").as("text"),
+          F.col("x.n_blocks").as("n_blocks"), F.col("x.n_chars").as("n_chars"))
+        .filter(F.col("n_blocks") > 0)
+        .orderBy("doc_id")
+    },
+    qHtmlExtractText.oracle)
+
+  /** Page extraction AT INGESTION: [[HtmlExtract.extractTextColumn]]
+    * on a Structured Streaming frame (stateless append mode) — the
+    * crawl-side shape. Same oracle again. */
+  private def qStreamingHtmlExtract = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sdf = s.readStream.schema(docs.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+      val qn = "html_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf.withColumn("html", syntheticHtml)
+        .select(F.col("doc_id"),
+          HtmlExtract.extractTextColumn(F.col("html")).as("x"))
+        .select(F.col("doc_id"), F.col("x.text").as("text"),
+          F.col("x.n_blocks").as("n_blocks"), F.col("x.n_chars").as("n_chars"))
+        .filter(F.col("n_blocks") > 0)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("doc_id")
+    },
+    qHtmlExtractText.oracle)
+
   /** Tokenizer fertility audit ([[TextAnalysis.bpeFertility]]): train
     * 3 merges, then per-source compression stats through the NATIVE
     * encoder. The oracle recovers each distinct word from the
@@ -7026,6 +7091,9 @@ object StandardQueries {
     "tree_stump_best" -> qTreeStumpBest,
     "tree_depth2" -> qTreeDepth2,
     "bpe_fertility" -> qBpeFertility,
+    "html_extract_inline" -> qHtmlExtractInline,
+    "range_partition_plan" -> qRangePartitionPlan,
+    "streaming_html_extract" -> qStreamingHtmlExtract,
     "kmeans_assign" -> qKmeansAssign,
     "streaming_kmeans_assign" -> qStreamingKmeansAssign,
     "quantile_bins" -> qQuantileBins,

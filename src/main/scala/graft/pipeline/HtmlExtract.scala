@@ -108,6 +108,35 @@ object HtmlExtract {
         F.col("link_chars"), F.col("link_density"), F.col("label")): _*)
   }
 
+  /** INLINE page extraction: the same content rule evaluated entirely
+    * WITHIN the row via array HOFs — a page's blocks live in its own
+    * html string, so nothing needs an explode/regroup. Returns
+    * `struct(text, n_blocks, n_chars)`. ZERO exchanges (no window, no
+    * groupBy), which makes it the at-scale shape — one codegen'd scan
+    * whatever the corpus size — and stateless, so the same column runs
+    * on a Structured Streaming frame at ingestion (crawl → extract →
+    * quality-filter in one append-mode pipeline). Pages with no
+    * content block return `(\"\", 0, 0)`; filter `n_blocks > 0` for
+    * parity with [[extractText]]. */
+  def extractTextColumn(html: Column): Column = {
+    val segs = F.split(html, blockTagPattern)
+    val isContent = (seg: Column) => {
+      val vis = visibleText(seg)
+      val words = F.filter(F.split(vis, " "), w => F.length(w) > 0)
+      val linkChars = F.aggregate(
+        F.regexp_extract_all(seg, F.lit("(?i)<a\\b[^>]*>(.*?)</a>"), F.lit(1)),
+        F.lit(0L),
+        (acc, x) => acc + F.length(F.trim(F.regexp_replace(x, "<[^>]*>", " "))).cast("long"))
+      val density = linkChars.cast("double") / F.length(vis).cast("double")
+      F.length(vis) > 0 && F.size(words) >= minWords && density <= maxLinkDensity
+    }
+    val kept = F.filter(segs, isContent)
+    val text = F.concat_ws(" ", F.transform(kept, visibleText(_)))
+    F.struct(text.as("text"),
+      F.size(kept).cast("long").as("n_blocks"),
+      F.length(text).cast("long").as("n_chars"))
+  }
+
   /** The extracted training text: content blocks concatenated in page
     * order. One row per document that has ≥ 1 content block:
     * `keyCols ++ (text, n_blocks, n_chars)`. */

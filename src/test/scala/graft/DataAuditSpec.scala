@@ -160,4 +160,40 @@ class DataAuditSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).sum == 1.0)
     assert(rows.last.getDouble(3) == 1.0) // cumulative share closes at 1
   }
+
+  test("rangePartitionPlan: uniform keys split evenly; counts exact; ends open") {
+    import spark.implicits._
+    val df = (1 to 80).map(_.toLong).toDF("k")
+    val rows = DataAudit.rangePartitionPlan(df, "k", 4).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(3)).toSeq == Seq(20L, 20L, 20L, 20L))
+    assert(rows.head.isNullAt(1) && rows.last.isNullAt(2))
+    assert(rows.map(_.getDouble(4)).sum == 1.0)
+  }
+
+  test("rangePartitionPlan: heavy ties surface as empty buckets (the skew signal)") {
+    import spark.implicits._
+    // 90% of rows share one value: most quantile bounds collapse onto
+    // it, leaving empty buckets next to a mega-bucket - exactly what
+    // the preflight exists to show
+    val df = (Seq.fill(90)(7L) ++ (1 to 10).map(_.toLong + 100L)).toDF("k")
+    val rows = DataAudit.rangePartitionPlan(df, "k", 4).collect()
+    val counts = rows.map(_.getLong(3))
+    assert(counts.sum == 100L)
+    assert(counts.max >= 90L, s"mega-bucket expected: ${counts.toSeq}")
+    assert(counts.count(_ == 0L) >= 1, s"empty bucket expected: ${counts.toSeq}")
+  }
+
+  test("rangePartitionPlan: a value equal to a bound lands in that bound's bucket") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L).toDF("k")
+    // p=2: bound = median = 2.5 -> {1,2} left, {3,4} right; with
+    // p=4 bounds hit 1.75/2.5/3.25 and each value sits alone
+    val rows = DataAudit.rangePartitionPlan(df, "k", 4).collect()
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 1L, 1L, 1L))
+    // NULLs excluded
+    val withNull = Seq(Some(1L), Some(2L), None, Some(3L), Some(4L)).toDF("k")
+    val rows2 = DataAudit.rangePartitionPlan(withNull, "k", 2).collect()
+    assert(rows2.map(_.getLong(3)).sum == 4L)
+  }
 }

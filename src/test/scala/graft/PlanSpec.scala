@@ -668,6 +668,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"map-only, no join:\n$plan")
   }
 
+  test("inline html extraction is a zero-exchange map-only scan") {
+    import spark.implicits._
+    val df = (1 to 20).map(i =>
+      (i.toLong, s"<p>page $i body words enough to pass the content cut here</p>"))
+      .toDF("doc_id", "html")
+    val out = df.select(F.col("doc_id"),
+      graft.pipeline.HtmlExtract.extractTextColumn(F.col("html")).as("x"))
+    val plan = planOf(out)
+    assert(shuffles(plan) == 0 && !plan.contains("Join") && !plan.contains("Window"),
+      s"inline extraction must be map-only:\n$plan")
+  }
+
   test("kmeans iteration: centroids are plan literals; ONE histogram exchange, no join") {
     val base = graft.pipeline.KMeansFixed.quantized(
       table("embeddings"), "embedding", "vec_id", 1000L)

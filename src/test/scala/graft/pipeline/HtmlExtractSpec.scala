@@ -81,6 +81,27 @@ class HtmlExtractSpec extends SparkSpec {
         "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
   }
 
+  test("extractTextColumn (inline) == extractText (explode path) on varied pages") {
+    val pages = Seq(
+      (1L, "<p>one two three four five six seven eight nine ten</p>" +
+        "<nav><a href='/'>Home</a> <a href='/x'>X</a></nav>" +
+        "<p>a second long paragraph with enough words to pass the cut here</p>"),
+      (2L, "<nav><a href='/'>Only boilerplate</a></nav>"),
+      (3L, "<div>middle block with a <a href='/l'>link</a> plus words to hit the count</div>"),
+      (4L, ""),
+      (5L, "<p>entities &amp; stay intact with plenty of extra words to pass the rule</p>"))
+      .toDF("doc_id", "html")
+    val explodePath = HtmlExtract.extractText(pages, "html", Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val inlinePath = pages.select(F.col("doc_id"),
+        HtmlExtract.extractTextColumn(F.col("html")).as("x"))
+      .filter(F.col("x.n_blocks") > 0)
+      .select(F.col("doc_id"), F.col("x.text"), F.col("x.n_blocks"), F.col("x.n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inlinePath == explodePath)
+    assert(inlinePath.map(_._1) == Set(1L, 3L, 5L))
+  }
+
   test("multiple key columns pass through") {
     val df = Seq((1L, "web", "<p>enough words to make this block count as real content</p>"))
       .toDF("doc_id", "source", "html")
