@@ -6393,6 +6393,68 @@ object StandardQueries {
          | ORDER BY dn.source""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Bit-exact LS-boosting ([[Boost.lsBoost]]): the oracle replays the
+    * ENTIRE 3-round boosting run — base prediction, per-round residual
+    * histograms, split argmax (score DESC, feature, threshold), floor
+    * leaf values, residual updates by row id, exact per-round SSE — as
+    * unrolled CTEs. */
+  private def boostSqlCtes(rounds: Int): String = {
+    def round(t: Int) =
+      s"""h$t AS MATERIALIZED (SELECT u.f, u.b, CAST(sum(r.r) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM u JOIN r${t - 1} r ON r.rid = u.rid WHERE u.b IS NOT NULL GROUP BY 1, 2),
+         | mx$t AS (SELECT f, CAST(max(b) AS BIGINT) AS mb FROM h$t GROUP BY 1),
+         | pre$t AS (SELECT t.f, t.b AS thr, CAST(sum(h.s) AS BIGINT) AS sl, CAST(sum(h.n) AS BIGINT) AS nl
+         |  FROM (SELECT h.f, h.b FROM h$t h JOIN mx$t m ON m.f = h.f WHERE h.b < m.mb) t
+         |  JOIN h$t h ON h.f = t.f AND h.b <= t.b GROUP BY 1, 2),
+         | tot$t AS (SELECT f, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM h$t GROUP BY 1),
+         | cand$t AS (SELECT p.f, p.thr, p.sl, p.nl, tt.st - p.sl AS sr, tt.nt - p.nl AS nr,
+         |  CAST(p.sl AS DOUBLE) * CAST(p.sl AS DOUBLE) / CAST(p.nl AS DOUBLE)
+         |   + CAST(tt.st - p.sl AS DOUBLE) * CAST(tt.st - p.sl AS DOUBLE) / CAST(tt.nt - p.nl AS DOUBLE) AS score
+         |  FROM pre$t p JOIN tot$t tt ON tt.f = p.f WHERE p.nl > 0 AND tt.nt - p.nl > 0),
+         | pick$t AS MATERIALIZED (SELECT * FROM cand$t ORDER BY score DESC, f, thr LIMIT 1),
+         | lv$t AS MATERIALIZED (SELECT CAST(floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) AS BIGINT) AS lv,
+         |  CAST(floor(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) AS BIGINT) AS rv FROM pick$t),
+         | r$t AS MATERIALIZED (SELECT r.rid, r.r - CASE WHEN uf.b <= (SELECT thr FROM pick$t)
+         |   THEN (SELECT lv FROM lv$t) ELSE (SELECT rv FROM lv$t) END AS r
+         |  FROM r${t - 1} r JOIN u uf ON uf.rid = r.rid AND uf.f = (SELECT f FROM pick$t)),
+         | sse$t AS (SELECT CAST(sum(r * r) AS BIGINT) AS v FROM r$t)"""
+    val rs = (1 to rounds).map(round).mkString(",\n ")
+    s"""WITH rb AS MATERIALIZED (SELECT row_number() OVER () AS rid, CAST(l_quantity AS BIGINT) AS y,
+       |  CAST(round(l_discount * 100) AS BIGINT) AS f1, CAST(round(l_tax * 100) AS BIGINT) AS f2,
+       |  CAST(l_linenumber AS BIGINT) AS f3 FROM lineitem),
+       | u AS (SELECT rid, 'l_discount_c' AS f, f1 AS b FROM rb
+       |  UNION ALL SELECT rid, 'l_tax_c', f2 FROM rb
+       |  UNION ALL SELECT rid, 'l_linenumber', f3 FROM rb),
+       | bs AS (SELECT CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM rb),
+       | m0 AS (SELECT CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m, n FROM bs),
+       | r0 AS MATERIALIZED (SELECT rid, y - (SELECT m FROM m0) AS r FROM rb),
+       | sse0 AS (SELECT CAST(sum(r * r) AS BIGINT) AS v FROM r0),
+       | $rs""".stripMargin.replaceAll("\n", " ")
+  }
+
+  private def qLsBoost = Q(
+    (s, dir) => Boost.lsBoost(t(s, dir, "lineitem"), "l_quantity",
+      Seq(
+        TreeSplit.FeatureSpec("l_discount_c", F.round(F.col("l_discount") * 100)),
+        TreeSplit.FeatureSpec("l_tax_c", F.round(F.col("l_tax") * 100)),
+        TreeSplit.FeatureSpec("l_linenumber", F.col("l_linenumber"))),
+      rounds = 3),
+    Some {
+      def row(t: Int) =
+        s"""SELECT CAST($t AS BIGINT) AS round, (SELECT f FROM pick$t) AS feature,
+           | (SELECT thr FROM pick$t) AS threshold, (SELECT lv FROM lv$t) AS left_val,
+           | (SELECT rv FROM lv$t) AS right_val, (SELECT nl FROM pick$t) AS n_left,
+           | (SELECT nr FROM pick$t) AS n_right, (SELECT v FROM sse$t) AS sse"""
+      s"""${boostSqlCtes(3)}
+         | SELECT CAST(0 AS BIGINT) AS round, '__base' AS feature, CAST(NULL AS BIGINT) AS threshold,
+         |  (SELECT m FROM m0) AS left_val, (SELECT m FROM m0) AS right_val,
+         |  (SELECT n FROM m0) AS n_left, CAST(0 AS BIGINT) AS n_right, (SELECT v FROM sse0) AS sse
+         | UNION ALL ${row(1)}
+         | UNION ALL ${row(2)}
+         | UNION ALL ${row(3)}
+         | ORDER BY round""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Fixed-point k-means ([[graft.pipeline.KMeansFixed]]): the oracle
     * replays ALL of training — quantization, smallest-id init, integer
     * argmin assignment with (distance, index) ties, floor-div centroid
@@ -7091,6 +7153,7 @@ object StandardQueries {
     "tree_stump_best" -> qTreeStumpBest,
     "tree_depth2" -> qTreeDepth2,
     "bpe_fertility" -> qBpeFertility,
+    "ls_boost" -> qLsBoost,
     "html_extract_inline" -> qHtmlExtractInline,
     "range_partition_plan" -> qRangePartitionPlan,
     "streaming_html_extract" -> qStreamingHtmlExtract,
