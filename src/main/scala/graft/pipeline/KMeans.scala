@@ -92,9 +92,11 @@ object KMeansFixed {
       val ns = Array.fill(k)(0L)
       val sse = Array.fill(k)(0L)
       stats.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        sums(c)(d) = r.getLong(2)
-        if (d == 0) { ns(c) = r.getLong(3); sse(c) = r.getLong(4) }
+        val c = r.getInt(0)
+        ns(c) = r.getLong(1)
+        sse(c) = r.getLong(2)
+        var d = 0
+        while (d < dim) { sums(c)(d) = r.getLong(3 + d); d += 1 }
       }
       cents = Array.tabulate(k) { c =>
         if (ns(c) == 0L) cents(c) // empty cluster: centroid survives
@@ -115,25 +117,38 @@ object KMeansFixed {
     * index build or a SemDeDup bucketing pass. */
   def assign(df: DataFrame, vecCol: String, idCol: String, model: Model,
       scale: Long = 1000L): DataFrame = {
-    val best = assignBest(quantize(F.col(vecCol), scale), model.centroids)
+    // alias-then-read: the distance struct evaluates once per row (a
+    // twice-referenced alias blocks CollapseProject), as [[iterStats]]
     df.select(F.col(idCol).cast("long").as("id"),
-      best.getField("c").cast("long").as("cluster"),
-      best.getField("d").as("dist2"))
+        assignBest(quantize(F.col(vecCol), scale), model.centroids).as("__b"))
+      .select(F.col("id"), F.col("__b.c").cast("long").as("cluster"),
+        F.col("__b.d").as("dist2"))
   }
 
   /** One Lloyd iteration's update frame over a `(__id, __q)` quantized
-    * base: assignment is a map-only codegen'd literal scan (centroids
-    * ride the plan, NOT a join side), and the grouped update is ONE
-    * map-side-combined exchange whose k·dim partial rows are the only
-    * shuffled bytes. Public shape so PlanSpec can pin it. */
+    * base: assignment is a map-only literal scan (centroids ride the
+    * plan, NOT a join side), and the grouped update is ONE
+    * map-side-combined exchange whose k rows × dim sum columns are the
+    * only shuffled bytes. One row per non-empty cluster:
+    * `(__c, __n, __sd, __s0..__s{dim-1})`.
+    *
+    * Two deliberate shapes, both learned the hard way (the winnowing
+    * O(len²) incident): the assignment struct is ALIASED before its
+    * fields are read (a twice-referenced alias blocks CollapseProject,
+    * so the k·dim interpreted HOF distance runs ONCE per row, not once
+    * per field reference), and the per-dim sums are 64 aggregate
+    * columns instead of a posexplode (the exploded form re-evaluated
+    * the assignment expression once per DIMENSION row — dim× the
+    * work — and inflates the pre-shuffle row count dim×). */
   private[graft] def iterStats(base: DataFrame, cents: Array[Array[Long]]): DataFrame = {
-    val best = assignBest(F.col("__q"), cents)
-    base
-      .select(best.getField("c").as("__c"), best.getField("d").as("__d2"),
-        F.posexplode(F.col("__q")).as(Seq("__dim", "__qv")))
-      .groupBy("__c", "__dim")
-      .agg(F.sum("__qv").as("__s"), F.count(F.lit(1)).as("__n"),
-        F.sum("__d2").as("__sd"))
+    val dim = cents(0).length
+    val assigned = base
+      .select(assignBest(F.col("__q"), cents).as("__b"), F.col("__q"))
+      .select(F.col("__b.c").as("__c"), F.col("__b.d").as("__d2"), F.col("__q"))
+    val dimSums = (0 until dim).map(d =>
+      F.sum(F.element_at(F.col("__q"), d + 1)).as(s"__s$d"))
+    val aggs = Seq(F.count(F.lit(1)).as("__n"), F.sum("__d2").as("__sd")) ++ dimSums
+    assigned.groupBy("__c").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Quantized `(__id, __q)` base frame. */
