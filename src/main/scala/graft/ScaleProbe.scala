@@ -90,7 +90,8 @@ object ScaleProbe {
     // (trains the same 3 merges, then the reference-object encoder)
     "html_extract_text", "kmeans_train", "tree_stump", "bpe_encode_native",
     "html_extract_inline", "range_partition_plan", "tree_depth2",
-    "kmeans_assign", "bpe_fertility", "ls_boost")
+    "kmeans_assign", "bpe_fertility", "ls_boost", "ls_boost_predict",
+    "stump_confusion", "streaming_stump_confusion")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -45,6 +45,34 @@ object Boost {
     * `(t, feature, threshold, left_val, right_val, n_left, n_right,
     * sse_t)` with sse the EXACT integer Σresidual² after applying the
     * round. */
+  /** The trained ensemble in driver form: base prediction + per-round
+    * stumps `(feature, threshold, left_val, right_val)`. */
+  final case class BoostModel(base: Long,
+      stumps: Seq[(String, Long, Long, Long)])
+
+  /** INFERENCE: the ensemble prediction as a map-only column —
+    * `base + Σ stump leaf` with the same ≤/route-right-on-NULL rule as
+    * training. Stateless, so it scores a stream at ingestion. */
+  def predictColumn(model: BoostModel,
+      features: Seq[TreeSplit.FeatureSpec]): org.apache.spark.sql.Column = {
+    val byName = features.map(f => f.name -> f.bin).toMap
+    model.stumps.foldLeft(F.lit(model.base)) { case (acc, (feat, thr, lv, rv)) =>
+      val bin = byName.getOrElse(feat,
+        throw new IllegalArgumentException(s"model references unknown feature $feat"))
+      acc + F.when(bin.cast("long") <= thr, lv).otherwise(rv)
+    }
+  }
+
+  /** Train and return the driver-held model (the trace-free form of
+    * [[lsBoost]] — same run, same rounds). */
+  def lsBoostModel(df: DataFrame, yCol: String,
+      features: Seq[TreeSplit.FeatureSpec], rounds: Int): BoostModel = {
+    val trace = lsBoost(df, yCol, features, rounds).collect()
+    BoostModel(trace.head.getLong(3),
+      trace.drop(1).map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq)
+  }
+
   def lsBoost(df: DataFrame, yCol: String,
       features: Seq[TreeSplit.FeatureSpec], rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -150,6 +150,40 @@ object TreeSplit {
         "impurity")
   }
 
+  /** A trained classification stump: the global best split plus the
+    * MAJORITY class of each side (count ties to the smallest label). */
+  final case class StumpModel(feature: String, threshold: Long,
+      leftClass: String, rightClass: String)
+
+  /** Train a classification stump: global best (impurity, feature,
+    * threshold) split, per-side majority classes read off the same
+    * collected histogram — no extra pass. */
+  def stumpModel(df: DataFrame, labelCol: String,
+      features: Seq[FeatureSpec]): StumpModel = {
+    val hist = collectHistogram(histogram(df, labelCol, features))
+    val cands = scanCandidates(hist)
+    require(cands.nonEmpty, "no valid split (single bin or empty input)")
+    val (feat, thr) = (cands.head._1, cands.head._2)
+    val rows = hist.filter(_._1 == feat)
+    def majority(side: Seq[(String, Long, String, Long)]): String =
+      side.groupBy(_._3).view.mapValues(_.map(_._4).sum).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+    StumpModel(feat, thr,
+      majority(rows.filter(_._2 <= thr)), majority(rows.filter(_._2 > thr)))
+  }
+
+  /** INFERENCE: the stump's predicted class as a map-only column
+    * (NULL bins route right, as training/depth2). Stateless — scores a
+    * stream at ingestion. */
+  def stumpPredictColumn(model: StumpModel,
+      features: Seq[FeatureSpec]): Column = {
+    val bin = features.find(_.name == model.feature).getOrElse(
+      throw new IllegalArgumentException(
+        s"model references unknown feature ${model.feature}")).bin
+    F.when(bin.cast("long") <= model.threshold, model.leftClass)
+      .otherwise(model.rightClass)
+  }
+
   /** The best split per feature (lowest impurity, threshold ties low). */
   def stumpBest(df: DataFrame, labelCol: String,
       features: Seq[FeatureSpec]): DataFrame = {

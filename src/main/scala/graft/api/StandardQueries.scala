@@ -6393,6 +6393,81 @@ object StandardQueries {
          | ORDER BY dn.source""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Classification-stump scoring + evaluation
+    * ([[TreeSplit.stumpModel]] / `stumpPredictColumn`): train the
+    * global best stump with per-side majority classes, score every row
+    * map-only, and report the confusion matrix — the oracle replays
+    * split selection, majority election, and row routing inside the
+    * rollup, so any drift anywhere fails the hash. */
+  private def qStumpConfusion = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = TreeSplit.stumpModel(li, "l_returnflag", treeFeatures)
+      li.select(F.col("l_returnflag").as("label"),
+          TreeSplit.stumpPredictColumn(m, treeFeatures).as("pred"))
+        .groupBy("label", "pred").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+    Some(s"""$treeStumpCtes,
+            | root AS (SELECT feature, threshold FROM scored ORDER BY impurity, feature, threshold LIMIT 1),
+            | lmaj AS (SELECT l FROM (SELECT l, CAST(sum(c) AS BIGINT) AS cnt FROM bins
+            |   WHERE f = (SELECT feature FROM root) AND b <= (SELECT threshold FROM root) GROUP BY l)
+            |  ORDER BY cnt DESC, l LIMIT 1),
+            | rmaj AS (SELECT l FROM (SELECT l, CAST(sum(c) AS BIGINT) AS cnt FROM bins
+            |   WHERE f = (SELECT feature FROM root) AND b > (SELECT threshold FROM root) GROUP BY l)
+            |  ORDER BY cnt DESC, l LIMIT 1),
+            | pr AS (SELECT u.l AS label, CASE WHEN u.b <= (SELECT threshold FROM root)
+            |   THEN (SELECT l FROM lmaj) ELSE (SELECT l FROM rmaj) END AS pred
+            |  FROM u WHERE u.f = (SELECT feature FROM root))
+            | SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM pr
+            | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
+
+  /** Stump classification AT INGESTION: the map-only
+    * [[TreeSplit.stumpPredictColumn]] on a Structured Streaming frame,
+    * confusion rolled up in complete mode (state ≤ classes² rows).
+    * Oracle shared with [[qStumpConfusion]] verbatim. */
+  private def qStreamingStumpConfusion = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = TreeSplit.stumpModel(li, "l_returnflag", treeFeatures)
+      val sdf = s.readStream.schema(li.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/lineitem.parquet"))
+      val qn = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf.select(F.col("l_returnflag").as("label"),
+          TreeSplit.stumpPredictColumn(m, treeFeatures).as("pred"))
+        .groupBy("label", "pred").agg(F.count(F.lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("label", "pred")
+    },
+    qStumpConfusion.oracle)
+
+  /** Boosted-ensemble inference ([[Boost.predictColumn]]): train the
+    * 3-round model, score every row with the map-only prediction
+    * column, report the prediction distribution with per-bucket target
+    * sums. The oracle derives each row's prediction as `y − r₃` from
+    * the unrolled training CTEs — an INDEPENDENT path (training
+    * residuals) that must agree with the re-applied model. */
+  private def qLsBoostPredict = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq(
+        TreeSplit.FeatureSpec("l_discount_c", F.round(F.col("l_discount") * 100)),
+        TreeSplit.FeatureSpec("l_tax_c", F.round(F.col("l_tax") * 100)),
+        TreeSplit.FeatureSpec("l_linenumber", F.col("l_linenumber")))
+      val m = Boost.lsBoostModel(li, "l_quantity", feats, rounds = 3)
+      li.select(Boost.predictColumn(m, feats).as("pred"),
+          F.col("l_quantity").cast("long").as("y"))
+        .groupBy("pred").agg(F.count(F.lit(1)).as("n"), F.sum("y").as("sum_y"))
+        .orderBy("pred")
+    },
+    Some(s"""${boostSqlCtes(3)}
+            | SELECT pred, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sum_y FROM (
+            |   SELECT rb.y AS y, rb.y - r.r AS pred FROM rb JOIN r3 r ON r.rid = rb.rid)
+            | GROUP BY pred ORDER BY pred""".stripMargin.replaceAll("\n", " ")))
+
   /** Bit-exact LS-boosting ([[Boost.lsBoost]]): the oracle replays the
     * ENTIRE 3-round boosting run — base prediction, per-round residual
     * histograms, split argmax (score DESC, feature, threshold), floor
@@ -7154,6 +7229,9 @@ object StandardQueries {
     "tree_depth2" -> qTreeDepth2,
     "bpe_fertility" -> qBpeFertility,
     "ls_boost" -> qLsBoost,
+    "ls_boost_predict" -> qLsBoostPredict,
+    "stump_confusion" -> qStumpConfusion,
+    "streaming_stump_confusion" -> qStreamingStumpConfusion,
     "html_extract_inline" -> qHtmlExtractInline,
     "range_partition_plan" -> qRangePartitionPlan,
     "streaming_html_extract" -> qStreamingHtmlExtract,

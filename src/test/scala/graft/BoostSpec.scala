@@ -41,6 +41,22 @@ class BoostSpec extends SparkSpec {
     assert(a == b && a.length == 3)
   }
 
+  test("predictColumn: re-applied model equals target minus final residual") {
+    val li = table("lineitem").filter(F.col("l_orderkey") < 2000)
+    val feats = Seq(
+      FeatureSpec("d", F.round(F.col("l_discount") * 100)),
+      FeatureSpec("t", F.round(F.col("l_tax") * 100)))
+    val m = Boost.lsBoostModel(li, "l_quantity", feats, 2)
+    assert(m.stumps.length == 2)
+    // independent check: SSE of (y - pred) must equal the trace's last SSE
+    val trace = Boost.lsBoost(li, "l_quantity", feats, 2).collect()
+    val lastSse = trace.last.getLong(7)
+    val resid = li.select((F.col("l_quantity").cast("long") -
+        Boost.predictColumn(m, feats)).as("r"))
+      .agg(F.sum(F.col("r") * F.col("r"))).head.getLong(0)
+    assert(resid == lastSse)
+  }
+
   test("single-bin features stop training early instead of dividing by zero") {
     val df = Seq((1, 5), (1, 9)).toDF("x", "y")
     val got = Boost.lsBoost(df, "y", Seq(FeatureSpec("x", F.col("x"))), rounds = 3)

@@ -93,6 +93,27 @@ class TreeSplitSpec extends SparkSpec {
     assert(right.exists(_._2 == 4L), s"got $got")
   }
 
+  test("stumpModel: majority classes per side, count ties to smallest label") {
+    // x<=2: left {a,a,b} -> a; right {b,b,c} ties b(2) beats c(1) -> b
+    val df = Seq((1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "b"), (4, "c"))
+      .toDF("x", "y")
+    val m = TreeSplit.stumpModel(df, "y", Seq(FeatureSpec("x", F.col("x"))))
+    assert(m.leftClass != m.rightClass || m.leftClass.nonEmpty) // sanity
+    // scoring routes rows by the learned split; NULL bins go right
+    val score = Seq(Some(1), Some(4), None).toDF("x")
+      .select(TreeSplit.stumpPredictColumn(m, Seq(FeatureSpec("x", F.col("x")))).as("p"))
+      .collect().map(_.getString(0))
+    assert(score(0) == m.leftClass || m.threshold < 1) // row x=1 left unless thr<1
+    assert(score(2) == m.rightClass) // NULL routes right
+  }
+
+  test("stumpModel majorities on a fixed split: exact election") {
+    // force split at x<=1 (perfect separation drives the argmin there)
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("x", "y")
+    val m = TreeSplit.stumpModel(df, "y", Seq(FeatureSpec("x", F.col("x"))))
+    assert(m == TreeSplit.StumpModel("x", 1L, "a", "c"))
+  }
+
   test("three classes: sums of squares over all class counts") {
     val df = Seq((1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("x", "y")
     val got = TreeSplit.stumpCandidates(df, "y", Seq(FeatureSpec("x", F.col("x"))))
