@@ -91,7 +91,7 @@ object ScaleProbe {
     "html_extract_text", "kmeans_train", "tree_stump", "bpe_encode_native",
     "html_extract_inline", "range_partition_plan", "tree_depth2",
     "kmeans_assign", "bpe_fertility", "ls_boost", "ls_boost_predict",
-    "stump_confusion", "streaming_stump_confusion")
+    "stump_confusion", "streaming_stump_confusion", "feature_correlations")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

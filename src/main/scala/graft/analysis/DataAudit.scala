@@ -282,6 +282,60 @@ object DataAudit {
     * key table) and a broadcast of the 1-row totals. The only window
     * runs over the k collected rows. NULL keys count as a key (they
     * hash to one partition too — the classic silent skew). */
+  /** Exact Pearson correlation matrix over INTEGER-VALUED feature
+    * expressions — the feature-redundancy audit before training
+    * (drop-one-of-each-correlated-pair is the standard cut). All
+    * sufficient statistics (`n, Sx, Sxx, Sxy` per pair) accumulate as
+    * BIGINTs in ONE map-side-combined aggregate pass — exact under any
+    * partitioning — and each correlation is one fixed IEEE tree
+    * `(n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))`, so
+    * the matrix replays in SQL bit-for-bit (the float-accumulated
+    * `corr()` aggregate in either engine is fold-order-dependent; this
+    * is not). Rows with a NULL in ANY feature are dropped
+    * (complete-case, as [[Ols.fit2]]). A zero-variance feature fails
+    * loudly (require) rather than emitting silent NaN — IEEE double
+    * division does NOT trip ANSI mode.
+    *
+    * Integer range: `n·Sxx < 2⁶³` — exact up to ~2e18/max(x²) rows.
+    * Output: one row per unordered pair `(f1, f2, n, corr)` with
+    * f1 < f2, ordered. Scale: one exchange of k + k(k+1)/2 longs. */
+  def featureCorrelations(df: DataFrame,
+      features: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(features.size >= 2, "need at least two features")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val named = features.map { case (n, c) => n -> c.cast("long") }
+    val complete = df.filter(named.map(_._2.isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- named.indices; j <- i until named.size
+    } yield (i, j)
+    val aggs =
+      Seq(F.count(F.lit(1)).as("__n")) ++
+        named.zipWithIndex.map { case ((_, c), i) => F.sum(c).as(s"__s$i") } ++
+        pairs.map { case (i, j) =>
+          F.sum(named(i)._2 * named(j)._2).as(s"__p${i}_$j") }
+    val row = complete.agg(aggs.head, aggs.tail: _*).head
+    val n = row.getLong(0)
+    require(n > 0, "no complete-case rows")
+    val s = named.indices.map(i => row.getLong(1 + i))
+    val pIdx = pairs.zipWithIndex.toMap
+    def sp(i: Int, j: Int): Long = row.getLong(1 + named.size + pIdx((i, j)))
+    val out = for {
+      i <- named.indices; j <- (i + 1) until named.size
+    } yield {
+      val num = (n * sp(i, j) - s(i) * s(j)).toDouble
+      val di = math.sqrt((n * sp(i, i) - s(i) * s(i)).toDouble)
+      val dj = math.sqrt((n * sp(j, j) - s(j) * s(j)).toDouble)
+      require(di != 0.0 && dj != 0.0,
+        s"zero-variance feature in pair (${named(i)._1}, ${named(j)._1})")
+      // canonical pair order: correlation is symmetric, names sort
+      val (a, b) = if (named(i)._1 <= named(j)._1) (named(i)._1, named(j)._1)
+        else (named(j)._1, named(i)._1)
+      (a, b, n, num / (di * dj))
+    }
+    out.toDF("f1", "f2", "n", "corr").orderBy("f1", "f2")
+  }
+
   /** Range-partitioner preflight: exact balanced bounds for
     * `repartitionByRange(p, keyCol)` plus the EXACT row count each
     * resulting partition would hold — the report you read before

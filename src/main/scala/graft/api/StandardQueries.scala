@@ -6291,6 +6291,42 @@ object StandardQueries {
     },
     qBpeEncode.oracle)
 
+  /** Exact Pearson correlation matrix
+    * ([[DataAudit.featureCorrelations]]): every pairwise correlation
+    * of four integer-valued lineitem features from BIGINT sufficient
+    * statistics in ONE pass — fold-order-free where the built-in
+    * `corr()` is not. */
+  private def qFeatureCorrelations = Q(
+    (s, dir) => DataAudit.featureCorrelations(t(s, dir, "lineitem"), Seq(
+      "l_quantity" -> F.col("l_quantity"),
+      "l_discount_c" -> F.round(F.col("l_discount") * 100),
+      "l_tax_c" -> F.round(F.col("l_tax") * 100),
+      "l_linenumber" -> F.col("l_linenumber"))),
+    Some {
+      val names = Seq("l_quantity", "l_discount_c", "l_tax_c", "l_linenumber")
+      val pairRows = (for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield {
+        val (a, b) = if (names(i) <= names(j)) (names(i), names(j)) else (names(j), names(i))
+        s"""SELECT '$a' AS f1, '$b' AS f2, n,
+           | CAST(n * p${i}_$j - s$i * s$j AS DOUBLE) /
+           |  (sqrt(CAST(n * p${i}_$i - s$i * s$i AS DOUBLE)) * sqrt(CAST(n * p${j}_$j - s$j * s$j AS DOUBLE))) AS corr
+           | FROM st"""
+      }).mkString(" UNION ALL ")
+      val sums = names.indices.map(i => s"CAST(sum(x$i) AS BIGINT) AS s$i") ++
+        (for { i <- names.indices; j <- i until names.size }
+          yield s"CAST(sum(x$i * x$j) AS BIGINT) AS p${i}_$j")
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x0,
+         |  CAST(round(l_discount * 100) AS BIGINT) AS x1,
+         |  CAST(round(l_tax * 100) AS BIGINT) AS x2,
+         |  CAST(l_linenumber AS BIGINT) AS x3 FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |   AND l_tax IS NOT NULL AND l_linenumber IS NOT NULL),
+         | st AS (SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(", ")} FROM b)
+         | SELECT f1, f2, n, corr FROM ($pairRows) ORDER BY f1, f2"""
+        .stripMargin.replaceAll("\n", " ")
+    })
+
   /** Range-partitioner preflight ([[DataAudit.rangePartitionPlan]]):
     * exact balanced bounds + exact per-bucket row counts for an 8-way
     * range shuffle of the events join key. Bounds are exact type-7
@@ -7234,6 +7270,7 @@ object StandardQueries {
     "streaming_stump_confusion" -> qStreamingStumpConfusion,
     "html_extract_inline" -> qHtmlExtractInline,
     "range_partition_plan" -> qRangePartitionPlan,
+    "feature_correlations" -> qFeatureCorrelations,
     "streaming_html_extract" -> qStreamingHtmlExtract,
     "kmeans_assign" -> qKmeansAssign,
     "streaming_kmeans_assign" -> qStreamingKmeansAssign,

@@ -196,4 +196,35 @@ class DataAuditSpec extends SparkSpec {
     val rows2 = DataAudit.rangePartitionPlan(withNull, "k", 2).collect()
     assert(rows2.map(_.getLong(3)).sum == 4L)
   }
+
+  test("featureCorrelations: hand values, complete-case, canonical pair order") {
+    import spark.implicits._
+    val df = Seq((1, 2, 5), (2, 4, 4), (3, 6, 3), (4, 8, 1)).toDF("a", "b", "c")
+    val got = DataAudit.featureCorrelations(df,
+        Seq("a" -> F.col("a"), "b" -> F.col("b"), "c" -> F.col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 3)
+    // colinear pair: 1.0 up to the sqrt(X)^2 != X rounding (num = 2X,
+    // den = 2*sqrt(X)^2 — exactly 1 only when X is a perfect square)
+    assert(got(0)._1 == "a" && got(0)._2 == "b" &&
+      math.abs(got(0)._4 - 1.0) < 1e-12)
+    val ac = got.find(t => t._1 == "a" && t._2 == "c").get._4
+    assert(ac < -0.9 && ac > -1.0) // strongly anti-correlated, not exactly -1
+    // NULL in any feature drops the row everywhere
+    val withNull = Seq((Some(1), Some(2), Some(5)), (Some(2), None, Some(4)),
+      (Some(3), Some(6), Some(3)), (Some(4), Some(8), Some(1))).toDF("a", "b", "c")
+    val n = DataAudit.featureCorrelations(withNull,
+        Seq("a" -> F.col("a"), "b" -> F.col("b"), "c" -> F.col("c")))
+      .collect().head.getLong(2)
+    assert(n == 3L)
+  }
+
+  test("featureCorrelations: zero-variance feature fails loudly") {
+    import spark.implicits._
+    val df = Seq((1, 7), (2, 7), (3, 7)).toDF("a", "k")
+    val e = intercept[IllegalArgumentException] {
+      DataAudit.featureCorrelations(df, Seq("a" -> F.col("a"), "k" -> F.col("k")))
+    }
+    assert(e.getMessage.contains("zero-variance"))
+  }
 }
