@@ -6744,6 +6744,29 @@ object StandardQueries {
     },
     qKmeansAssign.oracle)
 
+  /** k-means EVALUATION: the cluster × ground-truth-label contingency
+    * table ([[graft.pipeline.KMeansFixed.assign]] joined back to the
+    * embeddings' labels) — the purity readout after training. One
+    * map-only scoring pass + one bounded groupBy; the oracle reuses
+    * the 4th unrolled assignment round joined to the label column. */
+  private def qKmeansClusterPurity = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.pipeline.KMeansFixed.trainModel(emb, "embedding", "vec_id",
+        k = 4, iters = 3)
+      graft.pipeline.KMeansFixed.assign(emb, "embedding", "vec_id", m)
+        .join(emb.select(F.col("vec_id").as("id"),
+          F.col("label").cast("long").as("label")), Seq("id"))
+        .groupBy("cluster", "label").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("cluster", "label")
+    },
+    Some {
+      s"""${kmeansSqlCtes(4, 4, 1000L)}
+         | SELECT b4.c AS cluster, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+         | FROM b4 JOIN embeddings e ON e.vec_id = b4.vec_id
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Quantile binning ([[ExactQuantiles.quantileBins]]): lineitem
     * quantity cut at exact quartiles (integer-valued, so type-7
     * interpolation is exact in binary64 and the cut points equal
@@ -7274,6 +7297,7 @@ object StandardQueries {
     "streaming_html_extract" -> qStreamingHtmlExtract,
     "kmeans_assign" -> qKmeansAssign,
     "streaming_kmeans_assign" -> qStreamingKmeansAssign,
+    "kmeans_cluster_purity" -> qKmeansClusterPurity,
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,
     "join_cardinality" -> qJoinCardinality,
