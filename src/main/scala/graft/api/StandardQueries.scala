@@ -6504,6 +6504,32 @@ object StandardQueries {
             |   SELECT rb.y AS y, rb.y - r.r AS pred FROM rb JOIN r3 r ON r.rid = rb.rid)
             | GROUP BY pred ORDER BY pred""".stripMargin.replaceAll("\n", " ")))
 
+  /** Boosted-ensemble scoring AT INGESTION: [[Boost.predictColumn]] on
+    * a Structured Streaming lineitem frame, prediction distribution in
+    * complete mode (state bounded by distinct predictions ≤ Π stump
+    * leaf combinations). Oracle shared with [[qLsBoostPredict]]. */
+  private def qStreamingLsBoostPredict = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq(
+        TreeSplit.FeatureSpec("l_discount_c", F.round(F.col("l_discount") * 100)),
+        TreeSplit.FeatureSpec("l_tax_c", F.round(F.col("l_tax") * 100)),
+        TreeSplit.FeatureSpec("l_linenumber", F.col("l_linenumber")))
+      val m = Boost.lsBoostModel(li, "l_quantity", feats, rounds = 3)
+      val sdf = s.readStream.schema(li.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/lineitem.parquet"))
+      val qn = "lsb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf.select(Boost.predictColumn(m, feats).as("pred"),
+          F.col("l_quantity").cast("long").as("y"))
+        .groupBy("pred").agg(F.count(F.lit(1)).as("n"), F.sum("y").as("sum_y"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("pred")
+    },
+    qLsBoostPredict.oracle)
+
   /** Bit-exact LS-boosting ([[Boost.lsBoost]]): the oracle replays the
     * ENTIRE 3-round boosting run — base prediction, per-round residual
     * histograms, split argmax (score DESC, feature, threshold), floor
@@ -7289,6 +7315,7 @@ object StandardQueries {
     "bpe_fertility" -> qBpeFertility,
     "ls_boost" -> qLsBoost,
     "ls_boost_predict" -> qLsBoostPredict,
+    "streaming_ls_boost_predict" -> qStreamingLsBoostPredict,
     "stump_confusion" -> qStumpConfusion,
     "streaming_stump_confusion" -> qStreamingStumpConfusion,
     "html_extract_inline" -> qHtmlExtractInline,
