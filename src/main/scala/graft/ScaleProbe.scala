@@ -86,12 +86,18 @@ object ScaleProbe {
     // round-15: HTML extraction over the 100x corpus (page build +
     // block explode + per-doc window), fixed-point k-means (3
     // iterations x one histogram exchange over 20x embeddings),
-    // histogram stump scan over 10x lineitem, native BPE encode
-    // (trains the same 3 merges, then the reference-object encoder)
-    "html_extract_text", "kmeans_train", "tree_stump", "bpe_encode_native",
-    "html_extract_inline", "range_partition_plan", "tree_depth2",
+    // native BPE encode (trains the same 3 merges, then the
+    // reference-object encoder). The stump-training family
+    // (tree_stump/tree_depth2/stump_confusion) is NOT probed through
+    // the registry at 6M rows: that is past the documented nL²·nR < 2⁶³
+    // exactness bound — which since round 16 fails LOUDLY
+    // (multiplyExact) instead of wrapping silently — so the probe runs
+    // the documented at-scale recipe in extraProbes
+    // (train-on-exact-subsample, score-the-full-table)
+    "html_extract_text", "kmeans_train", "bpe_encode_native",
+    "html_extract_inline", "range_partition_plan",
     "kmeans_assign", "bpe_fertility", "ls_boost", "ls_boost_predict",
-    "stump_confusion", "streaming_stump_confusion", "feature_correlations")
+    "feature_correlations")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -259,8 +265,58 @@ object ScaleProbe {
         .start()
       try q.awaitTermination() finally { q.stop(); bloom.unpersist() }
       shards
+    }),
+    // round-16: the stump family at 6M rows per the DOCUMENTED at-scale
+    // recipe — 6M is past the nL²·nR < 2⁶³ criterion bound (the r15
+    // probe ran the registry query here and the driver Long math
+    // wrapped SILENTLY; since round 16 it throws via multiplyExact), so
+    // training takes an EXACT deterministic 1-in-3 key subsample (~2M
+    // rows, under the bound) while INFERENCE — which is bound-free and
+    // map-only — still scores the full 6M-row table
+    "tree_stump_sampled" -> (() => {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+        .filter(F.pmod(F.col("l_orderkey"), F.lit(3)) === 0)
+      graft.analysis.TreeSplit.stumpCandidates(
+        li, "l_returnflag", probeTreeFeatures).count()
+    }),
+    "tree_depth2_sampled" -> (() => {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+        .filter(F.pmod(F.col("l_orderkey"), F.lit(3)) === 0)
+      graft.analysis.TreeSplit.depth2(
+        li, "l_returnflag", probeTreeFeatures).count()
+    }),
+    "stump_confusion_full_score" -> (() => {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+      val m = graft.analysis.TreeSplit.stumpModel(
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) === 0),
+        "l_returnflag", probeTreeFeatures)
+      li.select(F.col("l_returnflag").as("label"),
+          graft.analysis.TreeSplit.stumpPredictColumn(m, probeTreeFeatures).as("pred"))
+        .groupBy("label", "pred").count().count()
+    }),
+    "streaming_stump_full_score" -> (() => {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+      val m = graft.analysis.TreeSplit.stumpModel(
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) === 0),
+        "l_returnflag", probeTreeFeatures)
+      val sdf = spark.readStream.schema(li.schema)
+        .parquet(graft.api.StandardQueries.streamableDir(s"$outDir/lineitem.parquet"))
+      val qn = "sp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf.select(F.col("l_returnflag").as("label"),
+          graft.analysis.TreeSplit.stumpPredictColumn(m, probeTreeFeatures).as("pred"))
+        .groupBy("label", "pred").count()
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(qn).count()
     })
   )
+
+  private def probeTreeFeatures: Seq[graft.analysis.TreeSplit.FeatureSpec] = Seq(
+    graft.analysis.TreeSplit.FeatureSpec("l_quantity", F.col("l_quantity")),
+    graft.analysis.TreeSplit.FeatureSpec("l_discount_c", F.round(F.col("l_discount") * 100)),
+    graft.analysis.TreeSplit.FeatureSpec("l_tax_c", F.round(F.col("l_tax") * 100)))
 
   private[graft] def replicateForTest(df: DataFrame, table: String, copies: Int): DataFrame =
     replicate(df, table, copies)

@@ -21,18 +21,29 @@ import org.apache.spark.sql.{functions => F}
   * scaled residuals; at stump capacity the unshrunk fit is the
   * textbook LS-boost step).
   *
-  * Exactness bounds (ANSI overflows loudly past them): `SL² < 2⁶³` —
-  * |Σ residuals| < 3e9, i.e. any corpus with n·|y| below ~3e9; `SL²`
-  * also stays below 2⁵³ for |SL| < 9.4e7 so the double criterion is
-  * computed on exactly-represented integers at realistic scales.
+  * Exactness bounds, ALL enforced loudly: distributed sums are ANSI
+  * BIGINTs; the driver-side prefix sums accumulate via
+  * `Math.addExact` (a plain `+=` would wrap silently); and
+  * `|Σ residuals| ≤ 2⁵³` is `require`d so the floor leaf values are
+  * computed on exactly-represented doubles — any corpus with
+  * n·|y| ≲ 9e15 per split side. The IEEE split criterion needs no
+  * bound for the oracle bridge: both engines evaluate the identical
+  * expression tree, so they agree bit-for-bit even where it rounds.
   *
   * Scale shape per round: ONE map-side-combined
-  * `groupBy(feature, bin)` histogram exchange (sums + counts — the
-  * same bounded LightGBM histogram as [[TreeSplit]]), a driver scan of
-  * the histogram, a map-only residual update, and one 1-row SSE
-  * aggregate; the residual frame is localCheckpointed per round
-  * (iterative-lineage truncation). Rows with a NULL split-feature bin
-  * route right, as [[TreeSplit.depth2]].
+  * `groupBy(feature, bin)` histogram exchange (sums + counts + Σr² —
+  * the same bounded LightGBM histogram as [[TreeSplit]], carrying the
+  * PREVIOUS round's exact SSE for free: NULL-bin groups are kept in
+  * the aggregate so one feature's groups partition every row, and the
+  * driver reads Σr² off that feature's slice instead of paying a
+  * separate corpus scan), a driver scan of the histogram, and a
+  * map-only residual update; the residual frame is localCheckpointed
+  * per round (iterative-lineage truncation). Only the LAST round's SSE
+  * needs its own 1-row aggregate — two corpus passes per round, not
+  * three. Rows with a NULL split-feature bin route right, as
+  * [[TreeSplit.depth2]]; rows with a NULL TARGET are dropped up front
+  * (complete-case, as [[Ols.fit2]] — counting them while sum skips
+  * them would silently dilute the base prediction and every leaf).
   *
   * (Reference analog: none — whylogs monitors model outputs; this
   * trains the model reproducibly enough to hash its training run.)
@@ -80,7 +91,10 @@ object Boost {
     val spark = df.sparkSession
     import spark.implicits._
     val featCols = features.map(f => f.bin.cast("long").as("__fb_" + f.name))
-    var cur = df.select(featCols :+ F.col(yCol).cast("long").as("__r"): _*)
+    // complete-case: count(1) counts NULL targets while sum skips them —
+    // an unfiltered NULL y would silently dilute m0 and every leaf value
+    var cur = df.filter(F.col(yCol).isNotNull)
+      .select(featCols :+ F.col(yCol).cast("long").as("__r"): _*)
       .localCheckpoint(false)
     // round 0: integer base prediction
     val base = cur.agg(F.sum("__r").as("s"), F.count(F.lit(1)).as("n")).head
@@ -88,30 +102,52 @@ object Boost {
     require(n0 > 0, "empty training frame")
     val m0 = math.floor(s0.toDouble / n0.toDouble).toLong
     cur = cur.withColumn("__r", F.col("__r") - F.lit(m0)).localCheckpoint(false)
-    val sse0 = cur.agg(F.sum(F.col("__r") * F.col("__r"))).head.getLong(0)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Option[Long], Long, Long, Long, Long, Long)]
-    out += ((0L, "__base", None, m0, m0, n0, 0L, sse0))
+    // the row whose SSE the NEXT histogram pass (or the final 1-row
+    // aggregate) will supply
+    var pending: Option[(Long, String, Option[Long], Long, Long, Long, Long)] =
+      Some((0L, "__base", None, m0, m0, n0, 0L))
+    val sseFeat = features.head.name // any single feature's groups partition all rows
     val fs = F.explode(F.array(features.map(f =>
       F.struct(F.lit(f.name).as("f"), F.col("__fb_" + f.name).as("b"))): _*)).as("fs")
     var t = 1
     var done = false
     while (t <= rounds && !done) {
-      val hist = cur.select(fs, F.col("__r"))
+      // NULL-bin groups kept: sseFeat's slice then covers EVERY row, so
+      // Σss over it is the exact post-previous-round SSE — no extra scan
+      val histAll = cur.select(fs, F.col("__r"))
         .select(F.col("fs.f").as("f"), F.col("fs.b").as("b"), F.col("__r"))
-        .filter(F.col("b").isNotNull)
-        .groupBy("f", "b").agg(F.sum("__r").as("s"), F.count(F.lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      // driver scan: best (score DESC, feature, threshold) split
+        .groupBy("f", "b").agg(F.sum("__r").as("s"), F.count(F.lit(1)).as("n"),
+          F.sum(F.col("__r") * F.col("__r")).as("ss"))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+      val ssePrev = histAll.iterator.filter(_._1 == sseFeat)
+        .foldLeft(0L)((a, r) => Math.addExact(a, r._5))
+      pending.foreach(p => out += ((p._1, p._2, p._3, p._4, p._5, p._6, p._7, ssePrev)))
+      pending = None
+      val hist = histAll.collect { case (f, Some(b), s, n, _) => (f, b, s, n) }
+      // driver scan: best (score DESC, feature, threshold) split. Sums
+      // accumulate via addExact (a plain += wraps SILENTLY past 2⁶³,
+      // ranking splits wrong with no error), and |S| ≤ 2⁵³ is enforced
+      // so the floor leaf value floor(S/n) is computed on an
+      // exactly-represented integer — the bit-exactness contract fails
+      // LOUDLY past it, as documented. (The double criterion itself
+      // needs no bound for the oracle bridge: both engines evaluate the
+      // identical IEEE tree, so they agree even where it rounds.)
       var best: Option[(Double, String, Long, Long, Long, Long, Long)] = None
       hist.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (feat, rows) =>
         val bins = rows.sortBy(_._2)
-        val sTot = bins.map(_._3).sum
-        val nTot = bins.map(_._4).sum
+        val sTot = bins.foldLeft(0L)((a, b) => Math.addExact(a, b._3))
+        val nTot = bins.foldLeft(0L)((a, b) => Math.addExact(a, b._4))
         var sl = 0L; var nl = 0L
         bins.dropRight(1).foreach { case (_, thr, bs, bn) =>
-          sl += bs; nl += bn
+          sl = Math.addExact(sl, bs); nl = Math.addExact(nl, bn)
           val sr = sTot - sl; val nr = nTot - nl
+          require(math.abs(sl) <= (1L << 53) && math.abs(sr) <= (1L << 53),
+            s"|sum(residual)| exceeds 2^53 on feature $feat — " +
+              "floor leaf values would lose integer exactness; scale y down")
           val score = (sl.toDouble * sl.toDouble) / nl.toDouble +
             (sr.toDouble * sr.toDouble) / nr.toDouble
           val cand = (score, feat, thr, sl, nl, sr, nr)
@@ -132,10 +168,14 @@ object Boost {
           cur = cur.withColumn("__r", F.col("__r") -
               F.when(F.col("__fb_" + feat) <= thr, lv).otherwise(rv))
             .localCheckpoint(false)
-          val sse = cur.agg(F.sum(F.col("__r") * F.col("__r"))).head.getLong(0)
-          out += ((t.toLong, feat, Some(thr), lv, rv, nl, nr, sse))
+          pending = Some((t.toLong, feat, Some(thr), lv, rv, nl, nr))
           t += 1
       }
+    }
+    // only the LAST round pays a dedicated SSE aggregate
+    pending.foreach { p =>
+      val sse = cur.agg(F.sum(F.col("__r") * F.col("__r"))).head.getLong(0)
+      out += ((p._1, p._2, p._3, p._4, p._5, p._6, p._7, sse))
     }
     out.toSeq.toDF("round", "feature", "threshold", "left_val", "right_val",
       "n_left", "n_right", "sse")

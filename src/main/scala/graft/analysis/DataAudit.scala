@@ -320,12 +320,18 @@ object DataAudit {
     val s = named.indices.map(i => row.getLong(1 + i))
     val pIdx = pairs.zipWithIndex.toMap
     def sp(i: Int, j: Int): Long = row.getLong(1 + named.size + pIdx((i, j)))
+    // multiplyExact/subtractExact, NOT plain Long math: past the
+    // documented n·Sxx < 2⁶³ range plain arithmetic wraps SILENTLY and
+    // emits a wrong correlation with no error — the exactness contract
+    // must fail loudly, like the ANSI BIGINTs on the distributed side
+    def cross(a: Long, b: Long, c: Long, d: Long): Long =
+      Math.subtractExact(Math.multiplyExact(a, b), Math.multiplyExact(c, d))
     val out = for {
       i <- named.indices; j <- (i + 1) until named.size
     } yield {
-      val num = (n * sp(i, j) - s(i) * s(j)).toDouble
-      val di = math.sqrt((n * sp(i, i) - s(i) * s(i)).toDouble)
-      val dj = math.sqrt((n * sp(j, j) - s(j) * s(j)).toDouble)
+      val num = cross(n, sp(i, j), s(i), s(j)).toDouble
+      val di = math.sqrt(cross(n, sp(i, i), s(i), s(i)).toDouble)
+      val dj = math.sqrt(cross(n, sp(j, j), s(j), s(j)).toDouble)
       require(di != 0.0 && dj != 0.0,
         s"zero-variance feature in pair (${named(i)._1}, ${named(j)._1})")
       // canonical pair order: correlation is symmetric, names sort

@@ -19,9 +19,13 @@ import org.apache.spark.sql.{functions => F}
   * transform of the usual criterion for fixed n). No float
   * accumulation anywhere, so candidate ranking replays in SQL
   * bit-for-bit. Integer range: `nL²·nR ≤ n³` must stay below 2⁶³ —
-  * exact up to ~2M rows per stump (ANSI mode overflows LOUDLY past
-  * it); at larger n, pre-bin with [[graft.analysis.ExactQuantiles]]
-  * sketch-free quantile bins and subsample per the usual GBDT recipe.
+  * exact up to ~2M rows per stump, and the bound fails LOUDLY on both
+  * halves: the distributed counts are ANSI BIGINTs, and the
+  * driver-side criterion is computed with `Math.multiplyExact` /
+  * `addExact` (plain JVM Long math would wrap silently and rank
+  * splits wrong with no error). At larger n, pre-bin with
+  * [[graft.analysis.ExactQuantiles]] sketch-free quantile bins and
+  * subsample per the usual GBDT recipe.
   *
   * Scale shape: one exchange (the histogram groupBy — hot bins
   * collapse map-side), a driver-side scan of the bounded histogram
@@ -87,10 +91,20 @@ object TreeSplit {
         val nL = cl.valuesIterator.sum
         val nR = n - nL
         if (nL > 0 && nR > 0) {
-          val sl2 = labels.map(l => cl(l) * cl(l)).sum
-          val sr2 = labels.map { l => val r = total(l) - cl(l); r * r }.sum
-          val num = (nL * nL - sl2) * nR + (nR * nR - sr2) * nL
-          val den = nL * nR
+          // multiplyExact/addExact, NOT plain Long math: past the
+          // documented nL²·nR < 2⁶³ bound plain arithmetic wraps
+          // SILENTLY and ranks splits wrong with no error — the
+          // exactness contract must fail loudly, exactly as the
+          // ANSI-mode BIGINTs on the distributed side do
+          val sl2 = labels.foldLeft(0L)((a, l) =>
+            Math.addExact(a, Math.multiplyExact(cl(l), cl(l))))
+          val sr2 = labels.foldLeft(0L) { (a, l) =>
+            val r = total(l) - cl(l); Math.addExact(a, Math.multiplyExact(r, r))
+          }
+          val num = Math.addExact(
+            Math.multiplyExact(Math.subtractExact(Math.multiplyExact(nL, nL), sl2), nR),
+            Math.multiplyExact(Math.subtractExact(Math.multiplyExact(nR, nR), sr2), nL))
+          val den = Math.multiplyExact(nL, nR)
           out += ((feat, thr, nL, nR, num, den, num.toDouble / den.toDouble))
         }
       }

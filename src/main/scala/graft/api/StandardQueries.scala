@@ -6558,7 +6558,7 @@ object StandardQueries {
     val rs = (1 to rounds).map(round).mkString(",\n ")
     s"""WITH rb AS MATERIALIZED (SELECT row_number() OVER () AS rid, CAST(l_quantity AS BIGINT) AS y,
        |  CAST(round(l_discount * 100) AS BIGINT) AS f1, CAST(round(l_tax * 100) AS BIGINT) AS f2,
-       |  CAST(l_linenumber AS BIGINT) AS f3 FROM lineitem),
+       |  CAST(l_linenumber AS BIGINT) AS f3 FROM lineitem WHERE l_quantity IS NOT NULL),
        | u AS (SELECT rid, 'l_discount_c' AS f, f1 AS b FROM rb
        |  UNION ALL SELECT rid, 'l_tax_c', f2 FROM rb
        |  UNION ALL SELECT rid, 'l_linenumber', f3 FROM rb),
@@ -6767,6 +6767,25 @@ object StandardQueries {
         .start()
       q.awaitTermination()
       s.table(qn).orderBy("id")
+    },
+    qKmeansAssign.oracle)
+
+  /** k-means assignment BEYOND the plan literal
+    * ([[graft.pipeline.KMeansFixed.assignJoin]]): the broadcast-join
+    * route [[graft.pipeline.KMeansFixed.assign]] takes automatically
+    * past the k·dim ≤ 2¹⁶ centroid-literal bound (an IVF codebook at
+    * 4096×64 is 4× over it) — centroids ship once per executor as a
+    * broadcast side, the argmin is a map-side-combined
+    * `min(struct(d, c))` per id. Forced here on the SAME 4-cluster
+    * model so the oracle is shared with [[qKmeansAssign]] verbatim:
+    * both routes must produce the identical assignment. */
+  private def qKmeansAssignJoin = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.pipeline.KMeansFixed.trainModel(emb, "embedding", "vec_id",
+        k = 4, iters = 3)
+      graft.pipeline.KMeansFixed.assignJoin(emb, "embedding", "vec_id", m)
+        .orderBy("id")
     },
     qKmeansAssign.oracle)
 
@@ -7324,6 +7343,7 @@ object StandardQueries {
     "streaming_html_extract" -> qStreamingHtmlExtract,
     "kmeans_assign" -> qKmeansAssign,
     "streaming_kmeans_assign" -> qStreamingKmeansAssign,
+    "kmeans_assign_join" -> qKmeansAssignJoin,
     "kmeans_cluster_purity" -> qKmeansClusterPurity,
     "quantile_bins" -> qQuantileBins,
     "target_encoding" -> qTargetEncoding,

@@ -78,6 +78,11 @@ object KMeansFixed {
     // init: k smallest ids, in id order (TakeOrdered — never a global sort)
     val init = base.orderBy("__id").limit(k).collect()
     require(init.length == k, s"k=$k but only ${init.length} vectors")
+    // the id column must be unique over the first k: a duplicate id
+    // would seed two centroids from nondeterministically-ordered rows
+    // (and the SQL replay's DISTINCT-then-join would double-count dims)
+    require(init.map(_.getLong(0)).distinct.length == k,
+      s"duplicate ids among the $k smallest — init needs a unique id column")
     var cents: Array[Array[Long]] = init.map(_.getSeq[Long](1).toArray)
     val dim = cents(0).length
     require(cents.forall(_.length == dim), "ragged vector dimensions")
@@ -117,10 +122,51 @@ object KMeansFixed {
     * index build or a SemDeDup bucketing pass. */
   def assign(df: DataFrame, vecCol: String, idCol: String, model: Model,
       scale: Long = 1000L): DataFrame = {
+    val dim = model.centroids(0).length
+    if (model.centroids.length.toLong * dim > maxPlanCells)
+      return assignJoin(df, vecCol, idCol, model, scale)
+    // dirty/ragged input filters EXACTLY as training's quantized():
+    // a NULL or wrong-dimension vector yields NULL distances, and a
+    // struct with NULL d would win array_min — silently assigning the
+    // row to cluster 0 instead of dropping it (inference must not
+    // diverge from training on streaming input)
     // alias-then-read: the distance struct evaluates once per row (a
     // twice-referenced alias blocks CollapseProject), as [[iterStats]]
     df.select(F.col(idCol).cast("long").as("id"),
-        assignBest(quantize(F.col(vecCol), scale), model.centroids).as("__b"))
+        quantize(F.col(vecCol), scale).as("__q"))
+      .filter(F.col("__q").isNotNull && F.size(F.col("__q")) === dim)
+      .select(F.col("id"), assignBest(F.col("__q"), model.centroids).as("__b"))
+      .select(F.col("id"), F.col("__b.c").cast("long").as("cluster"),
+        F.col("__b.d").as("dist2"))
+  }
+
+  /** The beyond-the-plan-literal assignment route: past the
+    * [[maxPlanCells]] bound (a 4096-cluster × 64-dim IVF codebook is
+    * 262k cells — 4× over it) the centroid table ships ONCE per
+    * executor as a broadcast join side instead of riding the plan, and
+    * the argmin becomes a map-side-combined `min(struct(d, c))` per id
+    * — one exchange of (id, struct) partial minima, never the vectors.
+    * Same integer distance, same (distance, index) tie rule, same
+    * dirty-input filter — [[assign]] routes here automatically, the
+    * same loud-ceiling discipline as
+    * [[graft.analysis.NaiveBayes]] trainScore. Requires ids unique
+    * (one output row per id either way). */
+  def assignJoin(df: DataFrame, vecCol: String, idCol: String, model: Model,
+      scale: Long = 1000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = model.centroids(0).length
+    val cents = model.centroids.zipWithIndex
+      .map { case (cv, j) => (j, cv.toSeq) }.toSeq.toDF("__c", "__cv")
+    val d2 = F.aggregate(
+      F.zip_with(F.col("__q"), F.col("__cv"), (a, b) => (a - b) * (a - b)),
+      F.lit(0L), (acc, x) => acc + x)
+    df.select(F.col(idCol).cast("long").as("id"),
+        quantize(F.col(vecCol), scale).as("__q"))
+      .filter(F.col("__q").isNotNull && F.size(F.col("__q")) === dim)
+      .crossJoin(F.broadcast(cents))
+      .select(F.col("id"), F.struct(d2.as("d"), F.col("__c").as("c")).as("__e"))
+      .groupBy("id").agg(F.min("__e").as("__b"))
       .select(F.col("id"), F.col("__b.c").cast("long").as("cluster"),
         F.col("__b.d").as("dist2"))
   }

@@ -63,4 +63,18 @@ class BoostSpec extends SparkSpec {
       .collect()
     assert(got.length == 1 && got.head.getString(1) == "__base")
   }
+
+  test("NULL targets are dropped (complete-case), not counted into the base") {
+    // with the NULL row counted, n=3 dilutes m0 to floor(20/3)=6;
+    // complete-case gives m0 = 10 and the run equals the clean frame's
+    val dirty = Seq((1, Some(8)), (2, Some(12)), (3, None))
+      .toDF("x", "y")
+    val clean = Seq((1, 8), (2, 12)).toDF("x", "y")
+    val a = Boost.lsBoost(dirty, "y", Seq(FeatureSpec("x", F.col("x"))), rounds = 2)
+      .collect().toSeq
+    val b = Boost.lsBoost(clean, "y", Seq(FeatureSpec("x", F.col("x"))), rounds = 2)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.head.getLong(3) == 10L) // base = floor(20/2), not floor(20/3)
+  }
 }

@@ -61,4 +61,42 @@ class KMeansFixedSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bound") || e.getMessage.contains("only"))
   }
+
+  test("assignJoin agrees with the plan-literal assign, ties included") {
+    val emb = table("embeddings")
+    val m = KMeansFixed.trainModel(emb, "embedding", "vec_id", k = 3, iters = 2)
+    val a = KMeansFixed.assign(emb, "embedding", "vec_id", m)
+      .orderBy("id").collect().toSeq
+    val b = KMeansFixed.assignJoin(emb, "embedding", "vec_id", m)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("assign drops NULL and wrong-dimension vectors (dirty streaming input)") {
+    val clean = df(Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 1.0))))
+    val m = KMeansFixed.trainModel(clean, "embedding", "vec_id", k = 2, iters = 1,
+      scale = 10L)
+    val dirty = Seq(
+      (1L, Some(Seq(0.0, 0.0))),
+      (3L, None), // NULL vector
+      (4L, Some(Seq(0.5))) // ragged: trained dim is 2
+    ).toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>").as("embedding"))
+    for (route <- Seq(
+        KMeansFixed.assign(dirty, "embedding", "vec_id", m, scale = 10L),
+        KMeansFixed.assignJoin(dirty, "embedding", "vec_id", m, scale = 10L))) {
+      val rows = route.orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L)) // 3 and 4 dropped
+      assert(!rows.exists(_.isNullAt(2))) // never a NULL dist2 assigned to cluster 0
+    }
+  }
+
+  test("init requires distinct ids over the first k") {
+    val dup = df(Seq((1L, Seq(0.0)), (1L, Seq(9.0)), (2L, Seq(5.0))))
+    val e = intercept[IllegalArgumentException] {
+      KMeansFixed.trainModel(dup, "embedding", "vec_id", k = 2, iters = 1, scale = 10L)
+    }
+    assert(e.getMessage.contains("duplicate ids"))
+  }
 }
