@@ -6077,27 +6077,31 @@ object StandardQueries {
     * evaluate identically, and all counts are BIGINTs — so the oracle
     * replays the full training loop (count → argmax → merge → recount)
     * bit-for-bit across three unrolled CTE rounds. */
-  /** Shared WITH-chain for the BPE oracles: vocab → 3 unrolled merge
-    * rounds (`m1..m3` the picked merges, `v3` the encoded vocabulary). */
-  private def bpeSqlCtes: String = {
+  /** Shared WITH-chain for the BPE oracles: vocab → `rounds` unrolled
+    * merge rounds (`m1..mN` the picked merges, `vN` the encoded
+    * vocabulary). Per-round CTEs are MATERIALIZED — `m$k` is referenced
+    * four times and `v$k` feeds both the next round and the final
+    * select; inlined, each reference re-derives the whole prior chain
+    * (the DuckDB CTE-inlining blowup the ls_boost oracle hit). */
+  private def bpeSqlCtesN(rounds: Int): String = {
     val sep = "chr(31)"
     val sep2 = "chr(31) || chr(31)"
     def round(k: Int) =
       s"""w$k AS (SELECT list_filter(string_split(e, $sep2), x -> len(x) > 0) AS w, freq FROM v${k - 1}),
          | q$k AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p, freq FROM w$k),
          | t$k AS (SELECT p.a AS s1, p.b AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM q$k GROUP BY 1, 2),
-         | m$k AS (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
-         | v$k AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM m$k) THEN regexp_replace(e,
+         | m$k AS MATERIALIZED (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         | v$k AS MATERIALIZED (SELECT CASE WHEN EXISTS (SELECT 1 FROM m$k) THEN regexp_replace(e,
          |    $sep || (SELECT s1 FROM m$k) || $sep2 || (SELECT s2 FROM m$k) || $sep,
          |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') ELSE e END AS e, freq FROM v${k - 1})"""
     s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |    w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents),
        | v0 AS (SELECT $sep2 || array_to_string([substr(t, i, 1) for i in range(1, len(t)+1)], $sep2) || $sep2 AS e,
        |   CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
-       | ${round(1)},
-       | ${round(2)},
-       | ${round(3)}"""
+       | ${(1 to rounds).map(round).mkString(",\n ")}"""
   }
+
+  private def bpeSqlCtes: String = bpeSqlCtesN(3)
 
   private def qBpeTrainMerges = Q(
     (s, dir) => TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)
@@ -6107,6 +6111,25 @@ object StandardQueries {
          | SELECT 1 AS round, s1, s2, s1 || s2 AS merged, cnt FROM m1
          | UNION ALL SELECT 2, s1, s2, s1 || s2, cnt FROM m2
          | UNION ALL SELECT 3, s1, s2, s1 || s2, cnt FROM m3
+         | ORDER BY round""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** PRODUCTION-SCALE BPE training
+    * ([[TextAnalysis.bpeTrainMergesFast]]): the word-histogram trainer
+    * — ONE distributed pass, then an indexed incremental driver loop —
+    * run for EIGHT merge rounds (past where the per-round distributed
+    * trainer is benched) and hash-checked against the full 8-round
+    * unrolled SQL training replay. Any divergence anywhere in the
+    * greedy sequence (pair counting, tie order, merge application,
+    * early stop) fails the hash. */
+  private def qBpeTrainFast = Q(
+    (s, dir) => TextAnalysis.bpeTrainMergesFast(t(s, dir, "documents"), "text",
+      rounds = 8).orderBy("round"),
+    Some {
+      s"""${bpeSqlCtesN(8)}
+         | ${(1 to 8).map(k =>
+            s"SELECT CAST($k AS INT) AS round, s1, s2, s1 || s2 AS merged, cnt FROM m$k")
+            .mkString(" UNION ALL ")}
          | ORDER BY round""".stripMargin.replaceAll("\n", " ")
     })
 
@@ -7317,6 +7340,7 @@ object StandardQueries {
     "class_chi2_keywords" -> qClassChi2Keywords,
     "calibration_report" -> qCalibrationReport,
     "bpe_train_merges" -> qBpeTrainMerges,
+    "bpe_train_fast" -> qBpeTrainFast,
     "streaming_nb_score" -> qStreamingNbScore,
     "normalize_nfc" -> qNormalizeNfc,
     "l_diversity" -> qLDiversity,

@@ -275,6 +275,144 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "s1", "s2", "merged", "cnt")
   }
 
+  /** PRODUCTION-SCALE BPE training: the identical greedy sequential
+    * merge sequence as [[bpeTrainMerges]] — same pair counting (per
+    * adjacent position, frequency-weighted), same greedy left-to-right
+    * non-overlapping merge application, same (count DESC, s1, s2) tie
+    * break, same early stop — computed from ONE Spark job instead of
+    * one job per merge. BPE training depends on the corpus only through
+    * the frequency-weighted WORD HISTOGRAM (the pre-tokenization
+    * contract: distinct `[a-z0-9]+` words, bounded by vocabulary
+    * growth, not corpus size — the same reason every production
+    * tokenizer trainer aggregates words first), so the single
+    * map-side-combined `groupBy(word)` is the only distributed pass; a
+    * 32k-merge vocabulary then trains driver-side in seconds over the
+    * collected histogram with an INDEXED incremental loop:
+    *
+    *  - `pairCounts` holds every adjacent pair's exact weighted count;
+    *  - a TreeSet ordered (count DESC, s1, s2) yields each round's
+    *    argmax in O(log P) — no rescan;
+    *  - merging pair p touches ONLY the words that contain p (tracked
+    *    in an inverted index), updating the handful of neighbor-pair
+    *    counts each occurrence shifts — the standard tokenizer-trainer
+    *    bookkeeping, O(occurrences) per round rather than O(corpus).
+    *
+    * Equivalence to the distributed trainer is exact (spec-pinned on
+    * the corpus and on adversarial run/tie words, and `bpe_train_fast`
+    * hash-matches the same unrolled SQL replay oracle as
+    * [[bpeTrainMerges]]): successive picked counts are non-increasing
+    * (a merge only creates pairs no more frequent than itself), so the
+    * greedy argmax sequence is identical.
+    *
+    * `maxDistinctWords` bounds the driver collect LOUDLY (the histogram
+    * for a web-scale corpus after `[a-z0-9]+` pre-tokenization is
+    * typically 1e6-1e7 words — far under the default; a corpus that
+    * blows past it needs stronger pre-tokenization, not a bigger
+    * driver). */
+  def bpeTrainMergesFast(df: DataFrame, textCol: String, rounds: Int,
+      maxDistinctWords: Long = 20000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .select(F.explode(F.filter(tokens(F.col(textCol)),
+        w => w.rlike("^[a-z0-9]+$"))).as("t"))
+      .groupBy("t").agg(F.count(F.lit(1)).as("freq"))
+    val nWords = hist.count()
+    require(nWords <= maxDistinctWords,
+      s"$nWords distinct words exceeds the $maxDistinctWords driver-histogram bound")
+    val collected = hist.collect()
+    val words = new Array[Array[String]](collected.length)
+    val freqs = new Array[Long](collected.length)
+    var wi = 0
+    while (wi < collected.length) {
+      words(wi) = collected(wi).getString(0).map(_.toString).toArray
+      freqs(wi) = collected(wi).getLong(1)
+      wi += 1
+    }
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val index = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.BitSet]
+    def addPair(p: Pair, w: Int, f: Long): Unit = {
+      counts.updateWith(p)(c => Some(Math.addExact(c.getOrElse(0L), f)))
+      index.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
+    }
+    // ordered view: (count DESC, s1, s2) — the exact distributed ORDER BY
+    val ord = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c
+          else {
+            val c1 = a._2.compareTo(b._2)
+            if (c1 != 0) c1 else a._3.compareTo(b._3)
+          }
+        }
+      })
+    def setCount(p: Pair, next: Long): Unit = {
+      val prev = counts.getOrElse(p, 0L)
+      if (prev != 0L) ord.remove((prev, p._1, p._2))
+      if (next != 0L) { counts(p) = next; ord.add((next, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    wi = 0
+    while (wi < words.length) {
+      val w = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i + 1 < w.length) { addPair((w(i), w(i + 1)), wi, f); i += 1 }
+      wi += 1
+    }
+    counts.foreach { case ((a, b), c) => ord.add((c, a, b)) }
+    def pairsOf(w: Array[String]): scala.collection.mutable.HashMap[Pair, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[Pair, Long]
+      var i = 0
+      while (i + 1 < w.length) {
+        m.updateWith((w(i), w(i + 1)))(c => Some(c.getOrElse(0L) + 1L)); i += 1
+      }
+      m
+    }
+    // greedy left-to-right non-overlapping — the regexp_replace semantics
+    def applyMerge(w: Array[String], s1: String, s2: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == s1 && w(i + 1) == s2) {
+          out += s1 + s2; i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds && !ord.isEmpty) {
+      val top = ord.first()
+      val (cnt, s1, s2) = (top._1, top._2, top._3)
+      merges += ((r, s1, s2, s1 + s2, cnt))
+      val hit = index.getOrElse((s1, s2), scala.collection.mutable.BitSet.empty)
+      hit.toSeq.foreach { w =>
+        val before = pairsOf(words(w))
+        if (before.contains((s1, s2))) { // index entries can be stale
+          val f = freqs(w)
+          val after0 = applyMerge(words(w), s1, s2)
+          words(w) = after0
+          val after = pairsOf(after0)
+          (before.keySet ++ after.keySet).foreach { p =>
+            val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+            if (d != 0L) {
+              setCount(p, Math.addExact(counts.getOrElse(p, 0L),
+                Math.multiplyExact(d, f)))
+              if (d > 0L) index.getOrElseUpdate(p,
+                scala.collection.mutable.BitSet.empty) += w
+            }
+          }
+        }
+      }
+      index.remove((s1, s2))
+      r += 1
+    }
+    merges.toSeq.toDF("round", "s1", "s2", "merged", "cnt")
+  }
+
   /** BPE ENCODING with a learned merge table — the inference side of
     * [[bpeTrainMerges]]: apply the merges in training order to every
     * `[a-z0-9]+` token and return the document's BPE symbols in

@@ -850,6 +850,48 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((2, "x", "a", 1L)))
   }
 
+  test("bpeTrainMergesFast: identical merge sequence to the distributed trainer") {
+    import spark.implicits._
+    // corpus equivalence at 8 rounds, plus the three adversarial
+    // fixtures the distributed trainer's own tests pin (freq weighting +
+    // early stop, greedy non-overlapping runs, symbol-boundary safety)
+    val fixtures = Seq(
+      table("documents"),
+      Seq((1L, "aa ab"), (2L, "ab AB?")).toDF("doc_id", "text"),
+      Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      Seq((1L, "xa ab")).toDF("doc_id", "text"))
+    for (docs <- fixtures) {
+      val slow = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 8)
+        .orderBy("round").collect().toSeq
+      val fast = TextAnalysis.bpeTrainMergesFast(docs, "text", rounds = 8)
+        .orderBy("round").collect().toSeq
+      assert(fast == slow)
+    }
+  }
+
+  test("bpeTrainMergesFast: hundreds of rounds in one distributed pass; counts non-increasing") {
+    // the production-vocab path: 300 merges over the corpus histogram —
+    // the per-round trainer would need 300 Spark jobs for this
+    val got = TextAnalysis.bpeTrainMergesFast(table("documents"), "text", rounds = 300)
+      .orderBy("round").collect()
+    assert(got.length > 50) // corpus supports a real vocabulary
+    val cnts = got.map(_.getLong(4))
+    cnts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "greedy picked counts must be non-increasing") }
+    // the learned table drives the native encoder end to end: symbol
+    // lengths still sum to original token chars (merges only join)
+    val ms = got.map(r => (r.getString(1), r.getString(2))).toSeq
+    val bad = table("documents").select(
+        TextAnalysis.bpeSegmentNative(F.col("text"), ms).as("syms"), F.col("text"))
+      .select(F.aggregate(F.col("syms"), F.lit(0),
+          (acc, s) => acc + F.length(s)).as("symlen"),
+        F.aggregate(F.filter(TextAnalysis.tokens(F.col("text")),
+          w => w.rlike("^[a-z0-9]+$")), F.lit(0),
+          (acc, t) => acc + F.length(t)).as("toklen"))
+      .filter(F.col("symlen") =!= F.col("toklen")).count()
+    assert(bad == 0)
+  }
+
   test("bpeSegment: applies merges in order; non-alnum tokens are dropped") {
     import spark.implicits._
     val merges = Seq(("a", "b"), ("ab", "c"))
