@@ -139,34 +139,57 @@ object ExactQuantiles {
     * their first row). Join it back to rows by value for a per-row
     * relative score; the join side is DISTINCT values, not rows.
     * NULL/NaN excluded; a single-value column gets pct_rank 0. */
-  def percentRanks(df: DataFrame, valueCol: String): DataFrame = {
-    val g = df
-      .select(F.col(valueCol).cast("double").as("__v"))
+  def percentRanks(df: DataFrame, valueCol: String): DataFrame =
+    percentRanksMulti(df, Seq(valueCol)).drop("feature")
+
+  /** Multi-column [[percentRanks]] from ONE scan: the k columns melt
+    * into `(column, value)` pairs map-side, count per distinct pair,
+    * range-partition on `(column, value)` — so one shuffle orders
+    * EVERY column's value table at once, the same batching as
+    * [[quantiles]] — and the collected per-(column, partition) totals
+    * (bounded: partitions × k rows) become per-column prefix bases.
+    * One scan and one range exchange total, where k separate calls pay
+    * k of each. Returns `(feature, value, n_below, pct_rank)` per
+    * distinct (column, value); per-column denominators ride a
+    * broadcast of k rows. */
+  def percentRanksMulti(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val entries = F.explode(F.array(cols.map(c =>
+      F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("e")
+    val g = df.select(entries)
+      .select(F.col("e.c").as("__c"), F.col("e.v").as("__v"))
       .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
-      .groupBy("__v").agg(F.count(F.lit(1)).as("__n"))
-      .repartitionByRange(F.col("__v"))
-      .sortWithinPartitions("__v")
+      .groupBy("__c", "__v").agg(F.count(F.lit(1)).as("__n"))
+      .repartitionByRange(F.col("__c"), F.col("__v"))
+      .sortWithinPartitions("__c", "__v")
       .withColumn("__pid", F.spark_partition_id())
       .localCheckpoint(false)
     try {
-      val parts = g.groupBy("__pid").agg(F.sum("__n").as("t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val n = parts.map(_._2).sum
-      require(n > 0, s"no non-null values in $valueCol")
-      var acc = 0L
-      val bases = parts.map { case (pid, t) =>
-        val row = (pid, acc); acc += t; row
+      val parts = g.groupBy("__pid", "__c").agg(F.sum("__n").as("t"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val ns = parts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      cols.foreach(c => require(ns.getOrElse(c, 0L) > 0,
+        s"no non-null values in $c"))
+      val bases = parts.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val row = (c, pid, acc); acc += t; row
+        }
       }
       val spark = df.sparkSession
       import spark.implicits._
-      val baseDf = bases.toSeq.toDF("__pid2", "__base")
-      val w = Window.partitionBy("__pid").orderBy("__v")
-      val denom = math.max(n - 1L, 1L).toDouble
-      g.join(F.broadcast(baseDf), F.col("__pid") === F.col("__pid2"))
+      val baseDf = bases.toDF("__c2", "__pid2", "__base")
+      val nDf = ns.toSeq.map { case (c, n) =>
+        (c, math.max(n - 1L, 1L).toDouble) }.toDF("__c3", "__den")
+      val w = Window.partitionBy("__c", "__pid").orderBy("__v")
+      g.join(F.broadcast(baseDf),
+          F.col("__c") === F.col("__c2") && F.col("__pid") === F.col("__pid2"))
         .withColumn("__below",
           F.coalesce(F.sum("__n").over(w) - F.col("__n"), F.lit(0L)) + F.col("__base"))
-        .select(F.col("__v").as("value"), F.col("__below").as("n_below"),
-          (F.col("__below").cast("double") / F.lit(denom)).as("pct_rank"))
+        .join(F.broadcast(nDf), F.col("__c") === F.col("__c3"))
+        .select(F.col("__c").as("feature"), F.col("__v").as("value"),
+          F.col("__below").as("n_below"),
+          (F.col("__below").cast("double") / F.col("__den")).as("pct_rank"))
     } finally { g.unpersist(blocking = false); () }
   }
 

@@ -6452,6 +6452,86 @@ object StandardQueries {
          | ORDER BY dn.source""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Shared oracle tail for the tokenizer-TRUE token-count queries:
+    * per-word symbol counts recovered from the trained 8-round
+    * vocabulary (`v8` — words are distinct, so `replace(e, sep, '')`
+    * inverts the encoding), joined back to the token stream. */
+  private def bpeTrueTokenCtes: String =
+    s"""${bpeSqlCtesN(8)},
+       | wsym AS (SELECT replace(e, chr(31), '') AS w,
+       |   CAST(len(list_filter(string_split(e, chr(31) || chr(31)), x -> len(x) > 0)) AS BIGINT) AS nsym FROM v8),
+       | tk AS (SELECT doc_id, source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |   w -> regexp_matches(w, '^[a-z0-9]+$$'))) AS t FROM documents)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private def trainedMerges8(s: SparkSession, dir: String): Seq[(String, String)] =
+    TextAnalysis.bpeTrainMergesFast(t(s, dir, "documents"), "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Tokenizer-TRUE token counting: per-document token cost through the
+    * TRAINED BPE vocabulary (train-fast → native encoder), not the
+    * whitespace or pre-tokenizer proxies of [[qTokenCounts]] — the
+    * number a token-budgeted pipeline actually pays. Map-only encode
+    * scan; the oracle replays training and recovers per-word symbol
+    * counts from the final vocabulary CTE. */
+  private def qTokenCountsBpe = Q(
+    (s, dir) => {
+      val merges = trainedMerges8(s, dir)
+      t(s, dir, "documents").select(F.col("doc_id"),
+          F.coalesce(F.size(TextAnalysis.bpeSegmentNative(F.col("text"), merges))
+            .cast("long"), F.lit(0L)).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""$bpeTrueTokenCtes,
+         | c AS (SELECT tk.doc_id, CAST(sum(ws.nsym) AS BIGINT) AS bpe_tokens
+         |  FROM tk JOIN wsym ws ON ws.w = tk.t GROUP BY 1)
+         | SELECT d.doc_id, coalesce(c.bpe_tokens, 0) AS bpe_tokens
+         | FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Tokenizer-TRUE mixture budgeting ([[Sampling.mixtureWeights]] over
+    * TRAINED-vocabulary token counts): the per-source budget shares a
+    * data-mixture plan commits to, priced in the tokens the tokenizer
+    * will actually emit — whitespace-token budgeting (the
+    * [[qMixtureWeights]] proxy) misprices sources whose fertility
+    * differs, exactly the multilingual failure [[qBpeFertility]]
+    * surfaces. One encode scan + the bounded mixture rollup; the
+    * oracle derives the same per-source symbol totals from the
+    * training replay. */
+  private def qMixtureWeightsBpe = Q(
+    (s, dir) => {
+      val merges = trainedMerges8(s, dir)
+      Sampling.mixtureWeights(
+        t(s, dir, "documents").select(F.col("source"),
+          F.coalesce(F.size(TextAnalysis.bpeSegmentNative(F.col("text"), merges))
+            .cast("long"), F.lit(0L)).as("__bt")),
+        F.col("source"), F.col("__bt"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.25,
+          "src2" -> 0.125, "src3" -> 0.125),
+        budget = None, maxEpochs = 2.0)
+        .select(F.col("domain"), F.col("tokens"), F.col("target_share"),
+          F.round(F.col("budget_tokens"), 6).as("budget_tokens"),
+          F.round(F.col("rate"), 6).as("rate"), F.col("capped"))
+        .orderBy("domain")
+    },
+    Some {
+      s"""$bpeTrueTokenCtes,
+         | s AS (SELECT tk.source AS domain, CAST(sum(ws.nsym) AS DOUBLE) AS tokens,
+         |   CASE tk.source WHEN 'src0' THEN 0.5::DOUBLE WHEN 'src1' THEN 0.25::DOUBLE
+         |     WHEN 'src2' THEN 0.125::DOUBLE WHEN 'src3' THEN 0.125::DOUBLE END AS target_share
+         |  FROM tk JOIN wsym ws ON ws.w = tk.t
+         |  WHERE tk.source IN ('src0','src1','src2','src3') GROUP BY tk.source),
+         | b AS (SELECT min(tokens * 2.0::DOUBLE / target_share) AS budget_total FROM s)
+         | SELECT domain, tokens, target_share,
+         |  round(target_share * budget_total, 6) AS budget_tokens,
+         |  round(least(target_share * budget_total / tokens, 2.0::DOUBLE), 6) AS rate,
+         |  target_share * budget_total / tokens > 2.0::DOUBLE AS capped
+         | FROM s, b ORDER BY domain""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Classification-stump scoring + evaluation
     * ([[TreeSplit.stumpModel]] / `stumpPredictColumn`): train the
     * global best stump with per-side majority classes, score every row
@@ -7107,6 +7187,27 @@ object StandardQueries {
            | SELECT value, CAST(min(rn) - 1 AS BIGINT) AS n_below, min(p) AS pct_rank
            | FROM pr GROUP BY value ORDER BY value""".stripMargin.replaceAll("\n", " ")))
 
+  /** Batched multi-column percent-ranks
+    * ([[ExactQuantiles.percentRanksMulti]]): three lineitem columns
+    * ranked from ONE scan + ONE range exchange (the columns melt into
+    * `(column, value)` pairs map-side; per-column prefix bases come
+    * from the same bounded per-partition-totals collect), where three
+    * [[qPercentRanks]] calls would pay three of each. */
+  private def qPercentRanksMulti = Q(
+    (s, dir) => ExactQuantiles.percentRanksMulti(
+      t(s, dir, "lineitem"), Seq("l_quantity", "l_discount", "l_tax"))
+      .orderBy("feature", "value"),
+    Some("""WITH u AS (
+           |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value FROM lineitem WHERE l_quantity IS NOT NULL
+           |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_discount IS NOT NULL
+           |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_tax IS NOT NULL),
+           | pr AS (SELECT feature, value,
+           |   percent_rank() OVER (PARTITION BY feature ORDER BY value) AS p,
+           |   row_number() OVER (PARTITION BY feature ORDER BY value) AS rn FROM u)
+           | SELECT feature, value, CAST(min(rn) - 1 AS BIGINT) AS n_below, min(p) AS pct_rank
+           | FROM pr GROUP BY feature, value
+           | ORDER BY feature, value""".stripMargin.replaceAll("\n", " ")))
+
   /** Robust scaling audit ([[FeatureEncoding.robustScaleStats]]):
     * median/IQR fit on the integer-valued quantity column (cut points
     * exact in binary64 → replay through quantile_cont) and the scaled
@@ -7233,6 +7334,8 @@ object StandardQueries {
     "text_repetition" -> qTextRepetition,
     "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,
+    "token_counts_bpe" -> qTokenCountsBpe,
+    "mixture_weights_bpe" -> qMixtureWeightsBpe,
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,
     "sample_balanced" -> qSampleBalanced,
@@ -7374,6 +7477,7 @@ object StandardQueries {
     "join_cardinality" -> qJoinCardinality,
     "robust_scale" -> qRobustScale,
     "percent_ranks" -> qPercentRanks,
+    "percent_ranks_multi" -> qPercentRanksMulti,
     "streaming_ann" -> qStreamingAnn,
     "nb_confusion" -> qNbConfusion)
 

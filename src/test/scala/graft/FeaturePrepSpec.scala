@@ -86,6 +86,28 @@ class FeaturePrepSpec extends SparkSpec {
       s"unpartitioned window found:\n${windows.mkString("\n")}")
   }
 
+  test("percentRanksMulti: one batched pass equals per-column calls; one range exchange") {
+    import spark.implicits._
+    val li = table("lineitem")
+    val multi = ExactQuantiles.percentRanksMulti(li, Seq("l_quantity", "l_discount"))
+    val rows = multi.collect()
+    for (c <- Seq("l_quantity", "l_discount")) {
+      val single = ExactQuantiles.percentRanks(li, c).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSet
+      val sliced = rows.filter(_.getString(0) == c)
+        .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(sliced == single && single.nonEmpty)
+    }
+    // scale pin: every window is partitioned (no single-task global
+    // sort). The single range exchange lives behind the localCheckpoint
+    // (ExistingRDD here); its shape is pinned by the shared quantiles
+    // machinery this reuses.
+    val plan = multi.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__pid")),
+      s"unpartitioned window found:\n${windows.mkString("\n")}")
+  }
+
   test("targetEncode: zero smoothing is the plain category mean; invariant to partitioning") {
     import spark.implicits._
     val df = Seq(("a", 1.5), ("a", 2.5), ("b", 7.0)).toDF("c", "y")
