@@ -6633,6 +6633,84 @@ object StandardQueries {
     },
     qLsBoostPredict.oracle)
 
+  /** Exact ROC-AUC ([[Roc.rocAuc]]): the tie-corrected Mann-Whitney
+    * statistic as an exact integer fraction — `score ≥ t` detecting
+    * returned lineitems from the discount (cents). The oracle replays
+    * histogram → cumulative-negatives → fraction bit-for-bit. */
+  private def qRocAuc = Q(
+    (s, dir) => Roc.rocAuc(t(s, dir, "lineitem"),
+      F.round(F.col("l_discount") * 100), F.col("l_returnflag") === "R"),
+    Some(s"""$rocHistCtes
+            | SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos, CAST(sum(n_neg) AS BIGINT) AS n_neg,
+            |  CAST(sum(n_pos * (2 * nb + n_neg)) AS BIGINT) AS num,
+            |  CAST(2 * sum(n_pos) * sum(n_neg) AS BIGINT) AS den,
+            |  CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+            |   ELSE CAST(sum(n_pos * (2 * nb + n_neg)) AS DOUBLE)
+            |    / CAST(2 * sum(n_pos) * sum(n_neg) AS DOUBLE) END AS auc
+            | FROM c""".stripMargin.replaceAll("\n", " ")))
+
+  /** Exact ROC/PR curve ([[Roc.rocCurve]]): every operating point of
+    * the same detector with exact tp/fp counts; the single-partition
+    * cumulative window runs over the BOUNDED score histogram (11
+    * discount levels), never the corpus. */
+  private def qRocCurve = Q(
+    (s, dir) => Roc.rocCurve(t(s, dir, "lineitem"),
+      F.round(F.col("l_discount") * 100), F.col("l_returnflag") === "R"),
+    Some(s"""$rocHistCtes,
+            | t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n FROM h),
+            | cv AS (SELECT score AS threshold,
+            |   CAST(sum(n_pos) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+            |   CAST(sum(n_neg) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+            |  FROM h)
+            | SELECT threshold, tp, fp,
+            |  CASE WHEN t.p = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE) END AS tpr,
+            |  CASE WHEN t.n = 0 THEN NULL ELSE CAST(fp AS DOUBLE) / CAST(t.n AS DOUBLE) END AS fpr,
+            |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision"
+            | FROM cv, t ORDER BY threshold DESC""".stripMargin.replaceAll("\n", " ")))
+
+  /** Shared histogram + cumulative-negatives CTEs for the plain ROC
+    * oracles: discount cents scoring `l_returnflag = 'R'`. */
+  private def rocHistCtes: String =
+    """WITH b AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS score, l_returnflag = 'R' AS y
+      |  FROM lineitem WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+      | h AS (SELECT score, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |   CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg FROM b GROUP BY 1),
+      | c AS (SELECT score, n_pos, n_neg,
+      |   CAST(coalesce(sum(n_neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg, 0) AS BIGINT) AS nb
+      |  FROM h)""".stripMargin.replaceAll("\n", " ")
+
+  /** Train → score → RANK-EVALUATE closure: exact ROC-AUC of the
+    * 3-round boosted ensemble's integer predictions detecting
+    * high-quantity rows (y > 25). The oracle derives every prediction
+    * INDEPENDENTLY as `y − r₃` from the unrolled training CTEs and
+    * replays the Mann-Whitney fraction — so model training, scoring,
+    * and ranking quality are all pinned in one hash. */
+  private def qLsBoostAuc = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq(
+        TreeSplit.FeatureSpec("l_discount_c", F.round(F.col("l_discount") * 100)),
+        TreeSplit.FeatureSpec("l_tax_c", F.round(F.col("l_tax") * 100)),
+        TreeSplit.FeatureSpec("l_linenumber", F.col("l_linenumber")))
+      val m = Boost.lsBoostModel(li, "l_quantity", feats, rounds = 3)
+      Roc.rocAuc(li, Boost.predictColumn(m, feats),
+        F.col("l_quantity").cast("long") > 25L)
+    },
+    Some(s"""${boostSqlCtes(3)},
+            | sc AS (SELECT rb.y - r.r AS score, rb.y > 25 AS y FROM rb JOIN r3 r ON r.rid = rb.rid),
+            | h AS (SELECT score, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            |   CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg FROM sc GROUP BY 1),
+            | c AS (SELECT score, n_pos, n_neg,
+            |   CAST(coalesce(sum(n_neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg, 0) AS BIGINT) AS nb
+            |  FROM h)
+            | SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos, CAST(sum(n_neg) AS BIGINT) AS n_neg,
+            |  CAST(sum(n_pos * (2 * nb + n_neg)) AS BIGINT) AS num,
+            |  CAST(2 * sum(n_pos) * sum(n_neg) AS BIGINT) AS den,
+            |  CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+            |   ELSE CAST(sum(n_pos * (2 * nb + n_neg)) AS DOUBLE)
+            |    / CAST(2 * sum(n_pos) * sum(n_neg) AS DOUBLE) END AS auc
+            | FROM c""".stripMargin.replaceAll("\n", " ")))
+
   /** Bit-exact LS-boosting ([[Boost.lsBoost]]): the oracle replays the
     * ENTIRE 3-round boosting run — base prediction, per-round residual
     * histograms, split argmax (score DESC, feature, threshold), floor
@@ -7460,6 +7538,9 @@ object StandardQueries {
     "tree_depth2" -> qTreeDepth2,
     "bpe_fertility" -> qBpeFertility,
     "ls_boost" -> qLsBoost,
+    "roc_auc" -> qRocAuc,
+    "roc_curve" -> qRocCurve,
+    "ls_boost_auc" -> qLsBoostAuc,
     "ls_boost_predict" -> qLsBoostPredict,
     "streaming_ls_boost_predict" -> qStreamingLsBoostPredict,
     "stump_confusion" -> qStumpConfusion,

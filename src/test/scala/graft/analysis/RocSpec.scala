@@ -1,0 +1,61 @@
+package graft.analysis
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class RocSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, Boolean)]) = rows.toDF("s", "y")
+
+  test("rocAuc: hand case with ties — exact Mann-Whitney fraction") {
+    // pos scores {3, 2}, neg scores {2, 1}:
+    // pairs: (3,2)=1 (3,1)=1 (2,2)=0.5 (2,1)=1 -> AUC = 3.5/4
+    val d = frame(Seq((3L, true), (2L, true), (2L, false), (1L, false)))
+    val r = Roc.rocAuc(d, F.col("s"), F.col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 7L, 8L)))
+    assert(r.getDouble(4) == 7.0 / 8.0)
+  }
+
+  test("rocAuc: perfect and inverted separation; absent class gives NULL") {
+    val perfect = frame(Seq((9L, true), (8L, true), (1L, false)))
+    assert(Roc.rocAuc(perfect, F.col("s"), F.col("y"))
+      .collect().head.getDouble(4) == 1.0)
+    val inverted = frame(Seq((1L, true), (9L, false)))
+    assert(Roc.rocAuc(inverted, F.col("s"), F.col("y"))
+      .collect().head.getDouble(4) == 0.0)
+    val onlyPos = frame(Seq((1L, true), (2L, true)))
+    assert(Roc.rocAuc(onlyPos, F.col("s"), F.col("y")).collect().head.isNullAt(4))
+  }
+
+  test("rocCurve: operating points walk threshold DESC with exact counts") {
+    val d = frame(Seq((3L, true), (2L, true), (2L, false), (1L, false)))
+    val got = Roc.rocCurve(d, F.col("s"), F.col("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (3L, 1L, 0L, 0.5, 0.0, 1.0),
+      (2L, 2L, 1L, 1.0, 0.5, 2.0 / 3.0),
+      (1L, 2L, 2L, 1.0, 1.0, 0.5)))
+  }
+
+  test("rocAuc: partitioning-invariant (exact integer statistic)") {
+    val li = table("lineitem")
+    val score = F.round(F.col("l_discount") * 100)
+    val label = F.col("l_returnflag") === "R"
+    val a = Roc.rocAuc(li, score, label).collect().toSeq
+    val b = Roc.rocAuc(li.repartition(17), score, label).collect().toSeq
+    assert(a == b)
+    val auc = a.head.getDouble(4)
+    assert(auc > 0.0 && auc < 1.0)
+  }
+
+  test("rocAuc: NULL scores and labels are excluded") {
+    val d = Seq((Some(3L), Some(true)), (Some(2L), Some(false)),
+      (None, Some(true)), (Some(5L), None)).toDF("s", "y")
+    val r = Roc.rocAuc(d, F.col("s"), F.col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)))
+    assert(r.getDouble(4) == 1.0)
+  }
+}
