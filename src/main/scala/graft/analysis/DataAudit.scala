@@ -342,6 +342,60 @@ object DataAudit {
     out.toDF("f1", "f2", "n", "corr").orderBy("f1", "f2")
   }
 
+  /** EXACT Spearman rank correlation — the monotone-association audit
+    * Pearson ([[featureCorrelations]]) misses on nonlinear features,
+    * exact where float rank-correlation is not: midranks over the
+    * complete-case pair sample are kept as INTEGERS by doubling
+    * (`2·midrank = 2·n_below + n_value + 1` — ties included), centered
+    * by the integer `n+1` (doubled midranks sum to exactly `n(n+1)`),
+    * and the three sufficient statistics `Σdₐd_b, Σdₐ², Σd_b²` are
+    * ANSI BIGINTs — fold-order-free under any partitioning; the
+    * doubling cancels in the final ratio. `rho = s_ab /
+    * (√s_aa · √s_bb)`, one fixed IEEE tree; NULL when a side is
+    * constant (zero rank variance).
+    *
+    * Integer range: `Σd² ≤ n³ < 2⁶³` — exact (and LOUD past it, ANSI)
+    * up to ~2M complete-case rows; beyond, rank on a subsample per the
+    * [[graft.analysis.TreeSplit]] recipe.
+    *
+    * Scale shape: ONE melted scan + ONE range exchange build both rank
+    * tables ([[ExactQuantiles.percentRanksMulti]] — never an
+    * unpartitioned window), the tables (distinct values, not rows)
+    * join back by value, and one map-side-combined aggregate emits the
+    * three sums. */
+  def spearmanCorr(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(F.col(aCol).cast("double").as("__a"),
+        F.col(bCol).cast("double").as("__b"))
+      .filter(F.col("__a").isNotNull && !F.isnan(F.col("__a")) &&
+        F.col("__b").isNotNull && !F.isnan(F.col("__b")))
+      .localCheckpoint(false)
+    try {
+      val n = base.count()
+      require(n > 0, "no complete-case rows")
+      val ranks = ExactQuantiles.percentRanksMulti(base, Seq("__a", "__b"))
+        .localCheckpoint(false)
+      try {
+        def rk(c: String, d: String) = ranks.filter(F.col("feature") === c)
+          .select(F.col("value").as(c),
+            (F.lit(2L) * F.col("n_below") + F.col("n_value") - F.lit(n)).as(d))
+        base.join(rk("__a", "__da"), Seq("__a"))
+          .join(rk("__b", "__db"), Seq("__b"))
+          .agg(
+            F.count(F.lit(1)).as("n"),
+            F.sum(F.col("__da") * F.col("__db")).as("s_ab"),
+            F.sum(F.col("__da") * F.col("__da")).as("s_aa"),
+            F.sum(F.col("__db") * F.col("__db")).as("s_bb"))
+          .select(F.col("n"), F.col("s_ab"), F.col("s_aa"), F.col("s_bb"),
+            F.when(F.col("s_aa") === 0L || F.col("s_bb") === 0L,
+                F.lit(null).cast("double"))
+              .otherwise(F.col("s_ab").cast("double") /
+                (F.sqrt(F.col("s_aa").cast("double")) *
+                  F.sqrt(F.col("s_bb").cast("double"))))
+              .as("rho"))
+      } finally { ranks.unpersist(blocking = false); () }
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   /** Range-partitioner preflight: exact balanced bounds for
     * `repartitionByRange(p, keyCol)` plus the EXACT row count each
     * resulting partition would hold — the report you read before

@@ -140,7 +140,8 @@ object ExactQuantiles {
     * relative score; the join side is DISTINCT values, not rows.
     * NULL/NaN excluded; a single-value column gets pct_rank 0. */
   def percentRanks(df: DataFrame, valueCol: String): DataFrame =
-    percentRanksMulti(df, Seq(valueCol)).drop("feature")
+    percentRanksMulti(df, Seq(valueCol))
+      .select("value", "n_below", "pct_rank")
 
   /** Multi-column [[percentRanks]] from ONE scan: the k columns melt
     * into `(column, value)` pairs map-side, count per distinct pair,
@@ -149,8 +150,10 @@ object ExactQuantiles {
     * [[quantiles]] — and the collected per-(column, partition) totals
     * (bounded: partitions × k rows) become per-column prefix bases.
     * One scan and one range exchange total, where k separate calls pay
-    * k of each. Returns `(feature, value, n_below, pct_rank)` per
-    * distinct (column, value); per-column denominators ride a
+    * k of each. Returns `(feature, value, n_value, n_below, pct_rank)`
+    * per distinct (column, value) — `n_value` the exact tie count, so
+    * midranks (`n_below + (n_value+1)/2`, what [[DataAudit.spearmanCorr]]
+    * consumes doubled) come for free; per-column denominators ride a
     * broadcast of k rows. */
   def percentRanksMulti(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
@@ -188,7 +191,7 @@ object ExactQuantiles {
           F.coalesce(F.sum("__n").over(w) - F.col("__n"), F.lit(0L)) + F.col("__base"))
         .join(F.broadcast(nDf), F.col("__c") === F.col("__c3"))
         .select(F.col("__c").as("feature"), F.col("__v").as("value"),
-          F.col("__below").as("n_below"),
+          F.col("__n").as("n_value"), F.col("__below").as("n_below"),
           (F.col("__below").cast("double") / F.col("__den")).as("pct_rank"))
     } finally { g.unpersist(blocking = false); () }
   }

@@ -7265,6 +7265,53 @@ object StandardQueries {
            | SELECT value, CAST(min(rn) - 1 AS BIGINT) AS n_below, min(p) AS pct_rank
            | FROM pr GROUP BY value ORDER BY value""".stripMargin.replaceAll("\n", " ")))
 
+  /** Exact Spearman rank correlation ([[DataAudit.spearmanCorr]]) of
+    * quantity vs extended price: integer doubled-midranks, BIGINT
+    * sufficient statistics, one IEEE ratio — the oracle replays rank
+    * construction (per-value tie counts + strict-below prefix sums)
+    * and the centered sums bit-for-bit. */
+  private def qSpearmanCorr = Q(
+    (s, dir) => graft.analysis.DataAudit.spearmanCorr(
+      t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some("""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS a, CAST(l_extendedprice AS DOUBLE) AS v2 FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+           | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+           | ga AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+           | ra AS (SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0) AS BIGINT) AS nb FROM ga),
+           | gb AS (SELECT v2 AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+           | rb AS (SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0) AS BIGINT) AS nb FROM gb),
+           | d AS (SELECT (2 * ra.nb + ra.c - nn.n) AS da, (2 * rb.nb + rb.c - nn.n) AS db
+           |  FROM b JOIN ra ON ra.v = b.a JOIN rb ON rb.v = b.v2 CROSS JOIN nn)
+           | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(da * db) AS BIGINT) AS s_ab,
+           |  CAST(sum(da * da) AS BIGINT) AS s_aa, CAST(sum(db * db) AS BIGINT) AS s_bb,
+           |  CASE WHEN sum(da * da) = 0 OR sum(db * db) = 0 THEN NULL
+           |   ELSE CAST(sum(da * db) AS DOUBLE)
+           |    / (sqrt(CAST(sum(da * da) AS DOUBLE)) * sqrt(CAST(sum(db * db) AS DOUBLE))) END AS rho
+           | FROM d""".stripMargin.replaceAll("\n", " ")))
+
+  /** Windowed term co-occurrence with quantized-log PMI
+    * ([[TextAnalysis.termCooccurrence]]): skip-gram pair counts within
+    * ±2 positions over the documents corpus, exact counts + in-plan
+    * floor(1e6·ln) PMI, top-50 by (count, left, right). Pair
+    * extraction is map-only array slicing in both engines. */
+  private def qTermCooccurrence = Q(
+    (s, dir) => TextAnalysis.termCooccurrence(
+      t(s, dir, "documents"), "text", window = 2, topK = 50),
+    Some("""WITH tk AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |   w -> regexp_matches(w, '^[a-z0-9]+$')) AS ts FROM documents),
+           | p AS (
+           |  SELECT unnest([{'a': ts[i], 'b': ts[i+1]} for i in range(1, len(ts))]) AS pr FROM tk
+           |  UNION ALL
+           |  SELECT unnest([{'a': ts[i], 'b': ts[i+2]} for i in range(1, len(ts) - 1)]) AS pr FROM tk),
+           | g AS (SELECT pr.a AS lft, pr.b AS rgt, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+           | ca AS (SELECT lft, CAST(sum(cnt) AS BIGINT) AS ca FROM g GROUP BY 1),
+           | cb AS (SELECT rgt, CAST(sum(cnt) AS BIGINT) AS cb FROM g GROUP BY 1),
+           | tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g)
+           | SELECT g.lft AS "left", g.rgt AS "right", g.cnt,
+           |  CAST(floor(1000000.0 * ln(CAST(g.cnt * tt.total AS DOUBLE) / CAST(ca.ca * cb.cb AS DOUBLE))) AS BIGINT) AS pmi_q
+           | FROM g JOIN ca ON ca.lft = g.lft JOIN cb ON cb.rgt = g.rgt CROSS JOIN tt
+           | ORDER BY g.cnt DESC, g.lft, g.rgt LIMIT 50""".stripMargin.replaceAll("\n", " ")))
+
   /** Batched multi-column percent-ranks
     * ([[ExactQuantiles.percentRanksMulti]]): three lineitem columns
     * ranked from ONE scan + ONE range exchange (the columns melt into
@@ -7282,7 +7329,8 @@ object StandardQueries {
            | pr AS (SELECT feature, value,
            |   percent_rank() OVER (PARTITION BY feature ORDER BY value) AS p,
            |   row_number() OVER (PARTITION BY feature ORDER BY value) AS rn FROM u)
-           | SELECT feature, value, CAST(min(rn) - 1 AS BIGINT) AS n_below, min(p) AS pct_rank
+           | SELECT feature, value, CAST(count(*) AS BIGINT) AS n_value,
+           |  CAST(min(rn) - 1 AS BIGINT) AS n_below, min(p) AS pct_rank
            | FROM pr GROUP BY feature, value
            | ORDER BY feature, value""".stripMargin.replaceAll("\n", " ")))
 
@@ -7559,6 +7607,8 @@ object StandardQueries {
     "robust_scale" -> qRobustScale,
     "percent_ranks" -> qPercentRanks,
     "percent_ranks_multi" -> qPercentRanksMulti,
+    "spearman_corr" -> qSpearmanCorr,
+    "term_cooccurrence" -> qTermCooccurrence,
     "streaming_ann" -> qStreamingAnn,
     "nb_confusion" -> qNbConfusion)
 

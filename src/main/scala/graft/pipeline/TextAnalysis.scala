@@ -275,6 +275,50 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "s1", "s2", "merged", "cnt")
   }
 
+  /** Windowed term CO-OCCURRENCE with exact PMI — the skip-gram
+    * statistics an embedding-training pipeline aggregates before
+    * building input/output vocabularies (word2vec/GloVe shape): for
+    * every ordered token pair within `window` positions, the exact
+    * occurrence count, plus the pointwise mutual information as a
+    * QUANTIZED integer — `pmi_q = floor(1e6 · ln(cnt·total /
+    * (cnt_left·cnt_right)))`, the ln evaluated in-plan on an
+    * exactly-cast integer ratio so it replays in SQL bit-for-bit (the
+    * NaiveBayes/LM-scorer bridge). Top `topK` pairs by
+    * (count DESC, left, right).
+    *
+    * Scale shape: pair extraction is MAP-ONLY array slicing (one
+    * zip_with per distance, no self-join, no window function), one
+    * map-side-combined groupBy over the pair space, marginals are two
+    * bounded aggregates of the PAIR table (never the corpus) joined
+    * back, and the top-k is TakeOrdered. */
+  def termCooccurrence(df: DataFrame, textCol: String, window: Int = 2,
+      topK: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = F.filter(tokens(F.col(textCol)), w => w.rlike("^[a-z0-9]+$"))
+    val len = F.size(toks)
+    val pairs = F.flatten(F.array((1 to window).map { d =>
+      val m = F.greatest(len - d, F.lit(0))
+      F.zip_with(F.slice(toks, F.lit(1), m), F.slice(toks, F.lit(d + 1), m),
+        (a, b) => F.struct(a.as("a"), b.as("b")))
+    }: _*))
+    val g = df.select(F.explode(pairs).as("p"))
+      .select(F.col("p.a").as("left"), F.col("p.b").as("right"))
+      .groupBy("left", "right").agg(F.count(F.lit(1)).as("cnt"))
+    val ca = g.groupBy("left").agg(F.sum("cnt").as("__ca"))
+    val cb = g.groupBy("right").agg(F.sum("cnt").as("__cb"))
+    val tot = g.agg(F.sum("cnt").as("__t"))
+    g.join(ca, Seq("left")).join(cb, Seq("right"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("left"), F.col("right"), F.col("cnt"),
+        F.floor(F.lit(1000000.0) *
+          F.log((F.col("cnt") * F.col("__t")).cast("double") /
+            (F.col("__ca") * F.col("__cb")).cast("double")))
+          .cast("long").as("pmi_q"))
+      .orderBy(F.col("cnt").desc, F.col("left"), F.col("right"))
+      .limit(topK)
+  }
+
   /** PRODUCTION-SCALE BPE training: the identical greedy sequential
     * merge sequence as [[bpeTrainMerges]] — same pair counting (per
     * adjacent position, frequency-weighted), same greedy left-to-right

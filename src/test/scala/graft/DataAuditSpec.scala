@@ -227,4 +227,42 @@ class DataAuditSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("zero-variance"))
   }
+
+  test("spearmanCorr: monotone gives ±1 exactly; ties via doubled midranks") {
+    import spark.implicits._
+    // +-1 up to the sqrt(X)*sqrt(X) != X rounding, as featureCorrelations
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 90.0)).toDF("x", "y")
+    assert(math.abs(DataAudit.spearmanCorr(up, "x", "y")
+      .collect().head.getDouble(4) - 1.0) < 1e-12)
+    val down = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("x", "y")
+    assert(math.abs(DataAudit.spearmanCorr(down, "x", "y")
+      .collect().head.getDouble(4) + 1.0) < 1e-12)
+    // ties: x = [1,1,2] (midranks 1.5,1.5,3), y = [1,2,3] ->
+    // d_a = [-1,-1,2], d_b = [-2,0,2]: s_ab=6, s_aa=6, s_bb=8
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r = DataAudit.spearmanCorr(tied, "x", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 6L, 6L, 8L)))
+    assert(r.getDouble(4) == 6.0 / (math.sqrt(6.0) * math.sqrt(8.0)))
+  }
+
+  test("spearmanCorr: complete-case NULL drop; constant side gives NULL rho") {
+    import spark.implicits._
+    val dirty = Seq((Some(1.0), Some(5.0)), (Some(2.0), None),
+      (None, Some(4.0)), (Some(3.0), Some(9.0))).toDF("x", "y")
+    val r = DataAudit.spearmanCorr(dirty, "x", "y").collect().head
+    assert(r.getLong(0) == 2L && math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(DataAudit.spearmanCorr(const, "x", "y").collect().head.isNullAt(4))
+  }
+
+  test("spearmanCorr: partitioning-invariant on lineitem (exact integer stats)") {
+    val li = table("lineitem")
+    val a = DataAudit.spearmanCorr(li, "l_quantity", "l_extendedprice")
+      .collect().head
+    val b = DataAudit.spearmanCorr(li.repartition(19), "l_quantity", "l_extendedprice")
+      .collect().head
+    assert(a.toSeq == b.toSeq)
+    assert(math.abs(a.getDouble(4)) < 1.0 && a.getLong(0) > 0)
+  }
 }

@@ -850,6 +850,24 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((2, "x", "a", 1L)))
   }
 
+  test("termCooccurrence: windowed pairs, exact counts, quantized PMI, alnum gate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c X!")).toDF("doc_id", "text")
+    val got = TextAnalysis.termCooccurrence(docs, "text", window = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // pairs: d1 (a,b),(b,c); d2 (a,c); "X!" fails the [a-z0-9]+ gate
+    // ("x!" after lowering). total=3, ca: a->2 b->1, cb: b->1 c->2
+    // pmi(a,b) = ln(1*3/(2*1)) = ln(1.5); pmi(a,c) = ln(3/4); pmi(b,c) = ln(3/2)
+    def q(x: Double) = math.floor(1e6 * math.log(x)).toLong
+    assert(got == Seq(
+      ("a", "b", 1L, q(1.5)), ("a", "c", 1L, q(0.75)), ("b", "c", 1L, q(1.5))))
+    // window 1 drops the distance-2 pair
+    val w1 = TextAnalysis.termCooccurrence(docs, "text", window = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(w1 == Seq(("a", "b"), ("b", "c")))
+  }
+
   test("bpeTrainMergesFast: identical merge sequence to the distributed trainer") {
     import spark.implicits._
     // corpus equivalence at 8 rounds, plus the three adversarial
