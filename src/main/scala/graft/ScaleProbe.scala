@@ -97,7 +97,19 @@ object ScaleProbe {
     "html_extract_text", "kmeans_train", "bpe_encode_native",
     "html_extract_inline", "range_partition_plan",
     "kmeans_assign", "bpe_fertility", "ls_boost", "ls_boost_predict",
-    "feature_correlations")
+    "feature_correlations",
+    // round-16: fast BPE training (one histogram pass + driver loop)
+    // over 500k docs, tokenizer-true token costing + mixture budgeting,
+    // the broadcast-join k-means assign route over 20x embeddings,
+    // batched percent-ranks over 6M rows, exact ROC (bounded score
+    // histogram) incl. the full boost-train->score->AUC closure, and
+    // windowed co-occurrence + PMI over the 100x corpus.
+    // spearman_corr is NOT probed at 6M rows — past its documented
+    // n^3 < 2^63 range (ANSI would overflow LOUDLY); extraProbes runs
+    // the documented recipe on an exact 1-in-3 subsample
+    "bpe_train_fast", "token_counts_bpe", "mixture_weights_bpe",
+    "kmeans_assign_join", "percent_ranks_multi",
+    "roc_auc", "roc_curve", "ls_boost_auc", "term_cooccurrence")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -293,6 +305,16 @@ object ScaleProbe {
       li.select(F.col("l_returnflag").as("label"),
           graft.analysis.TreeSplit.stumpPredictColumn(m, probeTreeFeatures).as("pred"))
         .groupBy("label", "pred").count().count()
+    }),
+    // round-16: Spearman at 6M rows per its documented recipe — the
+    // integer rank statistics need n^3 < 2^63, so rank on an exact
+    // 1-in-3 key subsample (~2M rows; max rank variance (n^3-n)/3 keeps
+    // the BIGINT sums in range)
+    "spearman_sampled" -> (() => {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+        .filter(F.pmod(F.col("l_orderkey"), F.lit(3)) === 0)
+      graft.analysis.DataAudit.spearmanCorr(li, "l_quantity", "l_extendedprice")
+        .count()
     }),
     "streaming_stump_full_score" -> (() => {
       val li = spark.read.parquet(s"$outDir/lineitem.parquet")

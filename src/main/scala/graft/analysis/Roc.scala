@@ -72,7 +72,9 @@ object Roc {
     * `(tpr, fpr, precision)`. Ordered threshold DESC (the curve walks
     * from (0,0) toward (1,1)). */
   def rocCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    val hist = scoreHistogram(df, scoreCol, labelCol)
+    // the histogram feeds both the totals and the curve — checkpoint so
+    // the corpus is scanned once
+    val hist = scoreHistogram(df, scoreCol, labelCol).localCheckpoint(false)
     val w = Window.orderBy(F.col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = hist.agg(F.sum("n_pos").as("__p"), F.sum("n_neg").as("__n"))

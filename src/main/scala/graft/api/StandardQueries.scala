@@ -6492,6 +6492,30 @@ object StandardQueries {
          | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Tokenizer-true token counting AT INGESTION: the same trained-vocab
+    * encode column on a Structured Streaming frame — the encoder is a
+    * stateless map-only expression (the merge table is an executor-held
+    * reference object), so per-document token cost is priced as data
+    * lands, append mode, zero state. Oracle shared with
+    * [[qTokenCountsBpe]] verbatim. */
+  private def qStreamingTokenCountsBpe = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = trainedMerges8(s, dir)
+      val sdf = s.readStream.schema(docs.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+      val qn = "tc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf.select(F.col("doc_id"),
+          F.coalesce(F.size(TextAnalysis.bpeSegmentNative(F.col("text"), merges))
+            .cast("long"), F.lit(0L)).as("bpe_tokens"))
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("doc_id")
+    },
+    qTokenCountsBpe.oracle)
+
   /** Tokenizer-TRUE mixture budgeting ([[Sampling.mixtureWeights]] over
     * TRAINED-vocabulary token counts): the per-source budget shares a
     * data-mixture plan commits to, priced in the tokens the tokenizer
@@ -7461,6 +7485,7 @@ object StandardQueries {
     "corpus_pipeline" -> qCorpusPipeline,
     "token_counts" -> qTokenCounts,
     "token_counts_bpe" -> qTokenCountsBpe,
+    "streaming_token_counts_bpe" -> qStreamingTokenCountsBpe,
     "mixture_weights_bpe" -> qMixtureWeightsBpe,
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,

@@ -302,9 +302,13 @@ object TextAnalysis {
       F.zip_with(F.slice(toks, F.lit(1), m), F.slice(toks, F.lit(d + 1), m),
         (a, b) => F.struct(a.as("a"), b.as("b")))
     }: _*))
+    // the pair table feeds FOUR consumers (itself, two marginals, the
+    // total) — checkpoint it so the corpus is scanned ONCE, not four
+    // times (the marginal aggregates then run over pair rows only)
     val g = df.select(F.explode(pairs).as("p"))
       .select(F.col("p.a").as("left"), F.col("p.b").as("right"))
       .groupBy("left", "right").agg(F.count(F.lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val ca = g.groupBy("left").agg(F.sum("cnt").as("__ca"))
     val cb = g.groupBy("right").agg(F.sum("cnt").as("__cb"))
     val tot = g.agg(F.sum("cnt").as("__t"))

@@ -722,4 +722,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) == 0 && !plan.contains("Join"),
       s"encoding must be map-only:\n$plan")
   }
+
+  test("roc auc: ONE histogram exchange, no join, scan pruned to score+label") {
+    val out = graft.analysis.Roc.rocAuc(table("lineitem"),
+      F.round(F.col("l_discount") * 100), F.col("l_returnflag") === "R")
+    val plan = planOf(out)
+    // groupBy(score) is the only exchange keyed on data; the cumulative
+    // window and final agg run over the bounded histogram (their
+    // single-partition exchanges carry histogram rows, never the corpus)
+    assert(plan.linesIterator.count(l =>
+      l.contains("hashpartitioning(score")) == 1,
+      s"one score-histogram exchange expected:\n$plan")
+    assert(!plan.contains("Join"), s"no join in the AUC pass:\n$plan")
+    val schemas = readSchemas(plan)
+    assert(schemas.nonEmpty && schemas.forall(
+      _ == Set("l_discount", "l_returnflag")),
+      s"scan must read only score+label columns: $schemas")
+  }
+
+  test("term cooccurrence: map-only pair extraction (no self-join, no window over the corpus)") {
+    val out = graft.pipeline.TextAnalysis.termCooccurrence(
+      table("documents"), "text", window = 2, topK = 10)
+    out.collect() // materialize the checkpointed pair table
+    val plan = planOf(out)
+    // after the checkpoint, everything operates on pair rows: the plan
+    // must not re-read the corpus (marginals join the PAIR table) and
+    // must not contain a window function anywhere
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(readSchemas(plan).isEmpty,
+      s"marginals must consume the checkpointed pair table, not rescan parquet:\n$plan")
+  }
 }
