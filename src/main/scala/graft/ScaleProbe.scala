@@ -109,7 +109,8 @@ object ScaleProbe {
     // the documented recipe on an exact 1-in-3 subsample
     "bpe_train_fast", "token_counts_bpe", "mixture_weights_bpe",
     "kmeans_assign_join", "percent_ranks_multi",
-    "roc_auc", "roc_curve", "ls_boost_auc", "term_cooccurrence")
+    "roc_auc", "roc_curve", "segmented_roc_auc", "ls_boost_auc",
+    "term_cooccurrence")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -305,6 +306,19 @@ object ScaleProbe {
       li.select(F.col("l_returnflag").as("label"),
           graft.analysis.TreeSplit.stumpPredictColumn(m, probeTreeFeatures).as("pred"))
         .groupBy("label", "pred").count().count()
+    }),
+    // round-16: a PRODUCTION-SIZE vocabulary train — up to 32k merges
+    // over the 100x corpus (500k docs) in ONE distributed histogram
+    // pass + the indexed driver loop; the synthetic corpus's closed
+    // vocabulary exhausts earlier (early stop), so the probe asserts a
+    // real vocabulary materialized and reports wall time. The per-round
+    // distributed trainer would need one Spark job per merge here.
+    "bpe_train_32k" -> (() => {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val n = graft.pipeline.TextAnalysis
+        .bpeTrainMergesFast(docs, "text", rounds = 32768).count()
+      require(n > 500, s"expected a substantial learned vocabulary, got $n merges")
+      n
     }),
     // round-16: Spearman at 6M rows per its documented recipe — the
     // integer rank statistics need n^3 < 2^63, so rank on an exact

@@ -66,6 +66,45 @@ object Roc {
           .as("auc"))
   }
 
+  /** SEGMENTED exact ROC-AUC: the Mann-Whitney fraction per segment —
+    * the ranking-quality analog of segmented model-performance
+    * profiling (a model that ranks well globally and inverts on one
+    * language/source is the standard silent failure). ONE
+    * `groupBy(segment, score)` exchange, a cumulative window
+    * PARTITIONED BY SEGMENT (parallel across segments, each partition
+    * bounded by that segment's distinct scores), one bounded groupBy —
+    * never corpus rows past the first exchange. Output one row per
+    * segment, ordered. */
+  def rocAucBy(df: DataFrame, segmentCol: Column, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val hist = df.select(segmentCol.cast("string").as("segment"),
+        scoreCol.cast("long").as("score"), labelCol.cast("boolean").as("__y"))
+      .filter(F.col("segment").isNotNull && F.col("score").isNotNull &&
+        F.col("__y").isNotNull)
+      .groupBy("segment", "score")
+      .agg(F.sum(F.when(F.col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        F.sum(F.when(!F.col("__y"), 1L).otherwise(0L)).as("n_neg"))
+    val w = Window.partitionBy("segment").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__negBelow",
+        F.coalesce(F.sum("n_neg").over(w) - F.col("n_neg"), F.lit(0L)))
+      .groupBy("segment")
+      .agg(
+        F.sum("n_pos").as("n_pos"),
+        F.sum("n_neg").as("n_neg"),
+        F.sum(F.col("n_pos") * (F.lit(2L) * F.col("__negBelow") + F.col("n_neg")))
+          .as("num"))
+      .select(F.col("segment"), F.col("n_pos"), F.col("n_neg"), F.col("num"),
+        (F.lit(2L) * F.col("n_pos") * F.col("n_neg")).as("den"))
+      .select(F.col("segment"), F.col("n_pos"), F.col("n_neg"), F.col("num"),
+        F.col("den"),
+        F.when(F.col("den") === 0L, F.lit(null).cast("double"))
+          .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
+          .as("auc"))
+      .orderBy("segment")
+  }
+
   /** The exact ROC/PR curve: one row per distinct score t — the
     * operating point of the rule `predict positive iff score ≥ t` —
     * with exact `(tp, fp)` and the three IEEE ratios

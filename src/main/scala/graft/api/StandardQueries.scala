@@ -6692,6 +6692,30 @@ object StandardQueries {
             |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision"
             | FROM cv, t ORDER BY threshold DESC""".stripMargin.replaceAll("\n", " ")))
 
+  /** SEGMENTED exact ROC-AUC ([[Roc.rocAucBy]]): the same detector
+    * evaluated per linestatus segment — the ranking-quality analog of
+    * segmented model-perf profiling; a per-segment inversion is
+    * invisible in the global AUC. One exchange + a segment-partitioned
+    * window; the oracle replays the per-segment fractions. */
+  private def qSegmentedRocAuc = Q(
+    (s, dir) => Roc.rocAucBy(t(s, dir, "lineitem"), F.col("l_linestatus"),
+      F.round(F.col("l_discount") * 100), F.col("l_returnflag") === "R"),
+    Some("""WITH b AS (SELECT l_linestatus AS segment, CAST(round(l_discount * 100) AS BIGINT) AS score,
+           |   l_returnflag = 'R' AS y FROM lineitem
+           |  WHERE l_linestatus IS NOT NULL AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+           | h AS (SELECT segment, score, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |   CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg FROM b GROUP BY 1, 2),
+           | c AS (SELECT segment, score, n_pos, n_neg,
+           |   CAST(coalesce(sum(n_neg) OVER (PARTITION BY segment ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg, 0) AS BIGINT) AS nb
+           |  FROM h)
+           | SELECT segment, CAST(sum(n_pos) AS BIGINT) AS n_pos, CAST(sum(n_neg) AS BIGINT) AS n_neg,
+           |  CAST(sum(n_pos * (2 * nb + n_neg)) AS BIGINT) AS num,
+           |  CAST(2 * sum(n_pos) * sum(n_neg) AS BIGINT) AS den,
+           |  CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+           |   ELSE CAST(sum(n_pos * (2 * nb + n_neg)) AS DOUBLE)
+           |    / CAST(2 * sum(n_pos) * sum(n_neg) AS DOUBLE) END AS auc
+           | FROM c GROUP BY segment ORDER BY segment""".stripMargin.replaceAll("\n", " ")))
+
   /** Shared histogram + cumulative-negatives CTEs for the plain ROC
     * oracles: discount cents scoring `l_returnflag = 'R'`. */
   private def rocHistCtes: String =
@@ -7613,6 +7637,7 @@ object StandardQueries {
     "ls_boost" -> qLsBoost,
     "roc_auc" -> qRocAuc,
     "roc_curve" -> qRocCurve,
+    "segmented_roc_auc" -> qSegmentedRocAuc,
     "ls_boost_auc" -> qLsBoostAuc,
     "ls_boost_predict" -> qLsBoostPredict,
     "streaming_ls_boost_predict" -> qStreamingLsBoostPredict,

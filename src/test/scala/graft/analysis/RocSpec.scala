@@ -51,6 +51,31 @@ class RocSpec extends SparkSpec {
     assert(auc > 0.0 && auc < 1.0)
   }
 
+  test("rocAucBy: per-segment AUC equals rocAuc on each slice; inversion surfaces") {
+    import org.apache.spark.sql.Row
+    // segment A ranks perfectly, segment B is inverted — global AUC
+    // would average the failure away
+    val d = Seq(("A", 9L, true), ("A", 1L, false),
+      ("B", 1L, true), ("B", 9L, false)).toDF("g", "s", "y")
+    val got = Roc.rocAucBy(d, F.col("g"), F.col("s"), F.col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got == Map("A" -> 1.0, "B" -> 0.0))
+    // slice parity on real data
+    val li = table("lineitem")
+    val score = F.round(F.col("l_discount") * 100)
+    val label = F.col("l_returnflag") === "R"
+    val by = Roc.rocAucBy(li, F.col("l_linestatus"), score, label)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((seg, stats) <- by) {
+      val solo = Roc.rocAuc(li.filter(F.col("l_linestatus") === seg), score, label)
+        .collect().head
+      assert(stats == ((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        solo.getLong(3))), s"segment $seg diverged")
+    }
+    assert(by.nonEmpty)
+  }
+
   test("rocAuc: NULL scores and labels are excluded") {
     val d = Seq((Some(3L), Some(true)), (Some(2L), Some(false)),
       (None, Some(true)), (Some(5L), None)).toDF("s", "y")
