@@ -396,6 +396,61 @@ object DataAudit {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** Multi-column [[spearmanCorr]]: the full pairwise rank-correlation
+    * MATRIX with ALL rank tables built by ONE melted scan + ONE range
+    * exchange ([[ExactQuantiles.percentRanksMulti]]) and all k(k−1)/2
+    * sums emitted by ONE aggregate — where pairwise calls pay the rank
+    * machinery per pair. Same integer doubled-midrank statistics,
+    * complete-case over the FULL column set (every rho shares one
+    * sample, a proper correlation matrix), zero rank variance fails
+    * loudly like [[featureCorrelations]]. Output
+    * `(f1, f2, n, rho)`, f1 < f2, ordered. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vs = cols.map(c => "__v_" + c)
+    val base = df.select(cols.zip(vs).map { case (c, v) =>
+        F.col(c).cast("double").as(v) }: _*)
+      .filter(vs.map(v => F.col(v).isNotNull && !F.isnan(F.col(v)))
+        .reduce(_ && _))
+      .localCheckpoint(false)
+    try {
+      val n = base.count()
+      require(n > 0, "no complete-case rows")
+      val ranks = ExactQuantiles.percentRanksMulti(base, vs)
+        .localCheckpoint(false)
+      try {
+        val joined = cols.zip(vs).foldLeft(base) { case (acc, (c, v)) =>
+          acc.join(ranks.filter(F.col("feature") === v)
+            .select(F.col("value").as(v),
+              (F.lit(2L) * F.col("n_below") + F.col("n_value") - F.lit(n))
+                .as("__d_" + c)), Seq(v))
+        }
+        val pairs = for { i <- cols.indices; j <- i until cols.size } yield (i, j)
+        val aggs = Seq(F.count(F.lit(1)).as("__n")) ++ pairs.map { case (i, j) =>
+          F.sum(F.col("__d_" + cols(i)) * F.col("__d_" + cols(j)))
+            .as(s"__s${i}_$j") }
+        val row = joined.agg(aggs.head, aggs.tail: _*).head
+        val nOut = row.getLong(0)
+        val pIdx = pairs.zipWithIndex.toMap
+        def s(i: Int, j: Int): Long = row.getLong(1 + pIdx((i, j)))
+        val out = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield {
+          require(s(i, i) != 0L && s(j, j) != 0L,
+            s"zero rank variance in pair (${cols(i)}, ${cols(j)})")
+          val rho = s(i, j).toDouble /
+            (math.sqrt(s(i, i).toDouble) * math.sqrt(s(j, j).toDouble))
+          val (a, b) = if (cols(i) <= cols(j)) (cols(i), cols(j))
+            else (cols(j), cols(i))
+          (a, b, nOut, rho)
+        }
+        out.toDF("f1", "f2", "n", "rho").orderBy("f1", "f2")
+      } finally { ranks.unpersist(blocking = false); () }
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   /** Range-partitioner preflight: exact balanced bounds for
     * `repartitionByRange(p, keyCol)` plus the EXACT row count each
     * resulting partition would hold — the report you read before

@@ -166,6 +166,54 @@ object ModelPerf {
         F.col("n"), F.col("n_pos"),
         (F.col("n_pos").cast("double") / F.col("n").cast("double")).as("frac_pos"))
   }
+  /** EXACT chance-corrected agreement — Cohen's κ and the multiclass
+    * Matthews correlation (Gorodkin's R_K), both kept as integer
+    * fractions off ONE confusion-matrix exchange: with row totals t_k,
+    * column totals p_k, agreement diag = Σ C_kk,
+    * `num = n·diag − Σ t_k·p_k` is the shared numerator;
+    * `κ = num / (n² − Σ t_k·p_k)` and
+    * `MCC = num / (√(n² − Σ p_k²) · √(n² − Σ t_k²))` — each one fixed
+    * IEEE tree over exact BIGINTs (driver math is
+    * multiplyExact/addExact: past n² ≈ 2⁶³ — n ~ 3e9 rows — the
+    * contract fails LOUDLY). Accuracy alone inflates under class
+    * imbalance; these are the standard corrections. NULL when a
+    * denominator is zero (single predicted or actual class). Output
+    * one row `(n, n_agree, num, kappa, mcc)`.
+    *
+    * Scale: one map-side-combined groupBy(label, pred) — classes²
+    * rows — collected driver-side, like [[TreeSplit]] histograms. */
+  def agreementMetrics(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(labelCol.cast("string").as("__l"),
+        predCol.cast("string").as("__p"))
+      .filter(F.col("__l").isNotNull && F.col("__p").isNotNull)
+      .groupBy("__l", "__p").agg(F.count(F.lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.nonEmpty, "empty confusion matrix")
+    def sumEx(xs: Iterable[Long]): Long = xs.foldLeft(0L)(Math.addExact)
+    val n = sumEx(cells.map(_._3))
+    val diag = sumEx(cells.collect { case (l, p, c) if l == p => c })
+    val t = cells.groupBy(_._1).view.mapValues(rs => sumEx(rs.map(_._3))).toMap
+    val p = cells.groupBy(_._2).view.mapValues(rs => sumEx(rs.map(_._3))).toMap
+    val classes = (t.keySet ++ p.keySet).toSeq.sorted
+    val sumTP = classes.foldLeft(0L)((a, k) => Math.addExact(a,
+      Math.multiplyExact(t.getOrElse(k, 0L), p.getOrElse(k, 0L))))
+    val sumTT = classes.foldLeft(0L)((a, k) => Math.addExact(a,
+      Math.multiplyExact(t.getOrElse(k, 0L), t.getOrElse(k, 0L))))
+    val sumPP = classes.foldLeft(0L)((a, k) => Math.addExact(a,
+      Math.multiplyExact(p.getOrElse(k, 0L), p.getOrElse(k, 0L))))
+    val n2 = Math.multiplyExact(n, n)
+    val num = Math.subtractExact(Math.multiplyExact(n, diag), sumTP)
+    val denK = Math.subtractExact(n2, sumTP)
+    val denM = math.sqrt(Math.subtractExact(n2, sumPP).toDouble) *
+      math.sqrt(Math.subtractExact(n2, sumTT).toDouble)
+    val kappa = if (denK == 0L) None else Some(num.toDouble / denK.toDouble)
+    val mcc = if (denM == 0.0) None else Some(num.toDouble / denM)
+    Seq((n, diag, num, kappa, mcc))
+      .toDF("n", "n_agree", "num", "kappa", "mcc")
+  }
 }
 
 /** Accuracy estimation for unlabeled targets (reference

@@ -6585,6 +6585,48 @@ object StandardQueries {
             | SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM pr
             | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Chance-corrected agreement of the trained stump
+    * ([[ModelPerf.agreementMetrics]]): Cohen's κ and multiclass MCC as
+    * exact integer fractions off the same confusion exchange — the
+    * imbalance-robust readout accuracy alone fakes. The oracle replays
+    * stump training, row routing, the confusion rollup, AND both
+    * formulas (shared numerator n·diag − Σtₖpₖ). */
+  private def qStumpAgreement = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = TreeSplit.stumpModel(li, "l_returnflag", treeFeatures)
+      ModelPerf.agreementMetrics(li, F.col("l_returnflag"),
+        TreeSplit.stumpPredictColumn(m, treeFeatures))
+    },
+    Some(s"""$treeStumpCtes,
+            | root AS (SELECT feature, threshold FROM scored ORDER BY impurity, feature, threshold LIMIT 1),
+            | lmaj AS (SELECT l FROM (SELECT l, CAST(sum(c) AS BIGINT) AS cnt FROM bins
+            |   WHERE f = (SELECT feature FROM root) AND b <= (SELECT threshold FROM root) GROUP BY l)
+            |  ORDER BY cnt DESC, l LIMIT 1),
+            | rmaj AS (SELECT l FROM (SELECT l, CAST(sum(c) AS BIGINT) AS cnt FROM bins
+            |   WHERE f = (SELECT feature FROM root) AND b > (SELECT threshold FROM root) GROUP BY l)
+            |  ORDER BY cnt DESC, l LIMIT 1),
+            | pr AS (SELECT u.l AS label, CASE WHEN u.b <= (SELECT threshold FROM root)
+            |   THEN (SELECT l FROM lmaj) ELSE (SELECT l FROM rmaj) END AS pred
+            |  FROM u WHERE u.f = (SELECT feature FROM root)),
+            | cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2),
+            | tots AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+            |   CAST(sum(CASE WHEN label = pred THEN c ELSE 0 END) AS BIGINT) AS diag FROM cm),
+            | tr AS (SELECT label AS k, CAST(sum(c) AS BIGINT) AS t FROM cm GROUP BY 1),
+            | pc AS (SELECT pred AS k, CAST(sum(c) AS BIGINT) AS p FROM cm GROUP BY 1),
+            | ks AS (SELECT coalesce(tr.k, pc.k) AS k, coalesce(tr.t, 0) AS t, coalesce(pc.p, 0) AS p
+            |  FROM tr FULL OUTER JOIN pc ON pc.k = tr.k),
+            | ss AS (SELECT CAST(sum(t * p) AS BIGINT) AS stp, CAST(sum(t * t) AS BIGINT) AS stt,
+            |   CAST(sum(p * p) AS BIGINT) AS spp FROM ks)
+            | SELECT tots.n, tots.diag AS n_agree,
+            |  CAST(tots.n * tots.diag - ss.stp AS BIGINT) AS num,
+            |  CASE WHEN tots.n * tots.n - ss.stp = 0 THEN NULL
+            |   ELSE CAST(tots.n * tots.diag - ss.stp AS DOUBLE) / CAST(tots.n * tots.n - ss.stp AS DOUBLE) END AS kappa,
+            |  CASE WHEN tots.n * tots.n - ss.spp = 0 OR tots.n * tots.n - ss.stt = 0 THEN NULL
+            |   ELSE CAST(tots.n * tots.diag - ss.stp AS DOUBLE)
+            |    / (sqrt(CAST(tots.n * tots.n - ss.spp AS DOUBLE)) * sqrt(CAST(tots.n * tots.n - ss.stt AS DOUBLE))) END AS mcc
+            | FROM tots, ss""".stripMargin.replaceAll("\n", " ")))
+
   /** Stump classification AT INGESTION: the map-only
     * [[TreeSplit.stumpPredictColumn]] on a Structured Streaming frame,
     * confusion rolled up in complete mode (state ≤ classes² rows).
@@ -7337,6 +7379,39 @@ object StandardQueries {
            |    / (sqrt(CAST(sum(da * da) AS DOUBLE)) * sqrt(CAST(sum(db * db) AS DOUBLE))) END AS rho
            | FROM d""".stripMargin.replaceAll("\n", " ")))
 
+  /** Spearman rank-correlation MATRIX ([[DataAudit.spearmanMatrix]]):
+    * all three pairs over (quantity, discount, tax) with EVERY rank
+    * table from one melted scan + one range exchange and all sums from
+    * one aggregate. The oracle rebuilds all three rank tables and the
+    * complete-case join chain. */
+  private def qSpearmanMatrix = Q(
+    (s, dir) => graft.analysis.DataAudit.spearmanMatrix(
+      t(s, dir, "lineitem"), Seq("l_quantity", "l_discount", "l_tax")),
+    Some("""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS va, CAST(l_discount AS DOUBLE) AS vb,
+           |   CAST(l_tax AS DOUBLE) AS vc FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+           | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+           | ga AS (SELECT va AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+           | ra AS (SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0) AS BIGINT) AS nb FROM ga),
+           | gb AS (SELECT vb AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+           | rb AS (SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0) AS BIGINT) AS nb FROM gb),
+           | gc AS (SELECT vc AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+           | rc AS (SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0) AS BIGINT) AS nb FROM gc),
+           | d AS (SELECT (2 * ra.nb + ra.c - nn.n) AS da, (2 * rb.nb + rb.c - nn.n) AS db,
+           |   (2 * rc.nb + rc.c - nn.n) AS dc
+           |  FROM b JOIN ra ON ra.v = b.va JOIN rb ON rb.v = b.vb JOIN rc ON rc.v = b.vc CROSS JOIN nn),
+           | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(da * db) AS BIGINT) AS sab, CAST(sum(da * dc) AS BIGINT) AS sac,
+           |   CAST(sum(db * dc) AS BIGINT) AS sbc, CAST(sum(da * da) AS BIGINT) AS saa,
+           |   CAST(sum(db * db) AS BIGINT) AS sbb, CAST(sum(dc * dc) AS BIGINT) AS scc FROM d)
+           | SELECT 'l_discount' AS f1, 'l_quantity' AS f2, n,
+           |   CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))) AS rho FROM s
+           | UNION ALL SELECT 'l_discount', 'l_tax', n,
+           |   CAST(sbc AS DOUBLE) / (sqrt(CAST(sbb AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) FROM s
+           | UNION ALL SELECT 'l_quantity', 'l_tax', n,
+           |   CAST(sac AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) FROM s
+           | ORDER BY f1, f2""".stripMargin.replaceAll("\n", " ")))
+
   /** Windowed term co-occurrence with quantized-log PMI
     * ([[TextAnalysis.termCooccurrence]]): skip-gram pair counts within
     * ±2 positions over the documents corpus, exact counts + in-plan
@@ -7658,7 +7733,9 @@ object StandardQueries {
     "percent_ranks" -> qPercentRanks,
     "percent_ranks_multi" -> qPercentRanksMulti,
     "spearman_corr" -> qSpearmanCorr,
+    "spearman_matrix" -> qSpearmanMatrix,
     "term_cooccurrence" -> qTermCooccurrence,
+    "stump_agreement" -> qStumpAgreement,
     "streaming_ann" -> qStreamingAnn,
     "nb_confusion" -> qNbConfusion)
 

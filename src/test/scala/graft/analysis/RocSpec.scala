@@ -83,4 +83,41 @@ class RocSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)))
     assert(r.getDouble(4) == 1.0)
   }
+
+  test("agreementMetrics: hand kappa/MCC; perfect and degenerate cases") {
+    // confusion [[2,1],[1,2]]: n=6, diag=4, t=p=(3,3):
+    // num = 6*4 - 18 = 6, kappa = 6/18 = 1/3, mcc = 6/(sqrt18*sqrt18)
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"),
+      ("b", "b"), ("b", "b")).toDF("l", "p")
+    val r = ModelPerf.agreementMetrics(d, F.col("l"), F.col("p")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 4L, 6L)))
+    assert(r.getDouble(3) == 6.0 / 18.0)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+    // perfect agreement
+    val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"),
+      ("b", "b")).toDF("l", "p")
+    val pr = ModelPerf.agreementMetrics(perfect, F.col("l"), F.col("p"))
+      .collect().head
+    assert(pr.getDouble(3) == 1.0 && math.abs(pr.getDouble(4) - 1.0) < 1e-12)
+    // single class on both sides: chance correction degenerates -> NULL
+    val one = Seq(("a", "a"), ("a", "a")).toDF("l", "p")
+    val or = ModelPerf.agreementMetrics(one, F.col("l"), F.col("p"))
+      .collect().head
+    assert(or.isNullAt(3) && or.isNullAt(4))
+  }
+
+  test("spearmanMatrix: pair values equal pairwise spearmanCorr; one shared sample") {
+    import graft.analysis.DataAudit
+    val li = table("lineitem")
+    val cols = Seq("l_quantity", "l_discount", "l_tax")
+    val m = DataAudit.spearmanMatrix(li, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m.size == 3)
+    for (Seq(a, b) <- cols.combinations(2)) {
+      val solo = DataAudit.spearmanCorr(li, a, b).collect().head
+      val key = if (a <= b) (a, b) else (b, a)
+      assert(m(key) == ((solo.getLong(0), solo.getDouble(4))), s"pair $key diverged")
+    }
+  }
 }
