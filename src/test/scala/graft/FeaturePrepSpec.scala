@@ -95,7 +95,7 @@ class FeaturePrepSpec extends SparkSpec {
       val single = ExactQuantiles.percentRanks(li, c).collect()
         .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSet
       val sliced = rows.filter(_.getString(0) == c)
-        .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+        .map(r => (r.getDouble(1), r.getLong(3), r.getDouble(4))).toSet
       assert(sliced == single && single.nonEmpty)
     }
     // scale pin: every window is partitioned (no single-task global
