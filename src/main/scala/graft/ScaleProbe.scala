@@ -307,17 +307,20 @@ object ScaleProbe {
           graft.analysis.TreeSplit.stumpPredictColumn(m, probeTreeFeatures).as("pred"))
         .groupBy("label", "pred").count().count()
     }),
-    // round-16: a PRODUCTION-SIZE vocabulary train — up to 32k merges
-    // over the 100x corpus (500k docs) in ONE distributed histogram
-    // pass + the indexed driver loop; the synthetic corpus's closed
-    // vocabulary exhausts earlier (early stop), so the probe asserts a
-    // real vocabulary materialized and reports wall time. The per-round
-    // distributed trainer would need one Spark job per merge here.
+    // round-16: a PRODUCTION-SIZE vocabulary train — the FULL 32768-merge
+    // budget in ONE distributed histogram pass + the indexed driver
+    // loop. The scaled documents corpus has a CLOSED ~200-word
+    // vocabulary (it exhausts after 189 merges — measured), so the
+    // budget is probed on an OPEN vocabulary: 1M distinct digit-words,
+    // whose pair space supports the whole 32k sequence. The per-round
+    // distributed trainer would need 32768 Spark jobs for this.
     "bpe_train_32k" -> (() => {
-      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val docs = spark.range(500000L).select(F.col("id"),
+        F.concat(F.col("id").cast("string"), F.lit(" "),
+          (F.col("id") * 7919L + 11L).cast("string")).as("text"))
       val n = graft.pipeline.TextAnalysis
         .bpeTrainMergesFast(docs, "text", rounds = 32768).count()
-      require(n > 500, s"expected a substantial learned vocabulary, got $n merges")
+      require(n == 32768L, s"expected the full 32768-merge budget, got $n")
       n
     }),
     // round-16: Spearman at 6M rows per its documented recipe — the

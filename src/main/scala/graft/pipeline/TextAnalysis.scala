@@ -380,10 +380,13 @@ object TextAnalysis {
     }
     type Pair = (String, String)
     val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
-    val index = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.BitSet]
+    // HashSet, not BitSet: a BitSet sizes to the LARGEST member, so a
+    // rare pair seen only in a high-indexed word would allocate maxWordId/8
+    // bytes — at 32k pairs over millions of words that is gigabytes
+    val index = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.HashSet[Int]]
     def addPair(p: Pair, w: Int, f: Long): Unit = {
       counts.updateWith(p)(c => Some(Math.addExact(c.getOrElse(0L), f)))
-      index.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
+      index.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty[Int]) += w
     }
     // ordered view: (count DESC, s1, s2) — the exact distributed ORDER BY
     val ord = new java.util.TreeSet[(Long, String, String)](
@@ -436,7 +439,7 @@ object TextAnalysis {
       val top = ord.first()
       val (cnt, s1, s2) = (top._1, top._2, top._3)
       merges += ((r, s1, s2, s1 + s2, cnt))
-      val hit = index.getOrElse((s1, s2), scala.collection.mutable.BitSet.empty)
+      val hit = index.getOrElse((s1, s2), scala.collection.mutable.HashSet.empty[Int])
       hit.toSeq.foreach { w =>
         val before = pairsOf(words(w))
         if (before.contains((s1, s2))) { // index entries can be stale
@@ -450,7 +453,7 @@ object TextAnalysis {
               setCount(p, Math.addExact(counts.getOrElse(p, 0L),
                 Math.multiplyExact(d, f)))
               if (d > 0L) index.getOrElseUpdate(p,
-                scala.collection.mutable.BitSet.empty) += w
+                scala.collection.mutable.HashSet.empty[Int]) += w
             }
           }
         }
