@@ -323,6 +323,26 @@ object ScaleProbe {
       require(n == 32768L, s"expected the full 32768-merge budget, got $n")
       n
     }),
+    // round-16: salted join against a genuine mega-key — 5M fact rows
+    // ALL carrying one join key (the pathological case where an
+    // unsalted sort-merge join serializes every row through one task's
+    // stream); salt 32 must spread it across tasks and finish bounded,
+    // and the rollup must equal the replicated small side's fan-out
+    "salted_join_hotkey" -> (() => {
+      val big = spark.range(5000000L).select(F.lit(7L).as("k"), F.col("id").as("v"))
+      val small = spark.range(4L).select(F.lit(7L).as("k"), F.col("id").as("tag"))
+      val n = graft.pipeline.SkewJoin.saltedJoin(big, small, "k", saltFactor = 32)
+        .count()
+      require(n == 20000000L, s"expected 5M x 4 matches, got $n")
+      n
+    }),
+    // round-16: rank-sum drift at 6M rows (bounded pooled histogram)
+    "rank_sum_6m" -> (() => {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+      graft.analysis.DriftExact.rankSumStats(li,
+        Seq("l_quantity", "l_discount", "l_tax"),
+        F.col("l_linestatus") === "O").count()
+    }),
     // round-16: Spearman at 6M rows per its documented recipe — the
     // integer rank statistics need n^3 < 2^63, so rank on an exact
     // 1-in-3 key subsample (~2M rows; max rank variance (n^3-n)/3 keeps

@@ -613,4 +613,72 @@ object DriftExact {
           (F.col("na") * F.col("nb")).cast("double")).as("ks_stat"),
         F.col("na").as("n_cur"), F.col("nb").as("n_prev"))
   }
+
+  /** EXACT Wilcoxon/Mann-Whitney RANK-SUM drift test, tie-corrected —
+    * the nonparametric two-sample location test the KS/χ²/PSI family
+    * lacks: "has the current sample shifted UP or DOWN relative to the
+    * reference" with a signed z-score, robust to any monotone
+    * transform of the column. All statistics are integer-exact:
+    * `u2 = Σ_v cur(v)·(2·refBelow(v) + ref(v))` (= 2U, the
+    * tie-corrected Mann-Whitney statistic — also 2·P·N·AUC, see
+    * [[Roc]]), the tie term `tc = Σ_t (t³ − t)` over pooled tie groups
+    * (ANSI BIGINTs: loud past t³ < 2⁶³ — a column degenerating to one
+    * value at ~2M rows should fail, not silently z≈0), and the normal
+    * approximation
+    * `z = (u2 − P·N) / (2·√(P·N/12·((n+1) − tc/(n(n−1)))))` is one
+    * fixed IEEE tree over them. `auc = u2/(2PN)` is the
+    * common-language effect size (P(cur > ref) + ½P(=)). z is NULL
+    * when a side is empty or every value ties.
+    *
+    * Scale shape: the k columns melt map-side into ONE
+    * `groupBy(column, value)` histogram exchange (bounded by distinct
+    * values), a column-partitioned cumulative window, and a bounded
+    * groupBy — corpus rows never pass the first exchange, the same
+    * discipline as [[Roc.rocAucBy]]. Output one row per column,
+    * ordered. */
+  def rankSumStats(df: DataFrame, valueCols: Seq[String],
+      isTarget: Column): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one column")
+    val entries = F.explode(F.array(valueCols.map(c =>
+      F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("e")
+    val hist = df.select(entries, isTarget.cast("boolean").as("__t"))
+      .select(F.col("e.c").as("column"), F.col("e.v").as("__v"), F.col("__t"))
+      .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")) &&
+        F.col("__t").isNotNull)
+      .groupBy("column", "__v")
+      .agg(F.sum(F.when(F.col("__t"), 1L).otherwise(0L)).as("n_cur"),
+        F.sum(F.when(!F.col("__t"), 1L).otherwise(0L)).as("n_ref"))
+    val w = Window.partitionBy("column").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = hist
+      .withColumn("__refBelow",
+        F.coalesce(F.sum("n_ref").over(w) - F.col("n_ref"), F.lit(0L)))
+      .groupBy("column")
+      .agg(
+        F.sum("n_ref").as("n_ref"),
+        F.sum("n_cur").as("n_cur"),
+        F.sum(F.col("n_cur") * (F.lit(2L) * F.col("__refBelow") + F.col("n_ref")))
+          .as("u2"),
+        F.sum((F.col("n_ref") + F.col("n_cur")) * (F.col("n_ref") + F.col("n_cur"))
+          * (F.col("n_ref") + F.col("n_cur"))
+          - (F.col("n_ref") + F.col("n_cur"))).as("tc"))
+    val n = F.col("n_ref") + F.col("n_cur")
+    val pn = (F.col("n_ref") * F.col("n_cur")).cast("double")
+    val varU = pn / F.lit(12.0) *
+      ((n + F.lit(1L)).cast("double") -
+        F.col("tc").cast("double") / (n * (n - F.lit(1L))).cast("double"))
+    agg.select(F.col("column"), F.col("n_ref"), F.col("n_cur"), F.col("u2"),
+        F.col("tc"),
+        F.when(F.col("n_ref") === 0L || F.col("n_cur") === 0L,
+            F.lit(null).cast("double"))
+          .otherwise(F.col("u2").cast("double") /
+            (F.lit(2L) * F.col("n_ref") * F.col("n_cur")).cast("double"))
+          .as("auc"),
+        F.when(F.col("n_ref") === 0L || F.col("n_cur") === 0L || varU <= F.lit(0.0),
+            F.lit(null).cast("double"))
+          .otherwise((F.col("u2").cast("double") - pn) /
+            (F.lit(2.0) * F.sqrt(varU)))
+          .as("z"))
+      .orderBy("column")
+  }
 }

@@ -6699,6 +6699,65 @@ object StandardQueries {
     },
     qLsBoostPredict.oracle)
 
+  /** Salted skew-resilient join ([[graft.pipeline.SkewJoin]]): the
+    * lineitem→orders rollup through the `(key, salt)` join — the
+    * output multiset is provably salt-independent, so the oracle is
+    * the PLAIN join (any salting artifact — dropped rows, duplicated
+    * matches, wrong fan-out — fails the hash). */
+  private def qSaltedJoinAgg = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .select(F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority"))
+      graft.pipeline.SkewJoin.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+        .groupBy(F.col("o_orderpriority").as("priority"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("priority")
+    },
+    Some("""SELECT o.o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+           | CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")))
+
+  /** Exact tie-corrected Wilcoxon rank-sum drift test
+    * ([[graft.analysis.DriftExact.rankSumStats]]): the nonparametric
+    * two-sample LOCATION test the KS/χ²/PSI drift family lacks —
+    * signed z per column, open-vs-other lineitems, three columns from
+    * ONE melted histogram exchange. The oracle replays the pooled
+    * histogram, cumulative reference counts, the integer 2U and tie
+    * statistics, and the z expression tree bit-for-bit. */
+  private def qDriftRankSum = Q(
+    (s, dir) => graft.analysis.DriftExact.rankSumStats(
+      t(s, dir, "lineitem"), Seq("l_quantity", "l_discount", "l_tax"),
+      F.col("l_linestatus") === "O"),
+    Some("""WITH u AS (
+           |  SELECT 'l_quantity' AS cn, CAST(l_quantity AS DOUBLE) AS v, l_linestatus = 'O' AS t FROM lineitem
+           |   WHERE l_quantity IS NOT NULL AND l_linestatus IS NOT NULL
+           |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_linestatus = 'O' FROM lineitem
+           |   WHERE l_discount IS NOT NULL AND l_linestatus IS NOT NULL
+           |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_linestatus = 'O' FROM lineitem
+           |   WHERE l_tax IS NOT NULL AND l_linestatus IS NOT NULL),
+           | h AS (SELECT cn, v, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+           |   CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM u GROUP BY 1, 2),
+           | c AS (SELECT cn, v, n_cur, n_ref,
+           |   CAST(coalesce(sum(n_ref) OVER (PARTITION BY cn ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_ref, 0) AS BIGINT) AS rb
+           |  FROM h),
+           | a AS (SELECT cn, CAST(sum(n_ref) AS BIGINT) AS n_ref, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+           |   CAST(sum(n_cur * (2 * rb + n_ref)) AS BIGINT) AS u2,
+           |   CAST(sum((n_ref + n_cur) * (n_ref + n_cur) * (n_ref + n_cur) - (n_ref + n_cur)) AS BIGINT) AS tc
+           |  FROM c GROUP BY 1)
+           | SELECT cn AS "column", n_ref, n_cur, u2, tc,
+           |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+           |   ELSE CAST(u2 AS DOUBLE) / CAST(2 * n_ref * n_cur AS DOUBLE) END AS auc,
+           |  CASE WHEN n_ref = 0 OR n_cur = 0
+           |    OR CAST(n_ref * n_cur AS DOUBLE) / 12.0 * (CAST(n_ref + n_cur + 1 AS DOUBLE)
+           |      - CAST(tc AS DOUBLE) / CAST((n_ref + n_cur) * (n_ref + n_cur - 1) AS DOUBLE)) <= 0.0 THEN NULL
+           |   ELSE (CAST(u2 AS DOUBLE) - CAST(n_ref * n_cur AS DOUBLE))
+           |    / (2.0 * sqrt(CAST(n_ref * n_cur AS DOUBLE) / 12.0 * (CAST(n_ref + n_cur + 1 AS DOUBLE)
+           |      - CAST(tc AS DOUBLE) / CAST((n_ref + n_cur) * (n_ref + n_cur - 1) AS DOUBLE)))) END AS z
+           | FROM a ORDER BY cn""".stripMargin.replaceAll("\n", " ")))
+
   /** Exact ROC-AUC ([[Roc.rocAuc]]): the tie-corrected Mann-Whitney
     * statistic as an exact integer fraction — `score ≥ t` detecting
     * returned lineitems from the discount (cents). The oracle replays
@@ -7713,6 +7772,8 @@ object StandardQueries {
     "roc_auc" -> qRocAuc,
     "roc_curve" -> qRocCurve,
     "segmented_roc_auc" -> qSegmentedRocAuc,
+    "drift_rank_sum" -> qDriftRankSum,
+    "salted_join_agg" -> qSaltedJoinAgg,
     "ls_boost_auc" -> qLsBoostAuc,
     "ls_boost_predict" -> qLsBoostPredict,
     "streaming_ls_boost_predict" -> qStreamingLsBoostPredict,

@@ -439,4 +439,43 @@ class DriftExactSpec extends SparkSpec {
     }
     assert(byKey("b")._1 > byKey("a")._1, "the drifted segment must score higher")
   }
+
+  test("rankSumStats: hand case — exact 2U, no ties, textbook z") {
+    import spark.implicits._
+    // ref {1,2}, cur {3,4}: U = 4 (complete separation), mean 2,
+    // var = PN(n+1)/12 = 5/3, z = 2/sqrt(5/3)
+    val d = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("x", "t")
+    val r = graft.analysis.DriftExact.rankSumStats(d, Seq("x"), F.col("t"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 2L, 8L, 0L)))
+    assert(r.getDouble(5) == 1.0) // auc: complete separation
+    val varU = 4.0 / 12.0 * (5.0 - 0.0 / 12.0)
+    assert(r.getDouble(6) == (8.0 - 4.0) / (2.0 * math.sqrt(varU)))
+  }
+
+  test("rankSumStats: full ties give auc 1/2 and NULL z; flag swap negates z exactly") {
+    import spark.implicits._
+    val tied = Seq((5.0, false), (5.0, false), (5.0, true), (5.0, true))
+      .toDF("x", "t")
+    val tr = graft.analysis.DriftExact.rankSumStats(tied, Seq("x"), F.col("t"))
+      .collect().head
+    assert(tr.getDouble(5) == 0.5 && tr.isNullAt(6))
+    // antisymmetry on real data: exact integers make z' = -z bit-for-bit
+    val li = table("lineitem")
+    val a = graft.analysis.DriftExact.rankSumStats(li,
+      Seq("l_quantity", "l_discount"), F.col("l_linestatus") === "O").collect()
+    val b = graft.analysis.DriftExact.rankSumStats(li,
+      Seq("l_quantity", "l_discount"), F.col("l_linestatus") =!= "O").collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getDouble(6) == -y.getDouble(6))
+      assert(x.getDouble(5) == 1.0 - y.getDouble(5) ||
+        math.abs(x.getDouble(5) + y.getDouble(5) - 1.0) < 1e-15)
+    }
+    // batched multi-column equals the single-column run
+    val solo = graft.analysis.DriftExact.rankSumStats(li,
+      Seq("l_quantity"), F.col("l_linestatus") === "O").collect().head
+    assert(a.find(_.getString(0) == "l_quantity").get.toSeq == solo.toSeq)
+  }
 }
