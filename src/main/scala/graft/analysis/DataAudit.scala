@@ -451,6 +451,69 @@ object DataAudit {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** EXACT Kendall τ-b — the third rank-association member
+    * ([[featureCorrelations]] linear, [[spearmanCorr]] monotone-by-
+    * midrank, this one concordance-based): concordant/discordant pair
+    * counts computed from the BOUNDED JOINT HISTOGRAM, never row
+    * pairs — `nc = Σ h(a₁,b₁)·h(a₂,b₂)` over cell pairs with
+    * `a₂>a₁ ∧ b₂>b₁` (discordant mirrored), tie terms from the
+    * marginals, and
+    * `τ_b = (nc − nd) / (√(n₀−n₁) · √(n₀−n₂))` with
+    * `n₀ = n(n−1)/2`, `n₁/n₂ = Σ t(t−1)/2` — every count a BIGINT via
+    * multiplyExact/addExact (loud past 2⁶³; n² terms hold to ~4e9
+    * rows), the ratio one fixed IEEE tree.
+    *
+    * Scale shape: ONE map-side-combined `groupBy(a, b)` exchange —
+    * cells bounded by the product of distinct binned values (the
+    * [[graft.analysis.TreeSplit]] histogram contract: bin continuous
+    * features first) — then an O(cells²) driver scan. NULL pairs
+    * dropped (complete-case). Output one row
+    * `(n, nc, nd, ties_a, ties_b, tau_b)`; τ_b NULL when a side is
+    * constant. */
+  def kendallTau(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(F.col(aCol).cast("double").as("__a"),
+        F.col(bCol).cast("double").as("__b"))
+      .filter(F.col("__a").isNotNull && !F.isnan(F.col("__a")) &&
+        F.col("__b").isNotNull && !F.isnan(F.col("__b")))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    require(cells.nonEmpty, "no complete-case rows")
+    require(cells.length <= maxCells,
+      s"${cells.length} joint-histogram cells exceeds $maxCells — bin the features first")
+    def sumEx(xs: Iterable[Long]): Long = xs.foldLeft(0L)(Math.addExact)
+    val n = sumEx(cells.map(_._3))
+    var nc = 0L; var nd = 0L
+    var i = 0
+    while (i < cells.length) {
+      val (a1, b1, c1) = cells(i)
+      var j = i + 1
+      while (j < cells.length) {
+        val (a2, b2, c2) = cells(j)
+        if (a1 != a2 && b1 != b2) {
+          val prod = Math.multiplyExact(c1, c2)
+          if ((a2 > a1) == (b2 > b1)) nc = Math.addExact(nc, prod)
+          else nd = Math.addExact(nd, prod)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def tiePairs(groups: Map[Double, Long]): Long =
+      groups.values.foldLeft(0L)((acc, t) =>
+        Math.addExact(acc, Math.multiplyExact(t, t - 1) / 2))
+    val n1 = tiePairs(cells.groupBy(_._1).view.mapValues(rs => sumEx(rs.map(_._3))).toMap)
+    val n2 = tiePairs(cells.groupBy(_._2).view.mapValues(rs => sumEx(rs.map(_._3))).toMap)
+    val n0 = Math.multiplyExact(n, n - 1) / 2
+    val da = n0 - n1
+    val db = n0 - n2
+    val tau = if (da == 0L || db == 0L) None
+      else Some((nc - nd).toDouble / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble)))
+    Seq((n, nc, nd, n1, n2, tau)).toDF("n", "nc", "nd", "ties_a", "ties_b", "tau_b")
+  }
+
   /** Range-partitioner preflight: exact balanced bounds for
     * `repartitionByRange(p, keyCol)` plus the EXACT row count each
     * resulting partition would hold — the report you read before

@@ -7471,6 +7471,30 @@ object StandardQueries {
            |   CAST(sac AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) FROM s
            | ORDER BY f1, f2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Exact Kendall τ-b ([[DataAudit.kendallTau]]) of quantity vs
+    * discount: concordant/discordant counts from the bounded joint
+    * histogram (550 cells — never row pairs), tie-corrected, every
+    * count BIGINT. The oracle self-joins the same joint histogram and
+    * replays the τ_b tree. */
+  private def qKendallTau = Q(
+    (s, dir) => graft.analysis.DataAudit.kendallTau(
+      t(s, dir, "lineitem"), "l_quantity", "l_discount"),
+    Some("""WITH j AS (SELECT CAST(l_quantity AS DOUBLE) AS a, CAST(l_discount AS DOUBLE) AS b,
+           |   CAST(count(*) AS BIGINT) AS c FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1, 2),
+           | nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+           | pp AS (SELECT CAST(coalesce(sum(CASE WHEN (y.a > x.a) = (y.b > x.b) THEN x.c * y.c ELSE 0 END), 0) AS BIGINT) AS nc,
+           |   CAST(coalesce(sum(CASE WHEN (y.a > x.a) <> (y.b > x.b) THEN x.c * y.c ELSE 0 END), 0) AS BIGINT) AS nd
+           |  FROM j x JOIN j y ON (y.a > x.a OR (y.a = x.a AND y.b > x.b)) AND y.a <> x.a AND y.b <> x.b),
+           | ta AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1 FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY a)),
+           | tb AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2 FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY b)),
+           | n0 AS (SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS v, n FROM nn)
+           | SELECT n0.n AS n, pp.nc, pp.nd, ta.n1 AS ties_a, tb.n2 AS ties_b,
+           |  CASE WHEN n0.v - ta.n1 = 0 OR n0.v - tb.n2 = 0 THEN NULL
+           |   ELSE CAST(pp.nc - pp.nd AS DOUBLE)
+           |    / (sqrt(CAST(n0.v - ta.n1 AS DOUBLE)) * sqrt(CAST(n0.v - tb.n2 AS DOUBLE))) END AS tau_b
+           | FROM pp, ta, tb, n0""".stripMargin.replaceAll("\n", " ")))
+
   /** Windowed term co-occurrence with quantized-log PMI
     * ([[TextAnalysis.termCooccurrence]]): skip-gram pair counts within
     * ±2 positions over the documents corpus, exact counts + in-plan
@@ -7795,6 +7819,7 @@ object StandardQueries {
     "percent_ranks_multi" -> qPercentRanksMulti,
     "spearman_corr" -> qSpearmanCorr,
     "spearman_matrix" -> qSpearmanMatrix,
+    "kendall_tau" -> qKendallTau,
     "term_cooccurrence" -> qTermCooccurrence,
     "stump_agreement" -> qStumpAgreement,
     "streaming_ann" -> qStreamingAnn,

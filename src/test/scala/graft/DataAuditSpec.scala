@@ -256,6 +256,40 @@ class DataAuditSpec extends SparkSpec {
     assert(DataAudit.spearmanCorr(const, "x", "y").collect().head.isNullAt(4))
   }
 
+  test("kendallTau: hand concordance with ties; perfect order; constant side NULL") {
+    import spark.implicits._
+    // pairs (1,1),(2,2),(2,3),(3,1): cells all count 1
+    // unordered cell pairs with both differing: (1,1)-(2,2) C, (1,1)-(2,3) C,
+    // (1,1)-(3,... wait (1,1)-(3,1) tied in b; (2,2)-(3,1) D, (2,3)-(3,1) D
+    // nc=2 nd=2; ties_a: a=2 twice -> 1; ties_b: b=1 twice -> 1; n0=6
+    val d = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 1.0)).toDF("x", "y")
+    val r = DataAudit.kendallTau(d, "x", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 2L, 2L, 1L, 1L)))
+    assert(r.getDouble(5) == 0.0)
+    // perfect monotone, no ties: tau_b = 1 up to the sqrt(X)*sqrt(X) != X
+    // rounding (same note as featureCorrelations)
+    val up = Seq((1.0, 5.0), (2.0, 6.0), (3.0, 9.0)).toDF("x", "y")
+    val ur = DataAudit.kendallTau(up, "x", "y").collect().head
+    assert(ur.getLong(1) == 3L && ur.getLong(2) == 0L)
+    assert(math.abs(ur.getDouble(5) - 1.0) < 1e-12)
+    // constant side: all pairs tied -> NULL
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(DataAudit.kendallTau(const, "x", "y").collect().head.isNullAt(5))
+  }
+
+  test("kendallTau: partitioning-invariant; agrees in sign with spearman on lineitem") {
+    val li = table("lineitem")
+    val a = DataAudit.kendallTau(li, "l_quantity", "l_discount").collect().head
+    val b = DataAudit.kendallTau(li.repartition(23), "l_quantity", "l_discount")
+      .collect().head
+    assert(a.toSeq == b.toSeq)
+    val rho = DataAudit.spearmanCorr(li, "l_quantity", "l_discount")
+      .collect().head.getDouble(4)
+    val tau = a.getDouble(5)
+    assert(tau == 0.0 || rho == 0.0 || tau.sign == rho.sign)
+  }
+
   test("spearmanCorr: partitioning-invariant on lineitem (exact integer stats)") {
     val li = table("lineitem")
     val a = DataAudit.spearmanCorr(li, "l_quantity", "l_extendedprice")
