@@ -451,6 +451,43 @@ object DataAudit {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** Mutual information between two categorical columns with the
+    * QUANTIZED-LOG exactness bridge — the information-theoretic
+    * feature↔label association the χ² keyword scorer approximates:
+    * every pointwise term `floor(1e6 · ln(c_xy·n / (c_x·c_y)))` is an
+    * integer computed IN-PLAN (the NB/LM/PMI bridge), weighted by the
+    * exact BIGINT cell count and summed as integers — so the statistic
+    * is partitioning-invariant and replays in SQL bit-for-bit;
+    * `mi_nats = (mi_q/1e6)/n` recovers the nats estimate within
+    * quantization (≤ 1e-6 per pooled pair). Complete-case; cells with
+    * c ≥ 1 only (0·ln0 terms are absent by construction).
+    *
+    * Scale shape: ONE `groupBy(a, b)` joint-histogram exchange
+    * (bounded by the category product), marginals as bounded
+    * aggregates of the CHECKPOINTED joint table (one corpus scan), a
+    * broadcast 1-row total, one final aggregate. */
+  def mutualInformation(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val joint = df.select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .filter(F.col("__a").isNotNull && F.col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val ca = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
+    val cb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
+    val tot = joint.agg(F.sum("__c").as("__n"))
+    joint.join(ca, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(F.broadcast(tot))
+      .agg(F.max("__n").as("n"),
+        F.sum(F.col("__c") *
+          F.floor(F.lit(1000000.0) *
+            F.log((F.col("__c") * F.col("__n")).cast("double") /
+              (F.col("__ca") * F.col("__cb")).cast("double"))).cast("long"))
+          .as("mi_q"))
+      .select(F.col("n"), F.col("mi_q"),
+        ((F.col("mi_q").cast("double") / F.lit(1000000.0)) /
+          F.col("n").cast("double")).as("mi_nats"))
+  }
+
   /** EXACT Kendall τ-b — the third rank-association member
     * ([[featureCorrelations]] linear, [[spearmanCorr]] monotone-by-
     * midrank, this one concordance-based): concordant/discordant pair

@@ -7471,6 +7471,63 @@ object StandardQueries {
            |   CAST(sac AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) FROM s
            | ORDER BY f1, f2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Quantized-log mutual information
+    * ([[DataAudit.mutualInformation]]) between return flag and line
+    * status: every pointwise term an in-plan floor(1e6·ln) integer
+    * weighted by the exact cell count — the information-theoretic
+    * feature↔label association, partitioning-invariant. */
+  private def qFeatureMutualInfo = Q(
+    (s, dir) => graft.analysis.DataAudit.mutualInformation(
+      t(s, dir, "lineitem"), F.col("l_returnflag"), F.col("l_linestatus")),
+    Some("""WITH j AS (SELECT l_returnflag AS a, l_linestatus AS b, CAST(count(*) AS BIGINT) AS c
+           |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+           | ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY 1),
+           | cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY 1),
+           | tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+           | q AS (SELECT j.c, CAST(floor(1000000.0 * ln(CAST(j.c * tt.n AS DOUBLE) / CAST(ca.ca * cb.cb AS DOUBLE))) AS BIGINT) AS pq, tt.n
+           |  FROM j JOIN ca ON ca.a = j.a JOIN cb ON cb.b = j.b CROSS JOIN tt)
+           | SELECT max(n) AS n, CAST(sum(c * pq) AS BIGINT) AS mi_q,
+           |  (CAST(sum(c * pq) AS DOUBLE) / 1000000.0) / CAST(max(n) AS DOUBLE) AS mi_nats
+           | FROM q""".stripMargin.replaceAll("\n", " ")))
+
+  /** URL canonicalization ([[graft.pipeline.Urls.normalizeUrl]]): the
+    * web-corpus dedup key — scheme/host case, default ports, fragments,
+    * utm_* tracking params, and query-parameter ORDER all collapse.
+    * Both engines build the identical messy URL from the documents
+    * table (mixed case, :443, unsorted params, utm noise, fragment)
+    * and must normalize it identically, plus the per-host rollup. */
+  private def qUrlCanonicalize = Q(
+    (s, dir) => {
+      val url = F.concat(
+        F.lit("HTTPS://CDN."), F.col("source"), F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"), F.lit("/page?utm_source=feed&b="),
+        F.col("lang"), F.lit("&a=1#frag"))
+      t(s, dir, "documents")
+        .select(F.col("doc_id"), graft.pipeline.Urls.normalizeUrl(url).as("url"),
+          graft.pipeline.Urls.urlHost(url).as("host"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |   'HTTPS://CDN.' || source || '.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR) || '/page?utm_source=feed&b=' || lang || '&a=1#frag' AS url
+           |  FROM documents),
+           | p AS (SELECT doc_id, lower(split_part(url, '://', 1)) AS sch,
+           |   split_part(split_part(url, '://', 2), '#', 1) AS rest FROM u),
+           | p2 AS (SELECT doc_id, sch, split_part(rest, '?', 1) AS pre, split_part(rest, '?', 2) AS qy FROM p),
+           | p3 AS (SELECT doc_id, sch, qy, split_part(pre, '/', 1) AS hp,
+           |   CASE WHEN len(pre) = len(split_part(pre, '/', 1)) THEN '/'
+           |    ELSE substr(pre, len(split_part(pre, '/', 1)) + 1, len(pre)) END AS pth FROM p2),
+           | p4 AS (SELECT doc_id, sch, qy, pth, lower(split_part(hp, ':', 1)) AS host, split_part(hp, ':', 2) AS prt FROM p3),
+           | p5 AS (SELECT doc_id, sch, pth, host, prt,
+           |   array_to_string(list_sort(list_filter(string_split(qy, '&'),
+           |     x -> len(x) > 0 AND NOT regexp_matches(x, '^utm_'))), '&') AS q2 FROM p4)
+           | SELECT doc_id,
+           |  sch || '://' || host ||
+           |  CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443') OR (sch = 'http' AND prt = '80'))
+           |   THEN ':' || prt ELSE '' END || pth ||
+           |  CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url,
+           |  host
+           | FROM p5 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Exact Kendall τ-b ([[DataAudit.kendallTau]]) of quantity vs
     * discount: concordant/discordant counts from the bounded joint
     * histogram (550 cells — never row pairs), tie-corrected, every
@@ -7820,6 +7877,8 @@ object StandardQueries {
     "spearman_corr" -> qSpearmanCorr,
     "spearman_matrix" -> qSpearmanMatrix,
     "kendall_tau" -> qKendallTau,
+    "feature_mutual_info" -> qFeatureMutualInfo,
+    "url_canonicalize" -> qUrlCanonicalize,
     "term_cooccurrence" -> qTermCooccurrence,
     "stump_agreement" -> qStumpAgreement,
     "streaming_ann" -> qStreamingAnn,

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** URL canonicalization — the key-normalization step of web-corpus
+  * dedup (CommonCrawl-style pipelines dedup by canonical URL before
+  * ever touching content): scheme/host lowercased, default ports
+  * dropped (https:443, http:80), fragments stripped, empty path
+  * normalized to `/`, tracking parameters (`utm_*`) removed, and the
+  * remaining query parameters SORTED — so `?b=2&a=1` and `?a=1&b=2`
+  * collide, which is the point.
+  *
+  * Pure codegen'd string expressions (split_part/filter/sort_array) —
+  * map-only, no UDF, one scan at any corpus size — and every step has
+  * an identical DuckDB spelling, so canonicalization is oracle-checked
+  * end to end (`url_canonicalize`). Single-`?` URLs assumed (split_part
+  * semantics, same in both engines). */
+object Urls {
+
+  def normalizeUrl(url: Column): Column = {
+    val scheme = F.lower(F.split_part(url, F.lit("://"), F.lit(1)))
+    val rest = F.split_part(F.split_part(url, F.lit("://"), F.lit(2)),
+      F.lit("#"), F.lit(1))
+    val pre = F.split_part(rest, F.lit("?"), F.lit(1))
+    val query = F.split_part(rest, F.lit("?"), F.lit(2))
+    val hostport = F.split_part(pre, F.lit("/"), F.lit(1))
+    val path = F.when(F.length(pre) === F.length(hostport), F.lit("/"))
+      .otherwise(pre.substr(F.length(hostport) + 1, F.length(pre)))
+    val host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    val port = F.split_part(hostport, F.lit(":"), F.lit(2))
+    val keepPort = (port =!= "") &&
+      !((scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"))
+    val params = F.filter(F.split(query, "&"),
+      p => F.length(p) > 0 && !p.rlike("^utm_"))
+    val q2 = F.array_join(F.sort_array(params), "&")
+    F.concat(scheme, F.lit("://"), host,
+      F.when(keepPort, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+      path,
+      F.when(q2 === "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)))
+  }
+
+  /** The canonical host alone — the per-site rollup key. */
+  def urlHost(url: Column): Column = {
+    val rest = F.split_part(F.split_part(url, F.lit("://"), F.lit(2)),
+      F.lit("#"), F.lit(1))
+    val pre = F.split_part(rest, F.lit("?"), F.lit(1))
+    F.lower(F.split_part(F.split_part(pre, F.lit("/"), F.lit(1)),
+      F.lit(":"), F.lit(1)))
+  }
+}

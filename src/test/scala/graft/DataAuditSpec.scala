@@ -278,6 +278,25 @@ class DataAuditSpec extends SparkSpec {
     assert(DataAudit.kendallTau(const, "x", "y").collect().head.isNullAt(5))
   }
 
+  test("mutualInformation: zero for exact independence, positive for dependence, NULL drop") {
+    import spark.implicits._
+    // exactly independent 2x2 (all cells equal): every pmi term is
+    // floor(1e6 * ln(1)) = 0, so mi_q is EXACTLY 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "v")
+    val ir = DataAudit.mutualInformation(ind, F.col("u"), F.col("v")).collect().head
+    assert((ir.getLong(0), ir.getLong(1)) == ((4L, 0L)) && ir.getDouble(2) == 0.0)
+    // perfect dependence on 2 symbols: MI = ln 2 nats (quantized)
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("u", "v")
+    val dr = DataAudit.mutualInformation(dep, F.col("u"), F.col("v")).collect().head
+    assert(dr.getLong(1) == 4L * math.floor(1e6 * math.log(2.0)).toLong)
+    assert(math.abs(dr.getDouble(2) - math.log(2.0)) < 1e-5)
+    // NULLs are complete-case dropped
+    val dirty = Seq((Some("a"), Some("x")), (None, Some("x")),
+      (Some("a"), None)).toDF("u", "v")
+    assert(DataAudit.mutualInformation(dirty, F.col("u"), F.col("v"))
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("kendallTau: partitioning-invariant; agrees in sign with spearman on lineitem") {
     val li = table("lineitem")
     val a = DataAudit.kendallTau(li, "l_quantity", "l_discount").collect().head
