@@ -110,7 +110,8 @@ object ScaleProbe {
     "bpe_train_fast", "token_counts_bpe", "mixture_weights_bpe",
     "kmeans_assign_join", "percent_ranks_multi",
     "roc_auc", "roc_curve", "segmented_roc_auc", "ls_boost_auc",
-    "term_cooccurrence", "drift_rank_sum", "kendall_tau")
+    "term_cooccurrence", "drift_rank_sum", "kendall_tau",
+    "feature_mutual_info", "url_canonicalize")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
