@@ -488,6 +488,56 @@ object DataAudit {
           F.col("n").cast("double")).as("mi_nats"))
   }
 
+  /** Cramér's V — the NORMALIZED categorical-association audit
+    * ([[mutualInformation]]'s χ² sibling, bounded to [0,1] so it
+    * compares across tables of different shapes): χ² from the joint
+    * histogram via the zero-cell-free identity
+    * `χ² = Σ_observed n·o²/(r·s) − n` (absent cells contribute 0 to
+    * Σo²/e, so the observed cells suffice), each term quantized
+    * IN-PLAN as `floor(1e6 · (n·(o·o) / (r·s)))` with the integer
+    * products `o·o` and `r·s` BIGINT-exact (ANSI — loud past 2⁶³,
+    * holds to ~3e9 rows) and ONE fixed IEEE division — so `chi2_q`
+    * sums as integers, partitioning-invariant, and the statistic
+    * replays in SQL bit-for-bit. `V = √(χ²/(n·(min(R,C)−1)))`, one
+    * IEEE tree; NULL when either side is constant (min(R,C)=1); χ² is
+    * clamped at 0 (floor-quantization can push a true-zero χ²
+    * epsilon-negative). Complete-case.
+    *
+    * Scale shape: identical to [[mutualInformation]] — ONE
+    * `groupBy(a, b)` joint-histogram exchange bounded by the category
+    * product, marginals off the CHECKPOINTED joint (one corpus scan),
+    * a broadcast 1-row total, one final aggregate. */
+  def cramersV(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val joint = df.select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .filter(F.col("__a").isNotNull && F.col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val ca = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
+    val cb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
+    val tot = joint.agg(F.sum("__c").as("__n"),
+      F.count_distinct(F.col("__a")).as("__r"),
+      F.count_distinct(F.col("__b")).as("__s"))
+    val chi2 = (F.col("chi2_q").cast("double") / F.lit(1000000.0)) -
+      F.col("n").cast("double")
+    val dof = F.col("n") * (F.least(F.col("r_levels"), F.col("c_levels")) - F.lit(1L))
+    joint.join(ca, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(F.broadcast(tot))
+      .agg(F.max("__n").as("n"),
+        F.max("__r").as("r_levels"),
+        F.max("__s").as("c_levels"),
+        F.sum(F.floor(F.lit(1000000.0) *
+          (F.col("__n").cast("double") * (F.col("__c") * F.col("__c")).cast("double") /
+            (F.col("__ca") * F.col("__cb")).cast("double"))).cast("long"))
+          .as("chi2_q"))
+      .select(F.col("n"), F.col("r_levels"), F.col("c_levels"), F.col("chi2_q"),
+        F.greatest(chi2, F.lit(0.0)).as("chi2"),
+        F.when(F.least(F.col("r_levels"), F.col("c_levels")) === 1L,
+            F.lit(null).cast("double"))
+          .otherwise(F.sqrt(F.greatest(chi2, F.lit(0.0)) / dof.cast("double")))
+          .as("cramers_v"))
+  }
+
   /** EXACT Kendall τ-b — the third rank-association member
     * ([[featureCorrelations]] linear, [[spearmanCorr]] monotone-by-
     * midrank, this one concordance-based): concordant/discordant pair

@@ -6293,6 +6293,67 @@ object StandardQueries {
             |    / CAST(sum(n_chars) AS DOUBLE) AS boiler_share
             | FROM blk GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")))
 
+  /** Numeric HTML character references
+    * ([[graft.functions.HtmlEntities.decodeNumericEntities]] +
+    * [[HtmlExtract.visibleText]]): both engines build the same hostile
+    * fragment — decimal/hex/uppercase-X forms, a per-row varying code,
+    * astral-plane, the `&amp;#39;` double-decode trap, and every
+    * invalid shape (code 0, surrogate, out-of-range, digit-cap
+    * overflow, missing semicolon) — and must decode it identically,
+    * raw (`dec_raw`) and through the full extraction chain (`text`).
+    * The Spark side is ONE native codegen'd pass; the oracle replays
+    * the contract with split-on-`&#` + anchored regex + `chr`. */
+  private def qHtmlNumericEntities = Q(
+    (s, dir) => {
+      val frag = F.concat(
+        F.lit("<p>A&#39;B &#x2019; &#X2019; c&#169;d &#x1F600; &#128512; "),
+        F.lit("&#0; &#xD800; &#55296; &#1114112; &#x0010FFFF; &#00000039; "),
+        F.lit("&#12 &#x1F &#; x&#"),
+        (F.col("doc_id") % 10 + 33).cast("string"),
+        F.lit("; &amp;#39; &#1114111;</p>"))
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.functions.HtmlEntities.decodeNumericEntities(frag).as("dec_raw"),
+          HtmlExtract.visibleText(frag).as("text"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |   '<p>A&#39;B &#x2019; &#X2019; c&#169;d &#x1F600; &#128512; '
+           |   || '&#0; &#xD800; &#55296; &#1114112; &#x0010FFFF; &#00000039; '
+           |   || '&#12 &#x1F &#; x&#' || CAST(doc_id % 10 + 33 AS VARCHAR)
+           |   || '; &amp;#39; &#1114111;</p>' AS frag FROM documents),
+           | strip AS (SELECT doc_id, frag, regexp_replace(frag, '<[^>]*>', ' ', 'g') AS st FROM u),
+           | dec AS (SELECT doc_id, frag,
+           |   list_aggregate(list_transform(string_split(frag, '&#'), (e, i) ->
+           |    CASE WHEN i = 1 THEN e
+           |     WHEN regexp_matches(e, '^[0-9]{1,7};')
+           |      AND CAST(regexp_extract(e, '^([0-9]{1,7});', 1) AS BIGINT) BETWEEN 1 AND 1114111
+           |      AND NOT (CAST(regexp_extract(e, '^([0-9]{1,7});', 1) AS BIGINT) BETWEEN 55296 AND 57343)
+           |     THEN chr(CAST(regexp_extract(e, '^([0-9]{1,7});', 1) AS INT)) || regexp_replace(e, '^[0-9]{1,7};', '')
+           |     WHEN regexp_matches(e, '^[xX][0-9a-fA-F]{1,6};')
+           |      AND CAST('0x' || regexp_extract(e, '^[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT) BETWEEN 1 AND 1114111
+           |      AND NOT (CAST('0x' || regexp_extract(e, '^[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT) BETWEEN 55296 AND 57343)
+           |     THEN chr(CAST('0x' || regexp_extract(e, '^[xX]([0-9a-fA-F]{1,6});', 1) AS INT)) || regexp_replace(e, '^[xX][0-9a-fA-F]{1,6};', '')
+           |     ELSE '&#' || e END), 'string_agg', '') AS dec_raw,
+           |   list_aggregate(list_transform(string_split(st, '&#'), (e, i) ->
+           |    CASE WHEN i = 1 THEN e
+           |     WHEN regexp_matches(e, '^[0-9]{1,7};')
+           |      AND CAST(regexp_extract(e, '^([0-9]{1,7});', 1) AS BIGINT) BETWEEN 1 AND 1114111
+           |      AND NOT (CAST(regexp_extract(e, '^([0-9]{1,7});', 1) AS BIGINT) BETWEEN 55296 AND 57343)
+           |     THEN chr(CAST(regexp_extract(e, '^([0-9]{1,7});', 1) AS INT)) || regexp_replace(e, '^[0-9]{1,7};', '')
+           |     WHEN regexp_matches(e, '^[xX][0-9a-fA-F]{1,6};')
+           |      AND CAST('0x' || regexp_extract(e, '^[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT) BETWEEN 1 AND 1114111
+           |      AND NOT (CAST('0x' || regexp_extract(e, '^[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT) BETWEEN 55296 AND 57343)
+           |     THEN chr(CAST('0x' || regexp_extract(e, '^[xX]([0-9a-fA-F]{1,6});', 1) AS INT)) || regexp_replace(e, '^[xX][0-9a-fA-F]{1,6};', '')
+           |     ELSE '&#' || e END), 'string_agg', '') AS numdec
+           |  FROM strip)
+           | SELECT doc_id, dec_raw,
+           |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+           |    numdec,
+           |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           |    '\s+', ' ', 'g')) AS text
+           | FROM dec ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** PRODUCTION-VOCABULARY BPE encoding
     * ([[TextAnalysis.bpeSegmentNative]], the native
     * [[graft.functions.BpeEncodeTokens]] expression): train the same 3
@@ -7490,6 +7551,87 @@ object StandardQueries {
            |  (CAST(sum(c * pq) AS DOUBLE) / 1000000.0) / CAST(max(n) AS DOUBLE) AS mi_nats
            | FROM q""".stripMargin.replaceAll("\n", " ")))
 
+  /** Cramér's V ([[DataAudit.cramersV]]) between order status and
+    * order priority: χ² from the joint histogram via the zero-cell-free
+    * `Σ n·o²/(r·s) − n` identity, every term an in-plan floor(1e6·x)
+    * integer — the NORMALIZED categorical association, bounded [0,1]
+    * across table shapes where raw χ² is not. */
+  private def qCramersV = Q(
+    (s, dir) => graft.analysis.DataAudit.cramersV(
+      t(s, dir, "orders"), F.col("o_orderstatus"), F.col("o_orderpriority")),
+    Some("""WITH j AS (SELECT o_orderstatus AS a, o_orderpriority AS b, CAST(count(*) AS BIGINT) AS c
+           |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1, 2),
+           | ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY 1),
+           | cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY 1),
+           | tt AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(DISTINCT a) AS BIGINT) AS r,
+           |   CAST(count(DISTINCT b) AS BIGINT) AS s FROM j),
+           | q AS (SELECT max(tt.n) AS n, max(tt.r) AS r_levels, max(tt.s) AS c_levels,
+           |   CAST(sum(CAST(floor(1000000.0 * (CAST(tt.n AS DOUBLE) * CAST(j.c * j.c AS DOUBLE)
+           |     / CAST(ca.ca * cb.cb AS DOUBLE))) AS BIGINT)) AS BIGINT) AS chi2_q
+           |  FROM j JOIN ca ON ca.a = j.a JOIN cb ON cb.b = j.b CROSS JOIN tt)
+           | SELECT n, r_levels, c_levels, chi2_q,
+           |  greatest(CAST(chi2_q AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE), 0.0) AS chi2,
+           |  CASE WHEN least(r_levels, c_levels) = 1 THEN NULL
+           |   ELSE sqrt(greatest(CAST(chi2_q AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE), 0.0)
+           |     / CAST(n * (least(r_levels, c_levels) - 1) AS DOUBLE)) END AS cramers_v
+           | FROM q""".stripMargin.replaceAll("\n", " ")))
+
+  /** Blocked edit-distance fuzzy duplicate pairs
+    * ([[graft.pipeline.FuzzyDedup.fuzzyPairs]]): the record-linkage
+    * tier between exact dedup and MinHash — both engines build the
+    * same noisy fixture (every 5th part name plus a deterministic
+    * delete-3rd-char typo variant), block on the 2-char lowercase
+    * prefix, length-band prefilter, exact Levenshtein ≤ 1. Catches
+    * both the planted typos (dist 1) and the generator's exact name
+    * collisions (dist 0). */
+  private def qFuzzyPairs = Q(
+    (s, dir) => {
+      val src = t(s, dir, "part").filter(F.col("p_partkey") % 5 === 0)
+        .select(F.col("p_partkey"), F.lower(F.col("p_name")).as("nm"))
+      val u = src.select(F.col("p_partkey").as("id"), F.col("nm").as("s"))
+        .unionAll(src.select((F.col("p_partkey") + 1000000L).as("id"),
+          F.concat(F.substring(F.col("nm"), 1, 2),
+            F.expr("substring(nm, 4)")).as("s")))
+      graft.pipeline.FuzzyDedup.fuzzyPairs(u, "id", "s", maxDist = 1)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH src AS (SELECT p_partkey, lower(p_name) AS nm FROM part WHERE p_partkey % 5 = 0),
+           | u AS (SELECT p_partkey AS id, nm AS s FROM src
+           |  UNION ALL
+           |  SELECT p_partkey + 1000000, substr(nm, 1, 2) || substr(nm, 4) FROM src),
+           | b AS (SELECT id, s, substr(s, 1, 2) AS blk, CAST(len(s) AS BIGINT) AS l FROM u)
+           | SELECT x.id AS id1, y.id AS id2, x.s AS s1, y.s AS s2,
+           |   CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+           | FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id AND abs(x.l - y.l) <= 1
+           | WHERE levenshtein(x.s, y.s) <= 1
+           | ORDER BY id1, id2""".stripMargin.replaceAll("\n", " ")))
+
+  /** Greedy keep-min-id fuzzy dedup
+    * ([[graft.pipeline.FuzzyDedup.dedupApply]]) over the same noisy
+    * fixture: every row with ANY ≤-1-edit match at a smaller id drops
+    * (the exact-dedup keep-first rule, no transitive closure). */
+  private def qFuzzyDedupApply = Q(
+    (s, dir) => {
+      val src = t(s, dir, "part").filter(F.col("p_partkey") % 5 === 0)
+        .select(F.col("p_partkey"), F.lower(F.col("p_name")).as("nm"))
+      val u = src.select(F.col("p_partkey").as("id"), F.col("nm").as("s"))
+        .unionAll(src.select((F.col("p_partkey") + 1000000L).as("id"),
+          F.concat(F.substring(F.col("nm"), 1, 2),
+            F.expr("substring(nm, 4)")).as("s")))
+      graft.pipeline.FuzzyDedup.dedupApply(u, "id", "s", maxDist = 1)
+        .orderBy("id")
+    },
+    Some("""WITH src AS (SELECT p_partkey, lower(p_name) AS nm FROM part WHERE p_partkey % 5 = 0),
+           | u AS (SELECT p_partkey AS id, nm AS s FROM src
+           |  UNION ALL
+           |  SELECT p_partkey + 1000000, substr(nm, 1, 2) || substr(nm, 4) FROM src),
+           | b AS (SELECT id, s, substr(s, 1, 2) AS blk, CAST(len(s) AS BIGINT) AS l FROM u),
+           | losers AS (SELECT DISTINCT y.id AS id2
+           |  FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id AND abs(x.l - y.l) <= 1
+           |  WHERE levenshtein(x.s, y.s) <= 1)
+           | SELECT id, s FROM u WHERE id NOT IN (SELECT id2 FROM losers)
+           | ORDER BY id""".stripMargin.replaceAll("\n", " ")))
+
   /** URL canonicalization ([[graft.pipeline.Urls.normalizeUrl]]): the
     * web-corpus dedup key — scheme/host case, default ports, fragments,
     * utm_* tracking params, and query-parameter ORDER all collapse.
@@ -7882,6 +8024,10 @@ object StandardQueries {
     "term_cooccurrence" -> qTermCooccurrence,
     "stump_agreement" -> qStumpAgreement,
     "streaming_ann" -> qStreamingAnn,
+    "html_numeric_entities" -> qHtmlNumericEntities,
+    "cramers_v" -> qCramersV,
+    "fuzzy_pairs" -> qFuzzyPairs,
+    "fuzzy_dedup_apply" -> qFuzzyDedupApply,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

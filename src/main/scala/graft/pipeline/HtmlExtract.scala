@@ -51,11 +51,18 @@ object HtmlExtract {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
     "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: never double-decode
 
-  /** Visible text of an HTML fragment: strip tags to spaces, decode the
-    * frozen entity set, collapse whitespace, trim. */
+  /** Visible text of an HTML fragment: strip tags to spaces, decode
+    * numeric character references (`&#NN;`/`&#xNN;` — one native pass,
+    * [[graft.functions.DecodeNumericEntities]]), decode the frozen
+    * named-entity set, collapse whitespace, trim. Numeric decode runs
+    * FIRST so `&amp;#39;` yields the literal `&#39;` (the `&amp;`
+    * replace cannot manufacture a decodable numeric form afterwards —
+    * named entities decode to single non-`&#` characters except
+    * `&amp;`→`&`, which runs last and is never rescanned). */
   def visibleText(html: Column): Column = {
     val stripped = F.regexp_replace(html, "<[^>]*>", " ")
-    val decoded = entities.foldLeft(stripped) { case (c, (e, ch)) =>
+    val numeric = graft.functions.HtmlEntities.decodeNumericEntities(stripped)
+    val decoded = entities.foldLeft(numeric) { case (c, (e, ch)) =>
       F.replace(c, F.lit(e), F.lit(ch))
     }
     F.trim(F.regexp_replace(decoded, "\\s+", " "))

@@ -318,4 +318,34 @@ class DataAuditSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(math.abs(a.getDouble(4)) < 1.0 && a.getLong(0) > 0)
   }
+
+  test("cramersV: perfect association gives 1, exact independence gives 0") {
+    import spark.implicits._
+    // perfect: a == b. chi2 = 5·4/4 + 5·9/9 − 5 = 5; V = √(5/(5·1)) = 1
+    val perfect = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val p = DataAudit.cramersV(perfect, F.col("a"), F.col("b")).collect().head
+    assert(p.getLong(0) == 5L && p.getLong(1) == 2L && p.getLong(2) == 2L)
+    assert(p.getDouble(4) == 5.0 && p.getDouble(5) == 1.0)
+    // independence: uniform 2×2, every cell term floor(1e6·1.0) = 1e6 → chi2 = 0
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = DataAudit.cramersV(indep, F.col("a"), F.col("b")).collect().head
+    assert(i.getDouble(4) == 0.0 && i.getDouble(5) == 0.0)
+  }
+
+  test("cramersV: complete-case NULL drop; constant side gives NULL V; invariance") {
+    import spark.implicits._
+    val df = Seq((Some("x"), Some("u")), (Some("x"), None), (None, Some("v")),
+      (Some("y"), Some("u"))).toDF("a", "b")
+    val r = DataAudit.cramersV(df, F.col("a"), F.col("b")).collect().head
+    assert(r.getLong(0) == 2L) // only (x,u) and (y,u) survive
+    assert(r.isNullAt(5))      // b is constant over the complete cases
+    val ord = table("orders")
+    val one = DataAudit.cramersV(ord, F.col("o_orderstatus"), F.col("o_orderpriority"))
+      .collect().head
+    val two = DataAudit.cramersV(ord.repartition(17), F.col("o_orderstatus"),
+      F.col("o_orderpriority")).collect().head
+    assert(one.toSeq == two.toSeq)
+    assert(one.getDouble(5) >= 0.0 && one.getDouble(5) <= 1.0)
+  }
 }

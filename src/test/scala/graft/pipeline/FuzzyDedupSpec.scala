@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class FuzzyDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(rows: Seq[(Long, String)], maxDist: Int = 1,
+      prefixLen: Int = 2, cap: Option[Int] = None) =
+    FuzzyDedup.fuzzyPairs(rows.toDF("id", "s"), "id", "s", maxDist, prefixLen, cap)
+      .orderBy("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+
+  test("pairs within a block at <= maxDist; id1 < id2; exact dups are dist 0") {
+    val got = pairsOf(Seq(1L -> "apple", 2L -> "appl", 3L -> "apply",
+      4L -> "apple", 5L -> "orange"))
+    // apple~appl (del), apple~apply (sub), appl~apply (ins),
+    // apple~apple dist 0, appl/apply vs second apple symmetric
+    assert(got.toSet == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 0L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
+  test("blocking: a typo inside the prefix is missed (documented recall cut)") {
+    assert(pairsOf(Seq(1L -> "kitten", 2L -> "sitten")).isEmpty)
+    // same pair under a 1-char block IS found (multi-pass blocking hook)
+    assert(pairsOf(Seq(1L -> "kitten", 2L -> "kittex")).toSet == Set((1L, 2L, 1L)))
+  }
+
+  test("length band: len diff beyond maxDist never reaches levenshtein") {
+    assert(pairsOf(Seq(1L -> "ab", 2L -> "abcd")).isEmpty)
+    // within band but above threshold: excluded by the -1 sentinel
+    assert(pairsOf(Seq(1L -> "abcx", 2L -> "abyz")).isEmpty)
+  }
+
+  test("maxBlockSize skips oversized blocks deterministically") {
+    val rows = Seq(1L -> "aaa", 2L -> "aab", 3L -> "aac", // block "aa" size 3
+      10L -> "zzz", 11L -> "zzx") // block "zz" size 2
+    assert(pairsOf(rows, cap = Some(2)).toSet == Set((10L, 11L, 1L)))
+    assert(pairsOf(rows, cap = Some(3)).size == 4) // all 3 aa-pairs + zz pair
+  }
+
+  test("NULL strings drop; case-insensitive block, case-sensitive distance") {
+    val got = pairsOf(Seq(1L -> "Apple", 2L -> "apple", 3L -> null))
+    // block lower("Ap") == "ap"; levenshtein("Apple","apple") = 1
+    assert(got.toSet == Set((1L, 2L, 1L)))
+  }
+
+  test("dedupApply: any smaller-id match drops the row; chains drop both followers") {
+    // a~b (1 edit), b~c (1 edit), a~c (2 edits): b and c both drop
+    val df = Seq(1L -> "abcde", 2L -> "abcdx", 3L -> "abcxx", 9L -> "unrelated")
+      .toDF("id", "s")
+    val kept = FuzzyDedup.dedupApply(df, "id", "s", maxDist = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+}

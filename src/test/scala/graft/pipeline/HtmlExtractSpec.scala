@@ -108,4 +108,51 @@ class HtmlExtractSpec extends SparkSpec {
     val rows = HtmlExtract.blocks(df, "html", Seq("doc_id", "source")).collect()
     assert(rows.head.getAs[String]("source") == "web")
   }
+
+  private def decodeOne(s: String): String =
+    Seq(Tuple1(s)).toDF("s")
+      .select(graft.functions.HtmlEntities.decodeNumericEntities(F.col("s")))
+      .head().getString(0)
+
+  test("numeric character references: decimal, hex, case, and per-form digit caps") {
+    assert(decodeOne("A&#39;B") == "A'B")
+    assert(decodeOne("q&#8217;s &#x2019; &#X2019;") == "q’s ’ ’")
+    assert(decodeOne("&#169;&#xA9;") == "©©")
+    // astral plane: appendCodePoint must emit the surrogate pair
+    assert(decodeOne("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(decodeOne("&#128512;") == new String(Character.toChars(128512)))
+    // maximal-run rule: an 8-digit run never decodes even if a ';' follows
+    assert(decodeOne("&#00000039;") == "&#00000039;")
+    assert(decodeOne("&#x0010FFFF;") == "&#x0010FFFF;")
+    // 7 decimal digits / 6 hex digits are the caps and do decode
+    assert(decodeOne("&#1114111;") == new String(Character.toChars(0x10FFFF)))
+    assert(decodeOne("&#x10FFFF;") == new String(Character.toChars(0x10FFFF)))
+  }
+
+  test("numeric character references: invalid forms stay literal") {
+    for (s <- Seq("&#0;", "&#xD800;", "&#xDFFF;", "&#55296;", "&#1114112;",
+        "&#;", "&#x;", "&#12", "&#x1F", "&# 39;", "&#-5;", "tail&#"))
+      assert(decodeOne(s) == s, s)
+    // adjacent and overlapping starts
+    assert(decodeOne("&#&#39;") == "&#'")
+    assert(decodeOne("&&#38;") == "&&")
+  }
+
+  test("visibleText: numeric decode runs before named entities (no double decode)") {
+    val rows = blocksOf("<p>one two three four five six seven eight nine " +
+      "&amp;#39; q&#8217;s &#x2019;</p>")
+    // &amp;#39; -> literal "&#39;" (the numeric pass sees no "&#" there;
+    // &amp; decodes LAST); raw numeric forms decode to the curly quote
+    assert(rows.head.getAs[String]("text") ==
+      "one two three four five six seven eight nine &#39; q’s ’")
+  }
+
+  test("decodeNumericEntities: null passes through, no-entity string unchanged") {
+    val out = Seq(Tuple1(null.asInstanceOf[String]), Tuple1("plain text"))
+      .toDF("s")
+      .select(graft.functions.HtmlEntities.decodeNumericEntities(F.col("s")).as("d"))
+      .collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getString(0) == "plain text")
+  }
 }
