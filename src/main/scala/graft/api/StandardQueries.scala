@@ -7632,6 +7632,68 @@ object StandardQueries {
            | SELECT id, s FROM u WHERE id NOT IN (SELECT id2 FROM losers)
            | ORDER BY id""".stripMargin.replaceAll("\n", " ")))
 
+  /** Shared DuckDB CTE chain for the DSIR family: tokenize raw
+    * (source ≠ src0) and target (source = src0) corpora, build the
+    * add-1-smoothed shared-vocabulary unigram models, quantize each
+    * per-token log importance ratio as floor(1e6·ln(exact BIGINT
+    * fraction)), and sum per document. */
+  private def dsirSqlCtes: String =
+    """WITH tr AS (SELECT doc_id AS id,
+      |   unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS w
+      |  FROM documents WHERE source <> 'src0'),
+      | tt AS (SELECT
+      |   unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS w
+      |  FROM documents WHERE source = 'src0'),
+      | cr AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM tr GROUP BY 1),
+      | ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tt GROUP BY 1),
+      | vo AS (SELECT coalesce(cr.w, ct.w) AS w, coalesce(cr.cr, 0) AS cr, coalesce(ct.ct, 0) AS ct
+      |  FROM cr FULL OUTER JOIN ct ON cr.w = ct.w),
+      | tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+      |   CAST(count(*) AS BIGINT) AS v FROM vo),
+      | lr AS (SELECT w, CAST(floor(1000000.0 * ln(CAST((ct + 1) * (nr + v) AS DOUBLE)
+      |     / CAST((cr + 1) * (nt + v) AS DOUBLE))) AS BIGINT) AS lr_q
+      |  FROM vo CROSS JOIN tot),
+      | dw AS (SELECT tr.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |   CAST(sum(lr.lr_q) AS BIGINT) AS weight_q
+      |  FROM tr JOIN lr ON lr.w = tr.w GROUP BY 1)""".stripMargin.replaceAll("\n", " ")
+
+  /** DSIR importance weights ([[graft.pipeline.Dsir.importanceWeights]],
+    * Xie et al. NeurIPS 2023): every raw document (source ≠ src0)
+    * scored toward the target corpus (source = src0) by the exact
+    * integer sum of quantized per-token log importance ratios under
+    * add-1-smoothed shared-vocabulary unigram models — the
+    * data-selection pass that skims a crawl toward a quality target,
+    * partitioning-invariant via the floor(1e6·ln) bridge. */
+  private def qDsirWeights = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Dsir.importanceWeights(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""$dsirSqlCtes
+            | SELECT doc_id, n_tokens, weight_q,
+            |  (CAST(weight_q AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE) AS nats_per_token
+            | FROM dw ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** DSIR selection ([[graft.pipeline.Dsir.selectTopK]]): the 50 most
+    * target-like raw documents by length-normalized importance weight,
+    * id tie-break — a top-k plan (TakeOrderedAndProject), never a
+    * global sort. */
+  private def qDsirSelect = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Dsir.selectTopK(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"), "text", "doc_id", 50)
+    },
+    Some(s"""$dsirSqlCtes
+            | SELECT doc_id, n_tokens, weight_q,
+            |  (CAST(weight_q AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE) AS nats_per_token
+            | FROM dw
+            | ORDER BY nats_per_token DESC, doc_id LIMIT 50""".stripMargin.replaceAll("\n", " ")))
+
   /** URL canonicalization ([[graft.pipeline.Urls.normalizeUrl]]): the
     * web-corpus dedup key — scheme/host case, default ports, fragments,
     * utm_* tracking params, and query-parameter ORDER all collapse.
@@ -8028,6 +8090,8 @@ object StandardQueries {
     "cramers_v" -> qCramersV,
     "fuzzy_pairs" -> qFuzzyPairs,
     "fuzzy_dedup_apply" -> qFuzzyDedupApply,
+    "dsir_weights" -> qDsirWeights,
+    "dsir_select" -> qDsirSelect,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
