@@ -538,6 +538,53 @@ object DataAudit {
           .as("cramers_v"))
   }
 
+  /** Theil's U (uncertainty coefficient) — the ASYMMETRIC member of
+    * the categorical-association family ([[cramersV]] is symmetric
+    * strength, [[mutualInformation]] is raw nats; this one answers
+    * "what fraction of X's entropy does knowing Y remove", direction
+    * by direction — the feature-selection readout for a categorical
+    * label): `U(a|b) = I(a;b)/H(a)`, `U(b|a) = I(a;b)/H(b)`. Both the
+    * mutual information and the marginal entropies use the
+    * quantized-log bridge — `mi_q = Σ c·floor(1e6·ln(c·n/(cₐ·c_b)))`,
+    * `h_a_q = Σ cₐ·floor(1e6·ln(n/cₐ))` — integer sums of integer
+    * terms, so each U is ONE IEEE division of two exact BIGINTs,
+    * partitioning-invariant, SQL-replayable bit-for-bit. NULL when the
+    * denominator side is constant (zero entropy). Complete-case.
+    *
+    * Scale shape: identical to [[mutualInformation]] — one bounded
+    * joint-histogram exchange, marginals off the CHECKPOINTED joint,
+    * broadcast totals, one final aggregate. */
+  def theilsU(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val joint = df.select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .filter(F.col("__a").isNotNull && F.col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val tot = joint.agg(F.sum("__c").as("__n"))
+    def hq: org.apache.spark.sql.Column =
+      F.sum(F.col("__cm") * F.floor(F.lit(1000000.0) *
+        F.log(F.col("__n").cast("double") / F.col("__cm").cast("double"))).cast("long"))
+    val ha = joint.groupBy("__a").agg(F.sum("__c").as("__cm"))
+      .crossJoin(F.broadcast(tot)).agg(hq.as("h_a_q"))
+    val hb = joint.groupBy("__b").agg(F.sum("__c").as("__cm"))
+      .crossJoin(F.broadcast(tot)).agg(hq.as("h_b_q"))
+    val ca = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
+    val cb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
+    val mi = joint.join(ca, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(F.broadcast(tot))
+      .agg(F.max("__n").as("n"),
+        F.sum(F.col("__c") *
+          F.floor(F.lit(1000000.0) *
+            F.log((F.col("__c") * F.col("__n")).cast("double") /
+              (F.col("__ca") * F.col("__cb")).cast("double"))).cast("long"))
+          .as("mi_q"))
+    def u(h: String) = F.when(F.col(h) === 0L, F.lit(null).cast("double"))
+      .otherwise(F.col("mi_q").cast("double") / F.col(h).cast("double"))
+    mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+      .select(F.col("n"), F.col("mi_q"), F.col("h_a_q"), F.col("h_b_q"),
+        u("h_a_q").as("u_a_given_b"), u("h_b_q").as("u_b_given_a"))
+  }
+
   /** EXACT Kendall τ-b — the third rank-association member
     * ([[featureCorrelations]] linear, [[spearmanCorr]] monotone-by-
     * midrank, this one concordance-based): concordant/discordant pair

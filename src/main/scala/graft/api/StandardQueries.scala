@@ -7632,6 +7632,73 @@ object StandardQueries {
            | SELECT id, s FROM u WHERE id NOT IN (SELECT id2 FROM losers)
            | ORDER BY id""".stripMargin.replaceAll("\n", " ")))
 
+  /** First-order Markov transition matrix
+    * ([[graft.pipeline.Markov.transitions]]) over each user's
+    * time-ordered event stream: exact counts plus the
+    * integer-quantized transition probability `(10⁶·cnt) div rowTotal`
+    * — no float accumulation anywhere in the matrix. */
+  private def qMarkovTransitions = Q(
+    (s, dir) => graft.pipeline.Markov.transitions(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+      .orderBy("prev", "next"),
+    Some("""WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+           | s AS (SELECT event_type AS next,
+           |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+           | t AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt FROM s
+           |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+           | m AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS rt FROM t GROUP BY 1)
+           | SELECT t.prev, t.next, t.cnt, CAST((1000000 * t.cnt) // m.rt AS BIGINT) AS p_q,
+           |  CAST(t.cnt AS DOUBLE) / CAST(m.rt AS DOUBLE) AS p
+           | FROM t JOIN m ON m.prev = t.prev ORDER BY t.prev, t.next""".stripMargin.replaceAll("\n", " ")))
+
+  /** Most-likely next event per state
+    * ([[graft.pipeline.Markov.topNext]]): deterministic argmax by
+    * `(cnt desc, next asc)` over the transition matrix. */
+  private def qMarkovTopNext = Q(
+    (s, dir) => graft.pipeline.Markov.topNext(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+      .orderBy("prev"),
+    Some("""WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+           | s AS (SELECT event_type AS next,
+           |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+           | t AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt FROM s
+           |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+           | m AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS rt FROM t GROUP BY 1),
+           | r AS (SELECT t.prev, t.next, t.cnt,
+           |   CAST((1000000 * t.cnt) // m.rt AS BIGINT) AS p_q,
+           |   CAST(t.cnt AS DOUBLE) / CAST(m.rt AS DOUBLE) AS p,
+           |   row_number() OVER (PARTITION BY t.prev ORDER BY t.cnt DESC, t.next) AS rk
+           |  FROM t JOIN m ON m.prev = t.prev)
+           | SELECT prev, next, cnt, p_q, p FROM r WHERE rk = 1
+           | ORDER BY prev""".stripMargin.replaceAll("\n", " ")))
+
+  /** Theil's U ([[DataAudit.theilsU]]) between document language and
+    * source: the asymmetric "what fraction of lang's entropy does
+    * knowing source remove" readout, both directions — mutual
+    * information and marginal entropies all integer sums of quantized
+    * logs, each U one IEEE division of exact BIGINTs. */
+  private def qTheilsU = Q(
+    (s, dir) => graft.analysis.DataAudit.theilsU(
+      t(s, dir, "documents"), F.col("lang"), F.col("source")),
+    Some("""WITH j AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+           | tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+           | ha AS (SELECT CAST(sum(cm * CAST(floor(1000000.0 * ln(CAST(tt.n AS DOUBLE) / CAST(cm AS DOUBLE))) AS BIGINT)) AS BIGINT) AS h_a_q
+           |  FROM (SELECT a, CAST(sum(c) AS BIGINT) AS cm FROM j GROUP BY 1) CROSS JOIN tt),
+           | hb AS (SELECT CAST(sum(cm * CAST(floor(1000000.0 * ln(CAST(tt.n AS DOUBLE) / CAST(cm AS DOUBLE))) AS BIGINT)) AS BIGINT) AS h_b_q
+           |  FROM (SELECT b, CAST(sum(c) AS BIGINT) AS cm FROM j GROUP BY 1) CROSS JOIN tt),
+           | ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY 1),
+           | cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY 1),
+           | mi AS (SELECT max(tt.n) AS n,
+           |   CAST(sum(j.c * CAST(floor(1000000.0 * ln(CAST(j.c * tt.n AS DOUBLE) / CAST(ca.ca * cb.cb AS DOUBLE))) AS BIGINT)) AS BIGINT) AS mi_q
+           |  FROM j JOIN ca ON ca.a = j.a JOIN cb ON cb.b = j.b CROSS JOIN tt)
+           | SELECT n, mi_q, h_a_q, h_b_q,
+           |  CASE WHEN h_a_q = 0 THEN NULL ELSE CAST(mi_q AS DOUBLE) / CAST(h_a_q AS DOUBLE) END AS u_a_given_b,
+           |  CASE WHEN h_b_q = 0 THEN NULL ELSE CAST(mi_q AS DOUBLE) / CAST(h_b_q AS DOUBLE) END AS u_b_given_a
+           | FROM mi, ha, hb""".stripMargin.replaceAll("\n", " ")))
+
   /** Shared DuckDB CTE chain for the DSIR family: tokenize raw
     * (source ≠ src0) and target (source = src0) corpora, build the
     * add-1-smoothed shared-vocabulary unigram models, quantize each
@@ -8092,6 +8159,9 @@ object StandardQueries {
     "fuzzy_dedup_apply" -> qFuzzyDedupApply,
     "dsir_weights" -> qDsirWeights,
     "dsir_select" -> qDsirSelect,
+    "theils_u" -> qTheilsU,
+    "markov_transitions" -> qMarkovTransitions,
+    "markov_top_next" -> qMarkovTopNext,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -348,4 +348,25 @@ class DataAuditSpec extends SparkSpec {
     assert(one.toSeq == two.toSeq)
     assert(one.getDouble(5) >= 0.0 && one.getDouble(5) <= 1.0)
   }
+
+  test("theilsU: determined-by gives U=1 on that side; independence gives ~0; constant NULL") {
+    import spark.implicits._
+    // a is a FUNCTION of b (each b value maps to one a), but b is not
+    // determined by a: U(a|b) = 1 exactly (H(a|b) = 0 => MI = H(a));
+    // U(b|a) = H(a)/H(b) < 1
+    val fn = Seq(("x", "u"), ("x", "v"), ("y", "w"), ("y", "w")).toDF("a", "b")
+    val r = DataAudit.theilsU(fn, F.col("a"), F.col("b")).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == r.getLong(2))   // mi_q == h_a_q exactly
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) < 1.0 && r.getDouble(5) > 0.0)
+    // independence: uniform 2x2 -> every pointwise term ln(1) = 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = DataAudit.theilsU(ind, F.col("a"), F.col("b")).collect().head
+    assert(i.getLong(1) == 0L && i.getDouble(4) == 0.0 && i.getDouble(5) == 0.0)
+    // constant a: zero entropy denominator -> NULL that side
+    val const = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val c = DataAudit.theilsU(const, F.col("a"), F.col("b")).collect().head
+    assert(c.isNullAt(4) && !c.isNullAt(5))
+  }
 }
