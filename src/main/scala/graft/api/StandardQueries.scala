@@ -7674,6 +7674,36 @@ object StandardQueries {
            | SELECT prev, next, cnt, p_q, p FROM r WHERE rk = 1
            | ORDER BY prev""".stripMargin.replaceAll("\n", " ")))
 
+  /** EWMA + CUSUM timeline monitor
+    * ([[graft.analysis.Monitor.ewmaCusumChart]]): integer fixed-point
+    * control charts over daily event volume per type — the recursion
+    * replays in DuckDB as a recursive CTE step for step, alarms
+    * included. 21 of the 150 chart points alarm at (slack 3,
+    * threshold 10) on the sf0.01 fixture, so both branches are
+    * exercised. */
+  private def qEwmaCusumChart = Q(
+    (s, dir) => graft.analysis.Monitor.ewmaCusumChart(
+      t(s, dir, "events"), "event_type", "ts"),
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+           | o AS (SELECT series, day, x,
+           |   CAST(row_number() OVER (PARTITION BY series ORDER BY day) AS BIGINT) AS i FROM d),
+           | r AS (
+           |  SELECT series, i, day, x, 1000000 * x AS e,
+           |    CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS resid
+           |  FROM o WHERE i = 1
+           |  UNION ALL
+           |  SELECT o.series, o.i, o.day, o.x,
+           |    (1 * 1000000 * o.x + 7 * r.e) // 8,
+           |    greatest(0, r.c + (1000000 * o.x - r.e) - 3 * 1000000),
+           |    1000000 * o.x - r.e
+           |  FROM r JOIN o ON o.series = r.series AND o.i = r.i + 1)
+           | SELECT series, day, x, e AS ewma_q, resid AS resid_q, c AS cusum_q,
+           |  c > 10 * 1000000 AS alarm
+           | FROM r ORDER BY series, day""".stripMargin.replaceAll("\n", " ")))
+
   /** Theil's U ([[DataAudit.theilsU]]) between document language and
     * source: the asymmetric "what fraction of lang's entropy does
     * knowing source remove" readout, both directions — mutual
@@ -8162,6 +8192,7 @@ object StandardQueries {
     "theils_u" -> qTheilsU,
     "markov_transitions" -> qMarkovTransitions,
     "markov_top_next" -> qMarkovTopNext,
+    "ewma_cusum_chart" -> qEwmaCusumChart,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,60 @@
+package graft.analysis
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class MonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(day: Int, n: Int, series: String = "s") =
+    (0 until n).map(i =>
+      (series, new Timestamp(1704067200000L + day * 86400000L + i * 1000L)))
+
+  test("ewmaCusumChart: hand-checked fixed-point recursion with an alarm") {
+    // series s: days of 10, 10, then a level shift to 30, 30
+    val df = (ev(0, 10) ++ ev(1, 10) ++ ev(2, 30) ++ ev(3, 30))
+      .toDF("event_type", "ts")
+    val rows = Monitor.ewmaCusumChart(df, "event_type", "ts",
+      alphaNum = 1, alphaDen = 8, slack = 3, threshold = 10).collect()
+    assert(rows.length == 4)
+    val S = 1000000L
+    // day 0: burn-in
+    assert(rows(0).getLong(2) == 10L && rows(0).getLong(3) == 10 * S)
+    assert(rows(0).getLong(4) == 0L && rows(0).getLong(5) == 0L && !rows(0).getBoolean(6))
+    // day 1: resid = 0; e stays 10S; cusum drains to 0
+    assert(rows(1).getLong(4) == 0L && rows(1).getLong(3) == 10 * S)
+    assert(rows(1).getLong(5) == 0L)
+    // day 2: resid = 20S; cusum = 17S; ewma = (30S + 7*10S)/8 = 12.5S
+    assert(rows(2).getLong(4) == 20 * S)
+    assert(rows(2).getLong(5) == 17 * S)
+    assert(rows(2).getLong(3) == 12500000L)
+    assert(rows(2).getBoolean(6)) // 17 > 10
+    // day 3: resid = 30S - 12.5S = 17.5S; cusum = 17S + 17.5S - 3S = 31.5S
+    assert(rows(3).getLong(4) == 17500000L)
+    assert(rows(3).getLong(5) == 31500000L)
+    assert(rows(3).getBoolean(6))
+  }
+
+  test("ewmaCusumChart: series are independent; cusum floors at zero") {
+    val df = (ev(0, 20, "a") ++ ev(1, 5, "a") ++ ev(0, 7, "b") ++ ev(1, 7, "b"))
+      .toDF("event_type", "ts")
+    val rows = Monitor.ewmaCusumChart(df, "event_type", "ts").collect()
+    assert(rows.length == 4)
+    val a1 = rows(1) // a day 1: big negative resid, cusum clamps to 0
+    assert(a1.getString(0) == "a" && a1.getLong(4) < 0L && a1.getLong(5) == 0L)
+    val b1 = rows(3)
+    assert(b1.getString(0) == "b" && b1.getLong(4) == 0L && b1.getLong(5) == 0L)
+  }
+
+  test("ewmaCusumChart: partitioning-invariant on the events fixture; cap is loud") {
+    val ev1 = eventsDF
+    val a = Monitor.ewmaCusumChart(ev1, "event_type", "ts").collect().map(_.toSeq)
+    val b = Monitor.ewmaCusumChart(ev1.repartition(13), "event_type", "ts")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Monitor.ewmaCusumChart(ev1, "event_type", "ts", maxCells = 3)
+    }
+  }
+}
