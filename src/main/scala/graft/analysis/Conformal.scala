@@ -1,0 +1,95 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Split-conformal prediction intervals (Vovk et al.; Lei et al. JASA
+  * 2018 for the split recipe) on top of the exact-fit OLS — the
+  * "predict WITH a finite-sample guarantee" closure of the trainable
+  * family: fit on a train split, take the ceil((n+1)(1−α))-th smallest
+  * absolute residual on a disjoint calibration split, and every test
+  * prediction ± that radius covers the truth with probability ≥ 1−α
+  * (exchangeability is the only assumption — no distributional model).
+  *
+  * Exactness: the three splits are a deterministic id-modulo partition
+  * (mirrorable everywhere); the model is [[Ols.fit2]]'s hash-exact
+  * coefficients; each calibration score is ONE fixed IEEE tree
+  * `|y − (b0 + b1·x1 + b2·x2)|`; the conformal rank
+  * `k = ceil((n_cal+1)·(alphaDen−alphaNum)/alphaDen)` is exact integer
+  * arithmetic; and the k-th order statistic is read off the
+  * distributed exact rank table ([[ExactQuantiles.percentRanksMulti]]
+  * — per-value tie counts + strict-below prefix sums), never a global
+  * sort. Bit-for-bit SQL-replayable end to end.
+  *
+  * Scale shape: one aggregate for the fit (ten longs), one melted
+  * scan + one range exchange for the score ranks, a 3-double model
+  * literal, and a map-only interval column over the test split. */
+object Conformal {
+
+  private def parts(df: DataFrame, idCol: String) = (
+    df.filter(F.col(idCol) % 3 === 0),
+    df.filter(F.col(idCol) % 3 === 1),
+    df.filter(F.col(idCol) % 3 === 2))
+
+  private def fitAndRadius(df: DataFrame, idCol: String, yCol: String,
+      x1Col: String, x2Col: String, alphaNum: Int, alphaDen: Int) = {
+    require(alphaNum >= 1 && alphaDen > alphaNum, "need 0 < alpha < 1")
+    val (train, cal, test) = parts(df, idCol)
+    val m = Ols.fit2(train, yCol, x1Col, x2Col).head()
+    val (b0, b1, b2) = (m.getDouble(1), m.getDouble(2), m.getDouble(3))
+    def pred = F.lit(b0) + F.lit(b1) * F.col(x1Col).cast("double") +
+      F.lit(b2) * F.col(x2Col).cast("double")
+    val scores = cal
+      .filter(F.col(yCol).isNotNull && F.col(x1Col).isNotNull &&
+        F.col(x2Col).isNotNull)
+      .select(F.abs(F.col(yCol).cast("double") - pred).as("__score"))
+      .localCheckpoint(false)
+    try {
+      val nCal = scores.count()
+      // k = ceil((n+1)·(den−num)/den), exact integers
+      val k = ((nCal + 1L) * (alphaDen - alphaNum) + alphaDen - 1L) / alphaDen
+      require(k <= nCal,
+        s"calibration split too small: need k=$k <= n_cal=$nCal (lower alphaDen or add data)")
+      val q = ExactQuantiles.percentRanksMulti(scores, Seq("__score"))
+        .filter(F.col("n_below") < k &&
+          F.col("n_below") + F.col("n_value") >= k)
+        .agg(F.min("value")).head().getDouble(0)
+      (test, pred, q, nCal, k)
+    } finally { scores.unpersist(blocking = false); () }
+  }
+
+  /** Per-test-row intervals `(idCol, y, pred, lo, hi, covered)` at
+    * miscoverage `alpha = alphaNum/alphaDen` (default 1/10 → 90%
+    * target coverage). Complete-case on the test split too (an
+    * interval needs features and a truth to score against). */
+  def intervals(df: DataFrame, idCol: String, yCol: String, x1Col: String,
+      x2Col: String, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    val (test, pred, q, _, _) =
+      fitAndRadius(df, idCol, yCol, x1Col, x2Col, alphaNum, alphaDen)
+    test
+      .filter(F.col(yCol).isNotNull && F.col(x1Col).isNotNull &&
+        F.col(x2Col).isNotNull)
+      .select(F.col(idCol), F.col(yCol).cast("double").as("y"),
+        pred.as("pred"),
+        (pred - F.lit(q)).as("lo"), (pred + F.lit(q)).as("hi"),
+        (F.abs(F.col(yCol).cast("double") - pred) <= F.lit(q)).as("covered"))
+  }
+
+  /** One-row guarantee check `(n_cal, k, q, n_test, n_covered,
+    * coverage)` — empirical test coverage vs the ≥ 1−α target. */
+  def coverage(df: DataFrame, idCol: String, yCol: String, x1Col: String,
+      x2Col: String, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    val (test, pred, q, nCal, k) =
+      fitAndRadius(df, idCol, yCol, x1Col, x2Col, alphaNum, alphaDen)
+    test
+      .filter(F.col(yCol).isNotNull && F.col(x1Col).isNotNull &&
+        F.col(x2Col).isNotNull)
+      .agg(F.count(F.lit(1)).as("n_test"),
+        F.sum(F.when(F.abs(F.col(yCol).cast("double") - pred) <= F.lit(q), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(F.lit(nCal).as("n_cal"), F.lit(k).as("k"), F.lit(q).as("q"),
+        F.col("n_test"), F.col("n_covered"),
+        (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
+          .as("coverage"))
+  }
+}

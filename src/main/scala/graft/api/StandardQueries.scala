@@ -6017,6 +6017,84 @@ object StandardQueries {
            |  1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / (syy - sy * sy / n) AS r2
            | FROM c""".stripMargin.replaceAll("\n", " ")))
 
+  /** Shared DuckDB CTE chain for the split-conformal family: feature
+    * table (the `ols_doc_length` features keyed by doc_id), OLS fit on
+    * the id%3=0 train split, absolute-residual scores on the id%3=1
+    * calibration split, exact conformal rank k = ceil((n+1)·9/10), and
+    * the k-th order statistic from distinct-value prefix sums. */
+  private def conformalSqlCtes: String =
+    """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+      |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS x1,
+      |   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS x2
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |   CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy,
+      |   CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |   CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |   CAST(sum(x2 * y) AS BIGINT) AS s2y FROM f WHERE doc_id % 3 = 0),
+      | d AS (SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+      |   CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+      |   CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y FROM s),
+      | c AS (SELECT
+      |   (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b0,
+      |   (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b1,
+      |   (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b2
+      |  FROM d),
+      | cal AS (SELECT abs(CAST(y AS DOUBLE) - (c.b0 + c.b1 * CAST(x1 AS DOUBLE) + c.b2 * CAST(x2 AS DOUBLE))) AS sc
+      |  FROM f CROSS JOIN c WHERE doc_id % 3 = 1),
+      | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+      | kk AS (SELECT CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS k, n FROM nn),
+      | g AS (SELECT sc AS v, CAST(count(*) AS BIGINT) AS cv FROM cal GROUP BY 1),
+      | r AS (SELECT v, cv, CAST(coalesce(sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cv, 0) AS BIGINT) AS nb FROM g),
+      | qv AS (SELECT min(v) AS q FROM r CROSS JOIN kk WHERE nb < kk.k AND nb + cv >= kk.k),
+      | te AS (SELECT doc_id, CAST(y AS DOUBLE) AS y,
+      |   (c.b0 + c.b1 * CAST(x1 AS DOUBLE) + c.b2 * CAST(x2 AS DOUBLE)) AS pred,
+      |   abs(CAST(y AS DOUBLE) - (c.b0 + c.b1 * CAST(x1 AS DOUBLE) + c.b2 * CAST(x2 AS DOUBLE))) AS ae,
+      |   qv.q AS q
+      |  FROM f CROSS JOIN c CROSS JOIN qv WHERE doc_id % 3 = 2)""".stripMargin.replaceAll("\n", " ")
+
+  /** Split-conformal prediction intervals
+    * ([[graft.analysis.Conformal.intervals]]): deterministic id%3
+    * train/calibration/test splits, the exact-fit OLS length model,
+    * and the ceil((n+1)·0.9)-th smallest calibration residual as the
+    * radius — every test row gets `pred ± q` with a ≥90% finite-sample
+    * coverage guarantee, all of it one fixed IEEE tree over exact
+    * integers. */
+  private def qConformalIntervals = Q(
+    (s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars").as("y"),
+        TextAnalysis.tokenCount(F.col("text")).as("x1"),
+        TextAnalysis.alphaCount(F.col("text")).as("x2"))
+      graft.analysis.Conformal.intervals(feats, "doc_id", "y", "x1", "x2")
+        .orderBy("doc_id")
+    },
+    Some(s"""$conformalSqlCtes
+            | SELECT doc_id, y, pred, pred - q AS lo, pred + q AS hi, ae <= q AS covered
+            | FROM te ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Conformal guarantee check ([[graft.analysis.Conformal.coverage]]):
+    * one row `(n_cal, k, q, n_test, n_covered, coverage)` — the
+    * empirical test coverage audited against the ≥90% target. */
+  private def qConformalCoverage = Q(
+    (s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars").as("y"),
+        TextAnalysis.tokenCount(F.col("text")).as("x1"),
+        TextAnalysis.alphaCount(F.col("text")).as("x2"))
+      graft.analysis.Conformal.coverage(feats, "doc_id", "y", "x1", "x2")
+    },
+    Some(s"""$conformalSqlCtes
+            | SELECT kk.n AS n_cal, kk.k AS k, max(te.q) AS q,
+            |  CAST(count(*) AS BIGINT) AS n_test,
+            |  CAST(sum(CASE WHEN te.ae <= te.q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+            |  CAST(sum(CASE WHEN te.ae <= te.q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+            | FROM te CROSS JOIN kk
+            | GROUP BY kk.n, kk.k""".stripMargin.replaceAll("\n", " ")))
+
   /** Key-skew preflight ([[DataAudit.keySkewReport]]) on the stream
     * table's join key — top-20 heaviest user_ids with row shares and
     * global totals. Counts exact; shares single IEEE divides. */
@@ -8193,6 +8271,8 @@ object StandardQueries {
     "markov_transitions" -> qMarkovTransitions,
     "markov_top_next" -> qMarkovTopNext,
     "ewma_cusum_chart" -> qEwmaCusumChart,
+    "conformal_intervals" -> qConformalIntervals,
+    "conformal_coverage" -> qConformalCoverage,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
