@@ -111,7 +111,23 @@ object ScaleProbe {
     "kmeans_assign_join", "percent_ranks_multi",
     "roc_auc", "roc_curve", "segmented_roc_auc", "ls_boost_auc",
     "term_cooccurrence", "drift_rank_sum", "kendall_tau",
-    "feature_mutual_info", "url_canonicalize")
+    "feature_mutual_info", "url_canonicalize",
+    // round-16b: numeric-entity decode + the full extraction chain over
+    // 500k pages (map-only native pass), categorical association
+    // (bounded joint histograms over 15M orders / 500k docs), DSIR
+    // importance weighting + selection over 500k docs (token histograms
+    // + one token-keyed join), Markov transitions over 5M events (one
+    // user-keyed window + bounded matrix), the EWMA/CUSUM chart (one
+    // groupBy(series, day) collapse + driver fold), split-conformal
+    // intervals over 500k docs (OLS aggregate + rank-table order
+    // statistic + map-only interval column), and blocked fuzzy dedup
+    // over the verbatim part table (the adversarial block shape is in
+    // extraProbes' fuzzy_pairs_blocked)
+    "html_numeric_entities", "cramers_v", "theils_u",
+    "dsir_weights", "dsir_select", "markov_transitions", "markov_top_next",
+    "ewma_cusum_chart", "conformal_intervals", "conformal_coverage",
+    "fuzzy_pairs", "fuzzy_dedup_apply",
+    "winsorize_summary", "streaming_conformal")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -370,6 +386,21 @@ object ScaleProbe {
         .start()
       q.awaitTermination()
       spark.table(qn).count()
+    }),
+    // round-16b: blocked fuzzy dedup at an engineered block shape —
+    // 200k strings in 50k blocks of exactly 4 mutually-1-edit members
+    // (300k genuine pairs; Σ blockSize² stays linear in rows because
+    // the block key carries the name, the production blocking
+    // discipline). Measures that the quadratic never escapes a block.
+    "fuzzy_pairs_blocked" -> (() => {
+      val names = spark.range(200000L).select(F.col("id"),
+        F.concat(F.lit("name"),
+          F.lpad(F.pmod(F.col("id"), F.lit(50000L)).cast("string"), 5, "0"),
+          F.lit("x"), (F.col("id") / 50000L).cast("long").cast("string")).as("s"))
+      val n = graft.pipeline.FuzzyDedup
+        .fuzzyPairs(names, "id", "s", maxDist = 1, prefixLen = 9).count()
+      require(n == 300000L, s"expected 50k blocks x C(4,2) pairs, got $n")
+      n
     })
   )
 

@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Split-conformal prediction intervals (Vovk et al.; Lei et al. JASA
@@ -22,26 +22,36 @@ import org.apache.spark.sql.{functions => F}
   * sort. Bit-for-bit SQL-replayable end to end.
   *
   * Scale shape: one aggregate for the fit (ten longs), one melted
-  * scan + one range exchange for the score ranks, a 3-double model
-  * literal, and a map-only interval column over the test split. */
+  * scan + one range exchange for the score ranks, a 4-double model
+  * literal, and a map-only interval column over the test split — which
+  * is STATELESS, so the same column scores a Structured Streaming
+  * frame at ingestion. */
 object Conformal {
+
+  /** Fitted conformal regressor: OLS coefficients + the calibrated
+    * radius `q` (and its provenance `nCal`/`k`). Four doubles — a plan
+    * literal at any corpus size. */
+  final case class Model(b0: Double, b1: Double, b2: Double, q: Double,
+    nCal: Long, k: Long)
 
   private def parts(df: DataFrame, idCol: String) = (
     df.filter(F.col(idCol) % 3 === 0),
     df.filter(F.col(idCol) % 3 === 1),
     df.filter(F.col(idCol) % 3 === 2))
 
-  private def fitAndRadius(df: DataFrame, idCol: String, yCol: String,
-      x1Col: String, x2Col: String, alphaNum: Int, alphaDen: Int) = {
+  private def complete(df: DataFrame, cols: String*) =
+    df.filter(cols.map(c => F.col(c).isNotNull).reduce(_ && _))
+
+  /** Train on the id%3=0 split, calibrate the radius on id%3=1. */
+  def fit(df: DataFrame, idCol: String, yCol: String, x1Col: String,
+      x2Col: String, alphaNum: Int = 1, alphaDen: Int = 10): Model = {
     require(alphaNum >= 1 && alphaDen > alphaNum, "need 0 < alpha < 1")
-    val (train, cal, test) = parts(df, idCol)
+    val (train, cal, _) = parts(df, idCol)
     val m = Ols.fit2(train, yCol, x1Col, x2Col).head()
     val (b0, b1, b2) = (m.getDouble(1), m.getDouble(2), m.getDouble(3))
-    def pred = F.lit(b0) + F.lit(b1) * F.col(x1Col).cast("double") +
+    val pred = F.lit(b0) + F.lit(b1) * F.col(x1Col).cast("double") +
       F.lit(b2) * F.col(x2Col).cast("double")
-    val scores = cal
-      .filter(F.col(yCol).isNotNull && F.col(x1Col).isNotNull &&
-        F.col(x2Col).isNotNull)
+    val scores = complete(cal, yCol, x1Col, x2Col)
       .select(F.abs(F.col(yCol).cast("double") - pred).as("__score"))
       .localCheckpoint(false)
     try {
@@ -54,9 +64,19 @@ object Conformal {
         .filter(F.col("n_below") < k &&
           F.col("n_below") + F.col("n_value") >= k)
         .agg(F.min("value")).head().getDouble(0)
-      (test, pred, q, nCal, k)
+      Model(b0, b1, b2, q, nCal, k)
     } finally { scores.unpersist(blocking = false); () }
   }
+
+  /** The point prediction `b0 + b1·x1 + b2·x2` — one fixed IEEE tree,
+    * model as literals, stateless (streams at ingestion). */
+  def predColumn(m: Model, x1Col: String, x2Col: String): Column =
+    F.lit(m.b0) + F.lit(m.b1) * F.col(x1Col).cast("double") +
+      F.lit(m.b2) * F.col(x2Col).cast("double")
+
+  /** Whether the truth falls inside `pred ± q`. */
+  def coveredColumn(m: Model, yCol: String, x1Col: String, x2Col: String): Column =
+    F.abs(F.col(yCol).cast("double") - predColumn(m, x1Col, x2Col)) <= F.lit(m.q)
 
   /** Per-test-row intervals `(idCol, y, pred, lo, hi, covered)` at
     * miscoverage `alpha = alphaNum/alphaDen` (default 1/10 → 90%
@@ -64,30 +84,25 @@ object Conformal {
     * interval needs features and a truth to score against). */
   def intervals(df: DataFrame, idCol: String, yCol: String, x1Col: String,
       x2Col: String, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
-    val (test, pred, q, _, _) =
-      fitAndRadius(df, idCol, yCol, x1Col, x2Col, alphaNum, alphaDen)
-    test
-      .filter(F.col(yCol).isNotNull && F.col(x1Col).isNotNull &&
-        F.col(x2Col).isNotNull)
+    val m = fit(df, idCol, yCol, x1Col, x2Col, alphaNum, alphaDen)
+    val pred = predColumn(m, x1Col, x2Col)
+    complete(parts(df, idCol)._3, yCol, x1Col, x2Col)
       .select(F.col(idCol), F.col(yCol).cast("double").as("y"),
         pred.as("pred"),
-        (pred - F.lit(q)).as("lo"), (pred + F.lit(q)).as("hi"),
-        (F.abs(F.col(yCol).cast("double") - pred) <= F.lit(q)).as("covered"))
+        (pred - F.lit(m.q)).as("lo"), (pred + F.lit(m.q)).as("hi"),
+        coveredColumn(m, yCol, x1Col, x2Col).as("covered"))
   }
 
   /** One-row guarantee check `(n_cal, k, q, n_test, n_covered,
     * coverage)` — empirical test coverage vs the ≥ 1−α target. */
   def coverage(df: DataFrame, idCol: String, yCol: String, x1Col: String,
       x2Col: String, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
-    val (test, pred, q, nCal, k) =
-      fitAndRadius(df, idCol, yCol, x1Col, x2Col, alphaNum, alphaDen)
-    test
-      .filter(F.col(yCol).isNotNull && F.col(x1Col).isNotNull &&
-        F.col(x2Col).isNotNull)
+    val m = fit(df, idCol, yCol, x1Col, x2Col, alphaNum, alphaDen)
+    complete(parts(df, idCol)._3, yCol, x1Col, x2Col)
       .agg(F.count(F.lit(1)).as("n_test"),
-        F.sum(F.when(F.abs(F.col(yCol).cast("double") - pred) <= F.lit(q), 1L)
+        F.sum(F.when(coveredColumn(m, yCol, x1Col, x2Col), 1L)
           .otherwise(0L)).as("n_covered"))
-      .select(F.lit(nCal).as("n_cal"), F.lit(k).as("k"), F.lit(q).as("q"),
+      .select(F.lit(m.nCal).as("n_cal"), F.lit(m.k).as("k"), F.lit(m.q).as("q"),
         F.col("n_test"), F.col("n_covered"),
         (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
           .as("coverage"))

@@ -105,4 +105,42 @@ object Outliers {
     }.toDF("col_name", "med", "mad", "lo_fence", "hi_fence",
       "n", "n_low", "n_high", "n_outliers")
   }
+
+  /** Winsorization summary — the robust alternative to DROPPING
+    * outliers ([[iqrOutliers]]/[[madOutliers]] flag; this clips): clamp
+    * everything outside the exact [loRank, hiRank] order-statistic
+    * window to the window edge and report what moved. Returns ONE row
+    * `(n, lo_cut, hi_cut, n_clipped_lo, n_clipped_hi, sum_raw,
+    * sum_wins)` — cut points are the distributed exact type-7
+    * quantiles ([[ExactQuantiles.quantiles]], embedded as literals),
+    * clip counts are exact integers, and both sums accumulate as
+    * DECIMAL(33,6) (fold-order-free) before ONE cast to double — so
+    * the whole report replays in SQL bit-for-bit. NULL/NaN rows are
+    * excluded.
+    *
+    * Scale shape: the quantile machinery's one scan + one range
+    * exchange for the cut points, then ONE more map-side-combined
+    * aggregate scan; the clip itself is a literal CASE any caller can
+    * reuse as a map-only column. */
+  def winsorize(df: DataFrame, valueCol: String,
+      loRank: Double = 0.01, hiRank: Double = 0.99): DataFrame = {
+    require(loRank >= 0.0 && loRank < hiRank && hiRank <= 1.0,
+      "need 0 <= loRank < hiRank <= 1")
+    val base = df.select(F.col(valueCol).cast("double").as("__v"))
+      .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+    val qs = ExactQuantiles.quantiles(base, Seq("__v"), Seq(loRank, hiRank))("__v")
+    require(qs.nonEmpty, s"no non-null values in $valueCol")
+    val (loCut, hiCut) = (qs(0), qs(1))
+    val clipped = F.least(F.greatest(F.col("__v"), F.lit(loCut)), F.lit(hiCut))
+    base.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("__v") < loCut, 1L).otherwise(0L)).as("n_clipped_lo"),
+        F.sum(F.when(F.col("__v") > hiCut, 1L).otherwise(0L)).as("n_clipped_hi"),
+        F.sum(F.col("__v").cast("decimal(33,6)")).as("__sr"),
+        F.sum(clipped.cast("decimal(33,6)")).as("__sw"))
+      .select(F.col("n"), F.lit(loCut).as("lo_cut"), F.lit(hiCut).as("hi_cut"),
+        F.col("n_clipped_lo"), F.col("n_clipped_hi"),
+        F.col("__sr").cast("double").as("sum_raw"),
+        F.col("__sw").cast("double").as("sum_wins"))
+  }
 }

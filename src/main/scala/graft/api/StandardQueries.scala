@@ -6095,6 +6095,63 @@ object StandardQueries {
             | FROM te CROSS JOIN kk
             | GROUP BY kk.n, kk.k""".stripMargin.replaceAll("\n", " ")))
 
+  /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
+    * clip l_quantity outside its exact [p01, p99] order-statistic
+    * window — exact type-7 cut points as literals, exact clip counts,
+    * DECIMAL(33,6) sums cast once to double. */
+  private def qWinsorize = Q(
+    (s, dir) => graft.analysis.Outliers.winsorize(
+      t(s, dir, "lineitem"), "l_quantity"),
+    Some("""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+           |  WHERE l_quantity IS NOT NULL),
+           | q AS (SELECT quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi FROM b)
+           | SELECT CAST(count(*) AS BIGINT) AS n, q.lo AS lo_cut, q.hi AS hi_cut,
+           |  CAST(sum(CASE WHEN v < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           |  CAST(sum(CASE WHEN v > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           |  CAST(sum(CAST(v AS DECIMAL(33,6))) AS DOUBLE) AS sum_raw,
+           |  CAST(sum(CAST(least(greatest(v, q.lo), q.hi) AS DECIMAL(33,6))) AS DOUBLE) AS sum_wins
+           | FROM b CROSS JOIN q GROUP BY q.lo, q.hi""".stripMargin.replaceAll("\n", " ")))
+
+  /** Conformal scoring AT INGESTION: the fitted model + calibrated
+    * radius are four plan literals, so the interval/coverage columns
+    * are STATELESS — the same coverage aggregate
+    * ([[graft.analysis.Conformal.coverage]]) computed over a
+    * Structured Streaming read of the test split, sharing
+    * `conformal_coverage`'s oracle verbatim. */
+  private def qStreamingConformal = Q(
+    (s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars").as("y"),
+        TextAnalysis.tokenCount(F.col("text")).as("x1"),
+        TextAnalysis.alphaCount(F.col("text")).as("x2"))
+      val m = graft.analysis.Conformal.fit(feats, "doc_id", "y", "x1", "x2")
+      val docs = t(s, dir, "documents")
+      val sdf = s.readStream.schema(docs.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
+        .select(F.col("doc_id"), F.col("n_chars").as("y"),
+          TextAnalysis.tokenCount(F.col("text")).as("x1"),
+          TextAnalysis.alphaCount(F.col("text")).as("x2"))
+        .filter(F.col("doc_id") % 3 === 2 &&
+          F.col("y").isNotNull && F.col("x1").isNotNull && F.col("x2").isNotNull)
+      val qn = "conf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sdf
+        .groupBy()
+        .agg(F.count(F.lit(1)).as("n_test"),
+          F.sum(F.when(
+            graft.analysis.Conformal.coveredColumn(m, "y", "x1", "x2"), 1L)
+            .otherwise(0L)).as("n_covered"))
+        .select(F.lit(m.nCal).as("n_cal"), F.lit(m.k).as("k"), F.lit(m.q).as("q"),
+          F.col("n_test"), F.col("n_covered"),
+          (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
+            .as("coverage"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+    },
+    qConformalCoverage.oracle)
+
   /** Key-skew preflight ([[DataAudit.keySkewReport]]) on the stream
     * table's join key — top-20 heaviest user_ids with row shares and
     * global totals. Counts exact; shares single IEEE divides. */
@@ -8273,6 +8330,8 @@ object StandardQueries {
     "ewma_cusum_chart" -> qEwmaCusumChart,
     "conformal_intervals" -> qConformalIntervals,
     "conformal_coverage" -> qConformalCoverage,
+    "streaming_conformal" -> qStreamingConformal,
+    "winsorize_summary" -> qWinsorize,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -132,4 +132,30 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(r.getAs[Double]("mad") == 0.0)
     assert(r.getAs[Long]("n_outliers") == 0L)
   }
+
+  test("winsorize: hand cuts, clip counts, and fold-order-free sums") {
+    import spark.implicits._
+    // 1..10 at [0.1, 0.9]: type-7 h = 0.1*9 = 0.9 -> lo = 1.9; hi = 9.1
+    val df = (1 to 10).map(_.toDouble).toDF("x").repartition(4)
+    val r = graft.analysis.Outliers.winsorize(df, "x", 0.1, 0.9).collect()(0)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(math.abs(r.getAs[Double]("lo_cut") - 1.9) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hi_cut") - 9.1) < 1e-12)
+    assert(r.getAs[Long]("n_clipped_lo") == 1L)  // the 1
+    assert(r.getAs[Long]("n_clipped_hi") == 1L)  // the 10
+    assert(r.getAs[Double]("sum_raw") == 55.0)
+    // 55 - (1 -> 1.9) - (10 -> 9.1) = 55 + 0.9 - 0.9 = 55
+    assert(r.getAs[Double]("sum_wins") == 55.0)
+    // NULL/NaN excluded
+    val withNull = (Seq(Some(1.0), None, Some(Double.NaN)) ++
+      (2 to 10).map(d => Some(d.toDouble))).toDF("x")
+    val r2 = graft.analysis.Outliers.winsorize(withNull, "x", 0.1, 0.9).collect()(0)
+    assert(r2.getAs[Long]("n") == 10L)
+    // invariance under repartition
+    val a = graft.analysis.Outliers.winsorize(table("lineitem"), "l_quantity")
+      .collect()(0)
+    val b = graft.analysis.Outliers.winsorize(
+      table("lineitem").repartition(13), "l_quantity").collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
 }
