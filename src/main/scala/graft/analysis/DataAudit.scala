@@ -264,6 +264,53 @@ object DataAudit {
       .agg(F.count(F.lit(1)).as("n_groups"), F.sum("__rows").as("n_rows"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third privacy tier ([[kAnonymity]] bounds group size,
+    * [[lDiversity]] bounds value variety; this bounds DISTRIBUTION
+    * leakage): per quasi-identifier group, the total variation
+    * distance between the group's sensitive-value distribution and the
+    * global one — a group can be large and diverse yet still leak by
+    * skew (90% one diagnosis where the population has 10%).
+    *
+    * Exactness: with integer counts, `TVD_g = ½ Σ_v |c_gv/n_g − C_v/N|`
+    * has the exact integer numerator
+    * `Σ_{v∈g} |c_gv·N − C_v·n_g| + n_g·(N − Σ_{v∈g} C_v)` (the second
+    * term is the mass of sensitive values ABSENT from the group) over
+    * denominator `2·n_g·N` — BIGINTs throughout (ANSI-loud past 2⁶³;
+    * c·N ≤ N² holds to ~3e9 rows), ONE IEEE divide per group. NULL
+    * sensitive values drop; NULL quasi-identifiers form a group (they
+    * are a real equivalence class to an attacker).
+    *
+    * Scale shape: ONE `groupBy(qi, sensitive)` exchange bounded by
+    * groups × values, marginals off the CHECKPOINTED joint, a
+    * broadcast 1-row total. */
+  def tCloseness(df: DataFrame, qi: Seq[String], sensitive: String): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    val joint = df.filter(F.col(sensitive).isNotNull)
+      .groupBy((qi :+ sensitive).map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val cv = joint.groupBy(sensitive).agg(F.sum("__c").as("__cv"))
+    val ng = joint.groupBy(qi.map(F.col): _*).agg(F.sum("__c").as("__ng"))
+    val tot = joint.agg(F.sum("__c").as("__N"))
+    joint.join(cv, Seq(sensitive)).join(ng, qi)
+      .crossJoin(F.broadcast(tot))
+      .groupBy(qi.map(F.col): _*)
+      .agg(
+        F.max("__ng").as("n_rows"),
+        F.max("__N").as("__n"),
+        F.sum(F.abs(F.col("__c") * F.col("__N") - F.col("__cv") * F.col("__ng")))
+          .as("__s1"),
+        F.sum("__cv").as("__cov"))
+      .select(qi.map(F.col) ++ Seq(
+        F.col("n_rows"),
+        (F.col("__s1") + F.col("n_rows") * (F.col("__n") - F.col("__cov")))
+          .as("tvd_num"),
+        ((F.col("__s1") + F.col("n_rows") * (F.col("__n") - F.col("__cov")))
+          .cast("double") /
+          (F.lit(2L) * F.col("n_rows") * F.col("__n")).cast("double")).as("tvd")): _*)
+  }
+
   /** Key-skew preflight for a planned join/aggregation key: the top-k
     * heaviest keys with their row share and cumulative share, each row
     * also carrying the global row/key totals — the report you read

@@ -6095,6 +6095,29 @@ object StandardQueries {
             | FROM te CROSS JOIN kk
             | GROUP BY kk.n, kk.k""".stripMargin.replaceAll("\n", " ")))
 
+  /** t-closeness audit ([[DataAudit.tCloseness]]): per order-priority
+    * group, the exact-integer total variation distance between the
+    * group's order-status distribution and the global one — the
+    * distribution-leakage tier of the privacy family. */
+  private def qTCloseness = Q(
+    (s, dir) => graft.analysis.DataAudit.tCloseness(
+      t(s, dir, "orders"), Seq("o_orderpriority"), "o_orderstatus")
+      .orderBy("o_orderpriority"),
+    Some("""WITH j AS (SELECT o_orderpriority AS g, o_orderstatus AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2),
+           | cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM j GROUP BY 1),
+           | ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM j GROUP BY 1),
+           | tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+           | p AS (SELECT j.g, max(ng.ng) AS n_rows, max(tt.n) AS n,
+           |   CAST(sum(abs(j.c * tt.n - cv.cv * ng.ng)) AS BIGINT) AS s1,
+           |   CAST(sum(cv.cv) AS BIGINT) AS cov
+           |  FROM j JOIN cv ON cv.v = j.v JOIN ng ON ng.g = j.g CROSS JOIN tt
+           |  GROUP BY j.g)
+           | SELECT g AS o_orderpriority, n_rows,
+           |  CAST(s1 + n_rows * (n - cov) AS BIGINT) AS tvd_num,
+           |  CAST(s1 + n_rows * (n - cov) AS DOUBLE) / CAST(2 * n_rows * n AS DOUBLE) AS tvd
+           | FROM p ORDER BY o_orderpriority""".stripMargin.replaceAll("\n", " ")))
+
   /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
     * clip l_quantity outside its exact [p01, p99] order-statistic
     * window — exact type-7 cut points as literals, exact clip counts,
@@ -8332,6 +8355,7 @@ object StandardQueries {
     "conformal_coverage" -> qConformalCoverage,
     "streaming_conformal" -> qStreamingConformal,
     "winsorize_summary" -> qWinsorize,
+    "t_closeness" -> qTCloseness,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -349,6 +349,24 @@ class DataAuditSpec extends SparkSpec {
     assert(one.getDouble(5) >= 0.0 && one.getDouble(5) <= 1.0)
   }
 
+  test("tCloseness: hand TVD, absent-value mass, identical-distribution zero, NULL drop") {
+    import spark.implicits._
+    // global: x 3, y 1 (N=4). group a = {x,x}: dist (1,0) vs (3/4,1/4)
+    //   num = |2*4-3*2| + 2*(4-3) = 2+2 = 4; tvd = 4/(2*2*4) = 0.25
+    // group b = {x,y}: |1*4-3*2| + |1*4-1*2| + 0 = 2+2; tvd = 4/16 = 0.25
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
+      ("b", null.asInstanceOf[String])).toDF("g", "s")
+    val got = DataAudit.tCloseness(df, Seq("g"), "s").orderBy("g").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 4L &&
+      got(0).getDouble(3) == 0.25)
+    assert(got(1).getLong(2) == 4L && got(1).getDouble(3) == 0.25)
+    // a group distributed exactly like the global population scores 0
+    val same = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("g", "s")
+    val z = DataAudit.tCloseness(same, Seq("g"), "s").collect()
+    assert(z.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
+
   test("theilsU: determined-by gives U=1 on that side; independence gives ~0; constant NULL") {
     import spark.implicits._
     // a is a FUNCTION of b (each b value maps to one a), but b is not
