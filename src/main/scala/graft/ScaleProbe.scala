@@ -127,7 +127,12 @@ object ScaleProbe {
     "dsir_weights", "dsir_select", "markov_transitions", "markov_top_next",
     "ewma_cusum_chart", "conformal_intervals", "conformal_coverage",
     "fuzzy_pairs", "fuzzy_dedup_apply",
-    "winsorize_summary", "streaming_conformal")
+    "winsorize_summary", "streaming_conformal",
+    // round-16c: privacy TVD (bounded joint over 1.5M orders),
+    // deterministic Poisson bootstrap (one scan, 64-way map-side
+    // collapse, shuffle bytes independent of rows — 6M lineitem), A/B
+    // z-test (one aggregate over 5M events)
+    "t_closeness", "bootstrap_mean_ci", "ab_proportion_test")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

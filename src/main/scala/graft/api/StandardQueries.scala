@@ -6118,6 +6118,69 @@ object StandardQueries {
            |  CAST(s1 + n_rows * (n - cov) AS DOUBLE) / CAST(2 * n_rows * n AS DOUBLE) AS tvd
            | FROM p ORDER BY o_orderpriority""".stripMargin.replaceAll("\n", " ")))
 
+  /** Deterministic Poisson-bootstrap CI
+    * ([[graft.analysis.Bootstrap.meanCI]]): a 95% band for mean
+    * quantity from 64 hash-driven replicates — md5-uniform →
+    * fixed-literal inverse-CDF multiplicities → BIGINT replicate sums,
+    * CI bounds exact order statistics of the replicate means. No RNG
+    * anywhere; both engines replay the identical resample. */
+  private def qBootstrapMeanCI = Q(
+    (s, dir) => graft.analysis.Bootstrap.meanCI(
+      t(s, dir, "lineitem")
+        .select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),
+          F.col("l_quantity")),
+      "id", "l_quantity"),
+    Some("""WITH b AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
+           |   CAST(l_quantity AS BIGINT) AS v FROM lineitem
+           |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL),
+           | r AS (SELECT b.id, b.v, g.rep FROM b CROSS JOIN (SELECT unnest(range(64)) AS rep) g),
+           | u AS (SELECT rep, v,
+           |   CAST(CAST('0x' || substr(md5(id || ':' || CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+           |  FROM r),
+           | mm AS (SELECT rep, v, CASE
+           |   WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1
+           |   WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3
+           |   WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5
+           |   WHEN u < 0.999916758850712 THEN 6 WHEN u < 0.9999897508033253 THEN 7
+           |   WHEN u < 0.999998874797402 THEN 8 ELSE 9 END AS mult FROM u),
+           | m AS (SELECT rep, CAST(sum(mult * v) AS BIGINT) AS s, CAST(sum(mult) AS BIGINT) AS c
+           |  FROM mm GROUP BY rep),
+           | means AS (SELECT CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS mean FROM m),
+           | ord AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rn FROM means)
+           | SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n,
+           |  (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM b) AS mean,
+           |  CAST(64 AS BIGINT) AS b,
+           |  (SELECT mean FROM ord WHERE rn = 1) AS lo_rep,
+           |  (SELECT mean FROM ord WHERE rn = 64) AS hi_rep,
+           |  (SELECT mean FROM ord WHERE rn = 2) AS ci_lo,
+           |  (SELECT mean FROM ord WHERE rn = 63) AS ci_hi""".stripMargin.replaceAll("\n", " ")))
+
+  /** Exact two-proportion z-test
+    * ([[graft.analysis.Bootstrap.proportionTest]]): purchase rate of
+    * even vs odd user ids — the A/B readout, every count exact and z
+    * one fixed IEEE tree. */
+  private def qAbProportionTest = Q(
+    (s, dir) => graft.analysis.Bootstrap.proportionTest(
+      t(s, dir, "events"),
+      F.col("user_id") % 2 === 0, F.col("event_type") === "purchase"),
+    Some("""WITH a AS (SELECT
+           |   CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |   CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |   CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |   CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+           | SELECT n1, c1, n2, c2,
+           |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           |  CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+           |  CASE WHEN n1 = 0 OR n2 = 0
+           |    OR CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) = 0.0
+           |    OR CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) = 1.0 THEN NULL
+           |   ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           |    / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+           |      * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+           |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END AS z
+           | FROM a""".stripMargin.replaceAll("\n", " ")))
+
   /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
     * clip l_quantity outside its exact [p01, p99] order-statistic
     * window — exact type-7 cut points as literals, exact clip counts,
@@ -8356,6 +8419,8 @@ object StandardQueries {
     "streaming_conformal" -> qStreamingConformal,
     "winsorize_summary" -> qWinsorize,
     "t_closeness" -> qTCloseness,
+    "bootstrap_mean_ci" -> qBootstrapMeanCI,
+    "ab_proportion_test" -> qAbProportionTest,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,54 @@
+package graft.analysis
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poissonMult: inverse CDF over the fixed thresholds; tail clamps at 9") {
+    val us = Seq(0.0, 0.36787944117144233, 0.5, 0.99, 0.9999999)
+    val got = us.toDF("u")
+      .select(Bootstrap.poissonMult(F.col("u")).as("m"))
+      .collect().map(_.getLong(0))
+    // < t0 -> 0; exactly t0 -> 1 (strict <); 0.5 -> 1; 0.99 -> 4; tail -> 9
+    assert(got.toSeq == Seq(0L, 1L, 1L, 4L, 9L))
+  }
+
+  test("hashUniform is deterministic, id- and replicate-sensitive, in [0,1)") {
+    val df = Seq(("a", 0), ("a", 0), ("a", 1), ("b", 0)).toDF("id", "b")
+      .select(Bootstrap.hashUniform(F.col("id"), F.col("b")).as("u"))
+    val us = df.collect().map(_.getDouble(0))
+    assert(us(0) == us(1))           // same pair, same uniform
+    assert(us(0) != us(2) && us(0) != us(3))
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+  }
+
+  test("meanCI: partitioning-invariant; CI brackets the mean; replicate count exact") {
+    val df = table("lineitem")
+      .select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),
+        F.col("l_quantity"))
+    val a = Bootstrap.meanCI(df, "id", "l_quantity").collect().head
+    val b = Bootstrap.meanCI(df.repartition(17), "id", "l_quantity").collect().head
+    assert(a.toSeq == b.toSeq)
+    val (mean, lo, hi) = (a.getDouble(1), a.getDouble(5), a.getDouble(6))
+    assert(lo < mean && mean < hi)
+    assert(a.getDouble(3) <= lo && hi <= a.getDouble(4)) // band inside range
+    assert(a.getLong(2) == 64L)
+  }
+
+  test("proportionTest: hand counts and z; empty/degenerate arms give NULL z") {
+    // arm1: 3 rows 2 successes; arm2: 2 rows 0 successes
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, false), (false, false)).toDF("arm", "ok")
+    val r = Bootstrap.proportionTest(df, F.col("arm"), F.col("ok")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 2L, 2L, 0L))
+    val pp = 2.0 / 5.0
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / 3.0 + 1.0 / 2.0))
+    assert(r.getDouble(6) == (2.0 / 3.0 - 0.0) / se)
+    // all-failure outcome: pooled rate 0 -> NULL z
+    val deg = Seq((true, false), (false, false)).toDF("arm", "ok")
+    assert(Bootstrap.proportionTest(deg, F.col("arm"), F.col("ok"))
+      .collect().head.isNullAt(6))
+  }
+}
