@@ -132,7 +132,8 @@ object ScaleProbe {
     // deterministic Poisson bootstrap (one scan, 64-way map-side
     // collapse, shuffle bytes independent of rows — 6M lineitem), A/B
     // z-test (one aggregate over 5M events)
-    "t_closeness", "bootstrap_mean_ci", "ab_proportion_test")
+    "t_closeness", "bootstrap_mean_ci", "ab_proportion_test",
+    "mondrian_conformal")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -93,6 +93,66 @@ object Conformal {
         coveredColumn(m, yCol, x1Col, x2Col).as("covered"))
   }
 
+  /** MONDRIAN (group-conditional) conformal coverage — one radius PER
+    * GROUP (Vovk's Mondrian taxonomy): marginal conformal can cover
+    * 90% overall while systematically missing one segment; calibrating
+    * the radius within each group restores the guarantee per group.
+    * Unlike [[fit]], the per-group radii never touch the driver: the
+    * group's k-th smallest calibration score comes from per-group
+    * distinct-value prefix sums (a group-partitioned window over the
+    * bounded `(group, score)` count table — the segmented-ROC
+    * discipline), so the whole pass is distributed and hash-exact.
+    * Groups whose calibration split is too small for their k are
+    * REPORTED with NULL radius/coverage rather than dropped or
+    * silently under-covered. Returns one row per group:
+    * `(group, n_cal, k, q, n_test, n_covered, coverage)`. */
+  def mondrianCoverage(df: DataFrame, groupCol: String, idCol: String,
+      yCol: String, x1Col: String, x2Col: String,
+      alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum, "need 0 < alpha < 1")
+    val (train, cal, test) = parts(df, idCol)
+    val m = Ols.fit2(train, yCol, x1Col, x2Col).head()
+    val (b0, b1, b2) = (m.getDouble(1), m.getDouble(2), m.getDouble(3))
+    def pred = F.lit(b0) + F.lit(b1) * F.col(x1Col).cast("double") +
+      F.lit(b2) * F.col(x2Col).cast("double")
+    def ae = F.abs(F.col(yCol).cast("double") - pred)
+    val calScores = complete(cal, yCol, x1Col, x2Col)
+      .filter(F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).as("__g"), ae.as("__s"))
+    val g = calScores.groupBy("__g", "__s").agg(F.count(F.lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__s")
+    val ng = calScores.groupBy("__g").agg(F.count(F.lit(1)).as("n_cal"))
+      .withColumn("k", F.expr(
+        s"((n_cal + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen"))
+    val radii = g
+      .withColumn("__nb", F.coalesce(F.sum("__c").over(w) - F.col("__c"), F.lit(0L)))
+      .join(ng, Seq("__g"))
+      .filter(F.col("__nb") < F.col("k") &&
+        F.col("__nb") + F.col("__c") >= F.col("k"))
+      .groupBy("__g").agg(F.max("n_cal").as("n_cal"), F.max("k").as("k"),
+        F.min("__s").as("q"))
+    // groups with k > n_cal have NO qualifying value: re-attach them
+    // with NULL q (reported, never silently dropped)
+    val allG = ng.join(radii.select(F.col("__g"), F.col("q")), Seq("__g"), "left_outer")
+    val tests = complete(test, yCol, x1Col, x2Col)
+      .filter(F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).as("__g"), ae.as("__ae"))
+    tests.join(allG, Seq("__g"))
+      .groupBy("__g")
+      .agg(F.max("n_cal").as("n_cal"), F.max("k").as("k"), F.max("q").as("q"),
+        F.count(F.lit(1)).as("n_test"),
+        F.sum(F.when(F.col("__ae") <= F.col("q"), 1L).otherwise(0L))
+          .as("__cov"))
+      .select(F.col("__g").as(groupCol), F.col("n_cal"), F.col("k"),
+        F.col("q"), F.col("n_test"),
+        F.when(F.col("q").isNull, F.lit(null).cast("long"))
+          .otherwise(F.col("__cov")).as("n_covered"),
+        F.when(F.col("q").isNull, F.lit(null).cast("double"))
+          .otherwise(F.col("__cov").cast("double") /
+            F.col("n_test").cast("double")).as("coverage"))
+  }
+
   /** One-row guarantee check `(n_cal, k, q, n_test, n_covered,
     * coverage)` — empirical test coverage vs the ≥ 1−α target. */
   def coverage(df: DataFrame, idCol: String, yCol: String, x1Col: String,

@@ -6022,8 +6022,11 @@ object StandardQueries {
     * the id%3=0 train split, absolute-residual scores on the id%3=1
     * calibration split, exact conformal rank k = ceil((n+1)·9/10), and
     * the k-th order statistic from distinct-value prefix sums. */
-  private def conformalSqlCtes: String =
-    """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+  /** The fit prefix alone (feature table with lang + train-split OLS
+    * coefficients) — shared by the marginal chain below and the
+    * Mondrian per-group oracle. */
+  private def conformalFitCtes: String =
+    """WITH f AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS y,
       |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS x1,
       |   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS x2
       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
@@ -6042,7 +6045,10 @@ object StandardQueries {
       |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b1,
       |   (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
       |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b2
-      |  FROM d),
+      |  FROM d)""".stripMargin.replaceAll("\n", " ")
+
+  private def conformalSqlCtes: String =
+    s"""$conformalFitCtes,
       | cal AS (SELECT abs(CAST(y AS DOUBLE) - (c.b0 + c.b1 * CAST(x1 AS DOUBLE) + c.b2 * CAST(x2 AS DOUBLE))) AS sc
       |  FROM f CROSS JOIN c WHERE doc_id % 3 = 1),
       | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
@@ -6180,6 +6186,45 @@ object StandardQueries {
            |      * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
            |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END AS z
            | FROM a""".stripMargin.replaceAll("\n", " ")))
+
+  /** Mondrian (group-conditional) conformal coverage
+    * ([[graft.analysis.Conformal.mondrianCoverage]]): one radius PER
+    * LANGUAGE, each the exact per-group order statistic from a
+    * group-partitioned prefix-sum window — the per-segment guarantee a
+    * marginal radius averages away; undersized groups report NULL
+    * rather than silently under-covering. */
+  private def qMondrianConformal = Q(
+    (s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("n_chars").as("y"),
+        TextAnalysis.tokenCount(F.col("text")).as("x1"),
+        TextAnalysis.alphaCount(F.col("text")).as("x2"))
+      graft.analysis.Conformal.mondrianCoverage(
+        feats, "lang", "doc_id", "y", "x1", "x2").orderBy("lang")
+    },
+    Some(s"""$conformalFitCtes,
+            | calg AS (SELECT lang AS g,
+            |   abs(CAST(y AS DOUBLE) - (c.b0 + c.b1 * CAST(x1 AS DOUBLE) + c.b2 * CAST(x2 AS DOUBLE))) AS s
+            |  FROM f CROSS JOIN c WHERE doc_id % 3 = 1 AND lang IS NOT NULL),
+            | ngg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+            |   CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k FROM calg GROUP BY 1),
+            | gg AS (SELECT g, s, CAST(count(*) AS BIGINT) AS c FROM calg GROUP BY 1, 2),
+            | rr AS (SELECT g, s, c, CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0) AS BIGINT) AS nb FROM gg),
+            | rad AS (SELECT rr.g, min(rr.s) AS q
+            |  FROM rr JOIN ngg ON ngg.g = rr.g
+            |  WHERE rr.nb < ngg.k AND rr.nb + rr.c >= ngg.k GROUP BY rr.g),
+            | ag AS (SELECT ngg.g, ngg.n_cal, ngg.k, rad.q FROM ngg LEFT JOIN rad ON rad.g = ngg.g),
+            | teg AS (SELECT lang AS g,
+            |   abs(CAST(y AS DOUBLE) - (c.b0 + c.b1 * CAST(x1 AS DOUBLE) + c.b2 * CAST(x2 AS DOUBLE))) AS ae
+            |  FROM f CROSS JOIN c WHERE doc_id % 3 = 2 AND lang IS NOT NULL)
+            | SELECT teg.g AS lang, max(ag.n_cal) AS n_cal, max(ag.k) AS k, max(ag.q) AS q,
+            |  CAST(count(*) AS BIGINT) AS n_test,
+            |  CASE WHEN max(ag.q) IS NULL THEN NULL
+            |   ELSE CAST(sum(CASE WHEN teg.ae <= ag.q THEN 1 ELSE 0 END) AS BIGINT) END AS n_covered,
+            |  CASE WHEN max(ag.q) IS NULL THEN NULL
+            |   ELSE CAST(sum(CASE WHEN teg.ae <= ag.q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS coverage
+            | FROM teg JOIN ag ON ag.g = teg.g GROUP BY teg.g
+            | ORDER BY lang""".stripMargin.replaceAll("\n", " ")))
 
   /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
     * clip l_quantity outside its exact [p01, p99] order-statistic
@@ -8421,6 +8466,7 @@ object StandardQueries {
     "t_closeness" -> qTCloseness,
     "bootstrap_mean_ci" -> qBootstrapMeanCI,
     "ab_proportion_test" -> qAbProportionTest,
+    "mondrian_conformal" -> qMondrianConformal,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

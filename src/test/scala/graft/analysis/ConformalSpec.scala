@@ -48,6 +48,38 @@ class ConformalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("mondrianCoverage: per-group radii; undersized groups report NULL; invariance") {
+    val feats = table("documents").select(
+      F.col("doc_id"), F.col("lang"), F.col("n_chars").as("y"),
+      graft.pipeline.TextAnalysis.tokenCount(F.col("text")).as("x1"),
+      graft.pipeline.TextAnalysis.alphaCount(F.col("text")).as("x2"))
+    val a = Conformal.mondrianCoverage(feats, "lang", "doc_id", "y", "x1", "x2")
+      .orderBy("lang").collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (nCal, k) = (r.getLong(1), r.getLong(2))
+      assert(k == ((nCal + 1) * 9 + 9) / 10)
+      if (k > nCal) assert(r.isNullAt(3) && r.isNullAt(6)) // reported, not dropped
+      else {
+        assert(!r.isNullAt(3))
+        assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+      }
+    }
+    val b = Conformal.mondrianCoverage(feats.repartition(9), "lang", "doc_id",
+      "y", "x1", "x2").orderBy("lang").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("mondrianCoverage: exact-linear data gives q = 0 and full coverage per group") {
+    val df = linear(60).withColumn("g",
+      F.when(F.col("id") % 2 === 0, "even").otherwise("odd"))
+    val rows = Conformal.mondrianCoverage(df, "g", "id", "y", "x1", "x2")
+      .collect()
+    rows.filter(r => !r.isNullAt(3)).foreach { r =>
+      assert(r.getDouble(3) == 0.0 && r.getDouble(6) == 1.0)
+    }
+  }
+
   test("too-small calibration split fails loudly") {
     intercept[IllegalArgumentException] {
       // train = 8 rows (fit fine); n_cal = 8, k = ceil(9*9/10) = 9 > 8
