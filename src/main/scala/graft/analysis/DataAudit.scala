@@ -311,6 +311,62 @@ object DataAudit {
           (F.lit(2L) * F.col("n_rows") * F.col("__n")).cast("double")).as("tvd")): _*)
   }
 
+  /** Key-concentration report — the inequality readout behind the
+    * skew preflight ([[keySkewReport]] lists the heavy keys; this
+    * summarizes the WHOLE distribution in three standard indices):
+    * Gini coefficient, Herfindahl–Hirschman index, and Shannon entropy
+    * of the per-key row counts. One row: `(n_keys, n_rows, top_share,
+    * hhi, gini, entropy_q, entropy_nats)`.
+    *
+    * Exactness: counts are BIGINTs; `HHI = Σc² / N²` is one divide of
+    * exact integers; the Gini uses the closed form over the SORTED
+    * counts `G = (2·Σᵢ i·cᵢ − (n+1)·N) / (n·N)` with the rank sum
+    * computed from the BOUNDED (count value, frequency) table —
+    * ties of a count value v with frequency f and `nb` smaller keys
+    * contribute `v·(f·nb + f(f+1)/2)` — so no global sort of keys ever
+    * happens and every term is exact integer arithmetic (ANSI-loud);
+    * entropy is the [[theilsU]] quantized-log sum. NULL keys count as
+    * a key (they are a real group).
+    *
+    * Scale shape: one map-side-combined `groupBy(key)`, then a
+    * SECOND collapse to the bounded distinct-count-value table (two
+    * keys with the same row count merge), a window over THAT bounded
+    * table, and one final aggregate. */
+  def keyConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(F.col(keyCol)).agg(F.count(F.lit(1)).as("__c"))
+    val hist = counts.groupBy("__c").agg(F.count(F.lit(1)).as("__f"))
+      .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__c")
+    val tot = hist.agg(F.sum(F.col("__f")).as("__nk"),
+      F.sum(F.col("__c") * F.col("__f")).as("__n"))
+    hist
+      .withColumn("__nb",
+        F.coalesce(F.sum("__f").over(w) - F.col("__f"), F.lit(0L)))
+      .crossJoin(F.broadcast(tot))
+      .agg(
+        F.max("__nk").as("n_keys"),
+        F.max("__n").as("n_rows"),
+        F.max("__c").as("__top"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__f")).as("__s2"),
+        F.sum(F.expr(
+          "__c * (__f * __nb + (__f * (__f + 1)) div 2)")).as("__s1"),
+        F.sum(F.col("__c") * F.col("__f") *
+          F.floor(F.lit(1000000.0) *
+            F.log(F.col("__n").cast("double") / F.col("__c").cast("double")))
+            .cast("long")).as("entropy_q"))
+      .select(F.col("n_keys"), F.col("n_rows"),
+        (F.col("__top").cast("double") / F.col("n_rows").cast("double"))
+          .as("top_share"),
+        (F.col("__s2").cast("double") /
+          (F.col("n_rows") * F.col("n_rows")).cast("double")).as("hhi"),
+        ((F.lit(2L) * F.col("__s1") -
+          (F.col("n_keys") + 1L) * F.col("n_rows")).cast("double") /
+          (F.col("n_keys") * F.col("n_rows")).cast("double")).as("gini"),
+        F.col("entropy_q"),
+        ((F.col("entropy_q").cast("double") / F.lit(1000000.0)) /
+          F.col("n_rows").cast("double")).as("entropy_nats"))
+  }
+
   /** Key-skew preflight for a planned join/aggregation key: the top-k
     * heaviest keys with their row share and cumulative share, each row
     * also carrying the global row/key totals — the report you read

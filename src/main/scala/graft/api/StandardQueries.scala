@@ -6226,6 +6226,30 @@ object StandardQueries {
             | FROM teg JOIN ag ON ag.g = teg.g GROUP BY teg.g
             | ORDER BY lang""".stripMargin.replaceAll("\n", " ")))
 
+  /** Key-concentration report ([[DataAudit.keyConcentration]]): Gini /
+    * HHI / entropy of per-user event counts — the whole-distribution
+    * inequality readout behind the top-k skew preflight, every index
+    * exact integer arithmetic over the bounded count-of-counts table. */
+  private def qKeyConcentration = Q(
+    (s, dir) => graft.analysis.DataAudit.keyConcentration(
+      t(s, dir, "events"), "user_id"),
+    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+           | h AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM c GROUP BY 1),
+           | r AS (SELECT c, f, CAST(coalesce(sum(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f, 0) AS BIGINT) AS nb FROM h),
+           | t AS (SELECT CAST(sum(f) AS BIGINT) AS nk, CAST(sum(c * f) AS BIGINT) AS n FROM h),
+           | a AS (SELECT max(t.nk) AS n_keys, max(t.n) AS n_rows, max(r.c) AS top,
+           |   CAST(sum(r.c * r.c * r.f) AS BIGINT) AS s2,
+           |   CAST(sum(r.c * (r.f * r.nb + (r.f * (r.f + 1)) // 2)) AS BIGINT) AS s1,
+           |   CAST(sum(r.c * r.f * CAST(floor(1000000.0 * ln(CAST(t.n AS DOUBLE) / CAST(r.c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS entropy_q
+           |  FROM r CROSS JOIN t)
+           | SELECT n_keys, n_rows,
+           |  CAST(top AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+           |  CAST(s2 AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS hhi,
+           |  CAST(2 * s1 - (n_keys + 1) * n_rows AS DOUBLE) / CAST(n_keys * n_rows AS DOUBLE) AS gini,
+           |  entropy_q,
+           |  (CAST(entropy_q AS DOUBLE) / 1000000.0) / CAST(n_rows AS DOUBLE) AS entropy_nats
+           | FROM a""".stripMargin.replaceAll("\n", " ")))
+
   /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
     * clip l_quantity outside its exact [p01, p99] order-statistic
     * window — exact type-7 cut points as literals, exact clip counts,
@@ -8467,6 +8491,7 @@ object StandardQueries {
     "bootstrap_mean_ci" -> qBootstrapMeanCI,
     "ab_proportion_test" -> qAbProportionTest,
     "mondrian_conformal" -> qMondrianConformal,
+    "key_concentration" -> qKeyConcentration,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

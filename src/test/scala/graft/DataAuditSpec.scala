@@ -349,6 +349,28 @@ class DataAuditSpec extends SparkSpec {
     assert(one.getDouble(5) >= 0.0 && one.getDouble(5) <= 1.0)
   }
 
+  test("keyConcentration: hand Gini/HHI/top-share; uniform keys give Gini 0") {
+    import spark.implicits._
+    // counts per key: a 1, b 1, c 2 (n_keys 3, N 4, sorted 1,1,2)
+    // s1 = 1*1 + 1*2 + 2*3 = 9; gini = (18 - 4*4)/(3*4) = 2/12
+    // hhi = (1+1+4)/16; top_share = 2/4
+    val df = Seq("a", "b", "c", "c").toDF("k").repartition(3)
+    val r = DataAudit.keyConcentration(df, "k").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 6.0 / 16.0)
+    assert(r.getDouble(4) == 2.0 / 12.0)
+    // perfectly uniform: gini exactly 0, hhi = 1/n_keys
+    val u = Seq("a", "b", "c", "d").toDF("k")
+    val ru = DataAudit.keyConcentration(u, "k").collect().head
+    assert(ru.getDouble(4) == 0.0 && ru.getDouble(3) == 0.25)
+    // partitioning invariance on the fixture
+    val a1 = DataAudit.keyConcentration(eventsDF, "user_id").collect().head
+    val a2 = DataAudit.keyConcentration(eventsDF.repartition(17), "user_id")
+      .collect().head
+    assert(a1.toSeq == a2.toSeq)
+  }
+
   test("tCloseness: hand TVD, absent-value mass, identical-distribution zero, NULL drop") {
     import spark.implicits._
     // global: x 3, y 1 (N=4). group a = {x,x}: dist (1,0) vs (3/4,1/4)
