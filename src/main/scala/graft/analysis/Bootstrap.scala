@@ -87,6 +87,70 @@ object Bootstrap {
         F.lit(reps(loIdx)).as("ci_lo"), F.lit(reps(hiIdx)).as("ci_hi"))
   }
 
+  /** CUPED variance-reduced A/B test (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013) — the industry-standard precision lift: regress the metric
+    * on a pre-experiment covariate (pooled
+    * `θ = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²)`), analyze the adjusted metric
+    * `y − θ·(x − x̄)`. The covariate is unaffected by treatment, so the
+    * estimate stays unbiased while correlated noise cancels.
+    *
+    * Exactness: BOTH columns must be integer-valued — all eleven
+    * sufficient statistics (pooled and per-arm `n, Sy, Sx, Syy, Sxx,
+    * Sxy`) accumulate as BIGINTs in ONE map-side-combined pass
+    * (ANSI-loud past 2⁶³), and θ, the adjusted means, the pooled
+    * variance of the adjusted metric, and z are one fixed IEEE tree —
+    * partitioning-invariant, SQL-replayable bit-for-bit.
+    *
+    * Output one row: `(n1, n2, theta, mean1_adj, mean2_adj, diff, se,
+    * z)`; z NULL when an arm is empty or the adjusted variance is 0.
+    * Rows with NULL arm/metric/covariate drop (complete-case). */
+  def cupedTest(df: DataFrame, armCol: Column, metricCol: Column,
+      covCol: Column): DataFrame = {
+    val y = metricCol.cast("long")
+    val x = covCol.cast("long")
+    val base = df.filter(armCol.isNotNull && y.isNotNull && x.isNotNull)
+    val agg = base.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(y).as("sy"), F.sum(x).as("sx"),
+      F.sum(y * y).as("syy"), F.sum(x * x).as("sxx"), F.sum(x * y).as("sxy"),
+      F.sum(F.when(armCol, 1L).otherwise(0L)).as("n1"),
+      F.sum(F.when(armCol, y).otherwise(0L)).as("sy1"),
+      F.sum(F.when(armCol, x).otherwise(0L)).as("sx1"),
+      F.sum(F.when(armCol, y * y).otherwise(0L)).as("syy1"),
+      F.sum(F.when(armCol, x * x).otherwise(0L)).as("sxx1"),
+      F.sum(F.when(armCol, x * y).otherwise(0L)).as("sxy1"))
+    def d(c: String) = F.col(c).cast("double")
+    val (n, sy, sx, syy, sxx, sxy) =
+      (d("n"), d("sy"), d("sx"), d("syy"), d("sxx"), d("sxy"))
+    val n1 = d("n1"); val n2 = n - n1
+    val sy2 = sy - d("sy1"); val sx2 = sx - d("sx1")
+    val syy2 = syy - d("syy1"); val sxx2 = sxx - d("sxx1")
+    val sxy2 = sxy - d("sxy1")
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val xbar = sx / n
+    def meanAdj(syA: Column, sxA: Column, nA: Column) =
+      syA / nA - theta * (sxA / nA - xbar)
+    val m1 = meanAdj(d("sy1"), d("sx1"), n1)
+    val m2 = meanAdj(sy2, sx2, n2)
+    // per-arm variance of y' = y − θ·x around its arm mean:
+    // Var = (Syy − 2θ·Sxy + θ²·Sxx)/nA − (Sy/nA − θ·Sx/nA)²
+    def varAdj(syA: Column, sxA: Column, syyA: Column, sxxA: Column,
+        sxyA: Column, nA: Column) = {
+      val mu = syA / nA - theta * (sxA / nA)
+      (syyA - F.lit(2.0) * theta * sxyA + theta * theta * sxxA) / nA - mu * mu
+    }
+    val v1 = varAdj(d("sy1"), d("sx1"), d("syy1"), d("sxx1"), d("sxy1"), n1)
+    val v2 = varAdj(sy2, sx2, syy2, sxx2, sxy2, n2)
+    val se = F.sqrt(v1 / n1 + v2 / n2)
+    agg.select(F.col("n1"), (F.col("n") - F.col("n1")).as("n2"),
+      theta.as("theta"), m1.as("mean1_adj"), m2.as("mean2_adj"),
+      (m1 - m2).as("diff"), se.as("se"),
+      F.when(F.col("n1") === 0L || F.col("n") === F.col("n1"),
+          F.lit(null).cast("double"))
+        .otherwise(F.when(se === 0.0, F.lit(null).cast("double"))
+          .otherwise((m1 - m2) / se)).as("z"))
+  }
+
   /** Exact two-proportion z-test — the A/B readout over event streams:
     * `z = (p1 − p2) / √(p̂(1−p̂)(1/n1 + 1/n2))` with every count an
     * exact BIGINT and the z one fixed IEEE tree (NULL when an arm is

