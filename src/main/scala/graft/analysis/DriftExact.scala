@@ -681,4 +681,30 @@ object DriftExact {
           .as("z"))
       .orderBy("column")
   }
+
+  /** Cliff's delta effect size per column — the magnitude companion to
+    * [[rankSumStats]]'s significance z (a 100M-row test calls any
+    * nonzero shift "significant"; delta says whether it MATTERS):
+    * `δ = P(cur > ref) − P(cur < ref) = u2/(n_ref·n_cur) − 1` directly
+    * off the same tie-corrected integer `2U` (ties split evenly, the
+    * standard convention), one IEEE divide — so it inherits the
+    * rank-sum machinery's exactness and ONE-exchange shape. The
+    * `magnitude` label applies Romano et al. (2006)'s conventional
+    * |δ| thresholds (0.147/0.33/0.474) as fixed literals. */
+  def cliffsDelta(df: DataFrame, valueCols: Seq[String],
+      isTarget: Column): DataFrame = {
+    val base = rankSumStats(df, valueCols, isTarget)
+    val delta = F.when(F.col("n_ref") === 0L || F.col("n_cur") === 0L,
+        F.lit(null).cast("double"))
+      .otherwise(F.col("u2").cast("double") /
+        (F.col("n_ref") * F.col("n_cur")).cast("double") - F.lit(1.0))
+    base.select(F.col("column"), F.col("n_ref"), F.col("n_cur"),
+      delta.as("delta"),
+      F.when(delta.isNull, F.lit(null).cast("string"))
+        .when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+      .orderBy("column")
+  }
 }

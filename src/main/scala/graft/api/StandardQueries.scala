@@ -7162,6 +7162,41 @@ object StandardQueries {
            |      - CAST(tc AS DOUBLE) / CAST((n_ref + n_cur) * (n_ref + n_cur - 1) AS DOUBLE)))) END AS z
            | FROM a ORDER BY cn""".stripMargin.replaceAll("\n", " ")))
 
+  /** Cliff's delta ([[graft.analysis.DriftExact.cliffsDelta]]): the
+    * effect-size companion to the rank-sum z over the same columns —
+    * δ = u2/(n_ref·n_cur) − 1 off the identical tie-corrected integer
+    * 2U, plus the Romano et al. magnitude label. */
+  private def qCliffsDelta = Q(
+    (s, dir) => graft.analysis.DriftExact.cliffsDelta(
+      t(s, dir, "lineitem"), Seq("l_quantity", "l_discount", "l_tax"),
+      F.col("l_linestatus") === "O"),
+    Some("""WITH u AS (
+           |  SELECT 'l_quantity' AS cn, CAST(l_quantity AS DOUBLE) AS v, l_linestatus = 'O' AS t FROM lineitem
+           |   WHERE l_quantity IS NOT NULL AND l_linestatus IS NOT NULL
+           |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_linestatus = 'O' FROM lineitem
+           |   WHERE l_discount IS NOT NULL AND l_linestatus IS NOT NULL
+           |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_linestatus = 'O' FROM lineitem
+           |   WHERE l_tax IS NOT NULL AND l_linestatus IS NOT NULL),
+           | h AS (SELECT cn, v, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+           |   CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM u GROUP BY 1, 2),
+           | c AS (SELECT cn, v, n_cur, n_ref,
+           |   CAST(coalesce(sum(n_ref) OVER (PARTITION BY cn ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_ref, 0) AS BIGINT) AS rb
+           |  FROM h),
+           | a AS (SELECT cn, CAST(sum(n_ref) AS BIGINT) AS n_ref, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+           |   CAST(sum(n_cur * (2 * rb + n_ref)) AS BIGINT) AS u2
+           |  FROM c GROUP BY 1),
+           | dd AS (SELECT cn, n_ref, n_cur,
+           |   CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+           |    ELSE CAST(u2 AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) - 1.0 END AS delta
+           |  FROM a)
+           | SELECT cn AS "column", n_ref, n_cur, delta,
+           |  CASE WHEN delta IS NULL THEN NULL
+           |   WHEN abs(delta) < 0.147 THEN 'negligible'
+           |   WHEN abs(delta) < 0.33 THEN 'small'
+           |   WHEN abs(delta) < 0.474 THEN 'medium'
+           |   ELSE 'large' END AS magnitude
+           | FROM dd ORDER BY cn""".stripMargin.replaceAll("\n", " ")))
+
   /** Exact ROC-AUC ([[Roc.rocAuc]]): the tie-corrected Mann-Whitney
     * statistic as an exact integer fraction — `score ≥ t` detecting
     * returned lineitems from the discount (cents). The oracle replays
@@ -8546,6 +8581,7 @@ object StandardQueries {
     "mondrian_conformal" -> qMondrianConformal,
     "key_concentration" -> qKeyConcentration,
     "ab_cuped" -> qAbCuped,
+    "cliffs_delta" -> qCliffsDelta,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -478,4 +478,21 @@ class DriftExactSpec extends SparkSpec {
       Seq("l_quantity"), F.col("l_linestatus") === "O").collect().head
     assert(a.find(_.getString(0) == "l_quantity").get.toSeq == solo.toSeq)
   }
+
+  test("cliffsDelta: full separation gives |delta| = 1; identical gives 0; labels") {
+    import spark.implicits._
+    // cur = {10, 11}, ref = {1, 2}: every cur beats every ref -> delta = 1
+    val sep = Seq((10.0, true), (11.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "t")
+    val r = DriftExact.cliffsDelta(sep, Seq("v"), F.col("t")).collect().head
+    assert(r.getDouble(3) == 1.0 && r.getString(4) == "large")
+    // identical multisets -> delta exactly 0
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "t")
+    val z = DriftExact.cliffsDelta(same, Seq("v"), F.col("t")).collect().head
+    assert(z.getDouble(3) == 0.0 && z.getString(4) == "negligible")
+    // inverted separation -> -1, still large by |delta|
+    val inv = DriftExact.cliffsDelta(sep, Seq("v"), !F.col("t")).collect().head
+    assert(inv.getDouble(3) == -1.0 && inv.getString(4) == "large")
+  }
 }
