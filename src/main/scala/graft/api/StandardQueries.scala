@@ -6136,12 +6136,12 @@ object StandardQueries {
         .select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),
           F.col("l_quantity")),
       "id", "l_quantity"),
-    Some("""WITH b AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
+    Some("""WITH b AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
            |   CAST(l_quantity AS BIGINT) AS v FROM lineitem
            |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL),
            | r AS (SELECT b.id, b.v, g.rep FROM b CROSS JOIN (SELECT unnest(range(64)) AS rep) g),
            | u AS (SELECT rep, v,
-           |   CAST(CAST('0x' || substr(md5(id || ':' || CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+           |   CAST((48271 * ((16807 * ((id * 2654435761 + rep * 40503 + 977) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
            |  FROM r),
            | mm AS (SELECT rep, v, CASE
            |   WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1

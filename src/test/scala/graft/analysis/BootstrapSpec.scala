@@ -15,13 +15,23 @@ class BootstrapSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L, 1L, 1L, 4L, 9L))
   }
 
-  test("hashUniform is deterministic, id- and replicate-sensitive, in [0,1)") {
-    val df = Seq(("a", 0), ("a", 0), ("a", 1), ("b", 0)).toDF("id", "b")
-      .select(Bootstrap.hashUniform(F.col("id"), F.col("b")).as("u"))
+  test("minstdUniform is deterministic, id/replicate-sensitive, in [0,1), well-spread") {
+    val df = Seq((1L, 0), (1L, 0), (1L, 1), (2L, 0)).toDF("id", "b")
+      .select(Bootstrap.minstdUniform(F.col("id"), F.col("b")).as("u"))
     val us = df.collect().map(_.getDouble(0))
-    assert(us(0) == us(1))           // same pair, same uniform
-    assert(us(0) != us(2) && us(0) != us(3))
+    assert(us(0) == us(1))                    // same pair, same uniform
+    assert(us(0) != us(2) && us(0) != us(3))  // replicate- and id-sensitive
     assert(us.forall(u => u >= 0.0 && u < 1.0))
+    // spread sanity over a grid: the empirical mean of 64k draws sits
+    // near 0.5 and all ten multiplicity bands get hit
+    val grid = spark.range(1000).selectExpr("id").crossJoin(
+      spark.range(64).selectExpr("id as b"))
+      .select(Bootstrap.minstdUniform(F.col("id"), F.col("b")).as("u"))
+    val mean = grid.agg(F.avg("u")).head().getDouble(0)
+    assert(math.abs(mean - 0.5) < 0.01)
+    val mults = grid.select(Bootstrap.poissonMult(F.col("u")).as("m"))
+      .groupBy("m").count().collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(mults))
   }
 
   test("meanCI: partitioning-invariant; CI brackets the mean; replicate count exact") {
