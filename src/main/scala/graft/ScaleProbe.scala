@@ -133,7 +133,8 @@ object ScaleProbe {
     // collapse, shuffle bytes independent of rows — 6M lineitem), A/B
     // z-test (one aggregate over 5M events)
     "t_closeness", "bootstrap_mean_ci", "ab_proportion_test",
-    "mondrian_conformal", "key_concentration", "ab_cuped", "cliffs_delta")
+    "mondrian_conformal", "key_concentration", "ab_cuped", "cliffs_delta",
+    "bootstrap_ab_diff", "contrastive_triplets", "pack_by_bpe_cost")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

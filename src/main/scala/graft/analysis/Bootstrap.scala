@@ -109,6 +109,54 @@ object Bootstrap {
         F.lit(reps(loIdx)).as("ci_lo"), F.lit(reps(hiIdx)).as("ci_hi"))
   }
 
+  /** Bootstrap CI for the DIFFERENCE of arm means — the nonparametric
+    * companion to [[cupedTest]]/[[proportionTest]] (no normality, no
+    * variance formula: if the replicate band excludes 0 the treatment
+    * moved the metric): each replicate resamples BOTH arms with the
+    * same [[minstdUniform]] multiplicities and takes `mean₁ − mean₂`;
+    * the CI is exact order statistics of the B replicate differences.
+    * Same one-scan shape as [[meanCI]] — the groupBy just carries four
+    * accumulators (per-arm Σm·v and Σm) instead of two. Returns one
+    * row `(n1, n2, mean_diff, b, ci_lo, ci_hi)`. */
+  def diffCI(df: DataFrame, idCol: String, valueCol: String, armCol: Column,
+      b: Int = 64, loRank: Double = 0.025, hiRank: Double = 0.975): DataFrame = {
+    require(b >= 4, "need at least 4 replicates")
+    require(loRank >= 0 && loRank < hiRank && hiRank <= 1, "bad rank band")
+    val base = df
+      .filter(F.col(idCol).isNotNull && F.col(valueCol).isNotNull &&
+        armCol.isNotNull)
+      .select(F.col(idCol).cast("long").as("__id"),
+        F.col(valueCol).cast("long").as("__v"), armCol.as("__a"))
+      .repartition(F.col("__id"))
+    val reps = base
+      .select(F.col("__id"), F.col("__v"), F.col("__a"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).as("__b"))
+      .withColumn("__m", poissonMult(minstdUniform(F.col("__id"), F.col("__b"))))
+      .groupBy("__b")
+      .agg(
+        F.sum(F.when(F.col("__a"), F.col("__m") * F.col("__v")).otherwise(0L)).as("__s1"),
+        F.sum(F.when(F.col("__a"), F.col("__m")).otherwise(0L)).as("__c1"),
+        F.sum(F.when(!F.col("__a"), F.col("__m") * F.col("__v")).otherwise(0L)).as("__s2"),
+        F.sum(F.when(!F.col("__a"), F.col("__m")).otherwise(0L)).as("__c2"))
+      .select((F.col("__s1").cast("double") / F.col("__c1").cast("double") -
+        F.col("__s2").cast("double") / F.col("__c2").cast("double")).as("__d"))
+      .collect().map(_.getDouble(0)).sorted
+    require(reps.length == b, s"expected $b replicates, got ${reps.length}")
+    val loIdx = math.floor(b * loRank).toInt
+    val hiIdx = math.min(math.floor(b * hiRank).toInt, b - 1)
+    base.agg(
+        F.sum(F.when(F.col("__a"), 1L).otherwise(0L)).as("n1"),
+        F.sum(F.when(!F.col("__a"), 1L).otherwise(0L)).as("n2"),
+        (F.sum(F.when(F.col("__a"), F.col("__v")).otherwise(0L)).cast("double") /
+          F.sum(F.when(F.col("__a"), 1L).otherwise(0L)).cast("double") -
+          F.sum(F.when(!F.col("__a"), F.col("__v")).otherwise(0L)).cast("double") /
+            F.sum(F.when(!F.col("__a"), 1L).otherwise(0L)).cast("double"))
+          .as("mean_diff"))
+      .select(F.col("n1"), F.col("n2"), F.col("mean_diff"),
+        F.lit(b.toLong).as("b"),
+        F.lit(reps(loIdx)).as("ci_lo"), F.lit(reps(hiIdx)).as("ci_hi"))
+  }
+
   /** CUPED variance-reduced A/B test (Deng, Xu, Kohavi & Walker, WSDM
     * 2013) — the industry-standard precision lift: regress the metric
     * on a pre-experiment covariate (pooled

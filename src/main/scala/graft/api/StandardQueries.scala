@@ -6303,6 +6303,80 @@ object StandardQueries {
            |   ELSE (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END AS z
            | FROM f2""".stripMargin.replaceAll("\n", " ")))
 
+  /** Bootstrap CI for the DIFFERENCE of arm means
+    * ([[graft.analysis.Bootstrap.diffCI]]): the nonparametric A/B
+    * uncertainty readout — both arms resampled with the same MINSTD
+    * multiplicities per replicate, CI = exact order statistics of 64
+    * replicate differences, no normality assumption anywhere. */
+  private def qBootstrapAbDiff = Q(
+    (s, dir) => graft.analysis.Bootstrap.diffCI(
+      t(s, dir, "events")
+        .select(F.col("event_id"),
+          F.round(F.col("value") * 100).as("v"),
+          (F.col("user_id") % 2 === 0).as("arm")),
+      "event_id", "v", F.col("arm")),
+    Some("""WITH b AS (SELECT CAST(event_id AS BIGINT) AS id,
+           |   CAST(round(value * 100) AS BIGINT) AS v, (user_id % 2 = 0) AS a
+           |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+           | r AS (SELECT b.id, b.v, b.a, g.rep FROM b CROSS JOIN (SELECT unnest(range(64)) AS rep) g),
+           | u AS (SELECT a, v, rep,
+           |   CAST((48271 * ((16807 * ((id * 2654435761 + rep * 40503 + 977) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
+           |  FROM r),
+           | mm AS (SELECT a, v, rep, CASE
+           |   WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1
+           |   WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3
+           |   WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5
+           |   WHEN u < 0.999916758850712 THEN 6 WHEN u < 0.9999897508033253 THEN 7
+           |   WHEN u < 0.999998874797402 THEN 8 ELSE 9 END AS mult FROM u),
+           | m AS (SELECT rep,
+           |   CAST(sum(CASE WHEN a THEN mult * v ELSE 0 END) AS BIGINT) AS s1,
+           |   CAST(sum(CASE WHEN a THEN mult ELSE 0 END) AS BIGINT) AS c1,
+           |   CAST(sum(CASE WHEN NOT a THEN mult * v ELSE 0 END) AS BIGINT) AS s2,
+           |   CAST(sum(CASE WHEN NOT a THEN mult ELSE 0 END) AS BIGINT) AS c2
+           |  FROM mm GROUP BY rep),
+           | means AS (SELECT CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+           |   - CAST(s2 AS DOUBLE) / CAST(c2 AS DOUBLE) AS d FROM m),
+           | ord AS (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM means)
+           | SELECT
+           |  (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) FROM b) AS n1,
+           |  (SELECT CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) FROM b) AS n2,
+           |  (SELECT CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE)
+           |    - CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) FROM b) AS mean_diff,
+           |  CAST(64 AS BIGINT) AS b,
+           |  (SELECT d FROM ord WHERE rn = 2) AS ci_lo,
+           |  (SELECT d FROM ord WHERE rn = 63) AS ci_hi""".stripMargin.replaceAll("\n", " ")))
+
+  /** Deterministic contrastive triplets
+    * ([[graft.pipeline.Contrastive.tripletsFromPairs]]): same-source
+    * adjacent documents as (anchor, positive) pairs, negatives drawn
+    * by the MINSTD recurrence + two-exclusion bijection — exactly
+    * uniform over the id universe minus both members, zero collisions
+    * by construction, a pure function of the pair set. */
+  private def qContrastiveTriplets = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = docs
+        .select(F.col("doc_id").as("a"), F.lead("doc_id", 1).over(w).as("b"))
+        .filter(F.col("b").isNotNull)
+      graft.pipeline.Contrastive.tripletsFromPairs(pairs, "a", "b", n)
+        .orderBy("anchor", "pos")
+    },
+    Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           | p AS (SELECT doc_id AS a, lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b FROM documents),
+           | q AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM p WHERE b IS NOT NULL AND a <> b),
+           | t1 AS (SELECT a, b,
+           |   CAST(floor(CAST((48271 * ((16807 * ((a * 2654435761 + b * 40503 + 977) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0
+           |     * CAST(nn.n - 2 AS DOUBLE)) AS BIGINT) AS n0,
+           |   least(a, b) AS lo, greatest(a, b) AS hi
+           |  FROM q CROSS JOIN nn),
+           | t2 AS (SELECT a, b, n0 + (CASE WHEN n0 >= lo THEN 1 ELSE 0 END) AS n1v, hi FROM t1),
+           | t3 AS (SELECT a AS anchor, b AS pos,
+           |   n1v + (CASE WHEN n1v >= hi THEN 1 ELSE 0 END) AS neg FROM t2)
+           | SELECT anchor, pos, neg FROM t3 ORDER BY anchor, pos""".stripMargin.replaceAll("\n", " ")))
+
   /** Winsorization summary ([[graft.analysis.Outliers.winsorize]]):
     * clip l_quantity outside its exact [p01, p99] order-statistic
     * window — exact type-7 cut points as literals, exact clip counts,
@@ -6895,6 +6969,37 @@ object StandardQueries {
          | FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
          | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
     })
+
+  /** Sequence packing priced in TRAINED-TOKENIZER units
+    * ([[Packing.withOffsets]] × the native BPE encoder): chunk offsets
+    * and 512-token chunk assignment computed from each document's
+    * actual BPE cost rather than whitespace words — whitespace packing
+    * overfills chunks for high-fertility sources (the same mispricing
+    * `mixture_weights_bpe` fixes for mixtures). Same two-pass
+    * partition-prefix-sum shape as `corpus_pack`; the cost column is
+    * the stateless map-only encoder. */
+  private def qPackByBpeCost = Q(
+    (s, dir) => {
+      val merges = trainedMerges8(s, dir)
+      Packing.withOffsets(
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, F.col("doc_id")),
+        "doc_id",
+        F.coalesce(F.size(TextAnalysis.bpeSegmentNative(F.col("text"), merges))
+          .cast("long"), F.lit(0L)),
+        capacity = 512L)
+        .select("doc_id", "n_tokens", "offset", "chunk_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""$bpeTrueTokenCtes,
+            | c AS (SELECT tk.doc_id, CAST(sum(ws.nsym) AS BIGINT) AS nt
+            |  FROM tk JOIN wsym ws ON ws.w = tk.t GROUP BY 1),
+            | f AS (SELECT d.doc_id, coalesce(c.nt, 0) AS n_tokens
+            |  FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id)
+            | SELECT doc_id, n_tokens,
+            |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+            |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS chunk_id
+            | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
   /** Tokenizer-true token counting AT INGESTION: the same trained-vocab
     * encode column on a Structured Streaming frame — the encoder is a
@@ -8582,6 +8687,9 @@ object StandardQueries {
     "key_concentration" -> qKeyConcentration,
     "ab_cuped" -> qAbCuped,
     "cliffs_delta" -> qCliffsDelta,
+    "bootstrap_ab_diff" -> qBootstrapAbDiff,
+    "contrastive_triplets" -> qContrastiveTriplets,
+    "pack_by_bpe_cost" -> qPackByBpeCost,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

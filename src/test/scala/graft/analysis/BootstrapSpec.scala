@@ -88,4 +88,25 @@ class BootstrapSpec extends SparkSpec {
     assert(Bootstrap.proportionTest(deg, F.col("arm"), F.col("ok"))
       .collect().head.isNullAt(6))
   }
+
+  test("diffCI: constant arms give a degenerate band at the true difference") {
+    import spark.implicits._
+    val df = ((0 until 50).map(i => (i.toLong, 10L, true)) ++
+      (50 until 100).map(i => (i.toLong, 0L, false))).toDF("id", "v", "arm")
+    val r = Bootstrap.diffCI(df, "id", "v", F.col("arm")).collect().head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 10.0)
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 10.0) // every replicate diff = 10
+  }
+
+  test("diffCI: partitioning-invariant; band brackets the full-sample difference") {
+    val ev = eventsDF.select(F.col("event_id"),
+      F.round(F.col("value") * 100).as("v"),
+      (F.col("user_id") % 2 === 0).as("arm"))
+    val a = Bootstrap.diffCI(ev, "event_id", "v", F.col("arm")).collect().head
+    val b = Bootstrap.diffCI(ev.repartition(17), "event_id", "v", F.col("arm"))
+      .collect().head
+    assert(a.toSeq == b.toSeq)
+    assert(a.getDouble(4) <= a.getDouble(5))
+  }
 }
