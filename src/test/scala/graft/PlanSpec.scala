@@ -752,4 +752,77 @@ class PlanSpec extends SparkSpec {
     assert(readSchemas(plan).isEmpty,
       s"marginals must consume the checkpointed pair table, not rescan parquet:\n$plan")
   }
+
+  test("markov transitions: the ordering window is USER-partitioned; scan pruned") {
+    // the transition table checkpoints (bounded |types|^2 rows), which
+    // hides the lag stage from the final plan — pin the lag stage by
+    // reconstructing it exactly as Markov.transitions builds it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("user_id")).orderBy(F.col("ts"), F.col("event_id"))
+    val steps = eventsDF
+      .filter(F.col("user_id").isNotNull && F.col("event_type").isNotNull)
+      .select(F.col("event_type").as("next"),
+        F.lag(F.col("event_type"), 1).over(w).as("prev"))
+      .filter(F.col("prev").isNotNull)
+      .groupBy("prev", "next").agg(F.count(F.lit(1)).as("cnt"))
+    steps.collect()
+    val windows = flattenPlan(steps.queryExecution.executedPlan).collect {
+      case wx: org.apache.spark.sql.execution.window.WindowExec => wx
+    }
+    assert(windows.nonEmpty, "expected the per-user lag window")
+    windows.foreach(wx => assert(wx.partitionSpec.nonEmpty,
+      s"unpartitioned window over the event stream:\n$wx"))
+    // the scan must not drag value/props payloads through the window
+    val plan = planOf(steps)
+    readSchemas(plan).foreach(s =>
+      assert(!s.contains("props") && !s.contains("value"),
+        s"payload columns reached the scan: $s"))
+  }
+
+  test("bootstrap meanCI: arithmetic uniforms (no digest), scan pruned, bounded shuffles") {
+    val df = table("lineitem")
+      .select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),
+        F.col("l_quantity"))
+    val out = graft.analysis.Bootstrap.meanCI(df, "id", "l_quantity")
+    val plan = planOf(out)
+    // the MINSTD recurrence is pure multiply/mod — a digest in the plan
+    // would mean the 33x-slower per-draw hash crept back in ("sha"
+    // alone would false-match haSHAggregate)
+    val lower = plan.toLowerCase
+    assert(!lower.contains("md5(") && !lower.contains("sha1(") &&
+      !lower.contains("sha2("),
+      s"cryptographic digest in the bootstrap plan:\n${plan.take(2000)}")
+    readSchemas(plan).foreach(s =>
+      assert(s.subsetOf(Set("l_orderkey", "l_linenumber", "l_quantity")),
+        s"unpruned scan: $s"))
+    assert(shuffles(plan) <= 2, s"expected <= 2 shuffles:\n${plan.take(2000)}")
+  }
+
+  test("mondrian conformal: every window is GROUP-partitioned (never global)") {
+    val feats = table("documents").select(
+      F.col("doc_id"), F.col("lang"), F.col("n_chars").as("y"),
+      graft.pipeline.TextAnalysis.tokenCount(F.col("text")).as("x1"),
+      graft.pipeline.TextAnalysis.alphaCount(F.col("text")).as("x2"))
+    val out = graft.analysis.Conformal.mondrianCoverage(
+      feats, "lang", "doc_id", "y", "x1", "x2")
+    out.collect()
+    val windows = flattenPlan(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-group prefix-sum window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in the per-group radius path:\n$w"))
+  }
+
+  test("fuzzy pairs: block-keyed join; only slim columns reach the scan") {
+    val pairs = graft.SparkEntry.queries("fuzzy_pairs")(spark, sfDir)
+    val plan = planOf(pairs)
+    readSchemas(plan).foreach(s =>
+      assert(s.subsetOf(Set("p_partkey", "p_name")), s"unpruned scan: $s"))
+    // the quadratic must stay inside a block: the join key is the block
+    // prefix (either a broadcast of one side or a __blk-keyed shuffle),
+    // never a cross join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"unkeyed join in the fuzzy pair path:\n${plan.take(2000)}")
+  }
 }
