@@ -134,7 +134,8 @@ object ScaleProbe {
     // z-test (one aggregate over 5M events)
     "t_closeness", "bootstrap_mean_ci", "ab_proportion_test",
     "mondrian_conformal", "key_concentration", "ab_cuped", "cliffs_delta",
-    "bootstrap_ab_diff", "contrastive_triplets", "pack_by_bpe_cost")
+    "bootstrap_ab_diff", "contrastive_triplets", "pack_by_bpe_cost",
+    "trend_test", "streaming_fuzzy_match")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

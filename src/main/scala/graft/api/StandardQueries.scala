@@ -8034,6 +8034,44 @@ object StandardQueries {
            |  (CAST(sum(c * pq) AS DOUBLE) / 1000000.0) / CAST(max(n) AS DOUBLE) AS mi_nats
            | FROM q""".stripMargin.replaceAll("\n", " ")))
 
+  /** Fuzzy record linkage AT INGESTION
+    * ([[graft.pipeline.FuzzyDedup.matchIndex]] on a Structured
+    * Streaming probe): typo'd part names stream against the static
+    * master name table through the blocked thresholded-Levenshtein
+    * join — stream–static, append mode, stateless per probe row. Both
+    * engines replay the identical cross-table linkage. */
+  private def qStreamingFuzzyMatch = Q(
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      val indexDf = part.select(F.col("p_partkey").as("ix_id"),
+        F.lower(F.col("p_name")).as("ix_s"))
+      val sdf = s.readStream.schema(part.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/part.parquet"))
+        .filter(F.col("p_partkey") % 5 === 0)
+        .select((F.col("p_partkey") + 1000000L).as("probe_id"),
+          F.concat(F.substring(F.lower(F.col("p_name")), 1, 2),
+            F.expr("substring(lower(p_name), 4)")).as("probe_s"))
+      val qn = "fz_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.pipeline.FuzzyDedup.matchIndex(
+          sdf, "probe_id", "probe_s", indexDf, "ix_id", "ix_s", maxDist = 1)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("id", "index_id")
+    },
+    Some("""WITH ix AS (SELECT CAST(p_partkey AS BIGINT) AS index_id, lower(p_name) AS index_s,
+           |   substr(lower(p_name), 1, 2) AS blk, CAST(len(p_name) AS BIGINT) AS l FROM part),
+           | pr AS (SELECT CAST(p_partkey + 1000000 AS BIGINT) AS id,
+           |   substr(lower(p_name), 1, 2) || substr(lower(p_name), 4) AS s
+           |  FROM part WHERE p_partkey % 5 = 0),
+           | pb AS (SELECT id, s, substr(s, 1, 2) AS blk, CAST(len(s) AS BIGINT) AS l FROM pr)
+           | SELECT pb.id, ix.index_id, pb.s, ix.index_s,
+           |  CAST(levenshtein(pb.s, ix.index_s) AS BIGINT) AS dist
+           | FROM pb JOIN ix ON ix.blk = pb.blk AND abs(pb.l - ix.l) <= 1
+           | WHERE levenshtein(pb.s, ix.index_s) <= 1
+           | ORDER BY id, index_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Cramér's V ([[DataAudit.cramersV]]) between order status and
     * order priority: χ² from the joint histogram via the zero-cell-free
     * `Σ n·o²/(r·s) − n` identity, every term an in-plan floor(1e6·x)
@@ -8186,6 +8224,40 @@ object StandardQueries {
            | SELECT series, day, x, e AS ewma_q, resid AS resid_q, c AS cusum_q,
            |  c > 10 * 1000000 AS alarm
            | FROM r ORDER BY series, day""".stripMargin.replaceAll("\n", " ")))
+
+  /** Mann–Kendall trend + Sen's slope
+    * ([[graft.analysis.Monitor.trendTest]]): the distribution-free
+    * monotone-trend readout over each event type's daily volume —
+    * exact S and tie-corrected variance from the bounded daily table,
+    * continuity-corrected z, and the exact median pairwise slope. */
+  private def qTrendTest = Q(
+    (s, dir) => graft.analysis.Monitor.trendTest(
+      t(s, dir, "events"), "event_type", "ts").orderBy("event_type"),
+    Some("""WITH d AS (SELECT event_type AS s, CAST(date_trunc('day', ts) AS DATE) AS day,
+           |   CAST(count(*) AS BIGINT) AS x
+           |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+           | p AS (SELECT a.s, b.x - a.x AS dx, CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dt
+           |  FROM d a JOIN d b ON b.s = a.s AND b.day > a.day),
+           | st AS (SELECT s, CAST(sum(CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           |  FROM p GROUP BY 1),
+           | nn AS (SELECT s, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+           | ti AS (SELECT s, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+           |  FROM (SELECT s, x, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2) GROUP BY 1),
+           | sl AS (SELECT s, CAST(dx AS DOUBLE) / CAST(dt AS DOUBLE) AS slope FROM p),
+           | r AS (SELECT s, slope, row_number() OVER (PARTITION BY s ORDER BY slope) AS rn,
+           |   count(*) OVER (PARTITION BY s) AS cnt FROM sl),
+           | sen AS (SELECT s, (min(slope) + max(slope)) / 2.0 AS sen_slope FROM r
+           |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY s),
+           | v AS (SELECT nn.s, nn.n_days, st.s_stat,
+           |   CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ti.tt AS DOUBLE) / 18.0 AS var_s
+           |  FROM nn JOIN st ON st.s = nn.s JOIN ti ON ti.s = nn.s)
+           | SELECT v.s AS event_type, v.n_days, v.s_stat, v.var_s,
+           |  CASE WHEN v.var_s <= 0.0 THEN NULL
+           |   WHEN v.s_stat > 0 THEN CAST(v.s_stat - 1 AS DOUBLE) / sqrt(v.var_s)
+           |   WHEN v.s_stat < 0 THEN CAST(v.s_stat + 1 AS DOUBLE) / sqrt(v.var_s)
+           |   ELSE 0.0 END AS z,
+           |  sen.sen_slope
+           | FROM v JOIN sen ON sen.s = v.s ORDER BY event_type""".stripMargin.replaceAll("\n", " ")))
 
   /** Theil's U ([[DataAudit.theilsU]]) between document language and
     * source: the asymmetric "what fraction of lang's entropy does
@@ -8676,6 +8748,7 @@ object StandardQueries {
     "markov_transitions" -> qMarkovTransitions,
     "markov_top_next" -> qMarkovTopNext,
     "ewma_cusum_chart" -> qEwmaCusumChart,
+    "trend_test" -> qTrendTest,
     "conformal_intervals" -> qConformalIntervals,
     "conformal_coverage" -> qConformalCoverage,
     "streaming_conformal" -> qStreamingConformal,
@@ -8690,6 +8763,7 @@ object StandardQueries {
     "bootstrap_ab_diff" -> qBootstrapAbDiff,
     "contrastive_triplets" -> qContrastiveTriplets,
     "pack_by_bpe_cost" -> qPackByBpeCost,
+    "streaming_fuzzy_match" -> qStreamingFuzzyMatch,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -73,6 +73,34 @@ object FuzzyDedup {
       .select("id1", "id2", "s1", "s2", "dist")
   }
 
+  /** Fuzzy matching against a STATIC reference index — the
+    * cross-table form of [[fuzzyPairs]] (incoming records vs a master
+    * table, the record-linkage deployment shape): same block key,
+    * length band, and thresholded Levenshtein, but probe and index are
+    * different tables and ids never compare. STATELESS per probe row
+    * given the index, so the same join runs on a Structured Streaming
+    * probe frame (stream–static join, append mode) — fuzzy linkage AT
+    * INGESTION. Returns `(id, index_id, s, index_s, dist)`. */
+  def matchIndex(probe: DataFrame, idCol: String, strCol: String,
+      index: DataFrame, indexIdCol: String, indexStrCol: String,
+      maxDist: Int, prefixLen: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    def prep(df: DataFrame, id: String, s: String, idOut: String, sOut: String) =
+      df.select(F.col(id).cast("long").as(idOut), F.col(s).as(sOut))
+        .filter(F.col(sOut).isNotNull)
+        .withColumn("__blk" + idOut, F.lower(F.substring(F.col(sOut), 1, prefixLen)))
+        .withColumn("__l" + idOut, F.length(F.col(sOut)).cast("long"))
+    val p = prep(probe, idCol, strCol, "id", "s")
+    val ix = prep(index, indexIdCol, indexStrCol, "index_id", "index_s")
+    p.join(ix, F.col("__blkid") === F.col("__blkindex_id"))
+      .filter(F.abs(F.col("__lid") - F.col("__lindex_id")) <= maxDist)
+      .withColumn("dist",
+        F.levenshtein(F.col("s"), F.col("index_s"), maxDist).cast("long"))
+      .filter(F.col("dist") =!= -1L)
+      .select("id", "index_id", "s", "index_s", "dist")
+  }
+
   /** Greedy keep-min-id election over [[fuzzyPairs]]: drop every row
     * that has ANY fuzzy match with a smaller id — the same
     * deterministic first-wins rule as exact dedup's keep-min, without

@@ -47,6 +47,35 @@ class MonitorSpec extends SparkSpec {
     assert(b1.getString(0) == "b" && b1.getLong(4) == 0L && b1.getLong(5) == 0L)
   }
 
+  test("trendTest: strictly increasing series gives S = n(n-1)/2, exact Sen slope") {
+    // s: days 0..4 with counts 1,2,3,4,5 -> every pair concordant:
+    // S = 10; no ties -> Var = 5*4*15/18; slopes all dx/dt with
+    // median = 1.0 (each day adds exactly one event)
+    val df = (0 until 5).flatMap(d => ev(d, d + 1)).toDF("event_type", "ts")
+    val r = Monitor.trendTest(df, "event_type", "ts").collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 5.0 * 4.0 * 15.0 / 18.0)
+    assert(r.getDouble(4) == 9.0 / math.sqrt(5.0 * 4.0 * 15.0 / 18.0))
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("trendTest: constant series has S = 0, degenerate variance, NULL z") {
+    val df = (0 until 4).flatMap(d => ev(d, 7)).toDF("event_type", "ts")
+    val r = Monitor.trendTest(df, "event_type", "ts").collect().head
+    assert(r.getLong(2) == 0L)
+    // all tied: tie term = n(n-1)(2n+5) -> var exactly 0 -> NULL z
+    assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
+    assert(r.getDouble(5) == 0.0) // all pairwise slopes are 0
+  }
+
+  test("trendTest: partitioning-invariant per series on the events fixture") {
+    val a = Monitor.trendTest(eventsDF, "event_type", "ts")
+      .orderBy("event_type").collect().map(_.toSeq)
+    val b = Monitor.trendTest(eventsDF.repartition(13), "event_type", "ts")
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.length == 5)
+  }
+
   test("ewmaCusumChart: partitioning-invariant on the events fixture; cap is loud") {
     val ev1 = eventsDF
     val a = Monitor.ewmaCusumChart(ev1, "event_type", "ts").collect().map(_.toSeq)

@@ -45,6 +45,16 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 2L, 1L)))
   }
 
+  test("matchIndex: cross-table linkage; probe ids never self-compare; band holds") {
+    val index = Seq(1L -> "apple", 2L -> "orange", 3L -> "banana").toDF("iid", "is")
+    val probe = Seq(10L -> "appl", 11L -> "orangee", 12L -> "pear", 13L -> "banana")
+      .toDF("pid", "ps")
+    val got = FuzzyDedup.matchIndex(probe, "pid", "ps", index, "iid", "is", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // appl~apple 1, orangee~orange 1, banana~banana 0; pear matches nothing
+    assert(got == Set((10L, 1L, 1L), (11L, 2L, 1L), (13L, 3L, 0L)))
+  }
+
   test("dedupApply: any smaller-id match drops the row; chains drop both followers") {
     // a~b (1 edit), b~c (1 edit), a~c (2 edits): b and c both drop
     val df = Seq(1L -> "abcde", 2L -> "abcdx", 3L -> "abcxx", 9L -> "unrelated")
