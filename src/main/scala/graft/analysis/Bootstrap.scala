@@ -48,11 +48,17 @@ object Bootstrap {
     * nothing allocates (a cryptographic hash per draw measured ~20×
     * slower end to end for zero statistical benefit here). Loud range
     * contract (ANSI): |id| ≤ ~3.4e9 keeps `id·2654435761 < 2⁶³`; remap
-    * wider ids first. */
+    * wider ids first. NEGATIVE ids inside that range are fine: the
+    * seed is pmod-mapped into [0, m) before the LCG steps (Scala and
+    * SQL `%` both keep the dividend's sign, so without the pmod a
+    * negative id would drive u negative and silently zero every
+    * multiplicity for that row — the SQL mirrors apply the identical
+    * `((x % m) + m) % m`). */
   def minstdUniform(id: Column, rep: Column): Column = {
     val m = 2147483647L
-    val seed = (id.cast("long") * F.lit(2654435761L) +
-      rep.cast("long") * F.lit(40503L) + F.lit(977L)) % m
+    val mix = id.cast("long") * F.lit(2654435761L) +
+      rep.cast("long") * F.lit(40503L) + F.lit(977L)
+    val seed = ((mix % m) + F.lit(m)) % m
     val s1 = (F.lit(16807L) * seed) % m
     val s2 = (F.lit(48271L) * s1) % m
     s2.cast("double") / F.lit(2147483647.0)
@@ -95,18 +101,27 @@ object Bootstrap {
       .groupBy("__b")
       .agg(F.sum(F.col("__m") * F.col("__v")).as("__s"),
         F.sum("__m").as("__c"))
-      .select((F.col("__s").cast("double") / F.col("__c").cast("double"))
+      .select(F.when(F.col("__c") === 0L, F.lit(null).cast("double"))
+        .otherwise(F.col("__s").cast("double") / F.col("__c").cast("double"))
         .as("__mean"))
-      .collect().map(_.getDouble(0)).sorted
-    require(reps.length == b, s"expected $b replicates, got ${reps.length}")
+      .collect()
+    // a replicate that drew total multiplicity 0 (P ≈ e^−n per
+    // replicate — realistic only for tiny inputs) has no mean; the
+    // explicit NULL-when-zero guard keeps ANSI from throwing an opaque
+    // DIVIDE_BY_ZERO first, so the loud require below always reports
+    require(reps.forall(!_.isNullAt(0)),
+      "a bootstrap replicate drew total multiplicity 0 — " +
+        "input too small for the Poisson bootstrap (add rows or reduce b)")
+    val repMeans = reps.map(_.getDouble(0)).sorted
+    require(repMeans.length == b, s"expected $b replicates, got ${repMeans.length}")
     val loIdx = math.floor(b * loRank).toInt
     val hiIdx = math.min(math.floor(b * hiRank).toInt, b - 1)
     base.agg(F.count(F.lit(1)).as("n"),
         (F.sum("__v").cast("double") / F.count(F.lit(1)).cast("double"))
           .as("mean"))
       .select(F.col("n"), F.col("mean"), F.lit(b.toLong).as("b"),
-        F.lit(reps.head).as("lo_rep"), F.lit(reps.last).as("hi_rep"),
-        F.lit(reps(loIdx)).as("ci_lo"), F.lit(reps(hiIdx)).as("ci_hi"))
+        F.lit(repMeans.head).as("lo_rep"), F.lit(repMeans.last).as("hi_rep"),
+        F.lit(repMeans(loIdx)).as("ci_lo"), F.lit(repMeans(hiIdx)).as("ci_hi"))
   }
 
   /** Bootstrap CI for the DIFFERENCE of arm means — the nonparametric
@@ -138,10 +153,19 @@ object Bootstrap {
         F.sum(F.when(F.col("__a"), F.col("__m")).otherwise(0L)).as("__c1"),
         F.sum(F.when(!F.col("__a"), F.col("__m") * F.col("__v")).otherwise(0L)).as("__s2"),
         F.sum(F.when(!F.col("__a"), F.col("__m")).otherwise(0L)).as("__c2"))
-      .select((F.col("__s1").cast("double") / F.col("__c1").cast("double") -
-        F.col("__s2").cast("double") / F.col("__c2").cast("double")).as("__d"))
-      .collect().map(_.getDouble(0)).sorted
-    require(reps.length == b, s"expected $b replicates, got ${reps.length}")
+      .select(F.when(F.col("__c1") === 0L || F.col("__c2") === 0L,
+          F.lit(null).cast("double"))
+        .otherwise(F.col("__s1").cast("double") / F.col("__c1").cast("double") -
+          F.col("__s2").cast("double") / F.col("__c2").cast("double")).as("__d"))
+      .collect()
+    // one arm drawing total multiplicity 0 in a replicate has no
+    // difference; explicit NULL (not an ANSI DIVIDE_BY_ZERO or an NPE
+    // at getDouble) so the require below is the single loud path
+    require(reps.forall(!_.isNullAt(0)),
+      "a bootstrap replicate drew total multiplicity 0 in one arm — " +
+        "arm too small for the Poisson bootstrap (add rows or reduce b)")
+    val repDiffs = reps.map(_.getDouble(0)).sorted
+    require(repDiffs.length == b, s"expected $b replicates, got ${repDiffs.length}")
     val loIdx = math.floor(b * loRank).toInt
     val hiIdx = math.min(math.floor(b * hiRank).toInt, b - 1)
     base.agg(
@@ -154,7 +178,7 @@ object Bootstrap {
           .as("mean_diff"))
       .select(F.col("n1"), F.col("n2"), F.col("mean_diff"),
         F.lit(b.toLong).as("b"),
-        F.lit(reps(loIdx)).as("ci_lo"), F.lit(reps(hiIdx)).as("ci_hi"))
+        F.lit(repDiffs(loIdx)).as("ci_lo"), F.lit(repDiffs(hiIdx)).as("ci_hi"))
   }
 
   /** CUPED variance-reduced A/B test (Deng, Xu, Kohavi & Walker, WSDM

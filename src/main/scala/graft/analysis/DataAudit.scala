@@ -291,9 +291,16 @@ object DataAudit {
       .agg(F.count(F.lit(1)).as("__c"))
       .localCheckpoint(false)
     val cv = joint.groupBy(sensitive).agg(F.sum("__c").as("__cv"))
+    // NULL quasi-identifiers form a group (a real equivalence class to
+    // an attacker), so the marginal join must be NULL-SAFE: a plain
+    // equi-join would silently drop every NULL-QI group from the
+    // report. The sensitive join stays plain (NULLs filtered above).
     val ng = joint.groupBy(qi.map(F.col): _*).agg(F.sum("__c").as("__ng"))
+      .select(qi.map(c => F.col(c).as(s"__ngk_$c")) :+ F.col("__ng"): _*)
+    val ngCond = qi.map(c => F.col(c) <=> F.col(s"__ngk_$c")).reduce(_ && _)
     val tot = joint.agg(F.sum("__c").as("__N"))
-    joint.join(cv, Seq(sensitive)).join(ng, qi)
+    joint.join(cv, Seq(sensitive)).join(ng, ngCond)
+      .drop(qi.map(c => s"__ngk_$c"): _*)
       .crossJoin(F.broadcast(tot))
       .groupBy(qi.map(F.col): _*)
       .agg(

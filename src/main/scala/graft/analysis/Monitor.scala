@@ -98,7 +98,16 @@ object Monitor {
     val varS = (F.col("n_days") * (F.col("n_days") - 1L) *
       (F.lit(2L) * F.col("n_days") + 5L) - F.col("__tt")).cast("double") /
       F.lit(18.0)
-    n.join(sStat, Seq("__s")).join(ties, Seq("__s")).join(sen, Seq("__s"))
+    // LEFT joins: a single-day series has no pairs, so sStat/sen are
+    // empty for it — it must still be reported (n_days=1, s_stat=0,
+    // var_s=0, NULL z, NULL sen_slope), per the degenerate-variance
+    // contract above. `ties` always covers every series in `n` (both
+    // derive from `d`), but rides the same left-join + coalesce for
+    // uniformity.
+    n.join(sStat, Seq("__s"), "left").join(ties, Seq("__s"), "left")
+      .join(sen, Seq("__s"), "left")
+      .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0L)))
+      .withColumn("__tt", F.coalesce(F.col("__tt"), F.lit(0L)))
       .select(F.col("__s").as(seriesCol), F.col("n_days"), F.col("s_stat"),
         varS.as("var_s"),
         F.when(varS <= 0.0, F.lit(null).cast("double"))
@@ -123,14 +132,21 @@ object Monitor {
     val spark = df.sparkSession
     import spark.implicits._
     val S = 1000000L
-    val cells = df
+    // Bound BEFORE collecting (the [[trendTest]] order): the chart
+    // table is checkpointed and counted distributed-side, the loud cap
+    // fires off that count, and only a verified-bounded table is ever
+    // pulled to the driver — an over-cap series×days result can never
+    // OOM the driver on its way to the error message.
+    val chart = df
       .filter(F.col(seriesCol).isNotNull && F.col(tsCol).isNotNull)
       .groupBy(F.col(seriesCol).cast("string").as("__s"),
         F.to_date(F.date_trunc("day", F.col(tsCol))).as("__d"))
       .agg(F.count(F.lit(1)).as("__x"))
-      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
-    require(cells.length <= maxCells,
-      s"${cells.length} chart cells exceeds $maxCells — coarsen the bucket or split series")
+      .localCheckpoint(false)
+    val nCells = chart.count()
+    require(nCells <= maxCells,
+      s"$nCells chart cells exceeds $maxCells — coarsen the bucket or split series")
+    val cells = chart.collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
     val out = cells.groupBy(_._1).toSeq.flatMap { case (series, rows) =>
       var e = 0L; var c = 0L
       rows.sortBy(_._2.getTime).zipWithIndex.map { case ((_, day, x), i) =>

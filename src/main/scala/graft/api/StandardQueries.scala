@@ -6117,7 +6117,7 @@ object StandardQueries {
            | p AS (SELECT j.g, max(ng.ng) AS n_rows, max(tt.n) AS n,
            |   CAST(sum(abs(j.c * tt.n - cv.cv * ng.ng)) AS BIGINT) AS s1,
            |   CAST(sum(cv.cv) AS BIGINT) AS cov
-           |  FROM j JOIN cv ON cv.v = j.v JOIN ng ON ng.g = j.g CROSS JOIN tt
+           |  FROM j JOIN cv ON cv.v = j.v JOIN ng ON ng.g IS NOT DISTINCT FROM j.g CROSS JOIN tt
            |  GROUP BY j.g)
            | SELECT g AS o_orderpriority, n_rows,
            |  CAST(s1 + n_rows * (n - cov) AS BIGINT) AS tvd_num,
@@ -6141,7 +6141,7 @@ object StandardQueries {
            |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL),
            | r AS (SELECT b.id, b.v, g.rep FROM b CROSS JOIN (SELECT unnest(range(64)) AS rep) g),
            | u AS (SELECT rep, v,
-           |   CAST((48271 * ((16807 * ((id * 2654435761 + rep * 40503 + 977) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
+           |   CAST((48271 * ((16807 * (((id * 2654435761 + rep * 40503 + 977) % 2147483647 + 2147483647) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
            |  FROM r),
            | mm AS (SELECT rep, v, CASE
            |   WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1
@@ -6320,7 +6320,7 @@ object StandardQueries {
            |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
            | r AS (SELECT b.id, b.v, b.a, g.rep FROM b CROSS JOIN (SELECT unnest(range(64)) AS rep) g),
            | u AS (SELECT a, v, rep,
-           |   CAST((48271 * ((16807 * ((id * 2654435761 + rep * 40503 + 977) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
+           |   CAST((48271 * ((16807 * (((id * 2654435761 + rep * 40503 + 977) % 2147483647 + 2147483647) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
            |  FROM r),
            | mm AS (SELECT a, v, rep, CASE
            |   WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1
@@ -6368,7 +6368,7 @@ object StandardQueries {
            | p AS (SELECT doc_id AS a, lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b FROM documents),
            | q AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM p WHERE b IS NOT NULL AND a <> b),
            | t1 AS (SELECT a, b,
-           |   CAST(floor(CAST((48271 * ((16807 * ((a * 2654435761 + b * 40503 + 977) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0
+           |   CAST(floor(CAST((48271 * ((16807 * (((a * 2654435761 + b * 40503 + 977) % 2147483647 + 2147483647) % 2147483647)) % 2147483647)) % 2147483647 AS DOUBLE) / 2147483647.0
            |     * CAST(nn.n - 2 AS DOUBLE)) AS BIGINT) AS n0,
            |   least(a, b) AS lo, greatest(a, b) AS hi
            |  FROM q CROSS JOIN nn),
@@ -6628,9 +6628,9 @@ object StandardQueries {
        |   unnest(list_transform(generate_series(1, len(segs)), i -> {'pos': i, 'seg': segs[i]})) AS s FROM sp),
        | sg2 AS (SELECT doc_id, source, s.pos AS pos, s.seg AS seg FROM sg),
        | f AS (SELECT doc_id, source, pos,
-       |   trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+       |   trim(regexp_replace(replace(replace(replace(replace(replace(
        |     regexp_replace(seg, '<[^>]*>', ' ', 'g'),
-       |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+       |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
        |     '\\s+', ' ', 'g')) AS text,
        |   regexp_extract_all(seg, '(?i)<a\\b[^>]*>(.*?)</a>', 1) AS links
        |  FROM sg2),
@@ -6714,7 +6714,10 @@ object StandardQueries {
     * ([[graft.functions.HtmlEntities.decodeNumericEntities]] +
     * [[HtmlExtract.visibleText]]): both engines build the same hostile
     * fragment — decimal/hex/uppercase-X forms, a per-row varying code,
-    * astral-plane, the `&amp;#39;` double-decode trap, and every
+    * astral-plane, BOTH double-decode traps (`&amp;#39;` — named amp
+    * decodes last; and `&#38;#39;` — numeric-decode recombination,
+    * which stays a literal `&#39;` because the named chain carries no
+    * `&#39;` entry), and every
     * invalid shape (code 0, surrogate, out-of-range, digit-cap
     * overflow, missing semicolon) — and must decode it identically,
     * raw (`dec_raw`) and through the full extraction chain (`text`).
@@ -6727,7 +6730,7 @@ object StandardQueries {
         F.lit("&#0; &#xD800; &#55296; &#1114112; &#x0010FFFF; &#00000039; "),
         F.lit("&#12 &#x1F &#; x&#"),
         (F.col("doc_id") % 10 + 33).cast("string"),
-        F.lit("; &amp;#39; &#1114111;</p>"))
+        F.lit("; &amp;#39; &#38;#39; &#1114111;</p>"))
       t(s, dir, "documents")
         .select(F.col("doc_id"),
           graft.functions.HtmlEntities.decodeNumericEntities(frag).as("dec_raw"),
@@ -6738,7 +6741,7 @@ object StandardQueries {
            |   '<p>A&#39;B &#x2019; &#X2019; c&#169;d &#x1F600; &#128512; '
            |   || '&#0; &#xD800; &#55296; &#1114112; &#x0010FFFF; &#00000039; '
            |   || '&#12 &#x1F &#; x&#' || CAST(doc_id % 10 + 33 AS VARCHAR)
-           |   || '; &amp;#39; &#1114111;</p>' AS frag FROM documents),
+           |   || '; &amp;#39; &#38;#39; &#1114111;</p>' AS frag FROM documents),
            | strip AS (SELECT doc_id, frag, regexp_replace(frag, '<[^>]*>', ' ', 'g') AS st FROM u),
            | dec AS (SELECT doc_id, frag,
            |   list_aggregate(list_transform(string_split(frag, '&#'), (e, i) ->
@@ -6765,9 +6768,9 @@ object StandardQueries {
            |     ELSE '&#' || e END), 'string_agg', '') AS numdec
            |  FROM strip)
            | SELECT doc_id, dec_raw,
-           |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+           |  trim(regexp_replace(replace(replace(replace(replace(replace(
            |    numdec,
-           |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
            |    '\s+', ' ', 'g')) AS text
            | FROM dec ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
@@ -8248,16 +8251,16 @@ object StandardQueries {
            |   count(*) OVER (PARTITION BY s) AS cnt FROM sl),
            | sen AS (SELECT s, (min(slope) + max(slope)) / 2.0 AS sen_slope FROM r
            |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY s),
-           | v AS (SELECT nn.s, nn.n_days, st.s_stat,
-           |   CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ti.tt AS DOUBLE) / 18.0 AS var_s
-           |  FROM nn JOIN st ON st.s = nn.s JOIN ti ON ti.s = nn.s)
+           | v AS (SELECT nn.s, nn.n_days, CAST(coalesce(st.s_stat, 0) AS BIGINT) AS s_stat,
+           |   CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - coalesce(ti.tt, 0) AS DOUBLE) / 18.0 AS var_s
+           |  FROM nn LEFT JOIN st ON st.s = nn.s LEFT JOIN ti ON ti.s = nn.s)
            | SELECT v.s AS event_type, v.n_days, v.s_stat, v.var_s,
            |  CASE WHEN v.var_s <= 0.0 THEN NULL
            |   WHEN v.s_stat > 0 THEN CAST(v.s_stat - 1 AS DOUBLE) / sqrt(v.var_s)
            |   WHEN v.s_stat < 0 THEN CAST(v.s_stat + 1 AS DOUBLE) / sqrt(v.var_s)
            |   ELSE 0.0 END AS z,
            |  sen.sen_slope
-           | FROM v JOIN sen ON sen.s = v.s ORDER BY event_type""".stripMargin.replaceAll("\n", " ")))
+           | FROM v LEFT JOIN sen ON sen.s = v.s ORDER BY event_type""".stripMargin.replaceAll("\n", " ")))
 
   /** Theil's U ([[DataAudit.theilsU]]) between document language and
     * source: the asymmetric "what fraction of lang's entropy does

@@ -48,7 +48,7 @@ object HtmlExtract {
   val maxLinkDensity = 0.25
 
   private val entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: never double-decode
 
   /** Visible text of an HTML fragment: strip tags to spaces, decode
@@ -58,7 +58,13 @@ object HtmlExtract {
     * FIRST so `&amp;#39;` yields the literal `&#39;` (the `&amp;`
     * replace cannot manufacture a decodable numeric form afterwards —
     * named entities decode to single non-`&#` characters except
-    * `&amp;`→`&`, which runs last and is never rescanned). */
+    * `&amp;`→`&`, which runs last and is never rescanned). The named
+    * chain deliberately carries NO `&#39;` entry: any literal `&#39;`
+    * is consumed by the numeric pass, so a named entry could only ever
+    * fire on numeric-pass OUTPUT recombined around a decoded `&#38;`
+    * (`&#38;#39;` → `&` + `#39;`) — i.e. it could only double-decode,
+    * never single-decode. `&#38;#39;` therefore yields the literal
+    * `&#39;`, symmetric with the `&amp;#39;` guarantee. */
   def visibleText(html: Column): Column = {
     val stripped = F.regexp_replace(html, "<[^>]*>", " ")
     val numeric = graft.functions.HtmlEntities.decodeNumericEntities(stripped)

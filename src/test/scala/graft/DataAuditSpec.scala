@@ -389,6 +389,29 @@ class DataAuditSpec extends SparkSpec {
     assert(z.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
   }
 
+  test("tCloseness: a NULL quasi-identifier group is reported, not dropped") {
+    import spark.implicits._
+    // global: x 3, y 1 (N=4). NULL-g group = {x,x}: same hand numbers
+    // as group a above -> tvd 0.25; the null-safe marginal join must
+    // keep it (a plain equi-join would silently drop the whole group)
+    val df = Seq(("a", "x"), ("a", "y"),
+      (null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "x"))
+      .toDF("g", "s")
+    val got = DataAudit.tCloseness(df, Seq("g"), "s")
+      .orderBy(F.col("g").asc_nulls_last).collect()
+    assert(got.length == 2)
+    val nullRow = got(1)
+    assert(nullRow.isNullAt(0))
+    assert(nullRow.getLong(1) == 2L)
+    // {x,x} vs global (3/4, 1/4): num = |2*4-3*2| + 2*(4-3) = 4
+    assert(nullRow.getLong(2) == 4L && nullRow.getDouble(3) == 0.25)
+    // multi-column QI with one NULL component also survives
+    val multi = Seq(("a", "p", "x"), ("a", null.asInstanceOf[String], "x"),
+      ("a", null.asInstanceOf[String], "y")).toDF("g1", "g2", "s")
+    val m = DataAudit.tCloseness(multi, Seq("g1", "g2"), "s").collect()
+    assert(m.length == 2 && m.exists(_.isNullAt(1)))
+  }
+
   test("theilsU: determined-by gives U=1 on that side; independence gives ~0; constant NULL") {
     import spark.implicits._
     // a is a FUNCTION of b (each b value maps to one a), but b is not

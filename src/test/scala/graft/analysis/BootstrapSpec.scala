@@ -34,6 +34,47 @@ class BootstrapSpec extends SparkSpec {
     assert(Set(0L, 1L, 2L, 3L).subsetOf(mults))
   }
 
+  test("minstdUniform: negative ids map through pmod — u stays in [0,1), multiplicities draw") {
+    // without the pmod a negative id drives u negative -> multiplicity
+    // 0 for EVERY replicate, silently excluding the row from resamples
+    val us = Seq((-1L, 0), (-1000000L, 3), (-3000000000L, 63), (5L, 0))
+      .toDF("id", "b")
+      .select(Bootstrap.minstdUniform(F.col("id"), F.col("b")).as("u"))
+      .collect().map(_.getDouble(0))
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+    // negative-id rows participate: across 64 replicates the row draws
+    // a nonzero multiplicity somewhere (P(all zero) ~ 1e-28)
+    val mults = spark.range(64).selectExpr("id as b")
+      .select(Bootstrap.poissonMult(
+        Bootstrap.minstdUniform(F.lit(-42L), F.col("b"))).as("m"))
+      .agg(F.sum("m")).head().getLong(0)
+    assert(mults > 0L)
+  }
+
+  test("meanCI on negative ids matches the same data with shifted non-negative ids' row count") {
+    val df = Seq((-3L, 10L), (-2L, 20L), (-1L, 30L), (1L, 40L), (2L, 50L))
+      .toDF("id", "v")
+    val r = Bootstrap.meanCI(df, "id", "v", b = 16).collect().head
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 30.0)
+    assert(r.getDouble(5) <= r.getDouble(6)) // a real CI came out
+  }
+
+  test("diffCI/meanCI: multiplicity-0 replicate fails loudly, not with an NPE") {
+    // a 1-row input: each replicate has P(e^-1) ~ 37% of drawing total
+    // multiplicity 0 -> with b=64 this fires essentially surely
+    val tiny = Seq((1L, 5L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Bootstrap.meanCI(tiny, "id", "v")
+    }
+    assert(e.getMessage.contains("multiplicity 0"))
+    val tinyArms = Seq((1L, 5L, true), (2L, 7L, false), (3L, 9L, false))
+      .toDF("id", "v", "arm")
+    val e2 = intercept[IllegalArgumentException] {
+      Bootstrap.diffCI(tinyArms, "id", "v", F.col("arm"))
+    }
+    assert(e2.getMessage.contains("multiplicity 0"))
+  }
+
   test("meanCI: partitioning-invariant; CI brackets the mean; replicate count exact") {
     val df = table("lineitem")
       .select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),

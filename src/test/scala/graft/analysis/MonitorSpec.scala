@@ -68,6 +68,35 @@ class MonitorSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.0) // all pairwise slopes are 0
   }
 
+  test("trendTest: a single-day series is reported with NULL z and NULL Sen slope") {
+    // "solo" has one day (no pairs) alongside a normal 3-day series —
+    // the degenerate series must NOT vanish from the report
+    val df = (ev(0, 4, "solo") ++ (0 until 3).flatMap(d => ev(d, d + 1, "multi")))
+      .toDF("event_type", "ts")
+    val rows = Monitor.trendTest(df, "event_type", "ts")
+      .orderBy("event_type").collect()
+    assert(rows.length == 2)
+    val multi = rows(0)
+    assert(multi.getString(0) == "multi" && multi.getLong(1) == 3L)
+    val solo = rows(1)
+    assert(solo.getString(0) == "solo")
+    assert(solo.getLong(1) == 1L && solo.getLong(2) == 0L)
+    assert(solo.getDouble(3) == 0.0)      // var_s degenerates to 0
+    assert(solo.isNullAt(4))              // NULL z as documented
+    assert(solo.isNullAt(5))              // no pairwise slopes -> NULL Sen
+  }
+
+  test("ewmaCusumChart: over-cap fires the loud guard BEFORE any driver collect") {
+    // the cap check is driven by a distributed count() of the chart
+    // table — the error message carries the true cell count, proving
+    // the bound was computed without materializing rows on the driver
+    val df = (0 until 6).flatMap(d => ev(d, 2)).toDF("event_type", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Monitor.ewmaCusumChart(df, "event_type", "ts", maxCells = 4)
+    }
+    assert(e.getMessage.contains("6 chart cells exceeds 4"))
+  }
+
   test("trendTest: partitioning-invariant per series on the events fixture") {
     val a = Monitor.trendTest(eventsDF, "event_type", "ts")
       .orderBy("event_type").collect().map(_.toSeq)

@@ -147,6 +147,17 @@ class HtmlExtractSpec extends SparkSpec {
       "one two three four five six seven eight nine &#39; q’s ’")
   }
 
+  test("visibleText: numeric-recombination &#38;#39; stays a literal &#39; (no double decode)") {
+    // the numeric pass decodes &#38; to '&', recombining with the
+    // trailing '#39;' into the string "&#39;" — the named chain must
+    // NOT decode that output (it carries no &#39; entry), so both
+    // amp-escape spellings land on the same literal
+    val rows = blocksOf("<p>one two three four five six seven eight nine " +
+      "&#38;#39; and &amp;#39; agree; plain &#39; decodes</p>")
+    assert(rows.head.getAs[String]("text") ==
+      "one two three four five six seven eight nine &#39; and &#39; agree; plain ' decodes")
+  }
+
   test("decodeNumericEntities: null passes through, no-entity string unchanged") {
     val out = Seq(Tuple1(null.asInstanceOf[String]), Tuple1("plain text"))
       .toDF("s")
