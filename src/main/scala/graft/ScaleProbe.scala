@@ -135,7 +135,12 @@ object ScaleProbe {
     "t_closeness", "bootstrap_mean_ci", "ab_proportion_test",
     "mondrian_conformal", "key_concentration", "ab_cuped", "cliffs_delta",
     "bootstrap_ab_diff", "contrastive_triplets", "pack_by_bpe_cost",
-    "trend_test", "streaming_fuzzy_match")
+    "trend_test", "streaming_fuzzy_match",
+    // round-17: multi-pass blocking (two block exchanges + pair-union
+    // dedup) and the CAPPED stream-static fuzzy linkage (the
+    // bounded-fan-out production shape; the engineered-mega-block
+    // variant is extraProbes' fuzzy_match_capped_megablock)
+    "fuzzy_pairs_multi", "streaming_fuzzy_match_capped")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -408,6 +413,33 @@ object ScaleProbe {
       val n = graft.pipeline.FuzzyDedup
         .fuzzyPairs(names, "id", "s", maxDist = 1, prefixLen = 9).count()
       require(n == 300000L, s"expected 50k blocks x C(4,2) pairs, got $n")
+      n
+    }),
+    // round-17: stream-static fuzzy linkage against an index with ONE
+    // engineered mega-block — 100k index rows sharing a 9-char block
+    // key (the Zipf-head case) next to 200k rows in 50k cool blocks of
+    // 4; 50k probes aim at the mega-block and 50k at the cool blocks.
+    // Uncapped, the mega-block alone joins 50k x 100k = 5e9 candidate
+    // rows; with maxBlockSize the block is skipped map-side, so the
+    // probe finishing in bounded time with exactly the 50k cool
+    // matches IS the measurement.
+    "fuzzy_match_capped_megablock" -> (() => {
+      val cool = spark.range(200000L).select(F.col("id"),
+        F.concat(F.lit("name"),
+          F.lpad(F.pmod(F.col("id"), F.lit(50000L)).cast("string"), 5, "0"),
+          F.lit("x"), (F.col("id") / 50000L).cast("long").cast("string")).as("s"))
+      val hot = spark.range(200000L, 300000L).select(F.col("id"),
+        F.concat(F.lit("megablock"), F.col("id").cast("string")).as("s"))
+      val probes = spark.range(50000L)
+        .select((F.col("id") + 1000000L).as("pid"),
+          F.concat(F.lit("name"),
+            F.lpad(F.col("id").cast("string"), 5, "0"), F.lit("y0")).as("ps"))
+        .unionAll(spark.range(50000L).select((F.col("id") + 2000000L).as("pid"),
+          F.concat(F.lit("megablock"), F.col("id").cast("string")).as("ps")))
+      val n = graft.pipeline.FuzzyDedup.matchIndex(
+        probes, "pid", "ps", cool.unionAll(hot), "id", "s",
+        maxDist = 1, prefixLen = 9, maxBlockSize = Some(1000)).count()
+      require(n == 50000L, s"expected 50k cool-block matches, got $n")
       n
     })
   )

@@ -8156,6 +8156,85 @@ object StandardQueries {
            | SELECT id, s FROM u WHERE id NOT IN (SELECT id2 FROM losers)
            | ORDER BY id""".stripMargin.replaceAll("\n", " ")))
 
+  /** MULTI-PASS blocked fuzzy pairs
+    * ([[graft.pipeline.FuzzyDedup.fuzzyPairsMulti]], prefix + suffix
+    * passes): the variant corpus plants the typo in the FIRST
+    * character — inside the prefix block key — so the single-pass
+    * prefix blocking provably misses every (original, variant) pair
+    * (they land in different blocks) while the suffix pass recovers
+    * them; the union is exact for ≤1-edit pairs on these strings (one
+    * edit cannot corrupt both ends). The oracle replays both passes
+    * and the UNION-dedup in SQL. */
+  private def qFuzzyPairsMulti = Q(
+    (s, dir) => {
+      val src = t(s, dir, "part").filter(F.col("p_partkey") % 5 === 0)
+        .select(F.col("p_partkey"), F.lower(F.col("p_name")).as("nm"))
+      val u = src.select(F.col("p_partkey").as("id"), F.col("nm").as("s"))
+        .unionAll(src.select((F.col("p_partkey") + 1000000L).as("id"),
+          F.concat(F.lit("z"), F.expr("substring(nm, 2)")).as("s")))
+      graft.pipeline.FuzzyDedup.fuzzyPairsMulti(u, "id", "s", maxDist = 1)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH src AS (SELECT p_partkey, lower(p_name) AS nm FROM part WHERE p_partkey % 5 = 0),
+           | u AS (SELECT p_partkey AS id, nm AS s FROM src
+           |  UNION ALL
+           |  SELECT p_partkey + 1000000, 'z' || substr(nm, 2) FROM src),
+           | b AS (SELECT id, s, CAST(len(s) AS BIGINT) AS l,
+           |   substr(lower(s), 1, 2) AS pblk, substr(lower(reverse(s)), 1, 2) AS sblk FROM u),
+           | cand AS (
+           |  SELECT x.id AS id1, y.id AS id2, x.s AS s1, y.s AS s2
+           |   FROM b x JOIN b y ON x.pblk = y.pblk AND x.id < y.id AND abs(x.l - y.l) <= 1
+           |  UNION
+           |  SELECT x.id, y.id, x.s, y.s
+           |   FROM b x JOIN b y ON x.sblk = y.sblk AND x.id < y.id AND abs(x.l - y.l) <= 1)
+           | SELECT id1, id2, s1, s2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+           | FROM cand WHERE levenshtein(s1, s2) <= 1
+           | ORDER BY id1, id2""".stripMargin.replaceAll("\n", " ")))
+
+  /** CAPPED stream-static fuzzy linkage
+    * ([[graft.pipeline.FuzzyDedup.matchIndex]] with `maxBlockSize`):
+    * same probe stream and index as `streaming_fuzzy_match`, but index
+    * blocks above the cap are skipped — the bounded-fan-out production
+    * configuration (block keys are Zipf-distributed at corpus scale;
+    * the cap turns the hot-block quadratic into a deterministic recall
+    * cut). At sf0.01 the part table's 8 two-char blocks split 4 above /
+    * 4 below the 250 cap, so the skip path does real work and the
+    * oracle replays it with a HAVING filter. */
+  private def qStreamingFuzzyMatchCapped = Q(
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      val indexDf = part.select(F.col("p_partkey").as("ix_id"),
+        F.lower(F.col("p_name")).as("ix_s"))
+      val sdf = s.readStream.schema(part.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/part.parquet"))
+        .filter(F.col("p_partkey") % 5 === 0)
+        .select((F.col("p_partkey") + 1000000L).as("probe_id"),
+          F.concat(F.substring(F.lower(F.col("p_name")), 1, 2),
+            F.expr("substring(lower(p_name), 4)")).as("probe_s"))
+      val qn = "fzc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.pipeline.FuzzyDedup.matchIndex(
+          sdf, "probe_id", "probe_s", indexDf, "ix_id", "ix_s",
+          maxDist = 1, maxBlockSize = Some(250))
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("id", "index_id")
+    },
+    Some("""WITH ix0 AS (SELECT CAST(p_partkey AS BIGINT) AS index_id, lower(p_name) AS index_s,
+           |   substr(lower(p_name), 1, 2) AS blk, CAST(len(p_name) AS BIGINT) AS l FROM part),
+           | keep AS (SELECT blk FROM ix0 GROUP BY blk HAVING count(*) <= 250),
+           | ix AS (SELECT ix0.index_id, ix0.index_s, ix0.blk, ix0.l FROM ix0 JOIN keep USING (blk)),
+           | pr AS (SELECT CAST(p_partkey + 1000000 AS BIGINT) AS id,
+           |   substr(lower(p_name), 1, 2) || substr(lower(p_name), 4) AS s
+           |  FROM part WHERE p_partkey % 5 = 0),
+           | pb AS (SELECT id, s, substr(s, 1, 2) AS blk, CAST(len(s) AS BIGINT) AS l FROM pr)
+           | SELECT pb.id, ix.index_id, pb.s, ix.index_s,
+           |  CAST(levenshtein(pb.s, ix.index_s) AS BIGINT) AS dist
+           | FROM pb JOIN ix ON ix.blk = pb.blk AND abs(pb.l - ix.l) <= 1
+           | WHERE levenshtein(pb.s, ix.index_s) <= 1
+           | ORDER BY id, index_id""".stripMargin.replaceAll("\n", " ")))
+
   /** First-order Markov transition matrix
     * ([[graft.pipeline.Markov.transitions]]) over each user's
     * time-ordered event stream: exact counts plus the
@@ -8744,6 +8823,7 @@ object StandardQueries {
     "html_numeric_entities" -> qHtmlNumericEntities,
     "cramers_v" -> qCramersV,
     "fuzzy_pairs" -> qFuzzyPairs,
+    "fuzzy_pairs_multi" -> qFuzzyPairsMulti,
     "fuzzy_dedup_apply" -> qFuzzyDedupApply,
     "dsir_weights" -> qDsirWeights,
     "dsir_select" -> qDsirSelect,
@@ -8767,6 +8847,7 @@ object StandardQueries {
     "contrastive_triplets" -> qContrastiveTriplets,
     "pack_by_bpe_cost" -> qPackByBpeCost,
     "streaming_fuzzy_match" -> qStreamingFuzzyMatch,
+    "streaming_fuzzy_match_capped" -> qStreamingFuzzyMatchCapped,
     "nb_confusion" -> qNbConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

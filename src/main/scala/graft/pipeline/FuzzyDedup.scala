@@ -9,19 +9,22 @@ import org.apache.spark.sql.{functions => F}
   * "acme crop") that normalization misses and that are too short for
   * shingle statistics to separate. Classic blocking design (Fellegi &
   * Sunter record linkage; Christen 2012 survey): candidates must share
-  * a cheap deterministic BLOCK KEY (lowercased prefix), so comparison
-  * cost is Σ blockSize² instead of n² — then a length-band prefilter
-  * (|len₁−len₂| ≤ d is NECESSARY for edit distance ≤ d, and prunes
-  * before any quadratic work) and finally the exact thresholded
+  * a cheap deterministic BLOCK KEY (lowercased prefix by default), so
+  * comparison cost is Σ blockSize² instead of n² — then a length-band
+  * prefilter (|len₁−len₂| ≤ d is NECESSARY for edit distance ≤ d, and
+  * prunes before any quadratic work) and finally the exact thresholded
   * Levenshtein (`levenshtein(s₁, s₂, d)` — O(d·len) early-exit, not
   * the full O(len²) table).
   *
   * Blocking recall is the documented tradeoff: a typo INSIDE the
   * prefix moves the record to another block and the pair is missed —
-  * standard practice is multi-pass blocking (run again with a suffix
-  * or phonetic key and union), which composes here as
-  * `fuzzyPairs(..., blocker = x)` unioned per pass since every pass is
-  * deterministic.
+  * standard practice is MULTI-PASS blocking (run again with a suffix
+  * or phonetic key and union), provided here as [[fuzzyPairsMulti]]:
+  * each pass is deterministic, a pair survives if ANY pass blocks it
+  * together, and a single-character typo can sit inside at most one of
+  * prefix/suffix (for strings longer than prefix+suffix), so the
+  * two-pass union recovers every ≤1-edit pair the single pass loses
+  * to prefix typos.
   *
   * Scale shape: ONE shuffle of (block, id, s) per side keyed by the
   * short block key; no global sort; the quadratic stays inside a
@@ -29,26 +32,45 @@ import org.apache.spark.sql.{functions => F}
   * above the cap (deterministic, mirrored by the oracle, the
   * documented recall/throughput dial exactly like the capped LSH
   * family; size the cap from [[graft.analysis.DataAudit]]'s
-  * keySkewReport on the block key).
+  * keySkewReport on the block key). The same cap guards the
+  * stream-static [[matchIndex]] path: natural-language block keys are
+  * Zipf-distributed, so one hot prefix in a large master table would
+  * otherwise give every probe row in that block an unbounded candidate
+  * fan-out per micro-batch.
   *
   * (Reference analog: none — whylogs has no record-linkage surface;
   * this extends the beyond-reference dedup family.)
   */
 object FuzzyDedup {
 
-  /** Candidate duplicate pairs `(id1, id2, s1, s2, dist)` with
+  /** Lowercased `n`-char prefix — the default block key. */
+  def prefixBlocker(n: Int): Column => Column = {
+    require(n >= 1, "prefix length must be >= 1")
+    s => F.lower(F.substring(s, 1, n))
+  }
+
+  /** Lowercased `n`-char suffix (as a reversed prefix, so the same
+    * expression shape replays in any engine without negative-index
+    * substring semantics) — the standard second blocking pass. */
+  def suffixBlocker(n: Int): Column => Column = {
+    require(n >= 1, "suffix length must be >= 1")
+    s => F.lower(F.substring(F.reverse(s), 1, n))
+  }
+
+  /** [[fuzzyPairs]] under an arbitrary deterministic block key:
+    * candidate duplicate pairs `(id1, id2, s1, s2, dist)` with
     * `id1 < id2` and `dist = levenshtein(s1, s2) ≤ maxDist`, blocked
-    * by the first `prefixLen` chars of `lower(s)`. NULL strings drop.
-    * With `maxBlockSize = Some(cap)`, blocks holding more than `cap`
+    * by `blocker(s)`. NULL strings drop. With
+    * `maxBlockSize = Some(cap)`, blocks holding more than `cap`
     * strings are skipped entirely (deterministic recall cut). */
-  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
-      prefixLen: Int = 2, maxBlockSize: Option[Int] = None): DataFrame = {
+  def fuzzyPairsBlocked(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, blocker: Column => Column,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    require(prefixLen >= 1, "prefixLen must be >= 1")
     val base0 = df
       .select(F.col(idCol).cast("long").as("__id"), F.col(strCol).as("__s"))
       .filter(F.col("__s").isNotNull)
-      .withColumn("__blk", F.lower(F.substring(F.col("__s"), 1, prefixLen)))
+      .withColumn("__blk", blocker(F.col("__s")))
       .withColumn("__l", F.length(F.col("__s")).cast("long"))
     val base = maxBlockSize match {
       case None => base0
@@ -73,6 +95,36 @@ object FuzzyDedup {
       .select("id1", "id2", "s1", "s2", "dist")
   }
 
+  /** Candidate duplicate pairs `(id1, id2, s1, s2, dist)` with
+    * `id1 < id2` and `dist = levenshtein(s1, s2) ≤ maxDist`, blocked
+    * by the first `prefixLen` chars of `lower(s)`. NULL strings drop.
+    * With `maxBlockSize = Some(cap)`, blocks holding more than `cap`
+    * strings are skipped entirely (deterministic recall cut). */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      prefixLen: Int = 2, maxBlockSize: Option[Int] = None): DataFrame =
+    fuzzyPairsBlocked(df, idCol, strCol, maxDist,
+      prefixBlocker(prefixLen), maxBlockSize)
+
+  /** MULTI-PASS blocking: the union of [[fuzzyPairsBlocked]] over
+    * several block keys, deduplicated — a pair is found if ANY pass
+    * puts it in a shared block (the Christen 2012 recall recipe; the
+    * file scaladoc's own prescription made a first-class helper).
+    * Default passes: 2-char prefix + 2-char suffix, which together
+    * recover every ≤1-edit pair on strings longer than 4 chars (one
+    * edit cannot corrupt both ends). Pass union is deterministic: the
+    * per-pass outputs are identical rows for a shared pair, so
+    * `distinct()` is exact, not a tie-break. `maxBlockSize` applies
+    * per pass (each pass has its own block-size distribution). */
+  def fuzzyPairsMulti(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int,
+      blockers: Seq[Column => Column] = Seq(prefixBlocker(2), suffixBlocker(2)),
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    require(blockers.nonEmpty, "need at least one blocking pass")
+    blockers.map(fuzzyPairsBlocked(df, idCol, strCol, maxDist, _, maxBlockSize))
+      .reduce(_ unionAll _)
+      .distinct()
+  }
+
   /** Fuzzy matching against a STATIC reference index — the
     * cross-table form of [[fuzzyPairs]] (incoming records vs a master
     * table, the record-linkage deployment shape): same block key,
@@ -80,10 +132,17 @@ object FuzzyDedup {
     * different tables and ids never compare. STATELESS per probe row
     * given the index, so the same join runs on a Structured Streaming
     * probe frame (stream–static join, append mode) — fuzzy linkage AT
-    * INGESTION. Returns `(id, index_id, s, index_s, dist)`. */
+    * INGESTION. `maxBlockSize` caps the INDEX side (the fan-out
+    * driver): the block-size table is computed once on the static
+    * index and broadcast-filtered exactly like [[fuzzyPairs]]'s, so
+    * probe rows landing in a skipped mega-block emit nothing — a
+    * bounded ≤ cap candidate fan-out per probe row, streaming-legal
+    * (no aggregation on the stream side). Returns
+    * `(id, index_id, s, index_s, dist)`. */
   def matchIndex(probe: DataFrame, idCol: String, strCol: String,
       index: DataFrame, indexIdCol: String, indexStrCol: String,
-      maxDist: Int, prefixLen: Int = 2): DataFrame = {
+      maxDist: Int, prefixLen: Int = 2,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(prefixLen >= 1, "prefixLen must be >= 1")
     def prep(df: DataFrame, id: String, s: String, idOut: String, sOut: String) =
@@ -92,7 +151,15 @@ object FuzzyDedup {
         .withColumn("__blk" + idOut, F.lower(F.substring(F.col(sOut), 1, prefixLen)))
         .withColumn("__l" + idOut, F.length(F.col(sOut)).cast("long"))
     val p = prep(probe, idCol, strCol, "id", "s")
-    val ix = prep(index, indexIdCol, indexStrCol, "index_id", "index_s")
+    val ix0 = prep(index, indexIdCol, indexStrCol, "index_id", "index_s")
+    val ix = maxBlockSize match {
+      case None => ix0
+      case Some(cap) =>
+        val sizes = ix0.groupBy("__blkindex_id")
+          .agg(F.count(F.lit(1)).as("__bc"))
+          .filter(F.col("__bc") <= cap).drop("__bc")
+        ix0.join(F.broadcast(sizes), Seq("__blkindex_id"))
+    }
     p.join(ix, F.col("__blkid") === F.col("__blkindex_id"))
       .filter(F.abs(F.col("__lid") - F.col("__lindex_id")) <= maxDist)
       .withColumn("dist",
