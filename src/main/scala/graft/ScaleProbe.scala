@@ -137,10 +137,14 @@ object ScaleProbe {
     "bootstrap_ab_diff", "contrastive_triplets", "pack_by_bpe_cost",
     "trend_test", "streaming_fuzzy_match",
     // round-17: multi-pass blocking (two block exchanges + pair-union
-    // dedup) and the CAPPED stream-static fuzzy linkage (the
+    // dedup), the CAPPED stream-static fuzzy linkage (the
     // bounded-fan-out production shape; the engineered-mega-block
-    // variant is extraProbes' fuzzy_match_capped_megablock)
-    "fuzzy_pairs_multi", "streaming_fuzzy_match_capped")
+    // variant is extraProbes' fuzzy_match_capped_megablock), and the
+    // composed IVF-PQ index over 20x embeddings (two driver-trained
+    // KB codebooks, one map-only encode pass, cell-keyed ADC join,
+    // bounded rerank)
+    "fuzzy_pairs_multi", "streaming_fuzzy_match_capped",
+    "embedding_ivfpq")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

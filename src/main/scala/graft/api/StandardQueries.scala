@@ -3152,6 +3152,47 @@ object StandardQueries {
            |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
            | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
 
+  /** Composed IVF-PQ ([[Similarity.ivfPqTopK]]) with EXHAUSTIVE
+    * probing AND re-rank (nprobe = numCentroids, rerank ≥ corpus): all
+    * cells probed ⇒ the candidate set is the whole corpus; all
+    * candidates exactly re-ranked ⇒ the result must equal brute force
+    * REGARDLESS of what the coarse quantizer and the residual PQ did —
+    * the FAISS-IVFADC composition's end-to-end correctness contract,
+    * stated in SQL (same ordering contract and double-cast cosine as
+    * `embedding_pq_exhaustive`). Production stays the pruned
+    * `embedding_ivfpq` + recall gate below. */
+  private def qEmbeddingIvfPqExhaustive = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(F.col("vec_id") < 20),
+        numCentroids = 8, nprobe = 8, m = 16, ksub = 16, k = 5,
+        rerank = 1000000)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id DESC) AS rank
+           |  FROM embeddings q, embeddings c
+           |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+           | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
+
+  /** Pruned IVF-PQ (rows-only: codebooks are data-trained; the shape
+    * is nprobe 4 of 8 cells × rerank 50 ADC candidates — the actual
+    * compressed-and-pruned production scan). Recall vs brute force is
+    * gated ≥ 0.8 in IvfPqSpec; the exactness contract is pinned by
+    * `embedding_ivfpq_exhaustive` above. */
+  private def qEmbeddingIvfPq = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(F.col("vec_id") < 20),
+        numCentroids = 8, nprobe = 4, m = 16, ksub = 16, k = 5, rerank = 50)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** EmbeddingMetric (per-reference distance distributions + closest
     * counts): first 4 corpus vectors are the labeled references. The
     * oracle recomputes cosine distance with the explicit
@@ -8632,6 +8673,8 @@ object StandardQueries {
     "embedding_pq" -> qEmbeddingPq,
     "embedding_pq_recall" -> qEmbeddingPqRecall,
     "embedding_pq_exhaustive" -> qEmbeddingPqExhaustive,
+    "embedding_ivfpq" -> qEmbeddingIvfPq,
+    "embedding_ivfpq_exhaustive" -> qEmbeddingIvfPqExhaustive,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_md5" -> qDedupEmbeddingLshMd5,

@@ -185,6 +185,16 @@ object Similarity {
         .select(l2normalize(F.col(vecCol)))
         .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
     require(sample.nonEmpty, "empty corpus")
+    trainPqOnSample(sample, m, ksub, iters)
+  }
+
+  /** Per-subspace Lloyd on an in-memory sample — the trainer core
+    * shared by [[trainProductQuantizer]] (raw normalized vectors) and
+    * [[ivfPqTopK]] (coarse-cell RESIDUALS). Seeds = first `ksub`
+    * distinct subvectors. */
+  private[pipeline] def trainPqOnSample(sample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int): graft.functions.PqUtil.Codebook = {
+    require(sample.nonEmpty, "empty sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
@@ -235,6 +245,106 @@ object Similarity {
     val adc = encoded.crossJoin(F.broadcast(q))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
       .withColumn("score", Pq.pq_adc_score(F.col("__codes"), F.col("__lut"), ksub))
+      .select("query_id", "neighbor_id", "score")
+    val candidates = topKPerGroup(adc, "query_id", "neighbor_id", "score", rerank)
+      .select("query_id", "neighbor_id")
+    val qvecs = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).cast("array<double>").as("__qv"))
+    val cvecs = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).cast("array<double>").as("__cv"))
+    val exact = candidates
+      .join(F.broadcast(qvecs), Seq("query_id"))
+      .join(cvecs, Seq("neighbor_id"))
+      .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "neighbor_id", "score")
+    topKPerGroup(exact, "query_id", "neighbor_id", "score", k)
+  }
+
+  // ------------------------------------------------------------------
+  // composed IVF-PQ (FAISS IVFADC shape)
+  // ------------------------------------------------------------------
+
+  /** Composed IVF-PQ top-k — the billion-vector index shape (Jégou et
+    * al. 2011 §V "IVFADC"; the FAISS default): a coarse quantizer
+    * prunes the corpus to `nprobe` cells per query AND a product
+    * quantizer compresses what remains, so the scan touches
+    * ~n·nprobe/C rows of m-byte codes instead of n full vectors —
+    * IVF alone ([[ivfTopK]]) still ships full vectors through the
+    * probed cells; PQ alone ([[pqTopK]]) still ADC-scans the whole
+    * corpus. At 10⁹+ vectors you need both.
+    *
+    * Index layout, all computed in ONE map-only corpus pass after the
+    * driver trains two KB-scale codebooks on a bounded sample:
+    * `(neighbor_id, cell, codes)` where `codes` PQ-encodes the
+    * RESIDUAL `v/|v| − centroid(cell)` — residuals concentrate near 0
+    * regardless of which cell a vector lands in, so one shared
+    * codebook quantizes them far better than it quantizes raw
+    * positions (the paper's central trick).
+    *
+    * Query side: inner products are taken on L2-normalized vectors
+    * (= cosine), and ⟨q, c + r⟩ = ⟨q, c⟩ + ⟨q, r⟩ splits the score
+    * into a per-(query, cell) scalar plus an ADC table sum — the SAME
+    * query LUT serves every probed cell because the residual codebook
+    * is cell-independent. Each query ships (lut, cell, q·c) via
+    * broadcast to the cell-keyed join, the bounded top-k aggregate
+    * keeps `rerank` ADC candidates per query, and exact cosine
+    * re-scores them against re-fetched vectors (only rerank·|Q| full
+    * vectors ever leave the scan).
+    *
+    * Exactness contract (the oracle bridge): with
+    * `nprobe = numCentroids` every cell is probed, so the candidate
+    * set is the whole corpus, and `rerank ≥ corpus` hands ALL
+    * candidates to the exact re-rank — the result must equal brute
+    * force regardless of what the quantizers did. Pruned
+    * configurations trade recall, gated against
+    * [[bruteForceTopK]] like the IVF/PQ recall queries. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 16, k: Int = 5, rerank: Int = 50,
+      sampleSize: Int = 4096): DataFrame = {
+    import graft.functions.Pq
+    require(nprobe >= 1 && rerank >= k, "need nprobe >= 1 and rerank >= k")
+    val nc = corpus.select(F.col(idCol), l2normalize(F.col(vecCol)).as("__nv"))
+    val cents = trainCentroids(nc, idCol, "__nv", numCentroids,
+      iters = 2, sampleSize = sampleSize)
+    // residual codebook: assign the SAME bounded sample to its coarse
+    // cell driver-side, train per-subspace Lloyd on the residuals
+    val sample: Array[Array[Double]] = nc.orderBy(idCol).limit(sampleSize)
+      .select(F.col("__nv"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val residuals = sample.map { v =>
+      val best = cents.maxBy { case (_, c) => cos(v, c) }._2
+      v.indices.map(i => v(i) - best(i)).toArray
+    }
+    val codebook = trainPqOnSample(residuals, m, ksub, iters = 4)
+    // centroid lookup as a plan literal: cents ids are 0..C-1 in order
+    val centArr = F.typedLit(cents.map(_._2.toSeq).toSeq)
+    def centOf(cell: Column) = F.element_at(centArr, cell.cast("int") + 1)
+    val encoded = nc.select(F.col(idCol).as("neighbor_id"), F.col("__nv"),
+        nearestCentroidId(F.col("__nv"), cents).as("__cell"))
+      .select(F.col("neighbor_id"), F.col("__cell"),
+        Pq.pq_encode(F.zip_with(F.col("__nv"), centOf(F.col("__cell")),
+          (a, b) => a - b), codebook).as("__codes"))
+    val q = queries
+      .select(F.col(idCol).as("query_id"), l2normalize(F.col(vecCol)).as("__qn"))
+      .select(F.col("query_id"), F.col("__qn"),
+        Pq.pq_lut(F.col("__qn"), codebook).as("__lut"),
+        F.explode(nearestCentroidIds(F.col("__qn"), cents, nprobe)).as("__cell"))
+      .withColumn("__qdotc", F.aggregate(
+        F.zip_with(F.col("__qn"), centOf(F.col("__cell")), (a, b) => a * b),
+        F.lit(0.0), _ + _))
+      .select("query_id", "__cell", "__lut", "__qdotc")
+    val adc = encoded.join(F.broadcast(q), Seq("__cell"))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("score", F.col("__qdotc") +
+        Pq.pq_adc_score(F.col("__codes"), F.col("__lut"), ksub))
       .select("query_id", "neighbor_id", "score")
     val candidates = topKPerGroup(adc, "query_id", "neighbor_id", "score", rerank)
       .select("query_id", "neighbor_id")
