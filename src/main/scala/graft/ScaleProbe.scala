@@ -144,7 +144,11 @@ object ScaleProbe {
     // KB codebooks, one map-only encode pass, cell-keyed ADC join,
     // bounded rerank)
     "fuzzy_pairs_multi", "streaming_fuzzy_match_capped",
-    "embedding_ivfpq")
+    "embedding_ivfpq",
+    // round-17: byte-level BPE over the 100x corpus — training is the
+    // same histogram-once + driver-loop shape on the byte-pretoken
+    // histogram; encoding is one map-only native scan at symWidth 2
+    "bpe_train_bytes", "bpe_encode_bytes")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -6561,6 +6561,30 @@ object StandardQueries {
 
   private def bpeSqlCtes: String = bpeSqlCtesN(3)
 
+  /** Byte-level variant of [[bpeSqlCtesN]]: GPT-2-style pretokens
+    * (space-prefixed letter/number/punct runs, every script kept) and
+    * an initial alphabet of UTF-8 bytes as lowercase hex PAIRS —
+    * `lower(hex(encode(t)))` chunked by 2 — so the identical
+    * merge-round CTE chain trains over bytes. */
+  private def byteBpeSqlCtesN(rounds: Int): String = {
+    val sep = "chr(31)"
+    val sep2 = "chr(31) || chr(31)"
+    def round(k: Int) =
+      s"""w$k AS (SELECT list_filter(string_split(e, $sep2), x -> len(x) > 0) AS w, freq FROM v${k - 1}),
+         | q$k AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p, freq FROM w$k),
+         | t$k AS (SELECT p.a AS s1, p.b AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM q$k GROUP BY 1, 2),
+         | m$k AS MATERIALIZED (SELECT s1, s2, cnt FROM t$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         | v$k AS MATERIALIZED (SELECT CASE WHEN EXISTS (SELECT 1 FROM m$k) THEN regexp_replace(e,
+         |    $sep || (SELECT s1 FROM m$k) || $sep2 || (SELECT s2 FROM m$k) || $sep,
+         |    $sep || (SELECT s1 || s2 FROM m$k) || $sep, 'g') ELSE e END AS e, freq FROM v${k - 1})"""
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(text,
+       |    ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS t FROM documents),
+       | hx AS (SELECT lower(hex(encode(t))) AS h FROM tok),
+       | v0 AS (SELECT $sep2 || array_to_string([substr(h, i, 2) for i in range(1, len(h)+1, 2)], $sep2) || $sep2 AS e,
+       |   CAST(count(*) AS BIGINT) AS freq FROM hx GROUP BY h),
+       | ${(1 to rounds).map(round).mkString(",\n ")}"""
+  }
+
   private def qBpeTrainMerges = Q(
     (s, dir) => TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)
       .orderBy("round"),
@@ -6589,6 +6613,53 @@ object StandardQueries {
             s"SELECT CAST($k AS INT) AS round, s1, s2, s1 || s2 AS merged, cnt FROM m$k")
             .mkString(" UNION ALL ")}
          | ORDER BY round""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** BYTE-LEVEL BPE training ([[TextAnalysis.bpeTrainMergesFast]],
+    * `byteLevel = true`): 6 merge rounds over the GPT-2-style
+    * byte-pretoken alphabet (space-prefixed runs, every script kept,
+    * UTF-8 bytes as lowercase hex pairs), hash-checked against the
+    * full unrolled SQL training replay — pair counting over hex
+    * symbols, tie order, merge application, and the byte chunking
+    * itself all certified cross-engine. Default-mode queries
+    * (`bpe_train_fast`, `bpe_encode_native`) are untouched: byte mode
+    * is opt-in. */
+  private def qBpeTrainBytes = Q(
+    (s, dir) => TextAnalysis.bpeTrainMergesFast(t(s, dir, "documents"), "text",
+      rounds = 6, byteLevel = true).orderBy("round"),
+    Some {
+      s"""${byteBpeSqlCtesN(6)}
+         | ${(1 to 6).map(k =>
+            s"SELECT CAST($k AS INT) AS round, s1, s2, s1 || s2 AS merged, cnt FROM m$k")
+            .mkString(" UNION ALL ")}
+         | ORDER BY round""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** BYTE-LEVEL BPE encoding round-trip ([[TextAnalysis.bpeSegmentBytes]]
+    * — the native table-driven encoder at `symWidth = 2` over hex-pair
+    * byte symbols): train 6 byte merges, encode the corpus, report the
+    * top-30 symbol frequencies. The oracle's `v6` CTE IS the encoded
+    * byte vocabulary (frequency-weighted), so a train/encode
+    * disagreement anywhere — including the hex chunking and the
+    * cursor-vs-fold equivalence at width 2 — fails the hash. */
+  private def qBpeEncodeBytes = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainMergesFast(docs, "text",
+        rounds = 6, byteLevel = true)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(F.explode(
+          TextAnalysis.bpeSegmentBytes(F.col("text"), merges)).as("sym"))
+        .groupBy("sym").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("sym")).limit(30)
+    },
+    Some {
+      s"""${byteBpeSqlCtesN(6)}
+         | SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |   SELECT unnest(list_filter(string_split(e, chr(31) || chr(31)), x -> len(x) > 0)) AS sym, freq
+         |   FROM v6)
+         | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
     })
 
   /** BPE ENCODING round-trip ([[TextAnalysis.bpeSegment]]): train 3
@@ -8815,6 +8886,8 @@ object StandardQueries {
     "calibration_report" -> qCalibrationReport,
     "bpe_train_merges" -> qBpeTrainMerges,
     "bpe_train_fast" -> qBpeTrainFast,
+    "bpe_train_bytes" -> qBpeTrainBytes,
+    "bpe_encode_bytes" -> qBpeEncodeBytes,
     "streaming_nb_score" -> qStreamingNbScore,
     "normalize_nfc" -> qNormalizeNfc,
     "l_diversity" -> qLDiversity,

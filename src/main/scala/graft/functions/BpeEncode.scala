@@ -42,8 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Reference analog: whylogs has no tokenizer trainer; this extends the
   * trainable family's BPE arc to production inference scale.)
   */
-case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
+case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)],
+    symWidth: Int = 1)
   extends UnaryExpression {
+  require(symWidth >= 1, "symWidth must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -52,12 +54,12 @@ case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val table: BpeTable = BpeTable.build(merges)
 
   override def nullSafeEval(input: Any): Any =
-    BpeEncodeUtil.encode(input.asInstanceOf[ArrayData], table)
+    BpeEncodeUtil.encode(input.asInstanceOf[ArrayData], table, symWidth)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeEncodeUtil.encode($c, $tableRef);")
+      s"${ev.value} = graft.functions.BpeEncodeUtil.encode($c, $tableRef, $symWidth);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeTokens =
@@ -107,14 +109,18 @@ object BpeEncodeUtil {
 
   /** Encode every word in `toks` against `table`; returns the flattened
     * symbol array. Null elements inside the token array are skipped
-    * (cannot arise from the tokenizer, but ArrayData permits them). */
-  def encode(toks: ArrayData, table: BpeTable): ArrayData = {
+    * (cannot arise from the tokenizer, but ArrayData permits them).
+    * `symWidth` is the initial-symbol width in chars: 1 for the default
+    * per-char alphabet, 2 for the byte-level hex-pair alphabet (tokens
+    * arrive as lowercase-hex UTF-8; a trailing short chunk is kept
+    * whole, defensively — hex strings are always even). */
+  def encode(toks: ArrayData, table: BpeTable, symWidth: Int = 1): ArrayData = {
     val nw = toks.numElements()
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](nw * 2)
     var wi = 0
     while (wi < nw) {
       if (!toks.isNullAt(wi)) {
-        encodeWord(toks.getUTF8String(wi).toString, table, out)
+        encodeWord(toks.getUTF8String(wi).toString, table, out, symWidth)
       }
       wi += 1
     }
@@ -124,15 +130,21 @@ object BpeEncodeUtil {
   private def encodeWord(
       w: String,
       table: BpeTable,
-      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+      out: scala.collection.mutable.ArrayBuffer[UTF8String],
+      symWidth: Int): Unit = {
     val n = w.length
     if (n == 0) return
-    // initial symbols: one per char (tokens are ASCII [a-z0-9]+ by the
-    // pre-tokenization contract; per-char equals training's "(.)" split)
-    var syms = new Array[String](n)
+    // initial symbols: `symWidth`-char chunks (width 1 equals
+    // training's "(.)" split; width 2 equals the byte-mode "(..)"
+    // hex-pair split)
+    val n0 = (n + symWidth - 1) / symWidth
+    var syms = new Array[String](n0)
     var i = 0
-    while (i < n) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    var len = n
+    while (i < n0) {
+      syms(i) = w.substring(i * symWidth, math.min((i + 1) * symWidth, n))
+      i += 1
+    }
+    var len = n0
     if (!table.isEmpty) {
       var lastApplied = -1
       var continue = true
@@ -178,6 +190,7 @@ object BpeEncodeUtil {
 
 /** Column wrapper. */
 object BpeEncode {
-  def bpe_encode_tokens(tokens: Column, merges: Seq[(String, String)]): Column =
-    exprColumn(BpeEncodeTokens(columnExpr(tokens), merges))
+  def bpe_encode_tokens(tokens: Column, merges: Seq[(String, String)],
+      symWidth: Int = 1): Column =
+    exprColumn(BpeEncodeTokens(columnExpr(tokens), merges, symWidth))
 }

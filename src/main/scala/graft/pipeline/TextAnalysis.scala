@@ -358,14 +358,21 @@ object TextAnalysis {
     * blows past it needs stronger pre-tokenization, not a bigger
     * driver). */
   def bpeTrainMergesFast(df: DataFrame, textCol: String, rounds: Int,
-      maxDistinctWords: Long = 20000000L): DataFrame = {
+      maxDistinctWords: Long = 20000000L,
+      byteLevel: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df
-      .select(F.explode(F.filter(tokens(F.col(textCol)),
+    // byte-level mode (GPT-2 family): pretokens keep their leading
+    // space and ALL scripts survive (no [a-z0-9]+ cut); each distinct
+    // pretoken's initial symbols are its UTF-8 bytes as lowercase hex
+    // pairs — SQL-replayable (hex(encode(t))) and metachar-free, so the
+    // same merge/tie machinery runs unchanged over the byte alphabet.
+    val histSrc =
+      if (byteLevel) df.select(F.explode(bytePretokens(F.col(textCol))).as("t"))
+      else df.select(F.explode(F.filter(tokens(F.col(textCol)),
         w => w.rlike("^[a-z0-9]+$"))).as("t"))
-      .groupBy("t").agg(F.count(F.lit(1)).as("freq"))
+    val hist = histSrc.groupBy("t").agg(F.count(F.lit(1)).as("freq"))
     val nWords = hist.count()
     require(nWords <= maxDistinctWords,
       s"$nWords distinct words exceeds the $maxDistinctWords driver-histogram bound")
@@ -374,7 +381,11 @@ object TextAnalysis {
     val freqs = new Array[Long](collected.length)
     var wi = 0
     while (wi < collected.length) {
-      words(wi) = collected(wi).getString(0).map(_.toString).toArray
+      words(wi) =
+        if (byteLevel)
+          collected(wi).getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => f"${b & 0xff}%02x")
+        else collected(wi).getString(0).map(_.toString).toArray
       freqs(wi) = collected(wi).getLong(1)
       wi += 1
     }
@@ -508,6 +519,36 @@ object TextAnalysis {
     val toksA = F.filter(tokens(text), w => w.rlike("^[a-z0-9]+$"))
     graft.functions.BpeEncode.bpe_encode_tokens(toksA, merges)
   }
+
+  /** GPT-2-style byte-level pretokens: space-prefixed letter / number /
+    * punctuation runs, case preserved, EVERY script kept — the
+    * lookahead-free subset of the GPT-2 pretokenizer pattern (the
+    * original's `\s+(?!\S)` trailing-space branch needs lookahead,
+    * which RE2 lacks, so pure whitespace runs are dropped instead of
+    * becoming tokens; words carry their single leading space exactly
+    * like GPT-2). Runs identically on java.util.regex and RE2 — the
+    * cross-engine bridge for the byte-mode oracles. */
+  def bytePretokens(text: Column): Column =
+    F.regexp_extract_all(text,
+      F.lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), F.lit(0))
+
+  /** A pretoken's UTF-8 bytes as a lowercase-hex string — the
+    * byte-level alphabet in SQL-replayable form (`lower(hex(encode(t)))`
+    * in DuckDB): every 2-char hex pair is one byte symbol, alphanumeric
+    * and metachar-free, so the double-separator merge machinery and
+    * the native encoder run over bytes unchanged. */
+  def byteHex(tok: Column): Column = F.lower(F.hex(F.encode(tok, "UTF-8")))
+
+  /** Byte-level BPE encoding with a [[bpeTrainMergesFast]]
+    * `byteLevel = true` merge table: pretokenize, hex the UTF-8 bytes,
+    * and run the native table-driven encoder over hex-pair symbols
+    * (`symWidth = 2`). Map-only, one corpus scan, table held once per
+    * executor — the production path for pricing real-world vocabularies
+    * on unicode-heavy corpora, where the default `[a-z0-9]+` mode
+    * silently drops every non-ASCII word from the count. */
+  def bpeSegmentBytes(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncode.bpe_encode_tokens(
+      F.transform(bytePretokens(text), t => byteHex(t)), merges, symWidth = 2)
 
   /** Tokenizer FERTILITY audit: per group, how well a trained BPE
     * vocabulary compresses the corpus — `(n_docs, n_tokens, n_chars,
