@@ -8811,6 +8811,40 @@ object StandardQueries {
         "doc_id", "text", dim = 64, k = 8)
         .select(F.col("doc_id"), F.round(F.col("residual"), 6).as("residual"))
         .orderBy("doc_id"), None),
+    // The SVD family's HASH-EXACT anchor: a closed-form fixture through
+    // the REAL fit-and-score path (RowMatrix Gramian -> LAPACK -> V V⁺x
+    // residuals). Vectors are integer-valued and axis-aligned except one
+    // sign-BALANCED mixed pair per 5-cycle, so the Gramian is an exactly
+    // diagonal integer matrix (treeAggregate sums of exactly
+    // representable values), the top-2 subspace is exactly span(e1, e2),
+    // and every residual is analytic — 0 in-subspace, 1 orthogonal,
+    // 4/5 for the (3,0,±4,0) mix — with LAPACK noise (~1e-15) absorbed
+    // by round(·, 6). DuckDB states the closed form directly.
+    "nlp_svd_residual_exact" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "documents").filter(F.col("doc_id") < 40)
+          .select(F.col("doc_id"),
+            F.when(F.col("doc_id") % 5 === 0, F.array(
+                (F.col("doc_id") + 1).cast("double"), F.lit(0.0), F.lit(0.0), F.lit(0.0)))
+              .when(F.col("doc_id") % 5 === 1, F.array(
+                F.lit(0.0), (F.col("doc_id") + 1).cast("double"), F.lit(0.0), F.lit(0.0)))
+              .when(F.col("doc_id") % 5 === 2, F.array(
+                F.lit(0.0), F.lit(0.0), F.lit(7.0), F.lit(0.0)))
+              .when(F.col("doc_id") % 5 === 3, F.array(
+                F.lit(3.0), F.lit(0.0), F.lit(4.0), F.lit(0.0)))
+              .otherwise(F.array(
+                F.lit(3.0), F.lit(0.0), F.lit(-4.0), F.lit(0.0))).as("v"))
+        graft.pipeline.NlpSvd.residualsFromVectors(base, "doc_id", "v",
+            dim = 4, k = 2)
+          .select(F.col("doc_id"), F.round(F.col("residual"), 6).as("residual"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(CASE
+             |  WHEN doc_id % 5 = 2 THEN 1.0
+             |  WHEN doc_id % 5 IN (3, 4) THEN 0.8
+             |  ELSE 0.0 END AS DOUBLE) AS residual
+             | FROM documents WHERE doc_id < 40
+             | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "))),
     "multimodal_meta" -> qMultimodalMeta,
     "multimodal_profile" -> qMultimodalProfile,
     "image_stats" -> qImageStats,

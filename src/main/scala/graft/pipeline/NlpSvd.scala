@@ -103,8 +103,25 @@ object NlpSvd {
     * they're the dominant map cost and would otherwise compute twice.
     * NULL text scores NULL. */
   def residualsDF(df: DataFrame, idCol: String, textCol: String,
-      dim: Int = 64, k: Int = 8): DataFrame = {
-    val withVec = df.select(F.col(idCol), termVector(F.col(textCol), dim).as("__tv"))
+      dim: Int = 64, k: Int = 8): DataFrame =
+    residualsFromVectors(
+      df.select(F.col(idCol), termVector(F.col(textCol), dim).as("__tv")),
+      idCol, "__tv", dim, k)
+
+  /** Fit-and-score over a PRE-BUILT vector column — the core of
+    * [[residualsDF]] (which derives its vectors from text via the
+    * hashing trick), exposed so analytically-constructed fixtures can
+    * anchor the family hash-exactly: on a corpus whose Gramian is
+    * EXACTLY diagonal (axis-aligned vectors with integer entries; any
+    * cross terms sign-balanced to exact cancellation) the fitted
+    * subspace is the top-k axes and every residual is closed-form —
+    * see the `nlp_svd_residual_exact` query. Vectors are persisted
+    * across the two jobs (Gramian + scoring); NULL vectors score
+    * NULL. */
+  def residualsFromVectors(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val withVec = df
+      .select(F.col(idCol), F.col(vecCol).cast("array<double>").as("__tv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val summary = fit(withVec, "__tv", k, dim)

@@ -66,6 +66,25 @@ class NlpSvdSpec extends SparkSpec {
     assert(resid(1L) != null && resid(3L) != null && resid(4L) != null)
   }
 
+  test("residualsFromVectors: closed-form residuals on an exactly diagonal Gramian") {
+    import spark.implicits._
+    // integer axis-aligned vectors + a sign-balanced (3,0,±4,0) pair:
+    // the Gramian is an exactly diagonal integer matrix, so the top-2
+    // subspace is exactly span(e1, e2) and residuals are analytic
+    val rows = Seq(
+      (0L, Seq(5.0, 0.0, 0.0, 0.0)), (1L, Seq(9.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 6.0, 0.0, 0.0)), (3L, Seq(0.0, 8.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 7.0, 0.0)),           // orthogonal -> 1
+      (5L, Seq(3.0, 0.0, 4.0, 0.0)),           // mixed -> 4/5
+      (6L, Seq(3.0, 0.0, -4.0, 0.0)))          // sign-balance partner
+      .toDF("id", "v")
+    val got = NlpSvd.residualsFromVectors(rows, "id", "v", dim = 4, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0L)) < 1e-9 && math.abs(got(2L)) < 1e-9)
+    assert(math.abs(got(4L) - 1.0) < 1e-9)
+    assert(math.abs(got(5L) - 0.8) < 1e-9 && math.abs(got(6L) - 0.8) < 1e-9)
+  }
+
   test("residualsDF scores every document, stable across runs") {
     val docs = table("documents")
     val r1 = NlpSvd.residualsDF(docs, "doc_id", "text", dim, k)
