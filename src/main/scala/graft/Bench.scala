@@ -116,6 +116,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Durable per-query history: target/ is untracked, so each round's
+    // per-query map used to survive only until the next local run
+    // overwrote it — a >1.3x single-query regression between rounds was
+    // invisible. Every run APPENDS its full JSON line (per-query map +
+    // load stamps + sf) to the committed bench_history/history.jsonl;
+    // compare rounds by filtering lines on matching `sf`.
+    try {
+      val hist = java.nio.file.Paths.get("bench_history/history.jsonl")
+      Option(hist.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(hist, fullJson + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append history: ${e.getMessage}")
+    }
     println(json)
   }
 }
