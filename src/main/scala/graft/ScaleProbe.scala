@@ -147,8 +147,12 @@ object ScaleProbe {
     "embedding_ivfpq",
     // round-17: byte-level BPE over the 100x corpus — training is the
     // same histogram-once + driver-loop shape on the byte-pretoken
-    // histogram; encoding is one map-only native scan at symWidth 2
-    "bpe_train_bytes", "bpe_encode_bytes")
+    // histogram; encoding is one map-only native scan at symWidth 2;
+    // fertility joins the trained per-word symbol counts back to the
+    // pretoken stream; streaming IVF-PQ probes the checkpointed code
+    // table per micro-batch via foreachBatch
+    "bpe_train_bytes", "bpe_encode_bytes", "bpe_fertility_bytes",
+    "streaming_ivfpq")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -3178,6 +3178,32 @@ object StandardQueries {
            |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
            | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\n", " ")))
 
+  /** IVF-PQ ANN AT INGESTION ([[Similarity.ivfPqStream]]): query
+    * vectors arrive as a stream, the compressed index is static, and
+    * each micro-batch is answered with full batch semantics inside
+    * foreachBatch (the search's TWO bounded top-k aggregations cannot
+    * chain as stream aggregations; per-query results are
+    * batch-independent, so streamed ≡ batch). Exhaustive config ⇒ the
+    * streamed results must equal brute force — the SAME oracle as
+    * `embedding_ivfpq_exhaustive`, so the streaming deployment shares
+    * the composition's exactness contract verbatim. */
+  private def qStreamingIvfPq = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ix = Similarity.ivfPqBuild(emb, numCentroids = 8, m = 16, ksub = 16)
+      val sdf = s.readStream.schema(emb.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/embeddings.parquet"))
+        .filter(F.col("vec_id") < 20)
+      val out = s"target/tmp/ivfpq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Similarity.ivfPqStream(ix, sdf, "vec_id", "embedding", out,
+        nprobe = 8, k = 5, rerank = 1000000)
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    qEmbeddingIvfPqExhaustive.oracle)
+
   /** Pruned IVF-PQ (rows-only: codebooks are data-trained; the shape
     * is nprobe 4 of 8 cells × rerank 50 ADC candidates — the actual
     * compressed-and-pruned production scan). Recall vs brute force is
@@ -6662,6 +6688,46 @@ object StandardQueries {
          | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** BYTE-LEVEL tokenizer fertility ([[TextAnalysis.bpeFertilityBytes]]):
+    * the vocabulary-pricing audit over the byte alphabet — per source,
+    * exact token/byte/symbol counts under the trained 6-round byte
+    * vocabulary. The oracle recovers per-token symbol counts from the
+    * trained vocabulary (separator-stripped `e` inverts to the hex
+    * word) and joins them back to the pretoken stream — training,
+    * encoding, and the audit arithmetic all certified in one hash. */
+  private def qBpeFertilityBytes = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainMergesFast(docs, "text",
+        rounds = 6, byteLevel = true)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeFertilityBytes(docs, "text", "source", merges)
+        .orderBy("source")
+    },
+    Some {
+      s"""${byteBpeSqlCtesN(6)},
+         | wsym AS (SELECT replace(e, chr(31), '') AS h,
+         |   CAST(len(list_filter(string_split(e, chr(31) || chr(31)), x -> len(x) > 0)) AS BIGINT) AS nsym FROM v6),
+         | tk2 AS (SELECT source, unnest(regexp_extract_all(text,
+         |   ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS t FROM documents),
+         | tkh AS (SELECT source, t, lower(hex(encode(t))) AS h FROM tk2),
+         | st AS (SELECT tkh.source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |   CAST(sum(octet_length(encode(tkh.t))) AS BIGINT) AS n_bytes,
+         |   CAST(sum(ws.nsym) AS BIGINT) AS n_symbols
+         |  FROM tkh JOIN wsym ws ON ws.h = tkh.h GROUP BY 1),
+         | dn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         | SELECT dn.source, dn.n_docs,
+         |  coalesce(st.n_tokens, 0) AS n_tokens, coalesce(st.n_bytes, 0) AS n_bytes,
+         |  coalesce(st.n_symbols, 0) AS n_symbols,
+         |  CASE WHEN coalesce(st.n_symbols, 0) = 0 THEN 0.0
+         |   ELSE CAST(st.n_bytes AS DOUBLE) / CAST(st.n_symbols AS DOUBLE) END AS bytes_per_symbol,
+         |  CASE WHEN coalesce(st.n_tokens, 0) = 0 THEN 0.0
+         |   ELSE CAST(st.n_symbols AS DOUBLE) / CAST(st.n_tokens AS DOUBLE) END AS symbols_per_token
+         | FROM dn LEFT JOIN st ON st.source = dn.source
+         | ORDER BY dn.source""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** BPE ENCODING round-trip ([[TextAnalysis.bpeSegment]]): train 3
     * merges, encode the whole corpus with them, report the top-30
     * symbol frequencies. The oracle replays training AND encoding
@@ -8746,6 +8812,7 @@ object StandardQueries {
     "embedding_pq_exhaustive" -> qEmbeddingPqExhaustive,
     "embedding_ivfpq" -> qEmbeddingIvfPq,
     "embedding_ivfpq_exhaustive" -> qEmbeddingIvfPqExhaustive,
+    "streaming_ivfpq" -> qStreamingIvfPq,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_md5" -> qDedupEmbeddingLshMd5,
@@ -8922,6 +8989,7 @@ object StandardQueries {
     "bpe_train_fast" -> qBpeTrainFast,
     "bpe_train_bytes" -> qBpeTrainBytes,
     "bpe_encode_bytes" -> qBpeEncodeBytes,
+    "bpe_fertility_bytes" -> qBpeFertilityBytes,
     "streaming_nb_score" -> qStreamingNbScore,
     "normalize_nfc" -> qNormalizeNfc,
     "l_diversity" -> qLDiversity,

@@ -303,9 +303,35 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, nprobe: Int = 4,
       m: Int = 16, ksub: Int = 16, k: Int = 5, rerank: Int = 50,
-      sampleSize: Int = 4096): DataFrame = {
+      sampleSize: Int = 4096): DataFrame =
+    ivfPqSearch(
+      ivfPqBuild(corpus, idCol, vecCol, numCentroids, m, ksub, sampleSize),
+      queries, idCol, vecCol, nprobe, k, rerank)
+
+  /** The trained-and-encoded IVF-PQ index: two KB-scale codebooks (plan
+    * literals) plus the checkpointed `(neighbor_id, __cell, __codes)`
+    * code table — the m-bytes-per-vector artifact every search probes —
+    * and the pruned `(neighbor_id, __cv)` re-rank fetch plan over the
+    * original corpus. Build ONCE, search many (each [[ivfPqSearch]] —
+    * batch or per micro-batch — reuses the materialized codes instead
+    * of re-encoding the corpus). */
+  final case class IvfPqIndex private[pipeline] (
+      cents: Array[(Int, Array[Double])],
+      codebook: graft.functions.PqUtil.Codebook,
+      ksub: Int,
+      encoded: DataFrame,
+      corpusVecs: DataFrame)
+
+  /** Train the coarse + residual codebooks on a bounded driver-side
+    * sample and encode the corpus in ONE map-only pass; the code table
+    * is localCheckpointed (materialized, lineage-free) so repeated
+    * searches never rescan or re-encode the corpus. */
+  def ivfPqBuild(
+      corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, m: Int = 16, ksub: Int = 16,
+      sampleSize: Int = 4096): IvfPqIndex = {
     import graft.functions.Pq
-    require(nprobe >= 1 && rerank >= k, "need nprobe >= 1 and rerank >= k")
     val nc = corpus.select(F.col(idCol), l2normalize(F.col(vecCol)).as("__nv"))
     val cents = trainCentroids(nc, idCol, "__nv", numCentroids,
       iters = 2, sampleSize = sampleSize)
@@ -324,41 +350,87 @@ object Similarity {
       v.indices.map(i => v(i) - best(i)).toArray
     }
     val codebook = trainPqOnSample(residuals, m, ksub, iters = 4)
-    // centroid lookup as a plan literal: cents ids are 0..C-1 in order
-    val centArr = F.typedLit(cents.map(_._2.toSeq).toSeq)
-    def centOf(cell: Column) = F.element_at(centArr, cell.cast("int") + 1)
     val encoded = nc.select(F.col(idCol).as("neighbor_id"), F.col("__nv"),
         nearestCentroidId(F.col("__nv"), cents).as("__cell"))
       .select(F.col("neighbor_id"), F.col("__cell"),
-        Pq.pq_encode(F.zip_with(F.col("__nv"), centOf(F.col("__cell")),
+        Pq.pq_encode(F.zip_with(F.col("__nv"), centOfExpr(cents, F.col("__cell")),
           (a, b) => a - b), codebook).as("__codes"))
+      .localCheckpoint(true)
+    IvfPqIndex(cents, codebook, ksub, encoded,
+      corpus.select(F.col(idCol).as("neighbor_id"),
+        F.col(vecCol).cast("array<double>").as("__cv")))
+  }
+
+  /** Centroid lookup as a plan literal: cents ids are 0..C-1 in order. */
+  private def centOfExpr(cents: Array[(Int, Array[Double])], cell: Column): Column =
+    F.element_at(F.typedLit(cents.map(_._2.toSeq).toSeq), cell.cast("int") + 1)
+
+  /** One IVF-PQ search against a built index — see [[ivfPqTopK]] for
+    * the semantics and the exactness contract. Per-query results are
+    * independent, so the same call answers a BATCH query frame or one
+    * micro-batch inside [[ivfPqStream]]. */
+  def ivfPqSearch(
+      ix: IvfPqIndex, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4, k: Int = 5, rerank: Int = 50): DataFrame = {
+    import graft.functions.Pq
+    require(nprobe >= 1 && rerank >= k, "need nprobe >= 1 and rerank >= k")
     val q = queries
       .select(F.col(idCol).as("query_id"), l2normalize(F.col(vecCol)).as("__qn"))
       .select(F.col("query_id"), F.col("__qn"),
-        Pq.pq_lut(F.col("__qn"), codebook).as("__lut"),
-        F.explode(nearestCentroidIds(F.col("__qn"), cents, nprobe)).as("__cell"))
+        Pq.pq_lut(F.col("__qn"), ix.codebook).as("__lut"),
+        F.explode(nearestCentroidIds(F.col("__qn"), ix.cents, nprobe)).as("__cell"))
       .withColumn("__qdotc", F.aggregate(
-        F.zip_with(F.col("__qn"), centOf(F.col("__cell")), (a, b) => a * b),
+        F.zip_with(F.col("__qn"), centOfExpr(ix.cents, F.col("__cell")), (a, b) => a * b),
         F.lit(0.0), _ + _))
       .select("query_id", "__cell", "__lut", "__qdotc")
-    val adc = encoded.join(F.broadcast(q), Seq("__cell"))
+    val adc = ix.encoded.join(F.broadcast(q), Seq("__cell"))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
       .withColumn("score", F.col("__qdotc") +
-        Pq.pq_adc_score(F.col("__codes"), F.col("__lut"), ksub))
+        Pq.pq_adc_score(F.col("__codes"), F.col("__lut"), ix.ksub))
       .select("query_id", "neighbor_id", "score")
     val candidates = topKPerGroup(adc, "query_id", "neighbor_id", "score", rerank)
       .select("query_id", "neighbor_id")
     val qvecs = queries.select(F.col(idCol).as("query_id"),
       F.col(vecCol).cast("array<double>").as("__qv"))
-    val cvecs = corpus.select(F.col(idCol).as("neighbor_id"),
-      F.col(vecCol).cast("array<double>").as("__cv"))
     val exact = candidates
       .join(F.broadcast(qvecs), Seq("query_id"))
-      .join(cvecs, Seq("neighbor_id"))
+      .join(ix.corpusVecs, Seq("neighbor_id"))
       .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
       .select("query_id", "neighbor_id", "score")
     topKPerGroup(exact, "query_id", "neighbor_id", "score", k)
   }
+
+  /** IVF-PQ ANN AT INGESTION: answer each arriving micro-batch of
+    * query vectors with FULL [[ivfPqSearch]] semantics against a
+    * static pre-built index, appending `(query_id, neighbor_id, score,
+    * rank, batch_id)` parquet rows. Runs inside `foreachBatch` — the
+    * search chains TWO bounded top-k aggregations (ADC candidates,
+    * then exact re-rank), which Structured Streaming cannot express as
+    * chained stream aggregations, and per-query results are
+    * batch-independent, so per-batch batch-semantics is exactly
+    * equivalent (the same shape as
+    * [[graft.streaming.DedupStream.flagAgainstIndex]]). The code table
+    * is checkpointed once at build; micro-batches probe it without
+    * rescanning the corpus. Sink is at-least-once on retries
+    * (idempotent readers dedupe on (query_id, batch_id)); the search
+    * itself is deterministic. */
+  def ivfPqStream(
+      ix: IvfPqIndex, stream: DataFrame,
+      idCol: String, vecCol: String, outPath: String,
+      nprobe: Int = 4, k: Int = 5, rerank: Int = 50,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfPqSearch(ix, batch, idCol, vecCol, nprobe, k, rerank)
+          .withColumn("batch_id", F.lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 
   // ------------------------------------------------------------------
   // scalar (int8) quantization

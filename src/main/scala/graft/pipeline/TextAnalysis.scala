@@ -581,6 +581,36 @@ object TextAnalysis {
           .otherwise(F.col("n_symbols").cast("double") / F.col("n_tokens").cast("double")))
   }
 
+  /** Tokenizer fertility under the BYTE-LEVEL vocabulary — the audit
+    * [[bpeFertility]] cannot price on unicode-heavy corpora (its
+    * `[a-z0-9]+` cut drops every non-ASCII word): per group,
+    * `(n_docs, n_tokens, n_bytes, n_symbols, bytes_per_symbol,
+    * symbols_per_token)` with tokens = [[bytePretokens]], bytes =
+    * UTF-8 octets (the byte alphabet's unit), symbols =
+    * [[bpeSegmentBytes]] output. Same one-scan shape. */
+  def bpeFertilityBytes(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toksA = bytePretokens(F.col(textCol))
+    val syms = bpeSegmentBytes(F.col(textCol), merges)
+    df.select(F.col(groupCol).as("source"),
+        F.coalesce(F.size(toksA).cast("long"), F.lit(0L)).as("__nt"),
+        F.coalesce(F.aggregate(toksA, F.lit(0L),
+          (acc, t) => acc + F.length(F.encode(t, "UTF-8")).cast("long")),
+          F.lit(0L)).as("__nb"),
+        F.coalesce(F.size(syms).cast("long"), F.lit(0L)).as("__ns"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("__nt").as("n_tokens"),
+        F.sum("__nb").as("n_bytes"),
+        F.sum("__ns").as("n_symbols"))
+      .withColumn("bytes_per_symbol",
+        F.when(F.col("n_symbols") === 0L, 0.0)
+          .otherwise(F.col("n_bytes").cast("double") / F.col("n_symbols").cast("double")))
+      .withColumn("symbols_per_token",
+        F.when(F.col("n_tokens") === 0L, 0.0)
+          .otherwise(F.col("n_symbols").cast("double") / F.col("n_tokens").cast("double")))
+  }
+
   /** χ²-test class keywords: the feature-selection step ahead of
     * training a class/quality/domain classifier (Yang & Pedersen,
     * ICML 1997: χ² picks the most class-DISCRIMINATIVE terms, where

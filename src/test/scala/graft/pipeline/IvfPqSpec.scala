@@ -65,6 +65,39 @@ class IvfPqSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("index builds once and serves many searches (checkpointed codes reused)") {
+    val emb = table("embeddings")
+    val ix = Similarity.ivfPqBuild(emb, numCentroids = 4, m = 16, ksub = 8)
+    val q5 = emb.filter(F.col("vec_id") < 5)
+    val q10 = emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") < 10)
+    // two independent searches against the same index; the second must
+    // not depend on the first, and exhaustive configs match brute force
+    val a = topkSet(Similarity.ivfPqSearch(ix, q5, nprobe = 4, k = 3, rerank = 1000000))
+    val b = topkSet(Similarity.ivfPqSearch(ix, q10, nprobe = 4, k = 3, rerank = 1000000))
+    val bfA = topkSet(Similarity.bruteForceTopK(emb, q5, k = 3))
+    val bfB = topkSet(Similarity.bruteForceTopK(emb, q10, k = 3))
+    assert(a == bfA && b == bfB && a.nonEmpty && b.nonEmpty)
+  }
+
+  test("ivfPqStream: per-micro-batch search equals the batch search") {
+    val emb = table("embeddings")
+    val ix = Similarity.ivfPqBuild(emb, numCentroids = 4, m = 16, ksub = 8)
+    val qs = emb.filter(F.col("vec_id") < 10)
+    val batch = Similarity.ivfPqSearch(ix, qs, nprobe = 2, k = 3, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = "target/tmp/ivfpq_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sdf = spark.readStream.schema(emb.schema)
+      .parquet(graft.api.StandardQueries.streamableDir(s"$sfDir/embeddings.parquet"))
+      .filter(F.col("vec_id") < 10)
+    val q = Similarity.ivfPqStream(ix, sdf, "vec_id", "embedding", out,
+      nprobe = 2, k = 3, rerank = 20)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("residual PQ beats raw-position PQ at equal code budget (ADC-only ranks)") {
     // the IVFADC rationale made measurable: at the same (m, ksub) and
     // NO exact re-rank safety net (rerank = k), residual codes should
