@@ -3204,6 +3204,34 @@ object StandardQueries {
     },
     qEmbeddingIvfPqExhaustive.oracle)
 
+  /** IVF-PQ INDEX MAINTENANCE AT INGESTION ([[Similarity.ivfPqIngest]]):
+    * the corpus ARRIVES AS A STREAM and is encoded map-only against
+    * frozen codebooks into a cell-partitioned parquet store (a true
+    * streaming append sink — no aggregation, exactly-once via the sink
+    * manifest); the store is then read back as the searchable index
+    * and probed exhaustively, so the results must equal brute force —
+    * the same oracle as `embedding_ivfpq_exhaustive`. Certifies the
+    * full index lifecycle: train → stream-ingest codes → search. */
+  private def qStreamingIvfPqIngest = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ix0 = Similarity.ivfPqBuild(emb, numCentroids = 8, m = 16, ksub = 16)
+      val sdf = s.readStream.schema(emb.schema)
+        .parquet(StandardQueries.streamableDir(s"$dir/embeddings.parquet"))
+      val base = s"target/tmp/ivfpqstore_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Similarity.ivfPqIngest(ix0, sdf, "vec_id", "embedding",
+        s"$base/store", s"$base/ckpt")
+      q.awaitTermination()
+      val ix = ix0.withEncoded(s.read.parquet(s"$base/store"),
+        emb.select(F.col("vec_id").as("neighbor_id"),
+          F.col("embedding").cast("array<double>").as("__cv")))
+      Similarity.ivfPqSearch(ix, emb.filter(F.col("vec_id") < 20),
+          nprobe = 8, k = 5, rerank = 1000000)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    qEmbeddingIvfPqExhaustive.oracle)
+
   /** Pruned IVF-PQ (rows-only: codebooks are data-trained; the shape
     * is nprobe 4 of 8 cells × rerank 50 ADC candidates — the actual
     * compressed-and-pruned production scan). Recall vs brute force is
@@ -8813,6 +8841,7 @@ object StandardQueries {
     "embedding_ivfpq" -> qEmbeddingIvfPq,
     "embedding_ivfpq_exhaustive" -> qEmbeddingIvfPqExhaustive,
     "streaming_ivfpq" -> qStreamingIvfPq,
+    "streaming_ivfpq_ingest" -> qStreamingIvfPqIngest,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_md5" -> qDedupEmbeddingLshMd5,

@@ -320,7 +320,13 @@ object Similarity {
       codebook: graft.functions.PqUtil.Codebook,
       ksub: Int,
       encoded: DataFrame,
-      corpusVecs: DataFrame)
+      corpusVecs: DataFrame) {
+    /** The same frozen codebooks over a DIFFERENT code table + re-rank
+      * fetch — e.g. a store grown by [[ivfPqIngest]] read back as the
+      * searchable index. */
+    def withEncoded(newEncoded: DataFrame, newCorpusVecs: DataFrame): IvfPqIndex =
+      copy(encoded = newEncoded, corpusVecs = newCorpusVecs)
+  }
 
   /** Train the coarse + residual codebooks on a bounded driver-side
     * sample and encode the corpus in ONE map-only pass; the code table
@@ -350,16 +356,56 @@ object Similarity {
       v.indices.map(i => v(i) - best(i)).toArray
     }
     val codebook = trainPqOnSample(residuals, m, ksub, iters = 4)
-    val encoded = nc.select(F.col(idCol).as("neighbor_id"), F.col("__nv"),
-        nearestCentroidId(F.col("__nv"), cents).as("__cell"))
-      .select(F.col("neighbor_id"), F.col("__cell"),
-        Pq.pq_encode(F.zip_with(F.col("__nv"), centOfExpr(cents, F.col("__cell")),
-          (a, b) => a - b), codebook).as("__codes"))
+    val encoded = encodedFrame(cents, codebook, corpus, idCol, vecCol)
       .localCheckpoint(true)
     IvfPqIndex(cents, codebook, ksub, encoded,
       corpus.select(F.col(idCol).as("neighbor_id"),
         F.col(vecCol).cast("array<double>").as("__cv")))
   }
+
+  /** Map-only `(neighbor_id, __cell, __codes)` encoding of a vector
+    * frame against FROZEN codebooks — pure per-row expressions, so it
+    * runs identically on a batch frame or a streaming one. */
+  private def encodedFrame(cents: Array[(Int, Array[Double])],
+      codebook: graft.functions.PqUtil.Codebook,
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.Pq
+    df.select(F.col(idCol).as("neighbor_id"), l2normalize(F.col(vecCol)).as("__nv"))
+      .select(F.col("neighbor_id"),
+        nearestCentroidId(F.col("__nv"), cents).as("__cell"), F.col("__nv"))
+      .select(F.col("neighbor_id"), F.col("__cell"),
+        Pq.pq_encode(F.zip_with(F.col("__nv"), centOfExpr(cents, F.col("__cell")),
+          (a, b) => a - b), codebook).as("__codes"))
+  }
+
+  /** INDEX MAINTENANCE AT INGESTION — the other half of the streaming
+    * deployment ([[ivfPqStream]] answers queries; this grows the
+    * corpus): arriving vectors are encoded map-only against the frozen
+    * codebooks and appended to a parquet store PARTITIONED BY `__cell`
+    * — a real streaming append sink (no aggregation, no foreachBatch,
+    * exactly-once via the sink's checkpoint+manifest). The cell
+    * partitioning is the at-scale payoff: probing `nprobe` of C cells
+    * can prune the store read to those directories, so a search
+    * touches ~nprobe/C of the codes on DISK, not just in the join.
+    * Codebooks stay frozen (the standard IVFADC operating mode —
+    * retrain/re-encode is an offline rebuild); read the store back and
+    * search it via [[IvfPqIndex.withEncoded]]. */
+  def ivfPqIngest(
+      ix: IvfPqIndex, stream: DataFrame,
+      idCol: String, vecCol: String,
+      storePath: String, checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    encodedFrame(ix.cents, ix.codebook, stream, idCol, vecCol)
+      .writeStream
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("__cell")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
 
   /** Centroid lookup as a plan literal: cents ids are 0..C-1 in order. */
   private def centOfExpr(cents: Array[(Int, Array[Double])], cell: Column): Column =
