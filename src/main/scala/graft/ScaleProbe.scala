@@ -152,7 +152,10 @@ object ScaleProbe {
     // pretoken stream; streaming IVF-PQ probes the checkpointed code
     // table per micro-batch via foreachBatch
     "bpe_train_bytes", "bpe_encode_bytes", "bpe_fertility_bytes",
-    "streaming_ivfpq", "streaming_ivfpq_ingest")
+    "streaming_ivfpq", "streaming_ivfpq_ingest",
+    // round-17: WARC front door over 500k synthetic 3-record files —
+    // map-only parse + explode, then the extraction chain
+    "warc_parse", "warc_extract_text")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -6780,6 +6780,110 @@ object StandardQueries {
          | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Shared WARC fixture: a 3-record WARC/1.0 file per document, built
+    * from IDENTICAL string expressions in both engines — a `response`
+    * whose payload is an HTML fragment with a MULTI-BYTE char (so
+    * Content-Length in BYTES ≠ chars), a `request` whose payload
+    * EMBEDS `WARC/1.0\r\n` (so only Content-Length-driven slicing
+    * parses correctly — scanning for the next version line would split
+    * inside the payload), and a `metadata` record with NO
+    * WARC-Target-URI header (NULL field path). */
+  private def warcFixture: Column = {
+    def cl(p: Column) = F.length(F.encode(p, "UTF-8")).cast("string")
+    def rec(wtype: String, idx: Int, uri: Boolean, p: Column) = F.concat(
+      F.lit("WARC/1.0\r\nWARC-Type: " + wtype + "\r\nWARC-Record-ID: <urn:doc:"),
+      F.col("doc_id").cast("string"), F.lit(s":$idx>\r\n"),
+      if (uri) F.concat(F.lit("WARC-Target-URI: http://example.com/doc/"),
+        F.col("doc_id").cast("string"), F.lit("\r\n"))
+      else F.lit(""),
+      F.lit("Content-Length: "), cl(p), F.lit("\r\n\r\n"),
+      p, F.lit("\r\n\r\n"))
+    F.concat(
+      rec("response", 0, uri = true, warcPayloadHtml),
+      rec("request", 1, uri = true,
+        F.lit("embedded WARC/1.0\r\nnot a record")),
+      rec("metadata", 2, uri = false,
+        F.concat(F.lit("meta for doc "), F.col("doc_id").cast("string"))))
+  }
+
+  private def warcPayloadHtml: Column = F.concat(
+    F.lit("<p>Café: "), F.substring(F.col("text"), 1, 40),
+    F.lit(" &amp; more</p>"))
+
+  /** The same fixture in DuckDB (chr(13)||chr(10) spells CRLF). */
+  private def warcSqlRecs: String =
+    """WITH nl AS (SELECT chr(13) || chr(10) AS c),
+      | d AS (SELECT doc_id, '<p>Café: ' || substr(text, 1, 40) || ' &amp; more</p>' AS p1,
+      |   'meta for doc ' || doc_id AS p3 FROM documents),
+      | recs AS (
+      |  SELECT doc_id, 0 AS rec_idx, 'response' AS warc_type,
+      |   '<urn:doc:' || doc_id || ':0>' AS record_id,
+      |   'http://example.com/doc/' || doc_id AS target_uri,
+      |   CAST(octet_length(encode(p1)) AS BIGINT) AS content_length, p1 AS payload FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'request', '<urn:doc:' || doc_id || ':1>',
+      |   'http://example.com/doc/' || doc_id,
+      |   CAST(octet_length(encode('embedded WARC/1.0' || (SELECT c FROM nl) || 'not a record')) AS BIGINT),
+      |   'embedded WARC/1.0' || (SELECT c FROM nl) || 'not a record' FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'metadata', '<urn:doc:' || doc_id || ':2>', NULL,
+      |   CAST(octet_length(encode(p3)) AS BIGINT), p3 FROM d)""".stripMargin
+
+  /** WARC record parsing ([[graft.sources.Warc.warc_records]] — the
+    * Common Crawl container, ISO 28500): byte-true
+    * Content-Length-driven record splitting, proven by the fixture's
+    * three traps (multi-byte payload, embedded version line, absent
+    * header). The oracle states the construction-inverse closed form;
+    * adversarial non-fixture shapes (truncation, overrun lengths,
+    * garbage tails) are pinned in WarcSpec. */
+  private def qWarcParse = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(F.col("doc_id"),
+          F.posexplode(graft.sources.Warc.warc_records(warcFixture))
+            .as(Seq("rec_idx", "r")))
+        .select(F.col("doc_id"), F.col("rec_idx"),
+          F.col("r.warc_type").as("warc_type"),
+          F.col("r.record_id").as("record_id"),
+          F.col("r.target_uri").as("target_uri"),
+          F.col("r.content_length").as("content_length"),
+          F.col("r.payload").as("payload"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some {
+      s"""$warcSqlRecs
+         | SELECT doc_id, rec_idx, warc_type, record_id, target_uri, content_length, payload
+         | FROM recs ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** The WARC front door COMPOSED with the extraction chain: parse the
+    * WARC file, keep `response` records, run the standard
+    * tag-strip/entity-decode/whitespace-collapse over their payloads —
+    * the first two stages of the canonical crawl pipeline
+    * (WARC → extract → quality → dedup) certified end to end in one
+    * hash. */
+  private def qWarcExtractText = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(F.col("doc_id"),
+          F.explode(graft.sources.Warc.warc_records(warcFixture)).as("r"))
+        .filter(F.col("r.warc_type") === "response")
+        .select(F.col("doc_id"),
+          F.col("r.target_uri").as("target_uri"),
+          graft.pipeline.HtmlExtract.visibleText(F.col("r.payload")).as("text"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""$warcSqlRecs
+         | SELECT doc_id, target_uri,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(payload, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text
+         | FROM recs WHERE warc_type = 'response'
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** Deterministic synthetic web page for the HTML-extraction family:
     * the documents table rendered as a page with the canonical
     * boilerplate anatomy — nav, headline, two body paragraphs (the doc
@@ -8896,6 +9000,8 @@ object StandardQueries {
     "dedup_span_ranges" -> qDedupSpanRanges,
     "dedup_spans_apply" -> qDedupSpansApply,
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
+    "warc_parse" -> qWarcParse,
+    "warc_extract_text" -> qWarcExtractText,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,
