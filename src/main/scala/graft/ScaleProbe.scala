@@ -154,8 +154,10 @@ object ScaleProbe {
     "bpe_train_bytes", "bpe_encode_bytes", "bpe_fertility_bytes",
     "streaming_ivfpq", "streaming_ivfpq_ingest",
     // round-17: WARC front door over 500k synthetic 3-record files —
-    // map-only parse + explode, then the extraction chain
-    "warc_parse", "warc_extract_text")
+    // map-only parse + explode, then the extraction chain; the gz
+    // variant round-trips per-record gzip members through the
+    // multi-member decoder first
+    "warc_parse", "warc_extract_text", "warc_gz_roundtrip")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -6788,7 +6788,7 @@ object StandardQueries {
     * parses correctly — scanning for the next version line would split
     * inside the payload), and a `metadata` record with NO
     * WARC-Target-URI header (NULL field path). */
-  private def warcFixture: Column = {
+  private def warcFixtureRecords: Seq[Column] = {
     def cl(p: Column) = F.length(F.encode(p, "UTF-8")).cast("string")
     def rec(wtype: String, idx: Int, uri: Boolean, p: Column) = F.concat(
       F.lit("WARC/1.0\r\nWARC-Type: " + wtype + "\r\nWARC-Record-ID: <urn:doc:"),
@@ -6798,13 +6798,15 @@ object StandardQueries {
       else F.lit(""),
       F.lit("Content-Length: "), cl(p), F.lit("\r\n\r\n"),
       p, F.lit("\r\n\r\n"))
-    F.concat(
+    Seq(
       rec("response", 0, uri = true, warcPayloadHtml),
       rec("request", 1, uri = true,
         F.lit("embedded WARC/1.0\r\nnot a record")),
       rec("metadata", 2, uri = false,
         F.concat(F.lit("meta for doc "), F.col("doc_id").cast("string"))))
   }
+
+  private def warcFixture: Column = F.concat(warcFixtureRecords: _*)
 
   private def warcPayloadHtml: Column = F.concat(
     F.lit("<p>Café: "), F.substring(F.col("text"), 1, 40),
@@ -6882,6 +6884,37 @@ object StandardQueries {
          |    '\\s+', ' ', 'g')) AS text
          | FROM recs WHERE warc_type = 'response'
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** The COMPRESSED front door ([[graft.functions.Gzip]]): each fixture
+    * record is gzipped as its OWN member and the members concatenated —
+    * the Common Crawl `.warc.gz` layout — then the multi-member
+    * decompress and the byte-true parser recover exactly the
+    * `warc_parse` output, so the oracle is shared verbatim. Compressed
+    * bytes are never hashed (Deflater output is
+    * implementation-dependent); the certified surface is the
+    * round-trip, plus external-bytes interop pinned in GzipSpec. */
+  private def qWarcGzRoundtrip = Q(
+    (s, dir) => {
+      val gz = F.concat(warcFixtureRecords.map(r =>
+        graft.functions.Gzip.gzip_compress(r)): _*)
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.posexplode(graft.sources.Warc.warc_records(
+            graft.functions.Gzip.gzip_decompress(gz)))
+            .as(Seq("rec_idx", "r")))
+        .select(F.col("doc_id"), F.col("rec_idx"),
+          F.col("r.warc_type").as("warc_type"),
+          F.col("r.record_id").as("record_id"),
+          F.col("r.target_uri").as("target_uri"),
+          F.col("r.content_length").as("content_length"),
+          F.col("r.payload").as("payload"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some {
+      s"""$warcSqlRecs
+         | SELECT doc_id, rec_idx, warc_type, record_id, target_uri, content_length, payload
+         | FROM recs ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " ")
     })
 
   /** Deterministic synthetic web page for the HTML-extraction family:
@@ -9002,6 +9035,7 @@ object StandardQueries {
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
     "warc_parse" -> qWarcParse,
     "warc_extract_text" -> qWarcExtractText,
+    "warc_gz_roundtrip" -> qWarcGzRoundtrip,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gzip compression/decompression expressions — the compressed
+  * ingestion front door (Common Crawl ships `.warc.gz` with one gzip
+  * MEMBER per record, concatenated; `.jsonl.gz` corpora are the same
+  * shape). Both are map-only per-row codecs, so compressed ingestion
+  * stays a pure scan.
+  *
+  * `gzip_decompress` reads MULTI-MEMBER streams (members concatenated
+  * back to back decode as the concatenation of their contents — the
+  * `java.util.zip.GZIPInputStream` contract, and exactly what a
+  * per-record-gzipped WARC needs). Corrupt or truncated input yields
+  * NULL, the lenient crawler-reality contract (a 100 TB crawl always
+  * has damaged members; the caller filters NULLs and counts them) —
+  * never an exception mid-scan. One inherited leniency: trailing bytes
+  * after a complete member that do NOT start a new member header end
+  * the stream silently (the valid prefix decodes) — damage INSIDE a
+  * member still nulls.
+  *
+  * Determinism note: `gzip_compress` output bytes are
+  * implementation-dependent (Deflater version/level), so queries never
+  * hash raw compressed bytes — the oracle-checked surface is the
+  * ROUND-TRIP (`decompress(compress(x)) = x`, certified hash-exact in
+  * `warc_gz_roundtrip`) plus decode-of-external-bytes interop pinned
+  * in GzipSpec against a fixture produced by a different gzip
+  * implementation. */
+object Gzip {
+
+  def gzip_compress(text: Column): Column =
+    exprColumn(GzipCompress(columnExpr(text)))
+
+  def gzip_decompress(bytes: Column): Column =
+    exprColumn(GzipDecompress(columnExpr(bytes)))
+
+  def compress(s: UTF8String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** NULL (not an exception) on corrupt/truncated input. */
+  def decompress(bytes: Array[Byte]): UTF8String = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        bos.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      UTF8String.fromBytes(bos.toByteArray)
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+}
+
+/** Gzip bytes of a string's UTF-8 form (one member). */
+case class GzipCompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gzip_compress"
+
+  override def nullSafeEval(input: Any): Any =
+    Gzip.compress(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.Gzip.compress($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipCompress =
+    copy(child = newChild)
+}
+
+/** Decompressed string of a (possibly multi-member) gzip byte stream;
+  * NULL on corrupt input. */
+case class GzipDecompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gzip_decompress"
+
+  override def nullSafeEval(input: Any): Any =
+    Gzip.decompress(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.Gzip.decompress($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
+    copy(child = newChild)
+}
