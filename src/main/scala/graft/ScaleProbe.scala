@@ -157,7 +157,10 @@ object ScaleProbe {
     // map-only parse + explode, then the extraction chain; the gz
     // variant round-trips per-record gzip members through the
     // multi-member decoder first
-    "warc_parse", "warc_extract_text", "warc_gz_roundtrip")
+    "warc_parse", "warc_extract_text", "warc_gz_roundtrip",
+    // round-17: domain-blocklist filter — suffix explode + broadcast
+    // equality semi-join, never LIKE-per-entry
+    "url_domain_filter")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -6780,6 +6780,40 @@ object StandardQueries {
          | GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** Domain-blocklist filtering ([[graft.pipeline.Urls.filterBlockedDomains]]):
+    * the crawl-filter stage after canonicalization — a host is dropped
+    * when it IS a blocked domain or is a SUBDOMAIN of one, matched by
+    * exploding each host's dot-suffixes into an equality join (never
+    * LIKE-per-entry). The blocklist hits `src2` exactly, `src0` as a
+    * parent domain (subdomain semantics exercised), and `example.org`
+    * not at all; the oracle replays the suffix explosion + semi-join. */
+  private def qUrlDomainFilter = Q(
+    (s, dir) => {
+      val url = F.concat(F.lit("https://CDN."), F.col("source"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id"), url.as("url"))
+      val bl = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("src0.Example.com"),
+          org.apache.spark.sql.Row("cdn.src2.example.com"),
+          org.apache.spark.sql.Row("example.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      graft.pipeline.Urls.filterBlockedDomains(docs, "url", bl, "domain")
+        .select(F.col("doc_id"),
+          graft.pipeline.Urls.urlHost(F.col("url")).as("host"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id, 'cdn.' || source || '.example.com' AS host FROM documents),
+           | bl AS (SELECT unnest(['src0.example.com', 'cdn.src2.example.com', 'example.org']) AS d),
+           | sufs AS (SELECT doc_id, unnest([array_to_string(parts[i:], '.') for i in range(1, len(parts)+1)]) AS suf
+           |  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM u)),
+           | blocked AS (SELECT DISTINCT sufs.doc_id FROM sufs JOIN bl ON sufs.suf = bl.d)
+           | SELECT u.doc_id, u.host FROM u LEFT JOIN blocked b ON b.doc_id = u.doc_id
+           | WHERE b.doc_id IS NULL ORDER BY u.doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Shared WARC fixture: a 3-record WARC/1.0 file per document, built
     * from IDENTICAL string expressions in both engines — a `response`
     * whose payload is an HTML fragment with a MULTI-BYTE char (so
@@ -9033,6 +9067,7 @@ object StandardQueries {
     "dedup_span_ranges" -> qDedupSpanRanges,
     "dedup_spans_apply" -> qDedupSpansApply,
     "doc_fingerprint_md5" -> qDocFingerprintMd5,
+    "url_domain_filter" -> qUrlDomainFilter,
     "warc_parse" -> qWarcParse,
     "warc_extract_text" -> qWarcExtractText,
     "warc_gz_roundtrip" -> qWarcGzRoundtrip,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** URL canonicalization — the key-normalization step of web-corpus
@@ -48,5 +48,39 @@ object Urls {
     val pre = F.split_part(rest, F.lit("?"), F.lit(1))
     F.lower(F.split_part(F.split_part(pre, F.lit("/"), F.lit(1)),
       F.lit(":"), F.lit(1)))
+  }
+
+  /** A host's dot-suffixes (`a.b.c` → `[a.b.c, b.c, c]`) — the bounded
+    * equality-join key set for domain-blocklist matching (a host has at
+    * most its label count of suffixes, ~≤10 in the wild). */
+  def hostSuffixes(host: Column): Column = {
+    val labels = F.split(host, "\\.")
+    F.transform(F.sequence(F.lit(0), F.size(labels) - 1),
+      i => F.array_join(F.slice(labels, i + 1, F.size(labels) - i), "."))
+  }
+
+  /** Drop rows whose URL's host IS a blocked domain or is a SUBDOMAIN
+    * of one (`example.com` in the blocklist blocks `ads.example.com`) —
+    * the crawl-filter stage that follows canonicalization in every
+    * web-corpus pipeline.
+    *
+    * Scale shape: each host explodes into its ≤ label-count
+    * dot-suffixes and EQUALITY-semi-joins the blocklist — a hash join
+    * over short keys, never one LIKE/regex per blocklist entry (a real
+    * blocklist is ~10⁶ domains; pattern-per-entry is a 10⁶-way scan
+    * per row). The blocklist broadcasts; the anti-join back is keyed
+    * on the same host column. Blocklist entries are lowercased and
+    * deduped; rows with NULL urls are kept (no host to block on). */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val keyed = df.withColumn("__host", urlHost(F.col(urlCol)))
+    val bl = blocklist
+      .select(F.lower(F.col(domainCol)).as("__bdom"))
+      .filter(F.col("__bdom").isNotNull).distinct()
+    val blockedHosts = keyed
+      .select(F.col("__host"), F.explode(hostSuffixes(F.col("__host"))).as("__suf"))
+      .join(F.broadcast(bl), F.col("__suf") === F.col("__bdom"))
+      .select("__host").distinct()
+    keyed.join(blockedHosts, Seq("__host"), "left_anti").drop("__host")
   }
 }

@@ -27,6 +27,42 @@ class UrlsSpec extends SparkSpec {
     assert(norm("https://H/CaSe") == Seq("https://h/CaSe"))
   }
 
+  test("hostSuffixes enumerates every dot-suffix in order") {
+    val got = Seq(Tuple1("a.b.c")).toDF("h")
+      .select(Urls.hostSuffixes(F.col("h"))).head().getSeq[String](0)
+    assert(got == Seq("a.b.c", "b.c", "c"))
+    val single = Seq(Tuple1("localhost")).toDF("h")
+      .select(Urls.hostSuffixes(F.col("h"))).head().getSeq[String](0)
+    assert(single == Seq("localhost"))
+  }
+
+  test("filterBlockedDomains: exact + subdomain block; siblings and suffix-substrings survive") {
+    val rows = Seq(
+      (1L, "https://example.com/x"),        // exact hit
+      (2L, "https://ads.example.com/x"),    // subdomain hit
+      (3L, "https://notexample.com/x"),     // suffix-SUBSTRING is NOT a subdomain
+      (4L, "https://EXAMPLE.ORG/x"),        // case-insensitive host, clean domain
+      (5L, "https://sub.ok.net/x"))         // untouched
+      .toDF("id", "url")
+    val bl = Seq(Tuple1("Example.COM")).toDF("domain") // blocklist case-folds
+    val kept = Urls.filterBlockedDomains(rows, "url", bl, "domain")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("filterBlockedDomains: NULL urls are kept; empty blocklist keeps everything") {
+    val rows = Seq((1L, null.asInstanceOf[String]), (2L, "https://a.b/x"))
+      .toDF("id", "url")
+    val bl = Seq(Tuple1("a.b")).toDF("domain")
+    val kept = Urls.filterBlockedDomains(rows, "url", bl, "domain")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    val none = Urls.filterBlockedDomains(rows, "url",
+      Seq.empty[Tuple1[String]].toDF("domain"), "domain")
+      .collect().map(_.getLong(0)).toSet
+    assert(none == Set(1L, 2L))
+  }
+
   test("normalizeUrl collides order/tracking variants; urlHost extracts the site key") {
     val variants = Seq(
       "https://example.com/p?a=1&b=2",
