@@ -825,4 +825,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"unkeyed join in the fuzzy pair path:\n${plan.take(2000)}")
   }
+
+  test("warc parse: map-only record walk — zero shuffles before the output sort") {
+    val docs = table("documents")
+    val out = docs.select(F.col("doc_id"),
+      F.explode(graft.sources.Warc.warc_records(F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")))).as("r"))
+    val plan = planOf(out)
+    assert(shuffles(plan) == 0, s"WARC ingestion must be a pure scan:\n$plan")
+    // scan pruned to what the fixture uses
+    readSchemas(plan).foreach(s =>
+      assert(s.subsetOf(Set("doc_id")), s"unpruned scan: $s"))
+  }
+
+  test("url_domain_filter: pruned scan; suffix EQUALITY joins, no per-entry patterns") {
+    val out = graft.SparkEntry.queries("url_domain_filter")(spark, sfDir)
+    val plan = planOf(out)
+    readSchemas(plan).foreach(s =>
+      assert(s.subsetOf(Set("doc_id", "source")), s"unpruned scan: $s"))
+    // blocklist matching is a hash join on the exploded suffixes —
+    // never a nested-loop LIKE cascade over the blocklist
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop") && !plan.contains("Like("),
+      s"pattern-per-entry matching leaked into the plan:\n${plan.take(2000)}")
+  }
+
+  test("ivfPqSearch: code arrays ride only the broadcast; shuffles carry bounded top-k rows") {
+    val emb = table("embeddings")
+    val ix = graft.pipeline.Similarity.ivfPqBuild(emb, numCentroids = 4, m = 16, ksub = 8)
+    val out = graft.pipeline.Similarity.ivfPqSearch(ix,
+      emb.filter(F.col("vec_id") < 5), nprobe = 2, k = 3, rerank = 10)
+    // every shuffle wire carries group/id/score/top-k buffer columns,
+    // never the per-vector code arrays or LUTs (those stay map-side /
+    // broadcast-side) — the bounded-aggregate shape of the scaladoc
+    val wires = shuffledColumns(out).flatten.toSet
+    assert(!wires.contains("__codes") && !wires.contains("__lut"),
+      s"code/LUT arrays on a shuffle wire: $wires")
+  }
 }
