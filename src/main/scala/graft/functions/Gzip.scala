@@ -94,9 +94,14 @@ case class GzipDecompress(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     Gzip.decompress(input.asInstanceOf[Array[Byte]])
 
+  // decompress returns null on corrupt input, so codegen must propagate
+  // it into isNull — otherwise the downstream UnsafeRow writer NPEs on a
+  // null value flagged non-null (interpreted eval masks this; a
+  // parquet-backed codegen scan does not).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = graft.functions.Gzip.decompress($c);")
+      c => s"""${ev.value} = graft.functions.Gzip.decompress($c);
+              |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
     copy(child = newChild)

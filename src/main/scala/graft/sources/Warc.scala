@@ -118,9 +118,18 @@ object Warc {
               if (targetUri == null) null else UTF8String.fromString(targetUri),
               contentLength,
               UTF8String.fromString(payload))
-            // skip payload + record terminator; a missing/short final
-            // terminator also ends the walk cleanly on the next check
-            pos = payloadStart + contentLength.toInt + HdrEnd.length
+            // the record must be followed by the \r\n\r\n terminator (or
+            // EOF — a truncated tail keeps this record). A record whose
+            // terminator bytes are WRONG means the walk is desynced
+            // (e.g. an under-declared Content-Length): keep this record,
+            // STOP the walk — explicit leniency, never a silent resync
+            // that could mis-slice every record after the damage.
+            val termStart = payloadStart + contentLength.toInt
+            var t = 0
+            while (t < HdrEnd.length && termStart + t < bytes.length &&
+              bytes(termStart + t) == HdrEnd(t)) t += 1
+            if (t < HdrEnd.length && termStart + t < bytes.length) ok = false
+            else pos = termStart + HdrEnd.length
           }
         }
       }

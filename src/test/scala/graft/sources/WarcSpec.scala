@@ -72,6 +72,19 @@ class WarcSpec extends SparkSpec {
     assert(parse(good).length == 1)
   }
 
+  test("wrong terminator bytes stop the walk explicitly (no silent desync)") {
+    // an under-declared Content-Length leaves payload bytes where the
+    // \r\n\r\n terminator should be: the desynced walk would otherwise
+    // mis-parse every later record — keep the damaged record, stop
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <u>\r\nContent-Length: 2\r\n\r\npayload\r\n\r\n"
+    val got = parse(bad + rec("response", "<after>", "next"))
+    assert(got.length == 1 && got(0)._2 == "<u>" && got(0)._5 == "pa")
+    // a truncated FINAL terminator (EOF inside \r\n\r\n) keeps the record
+    val trunc = rec("response", "<t>", "ok").dropRight(2)
+    assert(parse(trunc).map(_._2).toSeq == Seq("<t>"))
+  }
+
   test("header names are case-insensitive; unknown headers ignored; null input") {
     val got = parse("WARC/1.0\r\n" +
       "warc-type: response\r\nWARC-RECORD-ID: <x>\r\n" +
