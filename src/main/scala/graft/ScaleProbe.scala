@@ -160,7 +160,18 @@ object ScaleProbe {
     "warc_parse", "warc_extract_text", "warc_gz_roundtrip",
     // round-17: domain-blocklist filter — suffix explode + broadcast
     // equality semi-join, never LIKE-per-entry
-    "url_domain_filter")
+    "url_domain_filter",
+    // round-18: bounded-memory WARC file ingestion (500k records
+    // written as real .warc.gz files, streamed back record-by-record
+    // through the binaryFile walk), the HTTP header/body split
+    // composed into extraction, the persisted-then-reloaded IVF-PQ
+    // search, and the byte-mode pricing siblings (count/pack/mixture
+    // over the byte vocabulary — same one-scan shapes as their
+    // word-mode originals)
+    "warc_file_scan", "warc_http_extract", "warc_file_http_extract",
+    "streaming_warc_file_scan", "ivfpq_persisted_search",
+    "token_counts_bpe_bytes", "pack_by_bpe_cost_bytes",
+    "mixture_weights_bpe_bytes")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

@@ -3232,6 +3232,34 @@ object StandardQueries {
     },
     qEmbeddingIvfPqExhaustive.oracle)
 
+  /** IVF-PQ INDEX PERSISTENCE ([[Similarity.ivfPqSave]] /
+    * [[Similarity.ivfPqLoad]]): build → save the codebooks (two
+    * KB-scale parquet tables + ksub) → write the codes as a
+    * cell-partitioned store → RELOAD everything from disk and search.
+    * The loaded index's search must equal brute force under the
+    * exhaustive config — same oracle as `embedding_ivfpq_exhaustive` —
+    * which certifies the save/load round-trip bit-exactly (doubles
+    * round-trip parquet exactly; any codebook/centroid/ksub drift
+    * would re-rank different candidates). Closes the lifecycle: a
+    * fresh session can now search a store it didn't build. */
+  private def qIvfPqPersistedSearch = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ix0 = Similarity.ivfPqBuild(emb, numCentroids = 8, m = 16, ksub = 16)
+      val base = s"target/tmp/ivfpqix_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Similarity.ivfPqSave(ix0, s"$base/index")
+      ix0.encoded.write.partitionBy("__cell").parquet(s"$base/store")
+      // from here on, nothing from ix0 is used — codebooks, codes and
+      // re-rank vectors all come from disk/base tables, as a fresh
+      // session would
+      val ix = Similarity.ivfPqLoad(s, s"$base/index", s"$base/store", emb)
+      Similarity.ivfPqSearch(ix, emb.filter(F.col("vec_id") < 20),
+          nprobe = 8, k = 5, rerank = 1000000)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    qEmbeddingIvfPqExhaustive.oracle)
+
   /** Pruned IVF-PQ (rows-only: codebooks are data-trained; the shape
     * is nprobe 4 of 8 cells × rerank 50 ADC candidates — the actual
     * compressed-and-pruned production scan). Recall vs brute force is
@@ -6822,23 +6850,24 @@ object StandardQueries {
     * parses correctly — scanning for the next version line would split
     * inside the payload), and a `metadata` record with NO
     * WARC-Target-URI header (NULL field path). */
-  private def warcFixtureRecords: Seq[Column] = {
-    def cl(p: Column) = F.length(F.encode(p, "UTF-8")).cast("string")
-    def rec(wtype: String, idx: Int, uri: Boolean, p: Column) = F.concat(
+  private def warcRec(wtype: String, idx: Int, uri: Boolean, p: Column): Column = {
+    val cl = F.length(F.encode(p, "UTF-8")).cast("string")
+    F.concat(
       F.lit("WARC/1.0\r\nWARC-Type: " + wtype + "\r\nWARC-Record-ID: <urn:doc:"),
       F.col("doc_id").cast("string"), F.lit(s":$idx>\r\n"),
       if (uri) F.concat(F.lit("WARC-Target-URI: http://example.com/doc/"),
         F.col("doc_id").cast("string"), F.lit("\r\n"))
       else F.lit(""),
-      F.lit("Content-Length: "), cl(p), F.lit("\r\n\r\n"),
+      F.lit("Content-Length: "), cl, F.lit("\r\n\r\n"),
       p, F.lit("\r\n\r\n"))
-    Seq(
-      rec("response", 0, uri = true, warcPayloadHtml),
-      rec("request", 1, uri = true,
-        F.lit("embedded WARC/1.0\r\nnot a record")),
-      rec("metadata", 2, uri = false,
-        F.concat(F.lit("meta for doc "), F.col("doc_id").cast("string"))))
   }
+
+  private def warcFixtureRecords: Seq[Column] = Seq(
+    warcRec("response", 0, uri = true, warcPayloadHtml),
+    warcRec("request", 1, uri = true,
+      F.lit("embedded WARC/1.0\r\nnot a record")),
+    warcRec("metadata", 2, uri = false,
+      F.concat(F.lit("meta for doc "), F.col("doc_id").cast("string"))))
 
   private def warcFixture: Column = F.concat(warcFixtureRecords: _*)
 
@@ -6950,6 +6979,170 @@ object StandardQueries {
          | SELECT doc_id, rec_idx, warc_type, record_id, target_uri, content_length, payload
          | FROM recs ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " ")
     })
+
+  /** BOUNDED-MEMORY WARC FILE INGESTION
+    * ([[graft.sources.WarcFiles.readRecords]] — the file-scale front
+    * door): the fixture records are written as REAL `.warc.gz` files
+    * (one gzip member per record, the Common Crawl layout; one file
+    * per hash partition) and read back through the record-streaming
+    * binaryFile walk — peak memory bounded by the largest record, not
+    * the file (pinned in WarcFilesSpec). doc/rec ids are recovered
+    * from the WARC-Record-ID header, so the output — and the oracle —
+    * is `warc_parse`'s verbatim: the expression path and the file
+    * path are certified hash-identical. File writing is distributed
+    * (foreachPartition appends to a local temp dir — the fixture
+    * factory; production reads crawl files that already exist). */
+  /** Write each row's gz bytes into one `.warc.gz` per partition under
+    * a fresh temp dir — the fixture FACTORY for the file-ingestion
+    * queries (production reads crawl files that already exist).
+    * Distributed append (local[*] shares the filesystem); record order
+    * inside a file is irrelevant — records parse independently and the
+    * queries sort their output. */
+  private def writeWarcGzFiles(df: DataFrame, gz: Column): String = {
+    val base = new java.io.File(
+      s"target/tmp/warcfiles_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    base.mkdirs()
+    val abs = base.getAbsolutePath
+    df.select(gz.as("b"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.FileOutputStream(s"$abs/part-$pid.warc.gz")
+        try rows.foreach(r => f.write(r.getAs[Array[Byte]](0)))
+        finally f.close()
+      }
+    abs
+  }
+
+  private def qWarcFileScan = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gz = F.concat(warcFixtureRecords.map(r =>
+        graft.functions.Gzip.gzip_compress(r)): _*)
+      val abs = writeWarcGzFiles(docs, gz)
+      val idPat = "<urn:doc:([0-9]+):([0-9]+)>"
+      graft.sources.WarcFiles.readRecords(s, abs)
+        .select(
+          F.regexp_extract(F.col("record_id"), idPat, 1).cast("bigint").as("doc_id"),
+          F.regexp_extract(F.col("record_id"), idPat, 2).cast("int").as("rec_idx"),
+          F.col("warc_type"), F.col("record_id"), F.col("target_uri"),
+          F.col("content_length"), F.col("payload"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    qWarcParse.oracle)
+
+  /** WARC INGESTION AT ARRIVAL ([[graft.sources.WarcFiles.streamRecords]]):
+    * the same record-streaming walk over a Structured Streaming
+    * binaryFile source — crawl shards land, records stream out,
+    * exactly-once per file via the source's file tracking; the walk is
+    * stateless map-side work, so batch ≡ streamed record set and the
+    * oracle is `warc_parse`'s verbatim. */
+  private def qStreamingWarcFileScan = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gz = F.concat(warcFixtureRecords.map(r =>
+        graft.functions.Gzip.gzip_compress(r)): _*)
+      val abs = writeWarcGzFiles(docs, gz)
+      val idPat = "<urn:doc:([0-9]+):([0-9]+)>"
+      val qn = "wfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.sources.WarcFiles.streamRecords(s, abs)
+        .select(
+          F.regexp_extract(F.col("record_id"), idPat, 1).cast("bigint").as("doc_id"),
+          F.regexp_extract(F.col("record_id"), idPat, 2).cast("int").as("rec_idx"),
+          F.col("warc_type"), F.col("record_id"), F.col("target_uri"),
+          F.col("content_length"), F.col("payload"))
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("doc_id", "rec_idx")
+    },
+    qWarcParse.oracle)
+
+  /** The HTTP-response fixture: each doc's `response` payload is a
+    * FULL HTTP response (status line + headers + blank line + the
+    * HTML), built from identical string expressions in both engines —
+    * what a real Common Crawl response record carries. */
+  private def warcHttpHead: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      "X-Crawler: graft\r\n\r\n"
+
+  /** HTTP header/body split composed into the extraction chain
+    * ([[graft.functions.Http]]): WARC parse → keep responses → split
+    * the HTTP payload (status, content-type, body) → tag-strip the
+    * BODY only. Without the split, header lines leak into the
+    * extracted text — the oracle replays the split itself
+    * (strpos/substr/regexp on the payload), not just its fixture
+    * constants, so the split arithmetic is what's certified. */
+  private def qWarcHttpExtract = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fixture = F.concat(
+        warcRec("response", 0, uri = true,
+          F.concat(F.lit(warcHttpHead), warcPayloadHtml)),
+        warcRec("metadata", 1, uri = false, F.lit("not http")))
+      import graft.functions.Http
+      docs.select(F.col("doc_id"),
+          F.explode(graft.sources.Warc.warc_records(fixture)).as("r"))
+        .filter(F.col("r.warc_type") === "response")
+        .select(F.col("doc_id"),
+          F.col("r.target_uri").as("target_uri"),
+          Http.httpStatus(F.col("r.payload")).as("status"),
+          Http.httpContentType(F.col("r.payload")).as("content_type"),
+          graft.pipeline.HtmlExtract.visibleText(
+            Http.httpBody(F.col("r.payload"))).as("text"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH nl AS (SELECT chr(13) || chr(10) AS c),
+         | sep AS (SELECT c || c AS s FROM nl),
+         | recs AS (SELECT doc_id,
+         |   'http://example.com/doc/' || doc_id AS target_uri,
+         |   'HTTP/1.1 200 OK' || (SELECT c FROM nl) ||
+         |   'Content-Type: text/html; charset=UTF-8' || (SELECT c FROM nl) ||
+         |   'X-Crawler: graft' || (SELECT s FROM sep) ||
+         |   '<p>Café: ' || substr(text, 1, 40) || ' &amp; more</p>' AS payload
+         |  FROM documents),
+         | sp AS (SELECT doc_id, target_uri,
+         |   TRY_CAST(NULLIF(regexp_extract(payload, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '') AS INTEGER) AS status,
+         |   trim(regexp_extract(substr(payload, 1, strpos(payload, (SELECT s FROM sep)) - 1),
+         |     '(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]+)', 1)) AS content_type,
+         |   substr(payload, strpos(payload, (SELECT s FROM sep)) + 4) AS body
+         |  FROM recs)
+         | SELECT doc_id, target_uri, status, content_type,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(body, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text
+         | FROM sp ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** THE PRODUCTION CRAWL PIPELINE END TO END
+    * ([[graft.sources.WarcFiles.readCrawlText]]): real `.warc.gz`
+    * files whose response payloads carry full HTTP envelopes →
+    * record-streaming file walk → keep responses → HTTP split → HTML
+    * extraction, in one call — the exact chain a Common Crawl user
+    * runs. doc ids recover from the target URI; the oracle is
+    * `warc_http_extract`'s verbatim, so file ingestion + split +
+    * extraction are certified together in one hash. */
+  private def qWarcFileHttpExtract = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gz = F.concat(
+        graft.functions.Gzip.gzip_compress(warcRec("response", 0, uri = true,
+          F.concat(F.lit(warcHttpHead), warcPayloadHtml))),
+        graft.functions.Gzip.gzip_compress(warcRec("metadata", 1, uri = false,
+          F.lit("not http"))))
+      val abs = writeWarcGzFiles(docs, gz)
+      graft.sources.WarcFiles.readCrawlText(s, abs)
+        .select(
+          F.regexp_extract(F.col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("bigint").as("doc_id"),
+          F.col("target_uri"), F.col("status"), F.col("content_type"),
+          F.col("text"))
+        .orderBy("doc_id")
+    },
+    qWarcHttpExtract.oracle)
 
   /** Deterministic synthetic web page for the HTML-extraction family:
     * the documents table rendered as a page with the canonical
@@ -7437,6 +7630,113 @@ object StandardQueries {
          |     WHEN 'src2' THEN 0.125::DOUBLE WHEN 'src3' THEN 0.125::DOUBLE END AS target_share
          |  FROM tk JOIN wsym ws ON ws.w = tk.t
          |  WHERE tk.source IN ('src0','src1','src2','src3') GROUP BY tk.source),
+         | b AS (SELECT min(tokens * 2.0::DOUBLE / target_share) AS budget_total FROM s)
+         | SELECT domain, tokens, target_share,
+         |  round(target_share * budget_total, 6) AS budget_tokens,
+         |  round(least(target_share * budget_total / tokens, 2.0::DOUBLE), 6) AS rate,
+         |  target_share * budget_total / tokens > 2.0::DOUBLE AS capped
+         | FROM s, b ORDER BY domain""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Shared oracle tail for the BYTE-mode tokenizer-true queries: the
+    * 6-round byte-vocabulary replay ([[byteBpeSqlCtesN]]) plus
+    * per-pretoken symbol counts recovered from `v6` (hex words are
+    * distinct, so separator-stripping inverts the encoding) and the
+    * GPT-2-style pretoken stream hexed for the join. */
+  private def bpeByteTokenCtes: String =
+    s"""${byteBpeSqlCtesN(6)},
+       | wsym AS (SELECT replace(e, chr(31), '') AS h,
+       |   CAST(len(list_filter(string_split(e, chr(31) || chr(31)), x -> len(x) > 0)) AS BIGINT) AS nsym FROM v6),
+       | tk AS (SELECT doc_id, source, unnest(regexp_extract_all(text,
+       |   ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS t FROM documents),
+       | tkh AS (SELECT doc_id, source, lower(hex(encode(t))) AS h FROM tk)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private def trainedByteMerges6(s: SparkSession, dir: String): Seq[(String, String)] =
+    TextAnalysis.bpeTrainMergesFast(t(s, dir, "documents"), "text",
+      rounds = 6, byteLevel = true)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** BYTE-mode tokenizer-true token counting: [[qTokenCountsBpe]]'s
+    * sibling priced by the byte-level vocabulary — on unicode-heavy
+    * corpora the default `[a-z0-9]+` mode silently drops every
+    * non-ASCII word from the count, misbudgeting exactly the sources a
+    * multilingual mixture cares about ([[qBpeFertilityBytes]] surfaces
+    * the mispricing; this closes it for per-document costing). Same
+    * map-only encode scan at `symWidth = 2`. */
+  private def qTokenCountsBpeBytes = Q(
+    (s, dir) => {
+      val merges = trainedByteMerges6(s, dir)
+      t(s, dir, "documents").select(F.col("doc_id"),
+          F.coalesce(F.size(TextAnalysis.bpeSegmentBytes(F.col("text"), merges))
+            .cast("long"), F.lit(0L)).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""$bpeByteTokenCtes,
+         | c AS (SELECT tkh.doc_id, CAST(sum(ws.nsym) AS BIGINT) AS bpe_tokens
+         |  FROM tkh JOIN wsym ws ON ws.h = tkh.h GROUP BY 1)
+         | SELECT d.doc_id, coalesce(c.bpe_tokens, 0) AS bpe_tokens
+         | FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** Sequence packing priced in BYTE-level tokenizer units:
+    * [[qPackByBpeCost]]'s sibling over the byte vocabulary — chunk
+    * offsets and 512-symbol chunk assignment from each document's
+    * byte-BPE cost. Same two-pass partition-prefix-sum shape. */
+  private def qPackByBpeCostBytes = Q(
+    (s, dir) => {
+      val merges = trainedByteMerges6(s, dir)
+      Packing.withOffsets(
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, F.col("doc_id")),
+        "doc_id",
+        F.coalesce(F.size(TextAnalysis.bpeSegmentBytes(F.col("text"), merges))
+          .cast("long"), F.lit(0L)),
+        capacity = 512L)
+        .select("doc_id", "n_tokens", "offset", "chunk_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""$bpeByteTokenCtes,
+            | c AS (SELECT tkh.doc_id, CAST(sum(ws.nsym) AS BIGINT) AS nt
+            |  FROM tkh JOIN wsym ws ON ws.h = tkh.h GROUP BY 1),
+            | f AS (SELECT d.doc_id, coalesce(c.nt, 0) AS n_tokens
+            |  FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id)
+            | SELECT doc_id, n_tokens,
+            |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+            |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS chunk_id
+            | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
+  /** Mixture budgeting in BYTE-level tokenizer units:
+    * [[qMixtureWeightsBpe]]'s sibling — per-source budget shares
+    * priced by the byte vocabulary, closing the unicode-corpus
+    * mispricing end to end (count → pack → mixture all have byte-mode
+    * siblings now). Same one-scan + bounded-rollup shape. */
+  private def qMixtureWeightsBpeBytes = Q(
+    (s, dir) => {
+      val merges = trainedByteMerges6(s, dir)
+      Sampling.mixtureWeights(
+        t(s, dir, "documents").select(F.col("source"),
+          F.coalesce(F.size(TextAnalysis.bpeSegmentBytes(F.col("text"), merges))
+            .cast("long"), F.lit(0L)).as("__bt")),
+        F.col("source"), F.col("__bt"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.25,
+          "src2" -> 0.125, "src3" -> 0.125),
+        budget = None, maxEpochs = 2.0)
+        .select(F.col("domain"), F.col("tokens"), F.col("target_share"),
+          F.round(F.col("budget_tokens"), 6).as("budget_tokens"),
+          F.round(F.col("rate"), 6).as("rate"), F.col("capped"))
+        .orderBy("domain")
+    },
+    Some {
+      s"""$bpeByteTokenCtes,
+         | s AS (SELECT tkh.source AS domain, CAST(sum(ws.nsym) AS DOUBLE) AS tokens,
+         |   CASE tkh.source WHEN 'src0' THEN 0.5::DOUBLE WHEN 'src1' THEN 0.25::DOUBLE
+         |     WHEN 'src2' THEN 0.125::DOUBLE WHEN 'src3' THEN 0.125::DOUBLE END AS target_share
+         |  FROM tkh JOIN wsym ws ON ws.h = tkh.h
+         |  WHERE tkh.source IN ('src0','src1','src2','src3') GROUP BY tkh.source),
          | b AS (SELECT min(tokens * 2.0::DOUBLE / target_share) AS budget_total FROM s)
          | SELECT domain, tokens, target_share,
          |  round(target_share * budget_total, 6) AS budget_tokens,
@@ -9013,6 +9313,7 @@ object StandardQueries {
     "embedding_ivfpq_exhaustive" -> qEmbeddingIvfPqExhaustive,
     "streaming_ivfpq" -> qStreamingIvfPq,
     "streaming_ivfpq_ingest" -> qStreamingIvfPqIngest,
+    "ivfpq_persisted_search" -> qIvfPqPersistedSearch,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_embedding_lsh_md5" -> qDedupEmbeddingLshMd5,
@@ -9045,6 +9346,8 @@ object StandardQueries {
     "token_counts_bpe" -> qTokenCountsBpe,
     "streaming_token_counts_bpe" -> qStreamingTokenCountsBpe,
     "mixture_weights_bpe" -> qMixtureWeightsBpe,
+    "token_counts_bpe_bytes" -> qTokenCountsBpeBytes,
+    "mixture_weights_bpe_bytes" -> qMixtureWeightsBpeBytes,
     "sample_stratified" -> qSampleStratified,
     "sample_split" -> qSampleSplit,
     "sample_balanced" -> qSampleBalanced,
@@ -9071,6 +9374,10 @@ object StandardQueries {
     "warc_parse" -> qWarcParse,
     "warc_extract_text" -> qWarcExtractText,
     "warc_gz_roundtrip" -> qWarcGzRoundtrip,
+    "warc_file_scan" -> qWarcFileScan,
+    "warc_http_extract" -> qWarcHttpExtract,
+    "warc_file_http_extract" -> qWarcFileHttpExtract,
+    "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,
@@ -9268,6 +9575,7 @@ object StandardQueries {
     "bootstrap_ab_diff" -> qBootstrapAbDiff,
     "contrastive_triplets" -> qContrastiveTriplets,
     "pack_by_bpe_cost" -> qPackByBpeCost,
+    "pack_by_bpe_cost_bytes" -> qPackByBpeCostBytes,
     "streaming_fuzzy_match" -> qStreamingFuzzyMatch,
     "streaming_fuzzy_match_capped" -> qStreamingFuzzyMatchCapped,
     "nb_confusion" -> qNbConfusion)

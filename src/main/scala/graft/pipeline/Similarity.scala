@@ -52,17 +52,21 @@ object Similarity {
     topKPerGroup(scored, "query_id", "neighbor_id", "score", k)
   }
 
-  /** Per-centroid cosine similarities as ONE array column. Each element
-    * is a plain (non-nested-lambda) expression, so the hot path stays on
-    * the fast evaluation path and common-subexpression elimination
-    * computes the input cast once. (A runtime fold over a centroid-array
-    * literal — HOF lambdas nesting the cosine HOFs — costs ~3 ms/row
-    * interpreted; this shape is ~100× cheaper.) */
+  /** Per-centroid cosine similarities as ONE array column, computed by
+    * the broadcast-backed [[graft.functions.CentroidSims]] expression:
+    * the C × dim table ships once per executor via the block manager
+    * instead of riding every task closure as C typedLit expressions —
+    * at a production C = 1024-4096, dim ≥ 256 the literal shape is
+    * tens of MB of plan per stage. Numerics replay the previous
+    * per-centroid `cosine_similarity(v, typedLit)` exactly (same
+    * CosineUtil op order), so all hashes are unchanged; argmax /
+    * top-nprobe / tie logic stays in the column expressions below. */
   private def centroidSims(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
-    val v = vec.cast("array<double>")
-    F.array(cents.map { case (_, rv) =>
-      cosine_similarity(v, F.typedLit(rv.toSeq))
-    }.toIndexedSeq: _*)
+    import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(cents.map(_._2))
+    exprColumn(graft.functions.CentroidSims(
+      columnExpr(vec.cast("array<double>")), bc))
   }
 
   private def centroidIdAt(cents: Array[(Int, Array[Double])], pos1: Column): Column =
@@ -407,9 +411,67 @@ object Similarity {
       .trigger(trigger)
       .start()
 
-  /** Centroid lookup as a plan literal: cents ids are 0..C-1 in order. */
-  private def centOfExpr(cents: Array[(Int, Array[Double])], cell: Column): Column =
-    F.element_at(F.typedLit(cents.map(_._2.toSeq).toSeq), cell.cast("int") + 1)
+  /** INDEX PERSISTENCE — the missing lifecycle edge: [[ivfPqIngest]]
+    * persists the cell-partitioned CODES, but the codebooks lived only
+    * in the builder's JVM, so a fresh session could not search a store
+    * it didn't build. `ivfPqSave` writes the two KB-scale codebooks
+    * (coarse centroids + residual PQ codebook + ksub) as tiny parquet
+    * tables; [[ivfPqLoad]] rebuilds a searchable [[IvfPqIndex]] from
+    * them plus a code store and the re-rank corpus. Doubles round-trip
+    * parquet exactly, so a loaded index searches BIT-IDENTICALLY to
+    * the original (pinned by spec and by the `ivfpq_persisted_search`
+    * gate query's brute-force oracle). */
+  def ivfPqSave(ix: IvfPqIndex, path: String): Unit = {
+    val spark = ix.encoded.sparkSession
+    import spark.implicits._
+    ix.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for {
+      (sub, si) <- ix.codebook.zipWithIndex
+      (cent, ci) <- sub.zipWithIndex
+    } yield (si, ci, cent.toSeq)).toSeq
+      .toDF("sub", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq(Tuple1(ix.ksub)).toDF("ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Rebuild a searchable index from [[ivfPqSave]] output: `storePath`
+    * is a cell-partitioned code store (an [[ivfPqIngest]] sink or a
+    * written-out `encoded` frame); `corpus` supplies the exact-re-rank
+    * vectors. The store read keeps its `__cell` partition column, so
+    * pruned searches still prune DIRECTORIES. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String, storePath: String,
+      corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]]("vec").toArray))
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("vec").toArray))
+    val codebook: graft.functions.PqUtil.Codebook = cbRows
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val ksub = spark.read.parquet(s"$path/meta").head().getInt(0)
+    IvfPqIndex(cents, codebook, ksub,
+      spark.read.parquet(storePath),
+      corpus.select(F.col(idCol).as("neighbor_id"),
+        F.col(vecCol).cast("array<double>").as("__cv")))
+  }
+
+  /** Centroid lookup by cell id (cents ids are 0..C-1 in order) —
+    * broadcast-backed like [[centroidSims]], not a plan literal. */
+  private def centOfExpr(cents: Array[(Int, Array[Double])], cell: Column): Column = {
+    import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(cents.map(_._2))
+    exprColumn(graft.functions.CentroidVec(columnExpr(cell.cast("int")), bc))
+  }
 
   /** One IVF-PQ search against a built index — see [[ivfPqTopK]] for
     * the semantics and the exactness contract. Per-query results are

@@ -68,18 +68,28 @@ object Urls {
     * dot-suffixes and EQUALITY-semi-joins the blocklist — a hash join
     * over short keys, never one LIKE/regex per blocklist entry (a real
     * blocklist is ~10⁶ domains; pattern-per-entry is a 10⁶-way scan
-    * per row). The blocklist broadcasts; the anti-join back is keyed
-    * on the same host column. Blocklist entries are lowercased and
-    * deduped; rows with NULL urls are kept (no host to block on). */
+    * per row). The anti-join back is keyed on the same host column.
+    * Blocklist entries are lowercased and deduped; rows with NULL urls
+    * are kept (no host to block on).
+    *
+    * Broadcast budget: the blocklist broadcasts only while its
+    * (deduped) entry count fits `broadcastMaxEntries` — a ~10⁶-domain
+    * list is ~30-60 MB broadcast, fine; past the budget the suffix
+    * join falls back to a SHUFFLE hash join on the same equality keys
+    * instead of silently OOMing the driver (the Bloom-family cap
+    * pattern: bounded-or-degrade, never unbounded). The count is one
+    * cheap aggregate over the (small relative to the corpus) list. */
   def filterBlockedDomains(df: DataFrame, urlCol: String,
-      blocklist: DataFrame, domainCol: String): DataFrame = {
+      blocklist: DataFrame, domainCol: String,
+      broadcastMaxEntries: Long = 4000000L): DataFrame = {
     val keyed = df.withColumn("__host", urlHost(F.col(urlCol)))
     val bl = blocklist
       .select(F.lower(F.col(domainCol)).as("__bdom"))
       .filter(F.col("__bdom").isNotNull).distinct()
+    val blSide = if (bl.count() <= broadcastMaxEntries) F.broadcast(bl) else bl
     val blockedHosts = keyed
       .select(F.col("__host"), F.explode(hostSuffixes(F.col("__host"))).as("__suf"))
-      .join(F.broadcast(bl), F.col("__suf") === F.col("__bdom"))
+      .join(blSide, F.col("__suf") === F.col("__bdom"))
       .select("__host").distinct()
     keyed.join(blockedHosts, Seq("__host"), "left_anti").drop("__host")
   }

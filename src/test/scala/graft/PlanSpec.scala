@@ -838,6 +838,20 @@ class PlanSpec extends SparkSpec {
       assert(s.subsetOf(Set("doc_id")), s"unpruned scan: $s"))
   }
 
+  test("warc FILE ingestion chain: record-streaming walk + split + extract is map-only") {
+    val dir = java.nio.file.Files.createTempDirectory("warcplan").toString
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>"
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      rec.getBytes("UTF-8"))
+    val out = graft.sources.WarcFiles.readCrawlText(spark, dir)
+    val plan = planOf(out)
+    // file walk → HTTP split → extraction: a pure scan end to end —
+    // the shuffle belongs to whatever quality/dedup stage follows
+    assert(shuffles(plan) == 0, s"crawl front door must be a pure scan:\n$plan")
+  }
+
   test("url_domain_filter: pruned scan; suffix EQUALITY joins, no per-entry patterns") {
     val out = graft.SparkEntry.queries("url_domain_filter")(spark, sfDir)
     val plan = planOf(out)

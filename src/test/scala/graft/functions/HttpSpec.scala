@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** HTTP response split ([[Http]]): status / content-type / body over
+  * real-shaped and degenerate payloads — the leniency contract that
+  * lets pre-split corpora flow through unchanged. */
+class HttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def split(payload: String) = {
+    val r = Seq(Tuple1(payload)).toDF("p")
+      .select(
+        Http.httpStatus(F.col("p")).as("status"),
+        Http.httpContentType(F.col("p")).as("ct"),
+        Http.httpBody(F.col("p")).as("body"))
+      .head()
+    (if (r.isNullAt(0)) null else Integer.valueOf(r.getInt(0)),
+      r.getString(1), r.getString(2))
+  }
+
+  test("full HTTP response: status, content-type, body after first blank line") {
+    val p = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "X-Crawler: cc\r\n\r\n" +
+      "<html>body with\r\n\r\nits own blank line</html>"
+    assert(split(p) == (200, "text/html; charset=utf-8",
+      "<html>body with\r\n\r\nits own blank line</html>"))
+  }
+
+  test("header name matching is case-insensitive; value trimmed") {
+    val p = "HTTP/1.0 404 Not Found\r\ncontent-TYPE:  application/json \r\n\r\n{}"
+    assert(split(p) == (404, "application/json", "{}"))
+  }
+
+  test("non-HTTP payload IS the body (pre-split corpora flow unchanged)") {
+    assert(split("<p>bare html</p>") == (null, null, "<p>bare html</p>"))
+    // a body that merely MENTIONS a content-type never yields one
+    assert(split("text Content-Type: evil\r\n\r\nx")._2 == null)
+  }
+
+  test("headers-only payload (no blank line): empty body, headers still parsed") {
+    val p = "HTTP/1.1 304 Not Modified\r\nContent-Type: text/plain"
+    assert(split(p) == (304, "text/plain", ""))
+  }
+
+  test("unparseable status line: NULL status, body still split") {
+    val p = "HTTP/1.1 weird\r\nContent-Type: a/b\r\n\r\npayload"
+    assert(split(p) == (null, "a/b", "payload"))
+  }
+
+  test("null passes through") {
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("p")
+      .select(Http.httpBody(F.col("p")), Http.httpStatus(F.col("p")),
+        Http.httpContentType(F.col("p"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}

@@ -130,6 +130,47 @@ class IvfPqSpec extends SparkSpec {
     assert(got == topkSet(Similarity.bruteForceTopK(emb, qs, k = 3)))
   }
 
+  test("save/load round-trip: a loaded index searches bit-identically") {
+    val emb = table("embeddings")
+    val ix = Similarity.ivfPqBuild(emb, numCentroids = 8, m = 16, ksub = 16)
+    val base = java.nio.file.Files.createTempDirectory("ivfpqsl").toString
+    Similarity.ivfPqSave(ix, s"$base/index")
+    ix.encoded.write.partitionBy("__cell").parquet(s"$base/store")
+    val loaded = Similarity.ivfPqLoad(spark, s"$base/index", s"$base/store", emb)
+    // codebooks round-trip exactly (doubles through parquet are exact)
+    assert(loaded.ksub == ix.ksub)
+    assert(loaded.cents.map(_._1).toSeq == ix.cents.map(_._1).toSeq)
+    assert(loaded.cents.map(_._2.toSeq).toSeq == ix.cents.map(_._2.toSeq).toSeq)
+    assert(loaded.codebook.map(_.map(_.toSeq).toSeq).toSeq ==
+      ix.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    // PRUNED-config search (the approximation-sensitive path) must be
+    // identical, not just the exhaustive config
+    val qs = emb.filter(F.col("vec_id") < 10)
+    def rows(df: DataFrame) = df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Similarity.ivfPqSearch(loaded, qs, nprobe = 4, k = 5, rerank = 50)) ==
+      rows(Similarity.ivfPqSearch(ix, qs, nprobe = 4, k = 5, rerank = 50)))
+  }
+
+  test("C=1024 coarse table rides a broadcast, not the plan (and stays exact)") {
+    // a production-scale centroid count: with the old typedLit shape
+    // this is ~0.5 MB of literal per expression per stage; the
+    // broadcast-backed expressions keep the plan O(1) while the
+    // exhaustive contract still holds
+    import spark.implicits._
+    val n = 1500
+    val dim = 16
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        math.sin(i * 0.7 + d * 1.3) + (if (d == i % dim) 2.0 else 0.0)))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(F.col("vec_id") < 5)
+    val got = topkSet(Similarity.ivfPqTopK(vecs, qs,
+      numCentroids = 1024, nprobe = 1024, m = 8, ksub = 16, k = 3,
+      rerank = 1000000, sampleSize = 1500))
+    assert(got == topkSet(Similarity.bruteForceTopK(vecs, qs, k = 3)))
+  }
+
   test("residual PQ beats raw-position PQ at equal code budget (ADC-only ranks)") {
     // the IVFADC rationale made measurable: at the same (m, ksub) and
     // NO exact re-rank safety net (rerank = k), residual codes should

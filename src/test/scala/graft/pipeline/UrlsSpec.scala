@@ -63,6 +63,26 @@ class UrlsSpec extends SparkSpec {
     assert(none == Set(1L, 2L))
   }
 
+  test("blocklist past the broadcast budget degrades to a shuffle join, same answer") {
+    // a 10^6-entry synthetic blocklist: entries bad0.example..bad999999.example
+    // block half the corpus; the other half survives. Run once inside
+    // the broadcast budget and once with the budget forced to zero
+    // (pure shuffle path) — identical results either way.
+    val docs = spark.range(2000).select(F.col("id"),
+      F.concat(F.lit("https://host"), (F.col("id") % 1000).cast("string"),
+        F.when(F.col("id") % 2 === 0, ".example").otherwise(".keepme"),
+        F.lit("/p")).as("url"))
+    val bl = spark.range(1000000).select(
+      F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example")).as("domain"))
+    def survivors(cap: Long) =
+      Urls.filterBlockedDomains(docs, "url", bl, "domain", broadcastMaxEntries = cap)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaBroadcast = survivors(4000000L)
+    val viaShuffle = survivors(0L)
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast.size == 1000 && viaBroadcast.forall(_ % 2 == 1))
+  }
+
   test("normalizeUrl collides order/tracking variants; urlHost extracts the site key") {
     val variants = Seq(
       "https://example.com/p?a=1&b=2",
