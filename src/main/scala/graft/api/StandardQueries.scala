@@ -7117,6 +7117,57 @@ object StandardQueries {
          | FROM sp ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** CHUNKED TRANSFER-ENCODING decode ([[graft.functions.Http.dechunk]]):
+    * a WARC response stores the RAW capture, so a chunked response's
+    * body is still chunk-framed — text processing without reassembly
+    * reads hex size lines as content. The fixture chunk-frames the
+    * HTML (sizes in hex BYTES; the multi-byte `Café` chunk is the
+    * byte-vs-char trap) with a chunk extension and a trailer; the
+    * oracle is the construction INVERSE — it states the original
+    * un-chunked HTML and replays the extraction chain on it, so any
+    * dechunk drift (hex parse, byte slicing, CRLF framing, trailer
+    * handling) fails the hash. */
+  private def qWarcHttpDechunk = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = F.lit("\r\n")
+      def hexLen(c: Column) =
+        F.lower(F.hex(F.length(F.encode(c, "UTF-8"))))
+      val c1 = F.concat(F.lit("<p>Café: "), F.substring(F.col("text"), 1, 30))
+      val c2 = F.lit(" &amp; chunked tail</p>")
+      val chunked = F.concat(
+        hexLen(c1), F.lit(";ext=v"), crlf, c1, crlf,
+        hexLen(c2), crlf, c2, crlf,
+        F.lit("0"), crlf, F.lit("X-Trailer: t"), crlf, crlf)
+      val payload = F.concat(F.lit(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), chunked)
+      val fixture = warcRec("response", 0, uri = true, payload)
+      import graft.functions.Http
+      docs.select(F.col("doc_id"),
+          F.explode(graft.sources.Warc.warc_records(fixture)).as("r"))
+        .select(F.col("doc_id"),
+          F.col("r.target_uri").as("target_uri"),
+          Http.httpStatus(F.col("r.payload")).as("status"),
+          Http.httpTransferEncoding(F.col("r.payload")).as("transfer_encoding"),
+          graft.pipeline.HtmlExtract.visibleText(
+            Http.httpDecodedBody(F.col("r.payload"))).as("text"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH orig AS (SELECT doc_id,
+         |   'http://example.com/doc/' || doc_id AS target_uri,
+         |   '<p>Café: ' || substr(text, 1, 30) || ' &amp; chunked tail</p>' AS body
+         |  FROM documents)
+         | SELECT doc_id, target_uri, 200 AS status,
+         |  'chunked' AS transfer_encoding,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(body, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text
+         | FROM orig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** THE PRODUCTION CRAWL PIPELINE END TO END
     * ([[graft.sources.WarcFiles.readCrawlText]]): real `.warc.gz`
     * files whose response payloads carry full HTTP envelopes →
@@ -9376,6 +9427,7 @@ object StandardQueries {
     "warc_gz_roundtrip" -> qWarcGzRoundtrip,
     "warc_file_scan" -> qWarcFileScan,
     "warc_http_extract" -> qWarcHttpExtract,
+    "warc_http_dechunk" -> qWarcHttpDechunk,
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "pii_scan" -> qPiiScan,

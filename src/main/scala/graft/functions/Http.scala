@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** HTTP response header/body split — the step between the WARC front
   * door and HTML extraction. A real Common Crawl `response` record's
@@ -48,11 +53,101 @@ object Http {
   /** The Content-Type header value (case-insensitive name match,
     * trimmed), from the HEADER BLOCK only — never the body. NULL when
     * absent or non-HTTP. */
-  def httpContentType(payload: Column): Column = {
+  def httpContentType(payload: Column): Column =
+    headerValue(payload, "content-type")
+
+  /** The Transfer-Encoding header value, lowercased+trimmed (its
+    * grammar is case-insensitive) — `chunked` is the one that matters:
+    * a WARC response stores the raw capture, so a chunked response's
+    * body is still chunk-framed and must be [[dechunk]]ed before any
+    * text processing. NULL when absent or non-HTTP. */
+  def httpTransferEncoding(payload: Column): Column =
+    F.lower(headerValue(payload, "transfer-encoding"))
+
+  private def headerValue(payload: Column, name: String): Column = {
     val head = F.when(sepIdx(payload) === 0, payload)
       .otherwise(payload.substr(F.lit(1), sepIdx(payload) - 1))
     F.when(isHttp(payload),
       F.nullif(F.trim(F.regexp_extract(head,
-        "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]+)", 1)), F.lit("")))
+        "(?i)\\r\\n" + name + ":[ \\t]*([^\\r\\n]+)", 1)), F.lit("")))
+  }
+
+  /** Decode an HTTP/1.1 CHUNKED body (RFC 9112 §7.1): size-hex line
+    * (chunk extensions after `;` ignored) + CRLF + that many BYTES +
+    * CRLF, repeated, terminated by a 0-size chunk (trailers ignored).
+    * Byte-exact (multi-byte characters never split a count), map-only,
+    * codegen'd. Malformed framing → NULL, never an exception — the
+    * same crawler-reality contract as [[Gzip]] (a partial reassembly
+    * is not trustworthy text, so the caller filters NULLs). */
+  def dechunk(body: Column): Column =
+    exprColumn(HttpDechunk(columnExpr(body)))
+
+  /** The body ready for text processing: [[dechunk]]ed when the
+    * response declares `Transfer-Encoding: chunked`, raw otherwise. */
+  def httpDecodedBody(payload: Column): Column = {
+    val raw = httpBody(payload)
+    F.when(httpTransferEncoding(payload) === "chunked", dechunk(raw))
+      .otherwise(raw)
+  }
+}
+
+/** Chunked-transfer-encoding decoder — see [[Http.dechunk]]. */
+case class HttpDechunk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "http_dechunk"
+
+  override def nullSafeEval(input: Any): Any =
+    HttpDechunk.decode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"""${ev.value} = graft.functions.HttpDechunk.decode($c);
+              |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
+    copy(child = newChild)
+}
+
+object HttpDechunk {
+
+  /** NULL (not an exception) on malformed framing. */
+  def decode(body: UTF8String): UTF8String = {
+    val b = body.getBytes
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var pos = 0
+    while (true) {
+      // chunk-size line: hex digits, optional ;extensions, then CRLF
+      var eol = pos
+      while (eol + 1 < b.length && !(b(eol) == '\r' && b(eol + 1) == '\n')) eol += 1
+      if (eol + 1 >= b.length) return null // no CRLF-terminated size line
+      var lineEnd = eol
+      var semi = pos
+      while (semi < lineEnd && b(semi) != ';') semi += 1
+      lineEnd = semi
+      if (lineEnd == pos) return null // empty size field
+      var size = 0L
+      var i = pos
+      while (i < lineEnd) {
+        val c = b(i)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else return null
+        size = size * 16 + d
+        if (size > Int.MaxValue) return null
+        i += 1
+      }
+      pos = eol + 2
+      if (size == 0) // final chunk; trailers (if any) are ignored
+        return UTF8String.fromBytes(out.toByteArray)
+      if (pos + size + 2 > b.length) return null // data overruns the body
+      out.write(b, pos, size.toInt)
+      pos += size.toInt
+      if (b(pos) != '\r' || b(pos + 1) != '\n') return null
+      pos += 2
+    }
+    null // unreachable
   }
 }

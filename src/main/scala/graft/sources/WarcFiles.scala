@@ -142,7 +142,10 @@ object WarcFiles {
     * so the whole chain is a pure scan; the shuffle belongs to
     * whatever quality/dedup stage follows. Payloads that are bare
     * HTML (no HTTP envelope) flow through the split unchanged —
-    * [[graft.functions.Http]]'s leniency contract. */
+    * [[graft.functions.Http]]'s leniency contract — and a
+    * `Transfer-Encoding: chunked` body is reassembled before
+    * extraction (a WARC stores the raw capture, chunk framing
+    * included; malformed framing → NULL text, filtered downstream). */
   def readCrawlText(spark: SparkSession, path: String,
       maxRecordBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -153,7 +156,7 @@ object WarcFiles {
         Http.httpStatus(F.col("payload")).as("status"),
         Http.httpContentType(F.col("payload")).as("content_type"),
         graft.pipeline.HtmlExtract.visibleText(
-          Http.httpBody(F.col("payload"))).as("text"))
+          Http.httpDecodedBody(F.col("payload"))).as("text"))
   }
 
   /** Wrap in a streaming gunzip when the first two bytes are the gzip

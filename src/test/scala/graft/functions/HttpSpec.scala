@@ -51,6 +51,40 @@ class HttpSpec extends SparkSpec {
     assert(split(p) == (null, "a/b", "payload"))
   }
 
+  private def dechunked(body: String): String = {
+    val r = Seq(Tuple1(body)).toDF("b")
+      .select(Http.dechunk(F.col("b"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("dechunk: sizes in hex BYTES, extensions ignored, trailers ignored") {
+    // 'Café' is 5 bytes / 4 chars — a char-counting decoder would split it
+    val b = "5;ext=1\r\nCafé\r\nC\r\n and welcome\r\n0\r\nX-Trailer: t\r\n\r\n"
+    assert(dechunked(b) == "Café and welcome")
+    // empty body: just the terminal chunk
+    assert(dechunked("0\r\n\r\n") == "")
+    // uppercase hex
+    assert(dechunked("A\r\n0123456789\r\n0\r\n\r\n") == "0123456789")
+  }
+
+  test("dechunk: malformed framing yields NULL, never an exception") {
+    assert(dechunked("zz\r\nxx\r\n0\r\n\r\n") == null) // bad hex
+    assert(dechunked("ff\r\nshort\r\n0\r\n\r\n") == null) // size overruns body
+    assert(dechunked("5\r\nhelloXX0\r\n\r\n") == null) // missing CRLF after data
+    assert(dechunked("5\r\nhello\r\n") == null) // truncated before terminal chunk
+    assert(dechunked("") == null)
+    assert(dechunked("\r\nhello\r\n0\r\n\r\n") == null) // empty size field
+  }
+
+  test("httpDecodedBody: chunked responses reassemble; plain responses pass raw") {
+    val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: CHUNKED\r\n\r\n" +
+      "6\r\nhello \r\n5\r\nworld\r\n0\r\n\r\n"
+    val plain = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello world"
+    val got = Seq(chunked, plain).map(Tuple1(_)).toDF("p")
+      .select(Http.httpDecodedBody(F.col("p"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("hello world", "hello world"))
+  }
+
   test("null passes through") {
     val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("p")
       .select(Http.httpBody(F.col("p")), Http.httpStatus(F.col("p")),
