@@ -170,7 +170,8 @@ object ScaleProbe {
     // word-mode originals)
     "warc_file_scan", "warc_http_extract", "warc_http_dechunk",
     "warc_file_http_extract",
-    "streaming_warc_file_scan", "ivfpq_persisted_search",
+    "streaming_warc_file_scan", "crawl_curation_e2e",
+    "ivfpq_persisted_search",
     "token_counts_bpe_bytes", "pack_by_bpe_cost_bytes",
     "mixture_weights_bpe_bytes")
 

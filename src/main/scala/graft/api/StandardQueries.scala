@@ -6862,6 +6862,16 @@ object StandardQueries {
       p, F.lit("\r\n\r\n"))
   }
 
+  private def warcRecWithUri(wtype: String, idx: Int, uri: Column, p: Column): Column = {
+    val cl = F.length(F.encode(p, "UTF-8")).cast("string")
+    F.concat(
+      F.lit("WARC/1.0\r\nWARC-Type: " + wtype + "\r\nWARC-Record-ID: <urn:doc:"),
+      F.col("doc_id").cast("string"), F.lit(s":$idx>\r\n"),
+      F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"),
+      F.lit("Content-Length: "), cl, F.lit("\r\n\r\n"),
+      p, F.lit("\r\n\r\n"))
+  }
+
   private def warcFixtureRecords: Seq[Column] = Seq(
     warcRec("response", 0, uri = true, warcPayloadHtml),
     warcRec("request", 1, uri = true,
@@ -7194,6 +7204,77 @@ object StandardQueries {
         .orderBy("doc_id")
     },
     qWarcHttpExtract.oracle)
+
+  /** THE CRAWL CURATION PIPELINE IN ONE HASH: real `.warc.gz` shards →
+    * [[graft.sources.WarcFiles.readCrawlText]] (file walk + HTTP split
+    * + CHUNKED reassembly + extraction) → quality gate → domain
+    * blocklist → exact text dedup → keeper election. The fixture
+    * plants every hazard the stages exist for: each doc is crawled
+    * TWICE (a CDN url with a plain response and a mirror url whose
+    * response is CHUNK-FRAMED — so dedup collapses the pair ONLY if
+    * dechunk reassembles byte-exactly), every 50th doc is an ad stub
+    * (dropped by the quality gate), and the `src2` CDN host is
+    * blocklisted (those docs must survive via their mirror). The
+    * oracle replays the whole composition from the construction
+    * inverse: any drift in any stage — framing, split, extraction,
+    * thresholding, host matching, keeper tie order — fails the hash. */
+  private def qCrawlCurationE2e = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = F.lit("\r\n")
+      def hexLen(c: Column) = F.lower(F.hex(F.length(F.encode(c, "UTF-8"))))
+      val html = F.when(F.col("doc_id") % 50 === 0, F.lit("<p>ad</p>"))
+        .otherwise(F.concat(F.lit("<p>Café: "),
+          F.substring(F.col("text"), 1, 40), F.lit(" &amp; mirrored</p>")))
+      val cdnUri = F.concat(F.lit("http://cdn."), F.col("source"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+      val mirrorUri = F.concat(F.lit("http://example.org/mirror/"),
+        F.col("doc_id").cast("string"))
+      val plainPayload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+      val chunkedPayload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"),
+        hexLen(html), crlf, html, crlf, F.lit("0"), crlf, crlf)
+      val gz = F.concat(
+        graft.functions.Gzip.gzip_compress(
+          warcRecWithUri("response", 0, cdnUri, plainPayload)),
+        graft.functions.Gzip.gzip_compress(
+          warcRecWithUri("response", 1, mirrorUri, chunkedPayload)))
+      val abs = writeWarcGzFiles(docs, gz)
+      val bl = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("cdn.src2.example.com")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      val extracted = graft.sources.WarcFiles.readCrawlText(s, abs)
+        .filter(F.col("status") === 200 && F.length(F.col("text")) >= 10)
+      graft.pipeline.Urls
+        .filterBlockedDomains(extracted, "target_uri", bl, "domain")
+        .groupBy("text").agg(F.min("target_uri").as("url"))
+        .select("url", "text")
+        .orderBy("url")
+    },
+    Some {
+      s"""WITH d AS (SELECT doc_id, source,
+         |   CASE WHEN doc_id % 50 = 0 THEN '<p>ad</p>'
+         |    ELSE '<p>Café: ' || substr(text, 1, 40) || ' &amp; mirrored</p>' END AS html
+         |  FROM documents),
+         | x AS (SELECT doc_id, source,
+         |   trim(regexp_replace(replace(replace(replace(replace(replace(
+         |     regexp_replace(html, '<[^>]*>', ' ', 'g'),
+         |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |     '\\s+', ' ', 'g')) AS text
+         |  FROM d),
+         | urls AS (
+         |  SELECT text, 'http://cdn.' || source || '.example.com/p/' || doc_id AS url FROM x
+         |  UNION ALL
+         |  SELECT text, 'http://example.org/mirror/' || doc_id FROM x),
+         | q AS (SELECT * FROM urls WHERE length(text) >= 10),
+         | ub AS (SELECT * FROM q WHERE url NOT LIKE 'http://cdn.src2.example.com/%')
+         | SELECT min(url) AS url, text FROM ub GROUP BY text
+         | ORDER BY url""".stripMargin.replaceAll("\n", " ")
+    })
 
   /** Deterministic synthetic web page for the HTML-extraction family:
     * the documents table rendered as a page with the canonical
@@ -9430,6 +9511,7 @@ object StandardQueries {
     "warc_http_dechunk" -> qWarcHttpDechunk,
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
+    "crawl_curation_e2e" -> qCrawlCurationE2e,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,
