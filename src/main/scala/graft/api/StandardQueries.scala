@@ -7276,6 +7276,52 @@ object StandardQueries {
          | ORDER BY url""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** CRAWL COMPLIANCE + CHARSET METADATA
+    * ([[HtmlExtract.metaRobots]]/[[HtmlExtract.robotsNoindex]]/
+    * [[HtmlExtract.metaCharset]] + [[graft.functions.Http.charsetOf]]):
+    * a compliant pipeline drops `noindex`/`none` pages BEFORE any
+    * content use, and charset resolution (header param, then meta
+    * declaration) decides how payload bytes decode. The fixture
+    * rotates the real-world spellings — attribute order reversed,
+    * case-folded directive lists, single vs double quotes, HTML5
+    * `<meta charset>` vs `http-equiv`, absent declarations — and the
+    * oracle states the construction inverse, so the extraction rules
+    * themselves are what the hash certifies. Map-only regexp columns. */
+  private def qHtmlMetaPolicy = Q(
+    (s, dir) => {
+      val m4 = F.col("doc_id") % 4
+      val robotsMeta = F.when(m4 === 0,
+          F.lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(m4 === 1, F.lit("<meta content=\"INDEX, FOLLOW\" name=\"robots\">"))
+        .when(m4 === 2, F.lit(""))
+        .otherwise(F.lit("<meta name='robots' content='none'>"))
+      val charsetMeta = F.when(m4 === 0, F.lit("<meta charset=\"utf-8\">"))
+        .when(m4 === 1, F.lit(
+          "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">"))
+        .when(m4 === 2, F.lit("<meta charset='Windows-1252'>"))
+        .otherwise(F.lit(""))
+      val html = F.concat(F.lit("<html><head>"), robotsMeta, charsetMeta,
+        F.lit("</head><body><p>"), F.substring(F.col("text"), 1, 20),
+        F.lit("</p></body></html>"))
+      val ct = F.when(F.col("doc_id") % 2 === 0,
+          F.lit("text/html; charset=UTF-8"))
+        .otherwise(F.lit("text/plain"))
+      t(s, dir, "documents").select(F.col("doc_id"),
+          HtmlExtract.metaRobots(html).as("robots"),
+          HtmlExtract.robotsNoindex(html).as("noindex"),
+          HtmlExtract.metaCharset(html).as("charset"),
+          graft.functions.Http.charsetOf(ct).as("header_charset"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CASE doc_id % 4 WHEN 0 THEN 'noindex, follow' WHEN 1 THEN 'index, follow'
+           |  WHEN 3 THEN 'none' END AS robots,
+           | (doc_id % 4 = 0 OR doc_id % 4 = 3) AS noindex,
+           | CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+           |  WHEN 2 THEN 'windows-1252' END AS charset,
+           | CASE WHEN doc_id % 2 = 0 THEN 'utf-8' END AS header_charset
+           | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** Deterministic synthetic web page for the HTML-extraction family:
     * the documents table rendered as a page with the canonical
     * boilerplate anatomy — nav, headline, two body paragraphs (the doc
@@ -9512,6 +9558,7 @@ object StandardQueries {
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "crawl_curation_e2e" -> qCrawlCurationE2e,
+    "html_meta_policy" -> qHtmlMetaPolicy,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,

@@ -82,6 +82,15 @@ object Http {
   def dechunk(body: Column): Column =
     exprColumn(HttpDechunk(columnExpr(body)))
 
+  /** The charset parameter of a Content-Type value (e.g.
+    * `text/html; charset=UTF-8` → `utf-8`), lowercased; NULL when
+    * absent. The header-side half of charset resolution — a real
+    * decoder prefers this, then the page's
+    * [[graft.pipeline.HtmlExtract.metaCharset]], then a sniff. */
+  def charsetOf(contentType: Column): Column =
+    F.lower(F.nullif(F.regexp_extract(contentType,
+      "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_-]+)", 1), F.lit("")))
+
   /** The body ready for text processing: [[dechunk]]ed when the
     * response declares `Transfer-Encoding: chunked`, raw otherwise. */
   def httpDecodedBody(payload: Column): Column = {

@@ -65,6 +65,44 @@ object HtmlExtract {
     * (`&#38;#39;` → `&` + `#39;`) — i.e. it could only double-decode,
     * never single-decode. `&#38;#39;` therefore yields the literal
     * `&#39;`, symmetric with the `&amp;#39;` guarantee. */
+  /** The `<meta name="robots" content="...">` directive list,
+    * lowercased (directive grammar is case-insensitive; attribute
+    * order varies in the wild, so both orders match). NULL when the
+    * page declares none — a crawl-compliance pipeline DROPS pages
+    * whose directives contain `noindex` ([[robotsNoindex]]). Pure
+    * regexp, map-only. */
+  /** regexp_extract yields "" (not NULL) on no match, so each branch
+    * must nullif before the fallback chain. */
+  private def firstMatch(html: Column, patterns: String*): Column =
+    F.coalesce(patterns.map(p =>
+      F.nullif(F.regexp_extract(html, p, 1), F.lit(""))): _*)
+
+  def metaRobots(html: Column): Column =
+    F.lower(firstMatch(html,
+      "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+      "(?i)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"))
+
+  /** TRUE when the page opts out of indexing (`noindex` or the `none`
+    * shorthand among its robots directives) — the compliance filter a
+    * crawl pipeline applies before any content use. */
+  def robotsNoindex(html: Column): Column = {
+    val dirs = F.split(metaRobots(html), "\\s*,\\s*")
+    F.coalesce(
+      F.array_contains(dirs, "noindex") || F.array_contains(dirs, "none"),
+      F.lit(false))
+  }
+
+  /** The page's DECLARED charset, lowercased: `<meta charset=...>`
+    * (HTML5) or the `http-equiv` content-type's charset param, NULL
+    * when neither is declared. The document-side half of charset
+    * resolution (the header side is
+    * [[graft.functions.Http.charsetOf]]); a real decoder prefers the
+    * HTTP header, then this, then a sniff. */
+  def metaCharset(html: Column): Column =
+    F.lower(firstMatch(html,
+      "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)",
+      "(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)"))
+
   def visibleText(html: Column): Column = {
     val stripped = F.regexp_replace(html, "<[^>]*>", " ")
     val numeric = graft.functions.HtmlEntities.decodeNumericEntities(stripped)

@@ -166,4 +166,42 @@ class HtmlExtractSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
     assert(out(1).getString(0) == "plain text")
   }
+
+  test("metaRobots / robotsNoindex / metaCharset: wild-spelling variants") {
+    import spark.implicits._
+    def policy(html: String) = {
+      val r = Seq(Tuple1(html)).toDF("h")
+        .select(HtmlExtract.metaRobots(F.col("h")).as("r"),
+          HtmlExtract.robotsNoindex(F.col("h")).as("n"),
+          HtmlExtract.metaCharset(F.col("h")).as("c"))
+        .head()
+      (r.getString(0), r.getBoolean(1), r.getString(2))
+    }
+    // canonical spelling
+    assert(policy("<meta name=\"robots\" content=\"noindex,nofollow\"><meta charset=\"UTF-8\">") ==
+      ("noindex,nofollow", true, "utf-8"))
+    // reversed attribute order, case-folded directives, self-closing tag
+    assert(policy("<meta content=\"NOINDEX\" name=\"robots\" />") ==
+      ("noindex", true, null))
+    // 'none' shorthand; http-equiv charset; single quotes
+    assert(policy("<meta name='robots' content='none'>" +
+      "<meta http-equiv='Content-Type' content='text/html; charset=iso-8859-1'>") ==
+      ("none", true, "iso-8859-1"))
+    // index is NOT noindex; unquoted html5 charset
+    assert(policy("<meta name=\"robots\" content=\"index, follow\"><meta charset=utf-8>") ==
+      ("index, follow", false, "utf-8"))
+    // no declarations at all
+    assert(policy("<html><body>plain</body></html>") == (null, false, null))
+    // a BODY mentioning robots is not a directive
+    assert(policy("<p>set meta name robots content noindex</p>") == (null, false, null))
+  }
+
+  test("Http.charsetOf: header charset param, quoted and bare; absent is NULL") {
+    import spark.implicits._
+    val got = Seq("text/html; charset=UTF-8", "text/html;charset=\"latin-1\"",
+      "text/plain", null.asInstanceOf[String]).map(Tuple1(_)).toDF("ct")
+      .select(graft.functions.Http.charsetOf(F.col("ct"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq("utf-8", "latin-1", null, null))
+  }
 }
