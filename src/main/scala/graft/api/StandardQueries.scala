@@ -7276,6 +7276,49 @@ object StandardQueries {
          | ORDER BY url""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** ROBOTS.TXT COMPLIANCE ([[graft.pipeline.Urls.filterRobotsDisallowed]]):
+    * crawl-level opt-out — a URL whose path any applicable `Disallow:`
+    * prefix matches is dropped before fetch-side processing (the
+    * page-level sibling is `html_meta_policy`'s noindex). The fixture
+    * robots bodies carry the parser traps (another UA's
+    * `Disallow: /` that must be IGNORED, comments, a prefix that
+    * matches mid-segment, an allow-all empty Disallow for one host);
+    * the oracle states the construction-inverse keep set. Rules parse
+    * map-only on the tiny robots side; host-equality broadcast join;
+    * bounded per-row exists. */
+  private def qRobotsUrlFilter = Q(
+    (s, dir) => {
+      val m3 = (F.col("doc_id") % 3).cast("int")
+      val path = F.when(m3 === 0,
+          F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")))
+        .when(m3 === 1, F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/tmp"), F.col("doc_id").cast("string")))
+      val docs = t(s, dir, "documents").select(F.col("doc_id"),
+        F.concat(F.lit("https://cdn."), F.col("source"),
+          F.lit(".example.com"), path).as("url"))
+      val body = "# site policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /private/ # members\nDisallow: /tmp\n"
+      // one robots.txt per crawled host, derived from the corpus's own
+      // source set (the fixture must cover every host at any SF);
+      // src3's file is the allow-all empty Disallow
+      val robots = t(s, dir, "documents").select(F.col("source")).distinct()
+        .select(
+          F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com")).as("host"),
+          F.when(F.col("source") === "src3",
+              F.lit("User-agent: *\nDisallow:\n"))
+            .otherwise(F.lit(body)).as("txt"))
+      graft.pipeline.Urls
+        .filterRobotsDisallowed(docs, "url", robots, "host", "txt")
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id, source,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '/private/p' || doc_id
+           |   WHEN 1 THEN '/p/' || doc_id ELSE '/tmp' || doc_id END AS path
+           | FROM documents)
+           | SELECT doc_id, 'https://cdn.' || source || '.example.com' || path AS url
+           | FROM u WHERE source = 'src3' OR doc_id % 3 = 1
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
+
   /** CRAWL COMPLIANCE + CHARSET METADATA
     * ([[HtmlExtract.metaRobots]]/[[HtmlExtract.robotsNoindex]]/
     * [[HtmlExtract.metaCharset]] + [[graft.functions.Http.charsetOf]]):
@@ -9559,6 +9602,7 @@ object StandardQueries {
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "crawl_curation_e2e" -> qCrawlCurationE2e,
     "html_meta_policy" -> qHtmlMetaPolicy,
+    "robots_url_filter" -> qRobotsUrlFilter,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,

@@ -1,7 +1,13 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL canonicalization — the key-normalization step of web-corpus
   * dedup (CommonCrawl-style pipelines dedup by canonical URL before
@@ -50,6 +56,57 @@ object Urls {
       F.lit(":"), F.lit(1)))
   }
 
+  /** The URL's path (leading `/`, query/fragment stripped, empty path
+    * normalized to `/`) — the robots.txt matching key. */
+  def urlPath(url: Column): Column = {
+    val rest = F.split_part(F.split_part(url, F.lit("://"), F.lit(2)),
+      F.lit("#"), F.lit(1))
+    val pre = F.split_part(rest, F.lit("?"), F.lit(1))
+    val hostport = F.split_part(pre, F.lit("/"), F.lit(1))
+    F.when(F.length(pre) === F.length(hostport), F.lit("/"))
+      .otherwise(pre.substr(F.length(hostport) + 1, F.length(pre)))
+  }
+
+  /** The `Disallow:` path prefixes that apply to `User-agent: *` in a
+    * robots.txt body, in file order — the CONSERVATIVE compliance
+    * subset (RFC 9309 grouping: consecutive `User-agent` lines form a
+    * group header and the group's rules apply if any of them is `*`;
+    * comments stripped; `Allow:`/longest-match precedence deliberately
+    * NOT modeled — a prefix that any applicable Disallow matches is
+    * dropped, the good-citizen approximation every bulk crawler
+    * ships). Empty `Disallow:` (allow-all) contributes no prefix.
+    * Map-only native expression; NULL body → NULL. */
+  def robots_disallow(robotsTxt: Column): Column =
+    exprColumn(RobotsDisallow(columnExpr(robotsTxt)))
+
+  /** Drop rows whose URL's path is disallowed for `User-agent: *` by
+    * the host's robots.txt — the compliance filter beside
+    * [[graft.pipeline.HtmlExtract.robotsNoindex]] (that one is
+    * page-level; this is crawl-level). `robots` carries one row per
+    * host: `(host, robots.txt body)`; hosts with no row (or an
+    * unparseable/empty body) are fully allowed. Rules parse MAP-ONLY
+    * on the (small) robots side; the join is host-equality with the
+    * same broadcast-budget-or-shuffle degrade as
+    * [[filterBlockedDomains]]; the per-row prefix check is a bounded
+    * `exists` over that host's rule array. */
+  def filterRobotsDisallowed(df: DataFrame, urlCol: String,
+      robots: DataFrame, hostCol: String, txtCol: String,
+      broadcastMaxEntries: Long = 4000000L): DataFrame = {
+    val rules = robots.select(
+      F.lower(F.col(hostCol)).as("__rhost"),
+      robots_disallow(F.col(txtCol)).as("__rules"))
+      .filter(F.col("__rhost").isNotNull && F.size(F.col("__rules")) > 0)
+    val rulesSide =
+      if (rules.count() <= broadcastMaxEntries) F.broadcast(rules) else rules
+    val keyed = df
+      .withColumn("__host", urlHost(F.col(urlCol)))
+      .withColumn("__path", urlPath(F.col(urlCol)))
+    keyed.join(rulesSide, F.col("__host") === F.col("__rhost"), "left")
+      .filter(F.col("__rules").isNull ||
+        !F.exists(F.col("__rules"), r => F.col("__path").startsWith(r)))
+      .drop("__host", "__path", "__rhost", "__rules")
+  }
+
   /** A host's dot-suffixes (`a.b.c` → `[a.b.c, b.c, c]`) — the bounded
     * equality-join key set for domain-blocklist matching (a host has at
     * most its label count of suffixes, ~≤10 in the wild). */
@@ -92,5 +149,57 @@ object Urls {
       .join(blSide, F.col("__suf") === F.col("__bdom"))
       .select("__host").distinct()
     keyed.join(blockedHosts, Seq("__host"), "left_anti").drop("__host")
+  }
+}
+
+/** `array<string>` of `User-agent: *` Disallow prefixes — see
+  * [[Urls.robots_disallow]]. */
+case class RobotsDisallow(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_disallow"
+
+  override def nullSafeEval(input: Any): Any =
+    RobotsDisallow.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.pipeline.RobotsDisallow.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsDisallow =
+    copy(child = newChild)
+}
+
+object RobotsDisallow {
+
+  /** RFC 9309 group walk, `*` groups only, Disallow prefixes in file
+    * order. Lenient: junk lines are skipped, never thrown. */
+  def parse(txt: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var applies = false  // current group has a `*` user-agent
+    var inHeader = false // still reading the group's User-agent lines
+    txt.toString.split("\n").foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val v = line.substring(c + 1).trim
+          key match {
+            case "user-agent" =>
+              // a User-agent line after rules starts a NEW group
+              if (!inHeader) { applies = false; inHeader = true }
+              if (v == "*") applies = true
+            case "disallow" =>
+              inHeader = false
+              if (applies && v.nonEmpty) out += UTF8String.fromString(v)
+            case _ => // allow / sitemap / crawl-delay / unknown: ends the header
+              inHeader = false
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 }

@@ -83,6 +83,45 @@ class UrlsSpec extends SparkSpec {
     assert(viaBroadcast.size == 1000 && viaBroadcast.forall(_ % 2 == 1))
   }
 
+  test("robots_disallow: RFC 9309 groups — * groups only, comments, shared headers") {
+    def rules(txt: String): Seq[String] =
+      Seq(Tuple1(txt)).toDF("t")
+        .select(Urls.robots_disallow(F.col("t"))).head()
+        .getSeq[String](0)
+    // other-UA groups ignored; comments stripped; file order kept
+    assert(rules("# policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private/ # members\nDisallow: /tmp\n") ==
+      Seq("/private/", "/tmp"))
+    // consecutive User-agent lines share one group (any * applies)
+    assert(rules("User-agent: abot\nUser-agent: *\nDisallow: /x\n") == Seq("/x"))
+    // a User-agent AFTER rules starts a NEW group: * must be re-declared
+    assert(rules("User-agent: *\nDisallow: /a\nUser-agent: bbot\nDisallow: /b\n") ==
+      Seq("/a"))
+    // empty Disallow = allow-all (no prefix); no * group at all = none
+    assert(rules("User-agent: *\nDisallow:\n") == Seq())
+    assert(rules("User-agent: googlebot\nDisallow: /\n") == Seq())
+    // junk lines are skipped leniently
+    assert(rules("not a directive\nUser-agent: *\nDisallow: /ok\n<<garbage>>") ==
+      Seq("/ok"))
+  }
+
+  test("filterRobotsDisallowed: path-prefix drop per host; unlisted hosts allowed") {
+    val docs = Seq(
+      (1L, "https://a.example/private/x"), // blocked: /private/ prefix
+      (2L, "https://a.example/public/x"),  // kept
+      (3L, "https://a.example/tmpfile"),   // blocked: /tmp prefix matches
+      (4L, "https://b.example/private/x"), // kept: no robots row for b
+      (5L, "https://A.EXAMPLE/private/y")  // blocked: host case-folds
+    ).toDF("id", "url")
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"),
+      ("c.example", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "txt")
+    val kept = Urls.filterRobotsDisallowed(docs, "url", robots, "host", "txt")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("normalizeUrl collides order/tracking variants; urlHost extracts the site key") {
     val variants = Seq(
       "https://example.com/p?a=1&b=2",
