@@ -169,7 +169,7 @@ object ScaleProbe {
     // over the byte vocabulary — same one-scan shapes as their
     // word-mode originals)
     "warc_file_scan", "warc_http_extract", "warc_http_dechunk",
-    "warc_file_http_extract",
+    "warc_charset_decode", "warc_file_http_extract",
     "streaming_warc_file_scan", "crawl_curation_e2e",
     "html_meta_policy", "robots_url_filter", "ivfpq_persisted_search",
     "token_counts_bpe_bytes", "pack_by_bpe_cost_bytes",

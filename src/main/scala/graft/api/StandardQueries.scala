@@ -7178,6 +7178,56 @@ object StandardQueries {
          | FROM orig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** CHARSET-CORRECT DECODING ([[graft.sources.WarcFiles.readCrawlText]]
+    * + [[graft.functions.Http.decodeWith]]): the fixture pages are
+    * ISO-8859-1 — their accented bytes are INVALID UTF-8, so the old
+    * utf-8-only path would emit U+FFFD mojibake; the charset chain
+    * (Content-Type param → meta declaration → utf-8) must resolve and
+    * decode them exactly. Records are built as raw BINARY (ASCII
+    * envelope + latin-1 body, Content-Length counting latin-1 bytes)
+    * and written as plain `.warc` files; the oracle states the
+    * construction inverse — the original pre-encoding text — so the
+    * whole bytes→charset→text path is what the hash certifies. */
+  private def qWarcCharsetDecode = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = F.concat(F.lit("<p>Café mañana: "),
+        F.substring(F.col("text"), 1, 30), F.lit("</p>"))
+      val payloadBytes = F.concat(
+        F.encode(F.lit("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"), "UTF-8"),
+        F.encode(html, "ISO-8859-1"))
+      val recBytes = F.concat(
+        F.encode(F.concat(
+          F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+          F.col("doc_id").cast("string"),
+          F.lit(":0>\r\nWARC-Target-URI: http://example.com/doc/"),
+          F.col("doc_id").cast("string"),
+          F.lit("\r\nContent-Length: "),
+          F.length(payloadBytes).cast("string"),
+          F.lit("\r\n\r\n")), "UTF-8"),
+        payloadBytes,
+        F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+      val abs = writeWarcGzFiles(docs, recBytes)
+      graft.sources.WarcFiles.readCrawlText(s, abs)
+        .select(
+          F.regexp_extract(F.col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("bigint").as("doc_id"),
+          F.col("status"), F.col("charset"), F.col("text"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH orig AS (SELECT doc_id,
+         |   '<p>Café mañana: ' || substr(text, 1, 30) || '</p>' AS body
+         |  FROM documents)
+         | SELECT doc_id, 200 AS status, 'iso-8859-1' AS charset,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(body, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text
+         | FROM orig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** THE PRODUCTION CRAWL PIPELINE END TO END
     * ([[graft.sources.WarcFiles.readCrawlText]]): real `.warc.gz`
     * files whose response payloads carry full HTTP envelopes →
@@ -9598,6 +9648,7 @@ object StandardQueries {
     "warc_file_scan" -> qWarcFileScan,
     "warc_http_extract" -> qWarcHttpExtract,
     "warc_http_dechunk" -> qWarcHttpDechunk,
+    "warc_charset_decode" -> qWarcCharsetDecode,
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "crawl_curation_e2e" -> qCrawlCurationE2e,

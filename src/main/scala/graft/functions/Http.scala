@@ -91,6 +91,12 @@ object Http {
     F.lower(F.nullif(F.regexp_extract(contentType,
       "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_-]+)", 1), F.lit("")))
 
+  /** [[dechunk]] over RAW BYTES (binary in, binary out) — required
+    * when the body's charset is not yet known: chunk sizes count
+    * ORIGINAL bytes, so reassembly must precede character decoding. */
+  def dechunkBytes(body: Column): Column =
+    exprColumn(HttpDechunkBinary(columnExpr(body)))
+
   /** The body ready for text processing: [[dechunk]]ed when the
     * response declares `Transfer-Encoding: chunked`, raw otherwise. */
   def httpDecodedBody(payload: Column): Column = {
@@ -98,6 +104,48 @@ object Http {
     F.when(httpTransferEncoding(payload) === "chunked", dechunk(raw))
       .otherwise(raw)
   }
+
+  /** Decode bytes with a PER-ROW charset name (java.nio resolution,
+    * aliases included; malformed/unmappable sequences become U+FFFD —
+    * the lenient crawl contract). NULL bytes, NULL charset, or an
+    * unknown charset name → NULL. */
+  def decodeWith(bytes: Column, charset: Column): Column =
+    exprColumn(DecodeWithCharset(columnExpr(bytes), columnExpr(charset)))
+}
+
+/** Per-row-charset byte decoder — see [[Http.decodeWith]]. */
+case class DecodeWithCharset(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_with"
+
+  override def nullSafeEval(bytes: Any, cs: Any): Any =
+    DecodeWithCharset.decode(bytes.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"""${ev.value} = graft.functions.DecodeWithCharset.decode($b, $c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodeWithCharset =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecodeWithCharset {
+  def decode(bytes: Array[Byte], cs: UTF8String): UTF8String =
+    try {
+      val decoder = java.nio.charset.Charset.forName(cs.toString.trim)
+        .newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      UTF8String.fromString(
+        decoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    } catch {
+      case _: Exception => null // unknown/illegal charset name
+    }
 }
 
 /** Chunked-transfer-encoding decoder — see [[Http.dechunk]]. */
@@ -118,11 +166,36 @@ case class HttpDechunk(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Chunked decoder over RAW BYTES — the charset-correct path: chunk
+  * sizes count ORIGINAL bytes, so a non-UTF-8 body must be dechunked
+  * BEFORE any character decoding (see [[Http.dechunkBytes]]). */
+case class HttpDechunkBinary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "http_dechunk_bytes"
+
+  override def nullSafeEval(input: Any): Any =
+    HttpDechunk.decodeBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"""${ev.value} = graft.functions.HttpDechunk.decodeBytes($c);
+              |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HttpDechunkBinary =
+    copy(child = newChild)
+}
+
 object HttpDechunk {
 
   /** NULL (not an exception) on malformed framing. */
   def decode(body: UTF8String): UTF8String = {
-    val b = body.getBytes
+    val out = decodeBytes(body.getBytes)
+    if (out == null) null else UTF8String.fromBytes(out)
+  }
+
+  /** The byte-level walk both variants share. */
+  def decodeBytes(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length)
     var pos = 0
     while (true) {
@@ -150,7 +223,7 @@ object HttpDechunk {
       }
       pos = eol + 2
       if (size == 0) // final chunk; trailers (if any) are ignored
-        return UTF8String.fromBytes(out.toByteArray)
+        return out.toByteArray
       if (pos + size + 2 > b.length) return null // data overruns the body
       out.write(b, pos, size.toInt)
       pos += size.toInt

@@ -45,7 +45,11 @@ object Warc {
     StructField("record_id", StringType),
     StructField("target_uri", StringType),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", StringType, nullable = false)))
+    StructField("payload", StringType, nullable = false),
+    // the EXACT payload bytes: `payload` is their UTF-8 decoding
+    // (lossy for non-UTF-8 pages); charset-correct pipelines decode
+    // these with the resolved charset instead
+    StructField("payload_bytes", BinaryType, nullable = false)))
 
   /** Parse a WARC file's content (string; bytes are its UTF-8 form)
     * into an array of `(warc_type, record_id, target_uri,
@@ -112,12 +116,15 @@ object Warc {
           else {
             val payload = new String(bytes, payloadStart,
               contentLength.toInt, "UTF-8")
+            val payloadBytes = java.util.Arrays.copyOfRange(
+              bytes, payloadStart, payloadStart + contentLength.toInt)
             out += InternalRow(
               if (warcType == null) null else UTF8String.fromString(warcType),
               if (recordId == null) null else UTF8String.fromString(recordId),
               if (targetUri == null) null else UTF8String.fromString(targetUri),
               contentLength,
-              UTF8String.fromString(payload))
+              UTF8String.fromString(payload),
+              payloadBytes)
             // the record must be followed by the \r\n\r\n terminator (or
             // EOF — a truncated tail keeps this record). A record whose
             // terminator bytes are WRONG means the walk is desynced

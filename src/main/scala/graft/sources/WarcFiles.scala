@@ -17,7 +17,8 @@ final case class WarcFileRecord(
     record_id: String,
     target_uri: String,
     content_length: Long,
-    payload: String)
+    payload: String,
+    payload_bytes: Array[Byte])
 
 /** `Configuration` is not `Serializable`; ship it by its own
   * write/readFields wire form (the standard Spark-internal pattern,
@@ -150,13 +151,32 @@ object WarcFiles {
       maxRecordBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     import graft.functions.Http
+    // CHARSET-CORRECT framing: every structural step runs on the
+    // ISO-8859-1 view of the raw payload bytes — latin-1 is a
+    // char↔byte BIJECTION, so header parsing, the blank-line split
+    // and the re-encode back to exact body bytes are all byte-true
+    // even when the page isn't UTF-8. Chunked bodies reassemble on
+    // RAW bytes (sizes count original bytes), THEN the resolved
+    // charset (header param → meta declaration → utf-8) decodes the
+    // body for extraction. For UTF-8 pages this is byte-for-byte the
+    // old behavior; for a latin-1/windows-1252 page the old path
+    // produced U+FFFD mojibake.
+    val latin = F.decode(F.col("payload_bytes"), "ISO-8859-1")
+    val ct = Http.httpContentType(latin)
+    val rawBody = F.encode(Http.httpBody(latin), "ISO-8859-1")
+    val bodyBytes = F.when(Http.httpTransferEncoding(latin) === "chunked",
+      Http.dechunkBytes(rawBody)).otherwise(rawBody)
+    val bodyLatin = F.decode(bodyBytes, "ISO-8859-1")
+    val charset = F.coalesce(Http.charsetOf(ct),
+      graft.pipeline.HtmlExtract.metaCharset(bodyLatin), F.lit("utf-8"))
     readRecords(spark, path, maxRecordBytes)
       .filter(F.col("warc_type") === "response")
       .select(F.col("path"), F.col("target_uri"),
-        Http.httpStatus(F.col("payload")).as("status"),
-        Http.httpContentType(F.col("payload")).as("content_type"),
+        Http.httpStatus(latin).as("status"),
+        ct.as("content_type"),
+        charset.as("charset"),
         graft.pipeline.HtmlExtract.visibleText(
-          Http.httpDecodedBody(F.col("payload"))).as("text"))
+          Http.decodeWith(bodyBytes, charset)).as("text"))
   }
 
   /** Wrap in a streaming gunzip when the first two bytes are the gzip
@@ -269,7 +289,7 @@ final class WarcRecordIterator(
       if (!readFully(payload)) { close(); return } // payload overruns the file
       maxBufferedBytes = math.max(maxBufferedBytes, headerBytes + contentLength)
       nextRec = WarcFileRecord(path, warcType, recordId, targetUri,
-        contentLength, new String(payload, "UTF-8"))
+        contentLength, new String(payload, "UTF-8"), payload)
       // verified terminator, same contract as Warc.parse: EOF inside it
       // keeps this record; WRONG bytes keep this record and stop the
       // walk (explicit — no silent resync after damage)

@@ -151,6 +151,34 @@ class WarcFilesSpec extends SparkSpec {
       (null, null, "bare html, no envelope")))
   }
 
+  test("readCrawlText decodes non-UTF-8 pages via charset resolution (bytes preserved)") {
+    val dir = Files.createTempDirectory("crawlcs").toString
+    val html = "<p>café mañana</p>" // é/ñ: latin-1 single bytes, invalid UTF-8
+    val bodyLatin = html.getBytes("ISO-8859-1")
+    // header declares the charset; Content-Length counts latin-1 BYTES
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n")
+      .getBytes("US-ASCII")
+    val payload = head ++ bodyLatin
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <l1>\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    // an undeclared-header page whose META declares windows-1252
+    val html2 = "<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body><p>smørrebrød</p></body></html>"
+    val payload2 = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("US-ASCII") ++ html2.getBytes("windows-1252")
+    val rec2 = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <l2>\r\n" +
+      s"Content-Length: ${payload2.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload2 ++ "\r\n\r\n".getBytes("US-ASCII")
+    Files.write(Paths.get(s"$dir/latin.warc"), rec ++ rec2)
+    val got = WarcFiles.readCrawlText(spark, dir)
+      .select("charset", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("iso-8859-1", "café mañana"),
+      ("windows-1252", "smørrebrød")))
+  }
+
   test("maxRecordBytes: an over-declared record is damage — prefix kept, walk stops") {
     val s = rec("response", "<small>", "ok") + rec("response", "<big>", "z" * 10000)
     val it = new WarcRecordIterator(
