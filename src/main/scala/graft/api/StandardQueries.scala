@@ -7338,35 +7338,45 @@ object StandardQueries {
     * bounded per-row exists. */
   private def qRobotsUrlFilter = Q(
     (s, dir) => {
-      val m3 = (F.col("doc_id") % 3).cast("int")
-      val path = F.when(m3 === 0,
-          F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")))
-        .when(m3 === 1, F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
-        .otherwise(F.concat(F.lit("/tmp"), F.col("doc_id").cast("string")))
+      val id = F.col("doc_id").cast("string")
+      val m4 = (F.col("doc_id") % 4).cast("int")
+      val path = F.when(m4 === 0, F.concat(F.lit("/private/p"), id))
+        .when(m4 === 1, F.concat(F.lit("/p/"), id,
+          F.when(F.col("doc_id") % 5 === 0,
+            F.concat(F.lit("?sid="), id)).otherwise(F.lit(""))))
+        .when(m4 === 2, F.concat(F.lit("/tmp"), id))
+        .otherwise(F.concat(F.lit("/cart/"), id, F.lit("/checkout")))
       val docs = t(s, dir, "documents").select(F.col("doc_id"),
         F.concat(F.lit("https://cdn."), F.col("source"),
           F.lit(".example.com"), path).as("url"))
-      val body = "# site policy\nUser-agent: evilbot\nDisallow: /\n\n" +
-        "User-agent: *\nDisallow: /private/ # members\nDisallow: /tmp\n"
-      // one robots.txt per crawled host, derived from the corpus's own
-      // source set (the fixture must cover every host at any SF);
-      // src3's file is the allow-all empty Disallow
+      // each host's policy arrives as TWO captures (real robots
+      // datasets carry refetches — the rule lists must union), and the
+      // rules exercise the full RFC 9309 grammar: literal prefix,
+      // trailing and mid-pattern '*', query matching, '$' anchor
+      val bodyA = "# site policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /private/* # members\nDisallow: /tmp\n"
+      val bodyB = "User-agent: *\nDisallow: /cart/*/checkout\n" +
+        "Disallow: /*?sid=\nDisallow: /p/9$\n"
       val robots = t(s, dir, "documents").select(F.col("source")).distinct()
         .select(
           F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com")).as("host"),
-          F.when(F.col("source") === "src3",
-              F.lit("User-agent: *\nDisallow:\n"))
-            .otherwise(F.lit(body)).as("txt"))
+          F.explode(F.when(F.col("source") === "src3",
+              F.array(F.lit("User-agent: *\nDisallow:\n")))
+            .otherwise(F.array(F.lit(bodyA), F.lit(bodyB)))).as("txt"))
       graft.pipeline.Urls
         .filterRobotsDisallowed(docs, "url", robots, "host", "txt")
         .orderBy("doc_id")
     },
     Some("""WITH u AS (SELECT doc_id, source,
-           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '/private/p' || doc_id
-           |   WHEN 1 THEN '/p/' || doc_id ELSE '/tmp' || doc_id END AS path
+           |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/private/p' || doc_id
+           |   WHEN 1 THEN '/p/' || doc_id ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN '?sid=' || doc_id ELSE '' END)
+           |   WHEN 2 THEN '/tmp' || doc_id
+           |   ELSE '/cart/' || doc_id || '/checkout' END AS path
            | FROM documents)
            | SELECT doc_id, 'https://cdn.' || source || '.example.com' || path AS url
-           | FROM u WHERE source = 'src3' OR doc_id % 3 = 1
+           | FROM u WHERE source = 'src3'
+           |  OR (doc_id % 4 = 1 AND doc_id <> 9 AND doc_id % 5 <> 0)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
   /** CRAWL COMPLIANCE + CHARSET METADATA

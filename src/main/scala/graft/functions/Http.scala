@@ -97,12 +97,19 @@ object Http {
   def dechunkBytes(body: Column): Column =
     exprColumn(HttpDechunkBinary(columnExpr(body)))
 
+  /** TRUE when the response's FINAL transfer coding is `chunked` —
+    * RFC 9112 requires chunked to be applied last, so a multi-coding
+    * value like `gzip, chunked` is still chunk-framed OUTERMOST and
+    * must be de-framed first (equality against the whole value would
+    * miss it and leak hex size lines into the text). */
+  def isChunked(payload: Column): Column =
+    F.element_at(F.split(httpTransferEncoding(payload), ",\\s*"), -1) === "chunked"
+
   /** The body ready for text processing: [[dechunk]]ed when the
-    * response declares `Transfer-Encoding: chunked`, raw otherwise. */
+    * response's final transfer coding is chunked, raw otherwise. */
   def httpDecodedBody(payload: Column): Column = {
     val raw = httpBody(payload)
-    F.when(httpTransferEncoding(payload) === "chunked", dechunk(raw))
-      .otherwise(raw)
+    F.when(isChunked(payload), dechunk(raw)).otherwise(raw)
   }
 
   /** Decode bytes with a PER-ROW charset name (java.nio resolution,

@@ -51,32 +51,18 @@ object HtmlExtract {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: never double-decode
 
-  /** Visible text of an HTML fragment: strip tags to spaces, decode
-    * numeric character references (`&#NN;`/`&#xNN;` — one native pass,
-    * [[graft.functions.DecodeNumericEntities]]), decode the frozen
-    * named-entity set, collapse whitespace, trim. Numeric decode runs
-    * FIRST so `&amp;#39;` yields the literal `&#39;` (the `&amp;`
-    * replace cannot manufacture a decodable numeric form afterwards —
-    * named entities decode to single non-`&#` characters except
-    * `&amp;`→`&`, which runs last and is never rescanned). The named
-    * chain deliberately carries NO `&#39;` entry: any literal `&#39;`
-    * is consumed by the numeric pass, so a named entry could only ever
-    * fire on numeric-pass OUTPUT recombined around a decoded `&#38;`
-    * (`&#38;#39;` → `&` + `#39;`) — i.e. it could only double-decode,
-    * never single-decode. `&#38;#39;` therefore yields the literal
-    * `&#39;`, symmetric with the `&amp;#39;` guarantee. */
-  /** The `<meta name="robots" content="...">` directive list,
-    * lowercased (directive grammar is case-insensitive; attribute
-    * order varies in the wild, so both orders match). NULL when the
-    * page declares none — a crawl-compliance pipeline DROPS pages
-    * whose directives contain `noindex` ([[robotsNoindex]]). Pure
-    * regexp, map-only. */
   /** regexp_extract yields "" (not NULL) on no match, so each branch
     * must nullif before the fallback chain. */
   private def firstMatch(html: Column, patterns: String*): Column =
     F.coalesce(patterns.map(p =>
       F.nullif(F.regexp_extract(html, p, 1), F.lit(""))): _*)
 
+  /** The `<meta name="robots" content="...">` directive list,
+    * lowercased (directive grammar is case-insensitive; attribute
+    * order varies in the wild, so both orders match). NULL when the
+    * page declares none — a crawl-compliance pipeline DROPS pages
+    * whose directives contain `noindex` ([[robotsNoindex]]). Pure
+    * regexp, map-only. */
   def metaRobots(html: Column): Column =
     F.lower(firstMatch(html,
       "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
@@ -103,6 +89,20 @@ object HtmlExtract {
       "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)",
       "(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)"))
 
+  /** Visible text of an HTML fragment: strip tags to spaces, decode
+    * numeric character references (`&#NN;`/`&#xNN;` — one native pass,
+    * [[graft.functions.DecodeNumericEntities]]), decode the frozen
+    * named-entity set, collapse whitespace, trim. Numeric decode runs
+    * FIRST so `&amp;#39;` yields the literal `&#39;` (the `&amp;`
+    * replace cannot manufacture a decodable numeric form afterwards —
+    * named entities decode to single non-`&#` characters except
+    * `&amp;`→`&`, which runs last and is never rescanned). The named
+    * chain deliberately carries NO `&#39;` entry: any literal `&#39;`
+    * is consumed by the numeric pass, so a named entry could only ever
+    * fire on numeric-pass OUTPUT recombined around a decoded `&#38;`
+    * (`&#38;#39;` → `&` + `#39;`) — i.e. it could only double-decode,
+    * never single-decode. `&#38;#39;` therefore yields the literal
+    * `&#39;`, symmetric with the `&amp;#39;` guarantee. */
   def visibleText(html: Column): Column = {
     val stripped = F.regexp_replace(html, "<[^>]*>", " ")
     val numeric = graft.functions.HtmlEntities.decodeNumericEntities(stripped)

@@ -61,12 +61,26 @@ object Similarity {
     * per-centroid `cosine_similarity(v, typedLit)` exactly (same
     * CosineUtil op order), so all hashes are unchanged; argmax /
     * top-nprobe / tie logic stays in the column expressions below. */
+  /** One broadcast per DISTINCT centroid table (keyed by reference
+    * identity, weakly so a dropped index releases it): without this,
+    * every centroidSims/centOfExpr call site would re-broadcast — and
+    * `ivfPqStream`'s per-micro-batch `ivfPqSearch` would re-serialize
+    * and re-ship an identical tens-of-MB table to every executor twice
+    * per batch for the life of the stream. */
+  private val centroidBcCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[(Int, Array[Double])],
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]())
+
+  private def centroidBc(cents: Array[(Int, Array[Double])])
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
+    centroidBcCache.computeIfAbsent(cents,
+      c => org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(c.map(_._2)))
+
   private def centroidSims(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
     import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(cents.map(_._2))
     exprColumn(graft.functions.CentroidSims(
-      columnExpr(vec.cast("array<double>")), bc))
+      columnExpr(vec.cast("array<double>")), centroidBc(cents)))
   }
 
   private def centroidIdAt(cents: Array[(Int, Array[Double])], pos1: Column): Column =
@@ -468,9 +482,8 @@ object Similarity {
     * broadcast-backed like [[centroidSims]], not a plan literal. */
   private def centOfExpr(cents: Array[(Int, Array[Double])], cell: Column): Column = {
     import org.apache.spark.sql.graftx.{columnExpr, exprColumn}
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(cents.map(_._2))
-    exprColumn(graft.functions.CentroidVec(columnExpr(cell.cast("int")), bc))
+    exprColumn(graft.functions.CentroidVec(
+      columnExpr(cell.cast("int")), centroidBc(cents)))
   }
 
   /** One IVF-PQ search against a built index — see [[ivfPqTopK]] for

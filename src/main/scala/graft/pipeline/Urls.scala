@@ -57,7 +57,7 @@ object Urls {
   }
 
   /** The URL's path (leading `/`, query/fragment stripped, empty path
-    * normalized to `/`) — the robots.txt matching key. */
+    * normalized to `/`). */
   def urlPath(url: Column): Column = {
     val rest = F.split_part(F.split_part(url, F.lit("://"), F.lit(2)),
       F.lit("#"), F.lit(1))
@@ -65,6 +65,18 @@ object Urls {
     val hostport = F.split_part(pre, F.lit("/"), F.lit(1))
     F.when(F.length(pre) === F.length(hostport), F.lit("/"))
       .otherwise(pre.substr(F.length(hostport) + 1, F.length(pre)))
+  }
+
+  /** Path PLUS query (`/p?a=1`) — the robots.txt matching key: RFC
+    * 9309 rules match the path-with-query, so `Disallow: /search?q=`
+    * must be able to fire (a path-only key could never match it). */
+  def urlPathQuery(url: Column): Column = {
+    val rest = F.split_part(F.split_part(url, F.lit("://"), F.lit(2)),
+      F.lit("#"), F.lit(1))
+    val query = F.split_part(rest, F.lit("?"), F.lit(2))
+    F.concat(urlPath(url),
+      F.when(query === "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), query)))
   }
 
   /** The `Disallow:` path prefixes that apply to `User-agent: *` in a
@@ -79,16 +91,29 @@ object Urls {
   def robots_disallow(robotsTxt: Column): Column =
     exprColumn(RobotsDisallow(columnExpr(robotsTxt)))
 
-  /** Drop rows whose URL's path is disallowed for `User-agent: *` by
-    * the host's robots.txt — the compliance filter beside
-    * [[graft.pipeline.HtmlExtract.robotsNoindex]] (that one is
-    * page-level; this is crawl-level). `robots` carries one row per
-    * host: `(host, robots.txt body)`; hosts with no row (or an
-    * unparseable/empty body) are fully allowed. Rules parse MAP-ONLY
-    * on the (small) robots side; the join is host-equality with the
-    * same broadcast-budget-or-shuffle degrade as
-    * [[filterBlockedDomains]]; the per-row prefix check is a bounded
-    * `exists` over that host's rule array. */
+  /** TRUE when any robots rule matches the path-with-query — RFC 9309
+    * §2.2.3 semantics: a rule is a PREFIX pattern where `*` matches any
+    * character run and a trailing `$` anchors the end (plain
+    * `startsWith` would silently never fire the extremely common
+    * wildcard Disallow shapes — a private-dir rule ending in `*`, or
+    * a session-id rule beginning `*?`). Native
+    * expression: bounded rules per host, backtracking glob walk per
+    * rule, no per-rule regex compilation. */
+  def robots_matches(pathQuery: Column, rules: Column): Column =
+    exprColumn(RobotsMatch(columnExpr(pathQuery), columnExpr(rules)))
+
+  /** Drop rows whose URL's path(+query) is disallowed for
+    * `User-agent: *` by the host's robots.txt — the compliance filter
+    * beside [[graft.pipeline.HtmlExtract.robotsNoindex]] (that one is
+    * page-level; this is crawl-level). `robots` carries `(host,
+    * robots.txt body)` rows; REPEATED hosts are fine (real robots
+    * captures carry refetches — their rule lists union); hosts with no
+    * row (or an unparseable/empty body) are fully allowed. Rules parse
+    * MAP-ONLY on the (small) robots side and aggregate per host; the
+    * join is host-equality with the same broadcast-budget-or-shuffle
+    * degrade as [[filterBlockedDomains]] (budget checked against the
+    * RAW row count — one cheap pre-parse scan); the per-row check is
+    * [[robots_matches]] over that host's bounded rule array. */
   def filterRobotsDisallowed(df: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, txtCol: String,
       broadcastMaxEntries: Long = 4000000L): DataFrame = {
@@ -96,15 +121,17 @@ object Urls {
       F.lower(F.col(hostCol)).as("__rhost"),
       robots_disallow(F.col(txtCol)).as("__rules"))
       .filter(F.col("__rhost").isNotNull && F.size(F.col("__rules")) > 0)
+      .groupBy("__rhost")
+      .agg(F.flatten(F.collect_list(F.col("__rules"))).as("__rules"))
     val rulesSide =
-      if (rules.count() <= broadcastMaxEntries) F.broadcast(rules) else rules
+      if (robots.count() <= broadcastMaxEntries) F.broadcast(rules) else rules
     val keyed = df
       .withColumn("__host", urlHost(F.col(urlCol)))
-      .withColumn("__path", urlPath(F.col(urlCol)))
+      .withColumn("__pq", urlPathQuery(F.col(urlCol)))
     keyed.join(rulesSide, F.col("__host") === F.col("__rhost"), "left")
       .filter(F.col("__rules").isNull ||
-        !F.exists(F.col("__rules"), r => F.col("__path").startsWith(r)))
-      .drop("__host", "__path", "__rhost", "__rules")
+        !robots_matches(F.col("__pq"), F.col("__rules")))
+      .drop("__host", "__pq", "__rhost", "__rules")
   }
 
   /** A host's dot-suffixes (`a.b.c` → `[a.b.c, b.c, c]`) — the bounded
@@ -143,7 +170,11 @@ object Urls {
     val bl = blocklist
       .select(F.lower(F.col(domainCol)).as("__bdom"))
       .filter(F.col("__bdom").isNotNull).distinct()
-    val blSide = if (bl.count() <= broadcastMaxEntries) F.broadcast(bl) else bl
+    // budget check against the RAW count (≥ the deduped count, so the
+    // decision is conservative) — one plain scan instead of running
+    // the normalize+distinct pipeline twice
+    val blSide =
+      if (blocklist.count() <= broadcastMaxEntries) F.broadcast(bl) else bl
     val blockedHosts = keyed
       .select(F.col("__host"), F.explode(hostSuffixes(F.col("__host"))).as("__suf"))
       .join(blSide, F.col("__suf") === F.col("__bdom"))
@@ -168,6 +199,66 @@ case class RobotsDisallow(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RobotsDisallow =
     copy(child = newChild)
+}
+
+/** `path-with-query matches any rule` — see [[Urls.robots_matches]]. */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_matches"
+
+  override def nullSafeEval(path: Any, rules: Any): Any =
+    RobotsMatch.anyMatch(path.asInstanceOf[UTF8String],
+      rules.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, r) =>
+      s"${ev.value} = graft.pipeline.RobotsMatch.anyMatch($p, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsMatch {
+
+  def anyMatch(path: UTF8String, rules: ArrayData): Boolean = {
+    val p = path.toString
+    var i = 0
+    while (i < rules.numElements()) {
+      if (!rules.isNullAt(i) &&
+        ruleMatches(p, rules.getUTF8String(i).toString)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** RFC 9309 §2.2.3 rule match: the rule is a PREFIX pattern of the
+    * path-with-query where `*` matches any character run (including
+    * empty) and a trailing `$` anchors the end. Backtracking glob
+    * walk — no regex compilation per rule. */
+  def ruleMatches(path: String, rule: String): Boolean = {
+    val anchored = rule.nonEmpty && rule.charAt(rule.length - 1) == '$'
+    val pat = if (anchored) rule.substring(0, rule.length - 1) else rule
+    var p = 0
+    var r = 0
+    var starR = -1
+    var starP = -1
+    while (true) {
+      if (r == pat.length && (!anchored || p == path.length))
+        return true // pattern consumed: a prefix (or, anchored, all) matched
+      if (r < pat.length && pat.charAt(r) == '*') {
+        starR = r; starP = p; r += 1
+      } else if (r < pat.length && p < path.length &&
+        path.charAt(p) == pat.charAt(r)) {
+        p += 1; r += 1
+      } else if (starR >= 0 && starP < path.length) {
+        starP += 1; p = starP; r = starR + 1 // grow the last '*'
+      } else return false
+    }
+    false // unreachable
+  }
 }
 
 object RobotsDisallow {

@@ -40,16 +40,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Warc {
 
+  // no payload_bytes here, deliberately: duplicating the payload in
+  // the struct doubles every consumer's Tungsten row size pre-explode.
+  // The charset-correct byte slice lives on the FILE path
+  // ([[WarcFileRecord.payload_bytes]]), which is where non-UTF-8 pages
+  // actually arrive; this expression's input is an in-memory STRING.
   val recordType: StructType = StructType(Seq(
     StructField("warc_type", StringType),
     StructField("record_id", StringType),
     StructField("target_uri", StringType),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", StringType, nullable = false),
-    // the EXACT payload bytes: `payload` is their UTF-8 decoding
-    // (lossy for non-UTF-8 pages); charset-correct pipelines decode
-    // these with the resolved charset instead
-    StructField("payload_bytes", BinaryType, nullable = false)))
+    StructField("payload", StringType, nullable = false)))
 
   /** Parse a WARC file's content (string; bytes are its UTF-8 form)
     * into an array of `(warc_type, record_id, target_uri,
@@ -116,15 +117,12 @@ object Warc {
           else {
             val payload = new String(bytes, payloadStart,
               contentLength.toInt, "UTF-8")
-            val payloadBytes = java.util.Arrays.copyOfRange(
-              bytes, payloadStart, payloadStart + contentLength.toInt)
             out += InternalRow(
               if (warcType == null) null else UTF8String.fromString(warcType),
               if (recordId == null) null else UTF8String.fromString(recordId),
               if (targetUri == null) null else UTF8String.fromString(targetUri),
               contentLength,
-              UTF8String.fromString(payload),
-              payloadBytes)
+              UTF8String.fromString(payload))
             // the record must be followed by the \r\n\r\n terminator (or
             // EOF — a truncated tail keeps this record). A record whose
             // terminator bytes are WRONG means the walk is desynced

@@ -100,11 +100,23 @@ object WarcFiles {
       paths.flatMap { p =>
         val hp = new Path(p)
         val fs = hp.getFileSystem(conf.value)
-        val it = new WarcRecordIterator(
-          maybeGunzip(fs.open(hp)), p, maxRecordBytes)
-        Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => it.close()))
-        it
+        // GZIPInputStream reads the 10-byte member header EAGERLY in
+        // its constructor: a shard whose magic bytes are followed by a
+        // truncated/corrupt header would otherwise throw here — outside
+        // the iterator's lenient walk — and one damaged file would kill
+        // a 10k-shard job (and leak the open stream). Damage at ANY
+        // stage yields an empty/partial record set, never a task error.
+        val raw = fs.open(hp)
+        try {
+          val it = new WarcRecordIterator(maybeGunzip(raw), p, maxRecordBytes)
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => it.close()))
+          it
+        } catch {
+          case _: java.io.IOException =>
+            try raw.close() catch { case _: java.io.IOException => () }
+            Iterator.empty[WarcFileRecord]
+        }
       }
     }(Encoders.product[WarcFileRecord]).toDF()
   }
@@ -164,7 +176,7 @@ object WarcFiles {
     val latin = F.decode(F.col("payload_bytes"), "ISO-8859-1")
     val ct = Http.httpContentType(latin)
     val rawBody = F.encode(Http.httpBody(latin), "ISO-8859-1")
-    val bodyBytes = F.when(Http.httpTransferEncoding(latin) === "chunked",
+    val bodyBytes = F.when(Http.isChunked(latin),
       Http.dechunkBytes(rawBody)).otherwise(rawBody)
     val bodyLatin = F.decode(bodyBytes, "ISO-8859-1")
     val charset = F.coalesce(Http.charsetOf(ct),
@@ -221,6 +233,11 @@ final class WarcRecordIterator(
     if (!closed) { closed = true; try in.close() catch { case _: java.io.IOException => () } }
   }
 
+  /** Byte length (CRLF included) of the last readLine result — the
+    * instrument must count BYTES, not decoded chars (a multi-byte
+    * header value would under-report the high-water mark). */
+  private var lastLineBytes = 0L
+
   /** Read bytes up to and including CRLF; return the line WITHOUT the
     * CRLF, or null at EOF-before-line-end / overlong line / damage. */
   private def readLine(): String = {
@@ -231,6 +248,7 @@ final class WarcRecordIterator(
       if (b < 0) return null
       if (prev == '\r' && b == '\n') {
         val a = bos.toByteArray
+        lastLineBytes = a.length + 1L // CRLF: the '\r' is in `a`
         return new String(a, 0, a.length - 1, "UTF-8")
       }
       bos.write(b)
@@ -262,10 +280,10 @@ final class WarcRecordIterator(
       var recordId: String = null
       var targetUri: String = null
       var contentLength = -1L
-      var headerBytes = version.length + 2L
+      var headerBytes = lastLineBytes
       var line = readLine()
       while (line != null && line.nonEmpty) {
-        headerBytes += line.length + 2L
+        headerBytes += lastLineBytes
         val c = line.indexOf(':')
         if (c > 0) {
           val name = line.substring(0, c).trim

@@ -79,10 +79,15 @@ class HttpSpec extends SparkSpec {
   test("httpDecodedBody: chunked responses reassemble; plain responses pass raw") {
     val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: CHUNKED\r\n\r\n" +
       "6\r\nhello \r\n5\r\nworld\r\n0\r\n\r\n"
+    // multi-coding: chunked must be the FINAL coding (RFC 9112), so the
+    // capture is chunk-framed outermost — equality against the whole
+    // value would miss this and leak hex size lines into the text
+    val multi = "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n" +
+      "6\r\nhello \r\n5\r\nworld\r\n0\r\n\r\n"
     val plain = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello world"
-    val got = Seq(chunked, plain).map(Tuple1(_)).toDF("p")
+    val got = Seq(chunked, multi, plain).map(Tuple1(_)).toDF("p")
       .select(Http.httpDecodedBody(F.col("p"))).collect().map(_.getString(0))
-    assert(got.toSeq == Seq("hello world", "hello world"))
+    assert(got.toSeq == Seq("hello world", "hello world", "hello world"))
   }
 
   test("null passes through") {

@@ -122,6 +122,42 @@ class UrlsSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("RobotsMatch.ruleMatches: RFC 9309 '*' and '$' semantics") {
+    val m = RobotsMatch.ruleMatches _
+    // plain rules are prefix patterns
+    assert(m("/private/x", "/private/"))
+    assert(m("/tmpfile", "/tmp") && !m("/tm", "/tmp"))
+    // '*' matches any run, including empty; mid-pattern '*' backtracks
+    assert(m("/private/x", "/private/*"))
+    assert(m("/private/", "/private/*"))
+    assert(m("/cart/123/checkout/done", "/cart/*/checkout"))
+    assert(!m("/cart/123/pay", "/cart/*/checkout"))
+    assert(m("/a/b?sid=9", "/*?sid="))
+    // '$' anchors the END: exact-path rules stop matching extensions
+    assert(m("/p/9", "/p/9$") && !m("/p/93", "/p/9$"))
+    assert(m("/x/deep.pdf", "/*.pdf$") && !m("/x/deep.pdfs", "/*.pdf$"))
+  }
+
+  test("filterRobotsDisallowed: wildcard/query rules fire; duplicate host rows union") {
+    val docs = Seq(
+      (1L, "https://a.example/private/x"),      // blocked by /private/* (capture 1)
+      (2L, "https://a.example/search?q=cats"),  // blocked by /*?q= (capture 2)
+      (3L, "https://a.example/p/9"),            // blocked by anchored /p/9$ (capture 2)
+      (4L, "https://a.example/p/93"),           // kept: '$' must not over-match
+      (5L, "https://a.example/ok")              // kept
+    ).toDF("id", "url")
+    // the host's policy arrives as TWO captures: rule lists must union
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/*\n"),
+      ("a.example", "User-agent: *\nDisallow: /*?q=\nDisallow: /p/9$\n")
+    ).toDF("host", "txt")
+    val out = Urls.filterRobotsDisallowed(docs, "url", robots, "host", "txt")
+    val kept = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(4L, 5L))
+    // duplicate host rows must never duplicate corpus rows
+    assert(out.count() == 2)
+  }
+
   test("normalizeUrl collides order/tracking variants; urlHost extracts the site key") {
     val variants = Seq(
       "https://example.com/p?a=1&b=2",

@@ -98,6 +98,20 @@ class WarcFilesSpec extends SparkSpec {
       ("<p1>", "response", "plain body"), ("<p2>", "metadata", "m")))
   }
 
+  test("a shard that is ONLY a truncated gzip header yields zero records, not a dead job") {
+    // GZIPInputStream reads the member header eagerly in its
+    // constructor — this file's damage throws BEFORE the record walk
+    // even starts; the job must keep reading the healthy shards
+    val dir = Files.createTempDirectory("warcbadhdr").toString
+    Files.write(Paths.get(s"$dir/bad.warc.gz"),
+      Array[Byte](0x1f.toByte, 0x8b.toByte)) // magic, then EOF
+    Files.write(Paths.get(s"$dir/good.warc"),
+      rec("response", "<ok>", "alive").getBytes("UTF-8"))
+    val got = WarcFiles.readRecords(spark, dir)
+      .select("record_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("<ok>"))
+  }
+
   test("corrupt gzip member mid-file keeps the records already parsed") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
