@@ -87,7 +87,11 @@ object HtmlExtract {
   def metaCharset(html: Column): Column =
     F.lower(firstMatch(html,
       "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)",
-      "(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)"))
+      "(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)",
+      // attribute order varies in the wild: content before http-equiv
+      // (mirrors metaRobots' both-orders rule — order-one-only would
+      // silently decode these pages as the utf-8 default)
+      "(?i)<meta\\s[^>]*content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_-]+)[^\"']*[\"'][^>]*http-equiv\\s*=\\s*[\"']content-type[\"']"))
 
   /** Visible text of an HTML fragment: strip tags to spaces, decode
     * numeric character references (`&#NN;`/`&#xNN;` — one native pass,

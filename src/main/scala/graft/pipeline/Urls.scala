@@ -69,14 +69,17 @@ object Urls {
 
   /** Path PLUS query (`/p?a=1`) — the robots.txt matching key: RFC
     * 9309 rules match the path-with-query, so `Disallow: /search?q=`
-    * must be able to fire (a path-only key could never match it). */
+    * must be able to fire (a path-only key could never match it).
+    * The query is EVERYTHING after the first `?` (an embedded second
+    * `?` belongs to the query — split_part's between-the-?s field
+    * would drop the tail and a rule matching it could never fire). */
   def urlPathQuery(url: Column): Column = {
     val rest = F.split_part(F.split_part(url, F.lit("://"), F.lit(2)),
       F.lit("#"), F.lit(1))
-    val query = F.split_part(rest, F.lit("?"), F.lit(2))
+    val qpos = F.locate("?", rest)
     F.concat(urlPath(url),
-      F.when(query === "", F.lit(""))
-        .otherwise(F.concat(F.lit("?"), query)))
+      F.when(qpos === 0, F.lit(""))
+        .otherwise(rest.substr(qpos, F.length(rest))))
   }
 
   /** The `Disallow:` path prefixes that apply to `User-agent: *` in a
@@ -111,8 +114,9 @@ object Urls {
     * row (or an unparseable/empty body) are fully allowed. Rules parse
     * MAP-ONLY on the (small) robots side and aggregate per host; the
     * join is host-equality with the same broadcast-budget-or-shuffle
-    * degrade as [[filterBlockedDomains]] (budget checked against the
-    * RAW row count — one cheap pre-parse scan); the per-row check is
+    * degrade as [[filterBlockedDomains]] (the parsed per-host frame is
+    * persisted once, so the budget count and the join share one
+    * computation of the robots lineage); the per-row check is
     * [[robots_matches]] over that host's bounded rule array. */
   def filterRobotsDisallowed(df: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, txtCol: String,
@@ -123,8 +127,12 @@ object Urls {
       .filter(F.col("__rhost").isNotNull && F.size(F.col("__rules")) > 0)
       .groupBy("__rhost")
       .agg(F.flatten(F.collect_list(F.col("__rules"))).as("__rules"))
+      // persist BEFORE the budget count: the count and the join would
+      // otherwise each recompute the robots side's full upstream
+      // lineage (robots is often a derived frame, not a bare scan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rulesSide =
-      if (robots.count() <= broadcastMaxEntries) F.broadcast(rules) else rules
+      if (rules.count() <= broadcastMaxEntries) F.broadcast(rules) else rules
     val keyed = df
       .withColumn("__host", urlHost(F.col(urlCol)))
       .withColumn("__pq", urlPathQuery(F.col(urlCol)))
@@ -170,11 +178,11 @@ object Urls {
     val bl = blocklist
       .select(F.lower(F.col(domainCol)).as("__bdom"))
       .filter(F.col("__bdom").isNotNull).distinct()
-    // budget check against the RAW count (≥ the deduped count, so the
-    // decision is conservative) — one plain scan instead of running
-    // the normalize+distinct pipeline twice
+      // persist BEFORE the budget count: the count and the join would
+      // otherwise each recompute the blocklist's full upstream lineage
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blSide =
-      if (blocklist.count() <= broadcastMaxEntries) F.broadcast(bl) else bl
+      if (bl.count() <= broadcastMaxEntries) F.broadcast(bl) else bl
     val blockedHosts = keyed
       .select(F.col("__host"), F.explode(hostSuffixes(F.col("__host"))).as("__suf"))
       .join(blSide, F.col("__suf") === F.col("__bdom"))

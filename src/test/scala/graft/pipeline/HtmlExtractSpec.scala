@@ -190,6 +190,9 @@ class HtmlExtractSpec extends SparkSpec {
     // index is NOT noindex; unquoted html5 charset
     assert(policy("<meta name=\"robots\" content=\"index, follow\"><meta charset=utf-8>") ==
       ("index, follow", false, "utf-8"))
+    // http-equiv charset with REVERSED attribute order (content first)
+    assert(policy("<meta content=\"text/html; charset=Windows-1252\" http-equiv=\"Content-Type\">") ==
+      (null, false, "windows-1252"))
     // no declarations at all
     assert(policy("<html><body>plain</body></html>") == (null, false, null))
     // a BODY mentioning robots is not a directive

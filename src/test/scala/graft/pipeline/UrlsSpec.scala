@@ -83,6 +83,19 @@ class UrlsSpec extends SparkSpec {
     assert(viaBroadcast.size == 1000 && viaBroadcast.forall(_ % 2 == 1))
   }
 
+  test("urlPathQuery: whole query kept, embedded '?' included, fragment stripped") {
+    def pq(url: String): String =
+      Seq(Tuple1(url)).toDF("u")
+        .select(Urls.urlPathQuery(F.col("u"))).head().getString(0)
+    assert(pq("https://h/p?a=1") == "/p?a=1")
+    // an embedded second '?' belongs to the query: the tail must
+    // survive (split_part's between-the-?s field would drop `?b=2`)
+    assert(pq("https://h/p?redirect=/x?b=2") == "/p?redirect=/x?b=2")
+    assert(pq("https://h/p") == "/p")
+    assert(pq("https://h") == "/")
+    assert(pq("https://h/p?a=1#frag") == "/p?a=1")
+  }
+
   test("robots_disallow: RFC 9309 groups — * groups only, comments, shared headers") {
     def rules(txt: String): Seq[String] =
       Seq(Tuple1(txt)).toDF("t")
