@@ -7036,7 +7036,11 @@ object StandardQueries {
           F.regexp_extract(F.col("record_id"), idPat, 1).cast("bigint").as("doc_id"),
           F.regexp_extract(F.col("record_id"), idPat, 2).cast("int").as("rec_idx"),
           F.col("warc_type"), F.col("record_id"), F.col("target_uri"),
-          F.col("content_length"), F.col("payload"))
+          F.col("content_length"),
+          // the record carries bytes only; the string view is derived
+          // (column pruning keeps unconsumed views off the scan)
+          graft.functions.Http.decodeWith(
+            F.col("payload_bytes"), F.lit("utf-8")).as("payload"))
         .orderBy("doc_id", "rec_idx")
     },
     qWarcParse.oracle)
@@ -7060,7 +7064,11 @@ object StandardQueries {
           F.regexp_extract(F.col("record_id"), idPat, 1).cast("bigint").as("doc_id"),
           F.regexp_extract(F.col("record_id"), idPat, 2).cast("int").as("rec_idx"),
           F.col("warc_type"), F.col("record_id"), F.col("target_uri"),
-          F.col("content_length"), F.col("payload"))
+          F.col("content_length"),
+          // the record carries bytes only; the string view is derived
+          // (column pruning keeps unconsumed views off the scan)
+          graft.functions.Http.decodeWith(
+            F.col("payload_bytes"), F.lit("utf-8")).as("payload"))
         .writeStream.format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -7228,6 +7236,93 @@ object StandardQueries {
          | FROM orig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** One binary WARC `response` record with an explicit HTTP head and
+    * RAW body bytes — the fixture builder for the envelope-layer
+    * queries (gzip/deflate bodies are not valid UTF-8, so the string
+    * [[warcRec]] cannot carry them). `Content-Length` counts the real
+    * payload bytes (head + body). */
+  private def warcRecBinary(idx: Int, httpHead: String, body: Column): Column = {
+    val payloadBytes = F.concat(F.encode(F.lit(httpHead), "UTF-8"), body)
+    F.concat(
+      F.encode(F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+        F.col("doc_id").cast("string"),
+        F.lit(s":$idx>\r\nWARC-Target-URI: http://example.com/doc/"),
+        F.col("doc_id").cast("string"), F.lit(s"/$idx"),
+        F.lit("\r\nContent-Length: "),
+        F.length(payloadBytes).cast("string"),
+        F.lit("\r\n\r\n")), "UTF-8"),
+      payloadBytes,
+      F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+  }
+
+  /** HTTP CONTENT-CODING DECOMPRESSION
+    * ([[graft.functions.Http.decodeContentCoding]] in
+    * [[graft.sources.WarcFiles.readCrawlText]]): a WARC stores the
+    * capture RAW, and a large share of real crawl responses carry
+    * `Content-Encoding: gzip` intact — without this layer their pages
+    * feed gzip bytes into extraction as SILENT garbage. The fixture
+    * serves three envelope shapes per doc: a gzip content-coded body,
+    * a `Transfer-Encoding: gzip, chunked` body (dechunk must run
+    * FIRST, then the residual gzip transfer coding), and a `br` body —
+    * un-decodable here, so its text must be NULL (the lenient
+    * contract), never garbage. The oracle states the construction
+    * inverse (the original pre-compression pages), so the whole
+    * bytes→dechunk→decompress→charset→text path is what the hash
+    * certifies. */
+  private def qWarcContentEncoding = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = F.encode(F.lit("\r\n"), "UTF-8")
+      val html0 = F.concat(F.lit("<p>Gzip café: "),
+        F.substring(F.col("text"), 1, 30), F.lit(" &amp; coded</p>"))
+      val html1 = F.concat(F.lit("<p>Chunk+gzip: "),
+        F.substring(F.col("text"), 1, 25), F.lit("</p>"))
+      val gz0 = graft.functions.Gzip.gzip_compress(html0)
+      val gz1 = graft.functions.Gzip.gzip_compress(html1)
+      // chunk-frame the COMPRESSED bytes: the capture order is
+      // gzip-then-chunked, so decode must be dechunk-then-gunzip
+      val chunked1 = F.concat(
+        F.encode(F.lower(F.hex(F.length(gz1))), "UTF-8"), crlf,
+        gz1, crlf,
+        F.encode(F.lit("0\r\n\r\n"), "UTF-8"))
+      val rec0 = warcRecBinary(0, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n\r\n", gz0)
+      val rec1 = warcRecBinary(1, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: gzip, chunked\r\n\r\n", chunked1)
+      val rec2 = warcRecBinary(2, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: br\r\n\r\n",
+        F.encode(F.lit("(opaque brotli bytes)"), "UTF-8"))
+      val abs = writeWarcGzFiles(docs, F.concat(rec0, rec1, rec2))
+      val uriPat = "doc/([0-9]+)/([0-9]+)$"
+      graft.sources.WarcFiles.readCrawlText(s, abs)
+        .select(
+          F.regexp_extract(F.col("target_uri"), uriPat, 1).cast("bigint").as("doc_id"),
+          F.regexp_extract(F.col("target_uri"), uriPat, 2).cast("int").as("rec_idx"),
+          F.col("status"), F.col("content_encoding"), F.col("text"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some {
+      s"""WITH d AS (SELECT doc_id,
+         |   '<p>Gzip café: ' || substr(text, 1, 30) || ' &amp; coded</p>' AS b0,
+         |   '<p>Chunk+gzip: ' || substr(text, 1, 25) || '</p>' AS b1
+         |  FROM documents),
+         | x AS (SELECT doc_id,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(b0, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS t0,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(b1, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS t1
+         |  FROM d)
+         | SELECT doc_id, 0 AS rec_idx, 200 AS status, 'gzip' AS content_encoding, t0 AS text FROM x
+         | UNION ALL SELECT doc_id, 1, 200, 'gzip', t1 FROM x
+         | UNION ALL SELECT doc_id, 2, 200, 'br', NULL FROM x
+         | ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** THE PRODUCTION CRAWL PIPELINE END TO END
     * ([[graft.sources.WarcFiles.readCrawlText]]): real `.warc.gz`
     * files whose response payloads carry full HTTP envelopes →
@@ -7255,19 +7350,26 @@ object StandardQueries {
     },
     qWarcHttpExtract.oracle)
 
-  /** THE CRAWL CURATION PIPELINE IN ONE HASH: real `.warc.gz` shards →
-    * [[graft.sources.WarcFiles.readCrawlText]] (file walk + HTTP split
-    * + CHUNKED reassembly + extraction) → quality gate → domain
-    * blocklist → exact text dedup → keeper election. The fixture
-    * plants every hazard the stages exist for: each doc is crawled
-    * TWICE (a CDN url with a plain response and a mirror url whose
-    * response is CHUNK-FRAMED — so dedup collapses the pair ONLY if
-    * dechunk reassembles byte-exactly), every 50th doc is an ad stub
-    * (dropped by the quality gate), and the `src2` CDN host is
-    * blocklisted (those docs must survive via their mirror). The
+  /** THE COMPLIANT CRAWL CURATION PIPELINE IN ONE HASH: real
+    * `.warc.gz` shards → [[graft.sources.WarcFiles.readCrawlText]]
+    * (file walk + HTTP split + CHUNKED reassembly + CONTENT-CODING
+    * decompression + extraction + meta-robots) → quality gate →
+    * noindex drop → robots.txt filter → domain blocklist → exact text
+    * dedup → keeper election. The fixture plants every hazard the
+    * stages exist for: each doc is crawled THREE times (a CDN url with
+    * a plain response, a mirror url whose response is CHUNK-FRAMED,
+    * and a gz url whose response is `Content-Encoding: gzip` — so
+    * dedup collapses the triple ONLY if dechunk AND gunzip reproduce
+    * the bytes exactly), every 50th doc is an ad stub (dropped by the
+    * quality gate), every 25th doc's CDN page carries `<meta
+    * name=robots content=noindex>` (dropped by the compliance gate,
+    * surviving via its mirrors), `example.org`'s robots.txt disallows
+    * mirror paths ending in 0 via a glob+anchor rule (`Disallow:
+    * /mirror/` + `*0$`), and the `src2` CDN host is blocklisted. The
     * oracle replays the whole composition from the construction
-    * inverse: any drift in any stage — framing, split, extraction,
-    * thresholding, host matching, keeper tie order — fails the hash. */
+    * inverse: any drift in any stage — framing, decompression, split,
+    * extraction, thresholding, precedence, host matching, keeper tie
+    * order — fails the hash. */
   private def qCrawlCurationE2e = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -7276,31 +7378,66 @@ object StandardQueries {
       val html = F.when(F.col("doc_id") % 50 === 0, F.lit("<p>ad</p>"))
         .otherwise(F.concat(F.lit("<p>Café: "),
           F.substring(F.col("text"), 1, 40), F.lit(" &amp; mirrored</p>")))
+      // the noindex meta strips to NOTHING in extraction, so the CDN
+      // page's TEXT stays identical to its mirrors' — only the
+      // compliance column can tell them apart
+      val cdnHtml = F.concat(
+        F.when(F.col("doc_id") % 25 === 0,
+          F.lit("<head><meta name=\"robots\" content=\"noindex\"></head>"))
+          .otherwise(F.lit("")), html)
       val cdnUri = F.concat(F.lit("http://cdn."), F.col("source"),
         F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
       val mirrorUri = F.concat(F.lit("http://example.org/mirror/"),
         F.col("doc_id").cast("string"))
+      val gzUri = F.concat(F.lit("http://example.org/gz/"),
+        F.col("doc_id").cast("string"))
       val plainPayload = F.concat(
-        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), cdnHtml)
       val chunkedPayload = F.concat(
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Transfer-Encoding: chunked\r\n\r\n"),
         hexLen(html), crlf, html, crlf, F.lit("0"), crlf, crlf)
+      // the gz capture's body is BINARY (gzip bytes), so its record is
+      // built byte-wise and member-wrapped with the binary compressor
+      val gzBody = graft.functions.Gzip.gzip_compress(html)
+      val gzPayload = F.concat(
+        F.encode(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Encoding: gzip\r\n\r\n"), "UTF-8"), gzBody)
+      val gzRec = F.concat(
+        F.encode(F.concat(
+          F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+          F.col("doc_id").cast("string"),
+          F.lit(":2>\r\nWARC-Target-URI: "), gzUri,
+          F.lit("\r\nContent-Length: "), F.length(gzPayload).cast("string"),
+          F.lit("\r\n\r\n")), "UTF-8"),
+        gzPayload, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
       val gz = F.concat(
         graft.functions.Gzip.gzip_compress(
           warcRecWithUri("response", 0, cdnUri, plainPayload)),
         graft.functions.Gzip.gzip_compress(
-          warcRecWithUri("response", 1, mirrorUri, chunkedPayload)))
+          warcRecWithUri("response", 1, mirrorUri, chunkedPayload)),
+        graft.functions.Gzip.gzip_compress_bytes(gzRec))
       val abs = writeWarcGzFiles(docs, gz)
       val bl = s.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row("cdn.src2.example.com")),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("domain",
             org.apache.spark.sql.types.StringType))))
+      val robots = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("example.org",
+          "User-agent: *\nDisallow: /mirror/*0$\n")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("host",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("txt",
+            org.apache.spark.sql.types.StringType))))
       val extracted = graft.sources.WarcFiles.readCrawlText(s, abs)
-        .filter(F.col("status") === 200 && F.length(F.col("text")) >= 10)
+        .filter(F.col("status") === 200 && F.length(F.col("text")) >= 10 &&
+          !F.col("noindex"))
+      val compliant = graft.pipeline.Urls
+        .filterRobotsDisallowed(extracted, "target_uri", robots, "host", "txt")
       graft.pipeline.Urls
-        .filterBlockedDomains(extracted, "target_uri", bl, "domain")
+        .filterBlockedDomains(compliant, "target_uri", bl, "domain")
         .groupBy("text").agg(F.min("target_uri").as("url"))
         .select("url", "text")
         .orderBy("url")
@@ -7317,9 +7454,12 @@ object StandardQueries {
          |     '\\s+', ' ', 'g')) AS text
          |  FROM d),
          | urls AS (
-         |  SELECT text, 'http://cdn.' || source || '.example.com/p/' || doc_id AS url FROM x
+         |  SELECT text, 'http://cdn.' || source || '.example.com/p/' || doc_id AS url
+         |   FROM x WHERE doc_id % 25 <> 0
          |  UNION ALL
-         |  SELECT text, 'http://example.org/mirror/' || doc_id FROM x),
+         |  SELECT text, 'http://example.org/mirror/' || doc_id FROM x WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT text, 'http://example.org/gz/' || doc_id FROM x),
          | q AS (SELECT * FROM urls WHERE length(text) >= 10),
          | ub AS (SELECT * FROM q WHERE url NOT LIKE 'http://cdn.src2.example.com/%')
          | SELECT min(url) AS url, text FROM ub GROUP BY text
@@ -7327,15 +7467,21 @@ object StandardQueries {
     })
 
   /** ROBOTS.TXT COMPLIANCE ([[graft.pipeline.Urls.filterRobotsDisallowed]]):
-    * crawl-level opt-out — a URL whose path any applicable `Disallow:`
-    * prefix matches is dropped before fetch-side processing (the
-    * page-level sibling is `html_meta_policy`'s noindex). The fixture
-    * robots bodies carry the parser traps (another UA's
-    * `Disallow: /` that must be IGNORED, comments, a prefix that
-    * matches mid-segment, an allow-all empty Disallow for one host);
-    * the oracle states the construction-inverse keep set. Rules parse
-    * map-only on the tiny robots side; host-equality broadcast join;
-    * bounded per-row exists. */
+    * crawl-level opt-out under the standard RFC 9309 §2.2.2 precedence
+    * — among all matching rules the LONGEST pattern wins and `Allow`
+    * wins ties, so real-world carve-outs (`Allow: /public/` under
+    * `Disallow: /`) keep their pages (the page-level sibling is
+    * `html_meta_policy`'s noindex). The fixture robots bodies carry
+    * the parser traps (another UA's `Disallow: /` that must be
+    * IGNORED, comments, a prefix that matches mid-segment, an
+    * allow-all empty Disallow for one host), the glob traps
+    * (trailing/mid `*`, query matching, `$` anchor) AND the precedence
+    * traps: an Allow carve-out that out-lengths its Disallow, an
+    * equal-length Allow/Disallow tie (Allow must win), and a SHORT
+    * Allow that must LOSE to a longer Disallow. The oracle states the
+    * construction-inverse keep set. Rules parse map-only on the tiny
+    * robots side; host-equality broadcast join; bounded per-row
+    * walk. */
   private def qRobotsUrlFilter = Q(
     (s, dir) => {
       val id = F.col("doc_id").cast("string")
@@ -7350,13 +7496,18 @@ object StandardQueries {
         F.concat(F.lit("https://cdn."), F.col("source"),
           F.lit(".example.com"), path).as("url"))
       // each host's policy arrives as TWO captures (real robots
-      // datasets carry refetches — the rule lists must union), and the
-      // rules exercise the full RFC 9309 grammar: literal prefix,
-      // trailing and mid-pattern '*', query matching, '$' anchor
+      // datasets carry refetches — the rule lists must union).
+      // Precedence traps: `Allow: /private/p1` (11) out-lengths
+      // `Disallow: /private/*` (10) → ids starting '1' carved back in;
+      // `Allow: /tmp42` ties `Disallow: /tmp42` (6=6, Allow wins) →
+      // ids starting '42' kept; `Allow: /cart/` (6) LOSES to
+      // `Disallow: /cart/*/checkout` (16) → cart paths stay dropped.
       val bodyA = "# site policy\nUser-agent: evilbot\nDisallow: /\n\n" +
-        "User-agent: *\nDisallow: /private/* # members\nDisallow: /tmp\n"
-      val bodyB = "User-agent: *\nDisallow: /cart/*/checkout\n" +
-        "Disallow: /*?sid=\nDisallow: /p/9$\n"
+        "User-agent: *\nDisallow: /private/* # members\nDisallow: /tmp\n" +
+        "Allow: /private/p1\n"
+      val bodyB = "User-agent: *\nDisallow: /cart/*/checkout\nAllow: /cart/\n" +
+        "Disallow: /*?sid=\nDisallow: /p/9$\n" +
+        "Allow: /tmp42\nDisallow: /tmp42\n"
       val robots = t(s, dir, "documents").select(F.col("source")).distinct()
         .select(
           F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com")).as("host"),
@@ -7377,6 +7528,8 @@ object StandardQueries {
            | SELECT doc_id, 'https://cdn.' || source || '.example.com' || path AS url
            | FROM u WHERE source = 'src3'
            |  OR (doc_id % 4 = 1 AND doc_id <> 9 AND doc_id % 5 <> 0)
+           |  OR (doc_id % 4 = 0 AND CAST(doc_id AS VARCHAR) LIKE '1%')
+           |  OR (doc_id % 4 = 2 AND CAST(doc_id AS VARCHAR) LIKE '42%')
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
   /** CRAWL COMPLIANCE + CHARSET METADATA
@@ -9659,6 +9812,7 @@ object StandardQueries {
     "warc_http_extract" -> qWarcHttpExtract,
     "warc_http_dechunk" -> qWarcHttpDechunk,
     "warc_charset_decode" -> qWarcCharsetDecode,
+    "warc_content_encoding" -> qWarcContentEncoding,
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "crawl_curation_e2e" -> qCrawlCurationE2e,

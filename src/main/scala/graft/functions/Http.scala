@@ -112,12 +112,83 @@ object Http {
     F.when(isChunked(payload), dechunk(raw)).otherwise(raw)
   }
 
+  /** The Content-Encoding header value, lowercased+trimmed (its
+    * grammar is case-insensitive) — a WARC stores the capture RAW, so
+    * a `Content-Encoding: gzip` response's body is still gzip bytes
+    * and must decompress before any text processing (standard WARC
+    * readers decode this layer; skipping it feeds gzip bytes into
+    * extraction as silent garbage). NULL when absent or non-HTTP. */
+  def contentEncodingOf(payload: Column): Column =
+    F.lower(headerValue(payload, "content-encoding"))
+
+  /** Transfer codings still applied AFTER the outer chunked framing is
+    * removed: the Transfer-Encoding list minus its trailing `chunked`
+    * (RFC 9112 requires chunked last, so `gzip, chunked` leaves `gzip`
+    * applied to the reassembled body). NULL when nothing residual. */
+  def residualTransferCoding(payload: Column): Column =
+    F.nullif(F.trim(F.regexp_replace(httpTransferEncoding(payload),
+      ",?\\s*chunked\\s*$", "")), F.lit(""))
+
+  /** Decode a CONTENT/TRANSFER CODING list over raw body bytes:
+    * codings apply right-to-left (the sender applied them left-to-
+    * right), `identity` is a no-op, `gzip`/`x-gzip` and `deflate`
+    * decompress ([[Gzip]]), and any UNKNOWN coding (`br`, `zstd`,
+    * `compress`) yields NULL — the established lenient contract: a
+    * body we cannot decode is NULL text the caller filters, never
+    * silent garbage and never an exception. */
+  def decodeContentCoding(bytes: Column, codings: Column): Column =
+    exprColumn(DecodeContentCoding(columnExpr(bytes), columnExpr(codings)))
+
   /** Decode bytes with a PER-ROW charset name (java.nio resolution,
     * aliases included; malformed/unmappable sequences become U+FFFD —
     * the lenient crawl contract). NULL bytes, NULL charset, or an
     * unknown charset name → NULL. */
   def decodeWith(bytes: Column, charset: Column): Column =
     exprColumn(DecodeWithCharset(columnExpr(bytes), columnExpr(charset)))
+}
+
+/** Content/transfer-coding decoder — see [[Http.decodeContentCoding]]. */
+case class DecodeContentCoding(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_content_coding"
+
+  override def nullSafeEval(bytes: Any, codings: Any): Any =
+    DecodeContentCoding.decode(bytes.asInstanceOf[Array[Byte]],
+      codings.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"""${ev.value} = graft.functions.DecodeContentCoding.decode($b, $c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodeContentCoding =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecodeContentCoding {
+
+  /** Apply the comma-separated coding list right-to-left; NULL on an
+    * unknown coding or corrupt compressed data. */
+  def decode(bytes: Array[Byte], codings: UTF8String): Array[Byte] = {
+    var out = bytes
+    val names = codings.toString.split(",")
+    var i = names.length - 1
+    while (i >= 0) {
+      val c = names(i).trim.toLowerCase(java.util.Locale.ROOT)
+      c match {
+        case "" | "identity" => () // no-op coding
+        case "gzip" | "x-gzip" => out = Gzip.decompressBytes(out)
+        case "deflate" => out = Gzip.inflateBytes(out)
+        case _ => return null // br / zstd / compress / garbage
+      }
+      if (out == null) return null
+      i -= 1
+    }
+    out
+  }
 }
 
 /** Per-row-charset byte decoder — see [[Http.decodeWith]]. */

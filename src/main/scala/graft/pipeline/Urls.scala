@@ -82,33 +82,38 @@ object Urls {
         .otherwise(rest.substr(qpos, F.length(rest))))
   }
 
-  /** The `Disallow:` path prefixes that apply to `User-agent: *` in a
-    * robots.txt body, in file order — the CONSERVATIVE compliance
-    * subset (RFC 9309 grouping: consecutive `User-agent` lines form a
-    * group header and the group's rules apply if any of them is `*`;
-    * comments stripped; `Allow:`/longest-match precedence deliberately
-    * NOT modeled — a prefix that any applicable Disallow matches is
-    * dropped, the good-citizen approximation every bulk crawler
-    * ships). Empty `Disallow:` (allow-all) contributes no prefix.
-    * Map-only native expression; NULL body → NULL. */
+  /** The `Allow:`/`Disallow:` rules that apply to `User-agent: *` in a
+    * robots.txt body, in file order, each encoded as a one-char kind
+    * marker (`A`/`D`) + the path pattern (RFC 9309 grouping:
+    * consecutive `User-agent` lines form a group header and the
+    * group's rules apply if any of them is `*`; comments stripped).
+    * Real robots files routinely carve out `Allow: /public/` under
+    * `Disallow: /` — a Disallow-only subset over-drops those pages, so
+    * BOTH kinds are collected and [[robots_matches]] applies the
+    * standard longest-match precedence. Empty-valued rules (allow-all
+    * `Disallow:`) contribute nothing. Map-only native expression; NULL
+    * body → NULL. */
   def robots_disallow(robotsTxt: Column): Column =
     exprColumn(RobotsDisallow(columnExpr(robotsTxt)))
 
-  /** TRUE when any robots rule matches the path-with-query — RFC 9309
-    * §2.2.3 semantics: a rule is a PREFIX pattern where `*` matches any
-    * character run and a trailing `$` anchors the end (plain
-    * `startsWith` would silently never fire the extremely common
-    * wildcard Disallow shapes — a private-dir rule ending in `*`, or
-    * a session-id rule beginning `*?`). Native
-    * expression: bounded rules per host, backtracking glob walk per
-    * rule, no per-rule regex compilation. */
+  /** TRUE when the path-with-query is DISALLOWED under RFC 9309 §2.2.2
+    * precedence: among all matching rules the LONGEST pattern wins
+    * (octet length of the pattern; `Allow` wins ties), and no match at
+    * all means allowed. Each rule is a PREFIX pattern where `*`
+    * matches any character run and a trailing `$` anchors the end
+    * (§2.2.3 — plain `startsWith` would silently never fire the
+    * extremely common wildcard shapes). Native expression: bounded
+    * rules per host, backtracking glob walk per rule, no per-rule
+    * regex compilation. */
   def robots_matches(pathQuery: Column, rules: Column): Column =
     exprColumn(RobotsMatch(columnExpr(pathQuery), columnExpr(rules)))
 
   /** Drop rows whose URL's path(+query) is disallowed for
-    * `User-agent: *` by the host's robots.txt — the compliance filter
-    * beside [[graft.pipeline.HtmlExtract.robotsNoindex]] (that one is
-    * page-level; this is crawl-level). `robots` carries `(host,
+    * `User-agent: *` by the host's robots.txt under the standard RFC
+    * 9309 longest-match precedence (`Allow` carve-outs win over
+    * shorter `Disallow` rules; ties go to `Allow`) — the compliance
+    * filter beside [[graft.pipeline.HtmlExtract.robotsNoindex]] (that
+    * one is page-level; this is crawl-level). `robots` carries `(host,
     * robots.txt body)` rows; REPEATED hosts are fine (real robots
     * captures carry refetches — their rule lists union); hosts with no
     * row (or an unparseable/empty body) are fully allowed. Rules parse
@@ -231,15 +236,28 @@ case class RobotsMatch(left: Expression, right: Expression)
 
 object RobotsMatch {
 
+  /** RFC 9309 §2.2.2 precedence walk: each rule carries its kind
+    * marker (`A`/`D`) first; among matching rules the longest PATTERN
+    * wins, `Allow` wins ties, no match → allowed (false). */
   def anyMatch(path: UTF8String, rules: ArrayData): Boolean = {
     val p = path.toString
+    var bestLen = -1
+    var bestAllow = false
     var i = 0
     while (i < rules.numElements()) {
-      if (!rules.isNullAt(i) &&
-        ruleMatches(p, rules.getUTF8String(i).toString)) return true
+      if (!rules.isNullAt(i)) {
+        val r = rules.getUTF8String(i).toString
+        val allow = r.charAt(0) == 'A'
+        val pat = r.substring(1)
+        if (ruleMatches(p, pat) &&
+          (pat.length > bestLen || (pat.length == bestLen && allow))) {
+          bestLen = pat.length
+          bestAllow = allow
+        }
+      }
       i += 1
     }
-    false
+    bestLen >= 0 && !bestAllow
   }
 
   /** RFC 9309 §2.2.3 rule match: the rule is a PREFIX pattern of the
@@ -271,8 +289,8 @@ object RobotsMatch {
 
 object RobotsDisallow {
 
-  /** RFC 9309 group walk, `*` groups only, Disallow prefixes in file
-    * order. Lenient: junk lines are skipped, never thrown. */
+  /** RFC 9309 group walk, `*` groups only, `A`/`D`-marked rules in
+    * file order. Lenient: junk lines are skipped, never thrown. */
   def parse(txt: UTF8String): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var applies = false  // current group has a `*` user-agent
@@ -292,8 +310,11 @@ object RobotsDisallow {
               if (v == "*") applies = true
             case "disallow" =>
               inHeader = false
-              if (applies && v.nonEmpty) out += UTF8String.fromString(v)
-            case _ => // allow / sitemap / crawl-delay / unknown: ends the header
+              if (applies && v.nonEmpty) out += UTF8String.fromString("D" + v)
+            case "allow" =>
+              inHeader = false
+              if (applies && v.nonEmpty) out += UTF8String.fromString("A" + v)
+            case _ => // sitemap / crawl-delay / unknown: ends the header
               inHeader = false
           }
         }

@@ -10,14 +10,18 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** One parsed WARC record from a file walk — same fields and
-  * semantics as [[Warc.recordType]], plus the source file. */
+  * semantics as [[Warc.recordType]], plus the source file. The payload
+  * is carried ONCE, as raw bytes (an eager UTF-8-decoded string twin
+  * would ~3× the per-record in-flight memory — bytes + UTF-16 chars —
+  * even for consumers that read only one view); derive a string view
+  * lazily where string semantics are wanted, e.g.
+  * `Http.decodeWith(col("payload_bytes"), lit("utf-8"))`. */
 final case class WarcFileRecord(
     path: String,
     warc_type: String,
     record_id: String,
     target_uri: String,
     content_length: Long,
-    payload: String,
     payload_bytes: Array[Byte])
 
 /** `Configuration` is not `Serializable`; ship it by its own
@@ -149,16 +153,26 @@ object WarcFiles {
 
   /** The production Common Crawl front door in one call: stream WARC
     * records out of (gzipped) files, keep `response` records, split
-    * the HTTP payload, and extract visible text from the BODY —
-    * `(path, target_uri, status, content_type, text)`. Every stage is
+    * the HTTP payload, decode its envelope layers, and extract visible
+    * text from the BODY — `(path, target_uri, status, content_type,
+    * content_encoding, charset, noindex, text)`. Every stage is
     * map-only (record-streaming scan + codegen'd string expressions),
     * so the whole chain is a pure scan; the shuffle belongs to
     * whatever quality/dedup stage follows. Payloads that are bare
     * HTML (no HTTP envelope) flow through the split unchanged —
-    * [[graft.functions.Http]]'s leniency contract — and a
-    * `Transfer-Encoding: chunked` body is reassembled before
-    * extraction (a WARC stores the raw capture, chunk framing
-    * included; malformed framing → NULL text, filtered downstream). */
+    * [[graft.functions.Http]]'s leniency contract.
+    *
+    * Envelope decode order (a WARC stores the capture RAW, every
+    * layer included; standard readers decode them all): the outer
+    * `Transfer-Encoding: chunked` framing is reassembled on raw bytes
+    * first, then any residual transfer coding and the Content-Encoding
+    * decompress ([[graft.functions.Http.decodeContentCoding]] —
+    * gzip/x-gzip/deflate; an UNKNOWN coding like `br` → NULL text,
+    * the lenient contract, never silent garbage), then the resolved
+    * charset (header param → meta declaration → utf-8) decodes the
+    * body for extraction. `noindex` carries the page's meta-robots
+    * opt-out so a compliance pipeline can drop those rows without
+    * re-parsing. */
   def readCrawlText(spark: SparkSession, path: String,
       maxRecordBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -168,27 +182,34 @@ object WarcFiles {
     // char↔byte BIJECTION, so header parsing, the blank-line split
     // and the re-encode back to exact body bytes are all byte-true
     // even when the page isn't UTF-8. Chunked bodies reassemble on
-    // RAW bytes (sizes count original bytes), THEN the resolved
-    // charset (header param → meta declaration → utf-8) decodes the
-    // body for extraction. For UTF-8 pages this is byte-for-byte the
-    // old behavior; for a latin-1/windows-1252 page the old path
-    // produced U+FFFD mojibake.
+    // RAW bytes (sizes count original bytes), compressed bodies
+    // decompress on RAW bytes, THEN the resolved charset decodes.
     val latin = F.decode(F.col("payload_bytes"), "ISO-8859-1")
     val ct = Http.httpContentType(latin)
     val rawBody = F.encode(Http.httpBody(latin), "ISO-8859-1")
-    val bodyBytes = F.when(Http.isChunked(latin),
+    val dechunked = F.when(Http.isChunked(latin),
       Http.dechunkBytes(rawBody)).otherwise(rawBody)
+    // one combined coding list: content-encoding first, residual
+    // transfer coding last — decodeContentCoding applies right-to-left,
+    // so the transfer layer strips before the content layer
+    val coding = F.nullif(F.concat_ws(", ",
+      Http.contentEncodingOf(latin),
+      Http.residualTransferCoding(latin)), F.lit(""))
+    val bodyBytes = F.when(coding.isNull, dechunked)
+      .otherwise(Http.decodeContentCoding(dechunked, coding))
     val bodyLatin = F.decode(bodyBytes, "ISO-8859-1")
     val charset = F.coalesce(Http.charsetOf(ct),
       graft.pipeline.HtmlExtract.metaCharset(bodyLatin), F.lit("utf-8"))
+    val page = Http.decodeWith(bodyBytes, charset)
     readRecords(spark, path, maxRecordBytes)
       .filter(F.col("warc_type") === "response")
       .select(F.col("path"), F.col("target_uri"),
         Http.httpStatus(latin).as("status"),
         ct.as("content_type"),
+        coding.as("content_encoding"),
         charset.as("charset"),
-        graft.pipeline.HtmlExtract.visibleText(
-          Http.decodeWith(bodyBytes, charset)).as("text"))
+        graft.pipeline.HtmlExtract.robotsNoindex(page).as("noindex"),
+        graft.pipeline.HtmlExtract.visibleText(page).as("text"))
   }
 
   /** Wrap in a streaming gunzip when the first two bytes are the gzip
@@ -307,7 +328,7 @@ final class WarcRecordIterator(
       if (!readFully(payload)) { close(); return } // payload overruns the file
       maxBufferedBytes = math.max(maxBufferedBytes, headerBytes + contentLength)
       nextRec = WarcFileRecord(path, warcType, recordId, targetUri,
-        contentLength, new String(payload, "UTF-8"), payload)
+        contentLength, payload)
       // verified terminator, same contract as Warc.parse: EOF inside it
       // keeps this record; WRONG bytes keep this record and stop the
       // walk (explicit — no silent resync after damage)

@@ -90,6 +90,62 @@ class HttpSpec extends SparkSpec {
     assert(got.toSeq == Seq("hello world", "hello world", "hello world"))
   }
 
+  test("contentEncodingOf / residualTransferCoding: header value, final-coding aware") {
+    def codings(p: String) = {
+      val r = Seq(Tuple1(p)).toDF("p")
+        .select(Http.contentEncodingOf(F.col("p")).as("ce"),
+          Http.residualTransferCoding(F.col("p")).as("rt"))
+        .head()
+      (r.getString(0), r.getString(1))
+    }
+    assert(codings("HTTP/1.1 200 OK\r\nContent-Encoding: GZIP\r\n\r\nx") ==
+      ("gzip", null))
+    // chunked alone leaves nothing residual; gzip, chunked leaves gzip
+    assert(codings("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nx") ==
+      (null, null))
+    assert(codings("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\nx") ==
+      (null, "gzip"))
+    // a (non-compliant but seen) bare gzip transfer coding is residual
+    assert(codings("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx") ==
+      (null, "gzip"))
+    assert(codings("HTTP/1.1 200 OK\r\n\r\nx") == (null, null))
+  }
+
+  test("decodeContentCoding: gzip, x-gzip, deflate (zlib AND raw), identity, right-to-left lists") {
+    def decode(body: Array[Byte], codings: String): String = {
+      val r = Seq(Tuple1(body)).toDF("b")
+        .select(Http.decodeContentCoding(F.col("b"), F.lit(codings))).head()
+      if (r.isNullAt(0)) null
+      else new String(r.getAs[Array[Byte]](0), "UTF-8")
+    }
+    val plain = "hello content codings".getBytes("UTF-8")
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.close(); bos.toByteArray
+    }
+    def deflate(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    assert(decode(gz, "gzip") == "hello content codings")
+    assert(decode(gz, "x-gzip") == "hello content codings")
+    assert(decode(plain, "identity") == "hello content codings")
+    // RFC 9110 deflate is a zlib container, but raw streams are common
+    // in the wild — both must decode
+    assert(decode(deflate(nowrap = false), "deflate") == "hello content codings")
+    assert(decode(deflate(nowrap = true), "deflate") == "hello content codings")
+    // list applies right-to-left: identity wrapper around gzip
+    assert(decode(gz, "gzip, identity") == "hello content codings")
+    // unknown codings and corrupt data yield NULL, never an exception
+    assert(decode(gz, "br") == null)
+    assert(decode(plain, "gzip") == null)
+    assert(decode(gz.take(5), "gzip") == null)
+  }
+
   test("null passes through") {
     val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("p")
       .select(Http.httpBody(F.col("p")), Http.httpStatus(F.col("p")),

@@ -104,18 +104,44 @@ class UrlsSpec extends SparkSpec {
     // other-UA groups ignored; comments stripped; file order kept
     assert(rules("# policy\nUser-agent: evilbot\nDisallow: /\n\n" +
       "User-agent: *\nDisallow: /private/ # members\nDisallow: /tmp\n") ==
-      Seq("/private/", "/tmp"))
+      Seq("D/private/", "D/tmp"))
+    // Allow rules are collected with their kind marker
+    assert(rules("User-agent: *\nDisallow: /\nAllow: /public/\n") ==
+      Seq("D/", "A/public/"))
     // consecutive User-agent lines share one group (any * applies)
-    assert(rules("User-agent: abot\nUser-agent: *\nDisallow: /x\n") == Seq("/x"))
-    // a User-agent AFTER rules starts a NEW group: * must be re-declared
-    assert(rules("User-agent: *\nDisallow: /a\nUser-agent: bbot\nDisallow: /b\n") ==
-      Seq("/a"))
-    // empty Disallow = allow-all (no prefix); no * group at all = none
+    assert(rules("User-agent: abot\nUser-agent: *\nDisallow: /x\n") == Seq("D/x"))
+    // a User-agent AFTER rules (incl. an Allow) starts a NEW group
+    assert(rules("User-agent: *\nAllow: /a\nUser-agent: bbot\nDisallow: /b\n") ==
+      Seq("A/a"))
+    // empty Disallow = allow-all (no rule); no * group at all = none
     assert(rules("User-agent: *\nDisallow:\n") == Seq())
     assert(rules("User-agent: googlebot\nDisallow: /\n") == Seq())
     // junk lines are skipped leniently
     assert(rules("not a directive\nUser-agent: *\nDisallow: /ok\n<<garbage>>") ==
-      Seq("/ok"))
+      Seq("D/ok"))
+  }
+
+  test("robots_matches: longest-match precedence — Allow carve-outs, Allow wins ties") {
+    def disallowed(path: String, rules: Seq[String]): Boolean =
+      Seq(Tuple1(path)).toDF("p")
+        .select(Urls.robots_matches(F.col("p"),
+          F.typedlit(rules))).head().getBoolean(0)
+    val carve = Seq("D/", "A/public/")
+    // the classic carve-out: Disallow / with Allow /public/
+    assert(disallowed("/private/x", carve))
+    assert(!disallowed("/public/page", carve))
+    // longest PATTERN wins regardless of file order
+    assert(disallowed("/public/secret", Seq("D/", "A/public/", "D/public/secret")))
+    // a longer Allow that does NOT match can't save the path
+    assert(disallowed("/public/secret", Seq("D/public/secret", "A/public/secret/")))
+    assert(disallowed("/public/secret", Seq("D/public/secret", "A/public/")))
+    // equal-length patterns: Allow wins the tie (RFC 9309 §2.2.2)
+    assert(!disallowed("/page", Seq("D/page", "A/page")))
+    assert(!disallowed("/page", Seq("A/page", "D/page")))
+    // no matching rule at all: allowed
+    assert(!disallowed("/elsewhere", Seq("D/private/")))
+    // wildcard patterns still participate with their raw length
+    assert(!disallowed("/dir/file.html", Seq("D/dir/", "A/dir/*.html")))
   }
 
   test("filterRobotsDisallowed: path-prefix drop per host; unlisted hosts allowed") {

@@ -54,7 +54,7 @@ class WarcFilesSpec extends SparkSpec {
     val it = new WarcRecordIterator(
       new RepeatingStream(one, count), "synthetic", 1L << 30)
     var n = 0L
-    while (it.hasNext) { assert(it.next().payload.length == 400); n += 1 }
+    while (it.hasNext) { assert(it.next().payload_bytes.length == 400); n += 1 }
     assert(n == count)
     // high-water mark ≈ one record's header + payload — file size is
     // 100 MB; anything above a few KB means the file leaked into memory
@@ -74,7 +74,8 @@ class WarcFilesSpec extends SparkSpec {
     val it = new WarcRecordIterator(
       new ByteArrayInputStream(s.getBytes("UTF-8")), "mem", 1L << 30)
     val viaStream = it.toArray.map(r =>
-      (r.warc_type, r.record_id, r.content_length, r.payload))
+      (r.warc_type, r.record_id, r.content_length,
+        new String(r.payload_bytes, "UTF-8")))
     assert(viaStream.toSeq == viaExpr.toSeq)
   }
 
@@ -91,7 +92,9 @@ class WarcFilesSpec extends SparkSpec {
     }
     Files.write(Paths.get(s"$dir/b_no_extension"), bos.toByteArray)
     val got = WarcFiles.readRecords(spark, dir)
-      .select("record_id", "warc_type", "payload")
+      .select(F.col("record_id"), F.col("warc_type"),
+        graft.functions.Http.decodeWith(
+          F.col("payload_bytes"), F.lit("utf-8")).as("payload"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
     assert(got.toSeq == Seq(
       ("<g1>", "response", "gz body Café"), ("<g2>", "request", "q"),
@@ -140,7 +143,9 @@ class WarcFilesSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     def keyed(df: org.apache.spark.sql.DataFrame) = df
-      .select("record_id", "warc_type", "content_length", "payload")
+      .select(F.col("record_id"), F.col("warc_type"), F.col("content_length"),
+        graft.functions.Http.decodeWith(
+          F.col("payload_bytes"), F.lit("utf-8")).as("payload"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
       .toSet
     val streamed = keyed(spark.table(qn))
@@ -191,6 +196,63 @@ class WarcFilesSpec extends SparkSpec {
     assert(got == Set(
       ("iso-8859-1", "café mañana"),
       ("windows-1252", "smørrebrød")))
+  }
+
+  test("readCrawlText decompresses content codings; unknown codings are NULL text") {
+    val dir = Files.createTempDirectory("crawlce").toString
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def resp(id: String, head: String, body: Array[Byte]): Array[Byte] = {
+      val payload = head.getBytes("US-ASCII") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+        s"WARC-Target-URI: http://h/$id\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+        payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    // gzip content coding — the single most common envelope layer
+    val r1 = resp("ce1", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n\r\n", gz("<p>coded page one</p>"))
+    // gzip transfer coding UNDER chunked framing: dechunk, then gunzip
+    val inner = gz("<p>chunk then gzip</p>")
+    val chunked = f"${inner.length}%x\r\n".getBytes("US-ASCII") ++ inner ++
+      "\r\n0\r\n\r\n".getBytes("US-ASCII")
+    val r2 = resp("ce2", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: gzip, chunked\r\n\r\n", chunked)
+    // brotli: not decodable here — NULL text, never silent garbage
+    val r3 = resp("ce3", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: br\r\n\r\n", Array[Byte](1, 2, 3, 4))
+    Files.write(Paths.get(s"$dir/coded.warc"), r1 ++ r2 ++ r3)
+    val got = WarcFiles.readCrawlText(spark, dir)
+      .select("target_uri", "content_encoding", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://h/ce1", "gzip", "coded page one"),
+      ("http://h/ce2", "gzip", "chunk then gzip"),
+      ("http://h/ce3", "br", null)))
+  }
+
+  test("readCrawlText surfaces meta-robots noindex as a compliance column") {
+    val dir = Files.createTempDirectory("crawlnx").toString
+    def resp(id: String, html: String): Array[Byte] = {
+      val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+        .getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+        s"WARC-Target-URI: http://h/$id\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+        payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val r1 = resp("n1", "<head><meta name=\"robots\" content=\"noindex\"></head><p>opted out</p>")
+    val r2 = resp("n2", "<p>indexable</p>")
+    Files.write(Paths.get(s"$dir/nx.warc"), r1 ++ r2)
+    val got = WarcFiles.readCrawlText(spark, dir)
+      .select("target_uri", "noindex", "text").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://h/n1", true, "opted out"),
+      ("http://h/n2", false, "indexable")))
   }
 
   test("maxRecordBytes: an over-declared record is damage — prefix kept, walk stops") {
