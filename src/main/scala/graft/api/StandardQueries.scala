@@ -7532,6 +7532,37 @@ object StandardQueries {
            |  OR (doc_id % 4 = 2 AND CAST(doc_id AS VARCHAR) LIKE '42%')
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")))
 
+  /** CURATED-CORPUS SINK ROUND TRIP
+    * ([[graft.pipeline.CorpusSink.writeCorpusShards]]): the last mile
+    * between curation and a training job — deterministic md5-keyed
+    * sharding + within-shard order ([[Sampling.deterministicShuffle]])
+    * to gzip text shards with a JSON manifest (per-shard row count +
+    * order-independent content digest), then
+    * [[graft.pipeline.CorpusSink.verifyShards]] recomputes both FROM
+    * THE WRITTEN FILES and compares. The oracle replays the shard
+    * assignment (md5 hex arithmetic) and the digest (BIT_XOR of each
+    * line's md5-prefix BIGINT) from the construction inverse, and
+    * states `manifest_match = true` — so write, compress, manifest,
+    * read-back and digest are certified together in one hash. */
+  private def qCorpusShardSink = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = new java.io.File(
+        s"target/tmp/corpus_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val path = base.getAbsolutePath
+      val line = F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("text"))
+      graft.pipeline.CorpusSink.writeCorpusShards(
+        docs, line, F.col("doc_id"), path, 8)
+      graft.pipeline.CorpusSink.verifyShards(s, path).orderBy("shard")
+    },
+    Some("""WITH l AS (SELECT CAST(doc_id AS VARCHAR) || chr(9) || text AS line,
+           |   CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 9, 4) AS INTEGER) % 8 AS shard
+           |  FROM documents)
+           | SELECT shard, count(*) AS n_rows,
+           |  bit_xor(CAST('0x' || substr(md5(line), 1, 14) AS BIGINT)) AS digest,
+           |  true AS manifest_match
+           | FROM l GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")))
+
   /** CRAWL COMPLIANCE + CHARSET METADATA
     * ([[HtmlExtract.metaRobots]]/[[HtmlExtract.robotsNoindex]]/
     * [[HtmlExtract.metaCharset]] + [[graft.functions.Http.charsetOf]]):
@@ -9816,6 +9847,7 @@ object StandardQueries {
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "crawl_curation_e2e" -> qCrawlCurationE2e,
+    "corpus_shard_sink" -> qCorpusShardSink,
     "html_meta_policy" -> qHtmlMetaPolicy,
     "robots_url_filter" -> qRobotsUrlFilter,
     "pii_scan" -> qPiiScan,
