@@ -173,7 +173,12 @@ object ScaleProbe {
     "streaming_warc_file_scan", "crawl_curation_e2e",
     "html_meta_policy", "robots_url_filter", "ivfpq_persisted_search",
     "token_counts_bpe_bytes", "pack_by_bpe_cost_bytes",
-    "mixture_weights_bpe_bytes")
+    "mixture_weights_bpe_bytes",
+    // round-19: content-coding decompression through the crawl front
+    // door (500k gzip-coded + chunked-gzip + br records), and the
+    // corpus shard sink round trip (one shard exchange + bounded sort,
+    // write + read-back digest verification over the 100x corpus)
+    "warc_content_encoding", "corpus_shard_sink")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews
@@ -456,6 +461,57 @@ object ScaleProbe {
     // rows; with maxBlockSize the block is skipped map-side, so the
     // probe finishing in bounded time with exactly the 50k cool
     // matches IS the measurement.
+    // round-19: ONE production-shaped WARC shard — a single multi-GB
+    // multi-member .warc.gz (decompressed size past the 2 GiB JVM
+    // array ceiling, the exact shape the record-streaming reader
+    // exists for). The factory streams 3000 x ~1 MiB records through
+    // per-record gzip members into one file; the walk must (a) parse
+    // every record via the DIRECT iterator with a buffered-bytes
+    // high-water mark ~ONE record, file size notwithstanding, and
+    // (b) produce the same count through the Spark binaryFile path.
+    "warc_single_huge_shard" -> (() => {
+      val f = java.io.File.createTempFile("hugeshard", ".warc.gz")
+      f.deleteOnExit()
+      val nRecs = 3000
+      val unit = "huge shard record body text segment | "
+      val sb = new StringBuilder
+      while (sb.length < (1 << 20)) sb.append(unit)
+      val body = sb.toString // ~1 MiB per record, ASCII
+      val out = new java.io.FileOutputStream(f)
+      var decompressed = 0L
+      try {
+        var i = 0
+        while (i < nRecs) {
+          val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:huge:$i>\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n")
+            .getBytes("US-ASCII")
+          decompressed += rec.length
+          val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+          gz.write(rec); gz.finish()
+          i += 1
+        }
+      } finally out.close()
+      require(decompressed > (2L << 30),
+        s"shard must exceed the 2 GiB array ceiling, got $decompressed")
+      // direct iterator walk: the memory-bound instrument at file scale
+      val it = new graft.sources.WarcRecordIterator(
+        graft.sources.WarcFiles.maybeGunzip(new java.io.FileInputStream(f)),
+        f.getPath, 1L << 30)
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      require(n == nRecs, s"direct walk parsed $n of $nRecs records")
+      val highWater = it.maxBufferedBytes
+      require(highWater < (2L << 20),
+        s"buffered $highWater bytes — not record-bounded")
+      require(highWater < decompressed / 1000,
+        s"high-water $highWater vs $decompressed decompressed — leaked")
+      // the distributed path over the same single file
+      val viaSpark = graft.sources.WarcFiles.readRecords(spark, f.getPath).count()
+      require(viaSpark == nRecs, s"Spark walk read $viaSpark of $nRecs")
+      f.delete()
+      n
+    }),
     "fuzzy_match_capped_megablock" -> (() => {
       val cool = spark.range(200000L).select(F.col("id"),
         F.concat(F.lit("name"),
