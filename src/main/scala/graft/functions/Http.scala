@@ -145,6 +145,31 @@ object Http {
     * unknown charset name → NULL. */
   def decodeWith(bytes: Column, charset: Column): Column =
     exprColumn(DecodeWithCharset(columnExpr(bytes), columnExpr(charset)))
+
+  private val bomUtf8 = F.lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+  private val bomUtf16be = F.lit(Array(0xFE.toByte, 0xFF.toByte))
+  private val bomUtf16le = F.lit(Array(0xFF.toByte, 0xFE.toByte))
+
+  /** The BOM-declared charset of body bytes (`utf-8` / `utf-16be` /
+    * `utf-16le`), NULL when no BOM. Per the WHATWG encoding sniff a
+    * BOM OUTRANKS every other declaration, header included — a UTF-16
+    * page's meta tag cannot even be read before decoding, so this is
+    * the only signal that can catch it. Pure codegen'd byte slices. */
+  def bomCharsetOf(bytes: Column): Column =
+    F.when(F.substring(bytes, 1, 3) === bomUtf8, F.lit("utf-8"))
+      .when(F.substring(bytes, 1, 2) === bomUtf16be, F.lit("utf-16be"))
+      .when(F.substring(bytes, 1, 2) === bomUtf16le, F.lit("utf-16le"))
+
+  /** Body bytes with any leading BOM removed — java.nio decoders for
+    * explicit-endian charsets (and utf-8) keep the BOM as a content
+    * char (U+FEFF), which would leak into extracted text. */
+  def stripBom(bytes: Column): Column =
+    F.when(F.substring(bytes, 1, 3) === bomUtf8,
+        F.substring(bytes, 4, Int.MaxValue))
+      .when(F.substring(bytes, 1, 2) === bomUtf16be ||
+        F.substring(bytes, 1, 2) === bomUtf16le,
+        F.substring(bytes, 3, Int.MaxValue))
+      .otherwise(bytes)
 }
 
 /** Content/transfer-coding decoder — see [[Http.decodeContentCoding]]. */

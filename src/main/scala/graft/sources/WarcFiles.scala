@@ -169,8 +169,9 @@ object WarcFiles {
     * decompress ([[graft.functions.Http.decodeContentCoding]] —
     * gzip/x-gzip/deflate; an UNKNOWN coding like `br` → NULL text,
     * the lenient contract, never silent garbage), then the resolved
-    * charset (header param → meta declaration → utf-8) decodes the
-    * body for extraction. `noindex` carries the page's meta-robots
+    * charset (BOM → header param → meta declaration → utf-8, the
+    * WHATWG precedence) decodes the BOM-stripped body for
+    * extraction. `noindex` carries the page's meta-robots
     * opt-out so a compliance pipeline can drop those rows without
     * re-parsing. */
   def readCrawlText(spark: SparkSession, path: String,
@@ -198,9 +199,14 @@ object WarcFiles {
     val bodyBytes = F.when(coding.isNull, dechunked)
       .otherwise(Http.decodeContentCoding(dechunked, coding))
     val bodyLatin = F.decode(bodyBytes, "ISO-8859-1")
-    val charset = F.coalesce(Http.charsetOf(ct),
+    // WHATWG precedence: BOM > header param > meta declaration >
+    // utf-8 default (a UTF-16 page's meta tag is unreadable before
+    // decoding — the BOM is the only signal that catches it; and a
+    // BOM-stamped page decoded per a wrong header is mojibake)
+    val charset = F.coalesce(Http.bomCharsetOf(bodyBytes),
+      Http.charsetOf(ct),
       graft.pipeline.HtmlExtract.metaCharset(bodyLatin), F.lit("utf-8"))
-    val page = Http.decodeWith(bodyBytes, charset)
+    val page = Http.decodeWith(Http.stripBom(bodyBytes), charset)
     readRecords(spark, path, maxRecordBytes)
       .filter(F.col("warc_type") === "response")
       .select(F.col("path"), F.col("target_uri"),

@@ -864,6 +864,34 @@ class PlanSpec extends SparkSpec {
       s"pattern-per-entry matching leaked into the plan:\n${plan.take(2000)}")
   }
 
+  test("corpus sink: ONE shard exchange to write; manifest verify is one agg exchange per side") {
+    val dir = java.nio.file.Files.createTempDirectory("sinkplan").toString
+    val docs = table("documents").select(F.col("doc_id"),
+      F.concat(F.col("doc_id").cast("string"), F.lit("\t"),
+        F.col("text")).as("line"))
+    // the pre-write lineage: deterministicShuffle's one hash exchange
+    // on shard + the executor-local window sort + repartition(shard) —
+    // pin that NO global sort and no extra exchanges sneak in
+    val staged = graft.pipeline.Sampling
+      .deterministicShuffle(docs.select(F.col("line"), F.col("doc_id").as("__k")),
+        F.col("__k"), 4)
+      .repartition(4, F.col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .select("line", "shard")
+    val plan = planOf(staged)
+    assert(shuffles(plan) <= 2, s"sink staging grew extra exchanges:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the sink path:\n$plan")
+    // the verify side: read-back digest is one hash aggregate exchange
+    graft.pipeline.CorpusSink.writeCorpusShards(
+      docs, F.col("line"), F.col("doc_id"), dir, 4)
+    val verify = graft.pipeline.CorpusSink.verifyShards(spark, dir)
+    val vplan = planOf(verify)
+    assert(!vplan.contains("CartesianProduct") &&
+      !vplan.contains("BroadcastNestedLoop"),
+      s"manifest join degenerated:\n$vplan")
+  }
+
   test("ivfPqSearch: code arrays ride only the broadcast; shuffles carry bounded top-k rows") {
     val emb = table("embeddings")
     val ix = graft.pipeline.Similarity.ivfPqBuild(emb, numCentroids = 4, m = 16, ksub = 8)

@@ -146,6 +146,28 @@ class HttpSpec extends SparkSpec {
     assert(decode(gz.take(5), "gzip") == null)
   }
 
+  test("bomCharsetOf / stripBom: detection, WHATWG shapes, no-BOM passthrough") {
+    def bom(bytes: Array[Byte]): (String, Array[Byte]) = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(Http.bomCharsetOf(F.col("b")).as("c"),
+          Http.stripBom(F.col("b")).as("s")).head()
+      (r.getString(0), r.getAs[Array[Byte]](1))
+    }
+    val utf8 = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "hi".getBytes("UTF-8")
+    val be = Array(0xFE.toByte, 0xFF.toByte) ++ "hi".getBytes("UTF-16BE")
+    val le = Array(0xFF.toByte, 0xFE.toByte) ++ "hi".getBytes("UTF-16LE")
+    assert(bom(utf8)._1 == "utf-8" && bom(utf8)._2.toSeq == "hi".getBytes("UTF-8").toSeq)
+    assert(bom(be)._1 == "utf-16be" && bom(be)._2.toSeq == "hi".getBytes("UTF-16BE").toSeq)
+    assert(bom(le)._1 == "utf-16le" && bom(le)._2.toSeq == "hi".getBytes("UTF-16LE").toSeq)
+    // no BOM: NULL charset, bytes pass through untouched
+    val plain = "plain".getBytes("UTF-8")
+    val (c, s) = bom(plain)
+    assert(c == null && s.toSeq == plain.toSeq)
+    // short inputs never throw
+    assert(bom(Array[Byte]())._1 == null)
+    assert(bom(Array(0xEF.toByte))._1 == null)
+  }
+
   test("null passes through") {
     val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("p")
       .select(Http.httpBody(F.col("p")), Http.httpStatus(F.col("p")),
