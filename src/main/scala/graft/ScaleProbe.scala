@@ -175,10 +175,13 @@ object ScaleProbe {
     "token_counts_bpe_bytes", "pack_by_bpe_cost_bytes",
     "mixture_weights_bpe_bytes",
     // round-19: content-coding decompression through the crawl front
-    // door (500k gzip-coded + chunked-gzip + br records), and the
-    // corpus shard sink round trip (one shard exchange + bounded sort,
-    // write + read-back digest verification over the 100x corpus)
-    "warc_content_encoding", "corpus_shard_sink")
+    // door (500k gzip-coded + chunked-gzip + br records), BOM charset
+    // precedence (500k UTF-16LE + BOM'd-UTF-8 records), the corpus
+    // shard sink round trip (one shard exchange + bounded sort, write
+    // + read-back digest verification over the 100x corpus), and the
+    // whole crawl -> curation -> verified-training-shards arc
+    "warc_content_encoding", "warc_charset_bom",
+    "corpus_shard_sink", "crawl_to_corpus_shards", "robots_sitemaps")
 
   /** Adversarial SKEW probes beyond the replicated tables: synthetic
     * corpora aimed at the exact mega-key windows the round-13 de-skews

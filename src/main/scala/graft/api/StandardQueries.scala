@@ -7323,6 +7323,64 @@ object StandardQueries {
          | ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " ")
     })
 
+  /** BOM-DECLARED CHARSETS ([[graft.functions.Http.bomCharsetOf]] /
+    * [[graft.functions.Http.stripBom]] in
+    * [[graft.sources.WarcFiles.readCrawlText]]): per the WHATWG
+    * encoding sniff a byte-order mark OUTRANKS every other charset
+    * signal — a UTF-16 page's own meta tag cannot even be read before
+    * decoding, and a BOM-stamped UTF-8 page served with a wrong header
+    * charset decodes as mojibake if the header wins. The fixture
+    * serves a UTF-16LE page (BOM, no header/meta declaration — only
+    * the BOM can catch it) and a UTF-8-BOM page behind a LYING
+    * `charset=ISO-8859-1` header; the oracle states the
+    * construction-inverse text (multi-byte é trap included), so BOM
+    * detection, precedence AND BOM stripping are what the hash
+    * certifies. */
+  private def qWarcCharsetBom = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html16 = F.concat(F.lit("<p>Bom page: "),
+        F.substring(F.col("text"), 1, 20), F.lit("</p>"))
+      val body16 = F.concat(F.lit(Array(0xFF.toByte, 0xFE.toByte)),
+        F.encode(html16, "UTF-16LE"))
+      val rec0 = warcRecBinary(0,
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n", body16)
+      val html8 = F.concat(F.lit("<p>Bom café: "),
+        F.substring(F.col("text"), 1, 20), F.lit("</p>"))
+      val body8 = F.concat(
+        F.lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+        F.encode(html8, "UTF-8"))
+      val rec1 = warcRecBinary(1, "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n", body8)
+      val abs = writeWarcGzFiles(docs, F.concat(rec0, rec1))
+      val uriPat = "doc/([0-9]+)/([0-9]+)$"
+      graft.sources.WarcFiles.readCrawlText(s, abs)
+        .select(
+          F.regexp_extract(F.col("target_uri"), uriPat, 1).cast("bigint").as("doc_id"),
+          F.regexp_extract(F.col("target_uri"), uriPat, 2).cast("int").as("rec_idx"),
+          F.col("charset"), F.col("text"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some {
+      s"""WITH d AS (SELECT doc_id,
+         |   '<p>Bom page: ' || substr(text, 1, 20) || '</p>' AS b0,
+         |   '<p>Bom café: ' || substr(text, 1, 20) || '</p>' AS b1
+         |  FROM documents),
+         | x AS (SELECT doc_id,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(b0, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS t0,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(b1, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS t1
+         |  FROM d)
+         | SELECT doc_id, 0 AS rec_idx, 'utf-16le' AS charset, t0 AS text FROM x
+         | UNION ALL SELECT doc_id, 1, 'utf-8', t1 FROM x
+         | ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " ")
+    })
+
   /** THE PRODUCTION CRAWL PIPELINE END TO END
     * ([[graft.sources.WarcFiles.readCrawlText]]): real `.warc.gz`
     * files whose response payloads carry full HTTP envelopes →
@@ -7370,8 +7428,11 @@ object StandardQueries {
     * inverse: any drift in any stage — framing, decompression, split,
     * extraction, thresholding, precedence, host matching, keeper tie
     * order — fails the hash. */
-  private def qCrawlCurationE2e = Q(
-    (s, dir) => {
+  /** The shared fixture + pipeline of `crawl_curation_e2e` and
+    * `crawl_to_corpus_shards`: write the 3-captures-per-doc `.warc.gz`
+    * shards, run the full compliant front door, return the deduped
+    * `(url, text)` keeper table (unordered). */
+  private def crawlCuratedDocs(s: SparkSession, dir: String): DataFrame = {
       val docs = t(s, dir, "documents")
       val crlf = F.lit("\r\n")
       def hexLen(c: Column) = F.lower(F.hex(F.length(F.encode(c, "UTF-8"))))
@@ -7440,30 +7501,70 @@ object StandardQueries {
         .filterBlockedDomains(compliant, "target_uri", bl, "domain")
         .groupBy("text").agg(F.min("target_uri").as("url"))
         .select("url", "text")
-        .orderBy("url")
-    },
+  }
+
+  /** The construction-inverse CTE chain shared by the two crawl-arc
+    * oracles: `ub` holds the surviving (text, url) capture rows. */
+  private def crawlCurationCtes: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |   CASE WHEN doc_id % 50 = 0 THEN '<p>ad</p>'
+       |    ELSE '<p>Café: ' || substr(text, 1, 40) || ' &amp; mirrored</p>' END AS html
+       |  FROM documents),
+       | x AS (SELECT doc_id, source,
+       |   trim(regexp_replace(replace(replace(replace(replace(replace(
+       |     regexp_replace(html, '<[^>]*>', ' ', 'g'),
+       |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+       |     '\\s+', ' ', 'g')) AS text
+       |  FROM d),
+       | urls AS (
+       |  SELECT text, 'http://cdn.' || source || '.example.com/p/' || doc_id AS url
+       |   FROM x WHERE doc_id % 25 <> 0
+       |  UNION ALL
+       |  SELECT text, 'http://example.org/mirror/' || doc_id FROM x WHERE doc_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT text, 'http://example.org/gz/' || doc_id FROM x),
+       | q AS (SELECT * FROM urls WHERE length(text) >= 10),
+       | ub AS (SELECT * FROM q WHERE url NOT LIKE 'http://cdn.src2.example.com/%')""".stripMargin
+
+  private def qCrawlCurationE2e = Q(
+    (s, dir) => crawlCuratedDocs(s, dir).orderBy("url"),
     Some {
-      s"""WITH d AS (SELECT doc_id, source,
-         |   CASE WHEN doc_id % 50 = 0 THEN '<p>ad</p>'
-         |    ELSE '<p>Café: ' || substr(text, 1, 40) || ' &amp; mirrored</p>' END AS html
-         |  FROM documents),
-         | x AS (SELECT doc_id, source,
-         |   trim(regexp_replace(replace(replace(replace(replace(replace(
-         |     regexp_replace(html, '<[^>]*>', ' ', 'g'),
-         |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
-         |     '\\s+', ' ', 'g')) AS text
-         |  FROM d),
-         | urls AS (
-         |  SELECT text, 'http://cdn.' || source || '.example.com/p/' || doc_id AS url
-         |   FROM x WHERE doc_id % 25 <> 0
-         |  UNION ALL
-         |  SELECT text, 'http://example.org/mirror/' || doc_id FROM x WHERE doc_id % 10 <> 0
-         |  UNION ALL
-         |  SELECT text, 'http://example.org/gz/' || doc_id FROM x),
-         | q AS (SELECT * FROM urls WHERE length(text) >= 10),
-         | ub AS (SELECT * FROM q WHERE url NOT LIKE 'http://cdn.src2.example.com/%')
+      s"""$crawlCurationCtes
          | SELECT min(url) AS url, text FROM ub GROUP BY text
          | ORDER BY url""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** CRAWL → TRAINING SHARDS, THE WHOLE ARC IN ONE HASH: the compliant
+    * curation pipeline of `crawl_curation_e2e` (file walk + envelope
+    * decode + extraction + quality/noindex/robots/blocklist + dedup)
+    * composed with the deterministic corpus shard sink
+    * ([[graft.pipeline.CorpusSink]]) and its read-back manifest
+    * verification — crawl bytes in, verified training shards out, the
+    * exact end-to-end a pretraining data job runs. The oracle replays
+    * BOTH halves from the construction inverse: the keeper set, then
+    * the md5 shard assignment and per-shard BIT_XOR content digest
+    * over `url \\t text` lines. */
+  private def qCrawlToCorpusShards = Q(
+    (s, dir) => {
+      val curated = crawlCuratedDocs(s, dir)
+      val base = new java.io.File(
+        s"target/tmp/crawl_shards_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val line = F.concat(F.col("url"), F.lit("\t"), F.col("text"))
+      graft.pipeline.CorpusSink.writeCorpusShards(
+        curated, line, F.col("url"), base.getAbsolutePath, 8)
+      graft.pipeline.CorpusSink.verifyShards(s, base.getAbsolutePath)
+        .orderBy("shard")
+    },
+    Some {
+      s"""$crawlCurationCtes,
+         | curated AS (SELECT min(url) AS url, text FROM ub GROUP BY text),
+         | l AS (SELECT url || chr(9) || text AS line,
+         |   CAST('0x' || substr(md5('shuffle:' || url), 9, 4) AS INTEGER) % 8 AS shard
+         |  FROM curated)
+         | SELECT shard, count(*) AS n_rows,
+         |  bit_xor(CAST('0x' || substr(md5(line), 1, 14) AS BIGINT)) AS digest,
+         |  true AS manifest_match
+         | FROM l GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")
     })
 
   /** ROBOTS.TXT COMPLIANCE ([[graft.pipeline.Urls.filterRobotsDisallowed]]):
@@ -7562,6 +7663,37 @@ object StandardQueries {
            |  bit_xor(CAST('0x' || substr(md5(line), 1, 14) AS BIGINT)) AS digest,
            |  true AS manifest_match
            | FROM l GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")))
+
+  /** SITEMAP DISCOVERY ([[graft.pipeline.Urls.robots_sitemaps]]):
+    * `Sitemap:` lines are GLOBAL robots.txt directives (sitemaps.org;
+    * RFC 9309 other-records) — valid anywhere in the file, any case,
+    * independent of user-agent groups — and are how a crawler seeds a
+    * site's URL frontier. The fixture plants them across group
+    * boundaries and case spellings; both engines run the identical
+    * regexp, so extraction is certified end to end. Map-only. */
+  private def qRobotsSitemaps = Q(
+    (s, dir) => {
+      val body = F.concat(
+        F.lit("User-agent: evilbot\nDisallow: /\nSitemap: https://"),
+        F.col("source"), F.lit(".example.com/sitemap.xml\n" +
+          "User-agent: *\nDisallow: /tmp\n# comment line\nSITEMAP: https://"),
+        F.col("source"), F.lit(".example.com/news/sitemap-"),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".xml.gz\n"))
+      t(s, dir, "documents").select(F.col("doc_id"),
+          F.explode(graft.pipeline.Urls.robots_sitemaps(body)).as("sitemap"))
+        .orderBy("doc_id", "sitemap")
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  'User-agent: evilbot' || chr(10) || 'Disallow: /' || chr(10) ||
+           |  'Sitemap: https://' || source || '.example.com/sitemap.xml' || chr(10) ||
+           |  'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+           |  '# comment line' || chr(10) ||
+           |  'SITEMAP: https://' || source || '.example.com/news/sitemap-' ||
+           |  CAST(doc_id % 3 AS VARCHAR) || '.xml.gz' || chr(10) AS txt
+           | FROM documents)
+           | SELECT doc_id, unnest(regexp_extract_all(txt,
+           |  '(?im)^\s*sitemap\s*:\s*(\S+)', 1)) AS sitemap
+           | FROM b ORDER BY doc_id, sitemap""".stripMargin.replaceAll("\n", " ")))
 
   /** CRAWL COMPLIANCE + CHARSET METADATA
     * ([[HtmlExtract.metaRobots]]/[[HtmlExtract.robotsNoindex]]/
@@ -9844,12 +9976,15 @@ object StandardQueries {
     "warc_http_dechunk" -> qWarcHttpDechunk,
     "warc_charset_decode" -> qWarcCharsetDecode,
     "warc_content_encoding" -> qWarcContentEncoding,
+    "warc_charset_bom" -> qWarcCharsetBom,
     "warc_file_http_extract" -> qWarcFileHttpExtract,
     "streaming_warc_file_scan" -> qStreamingWarcFileScan,
     "crawl_curation_e2e" -> qCrawlCurationE2e,
+    "crawl_to_corpus_shards" -> qCrawlToCorpusShards,
     "corpus_shard_sink" -> qCorpusShardSink,
     "html_meta_policy" -> qHtmlMetaPolicy,
     "robots_url_filter" -> qRobotsUrlFilter,
+    "robots_sitemaps" -> qRobotsSitemaps,
     "pii_scan" -> qPiiScan,
     "pii_redact" -> qPiiRedact,
     "pii_summary" -> qPiiSummary,

@@ -147,6 +147,16 @@ object Urls {
       .drop("__host", "__pq", "__rhost", "__rules")
   }
 
+  /** The sitemap URLs declared in a robots.txt body — `Sitemap:` lines
+    * are GLOBAL directives (sitemaps.org protocol; RFC 9309 carries
+    * them as other-records), valid anywhere in the file regardless of
+    * user-agent groups, name case-insensitive. The crawl-side seed
+    * discovery step beside the compliance filters. Pure codegen'd
+    * regexp (identical DuckDB spelling), map-only; NULL body → NULL. */
+  def robots_sitemaps(robotsTxt: Column): Column =
+    F.regexp_extract_all(robotsTxt,
+      F.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), F.lit(1))
+
   /** A host's dot-suffixes (`a.b.c` → `[a.b.c, b.c, c]`) — the bounded
     * equality-join key set for domain-blocklist matching (a host has at
     * most its label count of suffixes, ~≤10 in the wild). */

@@ -121,6 +121,18 @@ class UrlsSpec extends SparkSpec {
       Seq("D/ok"))
   }
 
+  test("robots_sitemaps: global directive, any group, any case; none -> empty") {
+    def maps(txt: String): Seq[String] =
+      Seq(Tuple1(txt)).toDF("t")
+        .select(Urls.robots_sitemaps(F.col("t"))).head().getSeq[String](0)
+    assert(maps("User-agent: bot\nDisallow: /\nSitemap: https://a/s.xml\n" +
+      "User-agent: *\nsitemap: https://a/s2.xml.gz\n") ==
+      Seq("https://a/s.xml", "https://a/s2.xml.gz"))
+    assert(maps("User-agent: *\nDisallow: /\n") == Seq())
+    // a mid-line mention is not a directive (anchored to line start)
+    assert(maps("# see Sitemap: https://a/x\nuse the sitemap: tool\n") == Seq())
+  }
+
   test("robots_matches: longest-match precedence — Allow carve-outs, Allow wins ties") {
     def disallowed(path: String, rules: Seq[String]): Boolean =
       Seq(Tuple1(path)).toDF("p")
