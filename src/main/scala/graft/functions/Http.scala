@@ -146,6 +146,26 @@ object Http {
   def decodeWith(bytes: Column, charset: Column): Column =
     exprColumn(DecodeWithCharset(columnExpr(bytes), columnExpr(charset)))
 
+  /** ALL payload-derived crawl columns in ONE imperative pass —
+    * `struct<status, content_type, content_encoding, charset, noindex,
+    * text>`. Semantically identical to composing the individual
+    * column functions ([[httpStatus]]/[[httpContentType]]/
+    * [[decodeContentCoding]]/[[bomCharsetOf]]/
+    * [[graft.pipeline.HtmlExtract.robotsNoindex]]/
+    * [[graft.pipeline.HtmlExtract.visibleText]] — HttpSpec pins
+    * field-for-field equivalence on every envelope shape), but ~100×
+    * cheaper: the composed COLUMN tree duplicates the latin-1 decode /
+    * dechunk / gunzip chain into every conditional branch (each
+    * `nullif`/`when` copies its subtree, and Spark's subexpression
+    * elimination cannot reach inside conditionals), so the `noindex`
+    * column alone re-derived the page ~40×; here each stage runs
+    * exactly once per record, with the header/meta regexes compiled
+    * once per JVM. This is [[graft.sources.WarcFiles.readCrawlText]]'s
+    * evaluation path; the small column functions remain the
+    * composable/oracle-transparent API. */
+  def crawlTextFields(payloadBytes: Column): Column =
+    exprColumn(CrawlTextFields(columnExpr(payloadBytes)))
+
   private val bomUtf8 = F.lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
   private val bomUtf16be = F.lit(Array(0xFE.toByte, 0xFF.toByte))
   private val bomUtf16le = F.lit(Array(0xFF.toByte, 0xFE.toByte))
@@ -170,6 +190,202 @@ object Http {
         F.substring(bytes, 1, 2) === bomUtf16le,
         F.substring(bytes, 3, Int.MaxValue))
       .otherwise(bytes)
+}
+
+/** One-pass crawl-field extractor — see [[Http.crawlTextFields]]. */
+case class CrawlTextFields(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CrawlTextFields.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "crawl_text_fields"
+
+  override def nullSafeEval(input: Any): Any =
+    CrawlTextFields.eval(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.CrawlTextFields.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CrawlTextFields =
+    copy(child = newChild)
+}
+
+object CrawlTextFields {
+  import java.util.regex.Pattern
+
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("content_type", StringType),
+      org.apache.spark.sql.types.StructField("content_encoding", StringType),
+      org.apache.spark.sql.types.StructField("charset", StringType),
+      org.apache.spark.sql.types.StructField("noindex",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("text", StringType)))
+
+  // every pattern is the EXACT spelling of its column-function twin
+  // (HttpSpec pins equivalence), compiled once per JVM
+  private val pStatus = Pattern.compile("^HTTP/[0-9.]+ ([0-9]{3})")
+  private val pContentType =
+    Pattern.compile("(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]+)")
+  private val pTransferEnc =
+    Pattern.compile("(?i)\\r\\ntransfer-encoding:[ \\t]*([^\\r\\n]+)")
+  private val pContentEnc =
+    Pattern.compile("(?i)\\r\\ncontent-encoding:[ \\t]*([^\\r\\n]+)")
+  private val pResidual = Pattern.compile(",?\\s*chunked\\s*$")
+  private val pHeaderCharset =
+    Pattern.compile("(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_-]+)")
+  private val pMetaCharset = Seq(
+    Pattern.compile("(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)"),
+    Pattern.compile("(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)"),
+    Pattern.compile("(?i)<meta\\s[^>]*content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_-]+)[^\"']*[\"'][^>]*http-equiv\\s*=\\s*[\"']content-type[\"']"))
+  private val pMetaRobots = Seq(
+    Pattern.compile("(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"),
+    Pattern.compile("(?i)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"))
+  private val pTags = Pattern.compile("<[^>]*>")
+  private val pWs = Pattern.compile("\\s+")
+
+  /** regexp_extract twin: group 1 at the first find, "" on no match. */
+  private def rx(p: Pattern, s: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) { val g = m.group(1); if (g == null) "" else g } else ""
+  }
+
+  /** Spark `trim` twin: spaces (0x20) only — NOT java's <=0x20 trim. */
+  private def trimSp(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  private def nullIfEmpty(s: String): String =
+    if (s == null || s.isEmpty) null else s
+
+  /** headerValue twin over the pre-split head block; null when absent. */
+  private def header(p: Pattern, head: String): String =
+    nullIfEmpty(trimSp(rx(p, head)))
+
+  def eval(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val latin = new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val isHttp = latin.startsWith("HTTP/")
+    val sep = latin.indexOf("\r\n\r\n")
+
+    // status: anchored find over the full payload; "" -> null
+    val statusStr = if (isHttp) nullIfEmpty(rx(pStatus, latin)) else null
+    val status: Any =
+      if (statusStr == null) null else Integer.valueOf(statusStr.toInt)
+
+    // header block (never the body); non-HTTP payloads have no headers
+    val head = if (!isHttp) null else if (sep < 0) latin else latin.substring(0, sep)
+    val ct = if (head == null) null else header(pContentType, head)
+    val te = if (head == null) null
+      else { val v = header(pTransferEnc, head)
+        if (v == null) null else v.toLowerCase(java.util.Locale.ROOT) }
+    val ce = if (head == null) null
+      else { val v = header(pContentEnc, head)
+        if (v == null) null else v.toLowerCase(java.util.Locale.ROOT) }
+
+    // body BYTES: latin-1 is a char<->byte bijection, so slicing the
+    // raw payload equals encode(substr(latin), latin-1)
+    val raw: Array[Byte] =
+      if (!isHttp) payload
+      else if (sep < 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+
+    // outer chunked framing first (final coding per RFC 9112)
+    val chunked = te != null && te.split(",\\s*", -1).last == "chunked"
+    val dechunked = if (chunked) HttpDechunk.decodeBytes(raw) else raw
+
+    // residual codings: content-encoding, then transfer minus chunked
+    val residual =
+      if (te == null) null
+      else nullIfEmpty(trimSp(pResidual.matcher(te).replaceAll("")))
+    val coding =
+      if (ce == null && residual == null) null
+      else if (ce == null) residual
+      else if (residual == null) ce
+      else ce + ", " + residual
+    val body =
+      if (coding == null) dechunked
+      else if (dechunked == null) null
+      else DecodeContentCoding.decode(dechunked, UTF8String.fromString(coding))
+
+    // charset: BOM > header param > meta declaration > utf-8 default
+    val bom =
+      if (body == null) null
+      else if (body.length >= 3 && body(0) == 0xEF.toByte &&
+        body(1) == 0xBB.toByte && body(2) == 0xBF.toByte) "utf-8"
+      else if (body.length >= 2 && body(0) == 0xFE.toByte &&
+        body(1) == 0xFF.toByte) "utf-16be"
+      else if (body.length >= 2 && body(0) == 0xFF.toByte &&
+        body(1) == 0xFE.toByte) "utf-16le"
+      else null
+    val headerCs =
+      if (ct == null) null
+      else { val v = nullIfEmpty(rx(pHeaderCharset, ct))
+        if (v == null) null else v.toLowerCase(java.util.Locale.ROOT) }
+    val metaCs =
+      if (body == null) null
+      else {
+        val bodyLatin =
+          new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var found: String = null
+        val it = pMetaCharset.iterator
+        while (found == null && it.hasNext)
+          found = nullIfEmpty(rx(it.next(), bodyLatin))
+        if (found == null) null else found.toLowerCase(java.util.Locale.ROOT)
+      }
+    val charset =
+      if (bom != null) bom
+      else if (headerCs != null) headerCs
+      else if (metaCs != null) metaCs
+      else "utf-8"
+
+    val sansBom =
+      if (body == null) null
+      else if (bom == "utf-8") java.util.Arrays.copyOfRange(body, 3, body.length)
+      else if (bom != null) java.util.Arrays.copyOfRange(body, 2, body.length)
+      else body
+    val pageU =
+      if (sansBom == null) null
+      else DecodeWithCharset.decode(sansBom, UTF8String.fromString(charset))
+    val page = if (pageU == null) null else pageU.toString
+
+    // meta-robots noindex/none; null page -> false
+    val noindex =
+      if (page == null) false
+      else {
+        var dirs: String = null
+        val it = pMetaRobots.iterator
+        while (dirs == null && it.hasNext) dirs = nullIfEmpty(rx(it.next(), page))
+        dirs != null && dirs.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s*,\\s*", -1).exists(d => d == "noindex" || d == "none")
+      }
+
+    // visible text: tags -> numeric entities -> named set -> collapse
+    val text: UTF8String =
+      if (page == null) null
+      else {
+        val stripped = pTags.matcher(page).replaceAll(" ")
+        val numeric = graft.functions.HtmlEntitiesUtil
+          .decode(UTF8String.fromString(stripped)).toString
+        val named = numeric
+          .replace("&lt;", "<").replace("&gt;", ">")
+          .replace("&quot;", "\"").replace("&nbsp;", " ")
+          .replace("&amp;", "&")
+        UTF8String.fromString(trimSp(pWs.matcher(named).replaceAll(" ")))
+      }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](status,
+        if (ct == null) null else UTF8String.fromString(ct),
+        if (coding == null) null else UTF8String.fromString(coding),
+        UTF8String.fromString(charset),
+        noindex,
+        text))
+  }
 }
 
 /** Content/transfer-coding decoder — see [[Http.decodeContentCoding]]. */

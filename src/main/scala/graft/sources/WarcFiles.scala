@@ -178,44 +178,28 @@ object WarcFiles {
       maxRecordBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     import graft.functions.Http
-    // CHARSET-CORRECT framing: every structural step runs on the
-    // ISO-8859-1 view of the raw payload bytes — latin-1 is a
-    // char↔byte BIJECTION, so header parsing, the blank-line split
-    // and the re-encode back to exact body bytes are all byte-true
-    // even when the page isn't UTF-8. Chunked bodies reassemble on
-    // RAW bytes (sizes count original bytes), compressed bodies
-    // decompress on RAW bytes, THEN the resolved charset decodes.
-    val latin = F.decode(F.col("payload_bytes"), "ISO-8859-1")
-    val ct = Http.httpContentType(latin)
-    val rawBody = F.encode(Http.httpBody(latin), "ISO-8859-1")
-    val dechunked = F.when(Http.isChunked(latin),
-      Http.dechunkBytes(rawBody)).otherwise(rawBody)
-    // one combined coding list: content-encoding first, residual
-    // transfer coding last — decodeContentCoding applies right-to-left,
-    // so the transfer layer strips before the content layer
-    val coding = F.nullif(F.concat_ws(", ",
-      Http.contentEncodingOf(latin),
-      Http.residualTransferCoding(latin)), F.lit(""))
-    val bodyBytes = F.when(coding.isNull, dechunked)
-      .otherwise(Http.decodeContentCoding(dechunked, coding))
-    val bodyLatin = F.decode(bodyBytes, "ISO-8859-1")
-    // WHATWG precedence: BOM > header param > meta declaration >
-    // utf-8 default (a UTF-16 page's meta tag is unreadable before
-    // decoding — the BOM is the only signal that catches it; and a
-    // BOM-stamped page decoded per a wrong header is mojibake)
-    val charset = F.coalesce(Http.bomCharsetOf(bodyBytes),
-      Http.charsetOf(ct),
-      graft.pipeline.HtmlExtract.metaCharset(bodyLatin), F.lit("utf-8"))
-    val page = Http.decodeWith(Http.stripBom(bodyBytes), charset)
-    readRecords(spark, path, maxRecordBytes)
+    // ONE native pass per record ([[graft.functions.CrawlTextFields]]):
+    // latin-1 framing (a char↔byte bijection, so header parsing and
+    // body slicing are byte-true), dechunk, content-coding
+    // decompression, BOM→header→meta→utf-8 charset resolution, decode,
+    // meta-robots, extraction. Composing the individual column
+    // functions here instead would duplicate the decode chain into
+    // every conditional branch of every derived column (subexpression
+    // elimination cannot reach inside conditionals) — measured ~40
+    // page re-derivations per record through the `noindex` column
+    // alone; the struct is computed once and its fields are cheap
+    // extractions. HttpSpec pins the struct field-for-field equal to
+    // the composed column functions on every envelope shape.
+    val staged = readRecords(spark, path, maxRecordBytes)
       .filter(F.col("warc_type") === "response")
-      .select(F.col("path"), F.col("target_uri"),
-        Http.httpStatus(latin).as("status"),
-        ct.as("content_type"),
-        coding.as("content_encoding"),
-        charset.as("charset"),
-        graft.pipeline.HtmlExtract.robotsNoindex(page).as("noindex"),
-        graft.pipeline.HtmlExtract.visibleText(page).as("text"))
+      .withColumn("__crawl", Http.crawlTextFields(F.col("payload_bytes")))
+    staged.select(F.col("path"), F.col("target_uri"),
+      F.col("__crawl").getField("status").as("status"),
+      F.col("__crawl").getField("content_type").as("content_type"),
+      F.col("__crawl").getField("content_encoding").as("content_encoding"),
+      F.col("__crawl").getField("charset").as("charset"),
+      F.col("__crawl").getField("noindex").as("noindex"),
+      F.col("__crawl").getField("text").as("text"))
   }
 
   /** Wrap in a streaming gunzip when the first two bytes are the gzip

@@ -168,6 +168,86 @@ class HttpSpec extends SparkSpec {
     assert(bom(Array(0xEF.toByte))._1 == null)
   }
 
+  test("crawlTextFields: field-for-field equal to the composed column functions") {
+    import graft.pipeline.HtmlExtract
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    val payloads: Seq[Array[Byte]] = Seq(
+      // plain response
+      b("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<p>plain &amp; simple</p>"),
+      // chunked
+      b("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\n<p>a \r\n4\r\nb</p\r\n1\r\n>\r\n0\r\n\r\n"),
+      // gzip content coding
+      b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: gzip\r\n\r\n") ++ gz("<p>coded</p>"),
+      // gzip, chunked (residual transfer coding under the framing)
+      {
+        val inner = gz("<p>double</p>")
+        b("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n") ++
+          b(f"${inner.length}%x\r\n") ++ inner ++ b("\r\n0\r\n\r\n")
+      },
+      // unknown coding -> NULL text
+      b("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n") ++ Array[Byte](1, 2, 3),
+      // latin-1 page declared by header
+      b("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n") ++
+        "<p>café mañana</p>".getBytes("ISO-8859-1"),
+      // charset only in the page's meta
+      b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><head><meta charset=\"windows-1252\"></head><body>x</body></html>"),
+      // UTF-16LE BOM, no declaration anywhere else
+      b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n") ++
+        Array(0xFF.toByte, 0xFE.toByte) ++ "<p>bom</p>".getBytes("UTF-16LE"),
+      // UTF-8 BOM behind a LYING header
+      b("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n") ++
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "<p>é</p>".getBytes("UTF-8"),
+      // noindex page, reversed-attribute meta, 'none' shorthand
+      b("HTTP/1.1 200 OK\r\n\r\n<meta name=\"robots\" content=\"NOINDEX, follow\"><p>out</p>"),
+      b("HTTP/1.1 200 OK\r\n\r\n<meta content=\"none\" name='robots'><p>out2</p>"),
+      // bare html (no envelope), headers-only, unparseable status
+      b("<p>bare &lt;html&gt;</p>"),
+      b("HTTP/1.1 304 Not Modified\r\nContent-Type: text/plain"),
+      b("HTTP/1.1 weird\r\nContent-Type: a/b\r\n\r\npayload"),
+      // malformed chunked framing -> NULL text
+      b("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nxx\r\n0\r\n\r\n"))
+    val df = payloads.map(Tuple1(_)).toDF("payload_bytes")
+    // the composed COLUMN chain (the oracle-transparent spelling)
+    val latin = F.decode(F.col("payload_bytes"), "ISO-8859-1")
+    val ct = Http.httpContentType(latin)
+    val rawBody = F.encode(Http.httpBody(latin), "ISO-8859-1")
+    val dechunked = F.when(Http.isChunked(latin),
+      Http.dechunkBytes(rawBody)).otherwise(rawBody)
+    val coding = F.nullif(F.concat_ws(", ",
+      Http.contentEncodingOf(latin),
+      Http.residualTransferCoding(latin)), F.lit(""))
+    val bodyBytes = F.when(coding.isNull, dechunked)
+      .otherwise(Http.decodeContentCoding(dechunked, coding))
+    val charset = F.coalesce(Http.bomCharsetOf(bodyBytes),
+      Http.charsetOf(ct),
+      HtmlExtract.metaCharset(F.decode(bodyBytes, "ISO-8859-1")),
+      F.lit("utf-8"))
+    val page = Http.decodeWith(Http.stripBom(bodyBytes), charset)
+    val composed = df.select(
+      Http.httpStatus(latin).as("status"),
+      ct.as("content_type"),
+      coding.as("content_encoding"),
+      charset.as("charset"),
+      HtmlExtract.robotsNoindex(page).as("noindex"),
+      HtmlExtract.visibleText(page).as("text"))
+    val native = df.select(Http.crawlTextFields(F.col("payload_bytes")).as("f"))
+      .select(F.col("f").getField("status").as("status"),
+        F.col("f").getField("content_type").as("content_type"),
+        F.col("f").getField("content_encoding").as("content_encoding"),
+        F.col("f").getField("charset").as("charset"),
+        F.col("f").getField("noindex").as("noindex"),
+        F.col("f").getField("text").as("text"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(v => Option(v))).toSeq
+    assert(rows(native) == rows(composed))
+  }
+
   test("null passes through") {
     val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("p")
       .select(Http.httpBody(F.col("p")), Http.httpStatus(F.col("p")),
