@@ -481,6 +481,14 @@ object ScaleProbe {
       while (sb.length < (1 << 20)) sb.append(unit)
       val body = sb.toString // ~1 MiB per record, ASCII
       val out = new java.io.FileOutputStream(f)
+      // close() (not finish()) each member stream: close ends the
+      // native Deflater — finish-only would pile up 3000 un-ended
+      // deflaters' native buffers inside a probe that exists to
+      // measure memory boundedness. The shield keeps the shared file
+      // stream open across members.
+      val shield = new java.io.FilterOutputStream(out) {
+        override def close(): Unit = flush()
+      }
       var decompressed = 0L
       try {
         var i = 0
@@ -490,8 +498,8 @@ object ScaleProbe {
             s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n")
             .getBytes("US-ASCII")
           decompressed += rec.length
-          val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
-          gz.write(rec); gz.finish()
+          val gz = new java.util.zip.GZIPOutputStream(shield, 1 << 16)
+          gz.write(rec); gz.close()
           i += 1
         }
       } finally out.close()

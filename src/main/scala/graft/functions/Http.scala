@@ -31,6 +31,17 @@ object Http {
 
   private val Sep = "\r\n\r\n"
 
+  // the regex spellings, shared with [[CrawlTextFields]]'s one-pass
+  // twin BY CONSTRUCTION (a future grammar change cannot
+  // desynchronize the native fast path from this composable API)
+  private[graft] val statusPattern = "^HTTP/[0-9.]+ ([0-9]{3})"
+  private[graft] def headerPattern(name: String): String =
+    "(?i)\\r\\n" + name + ":[ \\t]*([^\\r\\n]+)"
+  private[graft] val charsetParamPattern =
+    "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_-]+)"
+  private[graft] val residualChunkedPattern = ",?\\s*chunked\\s*$"
+  private[graft] val teListSplitPattern = ",\\s*"
+
   private def isHttp(payload: Column): Column = payload.startsWith("HTTP/")
 
   /** 1-based index of the header/body separator; 0 when absent. */
@@ -47,7 +58,7 @@ object Http {
   /** The status code (e.g. 200) from the status line; NULL for
     * non-HTTP payloads or an unparseable status line. */
   def httpStatus(payload: Column): Column =
-    F.nullif(F.regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1),
+    F.nullif(F.regexp_extract(payload, statusPattern, 1),
       F.lit("")).cast("int")
 
   /** The Content-Type header value (case-insensitive name match,
@@ -68,8 +79,8 @@ object Http {
     val head = F.when(sepIdx(payload) === 0, payload)
       .otherwise(payload.substr(F.lit(1), sepIdx(payload) - 1))
     F.when(isHttp(payload),
-      F.nullif(F.trim(F.regexp_extract(head,
-        "(?i)\\r\\n" + name + ":[ \\t]*([^\\r\\n]+)", 1)), F.lit("")))
+      F.nullif(F.trim(F.regexp_extract(head, headerPattern(name), 1)),
+        F.lit("")))
   }
 
   /** Decode an HTTP/1.1 CHUNKED body (RFC 9112 §7.1): size-hex line
@@ -89,7 +100,7 @@ object Http {
     * [[graft.pipeline.HtmlExtract.metaCharset]], then a sniff. */
   def charsetOf(contentType: Column): Column =
     F.lower(F.nullif(F.regexp_extract(contentType,
-      "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_-]+)", 1), F.lit("")))
+      charsetParamPattern, 1), F.lit("")))
 
   /** [[dechunk]] over RAW BYTES (binary in, binary out) — required
     * when the body's charset is not yet known: chunk sizes count
@@ -103,7 +114,8 @@ object Http {
     * must be de-framed first (equality against the whole value would
     * miss it and leak hex size lines into the text). */
   def isChunked(payload: Column): Column =
-    F.element_at(F.split(httpTransferEncoding(payload), ",\\s*"), -1) === "chunked"
+    F.element_at(F.split(httpTransferEncoding(payload),
+      teListSplitPattern), -1) === "chunked"
 
   /** The body ready for text processing: [[dechunk]]ed when the
     * response's final transfer coding is chunked, raw otherwise. */
@@ -127,7 +139,7 @@ object Http {
     * applied to the reassembled body). NULL when nothing residual. */
   def residualTransferCoding(payload: Column): Column =
     F.nullif(F.trim(F.regexp_replace(httpTransferEncoding(payload),
-      ",?\\s*chunked\\s*$", "")), F.lit(""))
+      residualChunkedPattern, "")), F.lit(""))
 
   /** Decode a CONTENT/TRANSFER CODING list over raw body bytes:
     * codings apply right-to-left (the sender applied them left-to-
@@ -223,27 +235,29 @@ object CrawlTextFields {
         org.apache.spark.sql.types.BooleanType, nullable = false),
       org.apache.spark.sql.types.StructField("text", StringType)))
 
-  // every pattern is the EXACT spelling of its column-function twin
-  // (HttpSpec pins equivalence), compiled once per JVM
-  private val pStatus = Pattern.compile("^HTTP/[0-9.]+ ([0-9]{3})")
-  private val pContentType =
-    Pattern.compile("(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]+)")
+  // every pattern is compiled ONCE per JVM from the SAME string
+  // constants the column functions use — shared by construction, so
+  // the two spellings cannot drift (HttpSpec additionally pins
+  // field-for-field equivalence)
+  private val pStatus = Pattern.compile(Http.statusPattern)
+  private val pContentType = Pattern.compile(Http.headerPattern("content-type"))
   private val pTransferEnc =
-    Pattern.compile("(?i)\\r\\ntransfer-encoding:[ \\t]*([^\\r\\n]+)")
+    Pattern.compile(Http.headerPattern("transfer-encoding"))
   private val pContentEnc =
-    Pattern.compile("(?i)\\r\\ncontent-encoding:[ \\t]*([^\\r\\n]+)")
-  private val pResidual = Pattern.compile(",?\\s*chunked\\s*$")
-  private val pHeaderCharset =
-    Pattern.compile("(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_-]+)")
-  private val pMetaCharset = Seq(
-    Pattern.compile("(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)"),
-    Pattern.compile("(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)"),
-    Pattern.compile("(?i)<meta\\s[^>]*content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_-]+)[^\"']*[\"'][^>]*http-equiv\\s*=\\s*[\"']content-type[\"']"))
-  private val pMetaRobots = Seq(
-    Pattern.compile("(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"),
-    Pattern.compile("(?i)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"))
-  private val pTags = Pattern.compile("<[^>]*>")
-  private val pWs = Pattern.compile("\\s+")
+    Pattern.compile(Http.headerPattern("content-encoding"))
+  private val pResidual = Pattern.compile(Http.residualChunkedPattern)
+  private val pHeaderCharset = Pattern.compile(Http.charsetParamPattern)
+  private val pMetaCharset =
+    graft.pipeline.HtmlExtract.metaCharsetPatterns.map(Pattern.compile)
+  private val pMetaRobots =
+    graft.pipeline.HtmlExtract.metaRobotsPatterns.map(Pattern.compile)
+  private val pTags = Pattern.compile(graft.pipeline.HtmlExtract.tagPattern)
+  private val pWs = Pattern.compile(graft.pipeline.HtmlExtract.wsPattern)
+  // String.split(regex) recompiles per call — precompile the two
+  // per-row list splitters
+  private val pTeList = Pattern.compile(Http.teListSplitPattern)
+  private val pDirList =
+    Pattern.compile(graft.pipeline.HtmlExtract.directiveSplitPattern)
 
   /** regexp_extract twin: group 1 at the first find, "" on no match. */
   private def rx(p: Pattern, s: String): String = {
@@ -295,7 +309,7 @@ object CrawlTextFields {
       else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
 
     // outer chunked framing first (final coding per RFC 9112)
-    val chunked = te != null && te.split(",\\s*", -1).last == "chunked"
+    val chunked = te != null && pTeList.split(te, -1).last == "chunked"
     val dechunked = if (chunked) HttpDechunk.decodeBytes(raw) else raw
 
     // residual codings: content-encoding, then transfer minus chunked
@@ -327,7 +341,7 @@ object CrawlTextFields {
       else { val v = nullIfEmpty(rx(pHeaderCharset, ct))
         if (v == null) null else v.toLowerCase(java.util.Locale.ROOT) }
     val metaCs =
-      if (body == null) null
+      if (body == null || bom != null || headerCs != null) null
       else {
         val bodyLatin =
           new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -360,8 +374,9 @@ object CrawlTextFields {
         var dirs: String = null
         val it = pMetaRobots.iterator
         while (dirs == null && it.hasNext) dirs = nullIfEmpty(rx(it.next(), page))
-        dirs != null && dirs.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s*,\\s*", -1).exists(d => d == "noindex" || d == "none")
+        dirs != null && pDirList
+          .split(dirs.toLowerCase(java.util.Locale.ROOT), -1)
+          .exists(d => d == "noindex" || d == "none")
       }
 
     // visible text: tags -> numeric entities -> named set -> collapse
@@ -371,10 +386,8 @@ object CrawlTextFields {
         val stripped = pTags.matcher(page).replaceAll(" ")
         val numeric = graft.functions.HtmlEntitiesUtil
           .decode(UTF8String.fromString(stripped)).toString
-        val named = numeric
-          .replace("&lt;", "<").replace("&gt;", ">")
-          .replace("&quot;", "\"").replace("&nbsp;", " ")
-          .replace("&amp;", "&")
+        val named = graft.pipeline.HtmlExtract.entities
+          .foldLeft(numeric) { case (acc, (e, ch)) => acc.replace(e, ch) }
         UTF8String.fromString(trimSp(pWs.matcher(named).replaceAll(" ")))
       }
 

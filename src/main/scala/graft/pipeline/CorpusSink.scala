@@ -46,8 +46,15 @@ object CorpusSink {
   def writeCorpusShards(df: DataFrame, line: Column, key: Column,
       path: String, numShards: Int, salt: String = "shuffle"): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // an embedded CR/LF would split one corpus row into two file lines
+    // — and because the manifest is computed from the WRITTEN files,
+    // verification would then CERTIFY the corrupted output. Fail
+    // LOUDLY during the write pass instead (zero extra scans).
+    val checked = F.when(line.rlike("[\\r\\n]"),
+      F.raise_error(F.concat(F.lit("corpus line contains CR/LF near key="),
+        key.cast("string")))).otherwise(line)
     Sampling.deterministicShuffle(
-        df.select(line.as("line"), key.as("__k")), F.col("__k"), numShards, salt)
+        df.select(checked.as("line"), key.as("__k")), F.col("__k"), numShards, salt)
       .repartition(numShards, F.col("shard"))
       .sortWithinPartitions("shard", "pos")
       .select("line", "shard")
@@ -59,11 +66,19 @@ object CorpusSink {
   }
 
   /** Read a shard directory back as `(shard, line)` — gzip decode and
-    * `shard=N` partition discovery are the text source's own. */
-  def readShards(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .select(F.col("shard").cast("int").as("shard"),
+    * `shard=N` partition discovery are the text source's own. An
+    * all-rows-filtered corpus writes NO shard directories (partition
+    * discovery then finds no `shard` column) — that legitimate edge
+    * yields an empty frame, not an UNRESOLVED_COLUMN crash. */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    if (!raw.columns.contains("shard"))
+      raw.select(F.lit(0).cast("int").as("shard"),
+        F.col("value").as("line")).where(F.lit(false))
+    else
+      raw.select(F.col("shard").cast("int").as("shard"),
         F.col("value").as("line"))
+  }
 
   /** Per-shard `(shard, n_rows, digest)` of a `(shard, line)` frame. */
   def manifestOf(shards: DataFrame): DataFrame =
@@ -77,7 +92,16 @@ object CorpusSink {
     * shard on either side is a mismatch row, never a silent drop. */
   def verifyShards(spark: SparkSession, path: String): DataFrame = {
     val got = manifestOf(readShards(spark, path))
-    val man = spark.read.json(path + "/_manifest")
+    // explicit schema: an EMPTY manifest (empty corpus) has nothing to
+    // infer from, and inference would throw instead of verifying
+    val manSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("digest",
+        org.apache.spark.sql.types.LongType)))
+    val man = spark.read.schema(manSchema).json(path + "/_manifest")
       .select(F.col("shard").cast("int").as("m_shard"),
         F.col("n_rows").cast("long").as("m_rows"),
         F.col("digest").cast("long").as("m_digest"))

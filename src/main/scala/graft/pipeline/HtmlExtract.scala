@@ -47,9 +47,29 @@ object HtmlExtract {
   val minWords = 10
   val maxLinkDensity = 0.25
 
-  private val entities: Seq[(String, String)] = Seq(
+  /** The frozen named-entity chain (&amp; LAST: never double-decode).
+    * Shared with [[graft.functions.CrawlTextFields]]'s one-pass twin
+    * so the two spellings cannot drift. */
+  private[graft] val entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: never double-decode
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The meta-robots / meta-charset / directive-split spellings,
+    * shared with [[graft.functions.CrawlTextFields]] BY CONSTRUCTION
+    * (a future grammar widening cannot desynchronize the native fast
+    * path from this composable API). */
+  private[graft] val metaRobotsPatterns: Seq[String] = Seq(
+    "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']")
+  private[graft] val metaCharsetPatterns: Seq[String] = Seq(
+    "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)",
+    "(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)",
+    // attribute order varies in the wild: content before http-equiv
+    // (mirrors metaRobots' both-orders rule)
+    "(?i)<meta\\s[^>]*content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_-]+)[^\"']*[\"'][^>]*http-equiv\\s*=\\s*[\"']content-type[\"']")
+  private[graft] val directiveSplitPattern: String = "\\s*,\\s*"
+  private[graft] val tagPattern: String = "<[^>]*>"
+  private[graft] val wsPattern: String = "\\s+"
 
   /** regexp_extract yields "" (not NULL) on no match, so each branch
     * must nullif before the fallback chain. */
@@ -64,15 +84,13 @@ object HtmlExtract {
     * whose directives contain `noindex` ([[robotsNoindex]]). Pure
     * regexp, map-only. */
   def metaRobots(html: Column): Column =
-    F.lower(firstMatch(html,
-      "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
-      "(?i)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"))
+    F.lower(firstMatch(html, metaRobotsPatterns: _*))
 
   /** TRUE when the page opts out of indexing (`noindex` or the `none`
     * shorthand among its robots directives) — the compliance filter a
     * crawl pipeline applies before any content use. */
   def robotsNoindex(html: Column): Column = {
-    val dirs = F.split(metaRobots(html), "\\s*,\\s*")
+    val dirs = F.split(metaRobots(html), directiveSplitPattern)
     F.coalesce(
       F.array_contains(dirs, "noindex") || F.array_contains(dirs, "none"),
       F.lit(false))
@@ -85,13 +103,7 @@ object HtmlExtract {
     * [[graft.functions.Http.charsetOf]]); a real decoder prefers the
     * HTTP header, then this, then a sniff. */
   def metaCharset(html: Column): Column =
-    F.lower(firstMatch(html,
-      "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)",
-      "(?i)<meta\\s[^>]*http-equiv\\s*=\\s*[\"']content-type[\"'][^>]*charset=([A-Za-z0-9_-]+)",
-      // attribute order varies in the wild: content before http-equiv
-      // (mirrors metaRobots' both-orders rule — order-one-only would
-      // silently decode these pages as the utf-8 default)
-      "(?i)<meta\\s[^>]*content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_-]+)[^\"']*[\"'][^>]*http-equiv\\s*=\\s*[\"']content-type[\"']"))
+    F.lower(firstMatch(html, metaCharsetPatterns: _*))
 
   /** Visible text of an HTML fragment: strip tags to spaces, decode
     * numeric character references (`&#NN;`/`&#xNN;` — one native pass,
@@ -108,12 +120,12 @@ object HtmlExtract {
     * never single-decode. `&#38;#39;` therefore yields the literal
     * `&#39;`, symmetric with the `&amp;#39;` guarantee. */
   def visibleText(html: Column): Column = {
-    val stripped = F.regexp_replace(html, "<[^>]*>", " ")
+    val stripped = F.regexp_replace(html, tagPattern, " ")
     val numeric = graft.functions.HtmlEntities.decodeNumericEntities(stripped)
     val decoded = entities.foldLeft(numeric) { case (c, (e, ch)) =>
       F.replace(c, F.lit(e), F.lit(ch))
     }
-    F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    F.trim(F.regexp_replace(decoded, wsPattern, " "))
   }
 
   /** Per-block classification table: one row per non-empty text block,

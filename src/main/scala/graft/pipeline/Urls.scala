@@ -120,8 +120,8 @@ object Urls {
     * MAP-ONLY on the (small) robots side and aggregate per host; the
     * join is host-equality with the same broadcast-budget-or-shuffle
     * degrade as [[filterBlockedDomains]] (the parsed per-host frame is
-    * persisted once, so the budget count and the join share one
-    * computation of the robots lineage); the per-row check is
+    * computed ONCE through a transient cache that is released before
+    * this returns — see `localizeIfSmall`); the per-row check is
     * [[robots_matches]] over that host's bounded rule array. */
   def filterRobotsDisallowed(df: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, txtCol: String,
@@ -132,12 +132,7 @@ object Urls {
       .filter(F.col("__rhost").isNotNull && F.size(F.col("__rules")) > 0)
       .groupBy("__rhost")
       .agg(F.flatten(F.collect_list(F.col("__rules"))).as("__rules"))
-      // persist BEFORE the budget count: the count and the join would
-      // otherwise each recompute the robots side's full upstream
-      // lineage (robots is often a derived frame, not a bare scan)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rulesSide =
-      if (rules.count() <= broadcastMaxEntries) F.broadcast(rules) else rules
+    val rulesSide = localizeIfSmall(rules, broadcastMaxEntries)
     val keyed = df
       .withColumn("__host", urlHost(F.col(urlCol)))
       .withColumn("__pq", urlPathQuery(F.col(urlCol)))
@@ -156,6 +151,30 @@ object Urls {
   def robots_sitemaps(robotsTxt: Column): Column =
     F.regexp_extract_all(robotsTxt,
       F.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), F.lit(1))
+
+  /** The broadcast-budget-or-shuffle degrade both crawl filters share:
+    * compute the (derived) small side ONCE through a bounded transient
+    * cache — persist, count, and when within budget COLLECT it into a
+    * LocalRelation (no heavier than the broadcast join itself, which
+    * gathers the same rows on the driver) and release the cache
+    * immediately; past budget, release the cache and return the plan
+    * for a shuffle hash join (a side that large is exactly what you
+    * do NOT want pinned in executor storage). Nothing stays persisted
+    * after this returns — earlier drafts leaked one cache entry per
+    * call for the life of the session. */
+  private def localizeIfSmall(small: DataFrame,
+      broadcastMaxEntries: Long): DataFrame = {
+    small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = small.count()
+    if (n <= broadcastMaxEntries) {
+      val rows = java.util.Arrays.asList(small.collect(): _*)
+      small.unpersist(blocking = false)
+      F.broadcast(small.sparkSession.createDataFrame(rows, small.schema))
+    } else {
+      small.unpersist(blocking = false)
+      small
+    }
+  }
 
   /** A host's dot-suffixes (`a.b.c` → `[a.b.c, b.c, c]`) — the bounded
     * equality-join key set for domain-blocklist matching (a host has at
@@ -193,11 +212,7 @@ object Urls {
     val bl = blocklist
       .select(F.lower(F.col(domainCol)).as("__bdom"))
       .filter(F.col("__bdom").isNotNull).distinct()
-      // persist BEFORE the budget count: the count and the join would
-      // otherwise each recompute the blocklist's full upstream lineage
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blSide =
-      if (bl.count() <= broadcastMaxEntries) F.broadcast(bl) else bl
+    val blSide = localizeIfSmall(bl, broadcastMaxEntries)
     val blockedHosts = keyed
       .select(F.col("__host"), F.explode(hostSuffixes(F.col("__host"))).as("__suf"))
       .join(blSide, F.col("__suf") === F.col("__bdom"))
@@ -248,7 +263,8 @@ object RobotsMatch {
 
   /** RFC 9309 §2.2.2 precedence walk: each rule carries its kind
     * marker (`A`/`D`) first; among matching rules the longest PATTERN
-    * wins, `Allow` wins ties, no match → allowed (false). */
+    * wins — measured in OCTETS (UTF-8 bytes), the RFC's unit, not
+    * UTF-16 chars — `Allow` wins ties, no match → allowed (false). */
   def anyMatch(path: UTF8String, rules: ArrayData): Boolean = {
     val p = path.toString
     var bestLen = -1
@@ -256,12 +272,16 @@ object RobotsMatch {
     var i = 0
     while (i < rules.numElements()) {
       if (!rules.isNullAt(i)) {
-        val r = rules.getUTF8String(i).toString
+        val ru = rules.getUTF8String(i)
+        val r = ru.toString
         val allow = r.charAt(0) == 'A'
         val pat = r.substring(1)
+        // UTF8String stores UTF-8: its byte count minus the one-byte
+        // ASCII marker IS the pattern's octet length — no re-encode
+        val octets = ru.numBytes() - 1
         if (ruleMatches(p, pat) &&
-          (pat.length > bestLen || (pat.length == bestLen && allow))) {
-          bestLen = pat.length
+          (octets > bestLen || (octets == bestLen && allow))) {
+          bestLen = octets
           bestAllow = allow
         }
       }

@@ -47,6 +47,28 @@ class CorpusSinkSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a line containing CR/LF fails the write LOUDLY (never silent corruption)") {
+    val dir = Files.createTempDirectory("corpusnl").toString
+    val bad = spark.range(3L).select(F.col("id"),
+      F.when(F.col("id") === 1L, F.lit("first half\nsecond half"))
+        .otherwise(F.lit("clean line")).as("line"))
+    val e = intercept[Exception] {
+      CorpusSink.writeCorpusShards(bad, F.col("line"), F.col("id"), dir, 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("CR/LF")), messages(e).mkString(" | "))
+  }
+
+  test("an empty corpus writes an empty manifest and verifies clean") {
+    val dir = Files.createTempDirectory("corpusempty").toString
+    val empty = corpus.where(F.lit(false))
+    val man = CorpusSink.writeCorpusShards(empty, F.col("line"), F.col("id"), dir, 4)
+    assert(man.count() == 0)
+    assert(CorpusSink.verifyShards(spark, dir).count() == 0)
+  }
+
   test("a tampered shard file fails verification for that shard only") {
     val dir = Files.createTempDirectory("corpustamper").toString
     CorpusSink.writeCorpusShards(corpus, F.col("line"), F.col("id"), dir, 4)
