@@ -101,6 +101,9 @@ object DriftExact {
     * found in the data ([[ksStatsByKey]]). */
   private def ksCore(prepared: DataFrame, wantKeys: Seq[String])
       : Map[String, (Double, Long, Long)] = {
+    // NOT widened (r20): a pre-aggregation repartition ships every raw
+    // (c, v) row and loses the map-side combine (guide §2.3) — measured
+    // slower at sf0.1, same finding as the file's two-exchange note above.
     val g = prepared
       .filter(F.col("__v").isNotNull)
       .groupBy("__c", "__v")

@@ -42,6 +42,11 @@ object ExactQuantiles {
     require(valueCols.nonEmpty, "quantiles needs at least one column")
     val pair = F.explode(F.array(valueCols.map(c =>
       F.struct(F.lit(c).as("c"), F.col(c).cast("double").as("v"))): _*)).as("__p")
+    // NOT widened (r20): a pre-aggregation repartition ships every raw
+    // exploded (c, v) row and loses the map-side combine that collapses
+    // them to distinct pairs BEFORE any exchange (guide §2.3 "aggregate
+    // before you shuffle") — measured 1.2-2.5 s SLOWER per query at
+    // sf0.1 across the quantile/drift family when tried.
     val tagged = df.select(pair)
       .select(F.col("__p.c").as("__c"), F.col("__p.v").as("__v"))
     val got = quantilesOfTagged(tagged, ranks)

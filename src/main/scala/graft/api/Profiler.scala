@@ -160,11 +160,20 @@ class Profiler(
   def profileDF(df: DataFrame, columns: Option[Seq[String]] = None): DataFrame = {
     val aggs = aggColumns(df.schema, columns)
     require(aggs.nonEmpty, "no profilable columns")
-    // NOT pre-repartitioned: for single-split local inputs the row
-    // exchange was re-measured (round 4) slower than the lost
-    // parallelism of the partial stage at these row counts; real
-    // multi-split tables parallelize at the source.
-    df.agg(aggs.head, aggs.tail: _*)
+    // Conditionally widened (r20): round 4 measured an UNCONDITIONAL
+    // pre-repartition slower than the lost parallelism, but the native
+    // aggregate's per-cell cost has since grown the partial stage far
+    // past one narrow row exchange on a single-split input — remeasured
+    // r20 at sf0.1: full-table profile 2.8×–3.5× faster widened. Real
+    // multi-split tables take the no-exchange branch (graft.core.Par).
+    // Order-safety: every oracle-exact profile field is an integer
+    // count, a min/max, or an HLL register max — set functions; float
+    // moment and sketch-quantile fields surface only through rows-only
+    // queries and specs with tolerances.
+    graft.core.Par.widen(
+      df.select(columns.getOrElse(df.schema.fields.map(_.name).toSeq)
+        .map(F.col): _*))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Collected profile view. Wide tables are profiled in column batches to
@@ -196,7 +205,11 @@ class Profiler(
     val profiled = columns.getOrElse(
       df.schema.fields.map(_.name).toSeq.filterNot(segmentColumns.contains))
     val aggs = aggColumns(df.schema, Some(profiled))
-    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    // same conditional widening as [[profileDF]] — the per-segment
+    // partial aggregation fuses with the scan (graft.core.Par)
+    graft.core.Par.widen(
+        filtered.select((segmentColumns ++ profiled).distinct.map(F.col): _*))
+      .groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Collect segmented profiles: segment key values → profile view. */

@@ -3368,8 +3368,10 @@ object StandardQueries {
   private def qDedupEmbeddingLshRecall = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // the exact pair list feeds BOTH the hit join and the total count —
+      // materialize it once or the O(n²) all-pairs pass runs twice
       val exact = Similarity.cosineNearDupExact(emb, "vec_id", "embedding", tau = 0.4)
-        .select("a", "b")
+        .select("a", "b").localCheckpoint(true)
       val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
         tau = 0.4, bitsPerBand = 4, bands = 64).select("a", "b")
       val hits = exact.join(lsh, Seq("a", "b")).agg(F.count(F.lit(1)).as("hits"))
@@ -3678,17 +3680,23 @@ object StandardQueries {
       val docs = base.unionByName(
         base.filter(F.col("doc_id") < 50)
           .withColumn("doc_id", F.col("doc_id") + 10000))
+      // pruned + materialized once: `totals` and `canon` both consume
+      // this frame, and without the checkpoint each would re-run the
+      // whole quality + langId expression chain over the corpus
       val enriched = TextAnalysis.withQuality(docs, "text")
         .withColumn("lang_guess", TextAnalysis.langId(F.col("text")))
         .withColumn("__pass",
           F.col("quality_ok") && F.col("lang_guess") === F.lit("en"))
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("__th"),
+          F.col("n_tokens"), F.col("n_chars"), F.col("__pass"))
+        .localCheckpoint(true)
       val totals = enriched.agg(
         F.count(F.lit(1)).as("input_docs"),
         count_where(F.col("__pass")).as("pass_docs"))
       // canonical row per text hash among passing docs: min doc_id wins;
       // its token/char counts ride along via min_by
       val canon = enriched.filter(F.col("__pass"))
-        .groupBy(F.md5(F.col("text")).as("__h"))
+        .groupBy(F.col("__th").as("__h"))
         .agg(F.min("doc_id").as("kid"),
           F.min_by(F.col("n_tokens"), F.col("doc_id")).as("ktok"),
           F.min_by(F.col("n_chars"), F.col("doc_id")).as("kchars"))
@@ -7013,8 +7021,12 @@ object StandardQueries {
       s"target/tmp/warcfiles_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     base.mkdirs()
     val abs = base.getAbsolutePath
-    df.select(gz.as("b"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // repartition BEFORE projecting the gzip bytes: below-the-exchange
+    // projection would run every per-row compression on the (one-file)
+    // scan's single task and then shuffle the compressed bytes; this
+    // order shuffles the narrow source rows and compresses in parallel
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(gz.as("b"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val f = new java.io.FileOutputStream(s"$abs/part-$pid.warc.gz")
@@ -8049,7 +8061,9 @@ object StandardQueries {
       val sdf = s.readStream.schema(docs.schema)
         .parquet(StandardQueries.streamableDir(s"$dir/documents.parquet"))
       val qn = "html_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = sdf.withColumn("html", syntheticHtml)
+      // per-batch repartition: the one-file micro-batch would run the
+      // whole synthesize+extract chain on one core (graft.core.Par)
+      val q = graft.core.Par.widenStream(sdf).withColumn("html", syntheticHtml)
         .select(F.col("doc_id"),
           HtmlExtract.extractTextColumn(F.col("html")).as("x"))
         .select(F.col("doc_id"), F.col("x.text").as("text"),

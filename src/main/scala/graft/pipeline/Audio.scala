@@ -276,6 +276,10 @@ object Audio {
       value: Row => Any): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ field)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    // NOT widened (r20): measured net-negative at sf0.1 — the WAV/AVI
+    // fixtures are hundreds of rows, so 32-task scheduling overhead
+    // exceeds the single-core decode saved (unlike the image family,
+    // whose per-row work is 5-10× heavier).
     df.mapPartitions { rows =>
       rows.map(row => Row.fromSeq(row.toSeq :+ value(row)))
     }(encoder)

@@ -46,11 +46,17 @@ object CorpusSink {
   def writeCorpusShards(df: DataFrame, line: Column, key: Column,
       path: String, numShards: Int, salt: String = "shuffle"): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    // an embedded CR/LF would split one corpus row into two file lines
-    // — and because the manifest is computed from the WRITTEN files,
-    // verification would then CERTIFY the corrupted output. Fail
-    // LOUDLY during the write pass instead (zero extra scans).
-    val checked = F.when(line.rlike("[\\r\\n]"),
+    // An embedded CR/LF would split one corpus row into two file lines,
+    // and a NULL line would be written as an EMPTY line (the text
+    // writer's NULL rendering) — in both cases the manifest, computed
+    // from the WRITTEN files, would then CERTIFY the mutated output.
+    // Fail LOUDLY during the write pass instead (zero extra scans):
+    // `line.rlike(..)` is NULL for a NULL line and `when` would fall
+    // through to `otherwise`, so NULL needs its own branch.
+    val checked = F.when(line.isNull,
+      F.raise_error(F.concat(F.lit("corpus line is NULL near key="),
+        key.cast("string"))))
+      .when(line.rlike("[\\r\\n]"),
       F.raise_error(F.concat(F.lit("corpus line contains CR/LF near key="),
         key.cast("string")))).otherwise(line)
     Sampling.deterministicShuffle(

@@ -67,9 +67,13 @@ object FuzzyDedup {
       maxDist: Int, blocker: Column => Column,
       maxBlockSize: Option[Int] = None): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val base0 = df
+    // widen BEFORE the block join: the Levenshtein fan-out (×blockSize
+    // per row) runs fused with this side's partitioning when the other
+    // side broadcasts, so a one-file input would put every comparison
+    // on one core (guide §2.5; see [[graft.core.Par]]).
+    val base0 = graft.core.Par.widen(df
       .select(F.col(idCol).cast("long").as("__id"), F.col(strCol).as("__s"))
-      .filter(F.col("__s").isNotNull)
+      .filter(F.col("__s").isNotNull))
       .withColumn("__blk", blocker(F.col("__s")))
       .withColumn("__l", F.length(F.col("__s")).cast("long"))
     val base = maxBlockSize match {
@@ -150,7 +154,11 @@ object FuzzyDedup {
         .filter(F.col(sOut).isNotNull)
         .withColumn("__blk" + idOut, F.lower(F.substring(F.col(sOut), 1, prefixLen)))
         .withColumn("__l" + idOut, F.length(F.col(sOut)).cast("long"))
-    val p = prep(probe, idCol, strCol, "id", "s")
+    // the probe side's Levenshtein fan-out (×blockSize per probe row)
+    // runs at the probe's partitioning once the index broadcasts; a
+    // single-file micro-batch or one-file batch probe would serialize
+    // it onto one core (guide §2.5; see [[graft.core.Par]])
+    val p = graft.core.Par.widenStream(prep(probe, idCol, strCol, "id", "s"))
     val ix0 = prep(index, indexIdCol, indexStrCol, "index_id", "index_s")
     val ix = maxBlockSize match {
       case None => ix0

@@ -134,7 +134,9 @@ object HtmlExtract {
     * rank among the document's non-empty blocks in page order. */
   def blocks(df: DataFrame, htmlCol: String, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one document key column")
-    val segs = df.select(
+    // block split + per-block regex/entity work fuses with the scan —
+    // widen a one-file input first (guide §2.5, graft.core.Par)
+    val segs = graft.core.Par.widenStream(df).select(
       keyCols.map(F.col) :+
         F.posexplode(F.split(F.col(htmlCol), blockTagPattern)).as(Seq("__pos", "__seg")): _*)
     val vis = visibleText(F.col("__seg"))

@@ -147,6 +147,14 @@ object Multimodal {
     * per-image memory is the decoded raster plus one row buffer. */
   object ImageIo {
 
+    // ImageIO's stream cache is DISK-backed by default: every
+    // read(InputStream)/write(.., OutputStream) creates (and deletes) a
+    // temp FILE per image — pure overhead for in-memory byte codecs, and
+    // a tmpdir contention point once decode runs on all cores (measured
+    // r20: image_stats_png 2× slower at 32 threads with the file cache).
+    // Memory-backed streams need only the image's own bytes.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null,
@@ -380,7 +388,9 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    // per-row encode (and the decode/hash stages fused above it) run at
+    // this frame's partitioning — widen a one-file input (graft.core.Par)
+    graft.core.Par.widenStream(df).mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(idIdx)
         val w = (8 + id % 9).toInt
@@ -405,7 +415,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    graft.core.Par.widenStream(df).mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(idIdx)
         val w = (8 + id % 9).toInt
@@ -587,7 +597,7 @@ object Multimodal {
     val baseIdx = df.schema.fieldIndex(baseCol)
     val shiftIdx = df.schema.fieldIndex(shiftCol)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    graft.core.Par.widenStream(df).mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(baseIdx)
         val shift = row.getInt(shiftIdx)

@@ -44,6 +44,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 5): DataFrame = {
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+    // NOT widened (r20): the top-k partial buffers are per-(partition ×
+    // query) heaps, so widening a small one-file corpus multiplies the
+    // merge volume by the partition count — measured net-negative on
+    // every ANN query at sf0.1 (and catastrophic for rerank-sized k).
     val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"))
     val scored = c.crossJoin(F.broadcast(q))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
@@ -155,6 +159,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, numCentroids)
+    // NOT widened (r20): same top-k partial-heap accounting as
+    // [[bruteForceTopK]].
     val assigned = corpus.select(F.col(idCol).as("neighbor_id"),
       F.col(vecCol).as("__cv"),
       nearestCentroidId(F.col(vecCol), cents).as("centroid_id"))
@@ -256,6 +262,7 @@ object Similarity {
       m: Int = 16, ksub: Int = 16, k: Int = 5, rerank: Int = 50): DataFrame = {
     import graft.functions.Pq
     val codebook = trainProductQuantizer(corpus, idCol, vecCol, m, ksub)
+    // NOT widened (r20): same rerank-heap accounting as [[encodedFrame]].
     val encoded = corpus.select(F.col(idCol).as("neighbor_id"),
       Pq.pq_encode(l2normalize(F.col(vecCol)), codebook).as("__codes"))
     val q = queries.select(F.col(idCol).as("query_id"),
@@ -388,6 +395,12 @@ object Similarity {
       codebook: graft.functions.PqUtil.Codebook,
       df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.Pq
+    // NOT widened (r20): the code table feeds ADC top-k aggregations
+    // whose PARTIAL buffers are per-(partition × query) bounded heaps of
+    // `rerank` entries — widening a small one-file corpus multiplied the
+    // merged buffer volume by the partition count and the exhaustive
+    // (rerank ≥ corpus) oracle queries ran 3-6× SLOWER. Real corpora
+    // arrive multi-split and parallelize at the source.
     df.select(F.col(idCol).as("neighbor_id"), l2normalize(F.col(vecCol)).as("__nv"))
       .select(F.col("neighbor_id"),
         nearestCentroidId(F.col("__nv"), cents).as("__cell"), F.col("__nv"))
@@ -605,6 +618,8 @@ object Similarity {
     val maxAbs = sq8Train(corpus, vecCol)
     def norm2(q: Column): Column =
       F.aggregate(q, F.lit(0L), (acc, x) => acc + x * x)
+    // NOT widened (r20): same top-k partial-heap accounting as
+    // [[bruteForceTopK]].
     val c = corpus.select(F.col(idCol).as("neighbor_id"),
         sq8Quantize(F.col(vecCol), maxAbs).as("__qc"))
       .withColumn("__nc", norm2(F.col("__qc")))
@@ -638,7 +653,10 @@ object Similarity {
   def cosineNearDupExact(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       tau: Double = 0.9): DataFrame = {
-    val l = df.select(F.col(idCol).as("a"), F.col(vecCol).cast("array<double>").as("__va"))
+    // the n²/2 cosine fan-out runs at the left side's partitioning (the
+    // right side broadcasts) — widen a one-file scan (graft.core.Par)
+    val l = graft.core.Par.widen(
+      df.select(F.col(idCol).as("a"), F.col(vecCol).cast("array<double>").as("__va")))
     val r = df.select(F.col(idCol).as("b"), F.col(vecCol).cast("array<double>").as("__vb"))
     l.crossJoin(F.broadcast(r))
       .filter(F.col("a") < F.col("b"))
@@ -691,7 +709,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       bandsOf: Column => Column, tau: Double,
       maxBucketSize: Int): DataFrame = {
-    val vecs = df.select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
+    // hyperplane banding (bits × bands × dim multiply-adds per row) and
+    // the verify-join cosines fuse with this projection's partitioning —
+    // widen a one-file scan (graft.core.Par)
+    val vecs = graft.core.Par.widen(
+      df.select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v")))
     val banded = vecs.select(F.col("id"),
       F.posexplode(bandsOf(F.col("__v"))).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -768,6 +790,10 @@ object Similarity {
     require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
     val cents = trainCentroids(df, idCol, vecCol, numClusters, iters, sampleSize)
     val sims = centroidSims(F.col(vecCol), cents)
+    // NOT widened (r20): the oracle configuration (numClusters = 1)
+    // funnels the anchor window and member×anchor join through one key
+    // regardless of input partitioning; widening only added exchange +
+    // task overhead (measured +0.4 s on each semdedup query).
     val base = df.select(
         F.col(idCol).as("id"),
         F.col(vecCol).cast("array<double>").as("__v"),

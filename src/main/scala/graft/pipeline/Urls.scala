@@ -153,15 +153,17 @@ object Urls {
       F.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), F.lit(1))
 
   /** The broadcast-budget-or-shuffle degrade both crawl filters share:
-    * compute the (derived) small side ONCE through a bounded transient
-    * cache — persist, count, and when within budget COLLECT it into a
-    * LocalRelation (no heavier than the broadcast join itself, which
-    * gathers the same rows on the driver) and release the cache
-    * immediately; past budget, release the cache and return the plan
-    * for a shuffle hash join (a side that large is exactly what you
-    * do NOT want pinned in executor storage). Nothing stays persisted
-    * after this returns — earlier drafts leaked one cache entry per
-    * call for the life of the session. */
+    * persist, count, and when within budget COLLECT the derived small
+    * side into a LocalRelation (no heavier than the broadcast join
+    * itself, which gathers the same rows on the driver) and release
+    * the cache immediately — the within-budget side is computed ONCE.
+    * Past budget, release the cache and return the plan for a shuffle
+    * hash join: that side is recomputed once more when the join runs
+    * (parse + dedup of the list side — bounded, and a side that large
+    * is exactly what you do NOT want pinned in executor storage for an
+    * unknowable caller lifetime). Nothing stays persisted after this
+    * returns — earlier drafts leaked one cache entry per call for the
+    * life of the session. */
   private def localizeIfSmall(small: DataFrame,
       broadcastMaxEntries: Long): DataFrame = {
     small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -274,15 +276,25 @@ object RobotsMatch {
       if (!rules.isNullAt(i)) {
         val ru = rules.getUTF8String(i)
         val r = ru.toString
-        val allow = r.charAt(0) == 'A'
-        val pat = r.substring(1)
-        // UTF8String stores UTF-8: its byte count minus the one-byte
-        // ASCII marker IS the pattern's octet length — no re-encode
-        val octets = ru.numBytes() - 1
-        if (ruleMatches(p, pat) &&
-          (octets > bestLen || (octets == bestLen && allow))) {
-          bestLen = octets
-          bestAllow = allow
+        // Marker contract: byte 0 is 'A' (Allow) or 'D' (Disallow).
+        // Lenient never-throw: an EMPTY rule string is skipped (not a
+        // charAt crash), and an unmarked legacy string (first char
+        // neither 'A' nor 'D' — e.g. a persisted pre-marker rule array
+        // starting "/path") is treated as a Disallow over the WHOLE
+        // string, the pre-marker semantics, instead of silently losing
+        // its first character.
+        if (r.nonEmpty) {
+          val marked = r.charAt(0) == 'A' || r.charAt(0) == 'D'
+          val allow = marked && r.charAt(0) == 'A'
+          val pat = if (marked) r.substring(1) else r
+          // UTF8String stores UTF-8: its byte count minus the one-byte
+          // ASCII marker IS the pattern's octet length — no re-encode
+          val octets = ru.numBytes() - (if (marked) 1 else 0)
+          if (ruleMatches(p, pat) &&
+            (octets > bestLen || (octets == bestLen && allow))) {
+            bestLen = octets
+            bestAllow = allow
+          }
         }
       }
       i += 1

@@ -187,6 +187,8 @@ object Video {
       value: Row => Any): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ field)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    // NOT widened (r20): measured net-negative at sf0.1 — see
+    // Audio.appended's note (same accounting).
     df.mapPartitions { rows =>
       rows.map(row => Row.fromSeq(row.toSeq :+ value(row)))
     }(encoder)

@@ -61,6 +61,20 @@ class CorpusSinkSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("CR/LF")), messages(e).mkString(" | "))
   }
 
+  test("a NULL line fails the write LOUDLY (the text writer would emit an empty line)") {
+    val dir = Files.createTempDirectory("corpusnull").toString
+    val bad = spark.range(3L).select(F.col("id"),
+      F.when(F.col("id") === 1L, F.lit(null).cast("string"))
+        .otherwise(F.lit("clean line")).as("line"))
+    val e = intercept[Exception] {
+      CorpusSink.writeCorpusShards(bad, F.col("line"), F.col("id"), dir, 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL")), messages(e).mkString(" | "))
+  }
+
   test("an empty corpus writes an empty manifest and verifies clean") {
     val dir = Files.createTempDirectory("corpusempty").toString
     val empty = corpus.where(F.lit(false))

@@ -156,6 +156,21 @@ class UrlsSpec extends SparkSpec {
     assert(!disallowed("/dir/file.html", Seq("D/dir/", "A/dir/*.html")))
   }
 
+  test("robots_matches: empty and unmarked legacy rules are lenient, never throw") {
+    def disallowed(path: String, rules: Seq[String]): Boolean =
+      Seq(Tuple1(path)).toDF("p")
+        .select(Urls.robots_matches(F.col("p"),
+          F.typedlit(rules))).head().getBoolean(0)
+    // an empty rule string is skipped, not a charAt(0) crash
+    assert(!disallowed("/x", Seq("")))
+    assert(disallowed("/private/x", Seq("", "D/private/")))
+    // an unmarked legacy rule (no A/D byte) is a Disallow over the whole
+    // string — the pre-marker semantics — not a first-char-eaten pattern
+    assert(disallowed("/private/x", Seq("/private/")))
+    // ...and competes with its full octet length in precedence
+    assert(!disallowed("/private/pub", Seq("/private/", "A/private/pub")))
+  }
+
   test("filterRobotsDisallowed: path-prefix drop per host; unlisted hosts allowed") {
     val docs = Seq(
       (1L, "https://a.example/private/x"), // blocked: /private/ prefix
