@@ -130,10 +130,10 @@ object Dedup {
       maxDocFreq: Int = 100,
       hash: Column => Column = g =>
         F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")): DataFrame = {
-    val fps = graft.core.Par.widen(
-        df.select(F.col(idCol).as("__id"), F.col(textCol).as("__t")))
-      .select(F.col("__id"),
-        F.explode(winnowFingerprints(F.col("__t"), n, window, hash)).as("fp"))
+    // NOT widened (r20) — see [[minHashNearDups]]'s note (winnow
+    // hashing is the same µs-per-row class).
+    val fps = df.select(F.col(idCol).as("__id"),
+      F.explode(winnowFingerprints(F.col(textCol), n, window, hash)).as("fp"))
       .localCheckpoint(true)
     val keep = fps.groupBy("fp").agg(F.count(F.lit(1)).as("__df"))
       .where(F.col("__df") <= maxDocFreq).select("fp")
@@ -310,12 +310,13 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, bands: Int = 32, threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
-    // shingling (tokenize → n-gram → hash per row) fuses with the scan —
-    // widen a one-file corpus first so it spreads across cores
-    // (guide §2.5; graft.core.Par)
-    val ids = graft.core.Par.widen(
-        df.select(F.col(idCol).as("doc_id"), F.col(textCol).as("__t")))
-      .select(F.col("doc_id"), shingleIds(F.col("__t")).as("ids"))
+    // NOT widened (r20): shingling is ~µs per row — unlike the
+    // Levenshtein/codec paths, a one-file input's single-core map stage
+    // here is cheaper than the added exchange + per-task overhead on the
+    // iterative consumers (A/B-measured at sf0.1: every CC-based dedup
+    // query was equal-or-faster without the widen).
+    val ids = df.select(F.col(idCol).as("doc_id"),
+      shingleIds(F.col(textCol)).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val banded = ids.select(F.col("doc_id"),
@@ -338,13 +339,12 @@ object Dedup {
     * Append each accepted batch's index rows to keep it current. */
   def minHashIndex(
       df: DataFrame, textCol: String, idCol: String,
-      numPerm: Int = 64, bands: Int = 32): DataFrame =
-    // shingle + band hashing fuse with the scan; widen a one-file input
-    // (streaming micro-batches repartition per batch — graft.core.Par)
-    graft.core.Par.widenStream(
-        df.select(F.col(idCol).as("doc_id"), F.col(textCol).as("__t")))
-      .select(F.col("doc_id"), shingleIds(F.col("__t")).as("ids"))
+      numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    // NOT widened (r20) — see [[minHashNearDups]]'s note.
+    val ids = shingleIds(F.col(textCol))
+    df.select(F.col(idCol).as("doc_id"), ids.as("ids"))
       .withColumn("bhs", bandHashes(F.col("ids"), numPerm, bands))
+  }
 
   /** Incremental near-dup: new-batch docs vs an existing [[minHashIndex]]
     * — returns (a = new doc, b = index doc, jaccard ≥ threshold). The
