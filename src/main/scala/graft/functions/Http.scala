@@ -211,11 +211,18 @@ case class CrawlTextFields(child: Expression) extends UnaryExpression {
   override def prettyName: String = "crawl_text_fields"
 
   override def nullSafeEval(input: Any): Any =
-    CrawlTextFields.eval(input.asInstanceOf[Array[Byte]])
+    CrawlTextFields.extract(input.asInstanceOf[Array[Byte]])
 
+  // The companion method must NOT be named `eval`: scalac suppresses a
+  // companion-object static forwarder when the class has a same-named
+  // member (Expression.eval(InternalRow) here), so generated Java
+  // calling `CrawlTextFields.eval(bytes)` failed to COMPILE and every
+  // stage fusing this expression silently fell back to interpreted
+  // execution (r20 finding — the CodeGenerator ERROR lines in every
+  // crawl-query run). `extract` has a real static forwarder.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = graft.functions.CrawlTextFields.eval($c);")
+      c => s"${ev.value} = graft.functions.CrawlTextFields.extract($c);")
 
   override protected def withNewChildInternal(newChild: Expression): CrawlTextFields =
     copy(child = newChild)
@@ -281,7 +288,7 @@ object CrawlTextFields {
   private def header(p: Pattern, head: String): String =
     nullIfEmpty(trimSp(rx(p, head)))
 
-  def eval(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+  def extract(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val latin = new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
     val isHttp = latin.startsWith("HTTP/")
     val sep = latin.indexOf("\r\n\r\n")
