@@ -160,19 +160,23 @@ class Profiler(
   def profileDF(df: DataFrame, columns: Option[Seq[String]] = None): DataFrame = {
     val aggs = aggColumns(df.schema, columns)
     require(aggs.nonEmpty, "no profilable columns")
-    // Conditionally widened (r20): round 4 measured an UNCONDITIONAL
-    // pre-repartition slower than the lost parallelism, but the native
-    // aggregate's per-cell cost has since grown the partial stage far
-    // past one narrow row exchange on a single-split input — remeasured
-    // r20 at sf0.1: full-table profile 2.8×–3.5× faster widened. Real
-    // multi-split tables take the no-exchange branch (graft.core.Par).
+    // Size-gated widen (r21; r20's ungated widen NET-REGRESSED the
+    // profile family in the driver's ground truth, 27.2→29.4 s): the
+    // widened partial stage multiplies the per-column KLL/HLL/FI
+    // sketch buffers by the partition count, and on KB–MB inputs those
+    // extra buffer merges cost more than the lost map parallelism —
+    // the same per-(partition×group) state multiplication the ANN
+    // top-k paths measured and reverted (Similarity.scala). Above the
+    // gate the r20 measurement stands (one-split 100 MB+ inputs
+    // profile 2.8–3.5× faster widened); real multi-split tables take
+    // Par's no-exchange branch regardless.
     // Order-safety: every oracle-exact profile field is an integer
     // count, a min/max, or an HLL register max — set functions; float
     // moment and sketch-quantile fields surface only through rows-only
     // queries and specs with tolerances.
-    graft.core.Par.widen(
+    graft.core.Par.widenIfAtLeast(
       df.select(columns.getOrElse(df.schema.fields.map(_.name).toSeq)
-        .map(F.col): _*))
+        .map(F.col): _*), minInputBytes = 64L << 20)
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -205,10 +209,14 @@ class Profiler(
     val profiled = columns.getOrElse(
       df.schema.fields.map(_.name).toSeq.filterNot(segmentColumns.contains))
     val aggs = aggColumns(df.schema, Some(profiled))
-    // same conditional widening as [[profileDF]] — the per-segment
-    // partial aggregation fuses with the scan (graft.core.Par)
-    graft.core.Par.widen(
-        filtered.select((segmentColumns ++ profiled).distinct.map(F.col): _*))
+    // NOT widened (r21 revert of r20): the segmented partial state is
+    // per-column sketch buffers × SEGMENTS × partitions — widening
+    // multiplied it 32× and the driver measured segmented_profile
+    // 0.27→0.92 s (3.4× slower), segmented_filtered_profile 2.8×. A
+    // large multi-split input parallelizes at the source; a large
+    // single-split one is better served by splitting upstream than by
+    // multiplying per-segment sketch state here.
+    filtered.select((segmentColumns ++ profiled).distinct.map(F.col): _*)
       .groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 

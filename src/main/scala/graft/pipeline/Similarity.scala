@@ -451,17 +451,21 @@ object Similarity {
   def ivfPqSave(ix: IvfPqIndex, path: String): Unit = {
     val spark = ix.encoded.sparkSession
     import spark.implicits._
-    ix.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
-      .toDF("cell", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    (for {
-      (sub, si) <- ix.codebook.zipWithIndex
+    // ONE tiny parquet table holding all three sections (r21; was three
+    // separate coalesce(1) stores = 3 write jobs + 3 commit rounds on
+    // save and 3 footer reads + 3 collect jobs on load, for KB-scale
+    // data — guide §6 small-files / per-job floor). `kind`
+    // discriminates the sections; doubles round-trip parquet exactly
+    // either way, so a loaded index still searches BIT-IDENTICALLY.
+    val cents = ix.cents.toSeq.map { case (cid, v) =>
+      ("cent", cid, 0, v.toSeq, 0) }
+    val codes = for {
+      (sub, si) <- ix.codebook.zipWithIndex.toSeq
       (cent, ci) <- sub.zipWithIndex
-    } yield (si, ci, cent.toSeq)).toSeq
-      .toDF("sub", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    Seq(Tuple1(ix.ksub)).toDF("ksub")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } yield ("code", si, ci, cent.toSeq, 0)
+    val meta = Seq(("meta", 0, 0, Seq.empty[Double], ix.ksub))
+    (cents ++ codes ++ meta).toDF("kind", "a", "b", "vec", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/index")
   }
 
   /** Rebuild a searchable index from [[ivfPqSave]] output: `storePath`
@@ -473,18 +477,20 @@ object Similarity {
       path: String, storePath: String,
       corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): IvfPqIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => (r.getInt(0),
-        r.getAs[scala.collection.Seq[Double]]("vec").toArray))
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getAs[scala.collection.Seq[Double]]("vec").toArray))
+    // one read + one collect for all three sections (see [[ivfPqSave]]);
+    // ordering is reconstructed driver-side — the table is KB-scale by
+    // construction (C + m·ksub + 1 rows)
+    val rows = spark.read.parquet(s"$path/index").collect()
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("vec").toArray
+    val cents = rows.filter(_.getString(0) == "cent")
+      .map(r => (r.getInt(1), vecOf(r))).sortBy(_._1)
+    val cbRows = rows.filter(_.getString(0) == "code")
+      .map(r => (r.getInt(1), r.getInt(2), vecOf(r)))
     val codebook: graft.functions.PqUtil.Codebook = cbRows
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
-    val ksub = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val ksub = rows.filter(_.getString(0) == "meta").head.getInt(4)
     IvfPqIndex(cents, codebook, ksub,
       spark.read.parquet(storePath),
       corpus.select(F.col(idCol).as("neighbor_id"),

@@ -94,7 +94,8 @@ object DedupStream {
     val spark = batch.sparkSession
     val bucketed = batch.withColumn("bucket",
       F.pmod(F.xxhash64(F.col("text_hash")), F.lit(numBuckets.toLong)))
-    val touchedDirs = touchedBucketDirs(bucketed, statePath)
+    val touched = touchedBuckets(bucketed)
+    val touchedDirs = existingBucketDirs(spark, touched, statePath)
     val merged =
       if (touchedDirs.isEmpty) bucketed
       else {
@@ -108,25 +109,41 @@ object DedupStream {
           .select(bucketed.columns.map(F.col): _*)
         bucketed.unionByName(carried)
       }
+    // Bound the store exchange to the batch's ACTUAL bucket count: the
+    // update-mode batch arrives at the session's shuffle partitioning
+    // (= core count), so writing it as-is pays a cores-wide exchange
+    // over what is usually a small batch and emits up to
+    // partitions × touched-buckets files per micro-batch (r20 driver
+    // evidence: 2.85 s @32c vs 1.29 s @8c — pure exchange/small-file
+    // overhead, guide §2.2/§6). Hash-repartitioning on `bucket` into
+    // exactly |touched| partitions writes at most one file per bucket
+    // and scales with the DATA (buckets touched), never the session
+    // width. Hash collisions may fold two buckets into one task —
+    // bounded skew of 2-3 buckets/task, still O(touched).
+    val sized = merged.repartition(math.max(touched.size, 1), F.col("bucket"))
     // materialize before writing: the plan reads the same directory the
     // write overwrites, so break the lineage first
-    val out = merged.localCheckpoint(true)
+    val out = sized.localCheckpoint(true)
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(statePath)
   }
 
-  /** The state directories this batch's buckets map to, keeping only
-    * those that already exist on disk (first batch: none). `exists` on
-    * a bucket directory distinguishes genuinely-absent (false) from a
-    * failing filesystem (throws) — a transient error fails the batch
-    * rather than reading partial state. */
-  private[streaming] def touchedBucketDirs(
-      bucketed: DataFrame, statePath: String): Seq[String] = {
-    val spark = bucketed.sparkSession
-    val touched = bucketed.select("bucket").distinct()
+  /** The bucket ids this batch touches — collected on the driver but
+    * bounded by `numBuckets`, never by data volume. */
+  private[streaming] def touchedBuckets(bucketed: DataFrame): Seq[Long] =
+    bucketed.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** The state directories of `touched` buckets that already exist on
+    * disk (first batch: none). `exists` on a bucket directory
+    * distinguishes genuinely-absent (false) from a failing filesystem
+    * (throws) — a transient error fails the batch rather than reading
+    * partial state. */
+  private[streaming] def existingBucketDirs(
+      spark: org.apache.spark.sql.SparkSession, touched: Seq[Long],
+      statePath: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(statePath)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     touched
