@@ -67,20 +67,50 @@ object ExactQuantiles {
     quantilesOfTagged(tagged, ranks)
   }
 
-  /** Core: tagged (__c string key, __v double) → key → rank-aligned
-    * exact quantiles. Keys discovered from the data. */
-  private def quantilesOfTagged(
-      tagged: DataFrame, ranks: Seq[Double]): Map[String, Seq[Double]] = {
-    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
-      s"ranks must be within [0, 1]: $ranks")
-    val g = tagged
-      .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
-      .groupBy("__c", "__v").agg(F.count(F.lit(1)).as("__n"))
+  /** The per-(key, value) weighted table behind the machinery:
+    * `rows` = (__c string, __v double, __n long) — per-row weights,
+    * `lit(1L)` for raw data — map-side combined to per-distinct-value
+    * weight sums (the only corpus-sized exchange), range-partitioned
+    * and in-partition sorted by (__c, __v), partition-stamped, lazily
+    * localCheckpointed. The CALLER owns the checkpoint (unpersist when
+    * done). With `keepNaN = true`, NaN values survive as their own
+    * (last-ordered) group so value-universe consumers that must count
+    * them (fence-count passes over the same scan — [[Outliers]]) can;
+    * quantile math must then exclude them ([[weightedQuantiles]]
+    * requires a NaN-free frame). NULLs always drop. */
+  private[analysis] def weightedTable(
+      rows: DataFrame, keepNaN: Boolean): DataFrame = {
+    val keep =
+      if (keepNaN) F.col("__v").isNotNull
+      else F.col("__v").isNotNull && !F.isnan(F.col("__v"))
+    rows.filter(keep)
+      .groupBy("__c", "__v").agg(F.sum("__n").as("__n"))
       .repartitionByRange(F.col("__c"), F.col("__v"))
       .sortWithinPartitions("__c", "__v")
       .withColumn("__pid", F.spark_partition_id())
       .localCheckpoint(false)
-    try {
+  }
+
+  /** Core: tagged (__c string key, __v double) → key → rank-aligned
+    * exact quantiles. Keys discovered from the data. */
+  private def quantilesOfTagged(
+      tagged: DataFrame, ranks: Seq[Double]): Map[String, Seq[Double]] = {
+    val g = weightedTable(
+      tagged.withColumn("__n", F.lit(1L)), keepNaN = false)
+    try weightedQuantiles(g, ranks)
+    finally g.unpersist(blocking = false)
+  }
+
+  /** Rank-aligned exact weighted quantiles over a [[weightedTable]]
+    * frame (or any NaN-free filtered view of one — the prefix-sum
+    * machinery only needs rows sorted by __v within each (__c, __pid)
+    * and per-(__c, __pid) totals, both invariant under row filtering).
+    * Does NOT unpersist its input. */
+  private[analysis] def weightedQuantiles(
+      g: DataFrame, ranks: Seq[Double]): Map[String, Seq[Double]] = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be within [0, 1]: $ranks");
+    {
       val totals = g.groupBy("__c", "__pid").agg(F.sum("__n").as("t"))
         .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       val ns = totals.groupBy(_._1).map { case (c, ts) => c -> ts.map(_._3).sum }
@@ -102,7 +132,7 @@ object ExactQuantiles {
         }
       }
       if (targets.isEmpty) return Map.empty
-      val spark = tagged.sparkSession
+      val spark = g.sparkSession
       import spark.implicits._
       val baseDf = bases.toDF("__c2", "__pid2", "__base")
       val tgtDf = targets.toDF("__c3", "__k")
@@ -128,7 +158,7 @@ object ExactQuantiles {
         }.getOrElse(Seq.empty)
         c -> qs
       }.toMap
-    } finally g.unpersist(blocking = false)
+    }
   }
 
   /** Exact percent-rank per DISTINCT value — global ranking WITHOUT a

@@ -125,6 +125,27 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("madOutliers/iqrOutliers: NaN rows count in n and land in n_high " +
+    "(Spark orders NaN above all values), but stay out of med/MAD — " +
+    "the single-scan path pins the old per-row semantics") {
+    import spark.implicits._
+    // count(v) counts NaN (non-null); Spark SQL comparison semantics put
+    // NaN GREATER than every value, so per-row `v > hi` was true for NaN
+    // and the weighted path must reproduce that; quantile machinery
+    // excludes NaN — exactly the three-scan behavior
+    val vals = (1 to 9).map(_.toDouble) ++ Seq(1000.0, Double.NaN, Double.NaN)
+    val df = vals.toDF("x").repartition(3)
+    val m = graft.analysis.Outliers.madOutliers(df, Seq("x")).collect()(0)
+    assert(m.getAs[Double]("med") == 5.5)
+    assert(m.getAs[Double]("mad") == 2.5)
+    assert(m.getAs[Long]("n") == 12L)          // NaNs counted
+    assert(m.getAs[Long]("n_high") == 3L)      // 1000 + both NaNs
+    assert(m.getAs[Long]("n_outliers") == 3L)
+    val i = graft.analysis.Outliers.iqrOutliers(df, Seq("x")).collect()(0)
+    assert(i.getAs[Long]("n") == 12L)
+    assert(i.getAs[Long]("n_high") == 3L)
+  }
+
   test("madOutliers: constant column has mad 0 and flags nothing") {
     import spark.implicits._
     val df = Seq.fill(5)(7.0).toDF("x")
