@@ -116,11 +116,26 @@ object Similarity {
     * vectors; empty cells keep their previous centroid. */
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      c: Int, iters: Int = 2, sampleSize: Int = 4096): Array[(Int, Array[Double])] = {
-    val sample: Array[Array[Double]] =
-      corpus.orderBy(idCol).limit(sampleSize)
-        .select(F.col(vecCol).cast("array<double>"))
-        .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+      c: Int, iters: Int = 2, sampleSize: Int = 4096): Array[(Int, Array[Double])] =
+    trainCentroidsOnSample(
+      collectSample(corpus, idCol, vecCol, sampleSize), c, iters)
+
+  /** The bounded deterministic training sample: first `sampleSize`
+    * vectors by id — ONE sort+limit job, shared by every consumer that
+    * also needs the sample itself (residual codebooks re-use it rather
+    * than re-collecting — r21; ivfPqBuild previously ran this identical
+    * job twice per build, guide §1.2 "don't compute things you throw
+    * away"). */
+  def collectSample(corpus: DataFrame, idCol: String, vecCol: String,
+      sampleSize: Int): Array[Array[Double]] =
+    corpus.orderBy(idCol).limit(sampleSize)
+      .select(F.col(vecCol).cast("array<double>"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+
+  /** [[trainCentroids]] on an already-collected sample (driver-side
+    * Lloyd, unchanged math). */
+  def trainCentroidsOnSample(sample: Array[Array[Double]],
+      c: Int, iters: Int): Array[(Int, Array[Double])] = {
     require(sample.nonEmpty, "empty corpus")
     var cents: Array[Array[Double]] = sample.take(c).map(_.clone())
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -364,13 +379,13 @@ object Similarity {
       sampleSize: Int = 4096): IvfPqIndex = {
     import graft.functions.Pq
     val nc = corpus.select(F.col(idCol), l2normalize(F.col(vecCol)).as("__nv"))
-    val cents = trainCentroids(nc, idCol, "__nv", numCentroids,
-      iters = 2, sampleSize = sampleSize)
+    // ONE sample collect feeds both the coarse centroids and the
+    // residual codebook (r21; was two identical sort+limit jobs)
+    val sample: Array[Array[Double]] =
+      collectSample(nc, idCol, "__nv", sampleSize)
+    val cents = trainCentroidsOnSample(sample, numCentroids, iters = 2)
     // residual codebook: assign the SAME bounded sample to its coarse
     // cell driver-side, train per-subspace Lloyd on the residuals
-    val sample: Array[Array[Double]] = nc.orderBy(idCol).limit(sampleSize)
-      .select(F.col("__nv"))
-      .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
