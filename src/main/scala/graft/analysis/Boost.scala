@@ -36,11 +36,14 @@ import org.apache.spark.sql.{functions => F}
   * PREVIOUS round's exact SSE for free: NULL-bin groups are kept in
   * the aggregate so one feature's groups partition every row, and the
   * driver reads Σr² off that feature's slice instead of paying a
-  * separate corpus scan), a driver scan of the histogram, and a
-  * map-only residual update; the residual frame is localCheckpointed
-  * per round (iterative-lineage truncation). Only the LAST round's SSE
-  * needs its own 1-row aggregate — two corpus passes per round, not
-  * three. Rows with a NULL split-feature bin route right, as
+  * separate corpus scan) and a driver scan of the histogram. The base
+  * frame is localCheckpointed ONCE; each round's residual is the
+  * map-only integer expression `y − m0 − Σ fitted stump leaves`
+  * (driver-held literals), so no per-round copy of the corpus is
+  * rewritten into block storage (r21; the earlier shape checkpointed a
+  * fresh residual frame every round — rounds × corpus bytes of cache
+  * churn for the same integers). Only the LAST round's SSE needs its
+  * own 1-row aggregate. Rows with a NULL split-feature bin route right, as
   * [[TreeSplit.depth2]]; rows with a NULL TARGET are dropped up front
   * (complete-case, as [[Ols.fit2]] — counting them while sum skips
   * them would silently dilute the base prediction and every leaf).
@@ -93,15 +96,20 @@ object Boost {
     val featCols = features.map(f => f.bin.cast("long").as("__fb_" + f.name))
     // complete-case: count(1) counts NULL targets while sum skips them —
     // an unfiltered NULL y would silently dilute m0 and every leaf value
-    var cur = df.filter(F.col(yCol).isNotNull)
-      .select(featCols :+ F.col(yCol).cast("long").as("__r"): _*)
+    val base0 = df.filter(F.col(yCol).isNotNull)
+      .select(featCols :+ F.col(yCol).cast("long").as("__y"): _*)
       .localCheckpoint(false)
     // round 0: integer base prediction
-    val base = cur.agg(F.sum("__r").as("s"), F.count(F.lit(1)).as("n")).head
+    val base = base0.agg(F.sum("__y").as("s"), F.count(F.lit(1)).as("n")).head
     val (s0, n0) = (base.getLong(0), base.getLong(1))
     require(n0 > 0, "empty training frame")
     val m0 = math.floor(s0.toDouble / n0.toDouble).toLong
-    cur = cur.withColumn("__r", F.col("__r") - F.lit(m0)).localCheckpoint(false)
+    // residual as a map-only integer expression over the ONE checkpointed
+    // frame: y − m0 − Σ fitted stump leaves (all driver literals). Each
+    // round rebinds it instead of rewriting the corpus into a new cached
+    // copy — same integers, bit-identical histograms.
+    var resid: org.apache.spark.sql.Column = F.col("__y") - F.lit(m0)
+    def cur = base0.withColumn("__r", resid)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Option[Long], Long, Long, Long, Long, Long)]
     // the row whose SSE the NEXT histogram pass (or the final 1-row
@@ -165,9 +173,8 @@ object Boost {
         case Some((_, feat, thr, sl, nl, sr, nr)) =>
           val lv = math.floor(sl.toDouble / nl.toDouble).toLong
           val rv = math.floor(sr.toDouble / nr.toDouble).toLong
-          cur = cur.withColumn("__r", F.col("__r") -
-              F.when(F.col("__fb_" + feat) <= thr, lv).otherwise(rv))
-            .localCheckpoint(false)
+          resid = resid -
+            F.when(F.col("__fb_" + feat) <= thr, lv).otherwise(rv)
           pending = Some((t.toLong, feat, Some(thr), lv, rv, nl, nr))
           t += 1
       }
@@ -177,6 +184,8 @@ object Boost {
       val sse = cur.agg(F.sum(F.col("__r") * F.col("__r"))).head.getLong(0)
       out += ((p._1, p._2, p._3, p._4, p._5, p._6, p._7, sse))
     }
+    // the trace is driver-held — the checkpointed corpus can go now
+    base0.unpersist(blocking = false)
     out.toSeq.toDF("round", "feature", "threshold", "left_val", "right_val",
       "n_left", "n_right", "sse")
       .orderBy("round")
