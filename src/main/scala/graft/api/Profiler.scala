@@ -160,23 +160,40 @@ class Profiler(
   def profileDF(df: DataFrame, columns: Option[Seq[String]] = None): DataFrame = {
     val aggs = aggColumns(df.schema, columns)
     require(aggs.nonEmpty, "no profilable columns")
-    // Size-gated widen (r21; r20's ungated widen NET-REGRESSED the
-    // profile family in the driver's ground truth, 27.2→29.4 s): the
-    // widened partial stage multiplies the per-column KLL/HLL/FI
-    // sketch buffers by the partition count, and on KB–MB inputs those
-    // extra buffer merges cost more than the lost map parallelism —
-    // the same per-(partition×group) state multiplication the ANN
-    // top-k paths measured and reverted (Similarity.scala). Above the
-    // gate the r20 measurement stands (one-split 100 MB+ inputs
-    // profile 2.8–3.5× faster widened); real multi-split tables take
-    // Par's no-exchange branch regardless.
+    val fields = columns.getOrElse(df.schema.fields.map(_.name).toSeq)
+    // Widen only when the PER-ROW update work is heavy AND the input
+    // is not tiny (r21; r20's ungated widen NET-REGRESSED the family,
+    // 27.2→29.4 s in the driver's ground truth). Two measured regimes
+    // (back-to-back sf0.1 A/B, bench_prof_gate64 vs gate0):
+    //  - full-metric profiles over a one-split multi-MB table: the
+    //    HLL/FI/type-cascade updates dominate per row, and widening to
+    //    all cores wins big (full_profile_summary 2.22→1.40,
+    //    profile_summary_exact 2.20→1.45, constraints_report
+    //    2.28→1.49);
+    //  - light resolvers (histogram-only KLL) or KB-scale inputs: the
+    //    widened partial stage multiplies per-column sketch buffers by
+    //    the partition count and the merges cost more than the lost
+    //    map parallelism (kll_quantiles 0.67→1.07 widened; tiny
+    //    profile_counts/ints/types each ~2× slower) — the same
+    //    per-(partition×group) state multiplication the ANN top-k
+    //    paths measured and reverted (Similarity.scala).
+    // So: heavy = the resolver plans an HLL / frequent-items /
+    // unicode-range update (the datasketches per-row costs) for some
+    // profiled column; the 4 MB floor keeps small fixtures and daily
+    // chunks narrow. Real multi-split tables take Par's no-exchange
+    // branch regardless.
     // Order-safety: every oracle-exact profile field is an integer
     // count, a min/max, or an HLL register max — set functions; float
     // moment and sketch-quantile fields surface only through rows-only
     // queries and specs with tolerances.
-    graft.core.Par.widenIfAtLeast(
-      df.select(columns.getOrElse(df.schema.fields.map(_.name).toSeq)
-        .map(F.col): _*), minInputBytes = 64L << 20)
+    val heavyPerRow = fields.exists { n =>
+      resolver.metricsFor(n, LogicalKind.of(df.schema(n).dataType)).exists(m =>
+        m == Namespace.Cardinality || m == Namespace.FrequentItems ||
+          m == Namespace.UnicodeRange)
+    }
+    val sel = df.select(fields.map(F.col): _*)
+    (if (heavyPerRow) graft.core.Par.widenIfAtLeast(sel, minInputBytes = 4L << 20)
+     else sel)
       .agg(aggs.head, aggs.tail: _*)
   }
 
