@@ -186,11 +186,7 @@ class Profiler(
     // count, a min/max, or an HLL register max — set functions; float
     // moment and sketch-quantile fields surface only through rows-only
     // queries and specs with tolerances.
-    val heavyPerRow = fields.exists { n =>
-      resolver.metricsFor(n, LogicalKind.of(df.schema(n).dataType)).exists(m =>
-        m == Namespace.Cardinality || m == Namespace.FrequentItems ||
-          m == Namespace.UnicodeRange)
-    }
+    val heavyPerRow = plansHeavyPerRowMetric(df, fields)
     val sel = df.select(fields.map(F.col): _*)
     (if (heavyPerRow) graft.core.Par.widenIfAtLeast(sel, minInputBytes = 4L << 20)
      else sel)
@@ -213,6 +209,17 @@ class Profiler(
     }
   }
 
+  /** True when the resolver plans a datasketches-class per-row update
+    * (HLL cardinality, frequent items, unicode ranges) for one of
+    * `fields` — the regime where the map stage dominates and widening a
+    * one-split input pays for itself ([[profileDF]]'s measured gate). */
+  private def plansHeavyPerRowMetric(df: DataFrame, fields: Seq[String]): Boolean =
+    fields.exists { n =>
+      resolver.metricsFor(n, LogicalKind.of(df.schema(n).dataType)).exists(m =>
+        m == Namespace.Cardinality || m == Namespace.FrequentItems ||
+          m == Namespace.UnicodeRange)
+    }
+
   /** Segmented profiling = one hash-partitioned groupBy on the stringified
     * segment key (reference `api/logger/segment_processing.py:24-212`);
     * one shuffle total, sketch buffers merged by Catalyst per segment. */
@@ -220,21 +227,36 @@ class Profiler(
       df: DataFrame,
       segmentColumns: Seq[String],
       filter: Option[Column] = None,
-      columns: Option[Seq[String]] = None): DataFrame = {
+      columns: Option[Seq[String]] = None): DataFrame =
+    segmentedAgg(df, segmentColumns, filter, columns, widenForCollect = false)
+
+  // The LAZY path is NOT widened (r21 revert of r20): consumers of the
+  // returned frame typically select a few exact struct fields, and
+  // Catalyst prunes the unused sketch aggregates down to counts/min/max
+  // — KB of real work where the widened partial state (per-column
+  // sketch buffers × SEGMENTS × partitions) multiplied 32× and the
+  // driver measured segmented_profile 0.27→0.92 s (3.4× slower). The
+  // COLLECT path below materializes every metric for every segment —
+  // nothing prunes — so there the [[profileDF]] heavy-per-row gate
+  // applies unchanged (measured sf0.1 back-to-back: the five full-width
+  // segmented roundtrips each ~2 s → ~1.2-1.4 s widened).
+  private def segmentedAgg(
+      df: DataFrame,
+      segmentColumns: Seq[String],
+      filter: Option[Column],
+      columns: Option[Seq[String]],
+      widenForCollect: Boolean): DataFrame = {
     val filtered = filter.map(df.filter).getOrElse(df)
     val keys = segmentColumns.map(n => F.col(n).cast(StringType).as(s"segment_$n"))
     val profiled = columns.getOrElse(
       df.schema.fields.map(_.name).toSeq.filterNot(segmentColumns.contains))
     val aggs = aggColumns(df.schema, Some(profiled))
-    // NOT widened (r21 revert of r20): the segmented partial state is
-    // per-column sketch buffers × SEGMENTS × partitions — widening
-    // multiplied it 32× and the driver measured segmented_profile
-    // 0.27→0.92 s (3.4× slower), segmented_filtered_profile 2.8×. A
-    // large multi-split input parallelizes at the source; a large
-    // single-split one is better served by splitting upstream than by
-    // multiplying per-segment sketch state here.
-    filtered.select((segmentColumns ++ profiled).distinct.map(F.col): _*)
-      .groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val sel = filtered.select((segmentColumns ++ profiled).distinct.map(F.col): _*)
+    val in =
+      if (widenForCollect && plansHeavyPerRowMetric(df, profiled))
+        graft.core.Par.widenIfAtLeast(sel, minInputBytes = 4L << 20)
+      else sel
+    in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Collect segmented profiles: segment key values → profile view. */
@@ -242,7 +264,7 @@ class Profiler(
       df: DataFrame,
       segmentColumns: Seq[String],
       filter: Option[Column] = None): Map[Seq[String], DatasetProfileView] = {
-    val res = profileSegmentedDF(df, segmentColumns, filter)
+    val res = segmentedAgg(df, segmentColumns, filter, None, widenForCollect = true)
     res.collect().map { row =>
       val key = segmentColumns.indices.map(i => String.valueOf(row.get(i)))
       key -> Profiler.parseRow(row, segmentColumns.length, config.quantiles)

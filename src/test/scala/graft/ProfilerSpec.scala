@@ -82,6 +82,34 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("segmented collect path widened above the size gate stays exact") {
+    // Force the widenForCollect branch: single-partition input whose
+    // optimizer size estimate clears Par.widenIfAtLeast's 4 MB floor and
+    // whose resolver plans heavy per-row metrics (HLL/FI on the string
+    // column). Every exact field must match per-segment SQL regardless
+    // of the round-robin repartition the collect path inserts.
+    val big = spark.range(300000).select(
+      (F.col("id") % 4).cast("string").as("seg"),
+      F.col("id").as("v"),
+      F.concat(F.lit("val_"), (F.col("id") % 7).cast("string"),
+        F.lit("_padding_padding_padding")).as("s"))
+      .repartition(1)
+    val seg = profiler.profileSegmented(big, Seq("seg"))
+    assert(seg.keySet == (0 until 4).map(i => Seq(i.toString)).toSet)
+    for (k <- 0 until 4) {
+      val part = big.filter(F.col("seg") === k.toString)
+      val v = seg(Seq(k.toString)).columns("v")
+      assert(v.counts.get.n == part.count())
+      assert(v.ints.get.min.get == part.agg(F.min("v")).head.getLong(0))
+      assert(v.ints.get.max.get == part.agg(F.max("v")).head.getLong(0))
+      val s = seg(Seq(k.toString)).columns("s")
+      // 7 distinct strings — FI sketch never purges, counts are exact
+      val exact = part.groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      s.frequentItems.get.items.foreach(it => assert(it.estimate == exact(it.value)))
+    }
+  }
+
   test("limited resolver only attaches counts/types/distribution") {
     val p = new Profiler(MetricConfig(), ResolverSpec.limitedTracking)
     val view = p.profile(li, Some(Seq("l_quantity")))
