@@ -129,6 +129,20 @@ object ProbeR21 {
       dump(before, "profile_segmented_collect_internal_before.txt")
       dump(after, "profile_segmented_collect_internal_after.txt")
       println("[probe] wrote segmented collect internal plans")
+    } else if (mode == "readcost") {
+      // How much of each query's construction is spark.read.parquet
+      // metadata (listing + footer/schema reads), warm?
+      for (i <- 0 until 3) {
+        val t0 = System.nanoTime()
+        for (_ <- 0 until 20) spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val t1 = System.nanoTime()
+        println(f"[probe] readcost#$i 20x read.parquet = ${(t1 - t0) / 1e9}%.3f s (${(t1 - t0) / 20e6}%.1f ms each)")
+        val sch = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+        val t2 = System.nanoTime()
+        for (_ <- 0 until 20) spark.read.schema(sch).parquet(s"$sfDir/lineitem.parquet")
+        val t3 = System.nanoTime()
+        println(f"[probe] readcost#$i 20x with explicit schema = ${(t3 - t2) / 1e9}%.3f s (${(t3 - t2) / 20e6}%.1f ms each)")
+      }
     } else if (mode.startsWith("phases:")) {
       val name = mode.stripPrefix("phases:")
       for (i <- 0 until 3) {
