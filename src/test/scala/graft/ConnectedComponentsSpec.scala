@@ -55,6 +55,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(edges) == unionFind(edges))
   }
 
+  test("distributed star rounds and the local fast path agree") {
+    // localEdgeBound = 0 forces the alternating-star path on a graph the
+    // default bound would close on the driver — both must produce the
+    // identical (id, min-reachable) table, including schema.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b").repartition(5)
+    val loc = ConnectedComponents.components(df, "a", "b")
+    val dist = ConnectedComponents.components(df, "a", "b", localEdgeBound = 0L)
+    assert(loc.schema.map(f => (f.name, f.dataType)) ==
+      dist.schema.map(f => (f.name, f.dataType)))
+    val lm = loc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == dm)
+    assert(lm == unionFind(edges))
+  }
+
   test("empty edge list yields empty result") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("a", "b")
